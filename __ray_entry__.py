@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here
+(or in versatiles_rs_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry(): flagship pipeline (docs -> spans derivation -> tile
+  assignment -> pyramid build z8..0) on /root/testdata/sf0.001.
+- queries(): one callable per implemented operator (SURVEY.md §2 +
+  graft additions); each takes sf_dir.
+- oracle_sql(): DuckDB-equivalent SQL per query where expressible;
+  rows-only ops (hilbert sort, S2 cells, MinHash/SimHash, LSH ANN,
+  lang-id heuristic, fingerprints, media decode) are covered by pytest
+  instead.
 """
 
 from __future__ import annotations
@@ -18,27 +18,26 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from versatiles_rs_ray.queries import ORACLES, QUERIES
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full pyramid (z8 -> z0) over sf0.001 docs."""
+    from versatiles_rs_ray.pipelines.pyramid import build_pyramid_levels
+
+    levels = build_pyramid_levels("/root/testdata/sf0.001", z_base=8, z_min=0)
+    out = None
+    for z in sorted(levels):
+        lvl = levels[z].select_columns(
+            ["z", "x", "y", "n_docs", "n_spans", "min_doc", "max_doc", "hilbert", "pk"]
+        )
+        out = lvl if out is None else out.union(lvl)
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,88 @@
+"""Tile payload (re)compression for binary Arrow columns.
+
+Mirrors the reference's compression surface
+(versatiles_core/src/utils/compression/functions.rs:55-205):
+Uncompressed | Gzip | Brotli, plus `recompress(from, to)`.
+
+Brotli is not installed in this sandbox; it is gated behind a
+try-import and reported via :data:`AVAILABLE`. gzip uses zlib with a
+fixed level so output bytes are deterministic across workers.
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+try:  # pragma: no cover - absent in sandbox
+    import brotli as _brotli
+except ImportError:
+    _brotli = None
+
+RAW = "raw"
+GZIP = "gzip"
+BROTLI = "br"
+AVAILABLE = (RAW, GZIP) + ((BROTLI,) if _brotli else ())
+
+_GZIP_LEVEL = 6
+
+
+def _compress_one(data: bytes, codec: str) -> bytes:
+    if codec == RAW:
+        return data
+    if codec == GZIP:
+        # mtime=0 + fixed level -> deterministic bytes (important for
+        # byte-equality round-trip tests and content-addressed caches)
+        return _gzip.compress(data, compresslevel=_GZIP_LEVEL, mtime=0)
+    if codec == BROTLI:
+        if _brotli is None:
+            raise NotImplementedError("brotli not installed in this environment")
+        return _brotli.compress(data)
+    raise ValueError(f"unknown compression {codec!r}")
+
+
+def _decompress_one(data: bytes, codec: str) -> bytes:
+    if codec == RAW:
+        return data
+    if codec == GZIP:
+        return zlib.decompress(data, wbits=zlib.MAX_WBITS | 32)
+    if codec == BROTLI:
+        if _brotli is None:
+            raise NotImplementedError("brotli not installed in this environment")
+        return _brotli.decompress(data)
+    raise ValueError(f"unknown compression {codec!r}")
+
+
+def compress_column(col, codec: str) -> pa.Array:
+    """Compress a binary Arrow array/chunked-array element-wise."""
+    values = col.to_pylist() if isinstance(col, (pa.Array, pa.ChunkedArray)) else list(col)
+    return pa.array([None if v is None else _compress_one(v, codec) for v in values], type=pa.binary())
+
+
+def decompress_column(col, codec: str) -> pa.Array:
+    values = col.to_pylist() if isinstance(col, (pa.Array, pa.ChunkedArray)) else list(col)
+    return pa.array([None if v is None else _decompress_one(v, codec) for v in values], type=pa.binary())
+
+
+def recompress_table(table: pa.Table, payload_col: str, from_codec: str, to_codec: str) -> pa.Table:
+    """Per-batch recompression (converter.rs:248-253 semantics)."""
+    if from_codec == to_codec:
+        return table
+    raw = decompress_column(table[payload_col], from_codec)
+    out = compress_column(raw, to_codec)
+    idx = table.schema.get_field_index(payload_col)
+    return table.set_column(idx, payload_col, out)
+
+
+def byte_sizes(col) -> np.ndarray:
+    """Payload byte lengths (for tile-size histograms, cf.
+    versatiles/src/tools/dev_tools/measure_tile_sizes.rs:57-90)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array):
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int32, count=len(col) + 1)
+        return (offs[1:] - offs[:-1]).astype(np.int64)
+    return np.asarray([len(v) for v in col], dtype=np.int64)

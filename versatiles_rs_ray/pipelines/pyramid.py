@@ -1,0 +1,109 @@
+"""Flagship pipeline: interleaved docs -> full tile pyramid, resumable.
+
+The Ray-Data restatement of `versatiles convert` (SURVEY.md §3.1) for
+the graft's spatial-join + tiling engine:
+
+  read docs (derived spans table)
+    -> AssignTiles(z_base)                    [stateless map_batches]
+    -> per-tile aggregation                   [combiner + small groupby]
+    -> per-level hierarchical rollup to z_min [combiner + small groupby each]
+    -> hilbert/pk columns + parquet per level [partitioned, atomic]
+
+Every level is a partition in the checkpoint manifest
+(state/manifest.py): a killed run resumes from the last completed
+level, and each level's rollup reads the *written* parquet of the
+level below (keeps Ray lineage short and makes resume O(remaining)).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from ..core import coords
+from ..sources.docs import read_docs
+from ..stages.assign import assign_tiles, unpack_tkey
+from ..stages.pyramid import aggregate_docs_to_tiles, rollup_level
+from ..state.manifest import Manifest, lineage_hash
+
+
+def finalize_level(batch: pa.Table, block_bits=8) -> pa.Table:
+    """Add z/x/y, hilbert and pk columns to combined tile stats."""
+    z, x, y = unpack_tkey(np.asarray(batch["tkey"], dtype=np.int64))
+    batch = batch.append_column("z", pa.array(z, type=pa.int64()))
+    batch = batch.append_column("x", pa.array(x, type=pa.int64()))
+    batch = batch.append_column("y", pa.array(y, type=pa.int64()))
+    batch = batch.append_column(
+        "hilbert", pa.array(coords.hilbert_index(z, x, y), type=pa.int64())
+    )
+    return batch.append_column(
+        "pk", pa.array(coords.pack_pk(z, x, y, block_bits), type=pa.int64())
+    )
+
+
+def build_pyramid_levels(sf_dir: str, z_base: int, z_min: int = 0, replicate: int = 1):
+    """Lazy in-memory pyramid: {z: Dataset}. No writes (for tests/queries)."""
+    docs = read_docs(sf_dir, replicate=replicate)
+    docs = assign_tiles(docs, z_base)
+    levels = {z_base: aggregate_docs_to_tiles(docs)}
+    for z in range(z_base, z_min, -1):
+        levels[z - 1] = rollup_level(levels[z])
+    return {z: ds.map_batches(finalize_level, batch_format="pyarrow") for z, ds in levels.items()}
+
+
+def build_and_write_pyramid(
+    sf_dir: str,
+    out_dir: str,
+    z_base: int = 10,
+    z_min: int = 0,
+    replicate: int = 1,
+):
+    """Resumable pyramid build; returns the manifest records per level."""
+    import ray.data as rd
+
+    params = {"z_base": z_base, "z_min": z_min, "replicate": replicate, "v": 1}
+    lineage = lineage_hash([f"{sf_dir}/documents.parquet"], params)
+    manifest = Manifest(out_dir, lineage)
+    done = manifest.load()
+    records = dict(done)
+
+    def write_level(z: int, level_ds):
+        t0 = time.monotonic()
+        tmp = manifest.begin(f"z={z}")
+        finalized = level_ds.map_batches(finalize_level, batch_format="pyarrow")
+        finalized.write_parquet(tmp)
+        rows = rd.read_parquet(tmp).count()
+        records[f"z={z}"] = manifest.commit(f"z={z}", tmp, rows, time.monotonic() - t0)
+
+    # base level
+    if f"z={z_base}" not in done:
+        docs = assign_tiles(read_docs(sf_dir, replicate=replicate), z_base)
+        write_level(z_base, aggregate_docs_to_tiles(docs))
+    # rollups, each from the previously *written* level
+    for z in range(z_base, z_min, -1):
+        if f"z={z - 1}" in done:
+            continue
+        below = rd.read_parquet(manifest.partition_dir(f"z={z}"), columns=[
+            "tkey", "n_docs", "n_spans", "min_doc", "max_doc"
+        ])
+        write_level(z - 1, rollup_level(below))
+    return records
+
+
+def read_pyramid(out_dir: str, z_levels=None):
+    """Read the native pyramid layout back as one Dataset."""
+    import os
+
+    import ray.data as rd
+
+    files = []
+    for name in sorted(os.listdir(out_dir)):
+        if name.startswith("z=") and "tmp" not in name and not name.endswith(".jsonl"):
+            z = int(name.split("=")[1])
+            if z_levels is None or z in z_levels:
+                d = os.path.join(out_dir, name)
+                # read_parquet accepts one dir or a list of FILES — expand
+                files += [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    return rd.read_parquet(files)

@@ -1,0 +1,584 @@
+"""Driver-contract queries: one entry per operator, each with a DuckDB
+oracle where SQL can express the semantics (__ray_entry__ re-exports).
+
+Every Ray pipeline here and its oracle SQL derive the SAME interleaved
+docs table from documents.parquet (sources/docs.py holds the shared
+formula fragments), so value-hash comparison is exact. Column names
+match by construction. Ray is initialised by the caller (driver).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .core import cells, coords
+from .core.bbox import TileBBoxPyramid
+from .sources import docs as D
+from .stages import (
+    assign,
+    dedup,
+    embed,
+    filter as filter_stage,
+    join,
+    multimodal,
+    pyramid as pyr,
+    stack,
+    text as text_stage,
+    transform,
+    window,
+)
+
+# ---- query constants (shared engine <-> SQL) --------------------------
+Z_ASSIGN = 12
+Z_PYR = 7
+Z_FLIP = 6
+Z_STACK = 5
+FILTER_BBOX = (5.0, 45.0, 40.0, 60.0)
+FILTER_ZMIN, FILTER_ZMAX = 4, 6
+PIP_BBOX = (0.0, 0.0, 40.0, 20.0)  # the reference filter golden extent
+PIP_ZMIN, PIP_ZMAX = 0, 5
+KNN_K = 3
+KNN_MOD = 97
+TOPK_K = 5
+TOPK_QUERY_IDS = (0, 1, 2, 3)
+S2_LEVEL = 12
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in text_stage.STOPWORDS)
+
+# Derived-docs SQL prelude: doc_id(string), doc_num, lon, lat + passthrough.
+SQL_DOCS = (
+    f"(SELECT {D.SQL_DOC_ID_STR} AS doc_id, doc_id AS doc_num, {D.SQL_LON} AS lon, "
+    f"{D.SQL_LAT} AS lat, text, lang, source, n_chars FROM documents)"
+)
+
+
+def _docs(sf_dir: str):
+    return D.read_docs(sf_dir)
+
+
+def _pip_tiles():
+    """The 14-tile golden pyramid (filter.rs:141-156) as (z, x, y) rows."""
+    p = TileBBoxPyramid.from_geo_bbox(*PIP_BBOX, min_level=PIP_ZMIN, max_level=PIP_ZMAX)
+    out = []
+    for bb in p.levels():
+        xs, ys = bb.coords()
+        out += [(bb.level, int(x), int(y)) for x, y in zip(xs, ys)]
+    return out
+
+
+# ======================================================================
+# Ray-side queries
+# ======================================================================
+
+
+def q_tile_assign(sf_dir):
+    ds = assign.assign_tiles(_docs(sf_dir), Z_ASSIGN)
+    return ds.select_columns(["doc_id", "doc_num", "lon", "lat", "z", "x", "y"])
+
+
+def q_span_explode(sf_dir):
+    ds = multimodal.explode_spans(_docs(sf_dir))
+    return ds.select_columns(["doc_id", "span_idx", "kind", "text", "media_ref", "offset"])
+
+
+def q_span_fingerprint(sf_dir):
+    """Per-doc span-sequence fingerprint: the order-sensitive invariant.
+
+    fp = '|'-join of kind:offset:payload ordered by offset — equality
+    against the oracle proves span-sequence (kind, text, media_ref,
+    order) survives the engine end-to-end (BASELINE.json input_hint).
+    """
+
+    def fp(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        out = []
+        for sp in spans.to_pylist():
+            sp = sorted(sp, key=lambda s: s["offset"])
+            out.append(
+                "|".join(f"{s['kind']}:{s['offset']}:{s['text']}{s['media_ref']}" for s in sp)
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_spans": pa.array([len(s) for s in spans.to_pylist()], type=pa.int64()),
+                "span_fp": pa.array(out, type=pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fp, batch_format="pyarrow")
+
+
+def q_pyramid_counts(sf_dir):
+    docs_ds = assign.assign_tiles(_docs(sf_dir), Z_PYR)
+    levels = pyr.build_pyramid(docs_ds, Z_PYR, 0)
+    unioned = None
+    for z in sorted(levels):
+        lvl = levels[z].map_batches(pyr.unpack_tile_columns, batch_format="pyarrow")
+        lvl = lvl.select_columns(["z", "x", "y", "n_docs", "n_spans", "min_doc", "max_doc"])
+        unioned = lvl if unioned is None else unioned.union(lvl)
+    return unioned
+
+
+def q_filter_bbox_zoom(sf_dir):
+    out = None
+    for z in range(FILTER_ZMIN, FILTER_ZMAX + 1):
+        ds = assign.assign_tiles(_docs(sf_dir), z).select_columns(["doc_num", "z", "x", "y"])
+        out = ds if out is None else out.union(ds)
+    filtered = filter_stage.filter_bbox_zoom(
+        out, bbox=FILTER_BBOX, level_min=FILTER_ZMIN, level_max=FILTER_ZMAX
+    )
+    return filtered
+
+
+def q_flip_swap(sf_dir):
+    ds = assign.assign_tiles(_docs(sf_dir), Z_FLIP)
+    flipped = transform.flip_y_ds(ds)
+    swapped = transform.swap_xy_ds(flipped)
+    return swapped.select_columns(["doc_num", "z", "x", "y"])
+
+
+def q_stacked_first_wins(sf_dir):
+    def add_rank(batch: pa.Table) -> pa.Table:
+        rank = np.asarray(
+            [int(s[3:]) for s in batch["source"].to_pylist()], dtype=np.int64
+        )
+        return batch.append_column("src_rank", pa.array(rank, type=pa.int64()))
+
+    ds = assign.assign_tiles(_docs(sf_dir), Z_STACK).map_batches(
+        add_rank, batch_format="pyarrow"
+    )
+    return stack.first_wins(ds)
+
+
+def q_merged_tile_sources(sf_dir):
+    def add_rank(batch: pa.Table) -> pa.Table:
+        rank = np.asarray(
+            [int(s[3:]) for s in batch["source"].to_pylist()], dtype=np.int64
+        )
+        return batch.append_column("src_rank", pa.array(rank, type=pa.int64()))
+
+    ds = assign.assign_tiles(_docs(sf_dir), Z_STACK).map_batches(
+        add_rank, batch_format="pyarrow"
+    )
+    names = {i: f"src{i}" for i in range(63)}
+    return stack.merge_sources(ds, source_names=names)
+
+
+def q_pip_join(sf_dir):
+    tiles_by_z = {}
+    for z, x, y in _pip_tiles():
+        tiles_by_z.setdefault(z, []).append((x, y))
+    out = None
+    for z, txy in sorted(tiles_by_z.items()):
+        ds = _docs(sf_dir).map_batches(
+            join.TileSetPIPJoin(z, txy), batch_format="pyarrow"
+        ).select_columns(["doc_num", "z", "x", "y"])
+        out = ds if out is None else out.union(ds)
+    return out
+
+
+def q_knn_join(sf_dir):
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    did = np.asarray(t["doc_id"], dtype=np.int64)
+    q_ids = did[did % KNN_MOD == 0]
+    q_lon, q_lat = D.derive_lonlat(q_ids)
+    return join.knn_join(_docs(sf_dir), q_ids, q_lon, q_lat, KNN_K)
+
+
+def q_dedup_exact(sf_dir):
+    return dedup.dedup_exact(_docs(sf_dir))
+
+
+def q_token_stats(sf_dir):
+    return _docs(sf_dir).map_batches(text_stage.token_stats_batch, batch_format="pyarrow")
+
+
+def q_quality(sf_dir):
+    ds = _docs(sf_dir).map_batches(text_stage.quality_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_tokens", "n_stop", "alpha_chars", "quality_bucket"])
+
+
+def q_corpus_stats(sf_dir):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _docs(sf_dir).map_batches(
+        lambda t: text_stage.token_stats_batch(t).append_column("lang", t["lang"]),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="sum_tokens"),
+        Sum("n_chars", alias_name="sum_chars"),
+    )
+
+
+def q_events_window(sf_dir):
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    return window.tumbling_window(ev)
+
+
+def q_media_refs(sf_dir):
+    from ray.data.aggregate import Sum
+
+    media = multimodal.media_spans(_docs(sf_dir))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kinds = np.asarray(batch["kind"].to_pandas(), dtype=object)
+        docs_col = np.asarray(batch["doc_id"].to_pandas(), dtype=object)
+        uniq, inv = np.unique(kinds, return_inverse=True)
+        n_spans = np.bincount(inv).astype(np.int64)
+        n_docs = np.asarray(
+            [len(np.unique(docs_col[inv == i])) for i in range(len(uniq))], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "kind": pa.array(uniq, type=pa.string()),
+                "n_spans": pa.array(n_spans, type=pa.int64()),
+                "n_docs": pa.array(n_docs, type=pa.int64()),
+            }
+        )
+
+    partials = media.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("kind").aggregate(
+        Sum("n_spans", alias_name="n_spans"), Sum("n_docs", alias_name="n_docs")
+    )
+
+
+def q_embedding_topk(sf_dir):
+    import ray.data as rd
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vid = np.asarray(t["vec_id"], dtype=np.int64)
+    emb = embed._to_matrix(t["embedding"])
+    q_mask = np.isin(vid, np.asarray(TOPK_QUERY_IDS))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embed.cosine_topk(ds, vid[q_mask], emb[q_mask], TOPK_K)
+
+
+# ---- rows-only queries (no SQL-expressible oracle) --------------------
+
+
+def q_s2_cells(sf_dir):
+    def add_s2(batch: pa.Table) -> pa.Table:
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        cid = cells.s2_cell_id(lon, lat, S2_LEVEL)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "s2_cell": pa.array(cid, type=pa.int64()),
+                "s2_token": pa.array(cells.s2_token(cid), type=pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(add_s2, batch_format="pyarrow")
+
+
+def q_hilbert_order(sf_dir):
+    ds = assign.assign_tiles(_docs(sf_dir), Z_FLIP, with_hilbert=True)
+    return ds.select_columns(["doc_num", "z", "x", "y", "hilbert"]).sort("hilbert")
+
+
+def q_lang_guess(sf_dir):
+    return text_stage.lang_accuracy(_docs(sf_dir))
+
+
+def q_fingerprint(sf_dir):
+    return _docs(sf_dir).map_batches(text_stage.fingerprint_batch, batch_format="pyarrow")
+
+
+def q_minhash_dedup(sf_dir):
+    import ray
+
+    docs_ds = _docs(sf_dir)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(np.asarray(t["doc_id"], dtype=np.int64).tolist(), t["text"].to_pylist()))
+    cand = dedup.minhash_candidates(docs_ds)
+    ref = ray.put(texts)
+    return cand.map_batches(
+        dedup.JaccardVerify,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"texts_ref": ref, "threshold": 0.5},
+        concurrency=2,
+    )
+
+
+def q_simhash_dedup(sf_dir):
+    return dedup.simhash_candidates(_docs(sf_dir))
+
+
+def q_embedding_lsh_topk(sf_dir):
+    import ray.data as rd
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vid = np.asarray(t["vec_id"], dtype=np.int64)
+    emb = embed._to_matrix(t["embedding"])
+    q_mask = np.isin(vid, np.asarray(TOPK_QUERY_IDS))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embed.lsh_topk(ds, vid[q_mask], emb[q_mask], TOPK_K, dim=emb.shape[1])
+
+
+def q_media_decode(sf_dir):
+    return multimodal.decode_media(_docs(sf_dir)).select_columns(
+        ["doc_id", "span_idx", "kind", "media_ref", "width", "height", "n_bytes"]
+    )
+
+
+# ======================================================================
+# Oracle SQL
+# ======================================================================
+
+
+def _sql_docs_at(z):
+    """Docs with tile x/y at literal zoom z."""
+    return (
+        f"(SELECT *, {assign.sql_tile_x(z, 'lon')} AS x, {assign.sql_tile_y(z, 'lat')} AS y, "
+        f"{z} AS z FROM {SQL_DOCS} d)"
+    )
+
+
+def _oracle_tile_assign():
+    return (
+        f"SELECT doc_id, doc_num, lon, lat, z, x, y FROM {_sql_docs_at(Z_ASSIGN)} t"
+    )
+
+
+def _oracle_span_explode():
+    i = "e.span_idx"
+    return (
+        f"SELECT {D.SQL_DOC_ID_STR} AS doc_id, e.span_idx, "
+        f"{D.SQL_SPAN_KIND.format(i=i)} AS kind, {D.SQL_SPAN_TEXT.format(i=i)} AS text, "
+        f"{D.SQL_SPAN_MEDIA.format(i=i)} AS media_ref, "
+        f"CAST({D.SQL_SPAN_OFFSET.format(i=i)} AS BIGINT) AS \"offset\" "
+        f"FROM {D.SQL_SPANS_EXPLODED} e"
+    )
+
+
+def _oracle_span_fingerprint():
+    i = "e.span_idx"
+    piece = (
+        f"{D.SQL_SPAN_KIND.format(i=i)} || ':' || CAST({D.SQL_SPAN_OFFSET.format(i=i)} AS VARCHAR)"
+        f" || ':' || {D.SQL_SPAN_TEXT.format(i=i)} || {D.SQL_SPAN_MEDIA.format(i=i)}"
+    )
+    return (
+        f"SELECT {D.SQL_DOC_ID_STR} AS doc_id, count(*) AS n_spans, "
+        f"string_agg({piece}, '|' ORDER BY e.span_idx) AS span_fp "
+        f"FROM {D.SQL_SPANS_EXPLODED} e GROUP BY 1"
+    )
+
+
+def _oracle_pyramid_counts():
+    parts = [
+        (
+            f"SELECT z, x, y, count(*) AS n_docs, CAST(sum(1 + doc_num % 4) AS BIGINT) AS n_spans, "
+            f"min(doc_num) AS min_doc, max(doc_num) AS max_doc "
+            f"FROM {_sql_docs_at(z)} t GROUP BY z, x, y"
+        )
+        for z in range(0, Z_PYR + 1)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def _oracle_filter_bbox_zoom():
+    pyramid = TileBBoxPyramid.from_geo_bbox(
+        *FILTER_BBOX, min_level=FILTER_ZMIN, max_level=FILTER_ZMAX
+    )
+    parts = []
+    for bb in pyramid.levels():
+        parts.append(
+            f"SELECT doc_num, z, x, y FROM {_sql_docs_at(bb.level)} t "
+            f"WHERE x BETWEEN {bb.x_min} AND {bb.x_max} AND y BETWEEN {bb.y_min} AND {bb.y_max}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _oracle_flip_swap():
+    n = (1 << Z_FLIP) - 1
+    return (
+        f"SELECT doc_num, z, ({n} - y) AS x, x AS y FROM {_sql_docs_at(Z_FLIP)} t"
+    )
+
+
+def _oracle_stacked_first_wins():
+    return (
+        "SELECT z, x, y, winner_rank, winner_doc FROM ("
+        "SELECT z, x, y, CAST(substr(source, 4) AS BIGINT) AS winner_rank, "
+        "doc_num AS winner_doc, row_number() OVER (PARTITION BY z, x, y "
+        "ORDER BY CAST(substr(source, 4) AS BIGINT), doc_num) AS rn "
+        f"FROM {_sql_docs_at(Z_STACK)} t) WHERE rn = 1"
+    )
+
+
+def _oracle_merged_tile_sources():
+    return (
+        "SELECT z, x, y, count(*) AS n_docs, count(DISTINCT source) AS n_sources, "
+        "string_agg(DISTINCT source, ',' ORDER BY source) AS sources "
+        f"FROM {_sql_docs_at(Z_STACK)} t GROUP BY z, x, y"
+    )
+
+
+def _oracle_pip_join():
+    vals = ", ".join(f"({z}, {x}, {y})" for z, x, y in _pip_tiles())
+    parts = []
+    for z in sorted({t[0] for t in _pip_tiles()}):
+        parts.append(
+            f"SELECT doc_num, t.z, t.x, t.y FROM {_sql_docs_at(z)} t "
+            f"JOIN (VALUES {vals}) AS poly(z, x, y) "
+            f"ON poly.z = {z} AND t.x = poly.x AND t.y = poly.y"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _oracle_knn_join():
+    return (
+        f"WITH pts AS (SELECT doc_num, lon, lat FROM {SQL_DOCS} d), "
+        f"q AS (SELECT * FROM pts WHERE doc_num % {KNN_MOD} = 0) "
+        "SELECT q_doc, n_doc, rank FROM ("
+        "SELECT q.doc_num AS q_doc, c.doc_num AS n_doc, "
+        "row_number() OVER (PARTITION BY q.doc_num ORDER BY "
+        "(q.lon - c.lon) * (q.lon - c.lon) + (q.lat - c.lat) * (q.lat - c.lat), c.doc_num"
+        ") AS rank FROM q CROSS JOIN pts c WHERE c.doc_num <> q.doc_num"
+        f") WHERE rank <= {KNN_K}"
+    )
+
+
+def _oracle_dedup_exact():
+    return (
+        "SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc, count(*) AS n_dupes "
+        "FROM documents GROUP BY 1"
+    )
+
+
+_SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _oracle_token_stats():
+    return (
+        f"SELECT {D.SQL_DOC_ID_STR} AS doc_id, n_chars, "
+        f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_SQL_TOKENS}) END AS n_tokens, "
+        f"CASE WHEN trim(text) = '' THEN 0 ELSE len(list_filter({_SQL_TOKENS}, "
+        f"x -> x IN ({_STOP_SQL}))) END AS n_stop, "
+        f"CASE WHEN trim(text) = '' THEN 0 ELSE list_max(list_transform({_SQL_TOKENS}, "
+        "x -> length(x))) END AS max_token_len FROM documents"
+    )
+
+
+def _oracle_quality():
+    toks = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_SQL_TOKENS}) END"
+    stop = (
+        f"CASE WHEN trim(text) = '' THEN 0 ELSE len(list_filter({_SQL_TOKENS}, "
+        f"x -> x IN ({_STOP_SQL}))) END"
+    )
+    alpha = (
+        f"CASE WHEN trim(text) = '' THEN 0 ELSE list_sum(list_transform({_SQL_TOKENS}, "
+        "x -> length(x))) END"
+    )
+    return (
+        f"WITH s AS (SELECT {D.SQL_DOC_ID_STR} AS doc_id, {toks} AS n_tokens, "
+        f"{stop} AS n_stop, CAST({alpha} AS BIGINT) AS alpha_chars FROM documents) "
+        "SELECT doc_id, n_tokens, n_stop, alpha_chars, "
+        "CASE WHEN n_tokens >= 10 AND 3 * n_tokens <= alpha_chars AND "
+        "alpha_chars <= 12 * n_tokens AND 20 * n_stop >= n_tokens THEN 2 "
+        "WHEN n_tokens >= 3 THEN 1 ELSE 0 END AS quality_bucket FROM s"
+    )
+
+
+def _oracle_corpus_stats():
+    return (
+        f"SELECT lang, count(*) AS n_docs, "
+        f"CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE len({_SQL_TOKENS}) END) AS BIGINT) AS sum_tokens, "
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY lang"
+    )
+
+
+def _oracle_events_window():
+    w = window.WINDOW_S
+    return (
+        f"SELECT event_type, (epoch_us(ts) // {w * 1_000_000}) * {w} AS window_start, "
+        "count(*) AS n_events, CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents, "
+        "min(CAST(floor(value * 100.0) AS BIGINT)) AS min_cents, "
+        "max(CAST(floor(value * 100.0) AS BIGINT)) AS max_cents "
+        "FROM events GROUP BY event_type, window_start"
+    )
+
+
+def _oracle_media_refs():
+    i = "e.span_idx"
+    return (
+        f"SELECT {D.SQL_SPAN_KIND.format(i=i)} AS kind, count(*) AS n_spans, "
+        f"count(DISTINCT doc_id) AS n_docs FROM {D.SQL_SPANS_EXPLODED} e "
+        f"WHERE {D.SQL_SPAN_KIND.format(i=i)} <> 'text' GROUP BY 1"
+    )
+
+
+def _oracle_embedding_topk():
+    ids = ", ".join(str(i) for i in TOPK_QUERY_IDS)
+    return (
+        f"WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id IN ({ids})) "
+        "SELECT q_id, vec_id, rank FROM ("
+        "SELECT q.qid AS q_id, c.vec_id, row_number() OVER (PARTITION BY q.qid ORDER BY "
+        "list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank "
+        "FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.qid) "
+        f"WHERE rank <= {TOPK_K}"
+    )
+
+
+# ======================================================================
+# registry
+# ======================================================================
+
+QUERIES = {
+    "tile_assign": q_tile_assign,
+    "span_explode": q_span_explode,
+    "span_fingerprint": q_span_fingerprint,
+    "pyramid_counts": q_pyramid_counts,
+    "filter_bbox_zoom": q_filter_bbox_zoom,
+    "flip_swap": q_flip_swap,
+    "stacked_first_wins": q_stacked_first_wins,
+    "merged_tile_sources": q_merged_tile_sources,
+    "pip_join": q_pip_join,
+    "knn_join": q_knn_join,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "quality": q_quality,
+    "corpus_stats": q_corpus_stats,
+    "events_window": q_events_window,
+    "media_refs": q_media_refs,
+    "embedding_topk": q_embedding_topk,
+    # rows-only (non-SQL-expressible; pytest covers correctness)
+    "s2_cells": q_s2_cells,
+    "hilbert_order": q_hilbert_order,
+    "lang_guess": q_lang_guess,
+    "fingerprint": q_fingerprint,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "embedding_lsh_topk": q_embedding_lsh_topk,
+    "media_decode": q_media_decode,
+}
+
+ORACLES = {
+    "tile_assign": _oracle_tile_assign(),
+    "span_explode": _oracle_span_explode(),
+    "span_fingerprint": _oracle_span_fingerprint(),
+    "pyramid_counts": _oracle_pyramid_counts(),
+    "filter_bbox_zoom": _oracle_filter_bbox_zoom(),
+    "flip_swap": _oracle_flip_swap(),
+    "stacked_first_wins": _oracle_stacked_first_wins(),
+    "merged_tile_sources": _oracle_merged_tile_sources(),
+    "pip_join": _oracle_pip_join(),
+    "knn_join": _oracle_knn_join(),
+    "dedup_exact": _oracle_dedup_exact(),
+    "token_stats": _oracle_token_stats(),
+    "quality": _oracle_quality(),
+    "corpus_stats": _oracle_corpus_stats(),
+    "events_window": _oracle_events_window(),
+    "media_refs": _oracle_media_refs(),
+    "embedding_topk": _oracle_embedding_topk(),
+}

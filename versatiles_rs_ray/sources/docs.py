@@ -1,0 +1,218 @@
+"""Deterministic interleaved-document source (the graft's input table).
+
+The authoritative input shape (BASELINE.json input_hint) is a Lance
+table ``(doc_id:string, spans:list<struct<kind,text,media_ref,offset:int32>>)``.
+No external data exists in the sandbox, so this module derives that
+table *deterministically* from the driver-provided
+``documents.parquet`` (doc_id:int64, text, lang, source, n_chars):
+
+- ``doc_id``   -> ``doc-%08d``
+- ``lon/lat``  -> integer multiplicative hashes of doc_id mapped to
+  (-180,180) x (-85.0511, 85.0511) (web-mercator-valid, mirroring
+  FIXTURES.md F1 / TileCoord::from_geo's domain,
+  versatiles_core/src/types/tile_coord.rs:64-80)
+- ``spans``    -> 1..4 spans cut from the document text, alternating
+  text/image/audio kinds, offsets strictly increasing (i*16)
+
+Every formula here is pure integer arithmetic + one float division, so
+the DuckDB oracle reproduces it bit-for-bit; the SQL fragments live
+beside the numpy code (single source of truth for both sides).
+
+The same generator scales to arbitrary row counts for benchmarks via
+``replicate`` (doc_id' = doc_id + replica * stride), keeping
+determinism without external data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+# ---- derivation constants (shared numpy <-> SQL) ----------------------
+LON_MULT = 2654435761  # Knuth multiplicative hash constant
+LAT_MULT = 2246822519
+LAT_ADD = 3266489917
+M32 = 4294967296
+LAT_SPAN = 170.1022  # 2 * 85.0511
+LAT_HALF = 85.0511
+SPAN_KINDS = ("text", "image", "text", "audio")
+SPAN_LEN = 16
+REPLICA_STRIDE = 100_000_000  # doc_id' = doc_id + replica * stride
+
+# SQL fragments that must stay in lockstep with the numpy code below.
+SQL_LON = f"(((doc_id * {LON_MULT}) % {M32}) / {M32}.0 * 360.0 - 180.0)"
+SQL_LAT = f"(((doc_id * {LAT_MULT} + {LAT_ADD}) % {M32}) / {M32}.0 * {LAT_SPAN} - {LAT_HALF})"
+SQL_DOC_ID_STR = "('doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0'))"
+SQL_N_SPANS = "(1 + doc_id % 4)"
+# span kind for span index i (0-based): SPAN_KINDS[(doc_id + i) % 4]
+SQL_SPAN_KIND = (
+    "(CASE (doc_id + {i}) % 4 WHEN 0 THEN 'text' WHEN 1 THEN 'image' "
+    "WHEN 2 THEN 'text' ELSE 'audio' END)"
+)
+SQL_SPAN_TEXT = (
+    "(CASE WHEN (doc_id + {i}) % 4 IN (0, 2) "
+    f"THEN substr(text, {{i}} * {SPAN_LEN} + 1, {SPAN_LEN}) ELSE '' END)"
+)
+SQL_SPAN_MEDIA = (
+    "(CASE WHEN (doc_id + {i}) % 4 IN (0, 2) THEN '' "
+    "ELSE 'media://' || CAST(doc_id AS VARCHAR) || '/' || CAST({i} AS VARCHAR) END)"
+)
+SQL_SPAN_OFFSET = f"({{i}} * {SPAN_LEN})"
+
+# A derived-docs FROM-clause: explodes documents into one row per span
+# (doc_id, text, lang, source carried; i = span index). DuckDB 1.0 has
+# no lateral generate_series over a column, so cross-join a fixed 0..3
+# series and filter to i < 1 + doc_id % 4.
+SQL_SPANS_EXPLODED = (
+    "(SELECT d.*, t.i AS span_idx FROM documents d "
+    "CROSS JOIN generate_series(0, 3) AS t(i) WHERE t.i <= d.doc_id % 4)"
+)
+
+SPANS_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    )
+)
+
+
+def derive_lonlat(doc_id: np.ndarray):
+    """doc_id (int64) -> (lon, lat) float64, matching SQL_LON/SQL_LAT."""
+    doc_id = np.asarray(doc_id, dtype=np.int64)
+    h_lon = (doc_id * LON_MULT) % M32
+    h_lat = (doc_id * LAT_MULT + LAT_ADD) % M32
+    lon = h_lon / float(M32) * 360.0 - 180.0
+    lat = h_lat / float(M32) * LAT_SPAN - LAT_HALF
+    return lon, lat
+
+
+def doc_id_str(doc_id: np.ndarray) -> pa.Array:
+    """doc_id int64 -> 'doc-%08d' strings (matches SQL_DOC_ID_STR)."""
+    ids = np.asarray(doc_id, dtype=np.int64)
+    return pa.array([f"doc-{i:08d}" for i in ids.tolist()], type=pa.string())
+
+
+def span_fields(doc_id: np.ndarray, text: pa.Array):
+    """Flattened span arrays for a batch of documents.
+
+    Returns (row_index, span_idx, kind, span_text, media_ref, offset)
+    where row_index maps each span back to its source row. Vectorized:
+    per-span text slices come from 4 precomputed
+    `utf8_slice_codeunits` arrays (span index <= 3), selected by take.
+    """
+    import pyarrow.compute as pc  # local import keeps module import light
+
+    doc_id = np.asarray(doc_id, dtype=np.int64)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_spans = (1 + doc_id % 4).astype(np.int64)
+    row_index = np.repeat(np.arange(len(doc_id), dtype=np.int64), n_spans)
+    # span_idx = 0..n_spans-1 per row, concatenated
+    total = int(n_spans.sum())
+    starts = np.zeros(len(doc_id), dtype=np.int64)
+    starts[1:] = np.cumsum(n_spans)[:-1]
+    span_idx = np.arange(total, dtype=np.int64) - np.repeat(starts, n_spans)
+
+    did = doc_id[row_index]
+    kind_code = (did + span_idx) % 4
+    kinds = np.asarray(SPAN_KINDS, dtype=object)[kind_code]
+    is_text = (kind_code == 0) | (kind_code == 2)
+
+    # 4 possible slices of each doc's text (span_idx in 0..3)
+    slices = [
+        pc.utf8_slice_codeunits(text, start=i * SPAN_LEN, stop=(i + 1) * SPAN_LEN) for i in range(4)
+    ]
+    sliced = [np.asarray(s.to_pandas(), dtype=object) for s in slices]
+    span_text = np.empty(total, dtype=object)
+    for i in range(4):
+        m = span_idx == i
+        span_text[m] = sliced[i][row_index[m]]
+    span_text = np.where(is_text, span_text, "")
+
+    media = np.where(
+        is_text,
+        "",
+        np.asarray(
+            [f"media://{d}/{i}" for d, i in zip(did.tolist(), span_idx.tolist())], dtype=object
+        ),
+    )
+    offset = (span_idx * SPAN_LEN).astype(np.int32)
+    return row_index, span_idx, kinds, span_text, media, offset
+
+
+def derive_docs_batch(batch: pa.Table) -> pa.Table:
+    """map_batches fn: documents.parquet batch -> interleaved docs table.
+
+    Output columns: doc_id:string, spans:list<struct>, lon, lat,
+    doc_num:int64 (the original integer id), lang, source, n_chars.
+    """
+    did = np.asarray(batch["doc_id"], dtype=np.int64)
+    lon, lat = derive_lonlat(did)
+    row_index, span_idx, kinds, span_text, media, offset = span_fields(did, batch["text"])
+
+    flat = pa.StructArray.from_arrays(
+        [
+            pa.array(kinds, type=pa.string()),
+            pa.array(span_text, type=pa.string()),
+            pa.array(media, type=pa.string()),
+            pa.array(offset, type=pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    n_spans = (1 + did % 4).astype(np.int64)
+    offsets = np.zeros(len(did) + 1, dtype=np.int32)
+    offsets[1:] = np.cumsum(n_spans)
+    spans = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), flat)
+
+    return pa.table(
+        {
+            "doc_id": doc_id_str(did),
+            "doc_num": pa.array(did, type=pa.int64()),
+            "spans": spans,
+            "text": batch["text"],
+            "lon": pa.array(lon, type=pa.float64()),
+            "lat": pa.array(lat, type=pa.float64()),
+            "lang": batch["lang"],
+            "source": batch["source"],
+            "n_chars": batch["n_chars"],
+        }
+    )
+
+
+def read_docs(sf_dir: str, replicate: int = 1, columns=None):
+    """Interleaved-docs Dataset derived from ``{sf_dir}/documents.parquet``.
+
+    ``replicate > 1`` deterministically tiles the id space for
+    benchmark-scale inputs (doc_id' = doc_id + r * REPLICA_STRIDE) —
+    the sandbox stand-in for the 10^12-row Lance table. Ray is assumed
+    to be initialised by the caller.
+    """
+    import ray.data as rd  # deferred: library code must not touch ray at import
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    if replicate > 1:
+
+        def _replicate(batch: pa.Table) -> pa.Table:
+            tables = []
+            for r in range(replicate):
+                t = batch.set_column(
+                    batch.schema.get_field_index("doc_id"),
+                    "doc_id",
+                    pa.array(
+                        np.asarray(batch["doc_id"], dtype=np.int64) + r * REPLICA_STRIDE,
+                        type=pa.int64(),
+                    ),
+                )
+                tables.append(t)
+            return pa.concat_tables(tables)
+
+        ds = ds.map_batches(_replicate, batch_format="pyarrow")
+    ds = ds.map_batches(derive_docs_batch, batch_format="pyarrow")
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds

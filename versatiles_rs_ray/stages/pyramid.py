@@ -1,0 +1,127 @@
+"""Tile-pyramid aggregation: docs -> per-tile rows -> hierarchical rollup.
+
+The Ray-Data reformulation of the reference's overview loop
+(versatiles_pipeline/src/operations/raster/raster_overview.rs:36-240):
+instead of a DepthFirst traversal with a Push/Pop cache, every level is
+a Dataset derived from the level below by a partial-aggregate (inside
+``map_batches``, the combiner) followed by a small ``groupby`` on the
+packed parent tile key. The per-batch combiner bounds the rows entering
+every shuffle to (distinct tiles in batch) regardless of skew — the
+explicit skew handling the north rule demands: a hot low-zoom tile
+contributes at most one partial row per upstream batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .assign import pack_tkey, unpack_tkey
+
+AGG_COLUMNS = ["n_docs", "n_spans", "min_doc", "max_doc"]
+
+
+def _group_partials(tkey, n_docs, n_spans, min_doc, max_doc):
+    """Combine per-row (or per-partial) stats by tile key within a batch."""
+    uniq, inv = np.unique(tkey, return_inverse=True)
+    out_docs = np.bincount(inv, weights=n_docs).astype(np.int64)
+    out_spans = np.bincount(inv, weights=n_spans).astype(np.int64)
+    out_min = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+    out_max = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
+    np.minimum.at(out_min, inv, min_doc)
+    np.maximum.at(out_max, inv, max_doc)
+    return uniq, out_docs, out_spans, out_min, out_max
+
+
+def _partials_table(tkey, n_docs, n_spans, min_doc, max_doc) -> pa.Table:
+    return pa.table(
+        {
+            "tkey": pa.array(tkey, type=pa.int64()),
+            "n_docs": pa.array(n_docs, type=pa.int64()),
+            "n_spans": pa.array(n_spans, type=pa.int64()),
+            "min_doc": pa.array(min_doc, type=pa.int64()),
+            "max_doc": pa.array(max_doc, type=pa.int64()),
+        }
+    )
+
+
+def partial_doc_agg(batch: pa.Table) -> pa.Table:
+    """Docs batch (z, x, y, doc_num, spans) -> per-tile partial stats."""
+    tkey = pack_tkey(
+        np.asarray(batch["z"], dtype=np.int64),
+        np.asarray(batch["x"], dtype=np.int64),
+        np.asarray(batch["y"], dtype=np.int64),
+    )
+    doc_num = np.asarray(batch["doc_num"], dtype=np.int64)
+    spans = batch["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    n_spans = np.asarray(pc.list_value_length(spans), dtype=np.int64)
+    ones = np.ones(len(doc_num), dtype=np.int64)
+    return _partials_table(*_group_partials(tkey, ones, n_spans, doc_num, doc_num))
+
+
+def partial_parent_agg(batch: pa.Table) -> pa.Table:
+    """Tile-stats batch -> partial stats of the parent level (z-1, x>>1, y>>1).
+
+    Semantics of ``TileCoord::as_level_decreased`` (tile_coord.rs:185-188)
+    applied to aggregates instead of pixels.
+    """
+    z, x, y = unpack_tkey(np.asarray(batch["tkey"], dtype=np.int64))
+    parent = pack_tkey(z - 1, x >> 1, y >> 1)
+    return _partials_table(
+        *_group_partials(
+            parent,
+            np.asarray(batch["n_docs"], dtype=np.int64),
+            np.asarray(batch["n_spans"], dtype=np.int64),
+            np.asarray(batch["min_doc"], dtype=np.int64),
+            np.asarray(batch["max_doc"], dtype=np.int64),
+        )
+    )
+
+
+def combine_partials(ds):
+    """Final combine: groupby packed key, sum/min/max the partials."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    return ds.groupby("tkey").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_spans", alias_name="n_spans"),
+        Min("min_doc", alias_name="min_doc"),
+        Max("max_doc", alias_name="max_doc"),
+    )
+
+
+def unpack_tile_columns(batch: pa.Table) -> pa.Table:
+    """Add back z/x/y from the packed tkey (for outputs/oracles)."""
+    z, x, y = unpack_tkey(np.asarray(batch["tkey"], dtype=np.int64))
+    batch = batch.append_column("z", pa.array(z, type=pa.int64()))
+    batch = batch.append_column("x", pa.array(x, type=pa.int64()))
+    return batch.append_column("y", pa.array(y, type=pa.int64()))
+
+
+def aggregate_docs_to_tiles(docs_ds):
+    """Docs with (z,x,y) -> one row per tile with doc/span stats."""
+    partials = docs_ds.map_batches(partial_doc_agg, batch_format="pyarrow")
+    return combine_partials(partials)
+
+
+def rollup_level(tiles_ds):
+    """One hierarchical step: level z stats -> level z-1 stats."""
+    partials = tiles_ds.map_batches(partial_parent_agg, batch_format="pyarrow")
+    return combine_partials(partials)
+
+
+def build_pyramid(docs_with_tiles, z_base: int, z_min: int = 0):
+    """Full pyramid z_base..z_min as a dict {z: Dataset of tile stats}.
+
+    Each level feeds the next; Ray materializes levels lazily when the
+    caller consumes them. For very deep pyramids the caller should
+    consume (write) each level before deriving the next to keep lineage
+    short — see pipelines/pyramid.py.
+    """
+    levels = {z_base: aggregate_docs_to_tiles(docs_with_tiles)}
+    for z in range(z_base, z_min, -1):
+        levels[z - 1] = rollup_level(levels[z])
+    return levels

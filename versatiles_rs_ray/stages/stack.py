@@ -1,0 +1,148 @@
+"""N-ary per-tile-key combination operators: first-wins and merge.
+
+Reformulates the reference's stacked/merged read ops:
+
+- `from_stacked` (first non-null per tile across ranked sources,
+  versatiles_pipeline/src/operations/read/from_stacked.rs:125-165)
+  becomes a *deterministic* min-reduction on an explicit rank column —
+  the reference relies on evaluation order, we carry the order in data
+  (SURVEY.md §7.4 hard part 1).
+- `from_merged_vector` (concatenate same-named layers per tile,
+  from_merged_vector.rs:57-69) becomes an order-insensitive merge of
+  per-source summaries with a bitmask OR.
+
+Both are two-phase: a per-batch combiner bounds shuffle input, then a
+small groupby finishes — the same skew discipline as stages/pyramid.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .assign import pack_tkey, unpack_tkey
+
+# winner coding: code = rank << 40 | doc_num  (doc_num < 2^40)
+_WINNER_SHIFT = 40
+
+
+def encode_winner(rank, doc_num):
+    doc_num = np.asarray(doc_num, dtype=np.int64)
+    assert int(np.max(doc_num, initial=0)) < (1 << _WINNER_SHIFT)
+    return (np.asarray(rank, dtype=np.int64) << _WINNER_SHIFT) | doc_num
+
+
+def decode_winner(code):
+    code = np.asarray(code, dtype=np.int64)
+    return code >> _WINNER_SHIFT, code & ((1 << _WINNER_SHIFT) - 1)
+
+
+def partial_first_wins(batch: pa.Table, rank_col="src_rank") -> pa.Table:
+    """Per-batch argmin of (rank, doc_num) per tile key."""
+    tkey = pack_tkey(
+        np.asarray(batch["z"], dtype=np.int64),
+        np.asarray(batch["x"], dtype=np.int64),
+        np.asarray(batch["y"], dtype=np.int64),
+    )
+    code = encode_winner(
+        np.asarray(batch[rank_col], dtype=np.int64),
+        np.asarray(batch["doc_num"], dtype=np.int64),
+    )
+    uniq, inv = np.unique(tkey, return_inverse=True)
+    best = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(best, inv, code)
+    return pa.table({"tkey": pa.array(uniq, type=pa.int64()), "code": pa.array(best, type=pa.int64())})
+
+
+def first_wins(ds, rank_col="src_rank"):
+    """Winner-takes-first per tile: min (rank, doc_num) — from_stacked semantics.
+
+    Input: rows with z/x/y, doc_num, and a source-rank column.
+    Output: z, x, y, winner_rank, winner_doc.
+    """
+    from ray.data.aggregate import Min
+
+    partials = ds.map_batches(lambda t: partial_first_wins(t, rank_col), batch_format="pyarrow")
+    combined = partials.groupby("tkey").aggregate(Min("code", alias_name="code"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        z, x, y = unpack_tkey(np.asarray(batch["tkey"], dtype=np.int64))
+        rank, doc = decode_winner(np.asarray(batch["code"], dtype=np.int64))
+        return pa.table(
+            {
+                "z": pa.array(z, type=pa.int64()),
+                "x": pa.array(x, type=pa.int64()),
+                "y": pa.array(y, type=pa.int64()),
+                "winner_rank": pa.array(rank, type=pa.int64()),
+                "winner_doc": pa.array(doc, type=pa.int64()),
+            }
+        )
+
+    return combined.map_batches(finish, batch_format="pyarrow")
+
+
+def partial_merge_sources(batch: pa.Table, rank_col="src_rank") -> pa.Table:
+    """Per-batch per-tile: doc count + bitmask of contributing sources."""
+    tkey = pack_tkey(
+        np.asarray(batch["z"], dtype=np.int64),
+        np.asarray(batch["x"], dtype=np.int64),
+        np.asarray(batch["y"], dtype=np.int64),
+    )
+    rank = np.asarray(batch[rank_col], dtype=np.int64)
+    assert int(np.max(rank, initial=0)) < 63, "source bitmask supports < 63 sources"
+    uniq, inv = np.unique(tkey, return_inverse=True)
+    n = np.bincount(inv).astype(np.int64)
+    mask = np.zeros(len(uniq), dtype=np.int64)
+    np.bitwise_or.at(mask, inv, np.int64(1) << rank)
+    return pa.table(
+        {
+            "tkey": pa.array(uniq, type=pa.int64()),
+            "n_docs": pa.array(n, type=pa.int64()),
+            "src_mask": pa.array(mask, type=pa.int64()),
+        }
+    )
+
+
+def merge_sources(ds, rank_col="src_rank", source_names=None):
+    """Per tile: total docs, distinct source count, sorted source list.
+
+    The co-group analogue of from_merged_vector's layer concat: layer
+    identity -> source rank bit; merge is an OR so it is
+    order-insensitive and mergeable across batches.
+    """
+    partials = ds.map_batches(lambda t: partial_merge_sources(t, rank_col), batch_format="pyarrow")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        mask = np.bitwise_or.reduce(g["src_mask"].to_numpy())
+        return pd.DataFrame(
+            {
+                "tkey": [g["tkey"].iloc[0]],
+                "n_docs": [int(g["n_docs"].sum())],
+                "src_mask": [int(mask)],
+            }
+        )
+
+    combined = partials.groupby("tkey").map_groups(combine, batch_format="pandas")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        z, x, y = unpack_tkey(np.asarray(batch["tkey"], dtype=np.int64))
+        mask = np.asarray(batch["src_mask"], dtype=np.int64)
+        n_sources = np.asarray([bin(int(m)).count("1") for m in mask], dtype=np.int64)
+        out = {
+            "z": pa.array(z, type=pa.int64()),
+            "x": pa.array(x, type=pa.int64()),
+            "y": pa.array(y, type=pa.int64()),
+            "n_docs": batch["n_docs"],
+            "n_sources": pa.array(n_sources, type=pa.int64()),
+        }
+        if source_names is not None:
+            # lexicographic name order (matches SQL string_agg ORDER BY source)
+            names = [
+                ",".join(sorted(source_names[b] for b in range(63) if int(m) >> b & 1))
+                for m in mask
+            ]
+            out["sources"] = pa.array(names, type=pa.string())
+        return pa.table(out)
+
+    return combined.map_batches(finish, batch_format="pyarrow")
