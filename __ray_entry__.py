@@ -22,17 +22,13 @@ from versatiles_rs_ray.queries import ORACLES, QUERIES
 
 
 def entry() -> Any:
-    """Flagship: full pyramid (z8 -> z0) over sf0.001 docs."""
-    from versatiles_rs_ray.pipelines.pyramid import build_pyramid_levels
+    """Flagship: full pyramid (z8 -> z0, one shuffle) over sf0.001 docs."""
+    from versatiles_rs_ray.pipelines.pyramid import build_pyramid
 
-    levels = build_pyramid_levels("/root/testdata/sf0.001", z_base=8, z_min=0)
-    out = None
-    for z in sorted(levels):
-        lvl = levels[z].select_columns(
-            ["z", "x", "y", "n_docs", "n_spans", "min_doc", "max_doc", "hilbert", "pk"]
-        )
-        out = lvl if out is None else out.union(lvl)
-    return out
+    tiles = build_pyramid("/root/testdata/sf0.001", z_base=8, z_min=0)
+    return tiles.select_columns(
+        ["z", "x", "y", "n_docs", "n_spans", "min_doc", "max_doc", "hilbert", "pk"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

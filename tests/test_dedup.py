@@ -1,0 +1,77 @@
+"""Dedup operators: planted duplicates must be found; exact dedup
+matches a pandas brute force."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from versatiles_rs_ray.stages import dedup
+
+
+def _planted_ds(ray_session):
+    """60 docs: 3 exact-dup groups, 2 near-dup pairs, rest unique."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i}" for i in range(200)]
+    texts, ids = [], []
+    for i in range(50):
+        texts.append(" ".join(rng.choice(words, size=30)))
+        ids.append(i)
+    # exact duplicates of docs 0, 1, 2
+    for j, src in enumerate([0, 1, 2]):
+        texts.append(texts[src])
+        ids.append(50 + j)
+    # near duplicates of docs 3, 4 (one word changed)
+    for j, src in enumerate([3, 4]):
+        toks = texts[src].split()
+        toks[5] = "CHANGED"
+        texts.append(" ".join(toks))
+        ids.append(53 + j)
+    t = pa.table(
+        {
+            "doc_num": pa.array(ids, type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    return rd.from_arrow(t), texts, ids
+
+
+def test_dedup_exact(ray_session):
+    ds, texts, ids = _planted_ds(ray_session)
+    got = dedup.dedup_exact(ds).to_pandas()
+    assert len(got) == 52  # 55 docs - 3 exact duplicates (near-dups differ)
+    # brute force
+    df = pd.DataFrame({"doc_num": ids, "text": texts})
+    brute = df.groupby("text").agg(keep_doc=("doc_num", "min"), n=("doc_num", "size"))
+    assert len(got) == len(brute)
+    assert sorted(got["keep_doc"]) == sorted(brute["keep_doc"])
+    assert got["n_dupes"].sum() == len(df)
+
+
+def test_minhash_finds_planted_dups(ray_session):
+    ds, texts, ids = _planted_ds(ray_session)
+    import ray
+
+    texts_map = dict(zip(ids, texts))
+    cand = dedup.minhash_candidates(ds, k=5, num_perm=64, bands=16)
+    ref = ray.put(texts_map)
+    verified = cand.map_batches(
+        dedup.JaccardVerify,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"texts_ref": ref, "threshold": 0.5},
+        concurrency=1,
+    ).to_pandas()
+    pairs = set(map(tuple, verified[["doc_a", "doc_b"]].values))
+    assert {(0, 50), (1, 51), (2, 52)} <= pairs  # exact dups always survive
+    assert {(3, 53), (4, 54)} <= pairs  # near dups (1 word / 30 changed)
+    # no false positives below threshold
+    assert (verified["jaccard"] >= 0.5).all()
+
+
+def test_simhash_finds_exact_dups(ray_session):
+    ds, texts, ids = _planted_ds(ray_session)
+    got = dedup.simhash_candidates(ds, max_hamming=3).to_pandas()
+    pairs = set(map(tuple, got[["doc_a", "doc_b"]].values))
+    assert {(0, 50), (1, 51), (2, 52)} <= pairs
+    assert (got["hamming"] <= 3).all()

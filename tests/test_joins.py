@@ -1,0 +1,72 @@
+"""Spatial join operators vs driver-side brute force (FIXTURES.md F8)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from versatiles_rs_ray.core import coords
+from versatiles_rs_ray.sources import docs as D
+from versatiles_rs_ray.stages import join
+
+
+def _pts(sf_dir):
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    did = np.asarray(t["doc_id"], dtype=np.int64)
+    lon, lat = D.derive_lonlat(did)
+    return did, lon, lat
+
+
+def test_tile_set_pip_matches_assignment(ray_session, sf_dir):
+    did, lon, lat = _pts(sf_dir)
+    tiles = [(8, 7), (9, 7), (0, 0)]
+    ds = D.read_docs(sf_dir).map_batches(
+        join.TileSetPIPJoin(4, tiles), batch_format="pyarrow"
+    )
+    got = ds.select_columns(["doc_num", "x", "y"]).to_pandas().sort_values("doc_num")
+    x, y = coords.lonlat_to_tile(lon, lat, 4)
+    keep = np.zeros(len(did), dtype=bool)
+    for tx, ty in tiles:
+        keep |= (x == tx) & (y == ty)
+    order = np.argsort(did[keep])
+    assert (got["doc_num"].values == np.sort(did[keep])).all()
+    assert (got["x"].values == x[keep][order]).all()
+
+
+def test_rect_join_overlapping(ray_session, sf_dir):
+    did, lon, lat = _pts(sf_dir)
+    mx, my = coords.mercator_fraction(lon, lat)
+    rects = [
+        (1, 0.0, 0.0, 0.5, 0.5),
+        (2, 0.25, 0.25, 0.75, 0.75),  # overlaps rect 1
+        (3, 0.9, 0.9, 1.0, 1.0),
+    ]
+    ds = D.read_docs(sf_dir).map_batches(join.RectJoin(rects), batch_format="pyarrow")
+    got = ds.select_columns(["doc_num", "rect_id"]).to_pandas()
+    expected = set()
+    for rid, x0, y0, x1, y1 in rects:
+        m = (mx >= x0) & (mx < x1) & (my >= y0) & (my < y1)
+        expected |= {(int(d), rid) for d in did[m]}
+    assert set(map(tuple, got.values)) == expected
+    assert len(got) == len(expected)  # one row per (doc, rect) pair
+
+
+def test_knn_matches_brute(ray_session, sf_dir):
+    did, lon, lat = _pts(sf_dir)
+    q = did[did % 50 == 0]
+    q_lon, q_lat = D.derive_lonlat(q)
+    got = (
+        join.knn_join(D.read_docs(sf_dir), q, q_lon, q_lat, 4)
+        .to_pandas()
+        .sort_values(["q_doc", "rank"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for qi, (qd, qx, qy) in enumerate(zip(q, q_lon, q_lat)):
+        d2 = (qx - lon) ** 2 + (qy - lat) ** 2
+        d2[did == qd] = np.inf
+        order = np.lexsort((did, d2))[:4]
+        rows += [(qd, did[j], r + 1) for r, j in enumerate(order)]
+    brute = pd.DataFrame(rows, columns=["q_doc", "n_doc", "rank"]).sort_values(
+        ["q_doc", "rank"]
+    ).reset_index(drop=True)
+    assert got[["q_doc", "n_doc", "rank"]].equals(brute)

@@ -1,0 +1,149 @@
+"""Operator tests against the deterministic derived docs (the
+from_debug analogue, SURVEY.md §5.2): stack, merge, filter, transform,
+window, pyramid — each checked against a driver-side pandas brute force."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from versatiles_rs_ray.core import coords
+from versatiles_rs_ray.sources import docs as D
+from versatiles_rs_ray.stages import assign, filter as fstage, pyramid as pyr, stack, transform, window
+
+
+def _docs_df(sf_dir):
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    did = np.asarray(t["doc_id"], dtype=np.int64)
+    lon, lat = D.derive_lonlat(did)
+    return pd.DataFrame(
+        {
+            "doc_num": did,
+            "lon": lon,
+            "lat": lat,
+            "source": t["source"].to_pylist(),
+        }
+    )
+
+
+def _ray_docs(ray_session, sf_dir):
+    return D.read_docs(sf_dir)
+
+
+def test_assign_matches_brute(ray_session, sf_dir):
+    ds = assign.assign_tiles(_ray_docs(ray_session, sf_dir), 9, with_hilbert=True)
+    got = ds.select_columns(["doc_num", "x", "y", "hilbert"]).to_pandas().sort_values("doc_num")
+    df = _docs_df(sf_dir).sort_values("doc_num")
+    x, y = coords.lonlat_to_tile(df["lon"].values, df["lat"].values, 9)
+    assert (got["x"].values == x).all()
+    assert (got["y"].values == y).all()
+    assert (got["hilbert"].values == coords.hilbert_index(np.full(len(x), 9), x, y)).all()
+
+
+def test_first_wins_matches_brute(ray_session, sf_dir):
+    def add_rank(batch: pa.Table) -> pa.Table:
+        rank = np.asarray([int(s[3:]) for s in batch["source"].to_pylist()], dtype=np.int64)
+        return batch.append_column("src_rank", pa.array(rank, type=pa.int64()))
+
+    ds = assign.assign_tiles(_ray_docs(ray_session, sf_dir), 4).map_batches(
+        add_rank, batch_format="pyarrow"
+    )
+    got = stack.first_wins(ds).to_pandas().sort_values(["z", "x", "y"]).reset_index(drop=True)
+
+    df = _docs_df(sf_dir)
+    df["x"], df["y"] = coords.lonlat_to_tile(df["lon"].values, df["lat"].values, 4)
+    df["rank"] = df["source"].str[3:].astype(np.int64)
+    brute = (
+        df.sort_values(["rank", "doc_num"])
+        .groupby(["x", "y"], as_index=False)
+        .first()
+        .rename(columns={"rank": "winner_rank", "doc_num": "winner_doc"})
+    )
+    brute = brute.sort_values(["x", "y"]).reset_index(drop=True)
+    assert len(got) == len(brute)
+    assert (got["winner_doc"].values == brute["winner_doc"].values).all()
+    assert (got["winner_rank"].values == brute["winner_rank"].values).all()
+
+
+def test_merge_sources_matches_brute(ray_session, sf_dir):
+    def add_rank(batch: pa.Table) -> pa.Table:
+        rank = np.asarray([int(s[3:]) for s in batch["source"].to_pylist()], dtype=np.int64)
+        return batch.append_column("src_rank", pa.array(rank, type=pa.int64()))
+
+    ds = assign.assign_tiles(_ray_docs(ray_session, sf_dir), 3).map_batches(
+        add_rank, batch_format="pyarrow"
+    )
+    names = {i: f"src{i}" for i in range(63)}
+    got = stack.merge_sources(ds, source_names=names).to_pandas().sort_values(["x", "y"])
+
+    df = _docs_df(sf_dir)
+    df["x"], df["y"] = coords.lonlat_to_tile(df["lon"].values, df["lat"].values, 3)
+    brute = df.groupby(["x", "y"]).agg(
+        n_docs=("doc_num", "size"), n_sources=("source", "nunique")
+    )
+    assert (got["n_docs"].values == brute["n_docs"].values).all()
+    assert (got["n_sources"].values == brute["n_sources"].values).all()
+
+
+def test_filter_pyramid(ray_session, sf_dir):
+    ds = assign.assign_tiles(_ray_docs(ray_session, sf_dir), 5)
+    out = fstage.filter_bbox_zoom(ds, bbox=(0, 0, 40, 20), level_min=5, level_max=5)
+    got = out.select_columns(["doc_num"]).to_pandas()
+    df = _docs_df(sf_dir)
+    keep = (
+        (df.lon > 0) & (df.lon < 40) & (df.lat > 0) & (df.lat < 20)
+    )  # geo box interior maps into the 8-tile z5 region
+    x, y = coords.lonlat_to_tile(df["lon"].values, df["lat"].values, 5)
+    in_tiles = (x >= 16) & (x <= 19) & (y >= 14) & (y <= 15)
+    assert set(got["doc_num"]) == set(df["doc_num"][in_tiles])
+    assert keep.sum() <= in_tiles.sum()  # tile cover is a superset of the geo box
+
+
+def test_flip_swap_roundtrip(ray_session, sf_dir):
+    ds = assign.assign_tiles(_ray_docs(ray_session, sf_dir), 6)
+    base = ds.select_columns(["doc_num", "z", "x", "y"])
+    twice = transform.flip_y_ds(transform.flip_y_ds(base))
+    a = base.to_pandas().sort_values("doc_num").reset_index(drop=True)
+    b = twice.to_pandas().sort_values("doc_num").reset_index(drop=True)
+    assert a.equals(b)
+    sw = transform.swap_xy_ds(base).to_pandas().sort_values("doc_num").reset_index(drop=True)
+    assert (sw["x"].values == a["y"].values).all()
+    assert (sw["y"].values == a["x"].values).all()
+
+
+def test_pyramid_single_shuffle_equals_hierarchical(ray_session, sf_dir):
+    docs = assign.assign_tiles(_ray_docs(ray_session, sf_dir), 6)
+    single = (
+        pyr.aggregate_pyramid_single_shuffle(docs, 6, 0)
+        .to_pandas()
+        .sort_values("tkey")
+        .reset_index(drop=True)
+    )
+    levels = pyr.build_pyramid(docs, 6, 0)
+    parts = [levels[z].to_pandas() for z in sorted(levels)]
+    hier = pd.concat(parts).sort_values("tkey").reset_index(drop=True)[single.columns]
+    assert single.equals(hier)
+    # z0 aggregates everything
+    z0 = single[single.tkey == 0]
+    assert int(z0["n_docs"].iloc[0]) == 500
+
+
+def test_tumbling_window_matches_brute(ray_session, sf_dir):
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    got = window.tumbling_window(ev).to_pandas().sort_values(["event_type", "window_start"])
+    df = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    df["window_start"] = (
+        df["ts"].astype("datetime64[ns]").astype("int64") // (3600 * 10**9) * 3600
+    )
+    df["cents"] = np.floor(df["value"] * 100).astype(np.int64)
+    brute = (
+        df.groupby(["event_type", "window_start"])
+        .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"),
+             min_cents=("cents", "min"), max_cents=("cents", "max"))
+        .reset_index()
+        .sort_values(["event_type", "window_start"])
+    )
+    for c in ["n_events", "sum_cents", "min_cents", "max_cents"]:
+        assert (got[c].values == brute[c].values).all(), c

@@ -1,0 +1,65 @@
+"""Checkpoint/resume: partitions skip on matching lineage, rebuild on
+input/param change (north rule: resumable from checkpoint)."""
+
+import json
+import shutil
+import time
+
+from versatiles_rs_ray.pipelines.pyramid import build_and_write_pyramid, read_pyramid
+from versatiles_rs_ray.state.manifest import Manifest, lineage_hash
+
+
+def test_manifest_atomic_commit(tmp_path):
+    m = Manifest(str(tmp_path / "out"), "abc123")
+    tmp = m.begin("p1")
+    (tmp_path / "out").joinpath()  # noqa: B018
+    with open(f"{tmp}/data.txt", "w") as f:
+        f.write("x")
+    rec = m.commit("p1", tmp, rows=1, wall_s=0.5)
+    assert m.is_done("p1")
+    assert rec["lineage"] == "abc123"
+    # different lineage does not see p1 as done
+    m2 = Manifest(str(tmp_path / "out"), "other")
+    assert not m2.is_done("p1")
+
+
+def test_lineage_sensitive_to_params(sf_dir):
+    files = [f"{sf_dir}/documents.parquet"]
+    assert lineage_hash(files, {"a": 1}) != lineage_hash(files, {"a": 2})
+    assert lineage_hash(files, {"a": 1}) == lineage_hash(files, {"a": 1})
+
+
+def test_pyramid_resume(ray_session, sf_dir, tmp_path):
+    out = str(tmp_path / "pyr")
+    rec = build_and_write_pyramid(sf_dir, out, z_base=5, z_min=0)
+    assert sorted(rec) == [f"z={z}" for z in range(6)]
+    df = read_pyramid(out).to_pandas()
+    assert int(df[df.z == 0]["n_docs"].iloc[0]) == 500
+
+    # kill two levels -> resume recomputes only those
+    lines = open(f"{out}/_manifest.jsonl").read().strip().split("\n")
+    keep = [l for l in lines if json.loads(l)["partition"] not in ("z=0", "z=1")]
+    with open(f"{out}/_manifest.jsonl", "w") as f:
+        f.write("\n".join(keep) + "\n")
+    shutil.rmtree(f"{out}/z=0")
+    shutil.rmtree(f"{out}/z=1")
+    build_and_write_pyramid(sf_dir, out, z_base=5, z_min=0)
+    df2 = read_pyramid(out).to_pandas()
+    assert df.sort_values(["z", "x", "y"]).reset_index(drop=True).equals(
+        df2.sort_values(["z", "x", "y"]).reset_index(drop=True)
+    )
+
+    # complete output -> resume is a no-op (no recompute)
+    t0 = time.monotonic()
+    build_and_write_pyramid(sf_dir, out, z_base=5, z_min=0)
+    assert time.monotonic() - t0 < 1.0
+
+
+def test_hierarchical_strategy_agrees(ray_session, sf_dir, tmp_path):
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    build_and_write_pyramid(sf_dir, a, z_base=4, z_min=0, strategy="single_shuffle")
+    build_and_write_pyramid(sf_dir, b, z_base=4, z_min=0, strategy="hierarchical")
+    da = read_pyramid(a).to_pandas().sort_values(["z", "x", "y"]).reset_index(drop=True)
+    db = read_pyramid(b).to_pandas().sort_values(["z", "x", "y"]).reset_index(drop=True)
+    assert da[["z", "x", "y", "n_docs", "n_spans"]].equals(db[["z", "x", "y", "n_docs", "n_spans"]])

@@ -1,0 +1,99 @@
+"""Container round-trips (FIXTURES.md F7): directory, mbtiles, hilbert
+parquet; payload compression; byte equality + TMS flip + hilbert order."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from versatiles_rs_ray.core import compression, coords
+from versatiles_rs_ray.sources import tiles_io
+
+
+@pytest.fixture()
+def tile_ds(ray_session, tmp_path):
+    import ray.data as rd
+
+    rows = []
+    for z in range(0, 4):
+        for x in range(1 << z):
+            for y in range(1 << z):
+                rows.append((z, x, y, f"tile-{z}/{x}/{y}".encode()))
+    t = pa.table(
+        {
+            "z": pa.array([r[0] for r in rows], type=pa.int64()),
+            "x": pa.array([r[1] for r in rows], type=pa.int64()),
+            "y": pa.array([r[2] for r in rows], type=pa.int64()),
+            "payload": pa.array([r[3] for r in rows], type=pa.binary()),
+        }
+    )
+    return rd.from_arrow(t), rows
+
+
+def test_directory_roundtrip(tile_ds, tmp_path):
+    ds, rows = tile_ds
+    out = str(tmp_path / "dir_tiles")
+    n = tiles_io.write_directory_tiles(ds, out, ext="bin")
+    assert n == len(rows)
+    assert open(os.path.join(out, "2", "1", "3.bin"), "rb").read() == b"tile-2/1/3"
+    back = tiles_io.read_directory_tiles(out).to_pandas()
+    assert len(back) == len(rows)
+    got = {(r.z, r.x, r.y): bytes(r.payload) for r in back.itertuples()}
+    assert got == {(z, x, y): p for z, x, y, p in rows}
+
+
+def test_mbtiles_roundtrip(tile_ds, tmp_path):
+    import sqlite3
+
+    ds, rows = tile_ds
+    path = str(tmp_path / "t.mbtiles")
+    n = tiles_io.write_mbtiles(ds, path, metadata={"name": "test"})
+    assert n == len(rows)
+    # raw sqlite: XYZ->TMS flip stored (mbtiles/writer.rs:101-118)
+    con = sqlite3.connect(path)
+    row = con.execute(
+        "SELECT tile_row FROM tiles WHERE zoom_level=3 AND tile_column=2 "
+        "AND tile_data=?", (b"tile-3/2/5",)
+    ).fetchone()
+    assert row[0] == (1 << 3) - 1 - 5
+    con.close()
+    back = tiles_io.read_mbtiles(path).to_pandas()
+    got = {(r.z, r.x, r.y): bytes(r.payload) for r in back.itertuples()}
+    assert got == {(z, x, y): p for z, x, y, p in rows}
+
+
+def test_hilbert_parquet_order(tile_ds, tmp_path):
+    ds, rows = tile_ds
+
+    def add_hilbert(batch: pa.Table) -> pa.Table:
+        h = coords.hilbert_index(
+            np.asarray(batch["z"], dtype=np.int64),
+            np.asarray(batch["x"], dtype=np.int64),
+            np.asarray(batch["y"], dtype=np.int64),
+        )
+        return batch.append_column("hilbert", pa.array(h, type=pa.int64()))
+
+    path = str(tmp_path / "hilbert.parquet")
+    n = tiles_io.write_hilbert_parquet(
+        ds.map_batches(add_hilbert, batch_format="pyarrow"), path
+    )
+    assert n == len(rows)
+    t = pq.read_table(path)
+    h = np.asarray(t["hilbert"])
+    assert (np.diff(h) > 0).all()  # strictly increasing (pmtiles contract)
+
+
+def test_compression_roundtrip():
+    payloads = [b"hello " * 100, b"", b"\x00\xff" * 50]
+    col = pa.array(payloads, type=pa.binary())
+    comp = compression.compress_column(col, "gzip")
+    # deterministic bytes (fixed level + mtime=0)
+    comp2 = compression.compress_column(col, "gzip")
+    assert comp.to_pylist() == comp2.to_pylist()
+    back = compression.decompress_column(comp, "gzip")
+    assert back.to_pylist() == payloads
+    t = pa.table({"payload": comp})
+    out = compression.recompress_table(t, "payload", "gzip", "raw")
+    assert out["payload"].to_pylist() == payloads

@@ -1,0 +1,78 @@
+"""Derived interleaved-docs table: numpy derivation == DuckDB SQL,
+span-sequence invariants (FIXTURES.md F1)."""
+
+import duckdb
+import numpy as np
+import pyarrow.parquet as pq
+
+from versatiles_rs_ray.sources import docs as D
+
+
+def _table(sf_dir):
+    return pq.read_table(f"{sf_dir}/documents.parquet")
+
+
+def test_lonlat_matches_sql(sf_dir):
+    t = _table(sf_dir)
+    did = np.asarray(t["doc_id"], dtype=np.int64)
+    lon, lat = D.derive_lonlat(did)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    odf = con.execute(
+        f"SELECT doc_id, {D.SQL_LON} AS lon, {D.SQL_LAT} AS lat FROM documents ORDER BY doc_id"
+    ).fetchdf()
+    order = np.argsort(did)
+    assert (lon[order] == odf["lon"].values).all()
+    assert (lat[order] == odf["lat"].values).all()
+    assert (lat > -85.06).all() and (lat < 85.06).all()
+
+
+def test_span_invariants(sf_dir):
+    out = D.derive_docs_batch(_table(sf_dir))
+    for did, sp in zip(out["doc_num"].to_pylist(), out["spans"].to_pylist()):
+        assert len(sp) == 1 + did % 4
+        offsets = [s["offset"] for s in sp]
+        assert offsets == sorted(offsets) and len(set(offsets)) == len(offsets)
+        for s in sp:
+            if s["kind"] == "text":
+                assert s["media_ref"] == ""
+            else:
+                assert s["text"] == "" and s["media_ref"].startswith("media://")
+
+
+def test_spans_match_sql(sf_dir):
+    out = D.derive_docs_batch(_table(sf_dir))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    i = "e.span_idx"
+    odf = con.execute(
+        f"SELECT {D.SQL_DOC_ID_STR} AS doc_id, e.span_idx, "
+        f"{D.SQL_SPAN_KIND.format(i=i)} AS kind, {D.SQL_SPAN_TEXT.format(i=i)} AS text, "
+        f"{D.SQL_SPAN_MEDIA.format(i=i)} AS media_ref, {D.SQL_SPAN_OFFSET.format(i=i)} AS off "
+        f"FROM {D.SQL_SPANS_EXPLODED} e ORDER BY doc_id, span_idx"
+    ).fetchdf()
+    rows = []
+    for d_, sp in zip(out["doc_id"].to_pylist(), out["spans"].to_pylist()):
+        for j, s in enumerate(sp):
+            rows.append((d_, j, s["kind"], s["text"], s["media_ref"], s["offset"]))
+    rows.sort()
+    assert len(rows) == len(odf)
+    for got, (_, want) in zip(rows, odf.iterrows()):
+        assert got == (
+            want["doc_id"], want["span_idx"], want["kind"], want["text"],
+            want["media_ref"], want["off"],
+        )
+
+
+def test_replicated_ids_disjoint(sf_dir):
+    t = _table(sf_dir)
+    did = np.asarray(t["doc_id"], dtype=np.int64)
+    assert did.max() < D.REPLICA_STRIDE
+    shifted = did + D.REPLICA_STRIDE
+    lon0, _ = D.derive_lonlat(did)
+    lon1, _ = D.derive_lonlat(shifted)
+    assert not np.array_equal(lon0, lon1)  # replicas land elsewhere

@@ -1,0 +1,54 @@
+"""Text stages: token semantics, quality buckets, fingerprint
+properties, lang-id plumbing."""
+
+import numpy as np
+import pyarrow as pa
+
+from versatiles_rs_ray.stages import text as T
+
+
+def _batch(texts):
+    return pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(texts))]),
+            "text": pa.array(texts, type=pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+
+
+def test_token_stats_edge_cases():
+    out = T.token_stats_batch(_batch(["the cat", "", "   ", "a  b\tc", "the the the"]))
+    assert out["n_tokens"].to_pylist() == [2, 0, 0, 3, 3]
+    assert out["n_stop"].to_pylist() == [1, 0, 0, 1, 3]
+    assert out["max_token_len"].to_pylist() == [3, 0, 0, 1, 3]
+
+
+def test_quality_buckets():
+    good = "the quick brown fox jumps over the lazy dog and runs to town fast"
+    out = T.quality_batch(_batch([good, "tiny one here", ""]))
+    assert out["quality_bucket"].to_pylist() == [2, 1, 0]
+
+
+def test_fingerprint_properties():
+    texts = ["hello world " * 5, "hello world " * 5, "different text entirely " * 3, "x"]
+    out = T.fingerprint_batch(_batch(texts))
+    fp = out["fingerprint"].to_pylist()
+    assert fp[0] == fp[1]  # identical docs -> identical fingerprint
+    assert fp[0] != fp[2]
+    assert isinstance(fp[3], int)  # shorter than shingle len still works
+
+
+def test_langid_profiles():
+    lid = T.LangId()
+    b = pa.table(
+        {
+            "doc_id": pa.array(["a", "b"]),
+            "lang": pa.array(["en", "de"]),
+            "text": pa.array(
+                ["the cat and the dog of a house", "der hund und die katze ist hier"]
+            ),
+        }
+    )
+    out = lid(b)
+    assert out["lang_guess"].to_pylist() == ["en", "de"]

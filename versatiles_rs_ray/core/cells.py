@@ -33,8 +33,14 @@ _POS_TO_IJ = [
 def _build_lookup_tables():
     lookup_pos = np.zeros(1 << (2 * _LOOKUP_BITS + 2), dtype=np.uint64)
     lookup_ij = np.zeros(1 << (2 * _LOOKUP_BITS + 2), dtype=np.uint64)
-    # iterative version of s2geometry's InitLookupCell
-    stack = [(0, 0, 0, 0, 0, 0)]  # level, i, j, orig_orientation, orientation, pos
+    # iterative version of s2geometry's InitLookupCell, seeded with all
+    # four initial orientations (0, swap, invert, swap|invert)
+    stack = [
+        (0, 0, 0, 0, 0, 0),
+        (0, 0, 0, _SWAP, _SWAP, 0),
+        (0, 0, 0, _INVERT, _INVERT, 0),
+        (0, 0, 0, _SWAP | _INVERT, _SWAP | _INVERT, 0),
+    ]  # level, i, j, orig_orientation, orientation, pos
     while stack:
         level, i, j, orig, orient, pos = stack.pop()
         if level == _LOOKUP_BITS:

