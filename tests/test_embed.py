@@ -22,7 +22,6 @@ def test_cosine_topk_matches_numpy(ray_session, sf_dir):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     got = (
         embed.cosine_topk(ds, q_ids, q, 5)
-        .to_pandas()
         .sort_values(["q_id", "rank"])
         .reset_index(drop=True)
     )
@@ -44,8 +43,8 @@ def test_lsh_topk_recall(ray_session, sf_dir):
     q_ids = vid[:8]
     q = m[:8]
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    exact = embed.cosine_topk(ds, q_ids, q, 5).to_pandas()
-    approx = embed.lsh_topk(ds, q_ids, q, 5, dim=m.shape[1], nbits=4).to_pandas()
+    exact = embed.cosine_topk(ds, q_ids, q, 5)
+    approx = embed.lsh_topk(ds, q_ids, q, 5, dim=m.shape[1], nbits=4)
     # query itself shares its own bucket, so each query returns something
     assert approx.groupby("q_id").size().min() >= 1
     hits = 0

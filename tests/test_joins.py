@@ -56,7 +56,6 @@ def test_knn_matches_brute(ray_session, sf_dir):
     q_lon, q_lat = D.derive_lonlat(q)
     got = (
         join.knn_join(D.read_docs(sf_dir), q, q_lon, q_lat, 4)
-        .to_pandas()
         .sort_values(["q_doc", "rank"])
         .reset_index(drop=True)
     )

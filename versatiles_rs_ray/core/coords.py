@@ -199,6 +199,56 @@ def pack_pk(z, x, y, block_bits):
     return (z << np.int64(58)) | (bx << np.int64(29)) | by
 
 
+_M16 = np.uint64(0x0000FFFF0000FFFF)
+_M8 = np.uint64(0x00FF00FF00FF00FF)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_M2 = np.uint64(0x3333333333333333)
+_M1 = np.uint64(0x5555555555555555)
+
+
+def _spread_bits(v: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of v into the even bit positions."""
+    v = v.astype(np.uint64)
+    v = (v | (v << np.uint64(16))) & _M16
+    v = (v | (v << np.uint64(8))) & _M8
+    v = (v | (v << np.uint64(4))) & _M4
+    v = (v | (v << np.uint64(2))) & _M2
+    v = (v | (v << np.uint64(1))) & _M1
+    return v
+
+
+def _compact_bits(v: np.ndarray) -> np.ndarray:
+    """Inverse of _spread_bits (keep even bit positions)."""
+    v = v.astype(np.uint64) & _M1
+    v = (v | (v >> np.uint64(1))) & _M2
+    v = (v | (v >> np.uint64(2))) & _M4
+    v = (v | (v >> np.uint64(4))) & _M8
+    v = (v | (v >> np.uint64(8))) & _M16
+    v = (v | (v >> np.uint64(16))) & np.uint64(0xFFFFFFFF)
+    return v
+
+
+def morton_key(x, y):
+    """Z-order (Morton) interleave: x bits odd, y bits even.
+
+    The crucial property for pyramid aggregation: the parent tile's
+    morton key is ``key >> 2``, so an array sorted by child keys stays
+    sorted at every ancestor level — one sort serves the whole rollup
+    (the quadtree DepthFirst ordering of traversal/order.rs:17-38 as a
+    key, not a traversal).
+    """
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    return ((_spread_bits(x) << np.uint64(1)) | _spread_bits(y)).astype(np.int64)
+
+
+def morton_to_xy(key):
+    key = np.asarray(key, dtype=np.int64).astype(np.uint64)
+    x = _compact_bits(key >> np.uint64(1))
+    y = _compact_bits(key)
+    return x.astype(np.int64), y.astype(np.int64)
+
+
 def quadkey(z, x, y):
     """Bing-style quadkey strings (z interleaved bits), mostly for debugging."""
     z = np.atleast_1d(_as_i64(z))

@@ -32,26 +32,38 @@ class CosineTopKPartial:
         self.k = k
         self.exclude_self = exclude_self
 
+    CHUNK = 4096  # candidate chunk: bounds the (Q, CHUNK) sim matrix
+    # per task so concurrent tasks don't thrash memory bandwidth
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["vec_id"], dtype=np.int64)
         m = _to_matrix(batch["embedding"])
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mn = m / norms
-        sims = self.qn @ mn.T  # (Q, C)
-        if self.exclude_self:
-            sims[self.q_ids[:, None] == ids[None, :]] = -np.inf
-        k = min(self.k, sims.shape[1])
+        k = self.k
+        vals_parts, ids_parts = [], []
+        for start in range(0, len(ids), self.CHUNK):
+            sl = slice(start, start + self.CHUNK)
+            sims = (self.qn @ mn[sl].T).astype(np.float64)  # (Q, chunk)
+            if self.exclude_self:
+                sims[self.q_ids[:, None] == ids[None, sl]] = -np.inf
+            kk = min(2 * k, sims.shape[1])
+            if kk < sims.shape[1]:
+                part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            else:
+                part = np.broadcast_to(np.arange(sims.shape[1]), sims.shape)
+            vals_parts.append(np.take_along_axis(sims, part, axis=1))
+            ids_parts.append(ids[sl][part])
+        vals = np.concatenate(vals_parts, axis=1)
+        cids = np.concatenate(ids_parts, axis=1)
         qs, ns, ss = [], [], []
-        for qi in range(sims.shape[0]):
-            row = sims[qi]
-            kk = min(2 * k, row.size)
-            part = np.argpartition(-row, kk - 1)[:kk] if kk < row.size else np.arange(row.size)
-            order = part[np.lexsort((ids[part], -row[part]))][:k]
-            order = order[row[order] > -np.inf]
+        for qi in range(vals.shape[0]):
+            order = np.lexsort((cids[qi], -vals[qi]))[:k]
+            order = order[vals[qi][order] > -np.inf]
             qs.append(np.full(len(order), self.q_ids[qi], dtype=np.int64))
-            ns.append(ids[order])
-            ss.append(row[order].astype(np.float64))
+            ns.append(cids[qi][order])
+            ss.append(vals[qi][order])
         return pa.table(
             {
                 "q_id": pa.array(np.concatenate(qs), type=pa.int64()),
@@ -61,19 +73,25 @@ class CosineTopKPartial:
         )
 
 
+def _batch_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    df = df.sort_values(["q_id", "sim", "vec_id"], ascending=[True, False, True], kind="mergesort")
+    return df.groupby("q_id", sort=False).head(k)
+
+
 def cosine_topk(embeddings_ds, q_ids, q_matrix, k, exclude_self=True):
-    """Exact brute-force cosine top-k: (q_id, vec_id, rank)."""
+    """Exact brute-force cosine top-k: (q_id, vec_id, rank).
+
+    Tree-reduce: per-batch partial top-k -> combiner pass -> tiny
+    driver finish (same shape as stages/join.knn_join; no shuffle).
+    """
     partials = embeddings_ds.map_batches(
         CosineTopKPartial(q_ids, q_matrix, k, exclude_self), batch_format="pyarrow"
     )
-
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["q_id", "vec_id", "rank"]]
-
-    return partials.groupby("q_id").map_groups(topk, batch_format="pandas")
+    # driver gather is blocks x Q x k rows (tiny); see stages/join.py on
+    # why there is deliberately no coalescing combiner stage here.
+    final = _batch_topk(partials.to_pandas(), k).reset_index(drop=True)
+    final["rank"] = final.groupby("q_id", sort=False).cumcount() + 1
+    return final[["q_id", "vec_id", "rank"]]
 
 
 class SrpBuckets:

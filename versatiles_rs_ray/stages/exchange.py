@@ -1,0 +1,92 @@
+"""Hand-rolled hash exchange: split -> route -> combine with raw Ray tasks.
+
+Ray Data's sort-based groupby costs ~60s to exchange 40M small rows on
+this box; the aggregation pattern here (combine-by-key where partials
+are already per-block combined) needs only a hash partition + per-
+partition merge. This is the one place the engine drops below the
+Dataset API (SURVEY.md §7.0: raw tasks as a last resort), and it keeps
+the Dataset contract at both ends: Dataset in, Dataset out via
+`to_arrow_refs` / `from_arrow_refs` — blocks never touch the driver.
+
+Partitioning assumption: `key_col` is int64; routing is by
+multiplicative hash so consecutive tile keys spread uniformly. Each
+reduce task holds one partition (rows/num_partitions) in memory —
+num_partitions is the memory knob, like the reference's block grids
+(tile_bbox/iter.rs:63-90).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_HASH_MULT = 0x9E3779B97F4A7C15
+
+
+def _bucket_of(keys: np.ndarray, num_partitions: int) -> np.ndarray:
+    h = keys.astype(np.uint64) * np.uint64(_HASH_MULT)
+    return ((h >> np.uint64(33)) % np.uint64(num_partitions)).astype(np.int64)
+
+
+def _split_block(key_col: str, num_partitions: int, *tables):
+    ok = [t for t in tables if t.num_rows and key_col in t.column_names]
+    if not ok:
+        # Ray emits schema-less empty blocks for empty inputs; route an
+        # empty slice everywhere so concat/reduce schemas stay sane.
+        empty = tables[0].slice(0, 0)
+        return tuple(empty for _ in range(num_partitions))
+    table = ok[0] if len(ok) == 1 else pa.concat_tables(ok).combine_chunks()
+    keys = np.asarray(table[key_col], dtype=np.int64)
+    bucket = _bucket_of(keys, num_partitions)
+    order = np.argsort(bucket, kind="stable")
+    sorted_tbl = table.take(pa.array(order))
+    counts = np.bincount(bucket, minlength=num_partitions)
+    offsets = np.zeros(num_partitions + 1, dtype=np.int64)
+    offsets[1:] = np.cumsum(counts)
+    return tuple(
+        sorted_tbl.slice(offsets[b], counts[b]).combine_chunks()
+        for b in range(num_partitions)
+    )
+
+
+def hash_exchange(ds, key_col: str, combine_block_fn, num_partitions: int = 64):
+    """Dataset -> hash-partitioned Dataset, one combined block per partition.
+
+    combine_block_fn: pa.Table -> pa.Table, applied once per partition
+    after concatenating that partition's slices from every input block
+    (it must be a top-level picklable callable).
+    """
+    import ray
+    import ray.data as rd
+
+    split_task = ray.remote(num_returns=num_partitions)(_split_block)
+    reduce_task = ray.remote(_reduce_partition)
+
+    assert num_partitions >= 2, "use a plain map for a single partition"
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ds
+    # group input blocks per split task so the driver tracks at most
+    # ~4096 intermediate objects (groups x partitions) — with hundreds
+    # of blocks x 64 partitions, per-block splits would create tens of
+    # thousands of refs and driver bookkeeping dominates wall time
+    group = max(1, (len(refs) * num_partitions + 4095) // 4096)
+    ref_groups = [refs[i : i + group] for i in range(0, len(refs), group)]
+    split_lists = [
+        split_task.remote(key_col, num_partitions, *grp) for grp in ref_groups
+    ]
+    out_refs = [
+        reduce_task.remote(combine_block_fn, *[s[b] for s in split_lists])
+        for b in range(num_partitions)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
+def _reduce_partition(combine_block_fn, *parts):
+    tables = [p for p in parts if p is not None and p.num_rows]
+    if not tables:
+        # keep a schema-bearing empty table if any part has one
+        with_schema = [p for p in parts if p is not None and p.num_columns]
+        return with_schema[0].slice(0, 0) if with_schema else parts[0]
+    merged = pa.concat_tables(tables, promote_options="default").combine_chunks()
+    return combine_block_fn(merged)

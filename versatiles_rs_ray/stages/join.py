@@ -100,31 +100,40 @@ class KnnPartial:
         self.k = k
         self.exclude_self = exclude_self
 
+    CHUNK = 4096  # candidates per inner chunk: keeps the (Q, CHUNK)
+    # distance matrix ~4 MB so 32 concurrent tasks don't thrash memory
+    # (un-chunked, per-task CPU inflates ~4x from bandwidth contention)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         c_id = np.asarray(batch["doc_num"], dtype=np.int64)
         c_lon = np.asarray(batch["lon"], dtype=np.float64)
         c_lat = np.asarray(batch["lat"], dtype=np.float64)
-        dlon = self.q_lon[:, None] - c_lon[None, :]
-        dlat = self.q_lat[:, None] - c_lat[None, :]
-        d2 = dlon * dlon + dlat * dlat  # (Q, C)
-        if self.exclude_self:
-            d2[self.q_ids[:, None] == c_id[None, :]] = np.inf
-        k = min(self.k, d2.shape[1])
-        # lexsort per query on (d2, candidate id) for deterministic ties
-        qs, ns, ds = [], [], []
-        for qi in range(d2.shape[0]):
-            row = d2[qi]
+        k = self.k
+        vals_parts, ids_parts = [], []
+        for start in range(0, len(c_id), self.CHUNK):
+            sl = slice(start, start + self.CHUNK)
+            dlon = self.q_lon[:, None] - c_lon[None, sl]
+            dlat = self.q_lat[:, None] - c_lat[None, sl]
+            d2 = dlon * dlon + dlat * dlat  # (Q, chunk)
+            if self.exclude_self:
+                d2[self.q_ids[:, None] == c_id[None, sl]] = np.inf
             kk = min(2 * k, d2.shape[1])  # margin so boundary ties resolve by id
             if kk < d2.shape[1]:
-                part = np.argpartition(row, kk - 1)[:kk]
+                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
             else:
-                part = np.arange(d2.shape[1])
-            order = part[np.lexsort((c_id[part], row[part]))][:k]
-            keep = row[order] < np.inf
+                part = np.broadcast_to(np.arange(d2.shape[1]), (d2.shape[0], d2.shape[1]))
+            vals_parts.append(np.take_along_axis(d2, part, axis=1))
+            ids_parts.append(c_id[sl][part])
+        vals = np.concatenate(vals_parts, axis=1)  # (Q, chunks*kk)
+        ids = np.concatenate(ids_parts, axis=1)
+        qs, ns, ds = [], [], []
+        for qi in range(vals.shape[0]):
+            order = np.lexsort((ids[qi], vals[qi]))[:k]
+            keep = vals[qi][order] < np.inf
             order = order[keep]
             qs.append(np.full(len(order), self.q_ids[qi], dtype=np.int64))
-            ns.append(c_id[order])
-            ds.append(row[order])
+            ns.append(ids[qi][order])
+            ds.append(vals[qi][order])
         return pa.table(
             {
                 "q_doc": pa.array(np.concatenate(qs), type=pa.int64()),
@@ -134,16 +143,29 @@ class KnnPartial:
         )
 
 
+def _batch_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Per-batch combiner: keep k best (d2, n_doc) rows per query."""
+    df = df.sort_values(["q_doc", "d2", "n_doc"], kind="mergesort")
+    return df.groupby("q_doc", sort=False).head(k)
+
+
 def knn_join(docs_ds, q_ids, q_lon, q_lat, k: int, exclude_self=True):
-    """Exact broadcast kNN: returns (q_doc, n_doc, rank) with rank 1..k."""
+    """Exact broadcast kNN: returns (q_doc, n_doc, rank) with rank 1..k.
+
+    Tree-reduce shape: per-candidate-batch partial top-k (k rows per
+    query per batch) -> one combiner pass over large batches -> tiny
+    driver-side finish. No keyed shuffle at all: the reduction volume
+    is (blocks x Q x k), re-collapsed by the combiner pass, so the
+    driver only ever sees O(Q x k x combine_blocks) rows.
+    """
     partials = docs_ds.map_batches(
         KnnPartial(q_ids, q_lon, q_lat, k, exclude_self), batch_format="pyarrow"
     )
-
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["d2", "n_doc"]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["q_doc", "n_doc", "rank"]]
-
-    return partials.groupby("q_doc").map_groups(topk, batch_format="pandas")
+    # driver gather is blocks x Q x k rows (tiny). NOTE: do NOT insert a
+    # coalescing map_batches(batch_size=big) here — Ray fuses it with
+    # the upstream stage and serializes the whole pipeline into a
+    # handful of giant tasks. At extreme block counts, add a
+    # repartition(width) boundary before a combine pass instead.
+    final = _batch_topk(partials.to_pandas(), k).reset_index(drop=True)
+    final["rank"] = final.groupby("q_doc", sort=False).cumcount() + 1
+    return final[["q_doc", "n_doc", "rank"]]

@@ -81,40 +81,32 @@ def partial_parent_agg(batch: pa.Table) -> pa.Table:
     )
 
 
-def _combine_bucket(g) -> "pd.DataFrame":
-    """Vectorized within-bucket combine (pandas C groupby)."""
-    import pandas as pd
-
-    out = g.groupby("tkey", sort=False).agg(
-        n_docs=("n_docs", "sum"),
-        n_spans=("n_spans", "sum"),
-        min_doc=("min_doc", "min"),
-        max_doc=("max_doc", "max"),
+def combine_tile_stats_block(table: pa.Table) -> pa.Table:
+    """Vectorized combine of one hash partition's partial rows."""
+    return _partials_table(
+        *_group_partials(
+            np.asarray(table["tkey"], dtype=np.int64),
+            np.asarray(table["n_docs"], dtype=np.int64),
+            np.asarray(table["n_spans"], dtype=np.int64),
+            np.asarray(table["min_doc"], dtype=np.int64),
+            np.asarray(table["max_doc"], dtype=np.int64),
+        )
     )
-    return out.reset_index()
 
 
 def combine_partials(ds, num_buckets: int = 64):
-    """Final combine: hash-bucketed shuffle + vectorized per-bucket merge.
+    """Final combine: hash exchange + vectorized per-partition merge.
 
     A plain ``groupby("tkey").aggregate(...)`` pays per-group Python
-    overhead (millions of tile keys); instead we shuffle on a small
-    hash-bucket key and run one pandas C-speed groupby per bucket —
-    same result, ~20x faster at 10^6+ groups. num_buckets bounds the
-    per-task memory (rows/num_buckets) and is the knob to raise on a
-    big cluster.
+    overhead (millions of tile keys) and Ray's sort shuffle pays ~60s
+    on 40M rows; the hand-rolled hash exchange (stages/exchange.py)
+    routes partials straight to one combiner task per partition.
+    num_buckets bounds per-task memory (rows/num_buckets) — raise it
+    on a big cluster.
     """
+    from .exchange import hash_exchange
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        tkey = np.asarray(batch["tkey"], dtype=np.int64).astype(np.uint64)
-        b = ((tkey * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % np.uint64(num_buckets)
-        return batch.append_column("bucket", pa.array(b.astype(np.int64), type=pa.int64()))
-
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
-    combined = bucketed.groupby("bucket").map_groups(
-        lambda g: _combine_bucket(g.drop(columns=["bucket"])), batch_format="pandas"
-    )
-    return combined
+    return hash_exchange(ds, "tkey", combine_tile_stats_block, num_partitions=num_buckets)
 
 
 def unpack_tile_columns(batch: pa.Table) -> pa.Table:
@@ -140,7 +132,14 @@ def partial_multilevel_agg(batch: pa.Table, z_base: int, z_min: int = 0) -> pa.T
     level — the decisive restructuring vs the reference's per-level
     DepthFirst traversal (raster_overview.rs): aggregates are
     decomposable, images are not.
+
+    Kernel: ONE argsort by the Morton key, then a run-length
+    ``reduceat`` per level on arrays that shrink as levels collapse
+    (parent morton = key >> 2 preserves sort order) — instead of one
+    full np.unique sort per level.
     """
+    from ..core.coords import morton_key, morton_to_xy
+
     z = np.asarray(batch["z"], dtype=np.int64)
     assert int(z.min(initial=z_base)) == z_base and int(z.max(initial=z_base)) == z_base
     x = np.asarray(batch["x"], dtype=np.int64)
@@ -150,22 +149,48 @@ def partial_multilevel_agg(batch: pa.Table, z_base: int, z_min: int = 0) -> pa.T
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
     n_spans = np.asarray(pc.list_value_length(spans), dtype=np.int64)
-    ones = np.ones(len(doc_num), dtype=np.int64)
+
+    m = np.asarray(morton_key(x, y))
+    order = np.argsort(m, kind="stable")
+    keys = m[order]
+    nd = np.ones(len(keys), dtype=np.int64)
+    ns = n_spans[order]
+    mn = doc_num[order]
+    mx = mn.copy()
 
     tables = []
     for lvl in range(z_base, z_min - 1, -1):
-        shift = z_base - lvl
-        tkey = pack_tkey(np.full(len(x), lvl, dtype=np.int64), x >> shift, y >> shift)
-        tables.append(_partials_table(*_group_partials(tkey, ones, n_spans, doc_num, doc_num)))
+        if lvl < z_base:
+            keys = keys >> 2  # parent morton, still sorted
+        if len(keys):
+            starts = np.concatenate(([0], np.flatnonzero(np.diff(keys)) + 1))
+            keys = keys[starts]
+            nd = np.add.reduceat(nd, starts)
+            ns = np.add.reduceat(ns, starts)
+            mn = np.minimum.reduceat(mn, starts)
+            mx = np.maximum.reduceat(mx, starts)
+        lx, ly = morton_to_xy(keys)
+        tkey = pack_tkey(np.full(len(keys), lvl, dtype=np.int64), lx, ly)
+        tables.append(_partials_table(tkey, nd, ns, mn, mx))
     return pa.concat_tables(tables)
 
 
-def aggregate_pyramid_single_shuffle(docs_ds, z_base: int, z_min: int = 0):
-    """Full pyramid (all levels) with one combiner pass + one groupby."""
+def aggregate_pyramid_single_shuffle(docs_ds, z_base: int, z_min: int = 0, num_buckets=64):
+    """Full pyramid (all levels) with one combiner pass + one groupby.
+
+    The combiner collapses tile keys within each input block before the
+    shuffle; block size (set at the read) is the knob that trades
+    combine ratio against task parallelism.
+    """
     partials = docs_ds.map_batches(
-        lambda t: partial_multilevel_agg(t, z_base, z_min), batch_format="pyarrow"
+        lambda t: partial_multilevel_agg(t, z_base, z_min),
+        batch_format="pyarrow",
+        # batch_size deliberately None: per-block batches keep the
+        # fused read->derive->assign->partial chain one task per input
+        # block; a coalescing batch_size here would serialize upstream
+        # tasks (sources/docs.py note). Block size is set at the read.
     )
-    return combine_partials(partials)
+    return combine_partials(partials, num_buckets=num_buckets)
 
 
 def rollup_level(tiles_ds):
