@@ -1,0 +1,86 @@
+"""Probe operators (pyramid inference, histogram, outline) + broadcast
+props join + sessionize vs pandas brute force."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from versatiles_rs_ray.core.bbox import TileBBoxPyramid
+from versatiles_rs_ray.sources.debug_tiles import json_debug_tiles
+from versatiles_rs_ray.stages import probe, props, window
+
+
+def test_infer_pyramid(ray_session):
+    p = TileBBoxPyramid.from_geo_bbox(0, 0, 40, 20, 0, 5)
+    ds = json_debug_tiles(p)
+    out = probe.infer_pyramid(ds).to_pandas().sort_values("z").reset_index(drop=True)
+    z5 = out[out.z == 5].iloc[0]
+    assert (z5.x_min, z5.x_max, z5.y_min, z5.y_max, z5.n_tiles) == (16, 19, 14, 15, 8)
+
+
+def test_tile_size_histogram(ray_session):
+    p = TileBBoxPyramid.new_full(4, 4)
+    ds = json_debug_tiles(p)
+    out = probe.tile_size_histogram(ds, scale_level=2).to_pandas()
+    assert out["n_tiles"].sum() == 256
+    assert len(out) == 16  # 4x4 cells at the probe level
+    # bytes equal the sum of payload lengths
+    total = sum(len(f'{{"x":{x},"y":{y},"z":4}}') for x in range(16) for y in range(16))
+    assert out["sum_bytes"].sum() == total
+
+
+def test_coverage_outline(ray_session):
+    p = TileBBoxPyramid.from_geo_bbox(0, 0, 40, 20, 5, 5)
+    ds = json_debug_tiles(p)
+    runs = probe.coverage_runs(ds, 5)
+    assert sorted(runs) == [(14, 16, 19), (15, 16, 19)]
+    geo = probe.coverage_outline_geojson(ds, 5)
+    assert geo["type"] == "MultiPolygon"
+    assert len(geo["coordinates"]) == 1  # two identical runs merge into one rect
+    ring = geo["coordinates"][0][0]
+    assert ring[0] == ring[-1]  # closed
+    assert ring[0][0] == 0.0  # west edge of tile x=16 at z5 is lon 0
+
+
+def test_props_join_merge_and_semi(ray_session):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "v": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    ds = rd.from_arrow(t)
+    side = {1: {"attr": "x"}, 3: {"attr": "y"}}
+    merged = props.props_join(ds, side, "k").to_pandas().sort_values("k")
+    assert merged["attr"].tolist() == ["x", None, "y", None]
+    semi = props.props_join(ds, side, "k", remove_non_matching=True).to_pandas()
+    assert sorted(semi["k"]) == [1, 3]
+
+
+def test_sessionize_matches_brute(ray_session, sf_dir):
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    got = (
+        window.sessionize(ev)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    df = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    df["ts_us"] = df["ts"].astype("datetime64[us]").astype("int64")
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        ts = g["ts_us"].to_numpy()
+        sid = np.concatenate(([0], (np.diff(ts) > 1800 * 10**6).astype(int))).cumsum() + 1
+        for s in np.unique(sid):
+            m = sid == s
+            rows.append((uid, int(s), int(m.sum()), int(ts[m].min()), int(ts[m].max())))
+    brute = pd.DataFrame(
+        rows, columns=["user_id", "session_id", "n_events", "start_us", "end_us"]
+    ).sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    assert got[brute.columns.tolist()].astype("int64").equals(brute.astype("int64"))

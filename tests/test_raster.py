@@ -1,0 +1,123 @@
+"""Raster kernels: reference goldens for levels (raster_levels.rs:108-120),
+quality-schedule parser, overview/overscale arithmetic on gradients."""
+
+import numpy as np
+import pytest
+
+from versatiles_rs_ray.core import raster
+from versatiles_rs_ray.core.bbox import TileBBoxPyramid
+from versatiles_rs_ray.sources.debug_tiles import gradient_array, gradient_tiles
+from versatiles_rs_ray.stages import raster as R
+
+
+@pytest.mark.parametrize(
+    "color_in,brightness,contrast,gamma,color_out",
+    [
+        ([102], 0.0, 1.0, 1.0, [102]),
+        ([102, 119], 0.0, 1.0, 1.0, [102, 119]),
+        ([102, 119, 136, 153], 0.0, 1.0, 1.0, [102, 119, 136, 153]),
+        ([102, 119, 136, 153], 20.0, 1.1, 0.9, [129, 147, 165, 153]),
+        ([51, 119, 170, 255], -100.0, 1.0, 1.0, [0, 19, 70, 255]),
+        ([51, 119, 170, 255], 100.0, 1.0, 1.0, [151, 219, 255, 255]),
+        ([51, 119, 170, 255], 0.0, 0.5, 1.0, [89, 123, 149, 255]),
+        ([51, 119, 170, 255], 0.0, 2.0, 1.0, [0, 111, 213, 255]),
+        ([51, 119, 170, 255], 0.0, 1.0, 0.5, [114, 174, 208, 255]),
+        ([51, 119, 170, 255], 0.0, 1.0, 2.0, [10, 56, 113, 255]),
+    ],
+)
+def test_levels_reference_goldens(color_in, brightness, contrast, gamma, color_out):
+    # pad 1-3 channel cases to RGBA (alpha=255 default; last channel of
+    # the 4-case IS the alpha and must pass through untouched)
+    rgba_in = (color_in + [255] * 4)[:4]
+    if len(color_in) < 4:
+        # channels beyond the original are "don't care" except alpha
+        pass
+    arr = np.tile(np.asarray(rgba_in, dtype=np.uint8), (2, 2, 1))
+    out = raster.levels(arr, brightness, contrast, gamma)
+    got = out[0, 0].tolist()
+    for i, expected in enumerate(color_out[:3] if len(color_out) >= 3 else color_out):
+        assert got[i] == expected, f"channel {i}: {got} vs {color_out}"
+    if len(color_in) == 4:
+        assert got[3] == color_in[3]  # alpha untouched
+
+
+@pytest.mark.parametrize(
+    "text,probe",
+    [
+        ("80,70", {0: 80, 1: 70, 5: 70, 31: 70}),
+        ("80,70,14:50", {0: 80, 1: 70, 2: 70, 13: 70, 14: 50, 31: 50}),
+        (None, {0: None, 31: None}),
+        ("3:90", {0: None, 2: None, 3: 90, 31: 90}),
+    ],
+)
+def test_quality_schedule(text, probe):
+    # exact port of parse_quality (raster_format.rs:115-137)
+    sched = raster.parse_quality_schedule(text)
+    for z, want in probe.items():
+        assert sched[z] == want, f"z={z}"
+
+
+def test_flatten_and_overlay():
+    translucent = np.full((4, 4, 4), [100, 100, 100, 128], dtype=np.uint8)
+    flat = raster.flatten_onto(translucent, bg=(255, 255, 255))
+    assert (flat[..., 3] == 255).all()
+    assert abs(int(flat[0, 0, 0]) - 177) <= 1  # 100*0.502 + 255*0.498
+    base = np.full((4, 4, 4), [0, 0, 0, 255], dtype=np.uint8)
+    top = np.full((4, 4, 4), [200, 0, 0, 255], dtype=np.uint8)
+    assert (raster.overlay(base, top) == top).all()  # opaque top wins
+
+
+def test_scale_down_and_mosaic():
+    arr = gradient_array(3, 1, 2, 32)
+    half = raster.scale_down_half(arr)
+    assert half.shape == (16, 16, 4)
+    children = {(dx, dy): gradient_array(3, dx, dy, 32) for dx in (0, 1) for dy in (0, 1)}
+    parent = raster.mosaic_2x2(children, 32)
+    assert parent.shape == (32, 32, 4)
+    # each quadrant equals the half-scaled child
+    assert (parent[:16, :16] == raster.scale_down_half(children[(0, 0)])).all()
+    assert (parent[16:, 16:] == raster.scale_down_half(children[(1, 1)])).all()
+
+
+def test_extract_upsample_roundtrip_avg():
+    arr = gradient_array(2, 0, 0, 32)
+    # the 4 children of a tile, reassembled, preserve average color ~exactly
+    subs = [raster.extract_upsample(arr, x, y, 1) for x in (0, 1) for y in (0, 1)]
+    avg_children = np.mean([raster.average_color(s) for s in subs], axis=0)
+    avg_parent = raster.average_color(arr)
+    assert np.abs(avg_children - avg_parent).max() < 1.0
+
+
+def test_overview_stage_matches_local(ray_session):
+    pyramid = TileBBoxPyramid.new_full(2, 2)
+    ds = gradient_tiles(pyramid, size=16)
+    out = R.raster_overview_level(ds, num_partitions=2).to_pandas()
+    assert len(out) == 4  # z1 has 4 tiles
+    row = out[(out.x == 0) & (out.y == 0)].iloc[0]
+    children = {
+        (dx, dy): gradient_array(2, dx, dy, 16) for dx in (0, 1) for dy in (0, 1)
+    }
+    expected = raster.mosaic_2x2(children, 16)
+    got = raster.to_array(row["payload"], 16, 16)
+    assert (got == expected).all()
+
+
+def test_overscale_stage(ray_session):
+    pyramid = TileBBoxPyramid.new_full(1, 1)
+    ds = gradient_tiles(pyramid, size=16)
+    out = R.raster_overscale(ds, delta=1).to_pandas()
+    assert len(out) == 16  # 4 tiles -> 16 children
+    assert set(out["z"]) == {2}
+    row = out[(out.x == 0) & (out.y == 0)].iloc[0]
+    parent = gradient_array(1, 0, 0, 16)
+    expected = raster.extract_upsample(parent, 0, 0, 1)
+    assert (raster.to_array(row["payload"], 16, 16) == expected).all()
+
+
+def test_levels_stage_roundtrip(ray_session):
+    pyramid = TileBBoxPyramid.new_full(1, 1)
+    ds = gradient_tiles(pyramid, size=8)
+    out = R.raster_levels(ds, brightness=0.0, contrast=1.0, gamma=1.0).to_pandas()
+    src = gradient_array(1, 0, 0, 8)
+    row = out[(out.x == 0) & (out.y == 0)].iloc[0]
+    assert (raster.to_array(row["payload"], 8, 8) == src).all()  # identity params

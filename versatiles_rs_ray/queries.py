@@ -258,6 +258,101 @@ def q_embedding_topk(sf_dir):
     return embed.cosine_topk(ds, vid[q_mask], emb[q_mask], TOPK_K)
 
 
+def q_debug_tiles(sf_dir):
+    """from_debug source over the golden pyramid, payload included."""
+    from .core.bbox import TileBBoxPyramid
+    from .sources.debug_tiles import json_debug_tiles
+
+    p = TileBBoxPyramid.from_geo_bbox(*PIP_BBOX, min_level=PIP_ZMIN, max_level=PIP_ZMAX)
+    ds = json_debug_tiles(p)
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        payload = pa.array([b.decode() for b in batch["payload"].to_pylist()])
+        return batch.drop_columns(["payload"]).append_column("payload", payload)
+
+    return ds.map_batches(stringify, batch_format="pyarrow")
+
+
+def q_convert_debug(sf_dir):
+    """Converter path: debug source -> filter -> flip_y -> swap_xy.
+
+    The payload carries the ORIGINAL coordinate, so value-equality
+    proves rows moved with their payloads through the transforms
+    (converter.rs:223-246 flip/swap + golden tile-order strings)."""
+    from .pipelines.vpl import build_pipeline
+
+    ds = build_pipeline(
+        f"from_debug zmax={PIP_ZMAX} | filter bbox=[0,0,40,20] | flip_y | swap_xy"
+    )
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        payload = pa.array([b.decode() for b in batch["payload"].to_pylist()])
+        return batch.drop_columns(["payload"]).append_column("payload", payload)
+
+    return ds.map_batches(stringify, batch_format="pyarrow")
+
+
+def q_probe_pyramid(sf_dir):
+    """Pyramid inference: per-level bbox + count over assigned docs."""
+    from .stages.probe import infer_pyramid
+
+    out = None
+    for z in range(3, 7):
+        ds = assign.assign_tiles(_docs(sf_dir), z).select_columns(["z", "x", "y"])
+        out = ds if out is None else out.union(ds)
+    return infer_pyramid(out)
+
+
+def q_tile_histogram(sf_dir):
+    """measure-tile-sizes: text bytes summed into z3 cells from z6 tiles."""
+    from .stages.probe import tile_size_histogram
+
+    def add_payload(batch: pa.Table) -> pa.Table:
+        payload = pa.array(
+            [t.encode() for t in batch["text"].to_pylist()], type=pa.binary()
+        )
+        return batch.append_column("payload", payload)
+
+    ds = assign.assign_tiles(_docs(sf_dir), 6).map_batches(add_payload, batch_format="pyarrow")
+    return tile_size_histogram(ds, scale_level=3)
+
+
+def q_props_join(sf_dir):
+    """Broadcast property join + semi-join (vector_update_properties).
+
+    Side = nation table rows with even keys; docs join on
+    rank(source) % 25; remove_non_matching drops docs whose key is odd.
+    """
+    from .stages.props import props_join
+
+    nt = pq.read_table(f"{sf_dir}/nation.parquet")
+    side = {}
+    for k, name, rk in zip(
+        np.asarray(nt["n_nationkey"]).tolist(),
+        nt["n_name"].to_pylist(),
+        np.asarray(nt["n_regionkey"]).tolist(),
+    ):
+        if k % 2 == 0:
+            side[int(k)] = {"n_name": name, "n_regionkey": int(rk)}
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        key = np.asarray(
+            [int(s[3:]) % 25 for s in batch["source"].to_pylist()], dtype=np.int64
+        )
+        return batch.append_column("nation_key", pa.array(key, type=pa.int64()))
+
+    ds = _docs(sf_dir).map_batches(add_key, batch_format="pyarrow")
+    joined = props_join(ds, side, "nation_key", remove_non_matching=True)
+    return joined.select_columns(["doc_id", "source", "nation_key", "n_name", "n_regionkey"])
+
+
+def q_sessionize(sf_dir):
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    return window.sessionize(ev)
+
+
 # ---- rows-only queries (no SQL-expressible oracle) --------------------
 
 
@@ -325,6 +420,53 @@ def q_media_decode(sf_dir):
     return multimodal.decode_media(_docs(sf_dir)).select_columns(
         ["doc_id", "span_idx", "kind", "media_ref", "width", "height", "n_bytes"]
     )
+
+
+def q_raster_pipeline(sf_dir):
+    """Gradient tiles z3 -> levels -> flatten -> overview to z1 ->
+    overscale z1 children. Rows-only (pixel goldens live in pytest)."""
+    from .core.bbox import TileBBoxPyramid
+    from .sources.debug_tiles import gradient_tiles
+    from .stages import raster as R
+
+    ds = gradient_tiles(TileBBoxPyramid.new_full(3, 3), size=32)
+    ds = R.raster_levels(ds, brightness=10.0, contrast=1.1)
+    ds = R.raster_flatten(ds)
+    levels = R.raster_overview(ds, 3, 1, num_partitions=2)
+    out = levels[3]
+    for z in (2, 1):
+        out = out.union(levels[z])
+    out = out.union(R.raster_overscale(levels[1], delta=1))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        from .core.raster import average_color, to_array
+
+        w = np.asarray(batch["width"], dtype=np.int64)
+        payloads = batch["payload"].to_pylist()
+        avg = [
+            int(round(average_color(to_array(p, int(s), int(s)))[0]))
+            for p, s in zip(payloads, w)
+        ]
+        return pa.table(
+            {
+                "z": batch["z"],
+                "x": batch["x"],
+                "y": batch["y"],
+                "avg_r": pa.array(avg, type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_outline(sf_dir):
+    """Coverage outline rows (level-5 golden region): rectilinear runs."""
+    from .stages.probe import coverage_runs
+
+    ds = assign.assign_tiles(_docs(sf_dir), 5).select_columns(["z", "x", "y"])
+    filtered = filter_stage.filter_bbox_zoom(ds, bbox=PIP_BBOX, level_min=5, level_max=5)
+    runs = coverage_runs(filtered, 5)
+    return pd.DataFrame(runs, columns=["y", "x_start", "x_end"])
 
 
 # ======================================================================
@@ -514,6 +656,75 @@ def _oracle_media_refs():
     )
 
 
+def _sql_debug_coords():
+    vals = ", ".join(f"({z}, {x}, {y})" for z, x, y in _pip_tiles())
+    return f"(SELECT * FROM (VALUES {vals}) AS t(z, x, y))"
+
+
+_SQL_DEBUG_PAYLOAD = (
+    "('{\"x\":' || CAST(x AS VARCHAR) || ',\"y\":' || CAST(y AS VARCHAR) || "
+    "',\"z\":' || CAST(z AS VARCHAR) || '}')"
+)
+
+
+def _oracle_debug_tiles():
+    return (
+        f"SELECT z, x, y, {_SQL_DEBUG_PAYLOAD} AS payload FROM {_sql_debug_coords()} t"
+    )
+
+
+def _oracle_convert_debug():
+    # flip_y then swap_xy on the golden tile set; payload keeps the
+    # ORIGINAL coordinate (cf. converter.rs:279-283 order goldens)
+    return (
+        f"SELECT z, (CAST(pow(2, z) AS BIGINT) - 1 - y) AS x, x AS y, "
+        f"{_SQL_DEBUG_PAYLOAD} AS payload FROM {_sql_debug_coords()} t"
+    )
+
+
+def _oracle_probe_pyramid():
+    parts = [
+        (
+            f"SELECT z, min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, "
+            f"max(y) AS y_max, count(*) AS n_tiles FROM {_sql_docs_at(z)} t GROUP BY z"
+        )
+        for z in range(3, 7)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def _oracle_tile_histogram():
+    return (
+        f"SELECT z, x >> 3 AS cell_x, y >> 3 AS cell_y, count(*) AS n_tiles, "
+        f"CAST(sum(n_chars) AS BIGINT) AS sum_bytes FROM {_sql_docs_at(6)} t "
+        "GROUP BY z, cell_x, cell_y"
+    )
+
+
+def _oracle_props_join():
+    return (
+        f"SELECT {D.SQL_DOC_ID_STR} AS doc_id, source, "
+        "CAST(substr(source, 4) AS BIGINT) % 25 AS nation_key, n.n_name, "
+        "CAST(n.n_regionkey AS BIGINT) AS n_regionkey FROM documents d "
+        "JOIN nation n ON n.n_nationkey = CAST(substr(d.source, 4) AS BIGINT) % 25 "
+        "WHERE n.n_nationkey % 2 = 0"
+    )
+
+
+def _oracle_sessionize():
+    gap_us = window.SESSION_GAP_S * 1_000_000
+    return (
+        "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), "
+        "m AS (SELECT user_id, event_id, ts_us, CASE WHEN ts_us - lag(ts_us) OVER "
+        f"(PARTITION BY user_id ORDER BY ts_us, event_id) > {gap_us} THEN 1 ELSE 0 END AS brk "
+        "FROM e), "
+        "s AS (SELECT user_id, ts_us, CAST(SUM(brk) OVER (PARTITION BY user_id "
+        "ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_id FROM m) "
+        "SELECT user_id, session_id, count(*) AS n_events, min(ts_us) AS start_us, "
+        "max(ts_us) AS end_us FROM s GROUP BY user_id, session_id"
+    )
+
+
 def _oracle_embedding_topk():
     ids = ", ".join(str(i) for i in TOPK_QUERY_IDS)
     return (
@@ -548,6 +759,12 @@ QUERIES = {
     "events_window": q_events_window,
     "media_refs": q_media_refs,
     "embedding_topk": q_embedding_topk,
+    "debug_tiles": q_debug_tiles,
+    "convert_debug": q_convert_debug,
+    "probe_pyramid": q_probe_pyramid,
+    "tile_histogram": q_tile_histogram,
+    "props_join": q_props_join,
+    "sessionize": q_sessionize,
     # rows-only (non-SQL-expressible; pytest covers correctness)
     "s2_cells": q_s2_cells,
     "hilbert_order": q_hilbert_order,
@@ -557,6 +774,8 @@ QUERIES = {
     "simhash_dedup": q_simhash_dedup,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "media_decode": q_media_decode,
+    "raster_pipeline": q_raster_pipeline,
+    "outline": q_outline,
 }
 
 ORACLES = {
@@ -577,4 +796,10 @@ ORACLES = {
     "events_window": _oracle_events_window(),
     "media_refs": _oracle_media_refs(),
     "embedding_topk": _oracle_embedding_topk(),
+    "debug_tiles": _oracle_debug_tiles(),
+    "convert_debug": _oracle_convert_debug(),
+    "probe_pyramid": _oracle_probe_pyramid(),
+    "tile_histogram": _oracle_tile_histogram(),
+    "props_join": _oracle_props_join(),
+    "sessionize": _oracle_sessionize(),
 }

@@ -1,0 +1,123 @@
+"""Introspection operators: pyramid inference, tile-size histogram,
+coverage outline.
+
+Reformulations of `versatiles probe` / `dev measure-tile-sizes` /
+`dev export-outline` (SURVEY.md §3.3 minor entries):
+- infer_pyramid: per-level min/max x/y + count, the mbtiles reader's
+  pyramid scan (mbtiles/reader.rs doc, SURVEY.md §2.7 global agg);
+- tile_size_histogram: sum payload bytes into a scaled grid
+  (dev_tools/measure_tile_sizes.rs:57-90);
+- coverage_outline: union of tile footprints as rectilinear rings
+  (tile_outline/mod.rs:14-75) via row-run merging — no geometry libs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core.compression import byte_sizes
+
+
+def infer_pyramid(tiles_ds):
+    """Per-level bbox + tile count: (z, x_min, x_max, y_min, y_max, n_tiles)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    return tiles_ds.groupby("z").aggregate(
+        Min("x", alias_name="x_min"),
+        Max("x", alias_name="x_max"),
+        Min("y", alias_name="y_min"),
+        Max("y", alias_name="y_max"),
+        Count(alias_name="n_tiles"),
+    )
+
+
+def tile_size_histogram(tiles_ds, scale_level: int, payload_col="payload"):
+    """Sum payload bytes per scaled tile cell.
+
+    Mirrors measure-tile-sizes: every tile's byte size is added to the
+    cell ``(x >> s, y >> s)`` at the probe level
+    (measure_tile_sizes.rs:57-90). Partial per batch + small groupby.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        z = np.asarray(batch["z"], dtype=np.int64)
+        shift = np.maximum(z - scale_level, 0)
+        cx = np.asarray(batch["x"], dtype=np.int64) >> shift
+        cy = np.asarray(batch["y"], dtype=np.int64) >> shift
+        sizes = byte_sizes(batch[payload_col])
+        key = (z << 40) | (cx << 20) | cy
+        uniq, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "z": pa.array(uniq >> 40, type=pa.int64()),
+                "cell_x": pa.array((uniq >> 20) & ((1 << 20) - 1), type=pa.int64()),
+                "cell_y": pa.array(uniq & ((1 << 20) - 1), type=pa.int64()),
+                "n_tiles": pa.array(np.bincount(inv), type=pa.int64()),
+                "sum_bytes": pa.array(
+                    np.bincount(inv, weights=sizes).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    partials = tiles_ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["z", "cell_x", "cell_y"]).aggregate(
+        Sum("n_tiles", alias_name="n_tiles"), Sum("sum_bytes", alias_name="sum_bytes")
+    )
+
+
+def coverage_runs(tiles_ds, level: int):
+    """Horizontal runs of covered tiles per row at one level:
+    (y, x_start, x_end) — the rectilinear decomposition every outline
+    derives from. Distributed: per-batch runs -> driver merge of the
+    (small) run set."""
+    def partial(batch: pa.Table) -> pa.Table:
+        z = np.asarray(batch["z"], dtype=np.int64)
+        m = z == level
+        x = np.asarray(batch["x"], dtype=np.int64)[m]
+        y = np.asarray(batch["y"], dtype=np.int64)[m]
+        return pa.table({"x": pa.array(x), "y": pa.array(y)})
+
+    pts = tiles_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    runs = []
+    for y, g in pts.drop_duplicates().groupby("y"):
+        xs = np.sort(g["x"].to_numpy())
+        breaks = np.flatnonzero(np.diff(xs) > 1)
+        starts = np.concatenate(([0], breaks + 1))
+        ends = np.concatenate((breaks, [len(xs) - 1]))
+        for s, e in zip(starts, ends):
+            runs.append((int(y), int(xs[s]), int(xs[e])))
+    return runs
+
+
+def coverage_outline_geojson(tiles_ds, level: int):
+    """Tile coverage -> GeoJSON MultiPolygon of merged rectangles.
+
+    Vertical merge of equal horizontal runs (the rectilinear analogue
+    of tile_outline's unary_union); each rectangle becomes a WGS84
+    ring via tile_geo_bbox. Ring order: exterior counter-clockwise.
+    """
+    from ..core.coords import tile_geo_bbox
+
+    runs = coverage_runs(tiles_ds, level)
+    # merge vertically-adjacent identical runs into rectangles
+    open_rects = {}  # (x0, x1) -> [y_start, y_end]
+    rects = []
+    for y, x0, x1 in sorted(runs):
+        key = (x0, x1)
+        if key in open_rects and open_rects[key][1] == y - 1:
+            open_rects[key][1] = y
+        else:
+            if key in open_rects:
+                rects.append((key[0], key[1], *open_rects.pop(key)))
+            open_rects[key] = [y, y]
+    rects += [(k[0], k[1], v[0], v[1]) for k, v in open_rects.items()]
+    polygons = []
+    for x0, x1, y0, y1 in sorted(rects):
+        west, _, _, north = tile_geo_bbox(level, x0, y0)
+        _, south, east, _ = tile_geo_bbox(level, x1, y1)
+        polygons.append(
+            [[[west, south], [east, south], [east, north], [west, north], [west, south]]]
+        )
+    return {"type": "MultiPolygon", "coordinates": polygons}

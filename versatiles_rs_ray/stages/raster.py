@@ -1,0 +1,192 @@
+"""Raster transform stages over (z, x, y, payload, width, height) tables.
+
+Ray-Data reformulations of the reference raster VPL ops (SURVEY.md
+§2.4): stateless map_batches for per-tile ops, the hash exchange for
+the 2x2 overview reduction, flat-map for overscale. Payloads stay
+encoded (raw RGBA here) across stage boundaries; decode happens only
+inside the kernel that needs pixels (SURVEY.md §7.4 hard part 4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core import raster
+from .assign import pack_tkey, unpack_tkey
+
+
+def _map_payloads(batch: pa.Table, fn) -> pa.Table:
+    payloads = batch["payload"].to_pylist()
+    widths = np.asarray(batch["width"], dtype=np.int64)
+    heights = np.asarray(batch["height"], dtype=np.int64)
+    out = [
+        raster.from_array(fn(raster.to_array(p, int(w), int(h))))
+        for p, w, h in zip(payloads, widths, heights)
+    ]
+    idx = batch.schema.get_field_index("payload")
+    return batch.set_column(idx, "payload", pa.array(out, type=pa.binary()))
+
+
+def raster_levels(ds, brightness=0.0, contrast=1.0, gamma=1.0):
+    """Per-pixel levels adjustment (raster_levels.rs:61-74)."""
+    return ds.map_batches(
+        lambda t: _map_payloads(t, lambda a: raster.levels(a, brightness, contrast, gamma)),
+        batch_format="pyarrow",
+    )
+
+
+def raster_flatten(ds, bg=(255, 255, 255)):
+    """Composite translucent tiles onto an opaque background
+    (raster_flatten.rs:54-68; only applied when alpha present)."""
+
+    def fn(a):
+        return a if raster.is_opaque(a) else raster.flatten_onto(a, bg)
+
+    return ds.map_batches(lambda t: _map_payloads(t, fn), batch_format="pyarrow")
+
+
+def raster_format(ds, fmt, quality_schedule=None, speed=None):
+    """Transcode with per-zoom quality (raster_format.rs:83-167).
+
+    The schedule parser is the exact reference port; actual PNG/WEBP
+    encoding needs Pillow (gated in core/raster.py) — with the raw
+    format this is a validated no-op pass-through of the plumbing.
+    """
+    schedule = raster.parse_quality_schedule(quality_schedule)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        z = np.asarray(batch["z"], dtype=np.int64)
+        payloads = batch["payload"].to_pylist()
+        widths = np.asarray(batch["width"], dtype=np.int64)
+        heights = np.asarray(batch["height"], dtype=np.int64)
+        out = [
+            raster.encode(
+                raster.decode(p, raster.RAW_FORMAT, int(w), int(h)),
+                fmt,
+                quality=schedule[int(zi)],
+            )
+            for p, w, h, zi in zip(payloads, widths, heights, z)
+        ]
+        idx = batch.schema.get_field_index("payload")
+        t = batch.set_column(idx, "payload", pa.array(out, type=pa.binary()))
+        if "format" in t.column_names:
+            fi = t.schema.get_field_index("format")
+            t = t.set_column(fi, "format", pa.array([fmt] * len(out)))
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def raster_overscale(ds, delta: int = 1):
+    """Synthesize zoom z+delta from base tiles: 1 -> 4^delta flat-map
+    (raster_overscale.rs:80-124)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        z = np.asarray(batch["z"], dtype=np.int64)
+        x = np.asarray(batch["x"], dtype=np.int64)
+        y = np.asarray(batch["y"], dtype=np.int64)
+        widths = np.asarray(batch["width"], dtype=np.int64)
+        heights = np.asarray(batch["height"], dtype=np.int64)
+        payloads = batch["payload"].to_pylist()
+        zs, xs, ys, ps, ws, hs = [], [], [], [], [], []
+        n = 1 << delta
+        for zi, xi, yi, p, w, h in zip(z, x, y, payloads, widths, heights):
+            arr = raster.to_array(p, int(w), int(h))
+            for dy in range(n):
+                for dx in range(n):
+                    cx = (int(xi) << delta) + dx
+                    cy = (int(yi) << delta) + dy
+                    sub = raster.extract_upsample(arr, cx, cy, delta)
+                    zs.append(int(zi) + delta)
+                    xs.append(cx)
+                    ys.append(cy)
+                    ps.append(raster.from_array(sub))
+                    ws.append(int(w))
+                    hs.append(int(h))
+        return pa.table(
+            {
+                "z": pa.array(zs, type=pa.int64()),
+                "x": pa.array(xs, type=pa.int64()),
+                "y": pa.array(ys, type=pa.int64()),
+                "payload": pa.array(ps, type=pa.binary()),
+                "width": pa.array(ws, type=pa.int64()),
+                "height": pa.array(hs, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _overview_combine(table: pa.Table) -> pa.Table:
+    """Per-partition: group children by parent key, mosaic 2x2."""
+    pkey = np.asarray(table["pkey"], dtype=np.int64)
+    x = np.asarray(table["x"], dtype=np.int64)
+    y = np.asarray(table["y"], dtype=np.int64)
+    widths = np.asarray(table["width"], dtype=np.int64)
+    payloads = table["payload"].to_pylist()
+    order = np.argsort(pkey, kind="stable")
+    zs, xs, ys, ps, ws, hs = [], [], [], [], [], []
+    i = 0
+    while i < len(order):
+        j = i
+        children = {}
+        while j < len(order) and pkey[order[j]] == pkey[order[i]]:
+            idx = order[j]
+            size = int(widths[idx])
+            arr = raster.to_array(payloads[idx], size, size)
+            children[(int(x[idx]) & 1, int(y[idx]) & 1)] = arr
+            j += 1
+        z_p, x_p, y_p = unpack_tkey(pkey[order[i]])
+        size = int(widths[order[i]])
+        out = raster.mosaic_2x2(children, size)
+        zs.append(int(z_p))
+        xs.append(int(x_p))
+        ys.append(int(y_p))
+        ps.append(raster.from_array(out))
+        ws.append(size)
+        hs.append(size)
+        i = j
+    return pa.table(
+        {
+            "z": pa.array(zs, type=pa.int64()),
+            "x": pa.array(xs, type=pa.int64()),
+            "y": pa.array(ys, type=pa.int64()),
+            "payload": pa.array(ps, type=pa.binary()),
+            "width": pa.array(ws, type=pa.int64()),
+            "height": pa.array(hs, type=pa.int64()),
+        }
+    )
+
+
+def raster_overview_level(ds, num_partitions: int = 8):
+    """One overview step: level z tiles -> level z-1 mosaics.
+
+    The reference walks a DepthFirst traversal with a Push/Pop cache
+    (raster_overview.rs:36-240); here each level is one hash exchange
+    on the parent tile key with the mosaic in the combiner. Group size
+    is bounded (<= 4 children), so partition memory = 4 tiles x
+    rows/num_partitions — the raster analogue of the 32x32 block bound.
+    """
+    from .exchange import hash_exchange
+
+    def add_parent_key(batch: pa.Table) -> pa.Table:
+        z = np.asarray(batch["z"], dtype=np.int64)
+        x = np.asarray(batch["x"], dtype=np.int64)
+        y = np.asarray(batch["y"], dtype=np.int64)
+        pkey = pack_tkey(z - 1, x >> 1, y >> 1)
+        return batch.append_column("pkey", pa.array(pkey, type=pa.int64()))
+
+    keyed = ds.map_batches(add_parent_key, batch_format="pyarrow")
+    return hash_exchange(keyed, "pkey", _overview_combine, num_partitions=num_partitions)
+
+
+def raster_overview(ds, z_from: int, z_to: int, num_partitions: int = 8):
+    """Full overview cascade z_from -> z_to (exclusive of input level).
+
+    Returns {z: Dataset}; each level derives from the one above.
+    """
+    levels = {z_from: ds}
+    for z in range(z_from, z_to, -1):
+        levels[z - 1] = raster_overview_level(levels[z], num_partitions)
+    return levels

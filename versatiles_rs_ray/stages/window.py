@@ -42,6 +42,50 @@ def tumbling_partials(batch: pa.Table, window_s=WINDOW_S) -> pa.Table:
     )
 
 
+SESSION_GAP_S = 1800
+
+
+def sessionize(events_ds, gap_s=SESSION_GAP_S):
+    """Session windows per user: a session breaks when the gap between
+    consecutive events (ordered by ts, then event_id for determinism)
+    exceeds ``gap_s``. Output one row per session:
+    (user_id, session_id 1-based, n_events, start_us, end_us).
+
+    groupby(user).map_groups with an in-group sort — the Ray Data
+    answer to stateful sessionization (ray_guide.md streaming section);
+    per-group state never crosses group boundaries so no actor needed.
+    """
+    import pandas as pd
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+        ts = g["ts_us"].to_numpy()
+        brk = np.zeros(len(ts), dtype=np.int64)
+        brk[1:] = (np.diff(ts) > gap_s * 1_000_000).astype(np.int64)
+        sid = brk.cumsum() + 1
+        out = (
+            pd.DataFrame({"session_id": sid, "ts_us": ts})
+            .groupby("session_id")
+            .agg(n_events=("ts_us", "size"), start_us=("ts_us", "min"), end_us=("ts_us", "max"))
+            .reset_index()
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+            }
+        )
+
+    return events_ds.map_batches(prep, batch_format="pyarrow").groupby("user_id").map_groups(
+        per_user, batch_format="pandas"
+    )
+
+
 def tumbling_window(events_ds, window_s=WINDOW_S):
     """Tumbling window per event_type: count/sum/min/max of int cents."""
     from ray.data.aggregate import Max, Min, Sum
