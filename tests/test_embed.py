@@ -56,6 +56,25 @@ def test_lsh_topk_recall(ray_session, sf_dir):
     assert recall > 0.2  # 4-bit buckets prune ~94% of candidates
 
 
+def test_cosine_near_dup_recall(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    # plant near-duplicates of vectors 0..4
+    dups = base[:5] + rng.standard_normal((5, 16)).astype(np.float32) * 0.01
+    m = np.vstack([base, dups])
+    ids = np.arange(len(m), dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids), "embedding": pa.array(list(m))})
+    ds = rd.from_arrow(t)
+    got = embed.cosine_near_dup_pairs(ds, threshold=0.99, nbits=4).to_pandas()
+    pairs = set(zip(got["vec_a"], got["vec_b"]))
+    planted = {(i, 40 + i) for i in range(5)}
+    assert len(pairs & planted) >= 4  # LSH recall (same bucket w.h.p.)
+    assert (got["cosine"] >= 0.99).all()
+
+
 def test_srp_buckets_deterministic():
     rng = np.random.default_rng(0)
     m = rng.standard_normal((50, 16)).astype(np.float32)

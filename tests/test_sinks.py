@@ -85,6 +85,16 @@ def test_hilbert_parquet_order(tile_ds, tmp_path):
     assert (np.diff(h) > 0).all()  # strictly increasing (pmtiles contract)
 
 
+def test_tar_roundtrip(tile_ds, tmp_path):
+    ds, rows = tile_ds
+    path = str(tmp_path / "t.tar")
+    n = tiles_io.write_tar_tiles(ds, path, metadata={"name": "t"})
+    assert n == len(rows)
+    back = tiles_io.read_tar_tiles(path).to_pandas()
+    got = {(r.z, r.x, r.y): bytes(r.payload) for r in back.itertuples()}
+    assert got == {(z, x, y): p for z, x, y, p in rows}
+
+
 def test_compression_roundtrip():
     payloads = [b"hello " * 100, b"", b"\x00\xff" * 50]
     col = pa.array(payloads, type=pa.binary())

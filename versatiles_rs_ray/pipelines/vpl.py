@@ -193,6 +193,7 @@ def _builtin_containers():
         "dir", reader=tiles_io.read_directory_tiles, writer=tiles_io.write_directory_tiles
     )
     register_container("parquet", writer=tiles_io.write_hilbert_parquet)
+    register_container("tar", reader=tiles_io.read_tar_tiles, writer=tiles_io.write_tar_tiles)
 
 
 _builtin_containers()

@@ -346,6 +346,33 @@ def q_props_join(sf_dir):
     return joined.select_columns(["doc_id", "source", "nation_key", "n_name", "n_regionkey"])
 
 
+def q_mvt_tiles(sf_dir):
+    """docs -> real MVT point tiles at z4; output per-tile feature
+    counts (decoded back from the encoded protobuf payloads, so the
+    whole encode->decode path is inside the checked pipeline)."""
+    from .core import mvt as M
+    from .stages.vector import docs_to_mvt_tiles
+
+    docs = assign.assign_tiles(_docs(sf_dir), 4)
+    tiles = docs_to_mvt_tiles(docs, 4, num_partitions=4)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        counts = [
+            sum(len(l["features"]) for l in M.decode_tile(p)["layers"])
+            for p in batch["payload"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "z": batch["z"],
+                "x": batch["x"],
+                "y": batch["y"],
+                "n_features": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    return tiles.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_sessionize(sf_dir):
     import ray.data as rd
 
@@ -420,6 +447,14 @@ def q_media_decode(sf_dir):
     return multimodal.decode_media(_docs(sf_dir)).select_columns(
         ["doc_id", "span_idx", "kind", "media_ref", "width", "height", "n_bytes"]
     )
+
+
+def q_embedding_near_dup(sf_dir):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = embed.cosine_near_dup_pairs(ds, threshold=0.95, nbits=6)
+    return out.select_columns(["vec_a", "vec_b"])
 
 
 def q_raster_pipeline(sf_dir):
@@ -711,6 +746,12 @@ def _oracle_props_join():
     )
 
 
+def _oracle_mvt_tiles():
+    return (
+        f"SELECT z, x, y, count(*) AS n_features FROM {_sql_docs_at(4)} t GROUP BY z, x, y"
+    )
+
+
 def _oracle_sessionize():
     gap_us = window.SESSION_GAP_S * 1_000_000
     return (
@@ -764,6 +805,7 @@ QUERIES = {
     "probe_pyramid": q_probe_pyramid,
     "tile_histogram": q_tile_histogram,
     "props_join": q_props_join,
+    "mvt_tiles": q_mvt_tiles,
     "sessionize": q_sessionize,
     # rows-only (non-SQL-expressible; pytest covers correctness)
     "s2_cells": q_s2_cells,
@@ -776,6 +818,7 @@ QUERIES = {
     "media_decode": q_media_decode,
     "raster_pipeline": q_raster_pipeline,
     "outline": q_outline,
+    "embedding_near_dup": q_embedding_near_dup,
 }
 
 ORACLES = {
@@ -801,5 +844,6 @@ ORACLES = {
     "probe_pyramid": _oracle_probe_pyramid(),
     "tile_histogram": _oracle_tile_histogram(),
     "props_join": _oracle_props_join(),
+    "mvt_tiles": _oracle_mvt_tiles(),
     "sessionize": _oracle_sessionize(),
 }

@@ -143,6 +143,61 @@ def read_mbtiles(path: str):
     return rd.from_arrow(table)
 
 
+def write_tar_tiles(ds, path: str, payload_col="payload", ext="bin", metadata=None):
+    """`z/x/y.ext` entries in a tar archive (tar/writer.rs semantics)
+    + `tiles.json` metadata entry. Single-writer funnel like mbtiles."""
+    import io
+    import json
+    import tarfile
+
+    with tarfile.open(path, "w") as tar:
+        if metadata is not None:
+            data = json.dumps(metadata).encode()
+            info = tarfile.TarInfo("tiles.json")
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+        rows = 0
+        for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+            z = np.asarray(batch["z"], dtype=np.int64)
+            x = np.asarray(batch["x"], dtype=np.int64)
+            y = np.asarray(batch["y"], dtype=np.int64)
+            for zi, xi, yi, data in zip(
+                z.tolist(), x.tolist(), y.tolist(), batch[payload_col].to_pylist()
+            ):
+                info = tarfile.TarInfo(f"{zi}/{xi}/{yi}.{ext}")
+                info.size = len(data)
+                tar.addfile(info, io.BytesIO(data))
+                rows += 1
+    return rows
+
+
+def read_tar_tiles(path: str, ext="bin"):
+    """Read a tar tile archive back into (z, x, y, payload) rows."""
+    import tarfile
+
+    import ray.data as rd
+
+    zs, xs, ys, payloads = [], [], [], []
+    with tarfile.open(path) as tar:
+        for member in tar.getmembers():
+            if not member.name.endswith("." + ext):
+                continue
+            z, x, yext = member.name.split("/")
+            zs.append(int(z))
+            xs.append(int(x))
+            ys.append(int(yext.split(".")[0]))
+            payloads.append(tar.extractfile(member).read())
+    table = pa.table(
+        {
+            "z": pa.array(zs, type=pa.int64()),
+            "x": pa.array(xs, type=pa.int64()),
+            "y": pa.array(ys, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+    return rd.from_arrow(table)
+
+
 def write_hilbert_parquet(ds, path: str):
     """Hilbert-sorted single parquet file (pmtiles-order analogue).
 

@@ -94,6 +94,45 @@ def cosine_topk(embeddings_ds, q_ids, q_matrix, k, exclude_self=True):
     return final[["q_id", "vec_id", "rank"]]
 
 
+def cosine_near_dup_pairs(embeddings_ds, threshold: float, nbits=10, seed=42, dim=None):
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >= t).
+
+    LSH-bucketed: SRP bucket per vector -> groupby bucket -> exact
+    cosine within buckets. Same candidate-capping discipline as
+    MinHash (dedup.py); recall vs brute force is tested, and at scale
+    the bucket count (nbits) is the recall/cost knob.
+    """
+    import pandas as pd
+
+    first = embeddings_ds.take(1)
+    if dim is None:
+        dim = len(first[0]["embedding"])
+    srp = SrpBuckets(dim, nbits=nbits, seed=seed)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch["embedding"])
+        return batch.append_column("bucket", pa.array(srp.bucket_of(m), type=pa.int64()))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        ids = g["vec_id"].to_numpy()
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        sims = mn @ mn.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        order = np.argsort(ids)
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": sims[ia[keep], ib[keep]]})
+
+    bucketed = embeddings_ds.map_batches(bucketize, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
 class SrpBuckets:
     """Signed-random-projection LSH: nbits hyperplanes -> bucket id.
 
