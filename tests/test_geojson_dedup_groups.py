@@ -1,0 +1,80 @@
+"""GeoJSON/NDJSON surface, CSV side loader, dedup group resolution."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from versatiles_rs_ray.core import mvt
+from versatiles_rs_ray.sources import geojson as GJ
+from versatiles_rs_ray.stages import dedup
+
+
+def test_csv_side_loader(tmp_path):
+    # analogue of testdata/cities.csv (FIXTURES.md F4)
+    path = tmp_path / "cities.csv"
+    path.write_text("city_id,city_name,city_population\n1,Berlin,3755251\n2,Kyiv,2952301\n")
+    side = GJ.load_csv_side(str(path), "city_id")
+    assert side[1] == {"city_name": "Berlin", "city_population": 3755251}
+    assert len(side) == 2
+
+
+def test_ndjson_features_roundtrip(ray_session, tmp_path):
+    feats = [
+        {"type": "Feature", "id": i, "geometry": {"type": "Point", "coordinates": [i * 10.0, i * 5.0]},
+         "properties": {"name": f"p{i}"}}
+        for i in range(5)
+    ]
+    path = tmp_path / "f.ndjson"
+    path.write_text("\n".join(json.dumps(f) for f in feats))
+    ds = GJ.read_ndjson_features(str(path))
+    df = ds.to_pandas().sort_values("feature_id").reset_index(drop=True)
+    assert len(df) == 5
+    assert df["lon"].tolist() == [0.0, 10.0, 20.0, 30.0, 40.0]
+    out = GJ.features_to_geojson(df.to_dict("records"))
+    doc = json.loads(out)
+    assert doc["type"] == "FeatureCollection" and len(doc["features"]) == 5
+
+
+def test_features_to_mvt(ray_session, tmp_path):
+    feats = [
+        {"type": "Feature", "geometry": {"type": "Point", "coordinates": [10.0 + i, 20.0]},
+         "properties": {"n": i}}
+        for i in range(4)
+    ]
+    path = tmp_path / "f.ndjson"
+    path.write_text("\n".join(json.dumps(f) for f in feats))
+    ds = GJ.read_ndjson_features(str(path))
+    tiles = GJ.features_to_mvt_tiles(ds, zoom=4, num_partitions=2).to_pandas()
+    total = 0
+    for _, row in tiles.iterrows():
+        tile = mvt.decode_tile(row["payload"])
+        total += len(tile["layers"][0]["features"])
+    assert total == 4
+
+
+def test_dup_groups_driver():
+    pairs = pd.DataFrame({"doc_a": [1, 2, 10, 11], "doc_b": [2, 3, 11, 12]})
+    got = dedup.dup_groups_driver(pairs).sort_values("doc_num")
+    assert got["group_id"].tolist() == [1, 1, 1, 10, 10, 10]
+
+
+def test_propagate_min_labels_matches_union_find(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(4)
+    # chain components to force multi-round propagation
+    pairs = [(i, i + 1) for i in range(0, 6)] + [(20, 21), (21, 22), (30, 31)]
+    t = pa.table(
+        {
+            "doc_a": pa.array([p[0] for p in pairs], type=pa.int64()),
+            "doc_b": pa.array([p[1] for p in pairs], type=pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    dist = dedup.propagate_min_labels(ds).to_pandas().sort_values("doc_num").reset_index(drop=True)
+    brute = dedup.dup_groups_driver(
+        pd.DataFrame({"doc_a": [p[0] for p in pairs], "doc_b": [p[1] for p in pairs]})
+    ).sort_values("doc_num").reset_index(drop=True)
+    assert dist.astype("int64").equals(brute.astype("int64"))

@@ -1,0 +1,131 @@
+"""CLI: the engine's `versatiles {convert,probe,pyramid,vpl}` surface.
+
+Mirrors the reference binary's tools (versatiles/src/main.rs:78-90,
+tools/convert.rs:63-124 flag handling) on Ray Data pipelines. This is
+an OWNER of the Ray session (guarded init) — library code never is.
+
+  python -m versatiles_rs_ray convert IN OUT [--bbox W,S,E,N]
+         [--min-zoom Z] [--max-zoom Z] [--flip-y] [--swap-xy]
+         [--compress {raw,gzip}]
+  python -m versatiles_rs_ray probe IN
+  python -m versatiles_rs_ray pyramid SF_DIR OUT [--z-base N] [--z-min N]
+  python -m versatiles_rs_ray vpl "from_debug zmax=3 | filter ..." OUT
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session(num_cpus=None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            logging_level="ERROR",
+            **({"num_cpus": num_cpus} if num_cpus else {}),
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_convert(args):
+    from versatiles_rs_ray.pipelines.vpl import open_container, write_container
+    from versatiles_rs_ray.stages.filter import filter_bbox_zoom
+    from versatiles_rs_ray.stages.transform import flip_y_ds, recompress_ds, swap_xy_ds
+
+    ray = _ray_session(args.num_cpus)
+    ds = open_container(args.input)
+    if args.bbox or args.min_zoom is not None or args.max_zoom is not None:
+        bbox = [float(v) for v in args.bbox.split(",")] if args.bbox else None
+        ds = filter_bbox_zoom(ds, bbox=bbox, level_min=args.min_zoom, level_max=args.max_zoom)
+    if args.flip_y:
+        ds = flip_y_ds(ds)
+    if args.swap_xy:
+        ds = swap_xy_ds(ds)
+    if args.compress and args.compress != "raw":
+        ds = recompress_ds(ds, "payload", "raw", args.compress)
+    rows = write_container(ds, args.output)
+    print(json.dumps({"written": rows, "output": args.output}))
+    ray.shutdown()
+
+
+def cmd_probe(args):
+    from versatiles_rs_ray.pipelines.vpl import open_container
+    from versatiles_rs_ray.stages.probe import infer_pyramid
+
+    ray = _ray_session(args.num_cpus)
+    ds = open_container(args.input)
+    levels = infer_pyramid(ds).to_pandas().sort_values("z")
+    print(json.dumps({"levels": levels.to_dict("records"), "total_tiles": int(levels["n_tiles"].sum())}))
+    ray.shutdown()
+
+
+def cmd_pyramid(args):
+    from versatiles_rs_ray.pipelines.pyramid import build_and_write_pyramid
+
+    ray = _ray_session(args.num_cpus)
+    records = build_and_write_pyramid(
+        args.sf_dir, args.output, z_base=args.z_base, z_min=args.z_min,
+        replicate=args.replicate,
+    )
+    print(json.dumps({k: v["rows"] for k, v in sorted(records.items())}))
+    ray.shutdown()
+
+
+def cmd_vpl(args):
+    from versatiles_rs_ray.pipelines.vpl import build_pipeline, write_container
+
+    ray = _ray_session(args.num_cpus)
+    ds = build_pipeline(args.pipeline, sf_dir=args.sf_dir)
+    rows = write_container(ds, args.output)
+    print(json.dumps({"written": rows, "output": args.output}))
+    ray.shutdown()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="versatiles_rs_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("convert", help="convert between tile containers")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.add_argument("--bbox", help="W,S,E,N in WGS84")
+    c.add_argument("--min-zoom", type=int)
+    c.add_argument("--max-zoom", type=int)
+    c.add_argument("--flip-y", action="store_true")
+    c.add_argument("--swap-xy", action="store_true")
+    c.add_argument("--compress", choices=["raw", "gzip"])
+    c.set_defaults(fn=cmd_convert)
+
+    pr = sub.add_parser("probe", help="inspect a tile container")
+    pr.add_argument("input")
+    pr.set_defaults(fn=cmd_probe)
+
+    py = sub.add_parser("pyramid", help="build the doc pyramid (resumable)")
+    py.add_argument("sf_dir")
+    py.add_argument("output")
+    py.add_argument("--z-base", type=int, default=10)
+    py.add_argument("--z-min", type=int, default=0)
+    py.add_argument("--replicate", type=int, default=1)
+    py.set_defaults(fn=cmd_pyramid)
+
+    v = sub.add_parser("vpl", help="run a VPL pipeline into a container")
+    v.add_argument("pipeline")
+    v.add_argument("output")
+    v.add_argument("--sf-dir")
+    v.set_defaults(fn=cmd_vpl)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

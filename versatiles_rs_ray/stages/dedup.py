@@ -159,6 +159,98 @@ class JaccardVerify:
         return out.append_column("jaccard", pa.array(jac[keep], type=pa.float64()))
 
 
+def dup_groups_driver(pairs_df) -> "pd.DataFrame":
+    """Duplicate-pair components via union-find (doc -> group leader).
+
+    Driver-side: the verified-pair set is small by design (LSH prunes
+    first). Returns (doc_num, group_id) with group_id = min doc in the
+    component. For pair sets too large for the driver, use
+    :func:`propagate_min_labels`.
+    """
+    parent = {}
+
+    def find(a):
+        while parent.get(a, a) != a:
+            parent[a] = parent.get(parent[a], parent[a])
+            a = parent[a]
+        return a
+
+    for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    docs = sorted({int(v) for v in pairs_df["doc_a"]} | {int(v) for v in pairs_df["doc_b"]})
+    return pd.DataFrame({"doc_num": docs, "group_id": [find(d) for d in docs]})
+
+
+def propagate_min_labels(pairs_ds, max_rounds: int = 10):
+    """Distributed connected components: iterative min-label propagation.
+
+    Each round: labels flow across edges (union of both directions),
+    groupby(doc).min(label). Converges in O(component diameter)
+    rounds; LSH duplicate components are near-cliques so 2-3 rounds
+    suffice in practice. The groupby inputs shrink to one row per doc
+    after round one. Returns a Dataset (doc_num, group_id).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    def edges_both(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["doc_a"], dtype=np.int64)
+        b = np.asarray(batch["doc_b"], dtype=np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            }
+        )
+
+    edges = pairs_ds.map_batches(edges_both, batch_format="pyarrow").materialize()
+    # initial labels: label(doc) = min(doc, min neighbor)
+    start = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_num": t["src"],
+                "label": pa.array(
+                    np.minimum(
+                        np.asarray(t["src"], dtype=np.int64),
+                        np.asarray(t["dst"], dtype=np.int64),
+                    ),
+                    type=pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    labels = start.groupby("doc_num").aggregate(Min("label", alias_name="label")).materialize()
+    for _ in range(max_rounds):
+        prev_df = labels.to_pandas().sort_values("doc_num").reset_index(drop=True)
+        # broadcast the label map for the relabel pass (at 10^9-doc
+        # scale this becomes a co-partitioned join on dst instead)
+        lmap = dict(zip(prev_df["doc_num"], prev_df["label"]))
+
+        def relabel(batch: pa.Table, lmap=lmap) -> pa.Table:
+            src = np.asarray(batch["src"], dtype=np.int64)
+            dst = np.asarray(batch["dst"], dtype=np.int64)
+            lab = np.asarray([lmap[int(d)] for d in dst], dtype=np.int64)
+            return pa.table(
+                {"doc_num": pa.array(src), "label": pa.array(lab, type=pa.int64())}
+            )
+
+        flowed = edges.map_batches(relabel, batch_format="pyarrow").union(labels)
+        labels = flowed.groupby("doc_num").aggregate(
+            Min("label", alias_name="label")
+        ).materialize()
+        cur_df = labels.to_pandas().sort_values("doc_num").reset_index(drop=True)
+        if cur_df.equals(prev_df):
+            break
+    return labels.map_batches(
+        lambda t: pa.table({"doc_num": t["doc_num"], "group_id": t["label"]}),
+        batch_format="pyarrow",
+    )
+
+
 # ---- SimHash -----------------------------------------------------------
 
 
