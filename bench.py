@@ -25,7 +25,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "100"))  # sf0.1: 5k docs -> 500k
 # --scaling uses a larger input so compute dominates the fixed
 # coordination floor (the whole point of measuring scaling)
-SCALING_REPLICATE = int(os.environ.get("GRAFT_SCALING_REPLICATE", "6400"))
+SCALING_REPLICATE = int(os.environ.get("GRAFT_SCALING_REPLICATE", "20000"))
 Z_BASE = int(os.environ.get("GRAFT_Z_BASE", "12"))
 SHARDS_PER_TASK = int(os.environ.get("GRAFT_SHARDS_PER_TASK", "16"))
 
@@ -51,7 +51,7 @@ def run_bench():
     from versatiles_rs_ray.core.bbox import TileBBoxPyramid
     from versatiles_rs_ray.sources import docs as D
     from versatiles_rs_ray.stages import assign, join
-    from versatiles_rs_ray.stages.pyramid import aggregate_pyramid_single_shuffle
+    from versatiles_rs_ray.stages.pyramid import aggregate_pyramid_two_phase
 
     timings = {}
     counts = {}
@@ -78,7 +78,7 @@ def run_bench():
     def warm_docs():
         return D.read_docs(SF_DIR, replicate=warm_r, shards_per_task=2)
 
-    aggregate_pyramid_single_shuffle(assign.assign_tiles(warm_docs(), Z_BASE), Z_BASE, 0).count()
+    aggregate_pyramid_two_phase(assign.assign_tiles(warm_docs(), Z_BASE), Z_BASE, 0).count()
     warm_docs().map_batches(
         join.TileSetPIPJoin(5, pip_tiles), batch_format="pyarrow"
     ).count()
@@ -86,7 +86,7 @@ def run_bench():
 
     def stage_pyramid():
         docs = assign.assign_tiles(docs_ds(), Z_BASE)
-        tiles = aggregate_pyramid_single_shuffle(docs, Z_BASE, 0)
+        tiles = aggregate_pyramid_two_phase(docs, Z_BASE, 0)
         counts["pyramid_tiles"] = tiles.count()
 
     def stage_pip():
@@ -100,8 +100,10 @@ def run_bench():
         counts["knn_rows"] = len(knn)  # knn_join returns a pandas DataFrame
 
     # --scaling-child: best-of-2 per stage (object-store GC between
-    # executions makes single-shot timings noisy at high concurrency)
-    repeats = 2 if "--scaling-child" in sys.argv else 1
+    # executions makes single-shot timings noisy at high concurrency);
+    # single-shot for very large inputs where the job is long enough to
+    # amortize the noise and best-of-2 would blow the time budget
+    repeats = 2 if ("--scaling-child" in sys.argv and replicate <= 8000) else 1
     for name, fn in [
         ("pyramid", stage_pyramid),  # derive -> assign z12 -> all levels, one exchange
         ("pip_join", stage_pip),  # PIP vs the z5 cover of the reference golden bbox

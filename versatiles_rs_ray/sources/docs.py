@@ -91,55 +91,68 @@ def derive_lonlat(doc_id: np.ndarray):
 
 
 def doc_id_str(doc_id: np.ndarray) -> pa.Array:
-    """doc_id int64 -> 'doc-%08d' strings (matches SQL_DOC_ID_STR)."""
-    ids = np.asarray(doc_id, dtype=np.int64)
-    return pa.array([f"doc-{i:08d}" for i in ids.tolist()], type=pa.string())
+    """doc_id int64 -> 'doc-%08d' strings (matches SQL_DOC_ID_STR).
+
+    Arrow kernels end-to-end — no per-row Python strings (object churn
+    is the multicore-scaling killer in hot derive paths).
+    """
+    import pyarrow.compute as pc
+
+    ids = pa.array(np.asarray(doc_id, dtype=np.int64), type=pa.int64())
+    padded = pc.utf8_lpad(pc.cast(ids, pa.string()), 8, "0")
+    return pc.binary_join_element_wise(
+        pa.array(["doc-"] * len(ids), type=pa.string()), padded, ""
+    )
 
 
 def span_fields(doc_id: np.ndarray, text: pa.Array):
     """Flattened span arrays for a batch of documents.
 
     Returns (row_index, span_idx, kind, span_text, media_ref, offset)
-    where row_index maps each span back to its source row. Vectorized:
-    per-span text slices come from 4 precomputed
-    `utf8_slice_codeunits` arrays (span index <= 3), selected by take.
+    as Arrow arrays (except the two index arrays). Fully Arrow-native:
+    text slices come from 4 `utf8_slice_codeunits` arrays selected by
+    one `take` over their concatenation, media refs from string-concat
+    kernels — zero per-row Python objects in the hot path.
     """
     import pyarrow.compute as pc  # local import keeps module import light
 
     doc_id = np.asarray(doc_id, dtype=np.int64)
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
+    n = len(doc_id)
     n_spans = (1 + doc_id % 4).astype(np.int64)
-    row_index = np.repeat(np.arange(len(doc_id), dtype=np.int64), n_spans)
+    row_index = np.repeat(np.arange(n, dtype=np.int64), n_spans)
     # span_idx = 0..n_spans-1 per row, concatenated
     total = int(n_spans.sum())
-    starts = np.zeros(len(doc_id), dtype=np.int64)
+    starts = np.zeros(n, dtype=np.int64)
     starts[1:] = np.cumsum(n_spans)[:-1]
     span_idx = np.arange(total, dtype=np.int64) - np.repeat(starts, n_spans)
 
     did = doc_id[row_index]
     kind_code = (did + span_idx) % 4
-    kinds = np.asarray(SPAN_KINDS, dtype=object)[kind_code]
-    is_text = (kind_code == 0) | (kind_code == 2)
+    is_text = pa.array((kind_code == 0) | (kind_code == 2))
+    kinds = pa.array(list(SPAN_KINDS), type=pa.string()).take(pa.array(kind_code))
 
-    # 4 possible slices of each doc's text (span_idx in 0..3)
+    # 4 possible slices of each doc's text (span_idx in 0..3) + one ''
+    def _as_array(a):
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
     slices = [
-        pc.utf8_slice_codeunits(text, start=i * SPAN_LEN, stop=(i + 1) * SPAN_LEN) for i in range(4)
+        _as_array(pc.utf8_slice_codeunits(text, start=i * SPAN_LEN, stop=(i + 1) * SPAN_LEN))
+        for i in range(4)
     ]
-    sliced = [np.asarray(s.to_pandas(), dtype=object) for s in slices]
-    span_text = np.empty(total, dtype=object)
-    for i in range(4):
-        m = span_idx == i
-        span_text[m] = sliced[i][row_index[m]]
-    span_text = np.where(is_text, span_text, "")
+    big = pa.concat_arrays([*slices, pa.array([""], type=pa.string())])
+    take_idx = np.where(np.asarray(is_text), span_idx * n + row_index, 4 * n)
+    span_text = big.take(pa.array(take_idx, type=pa.int64()))
 
-    media = np.where(
-        is_text,
+    joined = pc.binary_join_element_wise(
+        pa.array(["media://"] * total, type=pa.string()),
+        pc.cast(pa.array(did, type=pa.int64()), pa.string()),
+        pa.array(["/"] * total, type=pa.string()),
+        pc.cast(pa.array(span_idx, type=pa.int64()), pa.string()),
         "",
-        np.asarray(
-            [f"media://{d}/{i}" for d, i in zip(did.tolist(), span_idx.tolist())], dtype=object
-        ),
     )
+    media = pc.if_else(is_text, pa.scalar("", type=pa.string()), joined)
     offset = (span_idx * SPAN_LEN).astype(np.int32)
     return row_index, span_idx, kinds, span_text, media, offset
 
@@ -155,12 +168,7 @@ def derive_docs_batch(batch: pa.Table) -> pa.Table:
     row_index, span_idx, kinds, span_text, media, offset = span_fields(did, batch["text"])
 
     flat = pa.StructArray.from_arrays(
-        [
-            pa.array(kinds, type=pa.string()),
-            pa.array(span_text, type=pa.string()),
-            pa.array(media, type=pa.string()),
-            pa.array(offset, type=pa.int32()),
-        ],
+        [kinds, span_text, media, pa.array(offset, type=pa.int32())],
         names=["kind", "text", "media_ref", "offset"],
     )
     n_spans = (1 + did % 4).astype(np.int64)

@@ -175,6 +175,65 @@ def partial_multilevel_agg(batch: pa.Table, z_base: int, z_min: int = 0) -> pa.T
     return pa.concat_tables(tables)
 
 
+def partial_levels_from_tiles(batch: pa.Table, z_from: int, z_min: int = 0) -> pa.Table:
+    """Tile-stats rows (tkey at z_from+1..) -> partials for z_from..z_min.
+
+    Same morton single-sort kernel as partial_multilevel_agg but the
+    input is already-combined tile stats, so the emitted volume is a
+    fraction of doc-level partials — the second phase of the two-phase
+    pyramid aggregation.
+    """
+    from ..core.coords import morton_key, morton_to_xy
+
+    z, x, y = unpack_tkey(np.asarray(batch["tkey"], dtype=np.int64))
+    m = np.asarray(morton_key(x, y)) >> 2  # parent morton (z_from)
+    order = np.argsort(m, kind="stable")
+    keys = m[order]
+    nd = np.asarray(batch["n_docs"], dtype=np.int64)[order]
+    ns = np.asarray(batch["n_spans"], dtype=np.int64)[order]
+    mn = np.asarray(batch["min_doc"], dtype=np.int64)[order]
+    mx = np.asarray(batch["max_doc"], dtype=np.int64)[order]
+
+    tables = []
+    for lvl in range(z_from, z_min - 1, -1):
+        if lvl < z_from:
+            keys = keys >> 2
+        if len(keys):
+            starts = np.concatenate(([0], np.flatnonzero(np.diff(keys)) + 1))
+            keys = keys[starts]
+            nd = np.add.reduceat(nd, starts)
+            ns = np.add.reduceat(ns, starts)
+            mn = np.minimum.reduceat(mn, starts)
+            mx = np.maximum.reduceat(mx, starts)
+        lx, ly = morton_to_xy(keys)
+        tkey = pack_tkey(np.full(len(keys), lvl, dtype=np.int64), lx, ly)
+        tables.append(_partials_table(tkey, nd, ns, mn, mx))
+    return pa.concat_tables(tables)
+
+
+def aggregate_pyramid_two_phase(docs_ds, z_base: int, z_min: int = 0, num_buckets=64):
+    """Full pyramid with TWO small exchanges instead of one big one.
+
+    Phase A: exchange per-block partials of the BASE level only
+    (~1 row/doc). Phase B: derive every lower level's partials from
+    the combined base tiles (already ~3x smaller than the doc count at
+    z12) and exchange those. Total exchanged bytes drop ~4x vs the
+    all-levels single exchange — the difference between fitting in the
+    object store and spilling at 10^8-doc scale.
+    """
+    base_partials = docs_ds.map_batches(
+        lambda t: partial_multilevel_agg(t, z_base, z_base), batch_format="pyarrow"
+    )
+    base = combine_partials(base_partials, num_buckets=num_buckets).materialize()
+    if z_min == z_base:
+        return base
+    lower_partials = base.map_batches(
+        lambda t: partial_levels_from_tiles(t, z_base - 1, z_min), batch_format="pyarrow"
+    )
+    lower = combine_partials(lower_partials, num_buckets=num_buckets)
+    return base.union(lower)
+
+
 def aggregate_pyramid_single_shuffle(docs_ds, z_base: int, z_min: int = 0, num_buckets=64):
     """Full pyramid (all levels) with one combiner pass + one groupby.
 
