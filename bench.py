@@ -22,7 +22,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "100"))  # sf0.1: 5k docs -> 500k
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "2000"))  # sf0.1: 5k docs -> 10M
 # --scaling uses a larger input so compute dominates the fixed
 # coordination floor (the whole point of measuring scaling)
 SCALING_REPLICATE = int(os.environ.get("GRAFT_SCALING_REPLICATE", "20000"))

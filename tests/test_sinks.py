@@ -95,6 +95,45 @@ def test_tar_roundtrip(tile_ds, tmp_path):
     assert got == {(z, x, y): p for z, x, y, p in rows}
 
 
+def test_pmtiles_roundtrip(tile_ds, tmp_path):
+    from versatiles_rs_ray.sources import pmtiles
+
+    ds, rows = tile_ds
+    path = str(tmp_path / "t.pmtiles")
+    n = pmtiles.write_pmtiles(ds, path, metadata={"name": "t"})
+    assert n == len(rows)
+    # header sanity
+    raw = open(path, "rb").read()
+    assert raw[:7] == b"PMTiles" and raw[7] == 3
+    assert pmtiles.read_pmtiles_metadata(path) == {"name": "t"}
+    back = pmtiles.read_pmtiles(path).to_pandas()
+    got = {(r.z, r.x, r.y): bytes(r.payload) for r in back.itertuples()}
+    assert got == {(z, x, y): p for z, x, y, p in rows}
+
+
+def test_pmtiles_leaf_directories(ray_session, tmp_path):
+    """> MAX_DIR_ENTRIES tiles exercises the leaf-directory path."""
+    import ray.data as rd
+
+    from versatiles_rs_ray.core.bbox import TileBBoxPyramid
+    from versatiles_rs_ray.sources import pmtiles
+    from versatiles_rs_ray.sources.debug_tiles import json_debug_tiles
+
+    old = pmtiles.MAX_DIR_ENTRIES
+    pmtiles.MAX_DIR_ENTRIES = 100  # force leaves without 16k tiles
+    try:
+        ds = json_debug_tiles(TileBBoxPyramid.new_full(4, 0))  # 341 tiles
+        path = str(tmp_path / "leaf.pmtiles")
+        n = pmtiles.write_pmtiles(ds, path)
+        assert n == 341
+        back = pmtiles.read_pmtiles(path).to_pandas()
+        assert len(back) == 341
+        row = back[(back.z == 4) & (back.x == 3) & (back.y == 7)].iloc[0]
+        assert bytes(row["payload"]) == b'{"x":3,"y":7,"z":4}'
+    finally:
+        pmtiles.MAX_DIR_ENTRIES = old
+
+
 def test_compression_roundtrip():
     payloads = [b"hello " * 100, b"", b"\x00\xff" * 50]
     col = pa.array(payloads, type=pa.binary())

@@ -68,6 +68,21 @@ def test_spans_match_sql(sf_dir):
         )
 
 
+def test_column_pruned_derivation(ray_session, sf_dir):
+    # prune-at-the-read: requesting only light columns must not build
+    # spans or doc_id strings, and must match the full derivation
+    full = D.read_docs(sf_dir).to_pandas().sort_values("doc_num").reset_index(drop=True)
+    light = (
+        D.read_docs(sf_dir, columns=["doc_num", "lon", "lat", "n_spans"])
+        .to_pandas()
+        .sort_values("doc_num")
+        .reset_index(drop=True)
+    )
+    assert list(light.columns) == ["doc_num", "lon", "lat", "n_spans"]
+    assert (light["lon"].values == full["lon"].values).all()
+    assert (light["n_spans"].values == full["spans"].map(len).values).all()
+
+
 def test_replicated_ids_disjoint(sf_dir):
     t = _table(sf_dir)
     did = np.asarray(t["doc_id"], dtype=np.int64)

@@ -168,6 +168,23 @@ def _recompress(ds, src="raw", dst="gzip", **_):
     return recompress_ds(ds, "payload", src, dst)
 
 
+@register_transform_op("vector_filter_layers")
+def _vfl(ds, names=None, invert=0, **_):
+    from ..stages.vector import VectorFilterLayers
+
+    names = names if isinstance(names, list) else [names]
+    return ds.map_batches(VectorFilterLayers(names, bool(int(invert))), batch_format="pyarrow")
+
+
+@register_transform_op("vector_filter_properties")
+def _vfp(ds, regex=".*", invert=0, **_):
+    from ..stages.vector import VectorFilterProperties
+
+    return ds.map_batches(
+        VectorFilterProperties(str(regex), bool(int(invert))), batch_format="pyarrow"
+    )
+
+
 # ---- container registry (extension -> reader/writer) ------------------
 
 CONTAINER_READERS = {}
@@ -194,6 +211,12 @@ def _builtin_containers():
     )
     register_container("parquet", writer=tiles_io.write_hilbert_parquet)
     register_container("tar", reader=tiles_io.read_tar_tiles, writer=tiles_io.write_tar_tiles)
+
+    from ..sources import pmtiles
+
+    register_container(
+        "pmtiles", reader=pmtiles.read_pmtiles, writer=pmtiles.write_pmtiles
+    )
 
 
 _builtin_containers()

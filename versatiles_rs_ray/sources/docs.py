@@ -157,38 +157,52 @@ def span_fields(doc_id: np.ndarray, text: pa.Array):
     return row_index, span_idx, kinds, span_text, media, offset
 
 
-def derive_docs_batch(batch: pa.Table) -> pa.Table:
+def derive_docs_batch(batch: pa.Table, columns=None) -> pa.Table:
     """map_batches fn: documents.parquet batch -> interleaved docs table.
 
     Output columns: doc_id:string, spans:list<struct>, lon, lat,
-    doc_num:int64 (the original integer id), lang, source, n_chars.
+    doc_num:int64 (the original integer id), text, lang, source,
+    n_chars. ``columns`` prunes the DERIVATION itself ("prune at the
+    read"): expensive members (spans, doc_id strings) are only built
+    when requested; ``n_spans`` is available as a cheap derived column
+    without building the span structs.
     """
+    want = set(columns) if columns else None
+
+    def _want(c):
+        return want is None or c in want
+
     did = np.asarray(batch["doc_id"], dtype=np.int64)
-    lon, lat = derive_lonlat(did)
-    row_index, span_idx, kinds, span_text, media, offset = span_fields(did, batch["text"])
-
-    flat = pa.StructArray.from_arrays(
-        [kinds, span_text, media, pa.array(offset, type=pa.int32())],
-        names=["kind", "text", "media_ref", "offset"],
-    )
-    n_spans = (1 + did % 4).astype(np.int64)
-    offsets = np.zeros(len(did) + 1, dtype=np.int32)
-    offsets[1:] = np.cumsum(n_spans)
-    spans = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), flat)
-
-    return pa.table(
-        {
-            "doc_id": doc_id_str(did),
-            "doc_num": pa.array(did, type=pa.int64()),
-            "spans": spans,
-            "text": batch["text"],
-            "lon": pa.array(lon, type=pa.float64()),
-            "lat": pa.array(lat, type=pa.float64()),
-            "lang": batch["lang"],
-            "source": batch["source"],
-            "n_chars": batch["n_chars"],
-        }
-    )
+    out = {}
+    if _want("doc_id"):
+        out["doc_id"] = doc_id_str(did)
+    out["doc_num"] = pa.array(did, type=pa.int64())
+    if _want("spans"):
+        row_index, span_idx, kinds, span_text, media, offset = span_fields(
+            did, batch["text"]
+        )
+        flat = pa.StructArray.from_arrays(
+            [kinds, span_text, media, pa.array(offset, type=pa.int32())],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        n_spans = (1 + did % 4).astype(np.int64)
+        offsets = np.zeros(len(did) + 1, dtype=np.int32)
+        offsets[1:] = np.cumsum(n_spans)
+        out["spans"] = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), flat)
+    if want is not None and "n_spans" in want:
+        out["n_spans"] = pa.array((1 + did % 4).astype(np.int64), type=pa.int64())
+    if _want("text"):
+        out["text"] = batch["text"]
+    if _want("lon") or _want("lat"):
+        lon, lat = derive_lonlat(did)
+        if _want("lon"):
+            out["lon"] = pa.array(lon, type=pa.float64())
+        if _want("lat"):
+            out["lat"] = pa.array(lat, type=pa.float64())
+    for c in ("lang", "source", "n_chars"):
+        if _want(c):
+            out[c] = batch[c]
+    return pa.table(out)
 
 
 # per-worker-process cache for the replicated shard reader: stateless
@@ -207,7 +221,7 @@ def _shard_table(path: str) -> pa.Table:
     return t
 
 
-def _read_shard(batch: pa.Table, path: str) -> pa.Table:
+def _read_shard(batch: pa.Table, path: str, columns=None) -> pa.Table:
     """One task per replica id: shift the id space, derive the table.
 
     Mirrors how the engine reads a many-fragment Lance/parquet dataset
@@ -226,7 +240,7 @@ def _read_shard(batch: pa.Table, path: str) -> pa.Table:
                 type=pa.int64(),
             ),
         )
-        out.append(derive_docs_batch(t))
+        out.append(derive_docs_batch(t, columns=columns))
     return pa.concat_tables(out)
 
 
@@ -241,10 +255,10 @@ def read_docs(sf_dir: str, replicate: int = 1, columns=None, shards_per_task: in
     """
     import ray.data as rd  # deferred: library code must not touch ray at import
 
+    import functools
+
     path = f"{sf_dir}/documents.parquet"
     if replicate > 1:
-        import functools
-
         # granularity is set HERE (shards per read task), never by a
         # downstream batch_size: a coalescing batch_size on a later
         # stage would fuse upstream tasks together and serialize the
@@ -252,12 +266,14 @@ def read_docs(sf_dir: str, replicate: int = 1, columns=None, shards_per_task: in
         n_blocks = max(1, replicate // shards_per_task)
         ds = rd.range(replicate, override_num_blocks=n_blocks)
         ds = ds.map_batches(
-            functools.partial(_read_shard, path=path),
+            functools.partial(_read_shard, path=path, columns=columns),
             batch_format="pyarrow",
         )
     else:
         ds = rd.read_parquet(path, columns=["doc_id", "text", "lang", "source", "n_chars"])
-        ds = ds.map_batches(derive_docs_batch, batch_format="pyarrow")
+        ds = ds.map_batches(
+            functools.partial(derive_docs_batch, columns=columns), batch_format="pyarrow"
+        )
     if columns:
-        ds = ds.select_columns(columns)
+        ds = ds.select_columns(list(columns))
     return ds
