@@ -114,6 +114,41 @@ def test_overscale_stage(ray_session):
     assert (raster.to_array(row["payload"], 16, 16) == expected).all()
 
 
+def test_stacked_raster(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    def tiles_ds(color, alpha, coords):
+        rows = []
+        for z, x, y in coords:
+            arr = np.full((8, 8, 4), list(color) + [alpha], dtype=np.uint8)
+            rows.append((z, x, y, raster.from_array(arr)))
+        t = pa.table(
+            {
+                "z": pa.array([r[0] for r in rows], type=pa.int64()),
+                "x": pa.array([r[1] for r in rows], type=pa.int64()),
+                "y": pa.array([r[2] for r in rows], type=pa.int64()),
+                "payload": pa.array([r[3] for r in rows], type=pa.binary()),
+                "width": pa.array([8] * len(rows), type=pa.int64()),
+                "height": pa.array([8] * len(rows), type=pa.int64()),
+            }
+        )
+        return rd.from_arrow(t)
+
+    # top source: translucent red on (1,0,0); bottom: opaque blue everywhere
+    top = tiles_ds((200, 0, 0), 128, [(1, 0, 0)])
+    bottom = tiles_ds((0, 0, 200), 255, [(1, 0, 0), (1, 1, 0)])
+    out = R.stacked_raster([top, bottom], num_partitions=2).to_pandas()
+    assert len(out) == 2
+    blended = out[(out.x == 0)].iloc[0]
+    arr = raster.to_array(blended["payload"], 8, 8)
+    assert arr[0, 0, 3] == 255  # opaque after compositing onto opaque
+    assert arr[0, 0, 0] > 80 and arr[0, 0, 2] > 80  # red over blue mix
+    solo = out[(out.x == 1)].iloc[0]
+    arr2 = raster.to_array(solo["payload"], 8, 8)
+    assert (arr2[..., 2] == 200).all()  # hole filled by lower source only
+
+
 def test_levels_stage_roundtrip(ray_session):
     pyramid = TileBBoxPyramid.new_full(1, 1)
     ds = gradient_tiles(pyramid, size=8)

@@ -159,6 +159,80 @@ def _overview_combine(table: pa.Table) -> pa.Table:
     )
 
 
+def _stack_combine(table: pa.Table) -> pa.Table:
+    """Per-partition: group by tile key, composite in rank order with
+    the opaque short-circuit (from_stacked_raster.rs:57-74)."""
+    tkey = np.asarray(table["tkey"], dtype=np.int64)
+    rank = np.asarray(table["src_rank"], dtype=np.int64)
+    widths = np.asarray(table["width"], dtype=np.int64)
+    payloads = table["payload"].to_pylist()
+    order = np.lexsort((rank, tkey))
+    zs, xs, ys, ps, ws, hs = [], [], [], [], [], []
+    i = 0
+    while i < len(order):
+        j = i
+        out = None
+        while j < len(order) and tkey[order[j]] == tkey[order[i]]:
+            idx = order[j]
+            size = int(widths[idx])
+            arr = raster.to_array(payloads[idx], size, size)
+            if out is None:
+                out = arr.copy()
+            else:
+                # later (higher-rank) sources fill under the current image
+                out = raster.overlay(arr, out)
+            j += 1
+            if raster.is_opaque(out):
+                break  # short-circuit: remaining sources invisible
+        while j < len(order) and tkey[order[j]] == tkey[order[i]]:
+            j += 1  # skip remaining sources for this tile
+        z, x, y = unpack_tkey(tkey[order[i]])
+        zs.append(int(z))
+        xs.append(int(x))
+        ys.append(int(y))
+        ps.append(raster.from_array(out))
+        ws.append(out.shape[1])
+        hs.append(out.shape[0])
+        i = j
+    return pa.table(
+        {
+            "z": pa.array(zs, type=pa.int64()),
+            "x": pa.array(xs, type=pa.int64()),
+            "y": pa.array(ys, type=pa.int64()),
+            "payload": pa.array(ps, type=pa.binary()),
+            "width": pa.array(ws, type=pa.int64()),
+            "height": pa.array(hs, type=pa.int64()),
+        }
+    )
+
+
+def stacked_raster(sources, num_partitions: int = 8):
+    """N-ary alpha-blend per tile key: source-over compositing in
+    source order with short-circuit when opaque — from_stacked_raster
+    as a hash-exchange co-group. ``sources`` = ordered list of tile
+    Datasets (first = topmost, like the reference's source order).
+    """
+    from .exchange import hash_exchange
+
+    union = None
+    for rank_val, src in enumerate(sources):
+
+        def tag(batch: pa.Table, rank_val=rank_val) -> pa.Table:
+            tkey = pack_tkey(
+                np.asarray(batch["z"], dtype=np.int64),
+                np.asarray(batch["x"], dtype=np.int64),
+                np.asarray(batch["y"], dtype=np.int64),
+            )
+            batch = batch.append_column("tkey", pa.array(tkey, type=pa.int64()))
+            return batch.append_column(
+                "src_rank", pa.array(np.full(len(tkey), rank_val), type=pa.int64())
+            )
+
+        tagged = src.map_batches(tag, batch_format="pyarrow")
+        union = tagged if union is None else union.union(tagged)
+    return hash_exchange(union, "tkey", _stack_combine, num_partitions=num_partitions)
+
+
 def raster_overview_level(ds, num_partitions: int = 8):
     """One overview step: level z tiles -> level z-1 mosaics.
 
