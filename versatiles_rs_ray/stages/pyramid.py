@@ -145,10 +145,13 @@ def partial_multilevel_agg(batch: pa.Table, z_base: int, z_min: int = 0) -> pa.T
     x = np.asarray(batch["x"], dtype=np.int64)
     y = np.asarray(batch["y"], dtype=np.int64)
     doc_num = np.asarray(batch["doc_num"], dtype=np.int64)
-    spans = batch["spans"]
-    if isinstance(spans, pa.ChunkedArray):
-        spans = spans.combine_chunks()
-    n_spans = np.asarray(pc.list_value_length(spans), dtype=np.int64)
+    if "n_spans" in batch.column_names:  # pruned read (sources/docs.py)
+        n_spans = np.asarray(batch["n_spans"], dtype=np.int64)
+    else:
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        n_spans = np.asarray(pc.list_value_length(spans), dtype=np.int64)
 
     m = np.asarray(morton_key(x, y))
     order = np.argsort(m, kind="stable")
