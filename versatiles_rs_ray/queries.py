@@ -373,6 +373,13 @@ def q_mvt_tiles(sf_dir):
     return tiles.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_lang_guess_docs(sf_dir):
+    """Heuristic language id per doc (distinct-stopword-hit argmax,
+    ties by lang name) — SQL-expressible, so oracle-checked."""
+    ds = _docs(sf_dir).map_batches(text_stage.LangId, batch_format="pyarrow", concurrency=2)
+    return ds.select_columns(["doc_id", "lang_guess"])
+
+
 def q_sessionize(sf_dir):
     import ray.data as rd
 
@@ -746,6 +753,23 @@ def _oracle_props_join():
     )
 
 
+def _oracle_lang_guess_docs():
+    toks = "list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))"
+    hit_exprs = []
+    for lang in sorted(l for l, p in text_stage.LANG_PROFILES.items() if p):
+        words = ", ".join(f"'{w}'" for w in sorted(text_stage.LANG_PROFILES[lang]))
+        hit_exprs.append(f"('{lang}', len(list_filter({toks}, x -> x IN ({words}))))")
+    vals = ", ".join(hit_exprs)
+    pick = (
+        f"(SELECT CASE WHEN max(h) = 0 THEN 'unk' ELSE "
+        f"(SELECT l FROM (VALUES {vals}) AS t(l, h) ORDER BY h DESC, l LIMIT 1) END "
+        f"FROM (VALUES {vals}) AS t2(l, h))"
+    )
+    return (
+        f"SELECT {D.SQL_DOC_ID_STR} AS doc_id, {pick} AS lang_guess FROM documents"
+    )
+
+
 def _oracle_mvt_tiles():
     return (
         f"SELECT z, x, y, count(*) AS n_features FROM {_sql_docs_at(4)} t GROUP BY z, x, y"
@@ -806,6 +830,7 @@ QUERIES = {
     "tile_histogram": q_tile_histogram,
     "props_join": q_props_join,
     "mvt_tiles": q_mvt_tiles,
+    "lang_guess_docs": q_lang_guess_docs,
     "sessionize": q_sessionize,
     # rows-only (non-SQL-expressible; pytest covers correctness)
     "s2_cells": q_s2_cells,
@@ -845,5 +870,6 @@ ORACLES = {
     "tile_histogram": _oracle_tile_histogram(),
     "props_join": _oracle_props_join(),
     "mvt_tiles": _oracle_mvt_tiles(),
+    "lang_guess_docs": _oracle_lang_guess_docs(),
     "sessionize": _oracle_sessionize(),
 }
