@@ -166,7 +166,8 @@ def run_at(ncpu: int) -> dict:
 
 def main():
     if "--scaling" in sys.argv:
-        lo, hi = 8, 32
+        lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+        hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
         r_hi = run_at(hi)
         time.sleep(10)  # let the previous session's object-store teardown settle
         r_lo = run_at(lo)
@@ -175,15 +176,16 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": "scaling efficiency (8 vs 32 cpus, identical job)",
+                    "metric": f"scaling efficiency ({lo} vs {hi} cpus, identical job)",
                     "value": round(eff, 3),
                     "unit": "efficiency",
-                    "sec_8": t_lo,
-                    "sec_32": t_hi,
-                    "throughput_docs_per_sec_8": r_lo["docs_per_sec"],
-                    "throughput_docs_per_sec_32": r_hi["docs_per_sec"],
-                    "queries_8": r_lo["queries"],
-                    "queries_32": r_hi["queries"],
+                    f"sec_{lo}": t_lo,
+                    f"sec_{hi}": t_hi,
+                    f"throughput_docs_per_sec_{lo}": r_lo["docs_per_sec"],
+                    f"throughput_docs_per_sec_{hi}": r_hi["docs_per_sec"],
+                    f"queries_{lo}": r_lo["queries"],
+                    f"queries_{hi}": r_hi["queries"],
+                    "n_docs": r_hi.get("n_docs"),
                     "sf": SF_DIR,
                 }
             )

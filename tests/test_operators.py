@@ -128,6 +128,40 @@ def test_pyramid_single_shuffle_equals_hierarchical(ray_session, sf_dir):
     assert int(z0["n_docs"].iloc[0]) == 500
 
 
+def test_pyramid_skewed_hot_tile(ray_session):
+    """Explicit skew check (north rule): ALL docs on one point — the
+    hottest possible tile key at every level. The per-block combiner
+    bounds the shuffle to one partial row per (block, level) no matter
+    the skew, and results stay exact."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.pyramid import (
+        aggregate_pyramid_two_phase,
+        partial_multilevel_agg,
+    )
+
+    n = 50_000
+    t = pa.table(
+        {
+            "doc_num": pa.array(np.arange(n), type=pa.int64()),
+            "z": pa.array(np.full(n, 8), type=pa.int64()),
+            "x": pa.array(np.full(n, 137), type=pa.int64()),
+            "y": pa.array(np.full(n, 91), type=pa.int64()),
+            "n_spans": pa.array(np.full(n, 2), type=pa.int64()),
+        }
+    )
+    # combiner output for one block: exactly one row per level
+    part = partial_multilevel_agg(t, 8, 0)
+    assert part.num_rows == 9
+    ds = rd.from_arrow(t).repartition(8)
+    out = aggregate_pyramid_two_phase(ds, 8, 0).to_pandas()
+    assert len(out) == 9  # one tile per level, all hot
+    assert (out["n_docs"] == n).all()
+    assert (out["n_spans"] == 2 * n).all()
+    assert (out["min_doc"] == 0).all() and (out["max_doc"] == n - 1).all()
+
+
 def test_tumbling_window_matches_brute(ray_session, sf_dir):
     import ray.data as rd
 

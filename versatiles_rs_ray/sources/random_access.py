@@ -1,0 +1,102 @@
+"""Random-access tile readers: the `versatiles serve` fast path.
+
+The reference serves `/tiles/{id}/{z}/{x}/{y}` by container random
+access (block index + cached tile index,
+versatiles/src/server/tile_server.rs, versatiles reader
+LimitedCache — SURVEY.md §3.3). Here the analogues:
+
+- PMTilesRandomAccess: header + directories parsed once (the decoded
+  directory IS the reference's cached tile index), each get_tile is
+  one range read into the data section;
+- PyramidRandomAccess: the native partitioned-parquet layout probed
+  by zoom partition + parquet row-group predicate pushdown on tkey.
+
+Both are validation harnesses for written pyramids (read back single
+tiles without scanning) and the building blocks a serving layer would
+pool in actors.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+
+import numpy as np
+
+from ..core.coords import hilbert_index
+from .pmtiles import COMPRESSION_GZIP, MAGIC, VERSION, _decode_directory
+
+
+class PMTilesRandomAccess:
+    """Open once, then O(log n) get_tile by binary search on tile ids."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as f:
+            header = f.read(127)
+            assert header[0:7] == MAGIC and header[7] == VERSION
+            (root_off, root_len, _m_off, _m_len, self.leaf_off, _l_len,
+             self.data_off, _d_len) = struct.unpack_from("<QQQQQQQQ", header, 8)
+            self._internal = header[97]
+            f.seek(root_off)
+            self.root = _decode_directory(self._maybe_gunzip(f.read(root_len)))
+        self._root_ids = np.asarray([e[0] for e in self.root], dtype=np.int64)
+        self._leaf_cache = {}  # leaf offset -> decoded entries (the LimitedCache analogue)
+
+    def _maybe_gunzip(self, b: bytes) -> bytes:
+        return gzip.decompress(b) if self._internal == COMPRESSION_GZIP else b
+
+    def _entries_for(self, tid: int):
+        idx = int(np.searchsorted(self._root_ids, tid, side="right")) - 1
+        if idx < 0:
+            return []
+        entry = self.root[idx]
+        if entry[3] == 0:  # leaf pointer
+            off, ln = entry[1], entry[2]
+            if off not in self._leaf_cache:
+                with open(self.path, "rb") as f:
+                    f.seek(self.leaf_off + off)
+                    self._leaf_cache[off] = _decode_directory(
+                        self._maybe_gunzip(f.read(ln))
+                    )
+            return self._leaf_cache[off]
+        return self.root
+
+    def get_tile(self, z: int, x: int, y: int):
+        tid = int(hilbert_index(z, x, y))
+        entries = self._entries_for(tid)
+        ids = np.asarray([e[0] for e in entries], dtype=np.int64)
+        i = int(np.searchsorted(ids, tid, side="right")) - 1
+        if i < 0:
+            return None
+        etid, off, ln, rl = entries[i]
+        if not (etid <= tid < etid + max(rl, 1)):
+            return None
+        with open(self.path, "rb") as f:
+            f.seek(self.data_off + off)
+            return f.read(ln)
+
+
+class PyramidRandomAccess:
+    """Native pyramid layout: per-zoom parquet probed with a tkey
+    predicate (row-group pushdown does the index's job)."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def get_tile(self, z: int, x: int, y: int):
+        import os
+
+        import pyarrow.dataset as pads
+
+        from ..stages.assign import pack_tkey
+
+        part = os.path.join(self.out_dir, f"z={z}")
+        if not os.path.isdir(part):
+            return None
+        tkey = int(pack_tkey(np.int64(z), np.int64(x), np.int64(y)))
+        dataset = pads.dataset(part, format="parquet")
+        table = dataset.to_table(filter=pads.field("tkey") == tkey)
+        if table.num_rows == 0:
+            return None
+        return {c: table[c][0].as_py() for c in table.column_names}

@@ -108,7 +108,15 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     if len(docs) < 2:
         return pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=np.int64)
     if len(docs) > _MAX_BUCKET:
-        # cap hot buckets: keep lowest ids (deterministic), log via size col
+        # cap hot buckets deterministically (keep lowest ids) and SAY so
+        # — silent truncation would read as full coverage
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "LSH bucket capped: %d docs > %d; raise bands or _MAX_BUCKET",
+            len(docs),
+            _MAX_BUCKET,
+        )
         docs = docs[:_MAX_BUCKET]
     ia, ib = np.triu_indices(len(docs), k=1)
     return pd.DataFrame({"doc_a": docs[ia], "doc_b": docs[ib]})
