@@ -5,11 +5,13 @@ Prints ONE JSON line:
    "queries": {name: sec}, "sf": ..., "num_cpus": N, ...}
 
 Headline = flagship pyramid build (docs replicated REPLICATE-fold ->
-spans derivation -> assign z12 -> single-shuffle pyramid z12..0) plus
-the spatial-join stages (PIP + kNN). `--scaling` runs the identical
-job in fresh processes at 8 and 32 CPUs and reports throughput at both
-plus scaling efficiency (the sandbox evidence for the north rule's
-N vs 4N cluster criterion — see BASELINE.md).
+spans derivation -> assign z12 -> spatially-routed single-exchange
+pyramid z12..0) plus the spatial-join stages (PIP + kNN). `--scaling`
+runs the identical job in fresh processes at GRAFT_SCALING_LO vs
+GRAFT_SCALING_HI CPUs (default 8 vs 32; 4 vs 16 approximates N vs 4N
+nodes without saturating the single shared memory bus) and reports
+throughput at both plus scaling efficiency — the sandbox evidence for
+the north rule's N vs 4N cluster criterion (see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -51,7 +53,7 @@ def run_bench():
     from versatiles_rs_ray.core.bbox import TileBBoxPyramid
     from versatiles_rs_ray.sources import docs as D
     from versatiles_rs_ray.stages import assign, join
-    from versatiles_rs_ray.stages.pyramid import aggregate_pyramid_two_phase
+    from versatiles_rs_ray.stages.pyramid import aggregate_pyramid_spatial
 
     timings = {}
     counts = {}
@@ -89,7 +91,7 @@ def run_bench():
     def warm_docs(columns=None):
         return D.read_docs(SF_DIR, replicate=warm_r, shards_per_task=2, columns=columns)
 
-    aggregate_pyramid_two_phase(
+    aggregate_pyramid_spatial(
         assign.assign_tiles(warm_docs(PYR_COLS), Z_BASE), Z_BASE, 0
     ).count()
     warm_docs(JOIN_COLS).map_batches(
@@ -99,7 +101,7 @@ def run_bench():
 
     def stage_pyramid():
         docs = assign.assign_tiles(docs_ds(PYR_COLS), Z_BASE)
-        tiles = aggregate_pyramid_two_phase(docs, Z_BASE, 0)
+        tiles = aggregate_pyramid_spatial(docs, Z_BASE, 0)
         counts["pyramid_tiles"] = tiles.count()
 
     def stage_pip():

@@ -27,7 +27,7 @@ from ..sources.docs import read_docs
 from ..stages.assign import assign_tiles, unpack_tkey
 from ..stages.pyramid import (
     aggregate_docs_to_tiles,
-    aggregate_pyramid_two_phase,
+    aggregate_pyramid_spatial,
     rollup_level,
 )
 from ..state.manifest import Manifest, lineage_hash
@@ -50,7 +50,7 @@ def finalize_level(batch: pa.Table, block_bits=8) -> pa.Table:
 def build_pyramid(sf_dir: str, z_base: int, z_min: int = 0, replicate: int = 1):
     """Lazy full pyramid (all levels, one shuffle) as a single Dataset."""
     docs = assign_tiles(read_docs(sf_dir, replicate=replicate), z_base)
-    tiles = aggregate_pyramid_two_phase(docs, z_base, z_min)
+    tiles = aggregate_pyramid_spatial(docs, z_base, z_min)
     return tiles.map_batches(finalize_level, batch_format="pyarrow")
 
 
@@ -113,7 +113,7 @@ def build_and_write_pyramid(
 
     if strategy == "single_shuffle":
         docs = assign_tiles(read_docs(sf_dir, replicate=replicate), z_base)
-        tiles = aggregate_pyramid_two_phase(docs, z_base, z_min)
+        tiles = aggregate_pyramid_spatial(docs, z_base, z_min)
         tiles = tiles.map_batches(finalize_level, batch_format="pyarrow").materialize()
         for z in missing:
             write_level(z, tiles.filter(expr=f"z == {z}"))

@@ -115,7 +115,7 @@ def q_span_fingerprint(sf_dir):
 
 def q_pyramid_counts(sf_dir):
     docs_ds = assign.assign_tiles(_docs(sf_dir), Z_PYR)
-    tiles = pyr.aggregate_pyramid_two_phase(docs_ds, Z_PYR, 0)
+    tiles = pyr.aggregate_pyramid_spatial(docs_ds, Z_PYR, 0)
     tiles = tiles.map_batches(pyr.unpack_tile_columns, batch_format="pyarrow")
     return tiles.select_columns(["z", "x", "y", "n_docs", "n_spans", "min_doc", "max_doc"])
 

@@ -54,7 +54,10 @@ def hash_exchange(ds, key_col: str, combine_block_fn, num_partitions: int = 64):
 
     combine_block_fn: pa.Table -> pa.Table, applied once per partition
     after concatenating that partition's slices from every input block
-    (it must be a top-level picklable callable).
+    (it must be a top-level picklable callable). Routing hashes
+    ``key_col`` — to route by something other than the combine key,
+    precompute a routing column and pass that as key_col (the combine
+    fn sees the full rows either way).
     """
     import ray
     import ray.data as rd

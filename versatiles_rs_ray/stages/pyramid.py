@@ -17,7 +17,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .assign import pack_tkey, unpack_tkey
+from .assign import TKEY_Z_SHIFT, pack_tkey, unpack_tkey
 
 AGG_COLUMNS = ["n_docs", "n_spans", "min_doc", "max_doc"]
 
@@ -235,6 +235,74 @@ def aggregate_pyramid_two_phase(docs_ds, z_base: int, z_min: int = 0, num_bucket
     )
     lower = combine_partials(lower_partials, num_buckets=num_buckets)
     return base.union(lower)
+
+
+def _subtree_combine(table: pa.Table, z_base: int, split_level: int) -> pa.Table:
+    """Per-partition: combine base-level rows, then derive every level
+    down to split_level locally — EXACT because spatial routing put the
+    complete split_level subtree of every tile into this partition."""
+    combined = combine_tile_stats_block(table)
+    if z_base > split_level:
+        lowers = partial_levels_from_tiles(combined, z_base - 1, split_level)
+        combined = pa.concat_tables([combined, lowers])
+    return combined
+
+
+def aggregate_pyramid_spatial(docs_ds, z_base: int, z_min: int = 0, split_level: int = 6,
+                              num_buckets: int = 64):
+    """Full pyramid with ONE exchange, spatially routed.
+
+    Base-level partials are routed by their ``split_level`` ancestor
+    cell (morton prefix), so each partition holds complete subtrees
+    and can finish levels z_base..split_level locally — no second
+    exchange. The tiny tail (levels below split_level: <= 4^split
+    rows total) is derived on the driver from the gathered
+    split-level tiles. The spatial analogue of the reference's
+    block-grid partitioning (tile_bbox/iter.rs:63-90), with the
+    partition key doubling as the locality key (SURVEY.md §7.3).
+    Skew note: routing distributes 4^split_level cells over
+    num_buckets partitions; a pathologically hot single cell bounds a
+    partition at (docs in cell / blocks) partial rows — the per-block
+    combiner still caps shuffle volume.
+    """
+    import functools
+
+    import ray.data as rd
+
+    from ..core.coords import morton_key
+    from .exchange import hash_exchange
+
+    split_level = min(split_level, z_base)
+    shift = z_base - split_level
+
+    def partials_with_route(batch: pa.Table) -> pa.Table:
+        t = partial_multilevel_agg(batch, z_base, z_base)
+        z, x, y = unpack_tkey(np.asarray(t["tkey"], dtype=np.int64))
+        anc = np.asarray(morton_key(x >> shift, y >> shift))
+        return t.append_column("route", pa.array(anc, type=pa.int64()))
+
+    partials = docs_ds.map_batches(partials_with_route, batch_format="pyarrow")
+    upper = hash_exchange(
+        partials,
+        "route",
+        functools.partial(_subtree_combine, z_base=z_base, split_level=split_level),
+        num_partitions=num_buckets,
+    ).materialize()
+    if z_min >= split_level:
+        return upper
+
+    def take_split_level(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "tkey" not in batch.column_names:
+            return batch.slice(0, 0)  # empty exchange partitions
+        z = np.asarray(batch["tkey"], dtype=np.int64) >> TKEY_Z_SHIFT
+        return batch.filter(pa.array(z == split_level))
+
+    split_rows = pa.Table.from_pandas(
+        upper.map_batches(take_split_level, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    )
+    tail = partial_levels_from_tiles(split_rows, split_level - 1, z_min)
+    return upper.union(rd.from_arrow(tail))
 
 
 def aggregate_pyramid_single_shuffle(docs_ds, z_base: int, z_min: int = 0, num_buckets=64):
