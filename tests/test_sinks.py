@@ -134,6 +134,21 @@ def test_pmtiles_leaf_directories(ray_session, tmp_path):
         pmtiles.MAX_DIR_ENTRIES = old
 
 
+def test_optimize_compression():
+    # compressible payload -> gzip; incompressible -> raw (best-effort,
+    # compression/functions.rs optimize path)
+    comp, codec = compression.optimize_compression(b"aaaa" * 200)
+    assert codec == "gzip" and len(comp) < 800
+    rnd = np.random.default_rng(0).integers(0, 256, 64, dtype=np.uint8).tobytes()
+    out, codec = compression.optimize_compression(rnd)
+    assert codec == "raw" and out == rnd
+    payloads, codecs = compression.optimize_column(
+        pa.array([b"bbbb" * 100, rnd, None], type=pa.binary())
+    )
+    assert codecs.to_pylist() == ["gzip", "raw", None]
+    assert compression._decompress_one(payloads[0].as_py(), "gzip") == b"bbbb" * 100
+
+
 def test_compression_roundtrip():
     payloads = [b"hello " * 100, b"", b"\x00\xff" * 50]
     col = pa.array(payloads, type=pa.binary())

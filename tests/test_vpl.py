@@ -47,6 +47,31 @@ def test_container_registry_roundtrip(ray_session, tmp_path):
     assert back.count() == 21
 
 
+def test_parse_nested_sources():
+    nodes = vpl.parse_vpl(
+        "from_stacked [from_debug zmax=2 | flip_y, from_debug zmax=1] | filter level_max=1"
+    )
+    assert nodes[0][0] == "from_stacked"
+    subs = nodes[0][1]["sources"]
+    assert len(subs) == 2
+    assert subs[0] == [("from_debug", {"zmax": 2}), ("flip_y", {})]
+    assert subs[1] == [("from_debug", {"zmax": 1})]
+    assert nodes[1] == ("filter", {"level_max": 1})
+    # scalar brackets still parse as list values
+    plain = vpl.parse_vpl("from_debug zmax=3 | filter bbox=[0,0,40,20]")
+    assert plain[1][1]["bbox"] == [0, 0, 40, 20]
+
+
+def test_build_stacked_pipeline(ray_session):
+    # two debug pyramids: first-wins keeps one row per tile, z0..2 from
+    # source 0 plus nothing extra from source 1 (same coords)
+    ds = vpl.build_pipeline("from_stacked [from_debug zmax=2, from_debug zmax=3]")
+    df = ds.to_pandas()
+    assert len(df) == 1 + 4 + 16 + 64  # union of coords, one row each
+    assert (df[df.z <= 2]["src_rank"] == 0).all()  # first source wins
+    assert (df[df.z == 3]["src_rank"] == 1).all()  # holes filled by second
+
+
 def test_tilejson_pyramid_and_merge():
     from versatiles_rs_ray.core.bbox import TileBBoxPyramid
 

@@ -77,6 +77,38 @@ def recompress_table(table: pa.Table, payload_col: str, from_codec: str, to_code
     return table.set_column(idx, payload_col, out)
 
 
+def optimize_compression(data: bytes, prefer=GZIP):
+    """Best-effort: compress only when it actually shrinks the payload.
+
+    The reference's `optimize_compression`
+    (versatiles_core/src/utils/compression/functions.rs:55-205
+    best-effort path): returns (bytes, codec_used).
+    """
+    compressed = _compress_one(data, prefer)
+    if len(compressed) < len(data):
+        return compressed, prefer
+    return data, RAW
+
+
+def optimize_column(col):
+    """Element-wise optimize_compression over a binary array.
+
+    Returns (binary array, codec string array) — codec varies per
+    element, matching the reference's per-tile best-effort choice.
+    """
+    values = col.to_pylist() if isinstance(col, (pa.Array, pa.ChunkedArray)) else list(col)
+    payloads, codecs = [], []
+    for v in values:
+        if v is None:
+            payloads.append(None)
+            codecs.append(None)
+            continue
+        p, c = optimize_compression(v)
+        payloads.append(p)
+        codecs.append(c)
+    return pa.array(payloads, type=pa.binary()), pa.array(codecs, type=pa.string())
+
+
 def byte_sizes(col) -> np.ndarray:
     """Payload byte lengths (for tile-size histograms, cf.
     versatiles/src/tools/dev_tools/measure_tile_sizes.rs:57-90)."""

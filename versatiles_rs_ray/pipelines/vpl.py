@@ -7,10 +7,16 @@ transforms) and its plugin registries (factory.rs:44-128,
 container_registry.rs:56-112). A pipeline string builds a lazy
 Dataset; execution happens when the caller consumes it.
 
-Grammar (the subset the engine needs — no nested sources yet):
+Grammar (the subset the engine needs):
   pipeline   := node ("|" node)*
-  node       := name (key "=" value)*
+  node       := name (key "=" value)* sources?
+  sources    := "[" pipeline ("," pipeline)* "]"   # nested sub-pipelines
   value      := scalar | "[" scalar ("," scalar)* "]"
+
+A bracket group containing pipeline syntax (a word not followed by
+"=", or a "|") is parsed as nested SOURCES (the reference's
+`from_merged_vector [ a, b ]` form, vpl_node.rs:21-28); a bracket of
+bare scalars stays a list value (e.g. bbox=[0,0,40,20]).
 """
 
 from __future__ import annotations
@@ -22,16 +28,46 @@ from ..core.bbox import TileBBoxPyramid
 _TOKEN = re.compile(r"(\w+)\s*=\s*(\[[^\]]*\]|\S+)")
 
 
+def _split_top(text: str, sep: str):
+    """Split on sep at bracket depth 0."""
+    parts = []
+    depth = 0
+    cur = []
+    for ch in text:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
 def parse_vpl(text: str):
-    """'from_debug zmax=3 | filter bbox=[0,0,40,20]' -> [(name, args)]."""
+    """'from_debug zmax=3 | filter bbox=[0,0,40,20]' -> [(name, args)].
+
+    Nested sources appear in args as args["sources"] = [node-list, ...].
+    """
     nodes = []
-    for part in text.split("|"):
+    for part in _split_top(text, "|"):
         part = part.strip()
         if not part:
             continue
         name = part.split()[0]
+        rest = part[len(name):].strip()
         args = {}
-        for key, raw in _TOKEN.findall(part[len(name):]):
+        # nested sources: a trailing top-level bracket group holding
+        # pipeline syntax rather than scalars
+        src_match = re.search(r"(?:^|\s)(\[.*\])\s*$", rest, re.S)
+        if src_match and ("|" in src_match.group(1) or re.search(r"\bfrom_\w+", src_match.group(1))):
+            inner = src_match.group(1)[1:-1]
+            args["sources"] = [parse_vpl(p) for p in _split_top(inner, ",")]
+            rest = rest[: src_match.start()].strip()
+        for key, raw in _TOKEN.findall(rest):
             if raw.startswith("["):
                 args[key] = [_coerce(v) for v in raw[1:-1].split(",") if v.strip()]
             else:
@@ -72,20 +108,28 @@ def register_transform_op(name):
     return deco
 
 
-def build_pipeline(text: str, sf_dir: str | None = None):
-    """Build a Dataset from a VPL string: head = read op, rest transforms."""
-    nodes = parse_vpl(text)
-    if not nodes:
-        raise ValueError("empty pipeline")
+def _build_nodes(nodes, sf_dir):
     head, args = nodes[0]
     if head not in READ_OPS:
         raise ValueError(f"unknown read op {head!r} (have {sorted(READ_OPS)})")
+    if "sources" in args:
+        args = dict(args)
+        args["sources"] = [_build_nodes(sub, sf_dir) for sub in args["sources"]]
     ds = READ_OPS[head](sf_dir=sf_dir, **args)
-    for name, args in nodes[1:]:
+    for name, targs in nodes[1:]:
         if name not in TRANSFORM_OPS:
             raise ValueError(f"unknown transform {name!r} (have {sorted(TRANSFORM_OPS)})")
-        ds = TRANSFORM_OPS[name](ds, **args)
+        ds = TRANSFORM_OPS[name](ds, **targs)
     return ds
+
+
+def build_pipeline(text: str, sf_dir: str | None = None):
+    """Build a Dataset from a VPL string: head = read op (possibly with
+    nested [sub, sub] sources), rest transforms."""
+    nodes = parse_vpl(text)
+    if not nodes:
+        raise ValueError("empty pipeline")
+    return _build_nodes(nodes, sf_dir)
 
 
 # ---- built-in operators ----------------------------------------------
@@ -110,6 +154,36 @@ def _from_gradient(sf_dir=None, zmax=3, zmin=0, size=64, **_):
     from ..sources.debug_tiles import gradient_tiles
 
     return gradient_tiles(TileBBoxPyramid.new_full(int(zmax), int(zmin)), size=int(size))
+
+
+@register_read_op("from_stacked")
+def _from_stacked(sf_dir=None, sources=None, **_):
+    from ..stages.stack import stacked_tiles
+
+    if not sources:
+        raise ValueError("from_stacked needs nested [source, source] pipelines")
+    return stacked_tiles(sources)
+
+
+@register_read_op("from_merged_vector")
+def _from_merged_vector(sf_dir=None, sources=None, **_):
+    from ..stages.vector import merge_vector_tiles
+
+    if not sources:
+        raise ValueError("from_merged_vector needs nested [source, source] pipelines")
+    union = None
+    for s in sources:
+        union = s if union is None else union.union(s)
+    return merge_vector_tiles(union)
+
+
+@register_read_op("from_stacked_raster")
+def _from_stacked_raster(sf_dir=None, sources=None, **_):
+    from ..stages.raster import stacked_raster
+
+    if not sources:
+        raise ValueError("from_stacked_raster needs nested [source, source] pipelines")
+    return stacked_raster(sources)
 
 
 @register_transform_op("filter")

@@ -82,6 +82,46 @@ def first_wins(ds, rank_col="src_rank"):
     return combined.map_batches(finish, batch_format="pyarrow")
 
 
+def _stacked_tiles_combine(table: pa.Table) -> pa.Table:
+    """Per-partition: keep the minimum-rank row per tile key (payloads
+    travel with their rows)."""
+    tkey = np.asarray(table["tkey"], dtype=np.int64)
+    rank = np.asarray(table["src_rank"], dtype=np.int64)
+    order = np.lexsort((rank, tkey))
+    keep_mask = np.ones(len(order), dtype=bool)
+    keys_sorted = tkey[order]
+    keep_mask[1:] = keys_sorted[1:] != keys_sorted[:-1]
+    return table.take(pa.array(order[keep_mask]))
+
+
+def stacked_tiles(sources, num_partitions: int = 8):
+    """from_stacked over full tile rows: first-non-null per tile key
+    across ranked sources, payload included
+    (from_stacked.rs:125-165 semantics; order carried as an explicit
+    rank column, SURVEY.md §7.4 hard part 1). ``sources`` = ordered
+    list of (z, x, y, payload, ...) Datasets, first wins.
+    """
+    from .exchange import hash_exchange
+
+    union = None
+    for rank_val, src in enumerate(sources):
+
+        def tag(batch: pa.Table, rank_val=rank_val) -> pa.Table:
+            tkey = pack_tkey(
+                np.asarray(batch["z"], dtype=np.int64),
+                np.asarray(batch["x"], dtype=np.int64),
+                np.asarray(batch["y"], dtype=np.int64),
+            )
+            batch = batch.append_column("tkey", pa.array(tkey, type=pa.int64()))
+            return batch.append_column(
+                "src_rank", pa.array(np.full(len(tkey), rank_val), type=pa.int64())
+            )
+
+        tagged = src.map_batches(tag, batch_format="pyarrow")
+        union = tagged if union is None else union.union(tagged)
+    return hash_exchange(union, "tkey", _stacked_tiles_combine, num_partitions=num_partitions)
+
+
 def partial_merge_sources(batch: pa.Table, rank_col="src_rank") -> pa.Table:
     """Per-batch per-tile: doc count + bitmask of contributing sources."""
     tkey = pack_tkey(
