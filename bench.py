@@ -8,8 +8,10 @@ Headline = flagship pyramid build (docs replicated REPLICATE-fold ->
 spans derivation -> assign z12 -> spatially-routed single-exchange
 pyramid z12..0) plus the spatial-join stages (PIP + kNN). `--scaling`
 runs the identical job in fresh processes at GRAFT_SCALING_LO vs
-GRAFT_SCALING_HI CPUs (default 8 vs 32; 4 vs 16 approximates N vs 4N
-nodes without saturating the single shared memory bus) and reports
+GRAFT_SCALING_HI CPUs (default 4 vs 16: N vs 4N where each execution
+slot keeps per-slot memory bandwidth, matching multi-node topology;
+8 vs 32 saturates this box's single shared memory bus — both pairs
+recorded in BASELINE.md) and reports
 throughput at both plus scaling efficiency — the sandbox evidence for
 the north rule's N vs 4N cluster criterion (see BASELINE.md).
 """
@@ -27,9 +29,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "2000"))  # sf0.1: 5k docs -> 10M
 # --scaling uses a larger input so compute dominates the fixed
 # coordination floor (the whole point of measuring scaling)
-SCALING_REPLICATE = int(os.environ.get("GRAFT_SCALING_REPLICATE", "20000"))
+SCALING_REPLICATE = int(os.environ.get("GRAFT_SCALING_REPLICATE", "8000"))
 Z_BASE = int(os.environ.get("GRAFT_Z_BASE", "12"))
-SHARDS_PER_TASK = int(os.environ.get("GRAFT_SHARDS_PER_TASK", "16"))
+SHARDS_PER_TASK = int(os.environ.get("GRAFT_SHARDS_PER_TASK", "64"))
 
 
 def run_bench():
@@ -168,8 +170,8 @@ def run_at(ncpu: int) -> dict:
 
 def main():
     if "--scaling" in sys.argv:
-        lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
-        hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
+        lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
+        hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
         r_hi = run_at(hi)
         time.sleep(10)  # let the previous session's object-store teardown settle
         r_lo = run_at(lo)

@@ -100,9 +100,38 @@ def doc_id_str(doc_id: np.ndarray) -> pa.Array:
 
     ids = pa.array(np.asarray(doc_id, dtype=np.int64), type=pa.int64())
     padded = pc.utf8_lpad(pc.cast(ids, pa.string()), 8, "0")
-    return pc.binary_join_element_wise(
-        pa.array(["doc-"] * len(ids), type=pa.string()), padded, ""
-    )
+    return pc.binary_join_element_wise(pa.scalar("doc-"), padded, "")
+
+
+def _doc_slices(text: pa.Array):
+    """The 4 possible 16-char span slices of each doc (chars i*16..i*16+16).
+
+    Fast path: when the first 64 BYTES of every doc are ASCII, char
+    slicing == byte slicing, so one cheap binary prefix cut + 4 small
+    byte slices replace 4 full ``utf8_slice_codeunits`` walks (4.5x
+    less time, and 1/4 the bytes walked — the derive stage is memory-
+    bandwidth-bound under full concurrency). Any non-ASCII prefix (or
+    a multibyte char cut at the 64-byte boundary, which makes the
+    prefix invalid UTF-8) falls back to the exact codepoint walk.
+    """
+    import pyarrow.compute as pc
+
+    try:
+        pref = pc.binary_slice(text.cast(pa.binary()), start=0, stop=4 * SPAN_LEN)
+        spref = pref.cast(pa.string())
+        if pc.all(pc.string_is_ascii(spref)).as_py() is not False:
+            return [
+                pc.binary_slice(pref, start=i * SPAN_LEN, stop=(i + 1) * SPAN_LEN).cast(
+                    pa.string()
+                )
+                for i in range(4)
+            ]
+    except pa.ArrowInvalid:
+        pass
+    return [
+        pc.utf8_slice_codeunits(text, start=i * SPAN_LEN, stop=(i + 1) * SPAN_LEN)
+        for i in range(4)
+    ]
 
 
 def span_fields(doc_id: np.ndarray, text: pa.Array):
@@ -137,22 +166,29 @@ def span_fields(doc_id: np.ndarray, text: pa.Array):
     def _as_array(a):
         return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
 
-    slices = [
-        _as_array(pc.utf8_slice_codeunits(text, start=i * SPAN_LEN, stop=(i + 1) * SPAN_LEN))
-        for i in range(4)
-    ]
+    slices = [_as_array(s) for s in _doc_slices(text)]
     big = pa.concat_arrays([*slices, pa.array([""], type=pa.string())])
     take_idx = np.where(np.asarray(is_text), span_idx * n + row_index, 4 * n)
     span_text = big.take(pa.array(take_idx, type=pa.int64()))
 
-    joined = pc.binary_join_element_wise(
-        pa.array(["media://"] * total, type=pa.string()),
-        pc.cast(pa.array(did, type=pa.int64()), pa.string()),
-        pa.array(["/"] * total, type=pa.string()),
-        pc.cast(pa.array(span_idx, type=pa.int64()), pa.string()),
+    # media refs exist only for non-text spans (~half): join the subset
+    # with scalar-broadcast separators, then scatter back with one take
+    # (an empty-string sentinel at the pool's end fills text rows) —
+    # half the cast/join bytes and no full-width if_else copy.
+    nontext = np.flatnonzero(~np.asarray(is_text))
+    sub = pc.binary_join_element_wise(
+        pa.scalar("media://"),
+        pc.cast(pa.array(did[nontext], type=pa.int64()), pa.string()),
+        pa.scalar("/"),
+        pc.cast(pa.array(span_idx[nontext], type=pa.int64()), pa.string()),
         "",
     )
-    media = pc.if_else(is_text, pa.scalar("", type=pa.string()), joined)
+    pool = pa.concat_arrays(
+        [_as_array(sub), pa.array([""], type=pa.string())]
+    )
+    map_idx = np.full(total, len(nontext), dtype=np.int64)
+    map_idx[nontext] = np.arange(len(nontext), dtype=np.int64)
+    media = pool.take(pa.array(map_idx, type=pa.int64()))
     offset = (span_idx * SPAN_LEN).astype(np.int32)
     return row_index, span_idx, kinds, span_text, media, offset
 

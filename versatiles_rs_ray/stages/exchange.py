@@ -58,31 +58,82 @@ def hash_exchange(ds, key_col: str, combine_block_fn, num_partitions: int = 64):
     ``key_col`` — to route by something other than the combine key,
     precompute a routing column and pass that as key_col (the combine
     fn sees the full rows either way).
+
+    Split tasks launch as upstream blocks STREAM out of the map
+    pipeline (``iter_internal_ref_bundles``), overlapping the exchange
+    with upstream compute instead of waiting for a full materialize
+    barrier; the reduce wave starts as soon as the last split lands.
+    Block groups grow geometrically so the driver tracks a bounded
+    number of intermediate objects (~64 split tasks x num_partitions)
+    no matter how many input blocks stream past.
     """
     import ray
     import ray.data as rd
 
-    split_task = ray.remote(num_returns=num_partitions)(_split_block)
     reduce_task = ray.remote(_reduce_partition)
 
-    assert num_partitions >= 2, "use a plain map for a single partition"
-    refs = ds.to_arrow_refs()
-    if not refs:
+    split_lists = _stream_splits(ds, key_col, num_partitions)
+    if not split_lists:
         return ds
-    # group input blocks per split task so the driver tracks at most
-    # ~4096 intermediate objects (groups x partitions) — with hundreds
-    # of blocks x 64 partitions, per-block splits would create tens of
-    # thousands of refs and driver bookkeeping dominates wall time
-    group = max(1, (len(refs) * num_partitions + 4095) // 4096)
-    ref_groups = [refs[i : i + group] for i in range(0, len(refs), group)]
-    split_lists = [
-        split_task.remote(key_col, num_partitions, *grp) for grp in ref_groups
-    ]
     out_refs = [
         reduce_task.remote(combine_block_fn, *[s[b] for s in split_lists])
         for b in range(num_partitions)
     ]
     return rd.from_arrow_refs(out_refs)
+
+
+def _stream_splits(ds, key_col: str, num_partitions: int):
+    """Launch split tasks as upstream blocks stream out; returns the
+    per-split lists of num_partitions output refs."""
+    import ray
+
+    assert num_partitions >= 2, "use a plain map for a single partition"
+    split_task = ray.remote(num_returns=num_partitions)(_split_block)
+    split_lists = []
+    pending = []
+    group = 8  # blocks per split task; doubles once 48 splits are in flight
+    for bundle in ds.iter_internal_ref_bundles():
+        pending.extend(bundle.block_refs)
+        while len(pending) >= group:
+            split_lists.append(
+                split_task.remote(key_col, num_partitions, *pending[:group])
+            )
+            pending = pending[group:]
+            if len(split_lists) % 48 == 0:
+                group *= 2
+    if pending:
+        split_lists.append(split_task.remote(key_col, num_partitions, *pending))
+    return split_lists
+
+
+def hash_exchange_with_aux(
+    ds, key_col: str, combine_block_fn, aux_fn, num_partitions: int = 64
+):
+    """hash_exchange + a small per-partition side output.
+
+    Each reduce additionally returns ``aux_fn(combined_table)`` as a
+    SECOND object — kept tiny by construction (e.g. one level's rows)
+    so the driver can ``ray.get`` all of them without pulling the main
+    partitions. Returns ``(Dataset, list[ObjectRef[pa.Table]])``.
+    """
+    import ray
+    import ray.data as rd
+
+    reduce_task = ray.remote(num_returns=2)(_reduce_partition_aux)
+
+    split_lists = _stream_splits(ds, key_col, num_partitions)
+    if not split_lists:
+        return ds, []
+    outs = [
+        reduce_task.remote(combine_block_fn, aux_fn, *[s[b] for s in split_lists])
+        for b in range(num_partitions)
+    ]
+    return rd.from_arrow_refs([o[0] for o in outs]), [o[1] for o in outs]
+
+
+def _reduce_partition_aux(combine_block_fn, aux_fn, *parts):
+    combined = _reduce_partition(combine_block_fn, *parts)
+    return combined, aux_fn(combined)
 
 
 def _reduce_partition(combine_block_fn, *parts):

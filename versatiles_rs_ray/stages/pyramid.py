@@ -267,10 +267,11 @@ def aggregate_pyramid_spatial(docs_ds, z_base: int, z_min: int = 0, split_level:
     """
     import functools
 
+    import ray
     import ray.data as rd
 
     from ..core.coords import morton_key
-    from .exchange import hash_exchange
+    from .exchange import hash_exchange, hash_exchange_with_aux
 
     split_level = min(split_level, z_base)
     shift = z_base - split_level
@@ -282,27 +283,36 @@ def aggregate_pyramid_spatial(docs_ds, z_base: int, z_min: int = 0, split_level:
         return t.append_column("route", pa.array(anc, type=pa.int64()))
 
     partials = docs_ds.map_batches(partials_with_route, batch_format="pyarrow")
-    upper = hash_exchange(
+    comb = functools.partial(_subtree_combine, z_base=z_base, split_level=split_level)
+    if z_min >= split_level:
+        return hash_exchange(partials, "route", comb, num_partitions=num_buckets)
+
+    # each reduce also emits its split-level rows as a tiny aux output
+    # (<= 4^split_level rows in total across partitions), so the
+    # z<split tail derives on the driver from a few KB — no extra task
+    # wave, no full-partition fetch.
+    upper, aux_refs = hash_exchange_with_aux(
         partials,
         "route",
-        functools.partial(_subtree_combine, z_base=z_base, split_level=split_level),
+        comb,
+        functools.partial(_take_level, level=split_level),
         num_partitions=num_buckets,
-    ).materialize()
-    if z_min >= split_level:
-        return upper
-
-    def take_split_level(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "tkey" not in batch.column_names:
-            return batch.slice(0, 0)  # empty exchange partitions
-        z = np.asarray(batch["tkey"], dtype=np.int64) >> TKEY_Z_SHIFT
-        return batch.filter(pa.array(z == split_level))
-
-    split_rows = pa.Table.from_pandas(
-        upper.map_batches(take_split_level, batch_format="pyarrow").to_pandas(),
-        preserve_index=False,
     )
+    if not aux_refs:
+        return upper  # empty input
+    aux_tables = [t for t in ray.get(aux_refs) if t.num_rows]
+    if not aux_tables:
+        return upper  # no tiles at split level (empty partitions)
+    split_rows = pa.concat_tables(aux_tables, promote_options="default")
     tail = partial_levels_from_tiles(split_rows, split_level - 1, z_min)
     return upper.union(rd.from_arrow(tail))
+
+
+def _take_level(table: pa.Table, level: int) -> pa.Table:
+    if table.num_rows == 0 or "tkey" not in table.column_names:
+        return table.slice(0, 0)
+    z = np.asarray(table["tkey"], dtype=np.int64) >> TKEY_Z_SHIFT
+    return table.filter(pa.array(z == level))
 
 
 def aggregate_pyramid_single_shuffle(docs_ds, z_base: int, z_min: int = 0, num_buckets=64):
