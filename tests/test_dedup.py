@@ -75,3 +75,65 @@ def test_simhash_finds_exact_dups(ray_session):
     pairs = set(map(tuple, got[["doc_a", "doc_b"]].values))
     assert {(0, 50), (1, 51), (2, 52)} <= pairs
     assert (got["hamming"] <= 3).all()
+
+
+def _brute_jaccard_pairs(texts: dict, k: int, threshold: float):
+    """Reference implementation: python sets of byte k-grams."""
+    def grams(t):
+        b = t.encode()
+        if len(b) < k:
+            return {b}
+        return {b[i : i + k] for i in range(len(b) - k + 1)}
+
+    sets = {d: grams(t) for d, t in texts.items()}
+    out = {}
+    docs = sorted(sets)
+    for i, a in enumerate(docs):
+        for b in docs[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = inter / len(sets[a] | sets[b])
+            if j >= threshold:
+                out[(a, b)] = (inter, j)
+    return out
+
+
+def test_ngram_jaccard_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "omega", "tile"]
+    texts = {}
+    base = " ".join(rng.choice(words, 40))
+    for d in range(30):
+        if d % 3 == 0:
+            # near-dup of base: flip a couple of words
+            w = base.split()
+            w[d % len(w)] = "mut%d" % d
+            texts[d] = " ".join(w)
+        else:
+            texts[d] = " ".join(rng.choice(words, 30))
+    texts[100] = "short"      # < k
+    texts[101] = "short"      # identical short doc -> jaccard 1.0
+    texts[102] = ""           # empty
+
+    t = pa.table(
+        {
+            "doc_num": pa.array(sorted(texts), type=pa.int64()),
+            "text": pa.array([texts[d] for d in sorted(texts)], type=pa.string()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    got = dedup.ngram_jaccard_pairs(ds, k=8, threshold=0.3, num_buckets=4).to_pandas()
+    got_pairs = {
+        (int(r.doc_a), int(r.doc_b)): (int(r.inter), float(r.jaccard))
+        for r in got.itertuples()
+    }
+    want = _brute_jaccard_pairs(texts, 8, 0.3)
+    assert got_pairs.keys() == want.keys()
+    for p, (inter, j) in want.items():
+        gi, gj = got_pairs[p]
+        assert gi == inter, p
+        assert abs(gj - j) < 1e-12, p
+    assert (100, 101) in want  # identical short docs found

@@ -81,3 +81,40 @@ def test_srp_buckets_deterministic():
     b1 = embed.SrpBuckets(16, nbits=8, seed=1).bucket_of(m)
     b2 = embed.SrpBuckets(16, nbits=8, seed=1).bucket_of(m)
     assert (b1 == b2).all()
+
+
+def test_ivf_topk_recall_and_exact_limit(ray_session, sf_dir):
+    import ray.data as rd
+
+    vid, m = _emb(sf_dir)
+    q_ids = vid[:8]
+    q = m[:8]
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    brute = embed.cosine_topk(ds, q_ids, q, 5)
+    want = {
+        qd: set(brute[brute.q_id == qd]["vec_id"].tolist()) for qd in q_ids
+    }
+
+    # nprobe < n_centroids: approximate, recall must stay high
+    got = embed.ivf_topk(ds, q_ids, q, 5, dim=m.shape[1], n_centroids=16, nprobe=4)
+    hits = tot = 0
+    for qd in q_ids:
+        g = set(got[got.q_id == qd]["vec_id"].tolist())
+        hits += len(g & want[qd])
+        tot += len(want[qd])
+    assert hits / tot >= 0.75, f"recall {hits/tot}"
+
+    # nprobe == n_centroids probes every cell -> exactly the brute result
+    got_all = embed.ivf_topk(ds, q_ids, q, 5, dim=m.shape[1], n_centroids=8, nprobe=8)
+    assert got_all.reset_index(drop=True).equals(brute.reset_index(drop=True))
+
+
+def test_ivf_train_deterministic(ray_session, sf_dir):
+    import ray.data as rd
+
+    _, m = _emb(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    c1 = embed.ivf_train(ds, 8, m.shape[1], iters=2, seed=3)
+    c2 = embed.ivf_train(ds, 8, m.shape[1], iters=2, seed=3)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-5)

@@ -190,6 +190,16 @@ def q_dedup_exact(sf_dir):
     return dedup.dedup_exact(_docs(sf_dir))
 
 
+def q_ngram_jaccard(sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (k=12, tau=0.5).
+
+    Inverted-index join over distinct 12-gram sets — the exact
+    baseline the MinHash/LSH path approximates (graft surface; the
+    reference's only dedup is per-tile-key first-wins,
+    from_stacked.rs:125-165)."""
+    return dedup.ngram_jaccard_pairs(_docs(sf_dir), k=12, threshold=0.5)
+
+
 def q_token_stats(sf_dir):
     return _docs(sf_dir).map_batches(text_stage.token_stats_batch, batch_format="pyarrow")
 
@@ -450,6 +460,24 @@ def q_embedding_lsh_topk(sf_dir):
     return embed.lsh_topk(ds, vid[q_mask], emb[q_mask], TOPK_K, dim=emb.shape[1])
 
 
+def q_embedding_ivf_topk(sf_dir):
+    """IVF coarse-quantizer ANN (scale path beside brute + LSH).
+
+    Rows-only: k-means training is iterative (non-SQL); recall vs the
+    brute baseline is asserted in tests/test_embed.py."""
+    import ray.data as rd
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vid = np.asarray(t["vec_id"], dtype=np.int64)
+    emb = embed._to_matrix(t["embedding"])
+    q_mask = np.isin(vid, np.asarray(TOPK_QUERY_IDS))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embed.ivf_topk(
+        ds, vid[q_mask], emb[q_mask], TOPK_K, dim=emb.shape[1],
+        n_centroids=16, nprobe=4,
+    )
+
+
 def q_media_decode(sf_dir):
     return multimodal.decode_media(_docs(sf_dir)).select_columns(
         ["doc_id", "span_idx", "kind", "media_ref", "width", "height", "n_bytes"]
@@ -636,6 +664,23 @@ def _oracle_dedup_exact():
     )
 
 
+def _oracle_ngram_jaccard():
+    # byte windows == char windows on the ASCII driver corpus
+    return (
+        "WITH sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 12) AS s "
+        "FROM (SELECT doc_id, text, "
+        "unnest(range(1, greatest(length(text) - 10, 2))) AS i FROM documents)), "
+        "cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter "
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT p.doc_a, p.doc_b, p.inter, "
+        "CAST(p.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - p.inter) AS jaccard "
+        "FROM pairs p JOIN cnt ca ON ca.doc_id = p.doc_a "
+        "JOIN cnt cb ON cb.doc_id = p.doc_b "
+        "WHERE CAST(p.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - p.inter) >= 0.5"
+    )
+
+
 _SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
 
 
@@ -818,6 +863,7 @@ QUERIES = {
     "pip_join": q_pip_join,
     "knn_join": q_knn_join,
     "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
     "token_stats": q_token_stats,
     "quality": q_quality,
     "corpus_stats": q_corpus_stats,
@@ -840,6 +886,7 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "embedding_lsh_topk": q_embedding_lsh_topk,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
     "media_decode": q_media_decode,
     "raster_pipeline": q_raster_pipeline,
     "outline": q_outline,
@@ -858,6 +905,7 @@ ORACLES = {
     "pip_join": _oracle_pip_join(),
     "knn_join": _oracle_knn_join(),
     "dedup_exact": _oracle_dedup_exact(),
+    "ngram_jaccard": _oracle_ngram_jaccard(),
     "token_stats": _oracle_token_stats(),
     "quality": _oracle_quality(),
     "corpus_stats": _oracle_corpus_stats(),

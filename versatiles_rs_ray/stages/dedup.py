@@ -318,3 +318,233 @@ def simhash_candidates(docs_ds, max_hamming=3):
 
     cand = rows.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
     return cand.groupby(["doc_a", "doc_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+
+# ---- n-gram Jaccard (exact, oracle-parity) -----------------------------
+#
+# Reference has no text dedup (SURVEY.md §2.7 "dedup: per-key
+# first-wins only"); this is graft surface for the training-data
+# pipeline. Topology = inverted-index join, all exact:
+#   shingle (vectorized byte windows) -> exchange on gram -> pair-gen
+#   within partition -> exchange on pair -> sum intersections ->
+#   jaccard filter. Per-doc shingle counts ride along on every row, so
+#   no broadcast/lookup join is needed anywhere.
+
+_NGRAM_K_MAX = 15  # gram packs into 2 uint64 with length byte
+
+
+def _shingle_rows(batch: pa.Table, k: int) -> pa.Table:
+    """Distinct k-byte shingles per doc -> (route, hi, lo, doc, n_sh).
+
+    Gram identity is its 16-byte zero-padded form as two uint64s plus
+    the gram length in the final pad byte (k <= 15) — injective, no
+    hash collisions, and 24 bytes/row through the exchange instead of
+    a string column. Byte windows == DuckDB substr() char windows on
+    ASCII corpora (the driver tables are ASCII; non-ASCII text still
+    dedups correctly, it just isn't SQL-oracle-comparable).
+    Fully vectorized: one strided gather builds every window, one
+    lexsort dedups per doc.
+    """
+    assert 2 <= k <= _NGRAM_K_MAX
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    b = texts.cast(pa.binary())
+    _, off_buf, data_buf = b.buffers()
+    offs = np.frombuffer(off_buf, dtype=np.int32)[b.offset : b.offset + len(b) + 1]
+    data = np.frombuffer(data_buf, dtype=np.uint8)
+    doc_num = np.asarray(batch["doc_num"], dtype=np.int64)
+
+    L = np.diff(offs).astype(np.int64)
+    n_win = np.maximum(L - k + 1, 1)  # short docs -> one whole-text gram
+    glen = np.minimum(L, k)
+    doc_rep = np.repeat(np.arange(len(L), dtype=np.int64), n_win)
+    total = int(n_win.sum())
+    run_start = np.zeros(len(L), dtype=np.int64)
+    run_start[1:] = np.cumsum(n_win)[:-1]
+    within = np.arange(total, dtype=np.int64) - np.repeat(run_start, n_win)
+    g_start = np.repeat(offs[:-1].astype(np.int64), n_win) + within
+    g_len = np.repeat(glen, n_win)
+
+    # gather windows into (N, 16) zero-padded, mask tail bytes of
+    # short grams, stamp gram length into the spare 16th byte
+    idx = g_start[:, None] + np.arange(k, dtype=np.int64)[None, :]
+    idx = np.minimum(idx, len(data) - 1 if len(data) else 0)
+    pad = np.zeros((total, 16), dtype=np.uint8)
+    if len(data):
+        pad[:, :k] = data[idx]
+    col_mask = np.arange(k, dtype=np.int64)[None, :] >= g_len[:, None]
+    pad[:, :k][col_mask] = 0
+    pad[:, 15] = g_len.astype(np.uint8)
+    u = pad.view(np.uint64).reshape(total, 2)
+    hi, lo = u[:, 0].copy(), u[:, 1].copy()
+
+    order = np.lexsort((lo, hi, doc_rep))
+    dh, dhi, dlo = doc_rep[order], hi[order], lo[order]
+    first = np.ones(total, dtype=bool)
+    if total > 1:
+        first[1:] = (dh[1:] != dh[:-1]) | (dhi[1:] != dhi[:-1]) | (dlo[1:] != dlo[:-1])
+    sel = order[first]
+    n_sh = np.bincount(doc_rep[sel], minlength=len(L)).astype(np.int64)
+
+    s_hi = hi[sel].view(np.int64)
+    s_lo = lo[sel].view(np.int64)
+    route = (hi[sel] * np.uint64(0x9E3779B97F4A7C15) ^ lo[sel] * np.uint64(0xC2B2AE3D27D4EB4F)).view(np.int64)
+    return pa.table(
+        {
+            "route": pa.array(route, type=pa.int64()),
+            "hi": pa.array(s_hi, type=pa.int64()),
+            "lo": pa.array(s_lo, type=pa.int64()),
+            "doc": pa.array(doc_num[doc_rep[sel]], type=pa.int64()),
+            "n_sh": pa.array(n_sh[doc_rep[sel]], type=pa.int64()),
+        }
+    )
+
+
+def _gram_pairs_block(table: pa.Table) -> pa.Table:
+    """One exchange partition: group rows by gram, emit doc pairs with
+    per-partition intersection partial-sums. (a, b) ordered a < b."""
+    hi = np.asarray(table["hi"], dtype=np.int64)
+    lo = np.asarray(table["lo"], dtype=np.int64)
+    doc = np.asarray(table["doc"], dtype=np.int64)
+    n_sh = np.asarray(table["n_sh"], dtype=np.int64)
+
+    order = np.lexsort((doc, lo, hi))
+    hi, lo, doc, n_sh = hi[order], lo[order], doc[order], n_sh[order]
+    n = len(doc)
+    empty = pa.table(
+        {
+            "route": pa.array([], type=pa.int64()),
+            "a": pa.array([], type=pa.int64()),
+            "b": pa.array([], type=pa.int64()),
+            "inter": pa.array([], type=pa.int64()),
+            "n_a": pa.array([], type=pa.int64()),
+            "n_b": pa.array([], type=pa.int64()),
+        }
+    )
+    if n == 0:
+        return empty
+    new_run = np.ones(n, dtype=bool)
+    new_run[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+    run_start = np.repeat(np.flatnonzero(new_run), np.diff(np.append(np.flatnonzero(new_run), n)))
+    w = np.arange(n, dtype=np.int64) - run_start  # position within gram run
+    total_pairs = int(w.sum())
+    if total_pairs == 0:
+        return empty
+    # element g (the pair's b side) pairs with every earlier element of
+    # its run: a indices = run_start[g] .. g-1
+    b_idx = np.repeat(np.arange(n, dtype=np.int64), w)
+    p_start = np.zeros(n, dtype=np.int64)
+    p_start[1:] = np.cumsum(w)[:-1]
+    intra = np.arange(total_pairs, dtype=np.int64) - np.repeat(p_start, w)
+    a_idx = np.repeat(run_start, w) + intra
+
+    a, b = doc[a_idx], doc[b_idx]
+    na, nb = n_sh[a_idx], n_sh[b_idx]
+    swap = a > b
+    a2 = np.where(swap, b, a)
+    b2 = np.where(swap, a, b)
+    na2 = np.where(swap, nb, na)
+    nb2 = np.where(swap, na, nb)
+
+    # partial-sum intersections per (a, b) within this partition
+    order2 = np.lexsort((b2, a2))
+    a2, b2, na2, nb2 = a2[order2], b2[order2], na2[order2], nb2[order2]
+    firstp = np.ones(total_pairs, dtype=bool)
+    firstp[1:] = (a2[1:] != a2[:-1]) | (b2[1:] != b2[:-1])
+    starts = np.flatnonzero(firstp)
+    inter = np.diff(np.append(starts, total_pairs)).astype(np.int64)
+    a3, b3, na3, nb3 = a2[starts], b2[starts], na2[starts], nb2[starts]
+    route = (
+        a3.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        ^ b3.view(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+    ).view(np.int64)
+    return pa.table(
+        {
+            "route": pa.array(route, type=pa.int64()),
+            "a": pa.array(a3, type=pa.int64()),
+            "b": pa.array(b3, type=pa.int64()),
+            "inter": pa.array(inter, type=pa.int64()),
+            "n_a": pa.array(na3, type=pa.int64()),
+            "n_b": pa.array(nb3, type=pa.int64()),
+        }
+    )
+
+
+def _sum_pairs_block(table: pa.Table) -> pa.Table:
+    """Second exchange: total intersection per (a, b)."""
+    a = np.asarray(table["a"], dtype=np.int64)
+    b = np.asarray(table["b"], dtype=np.int64)
+    inter = np.asarray(table["inter"], dtype=np.int64)
+    n_a = np.asarray(table["n_a"], dtype=np.int64)
+    n_b = np.asarray(table["n_b"], dtype=np.int64)
+    order = np.lexsort((b, a))
+    a, b, inter, n_a, n_b = a[order], b[order], inter[order], n_a[order], n_b[order]
+    first = np.ones(len(a), dtype=bool)
+    if len(a) > 1:
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.flatnonzero(first)
+    sums = np.add.reduceat(inter, starts) if len(a) else inter
+    return pa.table(
+        {
+            "doc_a": pa.array(a[starts], type=pa.int64()),
+            "doc_b": pa.array(b[starts], type=pa.int64()),
+            "inter": pa.array(sums, type=pa.int64()),
+            "n_a": pa.array(n_a[starts], type=pa.int64()),
+            "n_b": pa.array(n_b[starts], type=pa.int64()),
+        }
+    )
+
+
+def ngram_jaccard_pairs(docs_ds, k: int = 12, threshold: float = 0.5, num_buckets: int = 32):
+    """Exact n-gram Jaccard near-dup pairs over the docs table.
+
+    Returns (doc_a, doc_b, inter, jaccard) for every unordered doc
+    pair with jaccard(distinct k-gram sets) >= threshold. EXACT (no
+    LSH approximation): the inverted-index join generates a pair
+    candidate per shared gram, partial-summed inside each partition
+    before the pair exchange — the same combiner-before-shuffle shape
+    as the pyramid. Skew: a gram shared by m docs in one partition
+    emits m(m-1)/2 partials; at web scale drop top-frequency grams
+    upstream (they carry no Jaccard signal) — not done here because
+    the oracle comparison must stay exact.
+    """
+    import functools
+
+    from .exchange import hash_exchange
+
+    shingles = docs_ds.map_batches(
+        functools.partial(_shingle_rows, k=k), batch_format="pyarrow"
+    )
+    partial_pairs = hash_exchange(
+        shingles, "route", _gram_pairs_block, num_partitions=num_buckets
+    )
+    totals = hash_exchange(
+        partial_pairs, "route", _sum_pairs_block, num_partitions=max(2, num_buckets // 4)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "inter": pa.array([], type=pa.int64()),
+                    "jaccard": pa.array([], type=pa.float64()),
+                }
+            )
+        inter = np.asarray(t["inter"], dtype=np.int64)
+        n_a = np.asarray(t["n_a"], dtype=np.int64)
+        n_b = np.asarray(t["n_b"], dtype=np.int64)
+        j = inter / (n_a + n_b - inter)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(np.asarray(t["doc_a"], dtype=np.int64)[keep], type=pa.int64()),
+                "doc_b": pa.array(np.asarray(t["doc_b"], dtype=np.int64)[keep], type=pa.int64()),
+                "inter": pa.array(inter[keep], type=pa.int64()),
+                "jaccard": pa.array(j[keep], type=pa.float64()),
+            }
+        )
+
+    return totals.map_batches(finish, batch_format="pyarrow")

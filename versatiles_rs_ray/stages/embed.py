@@ -174,3 +174,102 @@ def lsh_topk(embeddings_ds, q_ids, q_matrix, k, dim, nbits=12, seed=42):
     # partial-topk per bucket group (queries per bucket are few).
     filtered = embeddings_ds.map_batches(keep_buckets, batch_format="pyarrow")
     return cosine_topk(filtered, q_ids, q_matrix, k)
+
+
+# ---- IVF (inverted-file) ANN — the coarse-quantizer scale path ---------
+
+
+def ivf_train(embeddings_ds, n_centroids, dim, iters=2, seed=42):
+    """Deterministic distributed k-means coarse quantizer.
+
+    Init = seeded gaussian directions (data-independent, so identical
+    on every node with no sampling round); each Lloyd iteration is one
+    map_batches pass emitting per-centroid partial sums (n_centroids x
+    (dim+1) floats per block — tiny) combined on the driver. Empty
+    cells keep their previous centroid. Returns (n_centroids, dim)
+    L2-normalized centroids.
+    """
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_centroids, dim)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+
+    for _ in range(iters):
+        cn = c  # capture current centroids (broadcast in the closure)
+
+        def partial_sums(batch: pa.Table, cn=cn) -> pa.Table:
+            m = _to_matrix(batch["embedding"])
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            cell = np.argmax((m / norms) @ cn.T, axis=1)
+            sums = np.zeros((len(cn), m.shape[1]), dtype=np.float64)
+            np.add.at(sums, cell, m.astype(np.float64))
+            cnt = np.bincount(cell, minlength=len(cn)).astype(np.float64)
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(len(cn)), type=pa.int64()),
+                    "sum": pa.array(list(sums), type=pa.list_(pa.float64())),
+                    "cnt": pa.array(cnt, type=pa.float64()),
+                }
+            )
+
+        parts = embeddings_ds.map_batches(partial_sums, batch_format="pyarrow").to_pandas()
+        sums = np.zeros((n_centroids, dim), dtype=np.float64)
+        cnts = np.zeros(n_centroids, dtype=np.float64)
+        for cid, s, k in zip(parts["cid"], parts["sum"], parts["cnt"]):
+            sums[cid] += np.asarray(s)
+            cnts[cid] += k
+        nz = cnts > 0
+        newc = c.astype(np.float64).copy()
+        newc[nz] = sums[nz] / cnts[nz, None]
+        n = np.linalg.norm(newc, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        c = (newc / n).astype(np.float32)
+    return c
+
+
+def ivf_assign(embeddings_ds, centroids):
+    """Add the IVF cell id column (nearest centroid by cosine)."""
+    cn = np.asarray(centroids, dtype=np.float32)
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch["embedding"])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cell = np.argmax((m / norms) @ cn.T, axis=1).astype(np.int64)
+        return batch.append_column("ivf_cell", pa.array(cell, type=pa.int64()))
+
+    return embeddings_ds.map_batches(add_cell, batch_format="pyarrow")
+
+
+def ivf_topk(embeddings_ds, q_ids, q_matrix, k, dim, n_centroids=16, nprobe=4,
+             iters=2, seed=42, centroids=None):
+    """Approximate top-k through an IVF coarse quantizer.
+
+    Candidates are pruned to the union of every query's ``nprobe``
+    nearest cells, then refined by the exact partial-top-k kernel —
+    candidate volume shrinks ~n_centroids/nprobe-fold while the merge
+    stays identical to cosine_topk. Same (q_id, vec_id, rank)
+    contract; recall vs the brute-force baseline is tested
+    (tests/test_embed.py). At scale: train once, persist centroids,
+    partition the corpus by ivf_cell so probes read only matching
+    partitions (prune at the read).
+    """
+    if centroids is None:
+        centroids = ivf_train(embeddings_ds, n_centroids, dim, iters=iters, seed=seed)
+    cn = np.asarray(centroids, dtype=np.float32)
+    q = np.asarray(q_matrix, dtype=np.float32)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qn @ cn.T
+    nprobe = min(nprobe, cn.shape[0])
+    probe = np.argpartition(-sims, nprobe - 1, axis=1)[:, :nprobe]
+    wanted = np.unique(probe)
+
+    def keep_cells(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch["embedding"])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cell = np.argmax((m / norms) @ cn.T, axis=1)
+        return batch.filter(pa.array(np.isin(cell, wanted)))
+
+    filtered = embeddings_ds.map_batches(keep_cells, batch_format="pyarrow")
+    return cosine_topk(filtered, q_ids, q_matrix, k)
