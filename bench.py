@@ -29,9 +29,19 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "2000"))  # sf0.1: 5k docs -> 10M
 # --scaling uses a larger input so compute dominates the fixed
 # coordination floor (the whole point of measuring scaling)
-SCALING_REPLICATE = int(os.environ.get("GRAFT_SCALING_REPLICATE", "8000"))
+SCALING_REPLICATE = int(os.environ.get("GRAFT_SCALING_REPLICATE", "16000"))
 Z_BASE = int(os.environ.get("GRAFT_Z_BASE", "12"))
 SHARDS_PER_TASK = int(os.environ.get("GRAFT_SHARDS_PER_TASK", "64"))
+
+
+def _cpu_stat():
+    """(busy_all, steal) jiffies from /proc/stat — whole-VM view."""
+    try:
+        with open("/proc/stat") as f:
+            v = list(map(int, f.readline().split()[1:]))
+        return sum(v) - v[3] - v[4], v[7]  # busy = total - idle - iowait
+    except Exception:
+        return 0, 0
 
 
 def run_bench():
@@ -55,7 +65,7 @@ def run_bench():
     from versatiles_rs_ray.core.bbox import TileBBoxPyramid
     from versatiles_rs_ray.sources import docs as D
     from versatiles_rs_ray.stages import assign, join
-    from versatiles_rs_ray.stages.pyramid import aggregate_pyramid_spatial
+    from versatiles_rs_ray.stages.pyramid import aggregate_pyramid_spatial_fused
 
     timings = {}
     counts = {}
@@ -93,8 +103,9 @@ def run_bench():
     def warm_docs(columns=None):
         return D.read_docs(SF_DIR, replicate=warm_r, shards_per_task=2, columns=columns)
 
-    aggregate_pyramid_spatial(
-        assign.assign_tiles(warm_docs(PYR_COLS), Z_BASE), Z_BASE, 0
+    aggregate_pyramid_spatial_fused(
+        D.shard_specs(SF_DIR, warm_r, shards_per_task=2, columns=PYR_COLS),
+        D.load_shard_spec, Z_BASE, 0,
     ).count()
     warm_docs(JOIN_COLS).map_batches(
         join.TileSetPIPJoin(5, pip_tiles), batch_format="pyarrow"
@@ -102,8 +113,10 @@ def run_bench():
     join.knn_join(warm_docs(JOIN_COLS), q_ids, q_lon, q_lat, 5)
 
     def stage_pyramid():
-        docs = assign.assign_tiles(docs_ds(PYR_COLS), Z_BASE)
-        tiles = aggregate_pyramid_spatial(docs, Z_BASE, 0)
+        # map-side shuffle: load->assign->partial->split fused per task
+        specs = D.shard_specs(SF_DIR, replicate, shards_per_task=SHARDS_PER_TASK,
+                              columns=PYR_COLS)
+        tiles = aggregate_pyramid_spatial_fused(specs, D.load_shard_spec, Z_BASE, 0)
         counts["pyramid_tiles"] = tiles.count()
 
     def stage_pip():
@@ -120,7 +133,8 @@ def run_bench():
     # executions makes single-shot timings noisy at high concurrency);
     # single-shot for very large inputs where the job is long enough to
     # amortize the noise and best-of-2 would blow the time budget
-    repeats = 2 if ("--scaling-child" in sys.argv and replicate <= 8000) else 1
+    repeats = 2 if ("--scaling-child" in sys.argv and replicate <= 16000) else 1
+    busy0, steal0 = _cpu_stat()
     for name, fn in [
         ("pyramid", stage_pyramid),  # derive -> assign z12 -> all levels, one exchange
         ("pip_join", stage_pip),  # PIP vs the z5 cover of the reference golden bbox
@@ -134,6 +148,12 @@ def run_bench():
             best = dt if best is None else min(best, dt)
         timings[name] = best
 
+    busy1, steal1 = _cpu_stat()
+    d_busy, d_steal = busy1 - busy0, steal1 - steal0
+    # co-tenant steal as a fraction of this VM's busy time during the
+    # timed section: nonzero values mean the wall times below are
+    # inflated by the shared host, not by the engine (see BASELINE.md)
+    steal_pct = round(100.0 * d_steal / max(d_busy + d_steal, 1), 2)
     headline = sum(timings.values())
     n_docs = len(base_ids) * replicate
     tiles_per_sec = counts["pyramid_tiles"] / timings["pyramid"]
@@ -152,6 +172,7 @@ def run_bench():
         "pyramid_tiles": counts["pyramid_tiles"],
         "tiles_per_sec": round(tiles_per_sec, 1),
         "docs_per_sec": round(docs_per_sec, 1),
+        "steal_pct": steal_pct,
         "counts": counts,
     }
 
@@ -172,9 +193,20 @@ def main():
     if "--scaling" in sys.argv:
         lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
         hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
-        r_hi = run_at(hi)
-        time.sleep(10)  # let the previous session's object-store teardown settle
-        r_lo = run_at(lo)
+        # this box is a shared VM with bursty co-tenant CPU steal
+        # (/proc/stat steal accumulates in spikes); steal only ever
+        # SLOWS a run, so run the (hi, lo) pair GRAFT_SCALING_PAIRS
+        # times and take min per side — every sample is reported
+        pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "2"))
+        runs_hi, runs_lo = [], []
+        for i in range(pairs):
+            if i:
+                time.sleep(10)
+            runs_hi.append(run_at(hi))
+            time.sleep(10)  # let object-store teardown settle
+            runs_lo.append(run_at(lo))
+        r_hi = min(runs_hi, key=lambda r: r["value"])
+        r_lo = min(runs_lo, key=lambda r: r["value"])
         t_lo, t_hi = r_lo["value"], r_hi["value"]
         eff = (t_lo / t_hi) / (hi / lo)
         print(
@@ -185,6 +217,10 @@ def main():
                     "unit": "efficiency",
                     f"sec_{lo}": t_lo,
                     f"sec_{hi}": t_hi,
+                    f"all_sec_{lo}": [r["value"] for r in runs_lo],
+                    f"all_sec_{hi}": [r["value"] for r in runs_hi],
+                    f"steal_pct_{lo}": [r.get("steal_pct") for r in runs_lo],
+                    f"steal_pct_{hi}": [r.get("steal_pct") for r in runs_hi],
                     f"throughput_docs_per_sec_{lo}": r_lo["docs_per_sec"],
                     f"throughput_docs_per_sec_{hi}": r_hi["docs_per_sec"],
                     f"queries_{lo}": r_lo["queries"],

@@ -128,6 +128,44 @@ def test_pyramid_single_shuffle_equals_hierarchical(ray_session, sf_dir):
     assert int(z0["n_docs"].iloc[0]) == 500
 
 
+def test_pyramid_fused_equals_dataset_path(ray_session, sf_dir):
+    """Map-side-shuffle pyramid == Dataset-fed spatial pyramid == single
+    shuffle, column for column (fused path is what the bench runs)."""
+    from versatiles_rs_ray.sources import docs as D
+
+    docs = assign.assign_tiles(_ray_docs(ray_session, sf_dir), 8)
+    want = (
+        pyr.aggregate_pyramid_spatial(docs, 8, 0, split_level=4, num_buckets=8)
+        .to_pandas()
+        .sort_values("tkey")
+        .reset_index(drop=True)
+    )
+    specs = D.shard_specs(sf_dir, 4, shards_per_task=2)
+    got = (
+        pyr.aggregate_pyramid_spatial_fused(
+            specs, D.load_shard_spec, 8, 0, split_level=4, num_buckets=8
+        )
+        .to_pandas()
+        .sort_values("tkey")
+        .reset_index(drop=True)
+    )
+    # fused path read 4 replicas; restrict the Dataset path comparison to
+    # replica 0 via a fresh fused run on one replica
+    specs1 = D.shard_specs(sf_dir, 1, shards_per_task=2)
+    got1 = (
+        pyr.aggregate_pyramid_spatial_fused(
+            specs1, D.load_shard_spec, 8, 0, split_level=4, num_buckets=8
+        )
+        .to_pandas()
+        .sort_values("tkey")
+        .reset_index(drop=True)
+    )
+    assert got1[want.columns].equals(want)
+    # multi-replica totals: every level sums to 4x the docs
+    for z in (0, 4, 8):
+        assert int(got[got.tkey // (1 << 58) == z]["n_docs"].sum()) == 4 * 500
+
+
 def test_pyramid_skewed_hot_tile(ray_session):
     """Explicit skew check (north rule): ALL docs on one point — the
     hottest possible tile key at every level. The per-block combiner

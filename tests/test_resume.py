@@ -63,3 +63,14 @@ def test_hierarchical_strategy_agrees(ray_session, sf_dir, tmp_path):
     da = read_pyramid(a).to_pandas().sort_values(["z", "x", "y"]).reset_index(drop=True)
     db = read_pyramid(b).to_pandas().sort_values(["z", "x", "y"]).reset_index(drop=True)
     assert da[["z", "x", "y", "n_docs", "n_spans"]].equals(db[["z", "x", "y", "n_docs", "n_spans"]])
+
+
+def test_fused_strategy_agrees(ray_session, sf_dir, tmp_path):
+    a = str(tmp_path / "a")
+    c = str(tmp_path / "c")
+    build_and_write_pyramid(sf_dir, a, z_base=4, z_min=0, strategy="single_shuffle")
+    build_and_write_pyramid(sf_dir, c, z_base=4, z_min=0, strategy="fused")
+    da = read_pyramid(a).to_pandas().sort_values(["z", "x", "y"]).reset_index(drop=True)
+    dc = read_pyramid(c).to_pandas().sort_values(["z", "x", "y"]).reset_index(drop=True)
+    cols = ["z", "x", "y", "n_docs", "n_spans", "min_doc", "max_doc"]
+    assert da[cols].equals(dc[cols])

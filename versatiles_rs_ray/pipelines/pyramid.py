@@ -111,9 +111,17 @@ def build_and_write_pyramid(
         ).count()
         records[f"z={z}"] = manifest.commit(f"z={z}", tmp, rows, time.monotonic() - t0)
 
-    if strategy == "single_shuffle":
-        docs = assign_tiles(read_docs(sf_dir, replicate=replicate), z_base)
-        tiles = aggregate_pyramid_spatial(docs, z_base, z_min)
+    if strategy in ("single_shuffle", "fused"):
+        if strategy == "fused":
+            # map-side shuffle: load->assign->partial->split in one task
+            from ..sources.docs import load_shard_spec, shard_specs
+            from ..stages.pyramid import aggregate_pyramid_spatial_fused
+
+            specs = shard_specs(sf_dir, replicate)
+            tiles = aggregate_pyramid_spatial_fused(specs, load_shard_spec, z_base, z_min)
+        else:
+            docs = assign_tiles(read_docs(sf_dir, replicate=replicate), z_base)
+            tiles = aggregate_pyramid_spatial(docs, z_base, z_min)
         tiles = tiles.map_batches(finalize_level, batch_format="pyarrow").materialize()
         for z in missing:
             write_level(z, tiles.filter(expr=f"z == {z}"))

@@ -313,3 +313,29 @@ def read_docs(sf_dir: str, replicate: int = 1, columns=None, shards_per_task: in
     if columns:
         ds = ds.select_columns(list(columns))
     return ds
+
+
+def shard_specs(sf_dir: str, replicate: int, shards_per_task: int = 64, columns=None):
+    """Picklable input specs for fused map-side stages (one per task).
+
+    The fused exchange (stages/exchange.fused_hash_exchange) takes the
+    read as a pure function of a spec instead of a Dataset — mirroring
+    per-fragment reads of a many-fragment Lance/parquet table.
+    """
+    path = f"{sf_dir}/documents.parquet"
+    out = []
+    for i in range(0, max(replicate, 1), shards_per_task):
+        out.append(
+            {
+                "path": path,
+                "replicas": list(range(i, min(i + shards_per_task, max(replicate, 1)))),
+                "columns": list(columns) if columns else None,
+            }
+        )
+    return out
+
+
+def load_shard_spec(spec) -> pa.Table:
+    """Materialize one shard spec -> interleaved docs table."""
+    batch = pa.table({"id": pa.array(spec["replicas"], type=pa.int64())})
+    return _read_shard(batch, spec["path"], columns=spec["columns"])

@@ -143,6 +143,8 @@ class JaccardVerify:
     Broadcast side: dict doc_num -> text (built once per actor from a
     ray.put handle). At full scale this would be a co-partitioned
     lookup; for the verify stage the candidate set is small by design.
+    For corpus-wide EXACT verification use ngram_jaccard_pairs below
+    (inverted-index double exchange, no broadcast anywhere).
     """
 
     def __init__(self, texts_ref, k=5, threshold=0.6):

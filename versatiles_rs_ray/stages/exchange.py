@@ -144,3 +144,63 @@ def _reduce_partition(combine_block_fn, *parts):
         return with_schema[0].slice(0, 0) if with_schema else parts[0]
     merged = pa.concat_tables(tables, promote_options="default").combine_chunks()
     return combine_block_fn(merged)
+
+
+# ---- map-side shuffle (fused map + split) ------------------------------
+
+
+def _map_split(map_fn, key_col, num_partitions, inp):
+    return _split_block(key_col, num_partitions, map_fn(inp))
+
+
+def fused_hash_exchange(inputs, map_fn, key_col, combine_block_fn,
+                        num_partitions: int = 64, aux_fn=None):
+    """Map-side shuffle: ``map_fn(input) -> pa.Table`` runs FUSED with
+    its bucket split in one task (``num_returns=num_partitions``) — the
+    classic map-side shuffle write (Spark/MR): the mapper's output
+    never round-trips through the object store unsplit, saving one
+    full write+read of the exchanged bytes vs hash_exchange over a
+    Dataset. Use when the map stage can be expressed as a pure
+    function of a picklable input spec (e.g. a shard/fragment list);
+    keep hash_exchange for arbitrary upstream Datasets.
+
+    With ``aux_fn`` returns ``(Dataset, list[ObjectRef])`` as
+    hash_exchange_with_aux; else just the Dataset.
+
+    Driver bookkeeping: len(inputs) x num_partitions intermediate
+    refs; inputs are chunked so that product stays <= ~16k.
+    """
+    import ray
+    import ray.data as rd
+
+    assert num_partitions >= 2
+    # chunk inputs if the ref product would swamp the driver
+    max_tasks = max(2, 16384 // num_partitions)
+    if len(inputs) > max_tasks:
+        group = (len(inputs) + max_tasks - 1) // max_tasks
+        grouped = [inputs[i : i + group] for i in range(0, len(inputs), group)]
+
+        def map_many(grp, _fn=map_fn):
+            import pyarrow as _pa
+
+            return _pa.concat_tables([_fn(g) for g in grp], promote_options="default")
+
+        inputs, map_fn = grouped, map_many
+
+    map_task = ray.remote(num_returns=num_partitions)(_map_split)
+    split_lists = [
+        map_task.remote(map_fn, key_col, num_partitions, inp) for inp in inputs
+    ]
+    if aux_fn is None:
+        reduce_task = ray.remote(_reduce_partition)
+        out_refs = [
+            reduce_task.remote(combine_block_fn, *[s[b] for s in split_lists])
+            for b in range(num_partitions)
+        ]
+        return rd.from_arrow_refs(out_refs)
+    reduce_task = ray.remote(num_returns=2)(_reduce_partition_aux)
+    outs = [
+        reduce_task.remote(combine_block_fn, aux_fn, *[s[b] for s in split_lists])
+        for b in range(num_partitions)
+    ]
+    return rd.from_arrow_refs([o[0] for o in outs]), [o[1] for o in outs]
