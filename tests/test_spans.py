@@ -91,3 +91,42 @@ def test_replicated_ids_disjoint(sf_dir):
     lon0, _ = D.derive_lonlat(did)
     lon1, _ = D.derive_lonlat(shifted)
     assert not np.array_equal(lon0, lon1)  # replicas land elsewhere
+
+
+def test_tile_spans_payload_exact(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.sources.docs import SPANS_TYPE
+    from versatiles_rs_ray.stages.pyramid import tile_spans
+
+    def spans(*triples):
+        return [
+            {"kind": k, "text": t, "media_ref": m, "offset": i * 16}
+            for i, (k, t, m) in enumerate(triples)
+        ]
+
+    t = pa.table(
+        {
+            "z": pa.array([3, 3, 3], type=pa.int64()),
+            "x": pa.array([1, 1, 5], type=pa.int64()),
+            "y": pa.array([2, 2, 6], type=pa.int64()),
+            # doc 20 < 10? no: ordering must be by doc_num: 10 then 20
+            "doc_num": pa.array([20, 10, 7], type=pa.int64()),
+            "spans": pa.array(
+                [
+                    spans(("text", "BBB", ""), ("image", "", "media://20/1")),
+                    spans(("audio", "", "media://10/0")),
+                    spans(("text", "CC", "")),
+                ],
+                type=SPANS_TYPE,
+            ),
+        }
+    )
+    out = tile_spans(rd.from_arrow(t), num_buckets=2).to_pandas()
+    out = out.sort_values(["x", "y"]).reset_index(drop=True)
+    assert len(out) == 2
+    # tile (1,2): docs 10 then 20 (doc order), spans in offset order
+    assert out.loc[0, "payload"] == "audio:0:media://10/0#text:0:BBB|image:16:media://20/1"
+    assert int(out.loc[0, "n_docs"]) == 2
+    assert out.loc[1, "payload"] == "text:0:CC"

@@ -200,6 +200,22 @@ def q_ngram_jaccard(sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(sf_dir), k=12, threshold=0.5)
 
 
+Z_TILE_SPANS = 4
+
+
+def q_tile_spans(sf_dir):
+    """Per-tile span-sequence payload materialization at z4.
+
+    The north-star invariant lifted to tile granularity: each tile's
+    payload is its docs' span fps ('kind:offset:text+media' x spans)
+    ordered by (doc_num, offset) — deterministic under unordered
+    distributed execution."""
+    from .stages.pyramid import tile_spans
+
+    ds = assign.assign_tiles(_docs(sf_dir), Z_TILE_SPANS)
+    return tile_spans(ds).select_columns(["z", "x", "y", "n_docs", "payload"])
+
+
 def q_token_stats(sf_dir):
     return _docs(sf_dir).map_batches(text_stage.token_stats_batch, batch_format="pyarrow")
 
@@ -664,6 +680,24 @@ def _oracle_dedup_exact():
     )
 
 
+def _oracle_tile_spans():
+    i = "e.span_idx"
+    piece = (
+        f"{D.SQL_SPAN_KIND.format(i=i)} || ':' || CAST({D.SQL_SPAN_OFFSET.format(i=i)} AS VARCHAR)"
+        f" || ':' || {D.SQL_SPAN_TEXT.format(i=i)} || {D.SQL_SPAN_MEDIA.format(i=i)}"
+    )
+    z = Z_TILE_SPANS
+    return (
+        f"WITH docfp AS (SELECT e.doc_id, string_agg({piece}, '|' ORDER BY e.span_idx) AS fp "
+        f"FROM {D.SQL_SPANS_EXPLODED} e GROUP BY e.doc_id), "
+        f"pts AS (SELECT doc_id, {assign.sql_tile_x(z, D.SQL_LON)} AS x, "
+        f"{assign.sql_tile_y(z, D.SQL_LAT)} AS y FROM documents) "
+        f"SELECT CAST({z} AS BIGINT) AS z, p.x, p.y, count(*) AS n_docs, "
+        "string_agg(d.fp, '#' ORDER BY d.doc_id) AS payload "
+        "FROM pts p JOIN docfp d ON d.doc_id = p.doc_id GROUP BY p.x, p.y"
+    )
+
+
 def _oracle_ngram_jaccard():
     # byte windows == char windows on the ASCII driver corpus
     return (
@@ -855,6 +889,7 @@ QUERIES = {
     "tile_assign": q_tile_assign,
     "span_explode": q_span_explode,
     "span_fingerprint": q_span_fingerprint,
+    "tile_spans": q_tile_spans,
     "pyramid_counts": q_pyramid_counts,
     "filter_bbox_zoom": q_filter_bbox_zoom,
     "flip_swap": q_flip_swap,
@@ -897,6 +932,7 @@ ORACLES = {
     "tile_assign": _oracle_tile_assign(),
     "span_explode": _oracle_span_explode(),
     "span_fingerprint": _oracle_span_fingerprint(),
+    "tile_spans": _oracle_tile_spans(),
     "pyramid_counts": _oracle_pyramid_counts(),
     "filter_bbox_zoom": _oracle_filter_bbox_zoom(),
     "flip_swap": _oracle_flip_swap(),

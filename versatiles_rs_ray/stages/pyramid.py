@@ -408,3 +408,95 @@ def build_pyramid(docs_with_tiles, z_base: int, z_min: int = 0):
     for z in range(z_base, z_min, -1):
         levels[z - 1] = rollup_level(levels[z])
     return levels
+
+
+# ---- tile payload materialization --------------------------------------
+
+
+def doc_span_fp_batch(batch: pa.Table) -> pa.Table:
+    """Docs batch (z,x,y,doc_num,spans) -> (tkey, doc_num, fp).
+
+    fp = '|'-joined 'kind:offset:text+media_ref' per span, in span
+    order (spans are constructed offset-ascending; the oracle orders
+    by span_idx == offset/16). Fully Arrow-vectorized: one
+    element-wise join over the flattened span structs, one list join
+    per doc — no per-row Python.
+    """
+    import pyarrow.compute as pc
+
+    spans = batch["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    piece = pc.binary_join_element_wise(
+        flat.field("kind"),
+        pc.cast(flat.field("offset"), pa.string()),
+        pc.binary_join_element_wise(flat.field("text"), flat.field("media_ref"), ""),
+        ":",
+    )
+    lists = pa.ListArray.from_arrays(spans.offsets, piece)
+    fp = pc.binary_join(lists, "|")
+    tkey = pack_tkey(
+        np.asarray(batch["z"], dtype=np.int64),
+        np.asarray(batch["x"], dtype=np.int64),
+        np.asarray(batch["y"], dtype=np.int64),
+    )
+    return pa.table(
+        {
+            "tkey": pa.array(tkey, type=pa.int64()),
+            "doc_num": pa.array(np.asarray(batch["doc_num"], dtype=np.int64), type=pa.int64()),
+            "fp": fp,
+        }
+    )
+
+
+def combine_tile_spans_block(table: pa.Table) -> pa.Table:
+    """One exchange partition: per-tile ordered payload.
+
+    payload = '#'-joined doc fps ordered by doc_num — the tile's span
+    sequence, deterministic under unordered execution because the
+    order is (doc_num, offset), never arrival order (SURVEY.md §7.4
+    hard part 1).
+    """
+    import pyarrow.compute as pc
+
+    tkey = np.asarray(table["tkey"], dtype=np.int64)
+    doc = np.asarray(table["doc_num"], dtype=np.int64)
+    order = np.lexsort((doc, tkey))
+    tkey, doc = tkey[order], doc[order]
+    fp = table["fp"]
+    if isinstance(fp, pa.ChunkedArray):
+        fp = fp.combine_chunks()
+    fp = fp.take(pa.array(order))
+    n = len(tkey)
+    first = np.ones(n, dtype=bool)
+    if n > 1:
+        first[1:] = tkey[1:] != tkey[:-1]
+    starts = np.flatnonzero(first)
+    counts = np.diff(np.append(starts, n)).astype(np.int64)
+    offsets = np.zeros(len(starts) + 1, dtype=np.int32)
+    offsets[1:] = np.cumsum(counts)
+    lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), fp)
+    payload = pc.binary_join(lists, "#")
+    return pa.table(
+        {
+            "tkey": pa.array(tkey[starts], type=pa.int64()),
+            "n_docs": pa.array(counts, type=pa.int64()),
+            "payload": payload,
+        }
+    )
+
+
+def tile_spans(docs_with_tiles, num_buckets: int = 16):
+    """Materialize per-tile span-sequence payloads (the 'real' tile
+    content build): (tkey, z, x, y, n_docs, payload). Exchange on
+    tkey; each tile's payload is its docs' span fps ordered by
+    (doc_num, offset). Within-doc span text/media survive verbatim —
+    the per-row invariant of BASELINE.json input_hint lifted to tile
+    granularity.
+    """
+    from .exchange import hash_exchange
+
+    rows = docs_with_tiles.map_batches(doc_span_fp_batch, batch_format="pyarrow")
+    tiles = hash_exchange(rows, "tkey", combine_tile_spans_block, num_partitions=num_buckets)
+    return tiles.map_batches(unpack_tile_columns, batch_format="pyarrow")
