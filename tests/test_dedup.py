@@ -137,3 +137,33 @@ def test_ngram_jaccard_vs_bruteforce(ray_session):
         assert gi == inter, p
         assert abs(gj - j) < 1e-12, p
     assert (100, 101) in want  # identical short docs found
+
+
+def test_propagate_labels_exchange_matches_driver_unionfind(ray_session):
+    import ray.data as rd
+
+    # chains + a clique + singleton pair: chains force multiple rounds
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5),        # path -> component min 1
+             (10, 11), (11, 12),                    # path -> 10
+             (20, 21), (20, 22), (21, 22),          # clique -> 20
+             (30, 31)]
+    df = pd.DataFrame({"doc_a": [a for a, _ in pairs], "doc_b": [b for _, b in pairs]})
+    want = dedup.dup_groups_driver(df).sort_values("doc_num").reset_index(drop=True)
+
+    ds = rd.from_pandas(df)
+    got = (
+        dedup.propagate_min_labels_exchange(ds, num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_num")
+        .reset_index(drop=True)
+    )
+    assert got[["doc_num", "group_id"]].equals(want[["doc_num", "group_id"]])
+
+    # and agrees with the broadcast-map implementation
+    got2 = (
+        dedup.propagate_min_labels(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_num")
+        .reset_index(drop=True)
+    )
+    assert got[["doc_num", "group_id"]].equals(got2[["doc_num", "group_id"]])

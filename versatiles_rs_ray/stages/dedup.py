@@ -550,3 +550,171 @@ def ngram_jaccard_pairs(docs_ds, k: int = 12, threshold: float = 0.5, num_bucket
         )
 
     return totals.map_batches(finish, batch_format="pyarrow")
+
+
+# ---- distributed connected components (co-partitioned propagation) -----
+
+
+def _edges_rows(table: pa.Table) -> pa.Table:
+    a = np.asarray(table["doc_a"], dtype=np.int64)
+    b = np.asarray(table["doc_b"], dtype=np.int64)
+    return pa.table(
+        {
+            "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
+        }
+    )
+
+
+def _cc_bucket(keys: np.ndarray, p: int) -> np.ndarray:
+    from .exchange import _bucket_of
+
+    return _bucket_of(keys, p)
+
+
+def _split_by(table: pa.Table, col: str, p: int):
+    keys = np.asarray(table[col], dtype=np.int64)
+    bucket = _cc_bucket(keys, p)
+    order = np.argsort(bucket, kind="stable")
+    t = table.take(pa.array(order))
+    counts = np.bincount(bucket, minlength=p)
+    offs = np.zeros(p + 1, dtype=np.int64)
+    offs[1:] = np.cumsum(counts)
+    return tuple(t.slice(offs[i], counts[i]).combine_chunks() for i in range(p))
+
+
+def _cc_edges_split(p: int, *tables):
+    """Route edge rows by hash(dst) — static across rounds."""
+    t = pa.concat_tables([x for x in tables if x.num_rows], promote_options="default") \
+        if any(x.num_rows for x in tables) else tables[0]
+    return _split_by(t, "dst", p)
+
+
+def _cc_init_labels(p: int, *tables):
+    """Initial labels (doc=src, label=min(src,dst)) routed by hash(doc),
+    combined per doc within this partition's slice."""
+    ok = [x for x in tables if x.num_rows]
+    if not ok:
+        empty = pa.table({"doc_num": pa.array([], type=pa.int64()),
+                          "label": pa.array([], type=pa.int64())})
+        return tuple(empty for _ in range(p))
+    t = pa.concat_tables(ok, promote_options="default")
+    src = np.asarray(t["src"], dtype=np.int64)
+    dst = np.asarray(t["dst"], dtype=np.int64)
+    lab = pa.table(
+        {
+            "doc_num": pa.array(src, type=pa.int64()),
+            "label": pa.array(np.minimum(src, dst), type=pa.int64()),
+        }
+    )
+    return tuple(_cc_min_by_doc(x) for x in _split_by(lab, "doc_num", p))
+
+
+def _cc_min_by_doc(table: pa.Table) -> pa.Table:
+    doc = np.asarray(table["doc_num"], dtype=np.int64)
+    lab = np.asarray(table["label"], dtype=np.int64)
+    if not len(doc):
+        return table
+    uniq, inv = np.unique(doc, return_inverse=True)
+    mn = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(mn, inv, lab)
+    return pa.table(
+        {"doc_num": pa.array(uniq, type=pa.int64()), "label": pa.array(mn, type=pa.int64())}
+    )
+
+
+def _cc_merge_labels(*slices):
+    ok = [s for s in slices if s.num_rows]
+    if not ok:
+        return slices[0]
+    return _cc_min_by_doc(pa.concat_tables(ok, promote_options="default"))
+
+
+def _cc_join_flow(labels_p: pa.Table, p: int, *edges_slices):
+    """One round, join side: label(dst) flows to src; outputs split by
+    hash(src). Co-partitioning guarantees every dst in edges_p has its
+    label in labels_p (same hash, same p)."""
+    ok = [e for e in edges_slices if e.num_rows]
+    if not ok or labels_p.num_rows == 0:
+        empty = pa.table({"doc_num": pa.array([], type=pa.int64()),
+                          "label": pa.array([], type=pa.int64())})
+        return tuple(empty for _ in range(p))
+    edges_p = ok[0] if len(ok) == 1 else pa.concat_tables(ok, promote_options="default")
+    dst = np.asarray(edges_p["dst"], dtype=np.int64)
+    src = np.asarray(edges_p["src"], dtype=np.int64)
+    docs = np.asarray(labels_p["doc_num"], dtype=np.int64)  # sorted (from _cc_min_by_doc)
+    labs = np.asarray(labels_p["label"], dtype=np.int64)
+    pos = np.searchsorted(docs, dst)
+    pos = np.minimum(pos, len(docs) - 1)
+    lab = labs[pos]
+    flowed = pa.table(
+        {"doc_num": pa.array(src, type=pa.int64()), "label": pa.array(lab, type=pa.int64())}
+    )
+    return tuple(_cc_min_by_doc(x) for x in _split_by(flowed, "doc_num", p))
+
+
+def _cc_combine(labels_p: pa.Table, *flow_slices):
+    """One round, reduce side: new label = min(old, flowed); returns
+    (new_labels, n_changed)."""
+    parts = [labels_p, *[s for s in flow_slices if s.num_rows]]
+    merged = _cc_min_by_doc(pa.concat_tables(parts, promote_options="default"))
+    # changed count vs old (docs never appear/disappear across rounds)
+    old_doc = np.asarray(labels_p["doc_num"], dtype=np.int64)
+    old_lab = np.asarray(labels_p["label"], dtype=np.int64)
+    new_lab = np.asarray(merged["label"], dtype=np.int64)
+    changed = int((old_lab != new_lab).sum()) if len(old_doc) == len(new_lab) else len(new_lab)
+    return merged, changed
+
+
+def propagate_min_labels_exchange(pairs_ds, max_rounds: int = 10, num_partitions: int = 16):
+    """Distributed connected components with NO driver-side label map.
+
+    Labels and edges share one hash partitioning (co-partitioned
+    join): each round, partition p joins its dst-routed edges against
+    its labels (searchsorted — labels are sorted per partition), the
+    flowed (src, label) rows split back by hash(src), and a reduce
+    takes per-doc mins. The driver only ever sees P change-counts per
+    round. Replaces the broadcast-dict relabel (propagate_min_labels)
+    at corpus scale; equality is pytest-verified.
+    """
+    import ray
+    import ray.data as rd
+
+    p = num_partitions
+    edges_rows = pairs_ds.map_batches(_edges_rows, batch_format="pyarrow")
+    refs = edges_rows.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(
+            pa.table({"doc_num": pa.array([], type=pa.int64()),
+                      "group_id": pa.array([], type=pa.int64())})
+        )
+    split_edges = ray.remote(num_returns=p)(_cc_edges_split)
+    init_labels = ray.remote(num_returns=p)(_cc_init_labels)
+    merge_labels = ray.remote(_cc_merge_labels)
+    join_flow = ray.remote(num_returns=p)(_cc_join_flow)
+    combine = ray.remote(num_returns=2)(_cc_combine)
+
+    # shard the one-time split/init over ref groups so no single task
+    # holds the whole edge set
+    groups = [refs[i : i + 8] for i in range(0, len(refs), 8)]
+    edge_lists = [split_edges.remote(p, *g) for g in groups]
+    init_lists = [init_labels.remote(p, *g) for g in groups]
+    edge_parts = [[el[i] for el in edge_lists] for i in range(p)]
+    label_parts = [merge_labels.remote(*[il[i] for il in init_lists]) for i in range(p)]
+    for _ in range(max_rounds):
+        flow_lists = [
+            join_flow.remote(label_parts[i], p, *edge_parts[i]) for i in range(p)
+        ]
+        outs = [
+            combine.remote(label_parts[q], *[fl[q] for fl in flow_lists])
+            for q in range(p)
+        ]
+        label_parts = [o[0] for o in outs]
+        changed = sum(ray.get([o[1] for o in outs]))
+        if changed == 0:
+            break
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_num": t["doc_num"], "group_id": t["label"]})
+
+    return rd.from_arrow_refs(label_parts).map_batches(rename, batch_format="pyarrow")
