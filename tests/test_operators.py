@@ -219,3 +219,48 @@ def test_tumbling_window_matches_brute(ray_session, sf_dir):
     )
     for c in ["n_events", "sum_cents", "min_cents", "max_cents"]:
         assert (got[c].values == brute[c].values).all(), c
+
+
+def test_exchange_edge_cases(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.exchange import fused_hash_exchange, hash_exchange
+
+    def ident(t):
+        return t
+
+    def _sum_v_by_k(t):
+        k = np.asarray(t["k"], dtype=np.int64)
+        v = np.asarray(t["v"], dtype=np.int64)
+        uniq, inv = np.unique(k, return_inverse=True)
+        return pa.table(
+            {
+                "k": pa.array(uniq, type=pa.int64()),
+                "v": pa.array(np.bincount(inv, weights=v).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    # empty dataset through the streaming exchange: unchanged
+    empty = rd.from_arrow(pa.table({"k": pa.array([], type=pa.int64())}))
+    out = hash_exchange(empty, "k", ident, num_partitions=4)
+    assert out.count() == 0
+
+    # single-row dataset
+    one = rd.from_arrow(pa.table({"k": pa.array([7], type=pa.int64())}))
+    assert hash_exchange(one, "k", ident, num_partitions=4).count() == 1
+
+    # fused exchange with no inputs: empty dataset, no crash
+    assert fused_hash_exchange([], lambda s: None, "k", ident).count() == 0
+    ds2, aux = fused_hash_exchange([], lambda s: None, "k", ident, aux_fn=ident)
+    assert ds2.count() == 0 and aux == []
+
+    # fused exchange with input chunking (inputs > 16384/num_partitions)
+    def mk(spec):
+        return pa.table({"k": pa.array([spec % 5], type=pa.int64()),
+                         "v": pa.array([1], type=pa.int64())})
+
+    many = fused_hash_exchange(list(range(40)), mk, "k", _sum_v_by_k, num_partitions=8)
+    df = many.to_pandas().sort_values("k").reset_index(drop=True)
+    assert df["v"].sum() == 40 and len(df) == 5

@@ -174,6 +174,9 @@ def fused_hash_exchange(inputs, map_fn, key_col, combine_block_fn,
     import ray.data as rd
 
     assert num_partitions >= 2
+    if not inputs:
+        empty = rd.from_arrow(pa.table({}))
+        return (empty, []) if aux_fn is not None else empty
     # chunk inputs if the ref product would swamp the driver
     max_tasks = max(2, 16384 // num_partitions)
     if len(inputs) > max_tasks:
