@@ -150,10 +150,11 @@ def run_bench():
 
     busy1, steal1 = _cpu_stat()
     d_busy, d_steal = busy1 - busy0, steal1 - steal0
-    # co-tenant steal as a fraction of this VM's busy time during the
-    # timed section: nonzero values mean the wall times below are
-    # inflated by the shared host, not by the engine (see BASELINE.md)
-    steal_pct = round(100.0 * d_steal / max(d_busy + d_steal, 1), 2)
+    # co-tenant steal as a fraction of this VM's non-idle time during
+    # the timed section (busy from _cpu_stat already includes steal):
+    # nonzero values mean the wall times below are inflated by the
+    # shared host, not by the engine (see BASELINE.md)
+    steal_pct = round(100.0 * d_steal / max(d_busy, 1), 2)
     headline = sum(timings.values())
     n_docs = len(base_ids) * replicate
     tiles_per_sec = counts["pyramid_tiles"] / timings["pyramid"]

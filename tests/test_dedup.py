@@ -167,3 +167,28 @@ def test_propagate_labels_exchange_matches_driver_unionfind(ray_session):
         .reset_index(drop=True)
     )
     assert got[["doc_num", "group_id"]].equals(got2[["doc_num", "group_id"]])
+
+
+def test_propagate_labels_exchange_long_chain(ray_session):
+    import ray.data as rd
+
+    # a 15-hop path: needs ~14 propagation rounds — exercises the
+    # run-to-convergence loop (a fixed 10-round cap returned wrong
+    # labels for exactly this shape)
+    pairs = [(i, i + 1) for i in range(100, 115)]
+    df = pd.DataFrame({"doc_a": [a for a, _ in pairs], "doc_b": [b for _, b in pairs]})
+    got = (
+        dedup.propagate_min_labels_exchange(rd.from_pandas(df), num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_num")
+        .reset_index(drop=True)
+    )
+    assert (got["group_id"] == 100).all() and len(got) == 16
+
+    # safety cap raises instead of silently returning unconverged labels
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.propagate_min_labels_exchange(
+            rd.from_pandas(df), max_rounds=3, num_partitions=4
+        )

@@ -118,3 +118,16 @@ def test_ivf_train_deterministic(ray_session, sf_dir):
     c2 = embed.ivf_train(ds, 8, m.shape[1], iters=2, seed=3)
     assert np.array_equal(c1, c2)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-5)
+
+
+def test_ivf_assign_consistent_with_topk_probe(ray_session, sf_dir):
+    import numpy as np
+    import ray.data as rd
+
+    _, m = _emb(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cn = embed.ivf_train(ds, 8, m.shape[1], iters=1, seed=5)
+    cells = embed.ivf_assign(ds, cn).to_pandas()["ivf_cell"].to_numpy()
+    want = embed._nearest_cell(m, cn)
+    assert np.array_equal(np.sort(cells), np.sort(want))
+    assert cells.min() >= 0 and cells.max() < 8

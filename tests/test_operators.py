@@ -256,11 +256,19 @@ def test_exchange_edge_cases(ray_session):
     ds2, aux = fused_hash_exchange([], lambda s: None, "k", ident, aux_fn=ident)
     assert ds2.count() == 0 and aux == []
 
-    # fused exchange with input chunking (inputs > 16384/num_partitions)
+    # fused exchange with input chunking: shrink the ref budget so 40
+    # inputs exceed max_tasks and the grouped map_many path runs
+    from versatiles_rs_ray.stages import exchange as ex
+
     def mk(spec):
         return pa.table({"k": pa.array([spec % 5], type=pa.int64()),
                          "v": pa.array([1], type=pa.int64())})
 
-    many = fused_hash_exchange(list(range(40)), mk, "k", _sum_v_by_k, num_partitions=8)
-    df = many.to_pandas().sort_values("k").reset_index(drop=True)
+    old_budget = ex.REF_BUDGET
+    ex.REF_BUDGET = 64  # max_tasks = 8 < 40 inputs -> chunked
+    try:
+        many = fused_hash_exchange(list(range(40)), mk, "k", _sum_v_by_k, num_partitions=8)
+        df = many.to_pandas().sort_values("k").reset_index(drop=True)
+    finally:
+        ex.REF_BUDGET = old_budget
     assert df["v"].sum() == 40 and len(df) == 5

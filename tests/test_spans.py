@@ -130,3 +130,31 @@ def test_tile_spans_payload_exact(ray_session):
     assert out.loc[0, "payload"] == "audio:0:media://10/0#text:0:BBB|image:16:media://20/1"
     assert int(out.loc[0, "n_docs"]) == 2
     assert out.loc[1, "payload"] == "text:0:CC"
+
+
+def test_tile_spans_empty_buckets_schema(ray_session):
+    """More hash buckets than occupied tiles: empty partitions must
+    still emit the post-combine schema (z,x,y,n_docs,payload)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.sources.docs import SPANS_TYPE
+    from versatiles_rs_ray.stages.pyramid import tile_spans
+
+    t = pa.table(
+        {
+            "z": pa.array([2], type=pa.int64()),
+            "x": pa.array([1], type=pa.int64()),
+            "y": pa.array([1], type=pa.int64()),
+            "doc_num": pa.array([5], type=pa.int64()),
+            "spans": pa.array(
+                [[{"kind": "text", "text": "hi", "media_ref": "", "offset": 0}]],
+                type=SPANS_TYPE,
+            ),
+        }
+    )
+    out = tile_spans(rd.from_arrow(t), num_buckets=16).select_columns(
+        ["z", "x", "y", "n_docs", "payload"]
+    )
+    df = out.to_pandas()
+    assert len(df) == 1 and df.loc[0, "payload"] == "text:0:hi"

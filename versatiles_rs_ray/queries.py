@@ -190,6 +190,10 @@ def q_dedup_exact(sf_dir):
     return dedup.dedup_exact(_docs(sf_dir))
 
 
+NGRAM_K = 12
+NGRAM_TAU = 0.5
+
+
 def q_ngram_jaccard(sf_dir):
     """Exact n-gram Jaccard near-dup pairs (k=12, tau=0.5).
 
@@ -197,7 +201,7 @@ def q_ngram_jaccard(sf_dir):
     baseline the MinHash/LSH path approximates (graft surface; the
     reference's only dedup is per-tile-key first-wins,
     from_stacked.rs:125-165)."""
-    return dedup.ngram_jaccard_pairs(_docs(sf_dir), k=12, threshold=0.5)
+    return dedup.ngram_jaccard_pairs(_docs(sf_dir), k=NGRAM_K, threshold=NGRAM_TAU)
 
 
 Z_TILE_SPANS = 4
@@ -699,19 +703,20 @@ def _oracle_tile_spans():
 
 
 def _oracle_ngram_jaccard():
-    # byte windows == char windows on the ASCII driver corpus
+    # byte windows == char windows on the ASCII driver corpus; k and
+    # tau derive from the SAME constants the Ray query passes
+    k, tau = NGRAM_K, NGRAM_TAU
+    jac = "CAST(p.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - p.inter)"
     return (
-        "WITH sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 12) AS s "
+        f"WITH sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {k}) AS s "
         "FROM (SELECT doc_id, text, "
-        "unnest(range(1, greatest(length(text) - 10, 2))) AS i FROM documents)), "
+        f"unnest(range(1, greatest(length(text) - {k - 2}, 2))) AS i FROM documents)), "
         "cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
         "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter "
         "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
-        "SELECT p.doc_a, p.doc_b, p.inter, "
-        "CAST(p.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - p.inter) AS jaccard "
+        f"SELECT p.doc_a, p.doc_b, p.inter, {jac} AS jaccard "
         "FROM pairs p JOIN cnt ca ON ca.doc_id = p.doc_a "
-        "JOIN cnt cb ON cb.doc_id = p.doc_b "
-        "WHERE CAST(p.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - p.inter) >= 0.5"
+        f"JOIN cnt cb ON cb.doc_id = p.doc_b WHERE {jac} >= {tau}"
     )
 
 

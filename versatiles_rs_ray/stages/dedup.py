@@ -566,21 +566,13 @@ def _edges_rows(table: pa.Table) -> pa.Table:
     )
 
 
-def _cc_bucket(keys: np.ndarray, p: int) -> np.ndarray:
-    from .exchange import _bucket_of
-
-    return _bucket_of(keys, p)
-
-
 def _split_by(table: pa.Table, col: str, p: int):
-    keys = np.asarray(table[col], dtype=np.int64)
-    bucket = _cc_bucket(keys, p)
-    order = np.argsort(bucket, kind="stable")
-    t = table.take(pa.array(order))
-    counts = np.bincount(bucket, minlength=p)
-    offs = np.zeros(p + 1, dtype=np.int64)
-    offs[1:] = np.cumsum(counts)
-    return tuple(t.slice(offs[i], counts[i]).combine_chunks() for i in range(p))
+    """One routing implementation for the whole engine: the exchange's
+    split (same hash, same slicing) — co-partitioning of labels and
+    edges is guaranteed by construction, not by parallel code."""
+    from .exchange import _split_block
+
+    return _split_block(col, p, table)
 
 
 def _cc_edges_split(p: int, *tables):
@@ -666,7 +658,7 @@ def _cc_combine(labels_p: pa.Table, *flow_slices):
     return merged, changed
 
 
-def propagate_min_labels_exchange(pairs_ds, max_rounds: int = 10, num_partitions: int = 16):
+def propagate_min_labels_exchange(pairs_ds, max_rounds: int = 64, num_partitions: int = 16):
     """Distributed connected components with NO driver-side label map.
 
     Labels and edges share one hash partitioning (co-partitioned
@@ -676,6 +668,11 @@ def propagate_min_labels_exchange(pairs_ds, max_rounds: int = 10, num_partitions
     takes per-doc mins. The driver only ever sees P change-counts per
     round. Replaces the broadcast-dict relabel (propagate_min_labels)
     at corpus scale; equality is pytest-verified.
+
+    Runs until a full round changes nothing (min-label propagation
+    needs O(component diameter) rounds); ``max_rounds`` is a safety
+    cap and exhausting it RAISES rather than silently returning
+    unconverged labels.
     """
     import ray
     import ray.data as rd
@@ -701,6 +698,7 @@ def propagate_min_labels_exchange(pairs_ds, max_rounds: int = 10, num_partitions
     init_lists = [init_labels.remote(p, *g) for g in groups]
     edge_parts = [[el[i] for el in edge_lists] for i in range(p)]
     label_parts = [merge_labels.remote(*[il[i] for il in init_lists]) for i in range(p)]
+    changed = None
     for _ in range(max_rounds):
         flow_lists = [
             join_flow.remote(label_parts[i], p, *edge_parts[i]) for i in range(p)
@@ -713,6 +711,12 @@ def propagate_min_labels_exchange(pairs_ds, max_rounds: int = 10, num_partitions
         changed = sum(ray.get([o[1] for o in outs]))
         if changed == 0:
             break
+    if changed:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing); raise max_rounds — a "
+            f"component's diameter exceeds the cap"
+        )
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({"doc_num": t["doc_num"], "group_id": t["label"]})

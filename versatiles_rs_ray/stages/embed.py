@@ -179,6 +179,14 @@ def lsh_topk(embeddings_ds, q_ids, q_matrix, k, dim, nbits=12, seed=42):
 # ---- IVF (inverted-file) ANN — the coarse-quantizer scale path ---------
 
 
+def _nearest_cell(m: np.ndarray, cn: np.ndarray) -> np.ndarray:
+    """Nearest centroid by cosine (the ONE cell-assignment rule —
+    train, assign and probe all route through it)."""
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return np.argmax((m / norms) @ cn.T, axis=1).astype(np.int64)
+
+
 def ivf_train(embeddings_ds, n_centroids, dim, iters=2, seed=42):
     """Deterministic distributed k-means coarse quantizer.
 
@@ -198,9 +206,7 @@ def ivf_train(embeddings_ds, n_centroids, dim, iters=2, seed=42):
 
         def partial_sums(batch: pa.Table, cn=cn) -> pa.Table:
             m = _to_matrix(batch["embedding"])
-            norms = np.linalg.norm(m, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            cell = np.argmax((m / norms) @ cn.T, axis=1)
+            cell = _nearest_cell(m, cn)
             sums = np.zeros((len(cn), m.shape[1]), dtype=np.float64)
             np.add.at(sums, cell, m.astype(np.float64))
             cnt = np.bincount(cell, minlength=len(cn)).astype(np.float64)
@@ -232,10 +238,7 @@ def ivf_assign(embeddings_ds, centroids):
     cn = np.asarray(centroids, dtype=np.float32)
 
     def add_cell(batch: pa.Table) -> pa.Table:
-        m = _to_matrix(batch["embedding"])
-        norms = np.linalg.norm(m, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        cell = np.argmax((m / norms) @ cn.T, axis=1).astype(np.int64)
+        cell = _nearest_cell(_to_matrix(batch["embedding"]), cn)
         return batch.append_column("ivf_cell", pa.array(cell, type=pa.int64()))
 
     return embeddings_ds.map_batches(add_cell, batch_format="pyarrow")
@@ -265,11 +268,9 @@ def ivf_topk(embeddings_ds, q_ids, q_matrix, k, dim, n_centroids=16, nprobe=4,
     wanted = np.unique(probe)
 
     def keep_cells(batch: pa.Table) -> pa.Table:
-        m = _to_matrix(batch["embedding"])
-        norms = np.linalg.norm(m, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        cell = np.argmax((m / norms) @ cn.T, axis=1)
-        return batch.filter(pa.array(np.isin(cell, wanted)))
+        cell = np.asarray(batch["ivf_cell"], dtype=np.int64)
+        keep = batch.filter(pa.array(np.isin(cell, wanted)))
+        return keep.drop_columns(["ivf_cell"])
 
-    filtered = embeddings_ds.map_batches(keep_cells, batch_format="pyarrow")
+    filtered = ivf_assign(embeddings_ds, cn).map_batches(keep_cells, batch_format="pyarrow")
     return cosine_topk(filtered, q_ids, q_matrix, k)

@@ -145,9 +145,15 @@ def _reduce_partition_aux(combine_block_fn, aux_fn, *parts):
 def _reduce_partition(combine_block_fn, *parts):
     tables = [p for p in parts if p is not None and p.num_rows]
     if not tables:
-        # keep a schema-bearing empty table if any part has one
+        # run the combine on a schema-bearing EMPTY table so an empty
+        # partition emits the same (post-combine) schema as populated
+        # ones — otherwise downstream select_columns/unions see
+        # heterogeneous blocks (every combine fn is vectorized and
+        # handles zero rows)
         with_schema = [p for p in parts if p is not None and p.num_columns]
-        return with_schema[0].slice(0, 0) if with_schema else parts[0]
+        if with_schema:
+            return combine_block_fn(with_schema[0].slice(0, 0))
+        return parts[0]
     merged = pa.concat_tables(tables, promote_options="default").combine_chunks()
     return combine_block_fn(merged)
 
