@@ -494,6 +494,12 @@ def tile_spans(docs_with_tiles, num_buckets: int = 16):
     (doc_num, offset). Within-doc span text/media survive verbatim —
     the per-row invariant of BASELINE.json input_hint lifted to tile
     granularity.
+
+    Skew: payload size is proportional to docs-per-tile, so run this
+    at BASE zoom (leaf tiles) where fan-in is bounded; low-zoom tiles
+    aggregate entire regions (a z0 payload would be the whole corpus)
+    — derive low-zoom content hierarchically from written base tiles
+    instead, as the stats pyramid does.
     """
     from .exchange import hash_exchange
 
