@@ -36,3 +36,47 @@ def test_decode_media_schema_and_determinism(ray_session, sf_dir):
     assert (a["payload"] == b["payload"]).all()  # fake decode is deterministic
     img = a[a.kind == "image"]
     assert (img["width"] > 0).all() and (img["height"] > 0).all()
+
+
+def test_media_pipeline_stages(ray_session, sf_dir):
+    from versatiles_rs_ray.sources import docs as D
+    from versatiles_rs_ray.stages import multimodal as mm
+
+    ds = D.read_docs(sf_dir)
+    out = mm.media_pipeline(ds, concurrency=2, batch_size=256).to_pandas()
+    assert len(out) > 0
+    # every row is one frame of a non-text span with a feature vector
+    assert set(["doc_id", "span_idx", "kind", "media_ref", "frame_idx", "feature"]) <= set(out.columns)
+    assert (out["kind"] != "text").all()
+    dims = out["feature"].map(len).unique()
+    assert list(dims) == [34]  # 32 bins + mean + std
+    # features are normalized histograms: bins sum to ~1
+    import numpy as np
+
+    f = np.stack(out["feature"].to_numpy())
+    assert np.allclose(f[:, :32].sum(axis=1), 1.0, atol=1e-5)
+    # images contribute exactly one frame; audio/video payloads several
+    img = out[out["kind"] == "image"]
+    assert (img["frame_idx"] == 0).all()
+    audio = out[out["kind"] == "audio"]
+    assert (audio.groupby(["doc_id", "span_idx"])["frame_idx"].count() >= 1).all()
+    assert audio["frame_idx"].max() >= 2  # every_n sampling visible
+
+
+def test_resizer_deterministic_and_shaped(ray_session):
+    import pyarrow as pa
+
+    from versatiles_rs_ray.stages.multimodal import FakeImageResizer
+
+    r = FakeImageResizer(target_w=4, target_h=3)
+    t = pa.table(
+        {
+            "payload": pa.array([b"0123456789abcdef", b""], type=pa.binary()),
+            "width": pa.array([16, 0], type=pa.int64()),
+            "height": pa.array([1, 0], type=pa.int64()),
+        }
+    )
+    out = r(t)
+    assert out["width"].to_pylist() == [4, 4] and out["height"].to_pylist() == [3, 3]
+    p0 = out["payload"][0].as_py()
+    assert len(p0) == 12 and p0 == r._resize(b"0123456789abcdef")

@@ -504,6 +504,15 @@ def q_media_decode(sf_dir):
     )
 
 
+def q_media_pipeline(sf_dir):
+    """Full multimodal chain: explode -> decode pool -> resize pool ->
+    frame-sample -> per-frame byte-histogram features. Rows-only
+    (stubbed decode; plumbing and feature math tested in pytest)."""
+    return multimodal.media_pipeline(_docs(sf_dir)).select_columns(
+        ["doc_id", "span_idx", "kind", "media_ref", "frame_idx", "width", "height"]
+    )
+
+
 def q_embedding_near_dup(sf_dir):
     import ray.data as rd
 
@@ -928,6 +937,7 @@ QUERIES = {
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "media_decode": q_media_decode,
+    "media_pipeline": q_media_pipeline,
     "raster_pipeline": q_raster_pipeline,
     "outline": q_outline,
     "embedding_near_dup": q_embedding_near_dup,

@@ -132,3 +132,134 @@ def decode_media(docs_ds, concurrency=4, batch_size=1024):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class FakeImageResizer:
+    """Actor-pool resize stage (STUB pixels, REAL plumbing).
+
+    Input rows carry (payload:binary, width, height); output swaps the
+    payload for a (target_w x target_h)-byte 'resized' buffer sampled
+    deterministically from the source payload (linspace subsample — a
+    real nearest-neighbor downsample over the fake 1-byte-per-pixel
+    payload). Swap `_resize` for Pillow's Image.resize at deploy; the
+    schema, actor signature and batch sizing are the production ones.
+    """
+
+    def __init__(self, target_w: int = 8, target_h: int = 8):
+        self.target_w = target_w
+        self.target_h = target_h
+
+    def _resize(self, payload: bytes) -> bytes:
+        n = self.target_w * self.target_h
+        src = np.frombuffer(payload, dtype=np.uint8)
+        if len(src) == 0:
+            return b"\x00" * n
+        idx = np.linspace(0, len(src) - 1, n).astype(np.int64)
+        return src[idx].tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self._resize(p) for p in batch["payload"].to_pylist()]
+        batch = batch.drop_columns(["payload", "width", "height"])
+        batch = batch.append_column("payload", pa.array(out, type=pa.binary()))
+        batch = batch.append_column(
+            "width", pa.array(np.full(len(out), self.target_w), type=pa.int64())
+        )
+        return batch.append_column(
+            "height", pa.array(np.full(len(out), self.target_h), type=pa.int64())
+        )
+
+
+class ByteHistogramFeatures:
+    """Actor-pool feature extraction — REAL computation (no stub): a
+    normalized byte histogram + mean/std moments per payload. Works on
+    any binary column; at deploy swap for a model forward pass (the
+    batched-inference shape is identical: stateful __init__, batch in,
+    list<float32> feature column out).
+    """
+
+    def __init__(self, bins: int = 32):
+        self.bins = bins
+        self.edges = np.linspace(0, 256, bins + 1)
+
+    def _features(self, payload: bytes) -> np.ndarray:
+        b = np.frombuffer(payload, dtype=np.uint8)
+        if len(b) == 0:
+            return np.zeros(self.bins + 2, dtype=np.float32)
+        hist, _ = np.histogram(b, bins=self.edges)
+        f = hist / len(b)
+        return np.concatenate([f, [b.mean() / 255.0, b.std() / 255.0]]).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._features(p) for p in batch["payload"].to_pylist()]
+        flat = np.concatenate(feats) if feats else np.array([], dtype=np.float32)
+        offsets = np.arange(len(feats) + 1, dtype=np.int32) * (self.bins + 2)
+        col = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.float32())
+        )
+        return batch.drop_columns(["payload"]).append_column("feature", col)
+
+
+class FrameSampler:
+    """Actor-pool frame sampling (STUB frames, REAL flat-map plumbing):
+    slice each video/audio payload into fixed-size 'frames', keep every
+    ``every_n``-th up to ``max_frames`` — one OUTPUT ROW PER FRAME
+    (the 1->N layout a real pyav frame sampler produces). Image spans
+    pass through as a single frame.
+    """
+
+    def __init__(self, frame_bytes: int = 16, every_n: int = 2, max_frames: int = 4):
+        self.frame_bytes = frame_bytes
+        self.every_n = every_n
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        row_idx, frame_idx, frames = [], [], []
+        for i, (p, kind) in enumerate(zip(payloads, kinds)):
+            if kind == "image":
+                row_idx.append(i)
+                frame_idx.append(0)
+                frames.append(p)
+                continue
+            n_frames = max(len(p) // self.frame_bytes, 1)
+            taken = 0
+            for f in range(0, n_frames, self.every_n):
+                if taken >= self.max_frames:
+                    break
+                row_idx.append(i)
+                frame_idx.append(f)
+                frames.append(p[f * self.frame_bytes : (f + 1) * self.frame_bytes])
+                taken += 1
+        base = batch.drop_columns(["payload"]).take(pa.array(row_idx, type=pa.int64()))
+        base = base.append_column("frame_idx", pa.array(frame_idx, type=pa.int64()))
+        return base.append_column("frame", pa.array(frames, type=pa.binary()))
+
+
+def media_pipeline(docs_ds, concurrency=4, batch_size=1024):
+    """Full multimodal chain: explode -> decode pool -> resize pool ->
+    frame-sample -> byte-histogram features per frame. Every stage is
+    an actor-pool map_batches over the (decoded) media stream; batch
+    sizes stay small because rows are wide binaries (SURVEY.md §7.4
+    hard part 4)."""
+    # elastic (1, n) pools: three chained actor stages must not
+    # RESERVE more cpus than the cluster has (fixed-size pools
+    # deadlock the streaming executor on small clusters)
+    decoded = decode_media(docs_ds, concurrency=(1, concurrency), batch_size=batch_size)
+    resized = decoded.map_batches(
+        FakeImageResizer, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, concurrency),
+    )
+    frames = resized.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, concurrency),
+    )
+    return frames.map_batches(
+        _frame_features, batch_format="pyarrow", batch_size=batch_size,
+    )
+
+
+def _frame_features(batch: pa.Table) -> pa.Table:
+    feats = ByteHistogramFeatures()
+    tmp = batch.append_column("payload", batch["frame"]).drop_columns(["frame"])
+    return feats(tmp)
