@@ -190,7 +190,60 @@ def run_at(ncpu: int) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
+def run_pyramid_only(replicate: int, z_base: int, num_buckets: int = 64) -> dict:
+    """Fused pyramid alone at a chosen scale/depth (see --deep/--stress)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    from versatiles_rs_ray.sources import docs as D
+    from versatiles_rs_ray.stages.pyramid import aggregate_pyramid_spatial_fused
+
+    aggregate_pyramid_spatial_fused(
+        D.shard_specs(SF_DIR, max(8, 2 * NUM_CPUS), shards_per_task=2),
+        D.load_shard_spec, z_base, 0,
+    ).count()
+    busy0, steal0 = _cpu_stat()
+    t0 = time.monotonic()
+    specs = D.shard_specs(SF_DIR, replicate, shards_per_task=SHARDS_PER_TASK)
+    n = aggregate_pyramid_spatial_fused(
+        specs, D.load_shard_spec, z_base, 0, num_buckets=num_buckets
+    ).count()
+    dt = time.monotonic() - t0
+    busy1, steal1 = _cpu_stat()
+    n_docs = replicate * 5000 if "sf0.1" in SF_DIR else None
+    out = {
+        "metric": f"sec (fused pyramid z{z_base}..0 only)",
+        "value": round(dt, 3),
+        "unit": "sec",
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "replicate": replicate,
+        "z_base": z_base,
+        "tiles": n,
+        "tiles_per_sec": round(n / dt, 1),
+        "steal_pct": round(100.0 * (steal1 - steal0) / max(busy1 - busy0, 1), 2),
+    }
+    ray.shutdown()
+    return out
+
+
 def main():
+    if "--deep" in sys.argv:
+        # deep base zoom: every doc its own base tile (worst combine ratio)
+        print(json.dumps(run_pyramid_only(
+            int(os.environ.get("GRAFT_DEEP_REPLICATE", "8000")),
+            int(os.environ.get("GRAFT_DEEP_Z", "14")))))
+        return
+    if "--stress" in sys.argv:
+        # 400M docs: object-store high-water / no-spill check
+        print(json.dumps(run_pyramid_only(
+            int(os.environ.get("GRAFT_STRESS_REPLICATE", "80000")),
+            Z_BASE)))
+        return
     if "--scaling" in sys.argv:
         lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
         hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
