@@ -44,6 +44,28 @@ def _cpu_stat():
         return 0, 0
 
 
+def _mem_bandwidth_gbps() -> float:
+    """Single-thread memcpy bandwidth probe (512 MB, best of 3).
+
+    Co-tenant MEMORY-BUS pressure on this shared host is invisible to
+    /proc/stat steal but devastates the bandwidth-bound derive stages;
+    this probe turns it into a recorded number. Quiet machine baseline
+    ~= the hardware's single-core copy rate — compare runs at similar
+    values.
+    """
+    import numpy as np
+
+    a = np.ones(512 * 1024 * 1024 // 8, dtype=np.float64)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        b = a.copy()
+        dt = time.perf_counter() - t0
+        del b
+        best = min(best, dt)
+    return round(2 * a.nbytes / best / 1e9, 2)  # read + write
+
+
 def run_bench():
     import numpy as np
     import pyarrow.parquet as pq
@@ -134,6 +156,7 @@ def run_bench():
     # single-shot for very large inputs where the job is long enough to
     # amortize the noise and best-of-2 would blow the time budget
     repeats = 2 if ("--scaling-child" in sys.argv and replicate <= 16000) else 1
+    membw = _mem_bandwidth_gbps()
     busy0, steal0 = _cpu_stat()
     for name, fn in [
         ("pyramid", stage_pyramid),  # derive -> assign z12 -> all levels, one exchange
@@ -174,6 +197,7 @@ def run_bench():
         "tiles_per_sec": round(tiles_per_sec, 1),
         "docs_per_sec": round(docs_per_sec, 1),
         "steal_pct": steal_pct,
+        "membw_gbps": membw,
         "counts": counts,
     }
 
@@ -206,6 +230,7 @@ def run_pyramid_only(replicate: int, z_base: int, num_buckets: int = 64) -> dict
         D.shard_specs(SF_DIR, max(8, 2 * NUM_CPUS), shards_per_task=2),
         D.load_shard_spec, z_base, 0,
     ).count()
+    membw = _mem_bandwidth_gbps()
     busy0, steal0 = _cpu_stat()
     t0 = time.monotonic()
     specs = D.shard_specs(SF_DIR, replicate, shards_per_task=SHARDS_PER_TASK)
@@ -226,6 +251,7 @@ def run_pyramid_only(replicate: int, z_base: int, num_buckets: int = 64) -> dict
         "tiles": n,
         "tiles_per_sec": round(n / dt, 1),
         "steal_pct": round(100.0 * (steal1 - steal0) / max(busy1 - busy0, 1), 2),
+        "membw_gbps": membw,
     }
     ray.shutdown()
     return out
@@ -275,6 +301,8 @@ def main():
                     f"all_sec_{hi}": [r["value"] for r in runs_hi],
                     f"steal_pct_{lo}": [r.get("steal_pct") for r in runs_lo],
                     f"steal_pct_{hi}": [r.get("steal_pct") for r in runs_hi],
+                    f"membw_gbps_{lo}": [r.get("membw_gbps") for r in runs_lo],
+                    f"membw_gbps_{hi}": [r.get("membw_gbps") for r in runs_hi],
                     f"throughput_docs_per_sec_{lo}": r_lo["docs_per_sec"],
                     f"throughput_docs_per_sec_{hi}": r_hi["docs_per_sec"],
                     f"queries_{lo}": r_lo["queries"],

@@ -23,10 +23,11 @@ import pyarrow as pa
 _HASH_MULT = 0x9E3779B97F4A7C15
 # driver-side intermediate-ref budget for the fused exchange
 # (len(inputs-after-grouping) x num_partitions <= REF_BUDGET).
-# Measured A/B at 80M docs: 32768 (finer map tasks, shorter straggler
-# tail) is ~13% faster at 16 cpus and ~3% slower at 4; the driver
-# tracks 32k refs without bookkeeping dominating.
-REF_BUDGET = 32768
+# Measured at 400M docs / 64 partitions: raising this to 32768 (417
+# tasks, ~27k refs, 417-arg reduce calls) is 2.2x SLOWER than 16384
+# (250 tasks, 16k refs) — driver/GCS bookkeeping grows superlinearly
+# past ~16k refs, exactly as the round-1 exchange notes warned.
+REF_BUDGET = 16384
 
 
 def _bucket_of(keys: np.ndarray, num_partitions: int) -> np.ndarray:
