@@ -192,3 +192,115 @@ def test_propagate_labels_exchange_long_chain(ray_session):
         dedup.propagate_min_labels_exchange(
             rd.from_pandas(df), max_rounds=3, num_partitions=4
         )
+
+
+def test_vectorized_kernels_match_perdoc_reference():
+    """Round-2 parity gate: the batch-flattened MinHash/SimHash kernels
+    must produce BIT-IDENTICAL signatures to the round-1 per-doc
+    definitions (so candidate pairs are unchanged)."""
+    texts = [
+        "hello world foo bar",
+        "",
+        "ab",
+        "hello world foo baz",
+        "  spaced   out  ",
+        "xxx",
+        "repeat repeat repeat",
+        "a much longer document " * 10,
+    ]
+    col = pa.array(texts, type=pa.string())
+
+    flat, starts, counts = dedup._shingle_hashes_flat(col, 5)
+    for i, t in enumerate(texts):
+        ref = dedup._shingle_hashes(t, 5)
+        got = flat[starts[i] : starts[i] + counts[i]]
+        assert np.array_equal(np.sort(ref), np.sort(got)), i
+
+    ms = dedup.MinHashSignatures(k=5, num_perm=64, bands=8)
+    sigs = ms.signatures(col)
+    for i, t in enumerate(texts):
+        sh = dedup._shingle_hashes(t, 5) & dedup._MERSENNE
+        vals = (ms.a[:, None] * sh[None, :] + ms.b[:, None]) % dedup._MERSENNE
+        assert np.array_equal(sigs[i], vals.min(axis=1)), i
+
+    ss = dedup.SimHashSignatures()
+    got = ss.simhashes(col)
+    ref = np.array([ss._simhash(t) for t in texts], dtype=np.uint64)
+    assert np.array_equal(got, ref)
+
+    x = np.random.default_rng(0).integers(0, 2**63, 100, dtype=np.uint64)
+    assert np.array_equal(dedup._popcount64(x), [bin(int(v)).count("1") for v in x])
+
+
+def test_candidate_pairs_identical_to_round1_shape(ray_session):
+    """The exchange-based candidate pipeline must emit exactly the pair
+    set of the brute-force LSH definition (bucket -> all unordered
+    pairs, deduplicated across bands)."""
+    ds, texts, ids = _planted_ds(ray_session)
+    col = pa.array(texts, type=pa.string())
+    ms = dedup.MinHashSignatures(k=5, num_perm=64, bands=16)
+    sigs = ms.signatures(col)
+    rows_per_band = 64 // 16
+    buckets = {}
+    base = np.uint64(1099511628211)
+    for i, d in enumerate(ids):
+        for bd in range(16):
+            seg = sigs[i, bd * rows_per_band : (bd + 1) * rows_per_band]
+            h = np.uint64(0)
+            for v in seg:
+                h = h * base + np.uint64(v)
+            buckets.setdefault((bd, int(h.astype(np.int64))), set()).add(d)
+    want = set()
+    for docs in buckets.values():
+        docs = sorted(docs)
+        for ii, a in enumerate(docs):
+            for b in docs[ii + 1 :]:
+                want.add((a, b))
+    got = dedup.minhash_candidates(ds, k=5, num_perm=64, bands=16, num_partitions=4).to_pandas()
+    got_pairs = set(zip(got["doc_a"].astype(int), got["doc_b"].astype(int)))
+    assert got_pairs == want
+
+    # simhash: same check with hamming filter
+    ss = dedup.SimHashSignatures()
+    sims = ss.simhashes(col)
+    sbuckets = {}
+    for i, d in enumerate(ids):
+        for bd in range(4):
+            key = (bd, int((sims[i] >> np.uint64(16 * bd)) & np.uint64(0xFFFF)))
+            sbuckets.setdefault(key, []).append(i)
+    want_s = {}
+    for idxs in sbuckets.values():
+        idxs = sorted(idxs, key=lambda i: ids[i])
+        for ii, a in enumerate(idxs):
+            for b in idxs[ii + 1 :]:
+                ham = bin(int(sims[a] ^ sims[b])).count("1")
+                if ham <= 3:
+                    want_s[(ids[a], ids[b])] = ham
+    got_s = dedup.simhash_candidates(ds, max_hamming=3, num_partitions=4).to_pandas()
+    got_s_pairs = {
+        (int(r.doc_a), int(r.doc_b)): int(r.hamming) for r in got_s.itertuples()
+    }
+    assert got_s_pairs == want_s
+
+
+def test_ngram_max_df_drops_hot_grams(ray_session):
+    """max_df: a gram shared by every doc is dropped (logged), pairs
+    that only shared the hot gram disappear; exact path unchanged."""
+    import ray.data as rd
+
+    common = "ZZZZZZZZ"  # k=8 -> exactly one shared gram per doc
+    texts = {i: f"doc{i:04d}" + common for i in range(6)}
+    t = pa.table(
+        {
+            "doc_num": pa.array(sorted(texts), type=pa.int64()),
+            "text": pa.array([texts[d] for d in sorted(texts)], type=pa.string()),
+        }
+    )
+    exact = dedup.ngram_jaccard_pairs(
+        rd.from_arrow(t), k=8, threshold=0.01, num_buckets=4
+    ).to_pandas()
+    assert len(exact) == 15  # all C(6,2) pairs share the ZZZ gram
+    cut = dedup.ngram_jaccard_pairs(
+        rd.from_arrow(t), k=8, threshold=0.01, num_buckets=4, max_df=3
+    ).to_pandas()
+    assert len(cut) == 0  # the only shared gram was hot -> dropped

@@ -175,3 +175,53 @@ def test_docs_to_mvt(ray_session, sf_dir):
             assert 0 <= px < 4096 and 0 <= py < 4096
         n_features += len(tile["layers"][0]["features"])
     assert n_features == 500  # every doc lands in exactly one tile
+
+
+def test_value_variant_preserved_on_reencode():
+    """Decode->encode must preserve the wire Value variant: float32
+    stays field 2 (not widened to double), int64 stays field 4, sint
+    stays field 6 even when positive (reference keeps GeoValue
+    variants distinct, versatiles_geometry/src/geo/value.rs:24-40)."""
+    import struct
+
+    from versatiles_rs_ray.core.mvt import (
+        Float32,
+        Int64,
+        SInt64,
+        _decode_value,
+        _encode_value,
+    )
+
+    def raw(field, wire, payload):
+        out = bytearray()
+        out.append((field << 3) | wire)
+        if wire == 0:
+            v = payload
+            while True:
+                b = v & 0x7F
+                v >>= 7
+                if v:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    break
+        else:
+            out.extend(payload)
+        return bytes(out)
+
+    cases = [
+        raw(2, 5, struct.pack("<f", 1.5)),            # float32
+        raw(3, 1, struct.pack("<d", 2.25)),           # double
+        raw(4, 0, 77),                                # int64 positive
+        raw(4, 0, (1 << 64) - 5),                     # int64 negative (-5)
+        raw(5, 0, 123),                               # uint64
+        raw(6, 0, (44 << 1)),                         # sint64 positive (+44)
+        raw(6, 0, (44 << 1) ^ ((-44) >> 63 & 1)),     # sint64
+        raw(7, 0, 1),                                 # bool
+    ]
+    for buf in cases:
+        v = _decode_value(buf)
+        assert _encode_value(v) == buf, (buf, v, _encode_value(v))
+
+    # variant classes still behave as their base types
+    assert Float32(1.5) == 1.5 and Int64(7) == 7 and SInt64(-3) < 0

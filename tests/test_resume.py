@@ -74,3 +74,38 @@ def test_fused_strategy_agrees(ray_session, sf_dir, tmp_path):
     dc = read_pyramid(c).to_pandas().sort_values(["z", "x", "y"]).reset_index(drop=True)
     cols = ["z", "x", "y", "n_docs", "n_spans", "min_doc", "max_doc"]
     assert da[cols].equals(dc[cols])
+
+
+def test_stale_lineage_partitions_invalidated(ray_session, sf_dir, tmp_path):
+    """An interrupted rebuild after a param change must not mix
+    old-lineage levels into reads: stale partitions are deleted at
+    build start, and read_pyramid only reads current-lineage levels."""
+    out = str(tmp_path / "pyr")
+    build_and_write_pyramid(sf_dir, out, z_base=4, z_min=0)
+    old_df = read_pyramid(out).to_pandas()
+    assert sorted(old_df["z"].unique()) == [0, 1, 2, 3, 4]
+
+    # change params (z_base) -> new lineage; old z=3/z=4 dirs are stale
+    build_and_write_pyramid(sf_dir, out, z_base=3, z_min=0)
+    import os
+
+    assert not os.path.exists(f"{out}/z=4")  # stale dir removed
+    df = read_pyramid(out).to_pandas()
+    assert sorted(df["z"].unique()) == [0, 1, 2, 3]
+    # manifest only carries current-lineage records
+    recs = [json.loads(l) for l in open(f"{out}/_manifest.jsonl") if l.strip()]
+    assert len({r["lineage"] for r in recs}) == 1
+
+    # simulate an interrupted rebuild: re-add a stale-lineage record +
+    # dir by hand; read_pyramid must exclude it
+    os.makedirs(f"{out}/z=9")
+    with open(f"{out}/z=9/bad.parquet", "w") as f:
+        f.write("")
+    stale_rec = dict(recs[0], partition="z=9", lineage="deadbeef")
+    # stale record FIRST, then current ones (newest record wins)
+    with open(f"{out}/_manifest.jsonl", "w") as f:
+        f.write(json.dumps(stale_rec) + "\n")
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    df2 = read_pyramid(out).to_pandas()
+    assert sorted(df2["z"].unique()) == [0, 1, 2, 3]

@@ -161,3 +161,19 @@ def test_compression_roundtrip():
     t = pa.table({"payload": comp})
     out = compression.recompress_table(t, "payload", "gzip", "raw")
     assert out["payload"].to_pylist() == payloads
+
+
+def test_byte_sizes_respects_array_offset():
+    """byte_sizes on a SLICED Arrow array must honor col.offset (a
+    slice shares the parent's offsets buffer)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from versatiles_rs_ray.core.compression import byte_sizes
+
+    arr = pa.array([b"a", b"bb", b"ccc", b"dddd"], type=pa.binary())
+    assert byte_sizes(arr).tolist() == [1, 2, 3, 4]
+    assert byte_sizes(arr.slice(2, 2)).tolist() == [3, 4]
+    assert byte_sizes(arr.slice(1, 0)).tolist() == []
+    big = pa.array([b"x" * i for i in range(5)], type=pa.large_binary())
+    assert byte_sizes(big.slice(2, 3)).tolist() == [2, 3, 4]

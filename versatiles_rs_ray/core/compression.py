@@ -115,6 +115,10 @@ def byte_sizes(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if isinstance(col, pa.Array):
-        offs = np.frombuffer(col.buffers()[1], dtype=np.int32, count=len(col) + 1)
+        # Respect col.offset: a sliced array shares the parent's offsets
+        # buffer, so index from the slice's logical start.
+        width = 8 if pa.types.is_large_binary(col.type) or pa.types.is_large_string(col.type) else 4
+        dtype = np.int64 if width == 8 else np.int32
+        offs = np.frombuffer(col.buffers()[1], dtype=dtype)[col.offset : col.offset + len(col) + 1]
         return (offs[1:] - offs[:-1]).astype(np.int64)
     return np.asarray([len(v) for v in col], dtype=np.int64)

@@ -92,6 +92,28 @@ def _write_field(out: bytearray, field: int, wire: int, value):
 # ---- MVT Value --------------------------------------------------------
 
 
+class Float32(float):
+    """A decoded MVT float value (Value field 2). Compares/behaves as a
+    plain float but re-encodes as float32, so decode->encode paths
+    (merge_tiles, vector filter ops) preserve the wire variant —
+    matching the reference's GeoValue::Float vs Double distinction
+    (versatiles_geometry/src/geo/value.rs:24-40)."""
+
+    __slots__ = ()
+
+
+class Int64(int):
+    """Decoded MVT int_value (Value field 4); re-encodes as field 4."""
+
+    __slots__ = ()
+
+
+class SInt64(int):
+    """Decoded MVT sint_value (Value field 6); re-encodes zigzag."""
+
+    __slots__ = ()
+
+
 def _decode_value(buf: bytes):
     import struct
 
@@ -99,15 +121,15 @@ def _decode_value(buf: bytes):
         if field == 1:
             return value.decode("utf-8")
         if field == 2:
-            return struct.unpack("<f", value)[0]
+            return Float32(struct.unpack("<f", value)[0])
         if field == 3:
             return struct.unpack("<d", value)[0]
         if field == 4:
-            return value - (1 << 64) if value >= (1 << 63) else value  # int64
+            return Int64(value - (1 << 64) if value >= (1 << 63) else value)
         if field == 5:
-            return value  # uint64
+            return value  # uint64 (plain int = uint default)
         if field == 6:
-            return _unzigzag(value)
+            return SInt64(_unzigzag(value))
         if field == 7:
             return bool(value)
     return None
@@ -117,12 +139,18 @@ def _encode_value(v) -> bytes:
     import struct
 
     out = bytearray()
-    if isinstance(v, bool):
+    if isinstance(v, bool):  # before int: bool subclasses int
         _write_field(out, 7, 0, int(v))
     elif isinstance(v, str):
         _write_field(out, 1, 2, v.encode("utf-8"))
+    elif isinstance(v, Float32):  # before float: preserve decoded variant
+        _write_field(out, 2, 5, struct.pack("<f", v))
     elif isinstance(v, float):
         _write_field(out, 3, 1, struct.pack("<d", v))
+    elif isinstance(v, Int64):
+        _write_field(out, 4, 0, (int(v) + (1 << 64)) if v < 0 else int(v))
+    elif isinstance(v, SInt64):
+        _write_field(out, 6, 0, _zigzag(int(v)))
     elif isinstance(v, int):
         if v >= 0:
             _write_field(out, 5, 0, v)

@@ -94,6 +94,7 @@ def build_and_write_pyramid(
     }
     lineage = lineage_hash([f"{sf_dir}/documents.parquet"], params)
     manifest = Manifest(out_dir, lineage)
+    manifest.invalidate_stale()  # input/params changed -> drop old-lineage partitions
     done = manifest.load()
     records = dict(done)
     missing = [z for z in range(z_min, z_base + 1) if f"z={z}" not in done]
@@ -151,14 +152,37 @@ def build_and_write_pyramid(
 
 
 def read_pyramid(out_dir: str, z_levels=None):
-    """Read the native pyramid layout back as one Dataset."""
+    """Read the native pyramid layout back as one Dataset.
+
+    Consults `_manifest.jsonl` when present: only partitions whose
+    LATEST record carries the same lineage as the most recent record
+    (i.e. the current build) are read — an interrupted rebuild after an
+    input change can never mix old- and new-lineage levels. Directories
+    without a manifest are read as-is (plain parquet layout)."""
+    import json
     import os
 
     import ray.data as rd
 
+    manifest_path = os.path.join(out_dir, "_manifest.jsonl")
+    allowed = None
+    if os.path.exists(manifest_path):
+        latest, current = {}, None
+        with open(manifest_path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    rec = json.loads(line)
+                    latest[rec["partition"]] = rec
+                    current = rec.get("lineage")  # lineage of the newest record
+        if latest:
+            allowed = {p for p, r in latest.items() if r.get("lineage") == current}
+
     files = []
     for name in sorted(os.listdir(out_dir)):
         if name.startswith("z=") and "tmp" not in name and not name.endswith(".jsonl"):
+            if allowed is not None and name not in allowed:
+                continue
             z = int(name.split("=")[1])
             if z_levels is None or z in z_levels:
                 d = os.path.join(out_dir, name)

@@ -57,13 +57,77 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(h)
 
 
+def _shingle_hashes_flat(texts, k: int):
+    """Batch-flattened shingle hashing: per-doc DISTINCT rolling k-byte
+    hashes for a whole Arrow string column in one pass.
+
+    Returns ``(flat, starts, counts)`` where
+    ``flat[starts[i] : starts[i] + counts[i]]`` is doc i's sorted-unique
+    hash set — bit-identical to :func:`_shingle_hashes` per doc (same
+    polynomial, same zero-pad of short docs), with zero per-row Python.
+    Every doc yields >= 1 hash (short/empty docs hash one padded gram).
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    b = texts.cast(pa.binary())
+    _, off_buf, data_buf = b.buffers()
+    offs = np.frombuffer(off_buf, dtype=np.int32)[b.offset : b.offset + len(b) + 1].astype(np.int64)
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    L = np.diff(offs)
+    n_win = np.maximum(L - k + 1, 1)  # short docs -> one zero-padded gram
+    total = int(n_win.sum())
+    n_docs = len(L)
+    doc_rep = np.repeat(np.arange(n_docs, dtype=np.int64), n_win)
+    run_start = np.zeros(n_docs, dtype=np.int64)
+    run_start[1:] = np.cumsum(n_win)[:-1]
+    within = np.arange(total, dtype=np.int64) - np.repeat(run_start, n_win)
+    g_start = np.repeat(offs[:-1], n_win) + within
+    doc_end = np.repeat(offs[1:], n_win)
+
+    h = np.zeros(total, dtype=np.uint64)
+    base = np.uint64(1000003)
+    safe_max = max(len(data) - 1, 0)
+    for j in range(k):
+        col_idx = g_start + j
+        valid = col_idx < doc_end
+        vals = np.where(valid, data[np.minimum(col_idx, safe_max)] if len(data) else 0, 0)
+        h = h * base + vals.astype(np.uint64)
+
+    order = np.lexsort((h, doc_rep))
+    dh, hh = doc_rep[order], h[order]
+    first = np.ones(total, dtype=bool)
+    if total > 1:
+        first[1:] = (dh[1:] != dh[:-1]) | (hh[1:] != hh[:-1])
+    flat = hh[first]
+    counts = np.bincount(dh[first], minlength=n_docs).astype(np.int64)
+    starts = np.zeros(n_docs, dtype=np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    return flat, starts, counts
+
+
+def _pack_bucket_route(band_id: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
+    """One int64 routing key per (band_id, band_hash) bucket, so a
+    whole LSH bucket lands in one exchange partition. Collisions only
+    co-locate buckets; pair generation still keys on the exact pair."""
+    return (
+        band_hash.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        ^ (band_id.view(np.uint64) + np.uint64(1)) * np.uint64(0xC2B2AE3D27D4EB4F)
+    ).view(np.int64)
+
+
 class MinHashSignatures:
-    """map_batches actor: per-doc MinHash signature -> band rows.
+    """map_batches stage: per-doc MinHash signature -> band rows.
 
     num_perm universal hash perms ((a*x + b) mod p, p = 2^61-1) applied
-    to the shingle set; emitted as (band_id, band_hash, doc_num) rows
-    ready for the LSH groupby. Permutation constants are seeded once in
-    __init__ (per actor), deterministic across the cluster.
+    to the shingle set; emitted as (route, band_id, band_hash, doc_num)
+    rows ready for the LSH bucket exchange. Permutation constants are
+    seeded once in __init__ (per actor), deterministic across the
+    cluster. Signatures are computed batch-flattened (one shingle array
+    per batch, ``np.minimum.reduceat`` per perm) — no per-doc Python.
     """
 
     def __init__(self, k=5, num_perm=64, bands=8, seed=42):
@@ -75,65 +139,193 @@ class MinHashSignatures:
         self.a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k) & _MERSENNE
-        # (P, S) universal hashes -> min over shingles
-        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
-        return vals.min(axis=1)
+    def signatures(self, texts) -> np.ndarray:
+        """(N, num_perm) uint64 signature matrix for an Arrow string col."""
+        flat, starts, _counts = _shingle_hashes_flat(texts, self.k)
+        sh = flat & _MERSENNE
+        n = len(starts)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        for p in range(self.num_perm):
+            vals = (self.a[p] * sh + self.b[p]) % _MERSENNE
+            sigs[:, p] = np.minimum.reduceat(vals, starts)
+        return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
         doc_num = np.asarray(batch["doc_num"], dtype=np.int64)
-        sigs = np.stack([self.signature(t) for t in texts])  # (N, P)
-        band_hash = np.empty((len(texts), self.bands), dtype=np.int64)
+        n, bcount = len(doc_num), self.bands
+        if n == 0:
+            empty = pa.array([], type=pa.int64())
+            return pa.table(
+                {"route": empty, "band_id": empty, "band_hash": empty, "doc_num": empty}
+            )
+        sigs = self.signatures(batch["text"])  # (N, P)
+        band_hash = np.empty((n, bcount), dtype=np.int64)
         base = np.uint64(1099511628211)
-        for bd in range(self.bands):
+        for bd in range(bcount):
             seg = sigs[:, bd * self.rows_per_band : (bd + 1) * self.rows_per_band]
-            h = np.zeros(len(texts), dtype=np.uint64)
+            h = np.zeros(n, dtype=np.uint64)
             for c in range(seg.shape[1]):
-                h = h * base + seg[:, c].astype(np.uint64)
+                h = h * base + seg[:, c]
             band_hash[:, bd] = h.astype(np.int64)
-        n, bcount = len(texts), self.bands
+        band_id = np.tile(np.arange(bcount, dtype=np.int64), n)
+        bh = band_hash.ravel()
         return pa.table(
             {
-                "band_id": pa.array(np.tile(np.arange(bcount, dtype=np.int64), n)),
-                "band_hash": pa.array(band_hash.ravel(), type=pa.int64()),
+                "route": pa.array(_pack_bucket_route(band_id, bh), type=pa.int64()),
+                "band_id": pa.array(band_id),
+                "band_hash": pa.array(bh, type=pa.int64()),
                 "doc_num": pa.array(np.repeat(doc_num, bcount), type=pa.int64()),
             }
         )
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    docs = np.unique(g["doc_num"].to_numpy())
-    if len(docs) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=np.int64)
-    if len(docs) > _MAX_BUCKET:
-        # cap hot buckets deterministically (keep lowest ids) and SAY so
-        # — silent truncation would read as full coverage
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (numpy 1.x has no
+    bitwise_count); unpackbits over the raw bytes."""
+    if not len(x):
+        return np.zeros(0, dtype=np.int64)
+    return np.unpackbits(np.ascontiguousarray(x).view(np.uint8)).reshape(len(x), 64).sum(
+        axis=1, dtype=np.int64
+    )
+
+
+def _bucket_pairs_block(table: pa.Table, max_hamming=None) -> pa.Table:
+    """One exchange partition: LSH-bucket rows -> candidate doc pairs.
+
+    Fully vectorized (no per-group Python): one lexsort by
+    (band_id, band_hash, doc), runs = buckets, within-run pair
+    expansion exactly as _gram_pairs_block. Hot buckets are capped at
+    the _MAX_BUCKET lowest doc ids — deterministically, and LOGGED
+    (silent truncation would read as full coverage). When the rows
+    carry a ``simhash`` column and ``max_hamming`` is set, Hamming
+    distance is computed per pair (vectorized popcount) and filtered.
+    """
+    has_sim = "simhash" in table.column_names
+    band_id = np.asarray(table["band_id"], dtype=np.int64)
+    band_hash = np.asarray(table["band_hash"], dtype=np.int64)
+    doc = np.asarray(table["doc_num"], dtype=np.int64)
+    sims = np.asarray(table["simhash"], dtype=np.int64) if has_sim else None
+
+    def _empty():
+        cols = {
+            "route": pa.array([], type=pa.int64()),
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+        }
+        if has_sim and max_hamming is not None:
+            cols["hamming"] = pa.array([], type=pa.int64())
+        return pa.table(cols)
+
+    n = len(doc)
+    if n < 2:
+        return _empty()
+    order = np.lexsort((doc, band_hash, band_id))
+    band_id, band_hash, doc = band_id[order], band_hash[order], doc[order]
+    if has_sim:
+        sims = sims[order]
+    # drop consecutive duplicate (bucket, doc) rows (defensive; a doc
+    # emits one row per band so these should not occur)
+    keep = np.ones(n, dtype=bool)
+    keep[1:] = (
+        (band_id[1:] != band_id[:-1])
+        | (band_hash[1:] != band_hash[:-1])
+        | (doc[1:] != doc[:-1])
+    )
+    if not keep.all():
+        band_id, band_hash, doc = band_id[keep], band_hash[keep], doc[keep]
+        if has_sim:
+            sims = sims[keep]
+        n = len(doc)
+
+    new_run = np.ones(n, dtype=bool)
+    new_run[1:] = (band_id[1:] != band_id[:-1]) | (band_hash[1:] != band_hash[:-1])
+    run_start = np.repeat(
+        np.flatnonzero(new_run), np.diff(np.append(np.flatnonzero(new_run), n))
+    )
+    w = np.arange(n, dtype=np.int64) - run_start
+    if int(w.max(initial=0)) >= _MAX_BUCKET:
         import logging
 
         logging.getLogger(__name__).warning(
             "LSH bucket capped: %d docs > %d; raise bands or _MAX_BUCKET",
-            len(docs),
+            int(w.max()) + 1,
             _MAX_BUCKET,
         )
-        docs = docs[:_MAX_BUCKET]
-    ia, ib = np.triu_indices(len(docs), k=1)
-    return pd.DataFrame({"doc_a": docs[ia], "doc_b": docs[ib]})
+        keep = w < _MAX_BUCKET  # sorted by doc -> keeps lowest ids
+        band_id, band_hash, doc = band_id[keep], band_hash[keep], doc[keep]
+        if has_sim:
+            sims = sims[keep]
+        n = len(doc)
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = (band_id[1:] != band_id[:-1]) | (band_hash[1:] != band_hash[:-1])
+        run_start = np.repeat(
+            np.flatnonzero(new_run), np.diff(np.append(np.flatnonzero(new_run), n))
+        )
+        w = np.arange(n, dtype=np.int64) - run_start
+
+    total_pairs = int(w.sum())
+    if total_pairs == 0:
+        return _empty()
+    b_idx = np.repeat(np.arange(n, dtype=np.int64), w)
+    p_start = np.zeros(n, dtype=np.int64)
+    p_start[1:] = np.cumsum(w)[:-1]
+    intra = np.arange(total_pairs, dtype=np.int64) - np.repeat(p_start, w)
+    a_idx = np.repeat(run_start, w) + intra
+
+    doc_a, doc_b = doc[a_idx], doc[b_idx]  # a < b: runs are doc-sorted
+    cols = {}
+    if has_sim and max_hamming is not None:
+        ham = _popcount64(sims[a_idx].view(np.uint64) ^ sims[b_idx].view(np.uint64))
+        m = ham <= max_hamming
+        doc_a, doc_b, ham = doc_a[m], doc_b[m], ham[m]
+        cols["hamming"] = ham
+    route = (
+        doc_a.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        ^ doc_b.view(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+    ).view(np.int64)
+    out = {
+        "route": pa.array(route, type=pa.int64()),
+        "doc_a": pa.array(doc_a, type=pa.int64()),
+        "doc_b": pa.array(doc_b, type=pa.int64()),
+    }
+    for name, v in cols.items():
+        out[name] = pa.array(v, type=pa.int64())
+    return pa.table(out)
 
 
-def minhash_candidates(docs_ds, k=5, num_perm=64, bands=8, seed=42):
-    """Candidate near-dup pairs (doc_a < doc_b), deduplicated."""
+def _pair_first_block(table: pa.Table) -> pa.Table:
+    """Second exchange: deduplicate candidate pairs — keep the first row
+    per (doc_a, doc_b) via one lexsort + first-of-run mask (replaces
+    the measured-slow groupby(["doc_a","doc_b"]).map_groups(head(1)))."""
+    a = np.asarray(table["doc_a"], dtype=np.int64)
+    b = np.asarray(table["doc_b"], dtype=np.int64)
+    order = np.lexsort((b, a))
+    first = np.ones(len(a), dtype=bool)
+    asort, bsort = a[order], b[order]
+    if len(a) > 1:
+        first[1:] = (asort[1:] != asort[:-1]) | (bsort[1:] != bsort[:-1])
+    return table.take(pa.array(order[first])).drop_columns(["route"])
+
+
+def minhash_candidates(docs_ds, k=5, num_perm=64, bands=8, seed=42, num_partitions=16):
+    """Candidate near-dup pairs (doc_a < doc_b), deduplicated.
+
+    Both wide steps run through the hash exchange with vectorized
+    kernels: bucket pair-generation (routed by LSH bucket) and pair
+    dedup (routed by pair key) — no Ray groupby, no per-group pandas.
+    """
+    from .exchange import hash_exchange
+
     band_rows = docs_ds.map_batches(
         MinHashSignatures(k=k, num_perm=num_perm, bands=bands, seed=seed),
         batch_format="pyarrow",
         concurrency=4,
     )
-    pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
+    pairs = hash_exchange(
+        band_rows, "route", _bucket_pairs_block, num_partitions=num_partitions
     )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    return hash_exchange(
+        pairs, "route", _pair_first_block, num_partitions=max(2, num_partitions // 2)
     )
 
 
@@ -194,70 +386,17 @@ def dup_groups_driver(pairs_df) -> "pd.DataFrame":
     return pd.DataFrame({"doc_num": docs, "group_id": [find(d) for d in docs]})
 
 
-def propagate_min_labels(pairs_ds, max_rounds: int = 10):
-    """Distributed connected components: iterative min-label propagation.
+def propagate_min_labels(pairs_ds, max_rounds: int = 64, num_partitions: int = 16):
+    """Distributed connected components — alias for
+    :func:`propagate_min_labels_exchange`.
 
-    Each round: labels flow across edges (union of both directions),
-    groupby(doc).min(label). Converges in O(component diameter)
-    rounds; LSH duplicate components are near-cliques so 2-3 rounds
-    suffice in practice. The groupby inputs shrink to one row per doc
-    after round one. Returns a Dataset (doc_num, group_id).
+    Round 1 also carried a driver-side variant (per-round broadcast
+    label dict + per-row relabel); it was a scale-killer and has been
+    removed so no pipeline can pick it by accident. The co-partitioned
+    exchange path is strictly better at every scale.
     """
-    import ray.data as rd
-    from ray.data.aggregate import Min
-
-    def edges_both(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch["doc_a"], dtype=np.int64)
-        b = np.asarray(batch["doc_b"], dtype=np.int64)
-        return pa.table(
-            {
-                "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
-                "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
-            }
-        )
-
-    edges = pairs_ds.map_batches(edges_both, batch_format="pyarrow").materialize()
-    # initial labels: label(doc) = min(doc, min neighbor)
-    start = edges.map_batches(
-        lambda t: pa.table(
-            {
-                "doc_num": t["src"],
-                "label": pa.array(
-                    np.minimum(
-                        np.asarray(t["src"], dtype=np.int64),
-                        np.asarray(t["dst"], dtype=np.int64),
-                    ),
-                    type=pa.int64(),
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    labels = start.groupby("doc_num").aggregate(Min("label", alias_name="label")).materialize()
-    for _ in range(max_rounds):
-        prev_df = labels.to_pandas().sort_values("doc_num").reset_index(drop=True)
-        # broadcast the label map for the relabel pass (at 10^9-doc
-        # scale this becomes a co-partitioned join on dst instead)
-        lmap = dict(zip(prev_df["doc_num"], prev_df["label"]))
-
-        def relabel(batch: pa.Table, lmap=lmap) -> pa.Table:
-            src = np.asarray(batch["src"], dtype=np.int64)
-            dst = np.asarray(batch["dst"], dtype=np.int64)
-            lab = np.asarray([lmap[int(d)] for d in dst], dtype=np.int64)
-            return pa.table(
-                {"doc_num": pa.array(src), "label": pa.array(lab, type=pa.int64())}
-            )
-
-        flowed = edges.map_batches(relabel, batch_format="pyarrow").union(labels)
-        labels = flowed.groupby("doc_num").aggregate(
-            Min("label", alias_name="label")
-        ).materialize()
-        cur_df = labels.to_pandas().sort_values("doc_num").reset_index(drop=True)
-        if cur_df.equals(prev_df):
-            break
-    return labels.map_batches(
-        lambda t: pa.table({"doc_num": t["doc_num"], "group_id": t["label"]}),
-        batch_format="pyarrow",
+    return propagate_min_labels_exchange(
+        pairs_ds, max_rounds=max_rounds, num_partitions=num_partitions
     )
 
 
@@ -265,12 +404,20 @@ def propagate_min_labels(pairs_ds, max_rounds: int = 10):
 
 
 class SimHashSignatures:
-    """64-bit SimHash over token hashes; emits 4x16-bit blocking bands."""
+    """64-bit SimHash over token hashes; emits 4x16-bit blocking bands.
+
+    Vectorized: tokens come from one Arrow whitespace split over the
+    whole batch, blake2b runs only over the batch's DICTIONARY of
+    unique tokens, and the per-doc ±1 bit accumulation is one
+    ``np.add.at`` — no per-word Python in the hot path. Output is
+    bit-identical to the per-word definition (sum of signs over all
+    token occurrences; bit set iff the sum is positive)."""
 
     def __init__(self, seed=42):
         self.seed = seed
 
     def _simhash(self, text: str) -> int:
+        """Per-doc reference (kept for tests/documentation)."""
         acc = np.zeros(64, dtype=np.int64)
         for w in (text or "").split():
             h = np.uint64(
@@ -280,18 +427,67 @@ class SimHashSignatures:
             acc += np.where(bits.astype(bool), 1, -1)
         return int(sum((1 << i) for i in range(64) if acc[i] > 0))
 
+    def simhashes(self, texts) -> np.ndarray:
+        """(N,) uint64 simhash per doc for an Arrow string column."""
+        import pyarrow.compute as pc
+
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = len(texts)
+        words_list = pc.utf8_split_whitespace(texts)
+        lens = np.asarray(pc.list_value_length(words_list), dtype=np.int64)
+        flat = pc.list_flatten(words_list)
+        word_doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+        # Arrow's split can emit empty tokens at string edges; Python's
+        # str.split() never does — drop them to keep parity.
+        nonempty = np.asarray(pc.utf8_length(flat)) > 0
+        if not nonempty.all():
+            word_doc = word_doc[nonempty]
+            flat = flat.filter(pa.array(nonempty))
+        dic = flat.dictionary_encode()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        vocab = dic.dictionary.to_pylist()
+        indices = np.asarray(dic.indices, dtype=np.int64)
+        hv = np.fromiter(
+            (
+                int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+                for w in vocab
+            ),
+            dtype=np.uint64,
+            count=len(vocab),
+        )
+        shifts = np.arange(64, dtype=np.uint64)
+        signs = (((hv[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int8) * 2 - 1).astype(
+            np.int64
+        )  # (U, 64) of ±1
+        acc = np.zeros((n, 64), dtype=np.int64)
+        if len(indices):
+            np.add.at(acc, word_doc, signs[indices])
+        return ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_num = np.asarray(batch["doc_num"], dtype=np.int64)
-        sims = np.asarray(
-            [self._simhash(t) for t in batch["text"].to_pylist()], dtype=np.uint64
-        )
         n = len(doc_num)
+        if n == 0:
+            empty = pa.array([], type=pa.int64())
+            return pa.table(
+                {
+                    "route": empty,
+                    "band_id": empty,
+                    "band_hash": empty,
+                    "doc_num": empty,
+                    "simhash": empty,
+                }
+            )
+        sims = self.simhashes(batch["text"])
         band_id = np.tile(np.arange(4, dtype=np.int64), n)
         band_val = np.empty(4 * n, dtype=np.int64)
         for bd in range(4):
             band_val[bd::4] = ((sims >> np.uint64(16 * bd)) & np.uint64(0xFFFF)).astype(np.int64)
         return pa.table(
             {
+                "route": pa.array(_pack_bucket_route(band_id, band_val), type=pa.int64()),
                 "band_id": pa.array(band_id),
                 "band_hash": pa.array(band_val),
                 "doc_num": pa.array(np.repeat(doc_num, 4), type=pa.int64()),
@@ -300,26 +496,27 @@ class SimHashSignatures:
         )
 
 
-def simhash_candidates(docs_ds, max_hamming=3):
-    """Near-dup pairs by SimHash banding + Hamming verification."""
+def simhash_candidates(docs_ds, max_hamming=3, num_partitions=16):
+    """Near-dup pairs by SimHash banding + Hamming verification.
+
+    Same exchange topology as minhash_candidates: bucket pair-gen and
+    pair dedup are vectorized hash-exchange combines (Hamming distance
+    computed per pair inside the bucket combine, vectorized popcount).
+    """
+    import functools
+
+    from .exchange import hash_exchange
+
     rows = docs_ds.map_batches(SimHashSignatures(), batch_format="pyarrow", concurrency=4)
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_num").sort_values("doc_num")
-        docs = g["doc_num"].to_numpy()
-        sims = g["simhash"].to_numpy().astype(np.uint64)
-        if len(docs) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}, dtype=np.int64)
-        if len(docs) > _MAX_BUCKET:
-            docs, sims = docs[:_MAX_BUCKET], sims[:_MAX_BUCKET]
-        ia, ib = np.triu_indices(len(docs), k=1)
-        x = sims[ia] ^ sims[ib]
-        ham = np.asarray([bin(int(v)).count("1") for v in x], dtype=np.int64)
-        m = ham <= max_hamming
-        return pd.DataFrame({"doc_a": docs[ia][m], "doc_b": docs[ib][m], "hamming": ham[m]})
-
-    cand = rows.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    pairs = hash_exchange(
+        rows,
+        "route",
+        functools.partial(_bucket_pairs_block, max_hamming=max_hamming),
+        num_partitions=num_partitions,
+    )
+    return hash_exchange(
+        pairs, "route", _pair_first_block, num_partitions=max(2, num_partitions // 2)
+    )
 
 
 # ---- n-gram Jaccard (exact, oracle-parity) -----------------------------
@@ -403,9 +600,19 @@ def _shingle_rows(batch: pa.Table, k: int) -> pa.Table:
     )
 
 
-def _gram_pairs_block(table: pa.Table) -> pa.Table:
+def _gram_pairs_block(table: pa.Table, max_df=None) -> pa.Table:
     """One exchange partition: group rows by gram, emit doc pairs with
-    per-partition intersection partial-sums. (a, b) ordered a < b."""
+    per-partition intersection partial-sums. (a, b) ordered a < b.
+
+    ``max_df``: optional hot-gram cut — a gram shared by more than
+    max_df docs is DROPPED entirely (m²/2 pair partials for a
+    stop-gram carry almost no Jaccard signal but dominate the shuffle
+    at web scale). Routing is by gram, so the per-gram doc frequency
+    seen here is the exact global df. Off by default to keep the
+    DuckDB oracle comparison exact; when it fires it is LOGGED with
+    the dropped-gram count. Dropping grams can only lower ``inter``,
+    so pairs may fall below threshold (under-merge) — never
+    over-merge."""
     hi = np.asarray(table["hi"], dtype=np.int64)
     lo = np.asarray(table["lo"], dtype=np.int64)
     doc = np.asarray(table["doc"], dtype=np.int64)
@@ -414,6 +621,23 @@ def _gram_pairs_block(table: pa.Table) -> pa.Table:
     order = np.lexsort((doc, lo, hi))
     hi, lo, doc, n_sh = hi[order], lo[order], doc[order], n_sh[order]
     n = len(doc)
+    if max_df is not None and n:
+        run_id = np.zeros(n, dtype=np.int64)
+        run_id[1:] = np.cumsum((hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1]))
+        df = np.bincount(run_id)
+        hot = df > max_df
+        if hot.any():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram max_df cut: dropped %d grams with df > %d (max seen %d)",
+                int(hot.sum()),
+                max_df,
+                int(df.max()),
+            )
+            keep = ~hot[run_id]
+            hi, lo, doc, n_sh = hi[keep], lo[keep], doc[keep], n_sh[keep]
+            n = len(doc)
     empty = pa.table(
         {
             "route": pa.array([], type=pa.int64()),
@@ -498,7 +722,9 @@ def _sum_pairs_block(table: pa.Table) -> pa.Table:
     )
 
 
-def ngram_jaccard_pairs(docs_ds, k: int = 12, threshold: float = 0.5, num_buckets: int = 32):
+def ngram_jaccard_pairs(
+    docs_ds, k: int = 12, threshold: float = 0.5, num_buckets: int = 32, max_df=None
+):
     """Exact n-gram Jaccard near-dup pairs over the docs table.
 
     Returns (doc_a, doc_b, inter, jaccard) for every unordered doc
@@ -506,10 +732,10 @@ def ngram_jaccard_pairs(docs_ds, k: int = 12, threshold: float = 0.5, num_bucket
     LSH approximation): the inverted-index join generates a pair
     candidate per shared gram, partial-summed inside each partition
     before the pair exchange — the same combiner-before-shuffle shape
-    as the pyramid. Skew: a gram shared by m docs in one partition
-    emits m(m-1)/2 partials; at web scale drop top-frequency grams
-    upstream (they carry no Jaccard signal) — not done here because
-    the oracle comparison must stay exact.
+    as the pyramid. Skew: a gram shared by m docs emits m(m-1)/2
+    partials; pass ``max_df`` to drop grams shared by more than that
+    many docs (exact global df — routing is by gram; logged when it
+    fires; off by default so the oracle comparison stays exact).
     """
     import functools
 
@@ -519,7 +745,10 @@ def ngram_jaccard_pairs(docs_ds, k: int = 12, threshold: float = 0.5, num_bucket
         functools.partial(_shingle_rows, k=k), batch_format="pyarrow"
     )
     partial_pairs = hash_exchange(
-        shingles, "route", _gram_pairs_block, num_partitions=num_buckets
+        shingles,
+        "route",
+        functools.partial(_gram_pairs_block, max_df=max_df),
+        num_partitions=num_buckets,
     )
     totals = hash_exchange(
         partial_pairs, "route", _sum_pairs_block, num_partitions=max(2, num_buckets // 4)

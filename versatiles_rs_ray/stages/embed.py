@@ -42,7 +42,7 @@ class CosineTopKPartial:
         norms[norms == 0] = 1.0
         mn = m / norms
         k = self.k
-        vals_parts, ids_parts = [], []
+        q_parts, id_parts, val_parts = [], [], []
         for start in range(0, len(ids), self.CHUNK):
             sl = slice(start, start + self.CHUNK)
             sims = (self.qn @ mn[sl].T).astype(np.float64)  # (Q, chunk)
@@ -51,24 +51,38 @@ class CosineTopKPartial:
             kk = min(2 * k, sims.shape[1])
             if kk < sims.shape[1]:
                 part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                # widen to boundary ties (see stages/join.KnnPartial):
+                # keeps the (sim desc, id asc) tie-break exact even
+                # when > kk candidates share the k-th similarity
+                boundary = np.take_along_axis(sims, part, axis=1).min(axis=1)
+                rows, cols = np.nonzero(sims >= boundary[:, None])
             else:
-                part = np.broadcast_to(np.arange(sims.shape[1]), sims.shape)
-            vals_parts.append(np.take_along_axis(sims, part, axis=1))
-            ids_parts.append(ids[sl][part])
-        vals = np.concatenate(vals_parts, axis=1)
-        cids = np.concatenate(ids_parts, axis=1)
-        qs, ns, ss = [], [], []
-        for qi in range(vals.shape[0]):
-            order = np.lexsort((cids[qi], -vals[qi]))[:k]
-            order = order[vals[qi][order] > -np.inf]
-            qs.append(np.full(len(order), self.q_ids[qi], dtype=np.int64))
-            ns.append(cids[qi][order])
-            ss.append(vals[qi][order])
+                rows, cols = np.nonzero(np.isfinite(sims) | np.isinf(sims))
+            q_parts.append(rows.astype(np.int64))
+            id_parts.append(ids[sl][cols])
+            val_parts.append(sims[rows, cols])
+        if not q_parts:
+            empty64 = pa.array([], type=pa.int64())
+            return pa.table({"q_id": empty64, "vec_id": empty64,
+                             "sim": pa.array([], type=pa.float64())})
+        qidx = np.concatenate(q_parts)
+        ids_f = np.concatenate(id_parts)
+        vals_f = np.concatenate(val_parts)
+        finite = vals_f > -np.inf
+        qidx, ids_f, vals_f = qidx[finite], ids_f[finite], vals_f[finite]
+        order = np.lexsort((ids_f, -vals_f, qidx))
+        qs, vs, cs = qidx[order], vals_f[order], ids_f[order]
+        n = len(qs)
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = qs[1:] != qs[:-1]
+        starts = np.flatnonzero(new_run)
+        run_start = np.repeat(starts, np.diff(np.append(starts, n)))
+        keep = (np.arange(n, dtype=np.int64) - run_start) < k
         return pa.table(
             {
-                "q_id": pa.array(np.concatenate(qs), type=pa.int64()),
-                "vec_id": pa.array(np.concatenate(ns), type=pa.int64()),
-                "sim": pa.array(np.concatenate(ss), type=pa.float64()),
+                "q_id": pa.array(self.q_ids[qs[keep]], type=pa.int64()),
+                "vec_id": pa.array(cs[keep], type=pa.int64()),
+                "sim": pa.array(vs[keep], type=pa.float64()),
             }
         )
 

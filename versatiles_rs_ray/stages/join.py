@@ -109,7 +109,7 @@ class KnnPartial:
         c_lon = np.asarray(batch["lon"], dtype=np.float64)
         c_lat = np.asarray(batch["lat"], dtype=np.float64)
         k = self.k
-        vals_parts, ids_parts = [], []
+        q_parts, id_parts, val_parts = [], [], []
         for start in range(0, len(c_id), self.CHUNK):
             sl = slice(start, start + self.CHUNK)
             dlon = self.q_lon[:, None] - c_lon[None, sl]
@@ -117,28 +117,45 @@ class KnnPartial:
             d2 = dlon * dlon + dlat * dlat  # (Q, chunk)
             if self.exclude_self:
                 d2[self.q_ids[:, None] == c_id[None, sl]] = np.inf
-            kk = min(2 * k, d2.shape[1])  # margin so boundary ties resolve by id
+            kk = min(2 * k, d2.shape[1])
             if kk < d2.shape[1]:
                 part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                # widen to EVERY candidate tied with the boundary
+                # distance: argpartition picks arbitrarily among ties,
+                # so without this a degenerate chunk with > kk equal
+                # distances could drop the lowest-id candidates and
+                # break the deterministic (distance, id) contract
+                boundary = np.take_along_axis(d2, part, axis=1).max(axis=1)
+                rows, cols = np.nonzero(d2 <= boundary[:, None])
             else:
-                part = np.broadcast_to(np.arange(d2.shape[1]), (d2.shape[0], d2.shape[1]))
-            vals_parts.append(np.take_along_axis(d2, part, axis=1))
-            ids_parts.append(c_id[sl][part])
-        vals = np.concatenate(vals_parts, axis=1)  # (Q, chunks*kk)
-        ids = np.concatenate(ids_parts, axis=1)
-        qs, ns, ds = [], [], []
-        for qi in range(vals.shape[0]):
-            order = np.lexsort((ids[qi], vals[qi]))[:k]
-            keep = vals[qi][order] < np.inf
-            order = order[keep]
-            qs.append(np.full(len(order), self.q_ids[qi], dtype=np.int64))
-            ns.append(ids[qi][order])
-            ds.append(vals[qi][order])
+                rows, cols = np.nonzero(np.isfinite(d2) | np.isinf(d2))
+            q_parts.append(rows.astype(np.int64))
+            id_parts.append(c_id[sl][cols])
+            val_parts.append(d2[rows, cols])
+        if not q_parts:
+            empty64 = pa.array([], type=pa.int64())
+            return pa.table({"q_doc": empty64, "n_doc": empty64,
+                             "d2": pa.array([], type=pa.float64())})
+        qidx = np.concatenate(q_parts)
+        ids_f = np.concatenate(id_parts)
+        vals_f = np.concatenate(val_parts)
+        finite = vals_f < np.inf
+        qidx, ids_f, vals_f = qidx[finite], ids_f[finite], vals_f[finite]
+        # exact per-query top-k over the (small) widened candidate set:
+        # one lexsort by (query, distance, id) + first-k-per-run mask
+        order = np.lexsort((ids_f, vals_f, qidx))
+        qs, vs, cs = qidx[order], vals_f[order], ids_f[order]
+        n = len(qs)
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = qs[1:] != qs[:-1]
+        starts = np.flatnonzero(new_run)
+        run_start = np.repeat(starts, np.diff(np.append(starts, n)))
+        keep = (np.arange(n, dtype=np.int64) - run_start) < k
         return pa.table(
             {
-                "q_doc": pa.array(np.concatenate(qs), type=pa.int64()),
-                "n_doc": pa.array(np.concatenate(ns), type=pa.int64()),
-                "d2": pa.array(np.concatenate(ds), type=pa.float64()),
+                "q_doc": pa.array(self.q_ids[qs[keep]], type=pa.int64()),
+                "n_doc": pa.array(cs[keep], type=pa.int64()),
+                "d2": pa.array(vs[keep], type=pa.float64()),
             }
         )
 

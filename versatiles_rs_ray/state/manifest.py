@@ -57,6 +57,40 @@ class Manifest:
     def is_done(self, partition: str) -> bool:
         return partition in self.load()
 
+    def _all_records(self) -> dict:
+        """partition -> LATEST record, regardless of lineage."""
+        recs = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        rec = json.loads(line)
+                        recs[rec["partition"]] = rec
+        return recs
+
+    def invalidate_stale(self) -> list:
+        """Delete partition dirs whose latest record carries a DIFFERENT
+        lineage (input/params changed) and rewrite the manifest with
+        only current-lineage records — otherwise an interrupted rebuild
+        would silently mix old- and new-lineage partitions in reads.
+        Returns the removed partition ids."""
+        recs = self._all_records()
+        stale = [p for p, r in recs.items() if r.get("lineage") != self.lineage]
+        if not stale:
+            return []
+        for p in stale:
+            d = self.partition_dir(p)
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        keep = [r for r in recs.values() if r.get("lineage") == self.lineage]
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            for r in keep:
+                f.write(json.dumps(r) + "\n")
+        os.replace(tmp, self.path)
+        return stale
+
     def partition_dir(self, partition: str) -> str:
         return os.path.join(self.out_dir, partition)
 
