@@ -1,0 +1,192 @@
+"""Pure-stdlib PNG codec (zlib) — 8-bit L / LA / RGB / RGBA.
+
+Un-gates the raster surface in this sandbox: the reference encodes
+PNG via the `png` crate (versatiles_image/src/format/png.rs, used by
+`raster_format`, all.rs:32-54); no image libraries ship in this
+container, so this module implements the subset the reference uses —
+8-bit greyscale/alpha/truecolor, non-interlaced — from the public PNG
+specification (RFC 2083 / ISO 15948) on numpy + zlib only.
+
+Determinism contract: fixed zlib level, per-row filter chosen by the
+standard minimum-sum-of-absolute-differences heuristic restricted to
+filters {None, Sub, Up} (all three vectorize on decode as well), so
+output bytes are identical across workers and runs. The decoder
+accepts ALL five filter types (Average/Paeth appear in foreign files;
+they take a per-row pixel loop — correct, just not our hot path).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+_LEVEL = 6  # fixed zlib level -> deterministic bytes
+
+# color type <-> channel count (8-bit only)
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_COLOR_TYPE = {1: 0, 3: 2, 2: 4, 4: 6}
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, compress_level: int = _LEVEL) -> bytes:
+    """numpy (H, W) or (H, W, C) uint8 -> PNG bytes.
+
+    C in {1: L, 2: LA, 3: RGB, 4: RGBA}. Per-row adaptive filtering
+    over {0 None, 1 Sub, 2 Up} by the minimum-absolute-sum heuristic,
+    computed for the whole image vectorized.
+    """
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c not in _COLOR_TYPE:
+        raise ValueError(f"unsupported channel count {c}")
+    color_type = _COLOR_TYPE[c]
+    flat = arr.reshape(h, w * c)
+
+    # candidate filters, whole-image vectorized
+    f0 = flat
+    f1 = flat.copy()
+    f1[:, c:] = flat[:, c:] - flat[:, :-c]  # uint8 wrap == mod 256
+    f2 = flat.copy()
+    f2[1:] = flat[1:] - flat[:-1]
+    # heuristic score: sum of |signed byte| per row
+    def score(x):
+        return np.abs(x.astype(np.int8).astype(np.int32)).sum(axis=1)
+
+    scores = np.stack([score(f0), score(f1), score(f2)])  # (3, H)
+    choice = np.argmin(scores, axis=0).astype(np.uint8)  # first minimum -> deterministic
+    stacked = np.stack([f0, f1, f2])  # (3, H, W*C)
+    filtered = stacked[choice, np.arange(h)]  # (H, W*C)
+    raw = np.concatenate([choice[:, None], filtered], axis=1)  # filter byte + row
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(raw.tobytes(), compress_level)
+    return _SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _paeth(a, b, cc):
+    p = int(a) + int(b) - int(cc)
+    pa_, pb, pc = abs(p - int(a)), abs(p - int(b)), abs(p - int(cc))
+    if pa_ <= pb and pa_ <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return cc
+
+
+def decode_png(data: bytes) -> tuple:
+    """PNG bytes -> (array (H, W, C) uint8, color_type).
+
+    8-bit, non-interlaced, color types 0/2/4/6. All five filters
+    supported ({0,1,2} vectorized; 3/4 per-pixel for foreign files).
+    """
+    if data[:8] != _SIGNATURE:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    w = h = None
+    color_type = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if bit_depth != 8:
+                raise ValueError(f"only 8-bit PNG supported (got {bit_depth})")
+            if color_type not in _CHANNELS:
+                raise ValueError(f"unsupported color type {color_type}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    c = _CHANNELS[color_type]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * c
+    rows = raw.reshape(h, stride + 1)
+    filters = rows[:, 0]
+    out = np.empty((h, stride), dtype=np.uint8)
+    for r in range(h):
+        f = filters[r]
+        line = rows[r, 1:].copy()
+        prev = out[r - 1] if r else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[r] = line
+        elif f == 1:  # Sub: prefix sum per channel lane (mod 256)
+            lanes = line.reshape(w, c)
+            out[r] = np.cumsum(lanes.astype(np.uint64), axis=0).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            out[r] = line + prev
+        elif f == 3:  # Average
+            rec = out[r]
+            for i in range(stride):
+                left = rec[i - c] if i >= c else 0
+                rec[i] = (int(line[i]) + ((int(left) + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = out[r]
+            for i in range(stride):
+                left = rec[i - c] if i >= c else 0
+                ul = prev[i - c] if i >= c else 0
+                rec[i] = (int(line[i]) + _paeth(left, prev[i], ul)) & 0xFF
+        else:
+            raise ValueError(f"bad filter byte {f}")
+    return out.reshape(h, w, c), color_type
+
+
+def decode_png_rgba(data: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, 4) RGBA (greyscale/opaque expanded)."""
+    arr, color_type = decode_png(data)
+    h, w, c = arr.shape
+    out = np.empty((h, w, 4), dtype=np.uint8)
+    if c == 1:  # L
+        out[..., :3] = arr
+        out[..., 3] = 255
+    elif c == 2:  # LA
+        out[..., :3] = arr[..., :1]
+        out[..., 3] = arr[..., 1]
+    elif c == 3:  # RGB
+        out[..., :3] = arr
+        out[..., 3] = 255
+    else:
+        out[:] = arr
+    return out
+
+
+def encode_png_auto(arr: np.ndarray, compress_level: int = _LEVEL) -> bytes:
+    """Encode RGBA with automatic mode narrowing: drop the alpha
+    channel when fully opaque and collapse to greyscale when R=G=B —
+    the smallest exact representation (same policy as the reference's
+    `best` simplification in versatiles_image convert.rs:23-43)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        return encode_png(arr, compress_level)
+    h, w, c = arr.shape
+    if c == 4:
+        opaque = bool((arr[..., 3] == 255).all())
+        grey = bool(
+            (arr[..., 0] == arr[..., 1]).all() and (arr[..., 1] == arr[..., 2]).all()
+        )
+        if opaque and grey:
+            return encode_png(arr[..., 0], compress_level)
+        if opaque:
+            return encode_png(arr[..., :3], compress_level)
+        if grey:
+            return encode_png(arr[..., [0, 3]], compress_level)
+    return encode_png(arr, compress_level)

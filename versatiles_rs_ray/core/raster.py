@@ -157,9 +157,19 @@ def parse_quality_schedule(text) -> list:
 
 
 def encode(arr: np.ndarray, fmt: str, quality=None):
-    """Encode RGBA -> bytes. Only 'rgba-raw' works without Pillow."""
+    """Encode RGBA -> bytes.
+
+    'png' is always available (pure-stdlib codec, core/png.py; PNG is
+    lossless so `quality` is ignored — reference parity:
+    versatiles_image/src/format/png.rs takes no quality either).
+    'rgba-raw' is the zero-cost interchange; JPEG/WEBP/AVIF remain
+    Pillow-gated."""
     if fmt == RAW_FORMAT:
         return from_array(arr)
+    if fmt == "png":
+        from . import png as _png
+
+        return _png.encode_png_auto(arr)
     if _PILImage is None:  # pragma: no cover
         raise NotImplementedError(f"encoding {fmt!r} needs Pillow (not in sandbox)")
     import io
@@ -173,6 +183,10 @@ def encode(arr: np.ndarray, fmt: str, quality=None):
 def decode(payload: bytes, fmt: str, width=None, height=None) -> np.ndarray:
     if fmt == RAW_FORMAT:
         return to_array(payload, width, height)
+    if fmt == "png":
+        from . import png as _png
+
+        return _png.decode_png_rgba(payload)
     if _PILImage is None:  # pragma: no cover
         raise NotImplementedError(f"decoding {fmt!r} needs Pillow (not in sandbox)")
     import io

@@ -49,9 +49,12 @@ def raster_flatten(ds, bg=(255, 255, 255)):
 def raster_format(ds, fmt, quality_schedule=None, speed=None):
     """Transcode with per-zoom quality (raster_format.rs:83-167).
 
-    The schedule parser is the exact reference port; actual PNG/WEBP
-    encoding needs Pillow (gated in core/raster.py) — with the raw
-    format this is a validated no-op pass-through of the plumbing.
+    The schedule parser is the exact reference port. ``fmt="png"``
+    emits REAL encoded tiles via the pure-stdlib codec (core/png.py,
+    auto mode-narrowing, deterministic bytes; PNG is lossless so the
+    quality value is ignored — reference parity with
+    versatiles_image/src/format/png.rs). JPEG/WEBP/AVIF remain
+    Pillow-gated in core/raster.py.
     """
     schedule = raster.parse_quality_schedule(quality_schedule)
 
