@@ -188,55 +188,121 @@ def write_pmtiles(ds, path: str, metadata=None, tile_type=TILETYPE_UNKNOWN,
     return len(entries)
 
 
-def read_pmtiles(path: str):
-    """PMTiles archive -> Dataset of (z, x, y, payload) + metadata."""
-    import ray.data as rd
+def read_pmtiles_entries(path: str):
+    """Parse header + directories -> (entries list, data_off).
 
-    with open(path, "rb") as f:
-        raw = f.read()
-    assert raw[0:7] == MAGIC and raw[7] == VERSION, "not a PMTiles v3 file"
-    (root_off, root_len, meta_off, meta_len, leaf_off, leaf_len,
-     data_off, _data_len) = struct.unpack_from("<QQQQQQQQ", raw, 8)
-    internal = raw[97]
+    Works over local paths AND http(s):// URLs (range reads only; the
+    directory section is tiny — reference remote-source semantics,
+    data_reader_http.rs)."""
+    from .data_reader import open_data_reader
+
+    reader = open_data_reader(path)
+    header = reader.read(0, HEADER_SIZE)
+    assert header[0:7] == MAGIC and header[7] == VERSION, "not a PMTiles v3 file"
+    (root_off, root_len, _meta_off, _meta_len, leaf_off, _leaf_len,
+     data_off, _data_len) = struct.unpack_from("<QQQQQQQQ", header, 8)
+    internal = header[97]
 
     def _maybe_gunzip(b):
         return gzip.decompress(b) if internal == COMPRESSION_GZIP else b
 
-    root = _decode_directory(_maybe_gunzip(raw[root_off : root_off + root_len]))
+    root = _decode_directory(_maybe_gunzip(reader.read(root_off, root_len)))
     entries = []
     for tid, off, ln, rl in root:
         if rl == 0:  # leaf pointer
-            leaf = _decode_directory(
-                _maybe_gunzip(raw[leaf_off + off : leaf_off + off + ln])
-            )
+            leaf = _decode_directory(_maybe_gunzip(reader.read(leaf_off + off, ln)))
             entries.extend(leaf)
         else:
             entries.append((tid, off, ln, rl))
+    return entries, data_off
 
-    zs, xs, ys, payloads = [], [], [], []
-    for tid, off, ln, _rl in entries:
-        z, x, y = hilbert_to_coord(tid)
-        zs.append(z)
-        xs.append(x)
-        ys.append(y)
-        payloads.append(raw[data_off + off : data_off + off + ln])
+
+class _FetchPMTilesPayloads:
+    """map_batches stage: (tid, off, ln) entry rows -> tile rows.
+
+    Each task re-opens its own reader from the URL/path and issues ONE
+    coalesced range read per batch when the batch's entries are dense
+    (they are — the archive is clustered in Hilbert order), falling
+    back to per-entry reads on sparse batches.
+    """
+
+    def __init__(self, path: str, data_off: int):
+        from .data_reader import open_data_reader
+
+        self.reader = open_data_reader(path)
+        self.data_off = data_off
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tids = np.asarray(batch["tid"], dtype=np.int64)
+        offs = np.asarray(batch["off"], dtype=np.int64)
+        lens = np.asarray(batch["len"], dtype=np.int64)
+        if len(tids) == 0:
+            empty64 = pa.array([], type=pa.int64())
+            return pa.table({"z": empty64, "x": empty64, "y": empty64,
+                             "payload": pa.array([], type=pa.binary())})
+        start = int(offs.min())
+        end = int((offs + lens).max())
+        if int(lens.sum()) * 2 >= end - start:  # dense -> one range read
+            blob = self.reader.read(self.data_off + start, end - start)
+            payloads = [
+                blob[int(o) - start : int(o) - start + int(l)]
+                for o, l in zip(offs, lens)
+            ]
+        else:  # sparse -> per-entry reads
+            payloads = [
+                self.reader.read(self.data_off + int(o), int(l))
+                for o, l in zip(offs, lens)
+            ]
+        zs = np.empty(len(tids), dtype=np.int64)
+        xs = np.empty(len(tids), dtype=np.int64)
+        ys = np.empty(len(tids), dtype=np.int64)
+        for i, tid in enumerate(tids.tolist()):
+            zs[i], xs[i], ys[i] = hilbert_to_coord(tid)
+        return pa.table(
+            {
+                "z": pa.array(zs, type=pa.int64()),
+                "x": pa.array(xs, type=pa.int64()),
+                "y": pa.array(ys, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+
+def read_pmtiles(path: str, entries_per_block: int = 4096):
+    """PMTiles archive -> Dataset of (z, x, y, payload).
+
+    Distributed: the (small) directory is decoded on the driver, then
+    entry blocks fan out as Dataset tasks that each range-read their
+    own clustered byte span — no whole-archive driver read, and the
+    same code path serves local files and http(s):// URLs.
+    """
+    import ray.data as rd
+
+    entries, data_off = read_pmtiles_entries(path)
     table = pa.table(
         {
-            "z": pa.array(zs, type=pa.int64()),
-            "x": pa.array(xs, type=pa.int64()),
-            "y": pa.array(ys, type=pa.int64()),
-            "payload": pa.array(payloads, type=pa.binary()),
+            "tid": pa.array([e[0] for e in entries], type=pa.int64()),
+            "off": pa.array([e[1] for e in entries], type=pa.int64()),
+            "len": pa.array([e[2] for e in entries], type=pa.int64()),
         }
     )
-    return rd.from_arrow(table)
+    num_blocks = max(1, (len(entries) + entries_per_block - 1) // entries_per_block)
+    return rd.from_arrow(table).repartition(num_blocks).map_batches(
+        _FetchPMTilesPayloads,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"path": path, "data_off": data_off},
+        concurrency=(1, 8),
+    )
 
 
 def read_pmtiles_metadata(path: str) -> dict:
-    with open(path, "rb") as f:
-        raw = f.read()
-    meta_off, meta_len = struct.unpack_from("<QQ", raw, 24)
-    internal = raw[97]
-    blob = raw[meta_off : meta_off + meta_len]
+    from .data_reader import open_data_reader
+
+    reader = open_data_reader(path)
+    header = reader.read(0, HEADER_SIZE)
+    meta_off, meta_len = struct.unpack_from("<QQ", header, 24)
+    internal = header[97]
+    blob = reader.read(meta_off, meta_len)
     if internal == COMPRESSION_GZIP:
         blob = gzip.decompress(blob)
     return json.loads(blob)

@@ -28,18 +28,26 @@ from .pmtiles import COMPRESSION_GZIP, MAGIC, VERSION, _decode_directory
 
 
 class PMTilesRandomAccess:
-    """Open once, then O(log n) get_tile by binary search on tile ids."""
+    """Open once, then O(log n) get_tile by binary search on tile ids.
+
+    Works over local paths AND http(s):// URLs: every access is a
+    range read through sources/data_reader (the reference's remote
+    fast path, data_reader_http.rs + versatiles reader LimitedCache).
+    """
 
     def __init__(self, path: str):
+        from .data_reader import open_data_reader
+
         self.path = path
-        with open(path, "rb") as f:
-            header = f.read(127)
-            assert header[0:7] == MAGIC and header[7] == VERSION
-            (root_off, root_len, _m_off, _m_len, self.leaf_off, _l_len,
-             self.data_off, _d_len) = struct.unpack_from("<QQQQQQQQ", header, 8)
-            self._internal = header[97]
-            f.seek(root_off)
-            self.root = _decode_directory(self._maybe_gunzip(f.read(root_len)))
+        self._reader = open_data_reader(path)
+        header = self._reader.read(0, 127)
+        assert header[0:7] == MAGIC and header[7] == VERSION
+        (root_off, root_len, _m_off, _m_len, self.leaf_off, _l_len,
+         self.data_off, _d_len) = struct.unpack_from("<QQQQQQQQ", header, 8)
+        self._internal = header[97]
+        self.root = _decode_directory(
+            self._maybe_gunzip(self._reader.read(root_off, root_len))
+        )
         self._root_ids = np.asarray([e[0] for e in self.root], dtype=np.int64)
         self._leaf_cache = {}  # leaf offset -> decoded entries (the LimitedCache analogue)
 
@@ -54,11 +62,9 @@ class PMTilesRandomAccess:
         if entry[3] == 0:  # leaf pointer
             off, ln = entry[1], entry[2]
             if off not in self._leaf_cache:
-                with open(self.path, "rb") as f:
-                    f.seek(self.leaf_off + off)
-                    self._leaf_cache[off] = _decode_directory(
-                        self._maybe_gunzip(f.read(ln))
-                    )
+                self._leaf_cache[off] = _decode_directory(
+                    self._maybe_gunzip(self._reader.read(self.leaf_off + off, ln))
+                )
             return self._leaf_cache[off]
         return self.root
 
@@ -72,9 +78,7 @@ class PMTilesRandomAccess:
         etid, off, ln, rl = entries[i]
         if not (etid <= tid < etid + max(rl, 1)):
             return None
-        with open(self.path, "rb") as f:
-            f.seek(self.data_off + off)
-            return f.read(ln)
+        return self._reader.read(self.data_off + off, ln)
 
 
 class PyramidRandomAccess:
