@@ -84,3 +84,38 @@ def test_sessionize_matches_brute(ray_session, sf_dir):
         rows, columns=["user_id", "session_id", "n_events", "start_us", "end_us"]
     ).sort_values(["user_id", "session_id"]).reset_index(drop=True)
     assert got[brute.columns.tolist()].astype("int64").equals(brute.astype("int64"))
+
+
+def test_coverage_runs_exchange_matches_brute(ray_session):
+    """Exchange-merged runs == brute-force per-row runs, including
+    cross-batch overlaps and duplicate tiles."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.probe import coverage_runs
+
+    rng = np.random.default_rng(11)
+    pts = set()
+    for _ in range(400):
+        pts.add((int(rng.integers(0, 40)), int(rng.integers(0, 12))))
+    xs = [p[0] for p in pts] + [p[0] for p in list(pts)[:50]]  # dup rows
+    ys = [p[1] for p in pts] + [p[1] for p in list(pts)[:50]]
+    t = pa.table(
+        {
+            "z": pa.array([6] * len(xs), type=pa.int64()),
+            "x": pa.array(xs, type=pa.int64()),
+            "y": pa.array(ys, type=pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(7)  # force cross-batch splits
+    got = coverage_runs(ds, 6, num_partitions=4)
+    # brute force
+    want = []
+    for y in sorted({p[1] for p in pts}):
+        row = np.sort(np.asarray([p[0] for p in pts if p[1] == y]))
+        brk = np.flatnonzero(np.diff(row) > 1)
+        starts = np.concatenate(([0], brk + 1))
+        ends = np.concatenate((brk, [len(row) - 1]))
+        want += [(y, int(row[s]), int(row[e])) for s, e in zip(starts, ends)]
+    assert got == sorted(want)

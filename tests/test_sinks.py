@@ -177,3 +177,33 @@ def test_byte_sizes_respects_array_offset():
     assert byte_sizes(arr.slice(1, 0)).tolist() == []
     big = pa.array([b"x" * i for i in range(5)], type=pa.large_binary())
     assert byte_sizes(big.slice(2, 3)).tolist() == [2, 3, 4]
+
+
+def test_mbtiles_sharded_read_equality(tile_ds, tmp_path):
+    """Tiny rows_per_shard forces multiple rowid-range shards; result
+    must equal the single-shard read."""
+    from versatiles_rs_ray.sources import tiles_io
+
+    ds, rows = tile_ds
+    path = str(tmp_path / "s.mbtiles")
+    tiles_io.write_mbtiles(ds, path)
+    one = tiles_io.read_mbtiles(path).to_pandas()
+    many = tiles_io.read_mbtiles(path, rows_per_shard=7).to_pandas()
+    key = lambda df: sorted(
+        (r.z, r.x, r.y, bytes(r.payload)) for r in df.itertuples()
+    )
+    assert key(one) == key(many) and len(one) == len(rows)
+
+
+def test_tar_sharded_read_equality(tile_ds, tmp_path):
+    from versatiles_rs_ray.sources import tiles_io
+
+    ds, rows = tile_ds
+    path = str(tmp_path / "s.tar")
+    tiles_io.write_tar_tiles(ds, path)
+    one = tiles_io.read_tar_tiles(path).to_pandas()
+    many = tiles_io.read_tar_tiles(path, entries_per_shard=5).to_pandas()
+    key = lambda df: sorted(
+        (r.z, r.x, r.y, bytes(r.payload)) for r in df.itertuples()
+    )
+    assert key(one) == key(many) and len(one) == len(rows)

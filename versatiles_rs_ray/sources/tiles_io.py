@@ -121,26 +121,78 @@ def write_mbtiles(ds, path: str, payload_col="payload", metadata=None):
     return rows
 
 
-def read_mbtiles(path: str):
-    """Read an mbtiles file into (z, x, y, payload) with the TMS->XYZ flip."""
+class _ReadMbtilesShard:
+    """map_batches stage: (lo, hi) rowid-range rows -> tile rows.
+
+    Each actor holds its own read-only sqlite connection; shards are
+    disjoint rowid ranges so tasks never contend (sqlite is
+    single-writer but many-reader)."""
+
+    def __init__(self, path: str):
+        # Ray actor pools may run __call__ on a different thread than
+        # __init__; sqlite connections are thread-affine by default
+        self.con = sqlite3.connect(f"file:{path}?mode=ro", uri=True, check_same_thread=False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        zs, xs, tms_list, payloads = [], [], [], []
+        for lo, hi in zip(
+            np.asarray(batch["lo"], dtype=np.int64).tolist(),
+            np.asarray(batch["hi"], dtype=np.int64).tolist(),
+        ):
+            for r in self.con.execute(
+                "SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles "
+                "WHERE rowid BETWEEN ? AND ?",
+                (lo, hi),
+            ):
+                zs.append(r[0])
+                xs.append(r[1])
+                tms_list.append(r[2])
+                payloads.append(r[3])
+        z = np.asarray(zs, dtype=np.int64)
+        tms = np.asarray(tms_list, dtype=np.int64)
+        return pa.table(
+            {
+                "z": pa.array(z),
+                "x": pa.array(np.asarray(xs, dtype=np.int64)),
+                "y": pa.array((np.int64(1) << z) - 1 - tms if len(z) else z),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+
+def read_mbtiles(path: str, rows_per_shard: int = 65536):
+    """Read an mbtiles file into (z, x, y, payload) with the TMS->XYZ flip.
+
+    Sharded: the driver only reads the rowid extent; disjoint rowid
+    ranges fan out as Dataset read tasks (mbtiles/reader.rs scans the
+    whole table in one process — here the scan parallelizes and the
+    driver never holds the archive)."""
     import ray.data as rd
 
-    con = sqlite3.connect(path)
-    rows = con.execute(
-        "SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles"
-    ).fetchall()
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    lo, hi = con.execute("SELECT min(rowid), max(rowid) FROM tiles").fetchone()
     con.close()
-    z = np.asarray([r[0] for r in rows], dtype=np.int64)
-    tms = np.asarray([r[2] for r in rows], dtype=np.int64)
-    table = pa.table(
+    if lo is None:
+        empty64 = pa.array([], type=pa.int64())
+        return rd.from_arrow(
+            pa.table({"z": empty64, "x": empty64, "y": empty64,
+                      "payload": pa.array([], type=pa.binary())})
+        )
+    bounds = list(range(int(lo), int(hi) + 1, rows_per_shard))
+    spec = pa.table(
         {
-            "z": pa.array(z),
-            "x": pa.array(np.asarray([r[1] for r in rows], dtype=np.int64)),
-            "y": pa.array((np.int64(1) << z) - 1 - tms),
-            "payload": pa.array([r[3] for r in rows], type=pa.binary()),
+            "lo": pa.array(bounds, type=pa.int64()),
+            "hi": pa.array(
+                [min(b + rows_per_shard - 1, int(hi)) for b in bounds], type=pa.int64()
+            ),
         }
     )
-    return rd.from_arrow(table)
+    return rd.from_arrow(spec).repartition(len(bounds)).map_batches(
+        _ReadMbtilesShard,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"path": path},
+        concurrency=(1, 8),
+    )
 
 
 def write_tar_tiles(ds, path: str, payload_col="payload", ext="bin", metadata=None):
@@ -171,13 +223,59 @@ def write_tar_tiles(ds, path: str, payload_col="payload", ext="bin", metadata=No
     return rows
 
 
-def read_tar_tiles(path: str, ext="bin"):
-    """Read a tar tile archive back into (z, x, y, payload) rows."""
+class _FetchTarPayloads:
+    """map_batches stage: tar-index rows (z,x,y,off,len) -> tile rows.
+
+    Payload bytes come from range reads through sources/data_reader
+    (coalesced per batch when dense) — works over http(s):// too, and
+    the archive body never passes through the driver."""
+
+    def __init__(self, path: str):
+        from .data_reader import open_data_reader
+
+        self.reader = open_data_reader(path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        offs = np.asarray(batch["off"], dtype=np.int64)
+        lens = np.asarray(batch["len"], dtype=np.int64)
+        if len(offs) == 0:
+            payloads = []
+        else:
+            start = int(offs.min())
+            end = int((offs + lens).max())
+            if int(lens.sum()) * 2 >= end - start:
+                blob = self.reader.read(start, end - start)
+                payloads = [
+                    blob[int(o) - start : int(o) - start + int(l)]
+                    for o, l in zip(offs, lens)
+                ]
+            else:
+                payloads = [
+                    self.reader.read(int(o), int(l)) for o, l in zip(offs, lens)
+                ]
+        return pa.table(
+            {
+                "z": batch["z"],
+                "x": batch["x"],
+                "y": batch["y"],
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+
+def read_tar_tiles(path: str, ext="bin", entries_per_shard: int = 4096):
+    """Read a tar tile archive back into (z, x, y, payload) rows.
+
+    Sharded: the driver scans only the tar HEADERS (member name,
+    data offset, size — tar/reader.rs builds the same index), then
+    index blocks fan out as Dataset tasks that range-read their
+    members' byte spans."""
     import tarfile
 
     import ray.data as rd
 
-    zs, xs, ys, payloads = [], [], [], []
+    compressed = path.endswith((".gz", ".bz2", ".xz"))
+    zs, xs, ys, offs, lens, payloads = [], [], [], [], [], []
     with tarfile.open(path) as tar:
         for member in tar.getmembers():
             if not member.name.endswith("." + ext):
@@ -186,16 +284,40 @@ def read_tar_tiles(path: str, ext="bin"):
             zs.append(int(z))
             xs.append(int(x))
             ys.append(int(yext.split(".")[0]))
-            payloads.append(tar.extractfile(member).read())
-    table = pa.table(
+            if compressed:
+                # offset_data indexes the DECOMPRESSED stream — range
+                # reads on the file would be wrong; extract inline
+                payloads.append(tar.extractfile(member).read())
+            else:
+                offs.append(member.offset_data)
+                lens.append(member.size)
+    if compressed:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "z": pa.array(zs, type=pa.int64()),
+                    "x": pa.array(xs, type=pa.int64()),
+                    "y": pa.array(ys, type=pa.int64()),
+                    "payload": pa.array(payloads, type=pa.binary()),
+                }
+            )
+        )
+    spec = pa.table(
         {
             "z": pa.array(zs, type=pa.int64()),
             "x": pa.array(xs, type=pa.int64()),
             "y": pa.array(ys, type=pa.int64()),
-            "payload": pa.array(payloads, type=pa.binary()),
+            "off": pa.array(offs, type=pa.int64()),
+            "len": pa.array(lens, type=pa.int64()),
         }
     )
-    return rd.from_arrow(table)
+    num_blocks = max(1, (len(zs) + entries_per_shard - 1) // entries_per_shard)
+    return rd.from_arrow(spec).repartition(num_blocks).map_batches(
+        _FetchTarPayloads,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"path": path},
+        concurrency=(1, 8),
+    )
 
 
 def write_hilbert_parquet(ds, path: str):

@@ -67,28 +67,80 @@ def tile_size_histogram(tiles_ds, scale_level: int, payload_col="payload"):
     )
 
 
-def coverage_runs(tiles_ds, level: int):
+# packs (y, x) into one sortable key; y-transitions can never look like
+# an x-gap of 1 because x < 2^32 << 2^33
+_RUN_B = np.int64(1) << np.int64(33)
+
+
+def _points_to_runs(x: np.ndarray, y: np.ndarray) -> pa.Table:
+    """Covered (x, y) tiles -> maximal horizontal runs, vectorized."""
+    if not len(x):
+        empty64 = pa.array([], type=pa.int64())
+        return pa.table({"y": empty64, "x_start": empty64, "x_end": empty64})
+    key = np.unique(y * _RUN_B + x)  # sorted + dedup in one pass
+    brk = np.flatnonzero(np.diff(key) > 1)
+    starts = np.concatenate(([0], brk + 1))
+    ends = np.concatenate((brk, [len(key) - 1]))
+    ks, ke = key[starts], key[ends]
+    return pa.table(
+        {
+            "y": pa.array(ks // _RUN_B, type=pa.int64()),
+            "x_start": pa.array(ks % _RUN_B, type=pa.int64()),
+            "x_end": pa.array(ke % _RUN_B, type=pa.int64()),
+        }
+    )
+
+
+def _merge_runs_block(table: pa.Table) -> pa.Table:
+    """One exchange partition: merge overlapping/adjacent partial runs
+    per y (classic interval merge, vectorized with cummax)."""
+    if table.num_rows == 0:
+        return table
+    y = np.asarray(table["y"], dtype=np.int64)
+    s = y * _RUN_B + np.asarray(table["x_start"], dtype=np.int64)
+    e = y * _RUN_B + np.asarray(table["x_end"], dtype=np.int64)
+    order = np.argsort(s, kind="stable")
+    s, e = s[order], e[order]
+    cm = np.maximum.accumulate(e)
+    new = np.ones(len(s), dtype=bool)
+    new[1:] = s[1:] > cm[:-1] + 1
+    starts_idx = np.flatnonzero(new)
+    out_s = s[starts_idx]
+    out_e = np.maximum.reduceat(e, starts_idx)
+    return pa.table(
+        {
+            "y": pa.array(out_s // _RUN_B, type=pa.int64()),
+            "x_start": pa.array(out_s % _RUN_B, type=pa.int64()),
+            "x_end": pa.array(out_e % _RUN_B, type=pa.int64()),
+        }
+    )
+
+
+def coverage_runs(tiles_ds, level: int, num_partitions: int = 8):
     """Horizontal runs of covered tiles per row at one level:
     (y, x_start, x_end) — the rectilinear decomposition every outline
-    derives from. Distributed: per-batch runs -> driver merge of the
-    (small) run set."""
+    derives from.
+
+    Fully distributed: per-batch run partials (already maximal within
+    their batch) -> small hash exchange keyed on y -> vectorized
+    interval merge per partition. The driver only ever gathers the
+    merged RUNS (outline-sized), never the covered-tile set — at z=14
+    the tiles are millions, the runs a few thousand."""
     def partial(batch: pa.Table) -> pa.Table:
         z = np.asarray(batch["z"], dtype=np.int64)
         m = z == level
         x = np.asarray(batch["x"], dtype=np.int64)[m]
         y = np.asarray(batch["y"], dtype=np.int64)[m]
-        return pa.table({"x": pa.array(x), "y": pa.array(y)})
+        return _points_to_runs(x, y)
 
-    pts = tiles_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    runs = []
-    for y, g in pts.drop_duplicates().groupby("y"):
-        xs = np.sort(g["x"].to_numpy())
-        breaks = np.flatnonzero(np.diff(xs) > 1)
-        starts = np.concatenate(([0], breaks + 1))
-        ends = np.concatenate((breaks, [len(xs) - 1]))
-        for s, e in zip(starts, ends):
-            runs.append((int(y), int(xs[s]), int(xs[e])))
-    return runs
+    from .exchange import hash_exchange
+
+    partials = tiles_ds.map_batches(partial, batch_format="pyarrow")
+    merged = hash_exchange(partials, "y", _merge_runs_block, num_partitions=num_partitions)
+    df = merged.to_pandas()
+    return sorted(
+        (int(r.y), int(r.x_start), int(r.x_end)) for r in df.itertuples()
+    )
 
 
 def coverage_outline_geojson(tiles_ds, level: int):
