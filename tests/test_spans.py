@@ -158,3 +158,41 @@ def test_tile_spans_empty_buckets_schema(ray_session):
     )
     df = out.to_pandas()
     assert len(df) == 1 and df.loc[0, "payload"] == "text:0:hi"
+
+
+def test_tile_spans_pyramid_hierarchical_equals_direct(ray_session, sf_dir):
+    """The hierarchical cap derivation must equal capping directly at
+    each level (min-doc monotonicity), and z0 must stay cap-bounded."""
+    from versatiles_rs_ray.sources.docs import read_docs
+    from versatiles_rs_ray.stages import assign
+    from versatiles_rs_ray.stages.pyramid import tile_spans, tile_spans_pyramid
+
+    cap, zb = 3, 4
+    ds = assign.assign_tiles(read_docs(sf_dir), zb)
+    got = (
+        tile_spans_pyramid(ds, zb, 0, cap=cap, num_buckets=4)
+        .to_pandas()
+        .sort_values(["z", "x", "y"])
+        .reset_index(drop=True)
+    )
+    assert sorted(got["z"].unique()) == [0, 1, 2, 3, 4]
+    assert (got["n_docs"] <= cap).all()
+    # z0: exactly one tile, cap docs, payload = '#'-join of the cap
+    # lowest doc fps over the whole corpus
+    z0 = got[got.z == 0]
+    assert len(z0) == 1 and int(z0["n_docs"].iloc[0]) == cap
+    # direct check per level: payload equals full tile_spans payload
+    # truncated to its first `cap` doc fps
+    for z in range(5):
+        direct = (
+            tile_spans(assign.assign_tiles(read_docs(sf_dir), z), num_buckets=4)
+            .to_pandas()
+            .sort_values(["x", "y"])
+            .reset_index(drop=True)
+        )
+        lvl = got[got.z == z].sort_values(["x", "y"]).reset_index(drop=True)
+        assert len(lvl) == len(direct)
+        for (_, a), (_, b) in zip(lvl.iterrows(), direct.iterrows()):
+            assert (a["x"], a["y"]) == (b["x"], b["y"])
+            want = "#".join(b["payload"].split("#")[:cap])
+            assert a["payload"] == want

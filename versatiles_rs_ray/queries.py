@@ -220,6 +220,25 @@ def q_tile_spans(sf_dir):
     return tile_spans(ds).select_columns(["z", "x", "y", "n_docs", "payload"])
 
 
+TSP_Z_BASE, TSP_Z_MIN, TSP_CAP = 4, 2, 3
+
+
+def q_tile_spans_pyramid(sf_dir):
+    """Low-zoom tile PAYLOAD pyramid (levels 2..4, cap=3).
+
+    Hierarchical derivation from base tiles with the deterministic
+    lowest-doc_num truncation rule — each level is verified exactly by
+    a ROW_NUMBER oracle because min-doc sets are monotone under union
+    (never a whole-corpus z0 group; raster_overview.rs semantics on
+    span payloads)."""
+    from .stages.pyramid import tile_spans_pyramid
+
+    ds = assign.assign_tiles(_docs(sf_dir), TSP_Z_BASE)
+    return tile_spans_pyramid(ds, TSP_Z_BASE, TSP_Z_MIN, cap=TSP_CAP).select_columns(
+        ["z", "x", "y", "n_docs", "payload"]
+    )
+
+
 def q_token_stats(sf_dir):
     return _docs(sf_dir).map_batches(text_stage.token_stats_batch, batch_format="pyarrow")
 
@@ -711,6 +730,68 @@ def _oracle_tile_spans():
     )
 
 
+def _oracle_tile_spans_pyramid():
+    i = "e.span_idx"
+    piece = (
+        f"{D.SQL_SPAN_KIND.format(i=i)} || ':' || CAST({D.SQL_SPAN_OFFSET.format(i=i)} AS VARCHAR)"
+        f" || ':' || {D.SQL_SPAN_TEXT.format(i=i)} || {D.SQL_SPAN_MEDIA.format(i=i)}"
+    )
+    parts = []
+    for z in range(TSP_Z_MIN, TSP_Z_BASE + 1):
+        shift = TSP_Z_BASE - z
+        parts.append(
+            f"SELECT CAST({z} AS BIGINT) AS z, x, y, count(*) AS n_docs, "
+            "string_agg(fp, '#' ORDER BY doc_id) AS payload FROM ("
+            f"SELECT (p.x >> {shift}) AS x, (p.y >> {shift}) AS y, d.doc_id, d.fp, "
+            f"row_number() OVER (PARTITION BY (p.x >> {shift}), (p.y >> {shift}) "
+            "ORDER BY d.doc_id) AS rn "
+            f"FROM pts p JOIN docfp d ON d.doc_id = p.doc_id) WHERE rn <= {TSP_CAP} "
+            "GROUP BY x, y"
+        )
+    return (
+        f"WITH docfp AS (SELECT e.doc_id, string_agg({piece}, '|' ORDER BY e.span_idx) AS fp "
+        f"FROM {D.SQL_SPANS_EXPLODED} e GROUP BY e.doc_id), "
+        f"pts AS (SELECT doc_id, {assign.sql_tile_x(TSP_Z_BASE, D.SQL_LON)} AS x, "
+        f"{assign.sql_tile_y(TSP_Z_BASE, D.SQL_LAT)} AS y FROM documents) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+def _oracle_outline():
+    """Rectilinear coverage runs are SQL-expressible: gaps-and-islands
+    (x - row_number per y) over the distinct covered tiles."""
+    p = TileBBoxPyramid.from_geo_bbox(*PIP_BBOX, min_level=5, max_level=5)
+    bb = [b for b in p.levels() if b.level == 5][0]
+    return (
+        f"WITH pts AS (SELECT DISTINCT x, y FROM {_sql_docs_at(5)} t "
+        f"WHERE x BETWEEN {bb.x_min} AND {bb.x_max} AND y BETWEEN {bb.y_min} AND {bb.y_max}), "
+        "g AS (SELECT x, y, x - row_number() OVER (PARTITION BY y ORDER BY x) AS grp FROM pts) "
+        "SELECT y, min(x) AS x_start, max(x) AS x_end FROM g GROUP BY y, grp"
+    )
+
+
+def _oracle_fingerprint():
+    """The winnowed rolling-hash min IS expressible in DuckDB: a list
+    comprehension over byte windows with HUGEINT modular arithmetic
+    (base powers mod 2^64 precomputed here; ord == byte on the ASCII
+    driver corpus; short docs zero-pad exactly as the kernel does)."""
+    K, BASE, M = 8, 1000003, 1 << 64  # _FP_K/_FP_BASE (stages/text.py)
+    pw = [pow(BASE, K - 1 - j, M) for j in range(K)]
+    terms = " + ".join(
+        f"{pw[j]}::HUGEINT * (CASE WHEN i+{j} <= length(text) "
+        f"THEN ord(substr(text, i+{j}, 1)) ELSE 0 END)"
+        for j in range(K)
+    )
+    half, full = 1 << 63, 1 << 64
+    return (
+        f"SELECT doc_id, CAST(CASE WHEN fp >= {half}::HUGEINT THEN fp - {full}::HUGEINT "
+        "ELSE fp END AS BIGINT) AS fingerprint FROM ("
+        f"SELECT doc_id, list_min([ ({terms}) % {M}::HUGEINT "
+        f"FOR i IN range(1, greatest(length(text) - {K} + 1, 1) + 1) ]) AS fp "
+        f"FROM {SQL_DOCS} d)"
+    )
+
+
 def _oracle_ngram_jaccard():
     # byte windows == char windows on the ASCII driver corpus; k and
     # tau derive from the SAME constants the Ray query passes
@@ -904,6 +985,7 @@ QUERIES = {
     "span_explode": q_span_explode,
     "span_fingerprint": q_span_fingerprint,
     "tile_spans": q_tile_spans,
+    "tile_spans_pyramid": q_tile_spans_pyramid,
     "pyramid_counts": q_pyramid_counts,
     "filter_bbox_zoom": q_filter_bbox_zoom,
     "flip_swap": q_flip_swap,
@@ -931,7 +1013,6 @@ QUERIES = {
     "s2_cells": q_s2_cells,
     "hilbert_order": q_hilbert_order,
     "lang_guess": q_lang_guess,
-    "fingerprint": q_fingerprint,
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -939,15 +1020,21 @@ QUERIES = {
     "media_decode": q_media_decode,
     "media_pipeline": q_media_pipeline,
     "raster_pipeline": q_raster_pipeline,
-    "outline": q_outline,
     "embedding_near_dup": q_embedding_near_dup,
 }
+
+# oracle-backed as of round 2 (keep the callables in the main block)
+QUERIES["fingerprint"] = q_fingerprint
+QUERIES["outline"] = q_outline
 
 ORACLES = {
     "tile_assign": _oracle_tile_assign(),
     "span_explode": _oracle_span_explode(),
     "span_fingerprint": _oracle_span_fingerprint(),
     "tile_spans": _oracle_tile_spans(),
+    "tile_spans_pyramid": _oracle_tile_spans_pyramid(),
+    "outline": _oracle_outline(),
+    "fingerprint": _oracle_fingerprint(),
     "pyramid_counts": _oracle_pyramid_counts(),
     "filter_bbox_zoom": _oracle_filter_bbox_zoom(),
     "flip_swap": _oracle_flip_swap(),

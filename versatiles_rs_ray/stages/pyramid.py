@@ -506,3 +506,73 @@ def tile_spans(docs_with_tiles, num_buckets: int = 16):
     rows = docs_with_tiles.map_batches(doc_span_fp_batch, batch_format="pyarrow")
     tiles = hash_exchange(rows, "tkey", combine_tile_spans_block, num_partitions=num_buckets)
     return tiles.map_batches(unpack_tile_columns, batch_format="pyarrow")
+
+
+# ---- low-zoom payload pyramid (hierarchical, cap-bounded) --------------
+
+
+def _cap_tile_rows_block(table: pa.Table, cap: int) -> pa.Table:
+    """One exchange partition: keep the ``cap`` lowest-doc_num rows per
+    tile (deterministic truncation). Vectorized: one lexsort + a
+    position-within-run mask."""
+    tkey = np.asarray(table["tkey"], dtype=np.int64)
+    doc = np.asarray(table["doc_num"], dtype=np.int64)
+    n = len(tkey)
+    if n == 0:
+        return table
+    order = np.lexsort((doc, tkey))
+    ks = tkey[order]
+    new_run = np.ones(n, dtype=bool)
+    new_run[1:] = ks[1:] != ks[:-1]
+    starts = np.flatnonzero(new_run)
+    run_start = np.repeat(starts, np.diff(np.append(starts, n)))
+    keep = (np.arange(n, dtype=np.int64) - run_start) < cap
+    return table.take(pa.array(order[keep]))
+
+
+def _rekey_parent_batch(batch: pa.Table) -> pa.Table:
+    """Re-key rows from a level's tiles to their PARENT tiles
+    (z-1, x>>1, y>>1) — raster_overview.rs parent addressing."""
+    z, x, y = unpack_tkey(np.asarray(batch["tkey"], dtype=np.int64))
+    parent = pack_tkey(z - 1, x >> 1, y >> 1)
+    idx = batch.schema.get_field_index("tkey")
+    return batch.set_column(idx, "tkey", pa.array(parent, type=pa.int64()))
+
+
+def tile_spans_pyramid(docs_with_tiles, z_base: int, z_min: int = 0,
+                       cap: int = 64, num_buckets: int = 16):
+    """Low-zoom tile PAYLOAD pyramid: per-tile span-sequence payloads
+    for every level z_min..z_base, derived hierarchically.
+
+    The content analogue of the stats rollup (raster_overview.rs
+    semantics on span payloads): level z-1's rows come from level z's
+    already-capped rows re-keyed to parents and re-capped — never a
+    whole-corpus group at z0. Truncation rule (deterministic and
+    SQL-expressible): each tile keeps the ``cap`` LOWEST doc_num doc
+    fps; because min-doc sets are monotone under union, hierarchical
+    capping equals direct capping at every level, so a DuckDB
+    ROW_NUMBER oracle can verify any level exactly. Payload = '#'-join
+    of kept doc fps ordered by doc_num; n_docs = kept count (the full
+    count lives in the stats pyramid).
+
+    Volume per level is bounded by cap x 4^z rows, so every exchange
+    after the base one is tiny.
+    """
+    import functools
+
+    from .exchange import hash_exchange
+
+    capper = functools.partial(_cap_tile_rows_block, cap=cap)
+    rows = docs_with_tiles.map_batches(doc_span_fp_batch, batch_format="pyarrow")
+    level_rows = hash_exchange(rows, "tkey", capper, num_partitions=num_buckets)
+    out = None
+    for z in range(z_base, z_min - 1, -1):
+        level_tiles = level_rows.map_batches(
+            combine_tile_spans_block, batch_format="pyarrow"
+        ).map_batches(unpack_tile_columns, batch_format="pyarrow")
+        out = level_tiles if out is None else out.union(level_tiles)
+        if z > z_min:
+            parents = level_rows.map_batches(_rekey_parent_batch, batch_format="pyarrow")
+            p = max(2, min(num_buckets, 4 ** max(z - 1 - 4, 0) or 2))
+            level_rows = hash_exchange(parents, "tkey", capper, num_partitions=p)
+    return out
