@@ -78,3 +78,75 @@ def test_propagate_min_labels_matches_union_find(ray_session):
         pd.DataFrame({"doc_a": [p[0] for p in pairs], "doc_b": [p[1] for p in pairs]})
     ).sort_values("doc_num").reset_index(drop=True)
     assert dist.astype("int64").equals(brute.astype("int64"))
+
+
+def test_features_to_mvt_lines_and_polygons(ray_session, tmp_path):
+    """Line/polygon features encode real MVT command sequences and
+    round-trip through the codec; cross-tile lines land in every tile
+    their bbox touches."""
+    feats = [
+        {"type": "Feature", "geometry": {"type": "LineString",
+         "coordinates": [[1.0, 1.0], [5.0, 3.0], [9.0, 1.0]]},
+         "properties": {"name": "line"}},
+        {"type": "Feature", "geometry": {"type": "Polygon",
+         "coordinates": [[[20.0, 10.0], [24.0, 10.0], [24.0, 14.0],
+                          [20.0, 14.0], [20.0, 10.0]]]},
+         "properties": {"name": "poly"}},
+        {"type": "Feature", "geometry": {"type": "Point",
+         "coordinates": [40.0, 20.0]}, "properties": {"name": "pt"}},
+        {"type": "Feature", "geometry": {"type": "MultiLineString",
+         "coordinates": [[[60.0, 5.0], [61.0, 6.0]], [[62.0, 7.0], [63.0, 8.0]]]},
+         "properties": {"name": "mline"}},
+    ]
+    path = tmp_path / "g.ndjson"
+    path.write_text("\n".join(json.dumps(f) for f in feats))
+    ds = GJ.read_ndjson_features(str(path))
+    tiles = GJ.features_to_mvt_tiles(ds, zoom=6, num_partitions=2).to_pandas()
+    by_name = {}
+    for _, row in tiles.iterrows():
+        tile = mvt.decode_tile(row["payload"])
+        for layer in tile["layers"]:
+            assert layer["extent"] == 4096
+            for f in layer["features"]:
+                by_name.setdefault(f["properties"]["name"], []).append(
+                    (int(row["z"]), int(row["x"]), int(row["y"]), f)
+                )
+    # every feature present with the right geometry type
+    assert by_name["line"][0][3]["type"] == mvt.GEOM_LINESTRING
+    assert by_name["poly"][0][3]["type"] == mvt.GEOM_POLYGON
+    assert by_name["pt"][0][3]["type"] == mvt.GEOM_POINT
+    assert by_name["mline"][0][3]["type"] == mvt.GEOM_LINESTRING
+    # line geometry has 3 vertices in one part, polygon ring closed by
+    # ClosePath (decode re-opens it as 1 part with >= 4 pts)
+    line_parts = by_name["line"][0][3]["geometry"]
+    assert len(line_parts) == 1 and len(line_parts[0]) == 3
+    poly_parts = by_name["poly"][0][3]["geometry"]
+    assert len(poly_parts) == 1 and len(poly_parts[0]) >= 4
+    mline_parts = by_name["mline"][0][3]["geometry"]
+    assert len(mline_parts) == 2
+    # cross-tile: the z6 line spans lon 1..9 -> at least 2 tiles carry it
+    assert len(by_name["line"]) >= 2
+    # quantized coordinates in the anchor tile are inside the extent
+    z, x, y, f = by_name["pt"][0]
+    px, py = f["geometry"][0][0]
+    assert 0 <= px < 4096 and 0 <= py < 4096
+
+
+def test_features_to_mvt_geometry_roundtrip_exact(ray_session, tmp_path):
+    """Quantized command-sequence encode->decode preserves every vertex
+    (zigzag delta coding is exact for int coordinates)."""
+    coords = [[0.1 * i, 0.05 * i] for i in range(20)]
+    feats = [{"type": "Feature", "geometry": {"type": "LineString", "coordinates": coords},
+              "properties": {}}]
+    path = tmp_path / "l.ndjson"
+    path.write_text("\n".join(json.dumps(f) for f in feats))
+    tiles = GJ.features_to_mvt_tiles(
+        GJ.read_ndjson_features(str(path)), zoom=3, num_partitions=2
+    ).to_pandas()
+    assert len(tiles) >= 1  # bbox may straddle a tile boundary
+    for _, row in tiles.iterrows():
+        tile = mvt.decode_tile(row["payload"])
+        geom = tile["layers"][0]["features"][0]["geometry"]
+        assert len(geom) == 1 and len(geom[0]) == 20  # every vertex kept
+        # re-encode -> identical bytes (deterministic codec)
+        assert mvt.encode_tile(tile) == bytes(row["payload"])
