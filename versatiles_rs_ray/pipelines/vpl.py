@@ -292,6 +292,12 @@ def _builtin_containers():
         "pmtiles", reader=pmtiles.read_pmtiles, writer=pmtiles.write_pmtiles
     )
 
+    from ..sources import versatiles as _vt
+
+    register_container(
+        "versatiles", reader=_vt.read_versatiles, writer=_vt.write_versatiles
+    )
+
 
 _builtin_containers()
 
