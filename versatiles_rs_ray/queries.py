@@ -93,20 +93,27 @@ def q_span_fingerprint(sf_dir):
     """
 
     def fp(batch: pa.Table) -> pa.Table:
+        # same Arrow-vectorized kernel as the tile-level payload build
+        # (stages/pyramid.doc_span_fp_batch); spans are constructed
+        # offset-ascending so no per-row sort is needed
+        import pyarrow.compute as pc
+
         spans = batch["spans"]
         if isinstance(spans, pa.ChunkedArray):
             spans = spans.combine_chunks()
-        out = []
-        for sp in spans.to_pylist():
-            sp = sorted(sp, key=lambda s: s["offset"])
-            out.append(
-                "|".join(f"{s['kind']}:{s['offset']}:{s['text']}{s['media_ref']}" for s in sp)
-            )
+        flat = spans.flatten()
+        piece = pc.binary_join_element_wise(
+            flat.field("kind"),
+            pc.cast(flat.field("offset"), pa.string()),
+            pc.binary_join_element_wise(flat.field("text"), flat.field("media_ref"), ""),
+            ":",
+        )
+        lists = pa.ListArray.from_arrays(spans.offsets, piece)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_spans": pa.array([len(s) for s in spans.to_pylist()], type=pa.int64()),
-                "span_fp": pa.array(out, type=pa.string()),
+                "n_spans": pc.list_value_length(spans).cast(pa.int64()),
+                "span_fp": pc.binary_join(lists, "|"),
             }
         )
 

@@ -48,19 +48,39 @@ class CosineTopKPartial:
             sims = (self.qn @ mn[sl].T).astype(np.float64)  # (Q, chunk)
             if self.exclude_self:
                 sims[self.q_ids[:, None] == ids[None, sl]] = -np.inf
-            kk = min(2 * k, sims.shape[1])
-            if kk < sims.shape[1]:
+            Q, W = sims.shape
+            kk = min(2 * k, W)
+            if kk < W:
                 part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                pv = np.take_along_axis(sims, part, axis=1)
                 # widen to boundary ties (see stages/join.KnnPartial):
                 # keeps the (sim desc, id asc) tie-break exact even
-                # when > kk candidates share the k-th similarity
-                boundary = np.take_along_axis(sims, part, axis=1).min(axis=1)
-                rows, cols = np.nonzero(sims >= boundary[:, None])
+                # when > kk candidates share the k-th similarity; the
+                # rectangle is the fast path, widening only fires on
+                # overflowing rows
+                boundary = pv.min(axis=1)
+                over = (sims >= boundary[:, None]).sum(axis=1) > kk
+                if over.any():
+                    ok = ~over
+                    rows = np.repeat(np.flatnonzero(ok), kk)
+                    cols = part[ok].ravel()
+                    vals = pv[ok].ravel()
+                    tr = np.flatnonzero(over)
+                    r2, c2 = np.nonzero(sims[tr] >= boundary[tr, None])
+                    rows = np.concatenate([rows, tr[r2]])
+                    cols = np.concatenate([cols, c2])
+                    vals = np.concatenate([vals, sims[tr[r2], c2]])
+                else:
+                    rows = np.repeat(np.arange(Q, dtype=np.int64), kk)
+                    cols = part.ravel()
+                    vals = pv.ravel()
             else:
-                rows, cols = np.nonzero(np.isfinite(sims) | np.isinf(sims))
+                rows = np.repeat(np.arange(Q, dtype=np.int64), W)
+                cols = np.tile(np.arange(W, dtype=np.int64), Q)
+                vals = sims.ravel()
             q_parts.append(rows.astype(np.int64))
             id_parts.append(ids[sl][cols])
-            val_parts.append(sims[rows, cols])
+            val_parts.append(vals)
         if not q_parts:
             empty64 = pa.array([], type=pa.int64())
             return pa.table({"q_id": empty64, "vec_id": empty64,

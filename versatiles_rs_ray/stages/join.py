@@ -117,21 +117,41 @@ class KnnPartial:
             d2 = dlon * dlon + dlat * dlat  # (Q, chunk)
             if self.exclude_self:
                 d2[self.q_ids[:, None] == c_id[None, sl]] = np.inf
-            kk = min(2 * k, d2.shape[1])
-            if kk < d2.shape[1]:
+            Q, W = d2.shape
+            kk = min(2 * k, W)
+            if kk < W:
                 part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-                # widen to EVERY candidate tied with the boundary
+                pv = np.take_along_axis(d2, part, axis=1)
+                # Widen to EVERY candidate tied with the boundary
                 # distance: argpartition picks arbitrarily among ties,
-                # so without this a degenerate chunk with > kk equal
-                # distances could drop the lowest-id candidates and
-                # break the deterministic (distance, id) contract
-                boundary = np.take_along_axis(d2, part, axis=1).max(axis=1)
-                rows, cols = np.nonzero(d2 <= boundary[:, None])
+                # so a degenerate chunk with > kk equal distances could
+                # drop the lowest-id candidates and break the
+                # deterministic (distance, id) contract. Fast path: one
+                # comparison pass finds the (almost always zero) rows
+                # that overflow; only those switch to the full set.
+                boundary = pv.max(axis=1)
+                over = (d2 <= boundary[:, None]).sum(axis=1) > kk
+                if over.any():
+                    ok = ~over
+                    rows = np.repeat(np.flatnonzero(ok), kk)
+                    cols = part[ok].ravel()
+                    vals = pv[ok].ravel()
+                    tr = np.flatnonzero(over)
+                    r2, c2 = np.nonzero(d2[tr] <= boundary[tr, None])
+                    rows = np.concatenate([rows, tr[r2]])
+                    cols = np.concatenate([cols, c2])
+                    vals = np.concatenate([vals, d2[tr[r2], c2]])
+                else:
+                    rows = np.repeat(np.arange(Q, dtype=np.int64), kk)
+                    cols = part.ravel()
+                    vals = pv.ravel()
             else:
-                rows, cols = np.nonzero(np.isfinite(d2) | np.isinf(d2))
+                rows = np.repeat(np.arange(Q, dtype=np.int64), W)
+                cols = np.tile(np.arange(W, dtype=np.int64), Q)
+                vals = d2.ravel()
             q_parts.append(rows.astype(np.int64))
             id_parts.append(c_id[sl][cols])
-            val_parts.append(d2[rows, cols])
+            val_parts.append(vals)
         if not q_parts:
             empty64 = pa.array([], type=pa.int64())
             return pa.table({"q_doc": empty64, "n_doc": empty64,
