@@ -163,6 +163,19 @@ def test_compression_roundtrip():
     assert out["payload"].to_pylist() == payloads
 
 
+def test_compression_brotli_always_available():
+    """The 'br' codec must work with or without the brotli library
+    (stored-mode RFC 7932 streams when absent)."""
+    assert "br" in compression.AVAILABLE
+    payloads = [b"tile " * 64, b"", b"\x00\xff" * 33]
+    col = pa.array(payloads, type=pa.binary())
+    comp = compression.compress_column(col, "br")
+    assert compression.decompress_column(comp, "br").to_pylist() == payloads
+    t = pa.table({"payload": comp})
+    out = compression.recompress_table(t, "payload", "br", "gzip")
+    assert compression.decompress_column(out["payload"], "gzip").to_pylist() == payloads
+
+
 def test_byte_sizes_respects_array_offset():
     """byte_sizes on a SLICED Arrow array must honor col.offset (a
     slice shares the parent's offsets buffer)."""

@@ -4,8 +4,10 @@ Mirrors the reference's compression surface
 (versatiles_core/src/utils/compression/functions.rs:55-205):
 Uncompressed | Gzip | Brotli, plus `recompress(from, to)`.
 
-Brotli is not installed in this sandbox; it is gated behind a
-try-import and reported via :data:`AVAILABLE`. gzip uses zlib with a
+Brotli always works: the real library when importable, otherwise the
+RFC 7932 stored-mode codec in :mod:`core.brotli_stored` (valid brotli
+streams with no entropy coding; decode handles stored-mode streams
+only and names the gate on foreign files). gzip uses zlib with a
 fixed level so output bytes are deterministic across workers.
 """
 
@@ -17,15 +19,16 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-try:  # pragma: no cover - absent in sandbox
-    import brotli as _brotli
-except ImportError:
-    _brotli = None
+from . import brotli_stored as _br
 
 RAW = "raw"
 GZIP = "gzip"
 BROTLI = "br"
-AVAILABLE = (RAW, GZIP) + ((BROTLI,) if _brotli else ())
+# brotli is ALWAYS available: the real library when importable, else
+# RFC 7932 stored-mode streams (valid brotli, no entropy coding —
+# core/brotli_stored.py). Decompression without the library handles
+# stored-mode streams only.
+AVAILABLE = (RAW, GZIP, BROTLI)
 
 _GZIP_LEVEL = 6
 
@@ -38,9 +41,7 @@ def _compress_one(data: bytes, codec: str) -> bytes:
         # byte-equality round-trip tests and content-addressed caches)
         return _gzip.compress(data, compresslevel=_GZIP_LEVEL, mtime=0)
     if codec == BROTLI:
-        if _brotli is None:
-            raise NotImplementedError("brotli not installed in this environment")
-        return _brotli.compress(data)
+        return _br.compress(data)
     raise ValueError(f"unknown compression {codec!r}")
 
 
@@ -50,9 +51,7 @@ def _decompress_one(data: bytes, codec: str) -> bytes:
     if codec == GZIP:
         return zlib.decompress(data, wbits=zlib.MAX_WBITS | 32)
     if codec == BROTLI:
-        if _brotli is None:
-            raise NotImplementedError("brotli not installed in this environment")
-        return _brotli.decompress(data)
+        return _br.decompress(data)
     raise ValueError(f"unknown compression {codec!r}")
 
 
