@@ -187,6 +187,92 @@ def test_png_codec_roundtrips():
     assert np.array_equal(png.decode_png_rgba(png.encode_png_auto(la)), la)
 
 
+def test_jpeg_codec_roundtrips():
+    """Pure-stdlib baseline JPEG codec: near-lossless on smooth
+    content at q95, deterministic bytes, reference-parity rejections
+    (alpha, quality>=100 — versatiles_image/src/format/jpeg.rs)."""
+    import numpy as np
+
+    from versatiles_rs_ray.core import jpeg
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            (xx * 255 // (w - 1)).astype(np.uint8),
+            (yy * 255 // (h - 1)).astype(np.uint8),
+            ((xx + yy) % 200).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+    blob = jpeg.encode_jpeg(img, 95)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    out = jpeg.decode_jpeg(blob)
+    assert out.shape == (h, w, 4) and (out[..., 3] == 255).all()
+    assert np.abs(out[..., :3].astype(float) - img).max() <= 3
+    assert jpeg.encode_jpeg(img, 95) == blob  # deterministic
+    # lower quality -> smaller file, still approximately right
+    small = jpeg.encode_jpeg(img, 40)
+    assert len(small) < len(blob)
+    assert np.abs(jpeg.decode_jpeg(small)[..., :3].astype(float) - img).mean() < 8
+    # grayscale single-component stream
+    grey = (yy * 255 // (h - 1)).astype(np.uint8)
+    gout = jpeg.decode_jpeg(jpeg.encode_jpeg(grey, 90))
+    assert np.abs(gout[..., 0].astype(float) - grey).max() <= 2
+    assert np.array_equal(gout[..., 0], gout[..., 1])
+    # non-multiple-of-8 dims crop back exactly
+    assert jpeg.decode_jpeg(jpeg.encode_jpeg(img[: h - 3, : w - 5], 90)).shape == (
+        h - 3,
+        w - 5,
+        4,
+    )
+    # 4:2:0 subsampled + restart-interval streams (the common foreign
+    # photo layout) decode through the general MCU path
+    b420 = jpeg.encode_jpeg(img, 90, subsample=True)
+    assert len(b420) < len(jpeg.encode_jpeg(img, 90))
+    assert np.abs(jpeg.decode_jpeg(b420)[..., :3].astype(float) - img).max() <= 8
+    brst = jpeg.encode_jpeg(img, 90, subsample=True, restart_interval=2)
+    assert b"\xff\xdd" in brst and b"\xff\xd0" in brst
+    assert np.array_equal(jpeg.decode_jpeg(brst), jpeg.decode_jpeg(b420))
+    with pytest.raises(ValueError):
+        jpeg.encode_jpeg(np.zeros((8, 8, 4), np.uint8), 90)  # alpha
+    with pytest.raises(ValueError):
+        jpeg.encode_jpeg(img, 100)  # no lossless mode
+    # engine encode() strips fully-opaque alpha, rejects translucent
+    rgba = np.concatenate([img, np.full((h, w, 1), 255, np.uint8)], axis=-1)
+    assert raster.encode(rgba, "jpg", 90) == jpeg.encode_jpeg(img, 90)
+    translucent = rgba.copy()
+    translucent[0, 0, 3] = 7
+    with pytest.raises(ValueError):
+        raster.encode(translucent, "jpg", 90)
+    assert np.array_equal(raster.decode(raster.encode(rgba, "jpg", 95), "jpg"), out)
+
+
+def test_raster_format_emits_real_jpeg(ray_session):
+    """raster_format(fmt='jpg') emits decodable JPEG tiles and the
+    per-zoom quality schedule changes the encoded bytes."""
+    import numpy as np
+
+    from versatiles_rs_ray.core import jpeg
+
+    pyramid = TileBBoxPyramid.new_full(1, 1)
+    out = (
+        R.raster_format(gradient_tiles(pyramid, size=8), "jpg", quality_schedule="0:90")
+        .to_pandas()
+        .sort_values(["x", "y"])
+    )
+    for _, row in out.iterrows():
+        arr = jpeg.decode_jpeg(row["payload"])
+        src = gradient_array(1, int(row["x"]), int(row["y"]), 8)
+        assert np.abs(arr[..., :3].astype(float) - src[..., :3]).max() <= 16
+    lo = (
+        R.raster_format(gradient_tiles(pyramid, size=8), "jpg", quality_schedule="0:30")
+        .to_pandas()
+        .sort_values(["x", "y"])
+    )
+    assert list(out["payload"]) != list(lo["payload"])
+
+
 def test_raster_format_emits_real_png(ray_session):
     """raster_format(fmt='png') produces decodable, bit-deterministic
     PNG tiles whose pixels equal the raw source."""

@@ -1,12 +1,12 @@
 """Raster tile kernels on numpy RGBA arrays.
 
 The reference's image ops (versatiles_image/src/traits/operation.rs:29-84)
-re-expressed as vectorized numpy over raw RGBA byte payloads. Encoded
-formats (PNG/JPEG/WEBP/AVIF) need codecs that are not in this
-container; `encode`/`decode` are gated behind a Pillow try-import and
-the engine's native interchange format is ``rgba-raw`` (w*h*4 bytes +
-width/height columns) — swap in the codec at deploy, every other
-kernel is format-agnostic.
+re-expressed as vectorized numpy over raw RGBA byte payloads. PNG
+(core/png.py) and JPEG (core/jpeg.py) have pure-stdlib codecs so
+`encode`/`decode` produce REAL files in-sandbox; WEBP/AVIF remain
+gated behind a Pillow try-import. The engine's native interchange
+format is ``rgba-raw`` (w*h*4 bytes + width/height columns) — every
+other kernel is format-agnostic.
 
 Exact-formula ports (golden-tested):
 - levels:  v' = round(clamp(((v-127.5)*(contrast/255) + 0.5 +
@@ -162,14 +162,28 @@ def encode(arr: np.ndarray, fmt: str, quality=None):
     'png' is always available (pure-stdlib codec, core/png.py; PNG is
     lossless so `quality` is ignored — reference parity:
     versatiles_image/src/format/png.rs takes no quality either).
-    'rgba-raw' is the zero-cost interchange; JPEG/WEBP/AVIF remain
-    Pillow-gated."""
+    'jpg'/'jpeg' is always available (pure-stdlib baseline codec,
+    core/jpeg.py; quality drives the quant tables, default 95 as in
+    versatiles_image/src/format/jpeg.rs). JPEG has no alpha: a fully
+    opaque RGBA input has its alpha stripped; translucent input is
+    rejected like the reference. 'rgba-raw' is the zero-cost
+    interchange; WEBP/AVIF remain Pillow-gated."""
     if fmt == RAW_FORMAT:
         return from_array(arr)
     if fmt == "png":
         from . import png as _png
 
         return _png.encode_png_auto(arr)
+    if fmt in ("jpg", "jpeg"):
+        from . import jpeg as _jpeg
+
+        if arr.ndim == 3 and arr.shape[2] == 4:
+            if not is_opaque(arr):
+                raise ValueError(
+                    "JPEG only supports Grey or RGB images without alpha channel"
+                )
+            arr = arr[:, :, :3]
+        return _jpeg.encode_jpeg(arr, quality)
     if _PILImage is None:  # pragma: no cover
         raise NotImplementedError(f"encoding {fmt!r} needs Pillow (not in sandbox)")
     import io
@@ -187,6 +201,10 @@ def decode(payload: bytes, fmt: str, width=None, height=None) -> np.ndarray:
         from . import png as _png
 
         return _png.decode_png_rgba(payload)
+    if fmt in ("jpg", "jpeg"):
+        from . import jpeg as _jpeg
+
+        return _jpeg.decode_jpeg(payload)
     if _PILImage is None:  # pragma: no cover
         raise NotImplementedError(f"decoding {fmt!r} needs Pillow (not in sandbox)")
     import io

@@ -53,7 +53,11 @@ def raster_format(ds, fmt, quality_schedule=None, speed=None):
     emits REAL encoded tiles via the pure-stdlib codec (core/png.py,
     auto mode-narrowing, deterministic bytes; PNG is lossless so the
     quality value is ignored — reference parity with
-    versatiles_image/src/format/png.rs). JPEG/WEBP/AVIF remain
+    versatiles_image/src/format/png.rs). ``fmt="jpg"`` likewise emits
+    real baseline JPEG (core/jpeg.py) with the per-zoom quality
+    driving the quantization tables (default 95, translucent tiles
+    rejected — run raster_flatten first; reference parity with
+    versatiles_image/src/format/jpeg.rs). WEBP/AVIF remain
     Pillow-gated in core/raster.py.
     """
     schedule = raster.parse_quality_schedule(quality_schedule)
