@@ -46,6 +46,132 @@ def test_reproject_gradient_properties(ray_session):
     assert abs(mid - 127.5) < 12  # equator green ~ mid-ramp
 
 
+def test_srs_math_goldens():
+    """core/srs.py transforms against independent computations."""
+    from versatiles_rs_ray.core import srs
+
+    # UTM: central meridian + equator is exactly (500000, 0)
+    u31 = srs.get_srs(32631)
+    e, n = u31.forward(3.0, 0.0)
+    assert abs(float(e) - 500000.0) < 1e-6 and abs(float(n)) < 1e-6
+    # northing on the CM == k0 * meridian arc (numerically integrated)
+    a, f = 6378137.0, 1 / 298.257223563
+    e2 = f * (2 - f)
+    phi = np.linspace(0, np.radians(45.0), 200_001)
+    arc = np.trapz(a * (1 - e2) / np.power(1 - e2 * np.sin(phi) ** 2, 1.5), phi)
+    _, n45 = u31.forward(3.0, 45.0)
+    assert abs(float(n45) - 0.9996 * arc) < 0.01  # metres
+    # round-trip accuracy across the zone, both hemispheres
+    lon, lat = np.meshgrid(np.linspace(0.5, 5.5, 5), np.linspace(-79, 79, 9))
+    for code in (32631, 32731):
+        u = srs.get_srs(code)
+        lon2, lat2 = u.inverse(*u.forward(lon, lat))
+        assert np.abs(lon2 - lon).max() < 1e-7 and np.abs(lat2 - lat).max() < 1e-7
+    # southern false northing
+    _, ns = srs.get_srs(32731).forward(3.0, -1.0)
+    assert 9_800_000 < float(ns) < 10_000_000
+    # web mercator round trip
+    m = srs.get_srs(3857)
+    lon2, lat2 = m.inverse(*m.forward(13.4, 52.5))
+    assert abs(float(lon2) - 13.4) < 1e-9 and abs(float(lat2) - 52.5) < 1e-9
+    # geotransform with rotation terms round-trips
+    gt = srs.GeoTransform((100.0, 2.0, 0.3, 50.0, -0.1, -2.5))
+    c, r = gt.crs_to_pixel(*gt.pixel_to_crs(12.5, 7.25))
+    assert abs(float(c) - 12.5) < 1e-9 and abs(float(r) - 7.25) < 1e-9
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        srs.get_srs(27700)  # not registered -> named gate
+
+
+def test_srs_reprojector_matches_wgs84_path(ray_session):
+    """SRSReprojector with an EPSG:4326 source + the matching
+    geotransform reproduces the plate-carree fast path exactly."""
+    from versatiles_rs_ray.core import srs
+
+    source = RP.make_world_raster(128)
+    h, w = source.shape[:2]
+    gt = srs.GeoTransform.north_up(-180.0, 90.0, 360.0 / w, 180.0 / h)
+    fast = RP.WGS84Reprojector(source, tile_size=32)
+    gen = RP.SRSReprojector(source, gt, 4326, tile_size=32)
+    for z, x, y in [(0, 0, 0), (1, 1, 0), (2, 3, 2)]:
+        assert np.array_equal(gen._reproject_one(z, x, y), fast._reproject_one(z, x, y))
+
+
+def test_srs_reprojector_utm_warp(ray_session):
+    """Warp out of a UTM-31N source raster: tile pixels must carry the
+    value encoding of their own easting/northing."""
+    import ray.data as rd
+
+    from versatiles_rs_ray.core import srs
+
+    u = srs.get_srs(32631)
+    # source window: 400km x 400km around (3E, ~36N..), 1km pixels
+    e0, n0, px = 300000.0, 4400000.0, 1000.0
+    w = h = 400
+    cols, rows = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
+    gt = srs.GeoTransform.north_up(e0, n0, px)
+    ee, nn = gt.pixel_to_crs(cols, rows)
+    source = np.stack(
+        [
+            ((ee - e0) / (w * px) * 255).astype(np.uint8),
+            ((n0 - nn) / (h * px) * 255).astype(np.uint8),
+            np.zeros((h, w), np.uint8),
+            np.full((h, w), 255, np.uint8),
+        ],
+        axis=-1,
+    )
+    # a z8 tile (~1.4 deg wide) well inside the 400km window
+    z = 8
+    lon_c, lat_c = 2.8, 37.0
+    xt = int((lon_c + 180.0) / 360.0 * (1 << z))
+    yt = int(
+        (1.0 - np.log(np.tan(np.radians(lat_c)) + 1 / np.cos(np.radians(lat_c))) / np.pi)
+        / 2.0
+        * (1 << z)
+    )
+    ds = rd.from_items([{"z": z, "x": xt, "y": yt}])
+    out = RP.reproject_srs_raster(ds, source, gt.gt, 32631, tile_size=32).to_pandas()
+    arr = to_array(out.iloc[0]["payload"], 32, 32)
+    assert (arr[..., 3] == 255).all()  # fully inside coverage
+    # verify a few pixels against the exact forward computation
+    local = RP.SRSReprojector(source, gt.gt, 32631, tile_size=32)
+    lon, lat = local._tile_lonlat(z, xt, yt)
+    E, N = u.forward(lon.ravel(), lat.ravel())
+    want_r = np.clip((E - e0) / (w * px) * 255, 0, 255).astype(np.int64)
+    got_r = arr[..., 0].ravel().astype(np.int64)
+    assert np.abs(got_r - want_r).max() <= 2  # 1km-pixel quantization
+    # easting increases left->right, northing value increases top->bottom
+    assert arr[16, 30, 0] > arr[16, 1, 0]
+    assert arr[30, 16, 1] > arr[1, 16, 1]
+
+
+def test_srs_reprojector_band_map_bilinear_and_coverage(ray_session):
+    """Band remapping reorders channels; bilinear interpolates; pixels
+    outside the source window are transparent."""
+    from versatiles_rs_ray.core import srs
+
+    # tiny 4326 source covering only the NE quadrant
+    h, w = 64, 64
+    src = np.zeros((h, w, 3), np.uint8)
+    src[..., 0] = 10  # stored band order BGR
+    src[..., 2] = 200
+    gt = srs.GeoTransform.north_up(0.0, 85.0, 180.0 / w, 85.0 / h)
+    rp = RP.SRSReprojector(src, gt, 4326, tile_size=32, band_mapping=(2, 1, 0))
+    tile = rp._reproject_one(1, 1, 0)  # NE quadrant -> covered
+    assert (tile[..., 0] == 200).all() and (tile[..., 2] == 10).all()
+    nw = rp._reproject_one(1, 0, 0)  # west of the window -> transparent
+    assert (nw[..., 3] == 0).all()
+    # bilinear on a 2-value checker smooths between neighbours
+    grad = np.zeros((h, w, 3), np.uint8)
+    grad[:, 34:, :] = 200  # step between cols 33/34 straddles a sample point
+    # tile_size=20 makes sample columns land between source pixels
+    rp2 = RP.SRSReprojector(grad, gt, 4326, tile_size=20, resampling="bilinear")
+    tile2 = rp2._reproject_one(1, 1, 0)
+    vals = np.unique(tile2[..., 0])
+    assert len(vals) > 2 and vals.min() == 0 and vals.max() == 200
+
+
 def test_reuse_recycling(ray_session):
     source = RP.make_world_raster(64)
     local = RP.WGS84Reprojector(source, tile_size=16, max_uses=2)

@@ -1,0 +1,178 @@
+"""Spatial reference systems for the reprojection path — pure numpy.
+
+The reference reprojects ANY source SRS by delegating to GDAL's
+window warp (versatiles_pipeline/src/operations/read/from_gdal/raster/
+raster_source.rs:114-152 + instance.rs `reproject_to_dataset`). GDAL
+is not in this container, so this module implements the transforms the
+warp needs from public formulas:
+
+- EPSG:4326 (WGS84 geographic, identity on lon/lat)
+- EPSG:3857 (spherical web mercator)
+- EPSG:326xx / 327xx (UTM north/south, WGS84 ellipsoid) via the
+  Krüger series (standard 3rd-order-in-n expansion, the same series
+  PROJ's ``tmerc`` approx mode uses; accuracy well under a
+  millimeter inside a zone)
+- GDAL-style affine geotransforms (pixel <-> source-CRS coords)
+
+Every transform is vectorized over numpy arrays. An SRS object maps
+``forward(lon, lat) -> (x, y)`` into its own coordinate space and
+``inverse(x, y) -> (lon, lat)`` back; unknown EPSG codes raise with
+the extension point named.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+# WGS84 ellipsoid
+_A = 6378137.0
+_F = 1.0 / 298.257223563
+_K0 = 0.9996  # UTM scale on the central meridian
+
+_N = _F / (2.0 - _F)
+_AA = _A / (1.0 + _N) * (1.0 + _N**2 / 4.0 + _N**4 / 64.0)
+_ALPHA = (
+    _N / 2.0 - 2.0 * _N**2 / 3.0 + 5.0 * _N**3 / 16.0,
+    13.0 * _N**2 / 48.0 - 3.0 * _N**3 / 5.0,
+    61.0 * _N**3 / 240.0,
+)
+_BETA = (
+    _N / 2.0 - 2.0 * _N**2 / 3.0 + 37.0 * _N**3 / 96.0,
+    _N**2 / 48.0 + _N**3 / 15.0,
+    17.0 * _N**3 / 480.0,
+)
+_DELTA = (
+    2.0 * _N - 2.0 * _N**2 / 3.0 - 2.0 * _N**3,
+    7.0 * _N**2 / 3.0 - 8.0 * _N**3 / 5.0,
+    56.0 * _N**3 / 15.0,
+)
+
+
+class Geographic:
+    """EPSG:4326 — coordinates ARE lon/lat degrees."""
+
+    code = 4326
+
+    def forward(self, lon, lat):
+        return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
+
+    def inverse(self, x, y):
+        return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+
+
+class WebMercator:
+    """EPSG:3857 — spherical mercator meters (core/coords.py uses the
+    same sphere for tile math)."""
+
+    code = 3857
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        x = np.radians(lon) * _A
+        y = np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0)) * _A
+        return x, y
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        lon = np.degrees(x / _A)
+        lat = np.degrees(2.0 * np.arctan(np.exp(y / _A)) - np.pi / 2.0)
+        return lon, lat
+
+
+class UTM:
+    """EPSG:326xx (north) / 327xx (south) — WGS84 transverse mercator,
+    Krüger series."""
+
+    def __init__(self, zone: int, north: bool):
+        if not 1 <= zone <= 60:
+            raise ValueError(f"UTM zone {zone} out of range 1..60")
+        self.zone = zone
+        self.north = north
+        self.code = (32600 if north else 32700) + zone
+        self.lon0 = math.radians(zone * 6.0 - 183.0)
+        self.e0 = 500000.0
+        self.n0 = 0.0 if north else 10000000.0
+
+    def forward(self, lon, lat):
+        lon = np.radians(np.asarray(lon, dtype=np.float64))
+        lat = np.radians(np.asarray(lat, dtype=np.float64))
+        s = math.sqrt(_N) * 2.0 / (1.0 + _N)
+        sphi = np.sin(lat)
+        t = np.sinh(np.arctanh(sphi) - s * np.arctanh(s * sphi))
+        dlon = lon - self.lon0
+        xi_p = np.arctan2(t, np.cos(dlon))
+        eta_p = np.arctanh(np.sin(dlon) / np.sqrt(1.0 + t * t))
+        xi = xi_p.copy()
+        eta = eta_p.copy()
+        for j, a in enumerate(_ALPHA, start=1):
+            xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+            eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+        return self.e0 + _K0 * _AA * eta, self.n0 + _K0 * _AA * xi
+
+    def inverse(self, x, y):
+        xi = (np.asarray(y, dtype=np.float64) - self.n0) / (_K0 * _AA)
+        eta = (np.asarray(x, dtype=np.float64) - self.e0) / (_K0 * _AA)
+        xi_p = xi.copy()
+        eta_p = eta.copy()
+        for j, b in enumerate(_BETA, start=1):
+            xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+        lat = chi.copy()
+        for j, d in enumerate(_DELTA, start=1):
+            lat += d * np.sin(2 * j * chi)
+        lon = self.lon0 + np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+        return np.degrees(lon), np.degrees(lat)
+
+
+def get_srs(code: int):
+    """EPSG code -> SRS object. The registry the warp consults; extend
+    here for additional projections."""
+    code = int(code)
+    if code == 4326:
+        return Geographic()
+    if code == 3857:
+        return WebMercator()
+    if 32601 <= code <= 32660:
+        return UTM(code - 32600, north=True)
+    if 32701 <= code <= 32760:
+        return UTM(code - 32700, north=False)
+    raise NotImplementedError(
+        f"EPSG:{code} not in the built-in SRS registry (core/srs.py get_srs); "
+        "add a forward/inverse pair or install GDAL at deploy"
+    )
+
+
+class GeoTransform:
+    """GDAL-style affine geotransform (x0, dx, rx, y0, ry, dy):
+    pixel (col,row) -> CRS coords; plus the inverse."""
+
+    def __init__(self, gt):
+        self.gt = tuple(float(v) for v in gt)
+        x0, dx, rx, y0, ry, dy = self.gt
+        det = dx * dy - rx * ry
+        if det == 0:
+            raise ValueError("singular geotransform")
+        self._inv = (dy / det, -rx / det, -ry / det, dx / det)
+
+    @classmethod
+    def north_up(cls, x0, y0, px, py=None):
+        """Common case: no rotation, y decreasing downward."""
+        return cls((x0, px, 0.0, y0, 0.0, -(py if py is not None else px)))
+
+    def pixel_to_crs(self, col, row):
+        x0, dx, rx, y0, ry, dy = self.gt
+        col = np.asarray(col, dtype=np.float64)
+        row = np.asarray(row, dtype=np.float64)
+        return x0 + dx * col + rx * row, y0 + ry * col + dy * row
+
+    def crs_to_pixel(self, x, y):
+        x0, _, _, y0, _, _ = self.gt
+        a, b, c, d = self._inv
+        u = np.asarray(x, dtype=np.float64) - x0
+        v = np.asarray(y, dtype=np.float64) - y0
+        return a * u + b * v, c * u + d * v

@@ -4,10 +4,14 @@ The analogue of the reference's GDAL read path
 (versatiles_pipeline/src/operations/read/from_gdal/raster/operation.rs:56-221,
 raster_source.rs:36-152): a source raster in a geographic CRS is
 window-reprojected into web-mercator tiles. GDAL itself is not in this
-container, so the source here is an in-memory WGS84 (plate-carree)
-RGBA array broadcast once via ``ray.put``; the per-tile inverse
-mapping (tile pixel -> lon/lat -> source pixel) is exact and
-vectorized, sampling is nearest-neighbor (resampler pluggable).
+container, so the source is an in-memory RGBA array broadcast once via
+``ray.put``; the per-tile inverse mapping (tile pixel -> lon/lat ->
+source-SRS coords -> source pixel) is exact and vectorized.
+:class:`WGS84Reprojector` is the fast plate-carree special case;
+:class:`SRSReprojector` warps from ANY SRS registered in core/srs.py
+(4326 / 3857 / UTM zones + GDAL-style geotransforms) with band
+remapping and nearest/bilinear resampling — the arbitrary-SRS
+capability the reference gets from GDAL.
 
 Pool mechanics mirror the reference: a callable-class actor pool
 (concurrency = the reference's `concurrency_limit` semaphore, default
@@ -108,6 +112,143 @@ class WGS84Reprojector:
                 "height": pa.array(np.full(len(z), s), type=pa.int64()),
             }
         )
+
+
+class SRSReprojector:
+    """Actor: window-warps mercator tiles out of a source raster in
+    ANY registered SRS (core/srs.py: 4326 / 3857 / UTM; extend there).
+
+    The general analogue of the reference's GDAL warp
+    (raster_source.rs:114-152): per output tile, pixel centers ->
+    lon/lat -> source-SRS coords (srs.forward) -> source pixels
+    (geotransform inverse) -> sample. ``band_mapping`` reorders source
+    channels into RGBA slots exactly like the reference's
+    BandMappingItem loop; ``resampling`` is "nearest" or "bilinear";
+    pixels outside the source window come back transparent.
+    """
+
+    def __init__(self, source_ref, geotransform, epsg: int, tile_size: int = 64,
+                 band_mapping=None, resampling: str = "nearest",
+                 max_uses: int = DEFAULT_REUSE_LIMIT):
+        from ..core import srs as _srs
+
+        self._source_ref = source_ref
+        self.gt = _srs.GeoTransform(geotransform) if not hasattr(geotransform, "crs_to_pixel") else geotransform
+        self.srs = _srs.get_srs(epsg)
+        self.tile_size = tile_size
+        self.band_mapping = band_mapping
+        self.resampling = resampling
+        self.max_uses = max_uses
+        self._uses = 0
+        self._load()
+
+    def _load(self):
+        import ray
+
+        src = (
+            ray.get(self._source_ref)
+            if not isinstance(self._source_ref, np.ndarray)
+            else self._source_ref
+        )
+        if src.ndim == 2:
+            src = src[:, :, None]
+        if self.band_mapping is not None:
+            src = src[:, :, list(self.band_mapping)]
+        # normalize to RGBA so sampling is one gather
+        c = src.shape[2]
+        if c == 1:
+            src = np.concatenate([src] * 3 + [np.full(src.shape[:2] + (1,), 255, src.dtype)], axis=2)
+        elif c == 3:
+            src = np.concatenate([src, np.full(src.shape[:2] + (1,), 255, src.dtype)], axis=2)
+        elif c != 4:
+            raise ValueError(f"unsupported channel count {c}")
+        self.source = np.ascontiguousarray(src)
+        self.h, self.w = src.shape[:2]
+
+    def _tile_lonlat(self, z: int, x: int, y: int):
+        s = self.tile_size
+        n = float(1 << z)
+        fx = (x + (np.arange(s) + 0.5) / s) / n
+        fy = (y + (np.arange(s) + 0.5) / s) / n
+        lon = (fx - 0.5) * 360.0
+        lat = (np.arctan(np.exp(np.pi * (1.0 - 2.0 * fy))) / np.pi - 0.25) * 360.0
+        return np.broadcast_to(lon[None, :], (s, s)), np.broadcast_to(lat[:, None], (s, s))
+
+    def _reproject_one(self, z: int, x: int, y: int) -> np.ndarray:
+        lon, lat = self._tile_lonlat(z, x, y)
+        sx, sy = self.srs.forward(lon.ravel(), lat.ravel())
+        col, row = self.gt.crs_to_pixel(sx, sy)
+        s = self.tile_size
+        out = np.zeros((s * s, 4), dtype=np.uint8)
+        if self.resampling == "bilinear":
+            cf, rf = col - 0.5, row - 0.5
+            c0, r0 = np.floor(cf).astype(np.int64), np.floor(rf).astype(np.int64)
+            wc, wr = cf - c0, rf - r0
+            ok = (c0 >= -1) & (c0 < self.w) & (r0 >= -1) & (r0 < self.h)
+            c0c = np.clip(c0, 0, self.w - 1)
+            c1c = np.clip(c0 + 1, 0, self.w - 1)
+            r0c = np.clip(r0, 0, self.h - 1)
+            r1c = np.clip(r0 + 1, 0, self.h - 1)
+            src = self.source.astype(np.float64)
+            top = src[r0c, c0c] * (1 - wc)[:, None] + src[r0c, c1c] * wc[:, None]
+            bot = src[r1c, c0c] * (1 - wc)[:, None] + src[r1c, c1c] * wc[:, None]
+            val = top * (1 - wr)[:, None] + bot * wr[:, None]
+            out[ok] = np.clip(np.rint(val[ok]), 0, 255).astype(np.uint8)
+        else:
+            ci, ri = np.floor(col).astype(np.int64), np.floor(row).astype(np.int64)
+            ok = (ci >= 0) & (ci < self.w) & (ri >= 0) & (ri < self.h)
+            out[ok] = self.source[ri[ok], ci[ok]]
+        return out.reshape(s, s, 4)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self._uses += 1
+        if self._uses > self.max_uses:
+            self._load()
+            self._uses = 1
+        z = np.asarray(batch["z"], dtype=np.int64)
+        x = np.asarray(batch["x"], dtype=np.int64)
+        y = np.asarray(batch["y"], dtype=np.int64)
+        payloads = [
+            from_array(self._reproject_one(int(zi), int(xi), int(yi)))
+            for zi, xi, yi in zip(z, x, y)
+        ]
+        s = self.tile_size
+        return pa.table(
+            {
+                "z": batch["z"],
+                "x": batch["x"],
+                "y": batch["y"],
+                "payload": pa.array(payloads, type=pa.binary()),
+                "format": pa.array([RAW_FORMAT] * len(z)),
+                "width": pa.array(np.full(len(z), s), type=pa.int64()),
+                "height": pa.array(np.full(len(z), s), type=pa.int64()),
+            }
+        )
+
+
+def reproject_srs_raster(coords_ds, source: np.ndarray, geotransform, epsg: int,
+                         tile_size=64, band_mapping=None, resampling="nearest",
+                         concurrency=DEFAULT_CONCURRENCY, batch_size=256):
+    """(z, x, y) Dataset -> mercator raster tiles warped from a source
+    raster in any registered SRS. Source broadcast once via ray.put
+    (read once per actor, never per batch)."""
+    import ray
+
+    ref = ray.put(source)
+    return coords_ds.map_batches(
+        SRSReprojector,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={
+            "source_ref": ref,
+            "geotransform": geotransform,
+            "epsg": epsg,
+            "tile_size": tile_size,
+            "band_mapping": band_mapping,
+            "resampling": resampling,
+        },
+    )
 
 
 def reproject_raster(coords_ds, source: np.ndarray, tile_size=64,
