@@ -88,3 +88,84 @@ def test_tilejson_pyramid_and_merge():
     assert merged.vector_layers == [{"id": "roads"}]
     rt = TileJSON.from_json(merged.to_json())
     assert rt.minzoom == 0 and rt.extra.get("name") == "test"
+
+
+def test_tilejson_full_surface():
+    """Merge / limit / check semantics ported from tilejson/lib.rs and
+    vector_layer.rs."""
+    from versatiles_rs_ray.core.bbox import TileBBoxPyramid
+    from versatiles_rs_ray.core.tilejson import vector_layers_schema
+
+    # per-layer merge: fields overwrite, description overwrite,
+    # minzoom min / maxzoom max (vector_layer.rs:336-365)
+    a = TileJSON(
+        vector_layers=[
+            {"id": "roads", "fields": {"name": "String"}, "minzoom": 4, "maxzoom": 10,
+             "description": "old"}
+        ]
+    )
+    b = TileJSON(
+        vector_layers=[
+            {"id": "roads", "fields": {"kind": "String"}, "minzoom": 6, "maxzoom": 14,
+             "description": "new"},
+            {"id": "water", "fields": {}},
+        ]
+    )
+    merged = a.merge(b)
+    roads = merged.vector_layers[0]
+    assert [l["id"] for l in merged.vector_layers] == ["roads", "water"]  # sorted
+    assert roads["fields"] == {"name": "String", "kind": "String"}
+    assert roads["minzoom"] == 4 and roads["maxzoom"] == 14
+    assert roads["description"] == "new"
+    # rule 4: other's values overwrite
+    x = TileJSON(extra={"name": "mine"})
+    assert x.merge(TileJSON(extra={"name": "theirs"})).extra["name"] == "theirs"
+    # center overwritten when other has one (rule 2)
+    assert TileJSON(center=[1, 2, 3]).merge(TileJSON()).center == [1, 2, 3]
+    assert TileJSON(center=[1, 2, 3]).merge(TileJSON(center=[9, 9, 1])).center == [9, 9, 1]
+
+    # limit_bbox intersects, set_min/max_zoom raise/lower (lib.rs:276-322)
+    tj = TileJSON(bounds=[-20.0, -10.0, 20.0, 10.0], minzoom=3, maxzoom=12)
+    tj.limit_bbox([-5.0, -90.0, 90.0, 5.0])
+    assert tj.bounds == [-5.0, -10.0, 20.0, 5.0]
+    tj.set_min_zoom(5)
+    tj.set_min_zoom(2)  # lower -> no-op
+    tj.set_max_zoom(10)
+    tj.set_max_zoom(14)  # higher -> no-op
+    assert tj.minzoom == 5 and tj.maxzoom == 10
+
+    # checks (lib.rs:390-486)
+    tj.check_basics()
+    with pytest.raises(ValueError, match="tilejson version"):
+        TileJSON(tilejson="9.0.0").check_basics()
+    with pytest.raises(ValueError, match="version number"):
+        TileJSON(extra={"version": "x"}).check_basics()
+    with pytest.raises(ValueError, match="vector_layers"):
+        TileJSON(vector_layers=[{"id": "x", "fields": {}}]).check_raster()
+    with pytest.raises(ValueError, match="vector_layers"):
+        TileJSON().check_vector()
+    with pytest.raises(ValueError, match="alphanumeric"):
+        TileJSON(vector_layers=[{"id": "bad id!", "fields": {}}]).check_vector()
+    with pytest.raises(ValueError, match="minzoom must be <="):
+        TileJSON(vector_layers=[{"id": "x", "fields": {}, "minzoom": 9, "maxzoom": 3}]).check_vector()
+    TileJSON(vector_layers=[{"id": "ok", "fields": {"name": "String"}}]).check_vector()
+
+    # schema inference (vector_layer.rs:111-164) + reader-parameter sync
+    assert vector_layers_schema([{"id": "custom"}]) == "vector-other"
+    sb = [{"id": i, "fields": {}} for i in (
+        "addresses aerialways boundaries boundary_labels bridges buildings "
+        "dam_lines dam_polygons ferries land ocean pier_lines pier_polygons "
+        "place_labels pois public_transport sites street_labels_points "
+        "street_labels street_polygons streets_polygons_labels streets "
+        "water_lines_labels water_lines water_polygons_labels water_polygons"
+    ).split()]
+    assert vector_layers_schema(sb) == "vector-shortbread-1.0"
+    tj2 = TileJSON(vector_layers=sb)
+    tj2.update_from_reader_parameters(TileBBoxPyramid.new_full(3, 0), "mvt")
+    assert tj2.tile_type == "vector" and tj2.tile_schema == "vector-shortbread-1.0"
+    assert tj2.minzoom == 0 and tj2.maxzoom == 3
+    tj3 = TileJSON().update_from_reader_parameters(TileBBoxPyramid.new_full(2, 0), "png")
+    assert tj3.tile_type == "raster" and tj3.tile_schema == "raster-rgb"
+
+    # robust parse fallback (lib.rs:498-505)
+    assert TileJSON.try_from_text_or_default("not json").tilejson == "3.0.0"
