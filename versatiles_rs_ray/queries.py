@@ -934,21 +934,134 @@ def _oracle_props_join():
     )
 
 
-def _oracle_lang_guess_docs():
+def _sql_lang_pick():
+    """Per-doc language pick expression (shared by the lang_guess_docs
+    and lang_guess oracles)."""
     toks = "list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))"
     hit_exprs = []
     for lang in sorted(l for l, p in text_stage.LANG_PROFILES.items() if p):
         words = ", ".join(f"'{w}'" for w in sorted(text_stage.LANG_PROFILES[lang]))
         hit_exprs.append(f"('{lang}', len(list_filter({toks}, x -> x IN ({words}))))")
     vals = ", ".join(hit_exprs)
-    pick = (
+    return (
         f"(SELECT CASE WHEN max(h) = 0 THEN 'unk' ELSE "
         f"(SELECT l FROM (VALUES {vals}) AS t(l, h) ORDER BY h DESC, l LIMIT 1) END "
         f"FROM (VALUES {vals}) AS t2(l, h))"
     )
+
+
+def _oracle_lang_guess_docs():
     return (
-        f"SELECT {D.SQL_DOC_ID_STR} AS doc_id, {pick} AS lang_guess FROM documents"
+        f"SELECT {D.SQL_DOC_ID_STR} AS doc_id, {_sql_lang_pick()} AS lang_guess FROM documents"
     )
+
+
+def _oracle_lang_guess():
+    """Aggregate of the per-doc pick: docs + correct guesses per true
+    lang (matches stages/text.lang_accuracy)."""
+    return (
+        "SELECT lang, count(*) AS n_docs, "
+        "CAST(sum(CASE WHEN lang_guess = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct "
+        f"FROM (SELECT lang, {_sql_lang_pick()} AS lang_guess FROM documents) t GROUP BY lang"
+    )
+
+
+def _oracle_hilbert_order():
+    """Level-offset Hilbert index in pure SQL: the classic xy2d bit
+    walk (rotation + reflection) unrolled into one CTE per bit —
+    exactly core/coords.hilbert_index (tile_hilbert_index.rs:81-113
+    semantics)."""
+    z = Z_FLIP
+    offset = ((1 << (2 * z)) - 1) // 3
+    parts = [
+        f"h{z} AS (SELECT doc_num, z, x, y, x AS cx, y AS cy, "
+        f"CAST(0 AS BIGINT) AS d FROM {_sql_docs_at(z)} t)"
+    ]
+    for shift in range(z - 1, -1, -1):
+        s = 1 << shift
+        parts.append(
+            f"h{shift} AS (SELECT doc_num, z, x, y, "
+            f"CASE WHEN ry = 1 THEN cx WHEN rx = 1 THEN {s - 1} - cy ELSE cy END AS cx, "
+            f"CASE WHEN ry = 1 THEN cy WHEN rx = 1 THEN {s - 1} - cx ELSE cx END AS cy, "
+            f"d + {s * s} * xor(3 * rx, ry) AS d FROM ("
+            f"SELECT *, CASE WHEN (cx & {s}) > 0 THEN 1 ELSE 0 END AS rx, "
+            f"CASE WHEN (cy & {s}) > 0 THEN 1 ELSE 0 END AS ry FROM h{shift + 1}) t)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT doc_num, z, x, y, {offset} + d AS hilbert FROM h0"
+    )
+
+
+def _oracle_s2_cells():
+    """Full S2 cell id in pure SQL: lon/lat -> cube face -> quadratic
+    st -> leaf ij -> Hilbert position walk. Only the top `level`
+    2-bit steps are emitted (lower bits are cleared by the parent
+    snap), with list-literal IJ->pos / pos->orientation tables —
+    exactly core/cells.s2_cell_id (verified bit-identical incl. the
+    int64 wrap for faces 4-5 and the hex token)."""
+    level = S2_LEVEL
+    base = (
+        "SELECT doc_id, "
+        "cos(radians(lat)) * cos(radians(lon)) AS px, "
+        "cos(radians(lat)) * sin(radians(lon)) AS py, "
+        f"sin(radians(lat)) AS pz FROM {SQL_DOCS} d"
+    )
+    facesel = (
+        "SELECT doc_id, px, py, pz, "
+        "CASE WHEN abs(px) >= abs(py) THEN (CASE WHEN abs(px) >= abs(pz) THEN 0 ELSE 2 END) "
+        "ELSE (CASE WHEN abs(py) >= abs(pz) THEN 1 ELSE 2 END) END AS f0 FROM s2base"
+    )
+    face = (
+        "SELECT doc_id, px, py, pz, "
+        "CASE WHEN (CASE f0 WHEN 0 THEN px WHEN 1 THEN py ELSE pz END) < 0 "
+        "THEN f0 + 3 ELSE f0 END AS face FROM s2facesel"
+    )
+    uv = (
+        "SELECT doc_id, face, "
+        "CASE face WHEN 0 THEN py/px WHEN 1 THEN -px/py WHEN 2 THEN -px/pz "
+        "WHEN 3 THEN pz/px WHEN 4 THEN pz/py ELSE -py/pz END AS u, "
+        "CASE face WHEN 0 THEN pz/px WHEN 1 THEN pz/py WHEN 2 THEN -py/pz "
+        "WHEN 3 THEN py/px WHEN 4 THEN -px/py ELSE -px/pz END AS v FROM s2face"
+    )
+    st = (
+        "SELECT doc_id, face, "
+        "CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u) ELSE 1-0.5*sqrt(1-3*u) END AS s, "
+        "CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v) ELSE 1-0.5*sqrt(1-3*v) END AS t FROM s2uv"
+    )
+    ij = (
+        "SELECT doc_id, face, "
+        "least(greatest(CAST(floor(s * 1073741824) AS BIGINT), 0), 1073741823) AS i, "
+        "least(greatest(CAST(floor(t * 1073741824) AS BIGINT), 0), 1073741823) AS j, "
+        "face & 1 AS orient, CAST(0 AS BIGINT) AS n2 FROM s2st"
+    )
+    parts = [
+        f"s2base AS ({base})", f"s2facesel AS ({facesel})", f"s2face AS ({face})",
+        f"s2uv AS ({uv})", f"s2st AS ({st})", f"w30 AS ({ij})",
+    ]
+    ij2pos = "[0,1,3,2, 0,3,1,2, 2,3,1,0, 2,1,3,0]"  # IJ_TO_POS[orient][ij]
+    p2o = "[1,0,0,3]"  # POS_TO_ORIENT
+    prev = "w30"
+    for k in range(29, 29 - level, -1):
+        name = f"w{k}"
+        parts.append(
+            f"{name} AS (SELECT doc_id, face, i, j, "
+            f"xor(orient, ({p2o})[pos2+1]) AS orient, "
+            f"n2 + pos2 * {1 << (2 * k + 1)} AS n2 FROM ("
+            f"SELECT *, ({ij2pos})[orient*4 + ((i >> {k}) & 1)*2 + ((j >> {k}) & 1) + 1] AS pos2 "
+            f"FROM {prev}) t)"
+        )
+        prev = name
+    lsb = 1 << (2 * (30 - level))
+    wrap = "CASE WHEN idh >= 9223372036854775808 THEN idh - 18446744073709551616 ELSE idh END"
+    fin = (
+        f"SELECT doc_id, CAST({wrap} AS BIGINT) AS s2_cell, "
+        "CASE WHEN tok = '' THEN 'X' ELSE tok END AS s2_token FROM ("
+        f"SELECT doc_id, idh, rtrim(printf('%016x', CAST({wrap} AS BIGINT)), '0') AS tok FROM ("
+        f"SELECT doc_id, CAST(face AS HUGEINT) * 2305843009213693952 + n2 + {lsb} AS idh "
+        f"FROM {prev}) a) b"
+    )
+    return "WITH " + ", ".join(parts) + " " + fin
 
 
 def _oracle_mvt_tiles():
@@ -1065,4 +1178,8 @@ ORACLES = {
     "mvt_tiles": _oracle_mvt_tiles(),
     "lang_guess_docs": _oracle_lang_guess_docs(),
     "sessionize": _oracle_sessionize(),
+    # round 2: oracles for formerly rows-only queries
+    "lang_guess": _oracle_lang_guess(),
+    "hilbert_order": _oracle_hilbert_order(),
+    "s2_cells": _oracle_s2_cells(),
 }
