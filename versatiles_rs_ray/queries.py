@@ -45,6 +45,8 @@ KNN_MOD = 97
 TOPK_K = 5
 TOPK_QUERY_IDS = (0, 1, 2, 3)
 S2_LEVEL = 12
+MINHASH_TAU = 0.5
+SIMHASH_MAX_HAMMING = 3
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in text_stage.STOPWORDS)
 
@@ -486,7 +488,7 @@ def q_minhash_dedup(sf_dir):
     return cand.map_batches(
         dedup.JaccardVerify,
         batch_format="pyarrow",
-        fn_constructor_kwargs={"texts_ref": ref, "threshold": 0.5},
+        fn_constructor_kwargs={"texts_ref": ref, "threshold": MINHASH_TAU},
         concurrency=2,
     )
 
@@ -814,6 +816,104 @@ def _oracle_ngram_jaccard():
         f"SELECT p.doc_a, p.doc_b, p.inter, {jac} AS jaccard "
         "FROM pairs p JOIN cnt ca ON ca.doc_id = p.doc_a "
         f"JOIN cnt cb ON cb.doc_id = p.doc_b WHERE {jac} >= {tau}"
+    )
+
+
+def _oracle_minhash_dedup():
+    """MinHash LSH + exact-Jaccard verify, bit-exact in pure SQL.
+
+    Reproduces stages/dedup.MinHashSignatures end to end: rolling
+    k-byte shingle hashes as a HUGEINT polynomial mod 2^64 (byte ==
+    ord() on the ASCII driver corpus, short docs zero-padded), the
+    61-bit mask, the 64 universal perms ((a*x + b) wraps mod 2^64 in
+    numpy uint64 BEFORE the mod 2^61-1 — mirrored here; the a/b
+    constants are read from the SAME seeded generator and inlined),
+    the FNV fold per 8-perm band, the per-bucket lowest-256-doc cap
+    (dedup._MAX_BUCKET), pair dedup, and the exact shingle-set
+    Jaccard >= MINHASH_TAU verify.
+    """
+    sig = dedup.MinHashSignatures()  # defaults: k=5, 64 perms, 8 bands, seed 42
+    k, rpb = sig.k, sig.rows_per_band
+    M64, MERS, F = 1 << 64, (1 << 61) - 1, 1099511628211
+    cap = dedup._MAX_BUCKET
+    pw = [pow(1000003, k - 1 - j, M64) for j in range(k)]
+    terms = " + ".join(
+        f"{pw[j]}::HUGEINT * (CASE WHEN i+{j} <= length(text) "
+        f"THEN ord(substr(text, i+{j}, 1)) ELSE 0 END)"
+        for j in range(k)
+    )
+    perm_rows = ", ".join(
+        f"({p}, {int(sig.a[p])}::HUGEINT, {int(sig.b[p])}::HUGEINT)"
+        for p in range(sig.num_perm)
+    )
+    fold = "l[1]"
+    for c in range(1, rpb):
+        fold = f"(({fold}) * {F}::HUGEINT + l[{c + 1}]) % {M64}::HUGEINT"
+    jac = "CAST(t.i AS DOUBLE) / (ca.n + cb.n - t.i)"
+    return (
+        f"WITH sh AS (SELECT doc_id, unnest(list_distinct([({terms}) % {M64}::HUGEINT "
+        f"FOR i IN range(1, greatest(length(text) - {k} + 1, 1) + 1)])) AS h FROM documents), "
+        f"perms(p, a, b) AS (VALUES {perm_rows}), "
+        f"sig AS (SELECT doc_id, p, min(((a * (h % {1 << 61}::HUGEINT) + b) "
+        f"% {M64}::HUGEINT) % {MERS}::HUGEINT) AS s FROM sh CROSS JOIN perms "
+        "GROUP BY doc_id, p), "
+        f"band AS (SELECT doc_id, band_id, ({fold}) AS bh FROM "
+        f"(SELECT doc_id, p // {rpb} AS band_id, list(s ORDER BY p) AS l "
+        f"FROM sig GROUP BY doc_id, p // {rpb})), "
+        "kept AS (SELECT doc_id, band_id, bh FROM (SELECT *, row_number() "
+        "OVER (PARTITION BY band_id, bh ORDER BY doc_id) AS rn FROM band) "
+        f"WHERE rn <= {cap}), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM kept a JOIN kept b ON a.band_id = b.band_id AND a.bh = b.bh "
+        "AND a.doc_id < b.doc_id), "
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT p.doc_a, p.doc_b, count(*) AS i FROM pairs p "
+        "JOIN sh a ON a.doc_id = p.doc_a JOIN sh b ON b.doc_id = p.doc_b "
+        "AND b.h = a.h GROUP BY p.doc_a, p.doc_b) "
+        f"SELECT t.doc_a, t.doc_b, {jac} AS jaccard FROM inter t "
+        "JOIN cnt ca ON ca.doc_id = t.doc_a JOIN cnt cb ON cb.doc_id = t.doc_b "
+        f"WHERE {jac} >= {MINHASH_TAU}"
+    )
+
+
+def _oracle_simhash_dedup():
+    """SimHash banding + Hamming verify, bit-exact in pure SQL.
+
+    Mirrors stages/dedup.SimHashSignatures: word hash = low 8 md5
+    bytes little-endian (DuckDB ``md5_number_upper`` returns exactly
+    that as UBIGINT — verified against hashlib.md5), ±1 accumulation
+    per bit over all token OCCURRENCES (not distinct words), bit set
+    iff the sum is positive, 4x16-bit bands, per-bucket lowest-256-doc
+    cap, Hamming <= SIMHASH_MAX_HAMMING at pair generation, pair dedup.
+    Empty-token docs get fingerprint 0 (LEFT JOIN keeps them), exactly
+    as the kernel's zero accumulator does.
+    """
+    cap = dedup._MAX_BUCKET
+    M64, HALF = 1 << 64, 1 << 63
+    bit_rows = ", ".join(f"({i}, {1 << i}::HUGEINT)" for i in range(64))
+    band_rows = ", ".join(f"({b}, {1 << (16 * b)}::HUGEINT)" for b in range(4))
+    ham = "CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT)"
+    return (
+        "WITH w AS (SELECT doc_id, unnest(list_filter("
+        "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word FROM documents), "
+        "wh AS (SELECT doc_id, CAST(md5_number_upper(word) AS HUGEINT) AS h FROM w), "
+        f"bits(i, p) AS (VALUES {bit_rows}), "
+        "acc AS (SELECT doc_id, i, sum(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS a "
+        "FROM wh CROSS JOIN bits GROUP BY doc_id, i), "
+        "fp AS (SELECT d.doc_id, coalesce(s.f, 0::HUGEINT) AS f FROM documents d "
+        "LEFT JOIN (SELECT acc.doc_id, sum(CASE WHEN acc.a > 0 THEN bits.p ELSE 0::HUGEINT END) AS f "
+        "FROM acc JOIN bits ON bits.i = acc.i GROUP BY acc.doc_id) s ON s.doc_id = d.doc_id), "
+        f"sims AS (SELECT doc_id, f, CAST(CASE WHEN f >= {HALF}::HUGEINT "
+        f"THEN f - {M64}::HUGEINT ELSE f END AS BIGINT) AS sim FROM fp), "
+        f"bands(b, p16) AS (VALUES {band_rows}), "
+        "bk AS (SELECT doc_id, sim, b AS band_id, CAST((f // p16) % 65536 AS BIGINT) AS bh "
+        "FROM sims CROSS JOIN bands), "
+        "kept AS (SELECT doc_id, sim, band_id, bh FROM (SELECT *, row_number() "
+        "OVER (PARTITION BY band_id, bh ORDER BY doc_id) AS rn FROM bk) "
+        f"WHERE rn <= {cap}) "
+        f"SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, {ham} AS hamming "
+        "FROM kept a JOIN kept b ON a.band_id = b.band_id AND a.bh = b.bh "
+        f"AND a.doc_id < b.doc_id WHERE {ham} <= {SIMHASH_MAX_HAMMING}"
     )
 
 
@@ -1182,4 +1282,6 @@ ORACLES = {
     "lang_guess": _oracle_lang_guess(),
     "hilbert_order": _oracle_hilbert_order(),
     "s2_cells": _oracle_s2_cells(),
+    "minhash_dedup": _oracle_minhash_dedup(),
+    "simhash_dedup": _oracle_simhash_dedup(),
 }

@@ -407,22 +407,29 @@ class SimHashSignatures:
     """64-bit SimHash over token hashes; emits 4x16-bit blocking bands.
 
     Vectorized: tokens come from one Arrow whitespace split over the
-    whole batch, blake2b runs only over the batch's DICTIONARY of
-    unique tokens, and the per-doc ±1 bit accumulation is one
+    whole batch, the word hash runs only over the batch's DICTIONARY
+    of unique tokens, and the per-doc ±1 bit accumulation is one
     ``np.add.at`` — no per-word Python in the hot path. Output is
     bit-identical to the per-word definition (sum of signs over all
-    token occurrences; bit set iff the sum is positive)."""
+    token occurrences; bit set iff the sum is positive).
+
+    Word hash: low 8 md5 bytes little-endian — SimHash is
+    hash-agnostic, and md5 is the one 128-bit hash DuckDB exposes
+    bit-exactly (``md5_number_upper``), which makes the whole operator
+    oracle-checkable in SQL (queries._oracle_simhash_dedup)."""
 
     def __init__(self, seed=42):
         self.seed = seed
+
+    @staticmethod
+    def _word_hash(w: str) -> int:
+        return int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
 
     def _simhash(self, text: str) -> int:
         """Per-doc reference (kept for tests/documentation)."""
         acc = np.zeros(64, dtype=np.int64)
         for w in (text or "").split():
-            h = np.uint64(
-                int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
-            )
+            h = np.uint64(self._word_hash(w))
             bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
             acc += np.where(bits.astype(bool), 1, -1)
         return int(sum((1 << i) for i in range(64) if acc[i] > 0))
@@ -450,12 +457,7 @@ class SimHashSignatures:
         vocab = dic.dictionary.to_pylist()
         indices = np.asarray(dic.indices, dtype=np.int64)
         hv = np.fromiter(
-            (
-                int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
-                for w in vocab
-            ),
-            dtype=np.uint64,
-            count=len(vocab),
+            (self._word_hash(w) for w in vocab), dtype=np.uint64, count=len(vocab)
         )
         shifts = np.arange(64, dtype=np.uint64)
         signs = (((hv[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int8) * 2 - 1).astype(
