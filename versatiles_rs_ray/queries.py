@@ -47,6 +47,12 @@ TOPK_QUERY_IDS = (0, 1, 2, 3)
 S2_LEVEL = 12
 MINHASH_TAU = 0.5
 SIMHASH_MAX_HAMMING = 3
+LSH_TOPK_NBITS = 12
+NEAR_DUP_NBITS = 6
+# the driver's synthetic embeddings max out at pairwise cosine ~0.51,
+# so a 0.95 "near-dup" threshold matches nothing; 0.4 exercises the
+# bucket->verify path with real survivors.
+NEAR_DUP_TAU = 0.4
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in text_stage.STOPWORDS)
 
@@ -505,7 +511,9 @@ def q_embedding_lsh_topk(sf_dir):
     emb = embed._to_matrix(t["embedding"])
     q_mask = np.isin(vid, np.asarray(TOPK_QUERY_IDS))
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embed.lsh_topk(ds, vid[q_mask], emb[q_mask], TOPK_K, dim=emb.shape[1])
+    return embed.lsh_topk(
+        ds, vid[q_mask], emb[q_mask], TOPK_K, dim=emb.shape[1], nbits=LSH_TOPK_NBITS
+    )
 
 
 def q_embedding_ivf_topk(sf_dir):
@@ -545,7 +553,7 @@ def q_embedding_near_dup(sf_dir):
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    out = embed.cosine_near_dup_pairs(ds, threshold=0.95, nbits=6)
+    out = embed.cosine_near_dup_pairs(ds, threshold=NEAR_DUP_TAU, nbits=NEAR_DUP_NBITS)
     return out.select_columns(["vec_a", "vec_b"])
 
 
@@ -1196,6 +1204,59 @@ def _oracle_embedding_topk():
     )
 
 
+EMB_DIM = 64  # driver testdata contract (TESTDATA.md: embeddings.parquet list<float>[64])
+
+
+def _sql_srp_bucket(nbits: int, col: str = "embedding") -> str:
+    """SRP bucket id as SQL: sign bits of dot products against the SAME
+    seeded hyperplanes stages/embed.SrpBuckets draws (inlined as list
+    literals; float32 plane values round-trip exactly as doubles).
+    numpy does the dot in float32, DuckDB in double — the sign only
+    differs when a dot lands within float32 rounding of zero, which on
+    gaussian data is vanishingly rare (and would show up as a hash
+    mismatch, not a silent wrong answer)."""
+    planes = embed.SrpBuckets(EMB_DIM, nbits=nbits, seed=42).planes  # (dim, nbits)
+    terms = []
+    for j in range(nbits):
+        lit = "[" + ", ".join(repr(float(v)) for v in planes[:, j]) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({col}, {lit}) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _oracle_embedding_lsh_topk():
+    """SRP-LSH approximate top-k, mirrored exactly: candidates are the
+    UNION of the query vectors' buckets (stages/embed.lsh_topk filters
+    on the wanted-bucket set, then ranks every query against the whole
+    filtered pool), exclude-self, (cosine DESC, vec_id ASC) tie-break."""
+    ids = ", ".join(str(i) for i in TOPK_QUERY_IDS)
+    bexpr = _sql_srp_bucket(LSH_TOPK_NBITS)
+    return (
+        f"WITH b AS (SELECT vec_id, embedding, {bexpr} AS bucket FROM embeddings), "
+        f"q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM b WHERE vec_id IN ({ids})), "
+        "cand AS (SELECT vec_id, embedding FROM b WHERE bucket IN (SELECT DISTINCT bucket FROM q)) "
+        "SELECT q_id, vec_id, rank FROM ("
+        "SELECT q.qid AS q_id, c.vec_id, row_number() OVER (PARTITION BY q.qid ORDER BY "
+        "list_cosine_similarity(q.qe, c.embedding) DESC, c.vec_id) AS rank "
+        "FROM q CROSS JOIN cand c WHERE c.vec_id <> q.qid) "
+        f"WHERE rank <= {TOPK_K}"
+    )
+
+
+def _oracle_embedding_near_dup():
+    """SRP-bucketed near-dup pairs: same-bucket pairs with exact cosine
+    >= NEAR_DUP_TAU (stages/embed.cosine_near_dup_pairs; a vector lives
+    in exactly one bucket so each unordered pair appears once)."""
+    bexpr = _sql_srp_bucket(NEAR_DUP_NBITS)
+    return (
+        f"WITH b AS (SELECT vec_id, embedding, {bexpr} AS bucket FROM embeddings) "
+        "SELECT a.vec_id AS vec_a, c.vec_id AS vec_b FROM b a JOIN b c "
+        "ON a.bucket = c.bucket AND a.vec_id < c.vec_id "
+        f"WHERE list_cosine_similarity(a.embedding, c.embedding) >= {NEAR_DUP_TAU}"
+    )
+
+
 # ======================================================================
 # registry
 # ======================================================================
@@ -1284,4 +1345,6 @@ ORACLES = {
     "s2_cells": _oracle_s2_cells(),
     "minhash_dedup": _oracle_minhash_dedup(),
     "simhash_dedup": _oracle_simhash_dedup(),
+    "embedding_lsh_topk": _oracle_embedding_lsh_topk(),
+    "embedding_near_dup": _oracle_embedding_near_dup(),
 }
