@@ -69,3 +69,66 @@ def test_knn_matches_brute(ray_session, sf_dir):
         ["q_doc", "rank"]
     ).reset_index(drop=True)
     assert got[["q_doc", "n_doc", "rank"]].equals(brute)
+
+
+def test_knn_grouped_equals_broadcast_at_z0(ray_session, sf_dir):
+    """At zoom 0 the 3x3 window is the whole world, so the grouped
+    exchange path must reproduce exact broadcast kNN verbatim."""
+    did, lon, lat = _pts(sf_dir)
+    q = did[did % 50 == 0]
+    q_lon, q_lat = D.derive_lonlat(q)
+    exact = (
+        join.knn_join(D.read_docs(sf_dir), q, q_lon, q_lat, 4)
+        .sort_values(["q_doc", "rank"])
+        .reset_index(drop=True)
+    )
+    docs = D.read_docs(sf_dir)
+    queries = docs.map_batches(
+        lambda b: b.filter(
+            __import__("pyarrow").array(
+                np.asarray(b["doc_num"], dtype=np.int64) % 50 == 0
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    got = (
+        join.knn_join_grouped(docs, queries, 4, zoom=0)
+        .to_pandas()
+        .sort_values(["q_doc", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got[["q_doc", "n_doc", "rank"]].equals(exact)
+
+
+def test_knn_grouped_windowed_semantics(ray_session, sf_dir):
+    """At a real zoom the contract is exact-top-k WITHIN the 3x3 tile
+    window: verify against a brute-force windowed reference."""
+    z, k = 3, 5
+    did, lon, lat = _pts(sf_dir)
+    x, y = coords.lonlat_to_tile(lon, lat, z)
+    qm = did % 50 == 0
+    docs = D.read_docs(sf_dir)
+    queries = docs.map_batches(
+        lambda b: b.filter(
+            __import__("pyarrow").array(
+                np.asarray(b["doc_num"], dtype=np.int64) % 50 == 0
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    got = (
+        join.knn_join_grouped(docs, queries, k, zoom=z)
+        .to_pandas()
+        .sort_values(["q_doc", "rank"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for qd, qx_t, qy_t, qx, qy in zip(did[qm], x[qm], y[qm], lon[qm], lat[qm]):
+        win = (np.abs(x - qx_t) <= 1) & (np.abs(y - qy_t) <= 1) & (did != qd)
+        d2 = (qx - lon[win]) ** 2 + (qy - lat[win]) ** 2
+        order = np.lexsort((did[win], d2))[:k]
+        rows += [(qd, did[win][j], r + 1) for r, j in enumerate(order)]
+    brute = pd.DataFrame(rows, columns=["q_doc", "n_doc", "rank"]).sort_values(
+        ["q_doc", "rank"]
+    ).reset_index(drop=True)
+    assert got[["q_doc", "n_doc", "rank"]].equals(brute)

@@ -201,6 +201,39 @@ def q_knn_join(sf_dir):
     return join.knn_join(_docs(sf_dir), q_ids, q_lon, q_lat, KNN_K)
 
 
+Z_KNN_GROUP = 3
+
+
+def q_knn_grouped(sf_dir):
+    """Windowed kNN over a query DATASET (the large-Q scale path):
+    3x3 tile neighborhood at Z_KNN_GROUP, one co-partitioning exchange,
+    ranks finished inside each partition (stages/join.knn_join_grouped)."""
+
+    def is_query(batch):
+        doc = np.asarray(batch["doc_num"], dtype=np.int64)
+        return batch.filter(pa.array(doc % KNN_MOD == 0))
+
+    docs = _docs(sf_dir)
+    queries = docs.map_batches(is_query, batch_format="pyarrow")
+    return join.knn_join_grouped(docs, queries, KNN_K, Z_KNN_GROUP)
+
+
+def _oracle_knn_grouped():
+    z = Z_KNN_GROUP
+    return (
+        f"WITH pts AS (SELECT doc_num, lon, lat, {assign.sql_tile_x(z, 'lon')} AS x, "
+        f"{assign.sql_tile_y(z, 'lat')} AS y FROM {SQL_DOCS} d), "
+        f"q AS (SELECT * FROM pts WHERE doc_num % {KNN_MOD} = 0) "
+        "SELECT q_doc, n_doc, rank FROM ("
+        "SELECT q.doc_num AS q_doc, c.doc_num AS n_doc, "
+        "row_number() OVER (PARTITION BY q.doc_num ORDER BY "
+        "(q.lon - c.lon) * (q.lon - c.lon) + (q.lat - c.lat) * (q.lat - c.lat), c.doc_num"
+        ") AS rank FROM q JOIN pts c ON abs(q.x - c.x) <= 1 AND abs(q.y - c.y) <= 1 "
+        "AND c.doc_num <> q.doc_num"
+        f") WHERE rank <= {KNN_K}"
+    )
+
+
 def q_dedup_exact(sf_dir):
     return dedup.dedup_exact(_docs(sf_dir))
 
@@ -1274,6 +1307,7 @@ QUERIES = {
     "merged_tile_sources": q_merged_tile_sources,
     "pip_join": q_pip_join,
     "knn_join": q_knn_join,
+    "knn_grouped": q_knn_grouped,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "token_stats": q_token_stats,
@@ -1323,6 +1357,7 @@ ORACLES = {
     "merged_tile_sources": _oracle_merged_tile_sources(),
     "pip_join": _oracle_pip_join(),
     "knn_join": _oracle_knn_join(),
+    "knn_grouped": _oracle_knn_grouped(),
     "dedup_exact": _oracle_dedup_exact(),
     "ngram_jaccard": _oracle_ngram_jaccard(),
     "token_stats": _oracle_token_stats(),

@@ -206,3 +206,153 @@ def knn_join(docs_ds, q_ids, q_lon, q_lat, k: int, exclude_self=True):
     final = _batch_topk(partials.to_pandas(), k).reset_index(drop=True)
     final["rank"] = final.groupby("q_doc", sort=False).cumcount() + 1
     return final[["q_doc", "n_doc", "rank"]]
+
+
+# ---- grouped kNN: the large-Q scale path (SURVEY.md §7.3) --------------
+
+
+def _tag_side(batch: pa.Table, zoom: int, side: int) -> pa.Table:
+    """Query side: one row per query keyed by its OWN tile at zoom."""
+    lon = np.asarray(batch["lon"], dtype=np.float64)
+    lat = np.asarray(batch["lat"], dtype=np.float64)
+    x, y = coords.lonlat_to_tile(lon, lat, zoom)
+    tkey = pack_tkey(np.full(len(x), zoom, dtype=np.int64), x, y)
+    return pa.table(
+        {
+            "tkey": pa.array(tkey, type=pa.int64()),
+            "side": pa.array(np.full(len(x), side, dtype=np.int8)),
+            "doc_num": batch["doc_num"].cast(pa.int64()),
+            "lon": pa.array(lon),
+            "lat": pa.array(lat),
+        }
+    )
+
+
+def _replicate_3x3(batch: pa.Table, zoom: int) -> pa.Table:
+    """Candidate side: replicate each point to its tile AND the (up to
+    8) in-range neighbors, so every query tile's partition holds the
+    full 3x3 candidate window. Out-of-range neighbors are skipped (not
+    clamped) so no duplicate (tile, doc) rows arise at grid edges."""
+    lon = np.asarray(batch["lon"], dtype=np.float64)
+    lat = np.asarray(batch["lat"], dtype=np.float64)
+    doc = np.asarray(batch["doc_num"], dtype=np.int64)
+    x, y = coords.lonlat_to_tile(lon, lat, zoom)
+    n_side = 1 << zoom
+    xs, ys, idxs = [], [], []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            nx, ny = x + dx, y + dy
+            ok = (nx >= 0) & (nx < n_side) & (ny >= 0) & (ny < n_side)
+            xs.append(nx[ok])
+            ys.append(ny[ok])
+            idxs.append(np.flatnonzero(ok))
+    nx = np.concatenate(xs)
+    ny = np.concatenate(ys)
+    idx = np.concatenate(idxs)
+    tkey = pack_tkey(np.full(len(nx), zoom, dtype=np.int64), nx, ny)
+    return pa.table(
+        {
+            "tkey": pa.array(tkey, type=pa.int64()),
+            "side": pa.array(np.ones(len(nx), dtype=np.int8)),
+            "doc_num": pa.array(doc[idx]),
+            "lon": pa.array(lon[idx]),
+            "lat": pa.array(lat[idx]),
+        }
+    )
+
+
+def _grouped_knn_combine(table: pa.Table, k: int, exclude_self: bool) -> pa.Table:
+    """Per-partition exact windowed top-k. The partition holds, for
+    every query tile routed here, ALL candidates of its 3x3 window —
+    so ranks are final (no driver merge). Per-tile loop over vectorized
+    (Q_t x C_t) distance blocks; query rows are chunked so one block
+    stays ~8 MB regardless of tile skew."""
+    out_q, out_n, out_d = [], [], []
+    if table.num_rows:
+        side = np.asarray(table["side"], dtype=np.int8)
+        tkey = np.asarray(table["tkey"], dtype=np.int64)
+        doc = np.asarray(table["doc_num"], dtype=np.int64)
+        lon = np.asarray(table["lon"], dtype=np.float64)
+        lat = np.asarray(table["lat"], dtype=np.float64)
+        q_m, c_m = side == 0, side == 1
+        q_order = np.argsort(tkey[q_m], kind="stable")
+        qk, qd, qlo, qla = (a[q_m][q_order] for a in (tkey, doc, lon, lat))
+        c_order = np.argsort(tkey[c_m], kind="stable")
+        ck, cd, clo, cla = (a[c_m][c_order] for a in (tkey, doc, lon, lat))
+        if len(qk):
+            run_starts = np.flatnonzero(np.r_[True, qk[1:] != qk[:-1]])
+            run_ends = np.r_[run_starts[1:], len(qk)]
+        else:
+            run_starts = run_ends = np.empty(0, dtype=np.int64)
+        for s, e in zip(run_starts, run_ends):
+            c0, c1 = np.searchsorted(ck, qk[s]), np.searchsorted(ck, qk[s], side="right")
+            if c0 == c1:
+                continue
+            ids, lo, la = cd[c0:c1], clo[c0:c1], cla[c0:c1]
+            step = max(1, 1_000_000 // (c1 - c0))
+            for qs in range(s, e, step):
+                qe = min(qs + step, e)
+                dlon = qlo[qs:qe, None] - lo[None, :]
+                dlat = qla[qs:qe, None] - la[None, :]
+                d2 = dlon * dlon + dlat * dlat
+                if exclude_self:
+                    d2[qd[qs:qe, None] == ids[None, :]] = np.inf
+                qidx = np.repeat(np.arange(qe - qs), c1 - c0)
+                flat = d2.ravel()
+                finite = flat < np.inf
+                qidx, flat = qidx[finite], flat[finite]
+                nids = np.tile(ids, qe - qs)[finite]
+                order = np.lexsort((nids, flat, qidx))
+                qs_s, vs, cs = qidx[order], flat[order], nids[order]
+                new_run = np.r_[True, qs_s[1:] != qs_s[:-1]]
+                starts = np.flatnonzero(new_run)
+                run_start = np.repeat(starts, np.diff(np.append(starts, len(qs_s))))
+                pos = np.arange(len(qs_s), dtype=np.int64) - run_start
+                keep = pos < k
+                out_q.append(qd[qs + qs_s[keep]])
+                out_n.append(cs[keep])
+                out_d.append(pos[keep] + 1)
+    cat = lambda parts: np.concatenate(parts) if parts else np.empty(0, np.int64)
+    return pa.table(
+        {
+            "q_doc": pa.array(cat(out_q), type=pa.int64()),
+            "n_doc": pa.array(cat(out_n), type=pa.int64()),
+            "rank": pa.array(cat(out_d), type=pa.int64()),
+        }
+    )
+
+
+def knn_join_grouped(docs_ds, queries_ds, k: int, zoom: int,
+                     exclude_self=True, num_partitions: int = 64):
+    """Windowed kNN for LARGE query sets: exact top-k among candidates
+    in the query's 3x3 tile neighborhood at ``zoom`` (SURVEY.md §7.3).
+
+    The broadcast path (knn_join) ships every query to every candidate
+    block — right for small Q, wrong once Q itself is a dataset. Here
+    BOTH sides shuffle once by tile key: queries route to their own
+    tile, candidates replicate to their 3x3 window (<= 9x, a constant),
+    and each partition finishes its queries' ranks locally — total
+    traffic O(9·C + Q) rows through one exchange, no driver gather.
+
+    Contract: neighbors beyond the window are invisible — pick zoom so
+    the expected k-th-neighbor radius is well under one tile
+    (documented partitioning assumption; the same windowing is what the
+    DuckDB oracle mirrors, so correctness is checked end to end).
+    Returns (q_doc, n_doc, rank<=k).
+    """
+    import functools
+
+    from .exchange import hash_exchange
+
+    q = queries_ds.map_batches(
+        functools.partial(_tag_side, zoom=zoom, side=0), batch_format="pyarrow"
+    )
+    c = docs_ds.map_batches(
+        functools.partial(_replicate_3x3, zoom=zoom), batch_format="pyarrow"
+    )
+    return hash_exchange(
+        q.union(c),
+        "tkey",
+        functools.partial(_grouped_knn_combine, k=k, exclude_self=exclude_self),
+        num_partitions=num_partitions,
+    )
