@@ -291,3 +291,78 @@ def test_raster_format_emits_real_png(ray_session):
     # determinism across a second run
     out2 = R.raster_format(gradient_tiles(pyramid, size=8), "png").to_pandas().sort_values(["x", "y"])
     assert list(out["payload"]) == list(out2["payload"])
+
+
+def test_webp_codec_roundtrips():
+    """Native libwebp binding: lossless round-trips exactly; lossy
+    decodes to the right shape; opaque alpha is dropped (reference
+    webp.rs semantics: quality >= 100 -> lossless)."""
+    import numpy as np
+
+    from versatiles_rs_ray.core import native, raster
+
+    if not native.HAVE_WEBP:  # pragma: no cover - present in CI image
+        import pytest
+
+        pytest.skip("libwebp absent")
+    rng = np.random.default_rng(7)
+    rgba = rng.integers(0, 255, (32, 32, 4), dtype=np.uint8)
+    rgba[..., 3] = 255
+    lossless = raster.encode(rgba, "webp", quality=100)
+    back = raster.decode(lossless, "webp")
+    assert (back[..., :3] == rgba[..., :3]).all() and (back[..., 3] == 255).all()
+    lossy = raster.encode(rgba, "webp", quality=75)
+    assert raster.decode(lossy, "webp").shape == (32, 32, 4)
+    assert len(lossy) < len(lossless)
+    # translucent pixels keep their alpha through lossless
+    rgba[0, 0, 3] = 9
+    assert (raster.decode(raster.encode(rgba, "webp", quality=100), "webp") == rgba).all()
+    # determinism
+    assert raster.encode(rgba, "webp", quality=100) == raster.encode(rgba, "webp", quality=100)
+
+
+def test_avif_encode_quality_and_rejections():
+    """Native libavif binding: valid ftypavif bytes, quality drives
+    size, lossless rejected (avif.rs is write-only by design)."""
+    import numpy as np
+
+    from versatiles_rs_ray.core import native, raster
+
+    if not native.HAVE_AVIF:  # pragma: no cover
+        import pytest
+
+        pytest.skip("libavif absent")
+    rng = np.random.default_rng(7)
+    rgba = rng.integers(0, 255, (32, 32, 4), dtype=np.uint8)
+    rgba[..., 3] = 255
+    hi = raster.encode(rgba, "avif", quality=90)
+    lo = raster.encode(rgba, "avif", quality=20)
+    assert hi[4:12] == b"ftypavif" and lo[4:12] == b"ftypavif"
+    assert len(lo) < len(hi)
+    try:
+        raster.encode(rgba, "avif", quality=100)
+        raise AssertionError("lossless avif must be rejected")
+    except ValueError:
+        pass
+
+
+def test_raster_format_webp_stage(ray_session):
+    """raster_format(fmt='webp') emits real decodable webp tiles."""
+    import numpy as np
+
+    from versatiles_rs_ray.core import native, raster
+
+    if not native.HAVE_WEBP:  # pragma: no cover
+        import pytest
+
+        pytest.skip("libwebp absent")
+    pyramid = TileBBoxPyramid.new_full(1, 1)
+    out = (
+        R.raster_format(gradient_tiles(pyramid, size=8), "webp", quality_schedule="0:100")
+        .to_pandas()
+        .sort_values(["x", "y"])
+    )
+    for _, row in out.iterrows():
+        arr = raster.decode(row["payload"], "webp")
+        src = gradient_array(1, int(row["x"]), int(row["y"]), 8)
+        assert np.array_equal(arr[..., :3], src[..., :3])

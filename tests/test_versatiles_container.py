@@ -126,3 +126,21 @@ def test_versatiles_container_registry(ray_session, tmp_path):
     write_container(ds, path)
     back = open_container(path).to_pandas()
     assert len(back) == 21
+
+
+def test_brotli_native_entropy_roundtrip():
+    """With the system libbrotli bound (core/native.py) the 'br' codec
+    produces real entropy-coded streams, decodes its own output AND
+    stored-mode streams, and actually compresses."""
+    from versatiles_rs_ray.core import brotli_stored, native
+
+    if not native.HAVE_BROTLI:  # pragma: no cover
+        import pytest
+
+        pytest.skip("libbrotli absent")
+    data = b"versatiles tile payload " * 200
+    enc = brotli_stored.compress(data)
+    assert len(enc) < len(data) // 10  # genuinely entropy-coded
+    assert brotli_stored.decompress(enc) == data
+    stored = brotli_stored.compress_stored(data)
+    assert brotli_stored.decompress(stored) == data

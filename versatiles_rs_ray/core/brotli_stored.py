@@ -127,13 +127,29 @@ def decompress_stored(data: bytes) -> bytes:
         out.extend(r.raw(mlen))
 
 
+def _native():
+    # deferred import: native.py probes shared libraries at import time
+    from . import native
+
+    return native if native.HAVE_BROTLI else None
+
+
 def compress(data: bytes) -> bytes:
+    """Real (entropy-coded) brotli when any implementation is present:
+    the python package, else the system libbrotlienc via ctypes
+    (core/native.py); stored-mode only as the last resort."""
     if _brotli is not None:  # pragma: no cover
         return _brotli.compress(data)
+    n = _native()
+    if n is not None:
+        return n.brotli_compress(data)
     return compress_stored(data)
 
 
 def decompress(data: bytes) -> bytes:
     if _brotli is not None:  # pragma: no cover
         return _brotli.decompress(data)
+    n = _native()
+    if n is not None:
+        return n.brotli_decompress(data)
     return decompress_stored(data)

@@ -4,11 +4,12 @@ Mirrors the reference's compression surface
 (versatiles_core/src/utils/compression/functions.rs:55-205):
 Uncompressed | Gzip | Brotli, plus `recompress(from, to)`.
 
-Brotli always works: the real library when importable, otherwise the
-RFC 7932 stored-mode codec in :mod:`core.brotli_stored` (valid brotli
-streams with no entropy coding; decode handles stored-mode streams
-only and names the gate on foreign files). gzip uses zlib with a
-fixed level so output bytes are deterministic across workers.
+Brotli always works, preferring real entropy-coded streams: the
+python package when importable, else the system libbrotli bound via
+ctypes (core/native.py — the same C library the reference's rust
+brotli crate wraps), else the RFC 7932 stored-mode codec in
+:mod:`core.brotli_stored`. gzip uses zlib with a fixed level so
+output bytes are deterministic across workers.
 """
 
 from __future__ import annotations

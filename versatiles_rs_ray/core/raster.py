@@ -2,8 +2,9 @@
 
 The reference's image ops (versatiles_image/src/traits/operation.rs:29-84)
 re-expressed as vectorized numpy over raw RGBA byte payloads. PNG
-(core/png.py) and JPEG (core/jpeg.py) have pure-stdlib codecs so
-`encode`/`decode` produce REAL files in-sandbox; WEBP/AVIF remain
+(core/png.py) and JPEG (core/jpeg.py) have pure-stdlib codecs, and
+WEBP binds the system libwebp through ctypes (core/native.py), so
+`encode`/`decode` produce REAL files in-sandbox; AVIF remains
 gated behind a Pillow try-import. The engine's native interchange
 format is ``rgba-raw`` (w*h*4 bytes + width/height columns) — every
 other kernel is format-agnostic.
@@ -87,6 +88,29 @@ def is_opaque(arr: np.ndarray) -> bool:
     return bool((arr[..., 3] == 255).all())
 
 
+def ensure_rgba(arr: np.ndarray) -> np.ndarray:
+    """Promote L / LA / RGB layouts to RGBA (opaque where no alpha)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    c = arr.shape[2]
+    if c == 4:
+        return arr
+    h, w = arr.shape[:2]
+    out = np.empty((h, w, 4), dtype=np.uint8)
+    if c == 1:
+        out[..., :3] = arr
+        out[..., 3] = 255
+    elif c == 2:
+        out[..., :3] = arr[..., :1]
+        out[..., 3] = arr[..., 1]
+    elif c == 3:
+        out[..., :3] = arr
+        out[..., 3] = 255
+    else:
+        raise ValueError(f"unsupported channel count {c}")
+    return out
+
+
 def scale_down_half(arr: np.ndarray) -> np.ndarray:
     """2x2 box average -> half resolution (scale-down op)."""
     h, w, c = arr.shape
@@ -166,8 +190,10 @@ def encode(arr: np.ndarray, fmt: str, quality=None):
     core/jpeg.py; quality drives the quant tables, default 95 as in
     versatiles_image/src/format/jpeg.rs). JPEG has no alpha: a fully
     opaque RGBA input has its alpha stripped; translucent input is
-    rejected like the reference. 'rgba-raw' is the zero-cost
-    interchange; WEBP/AVIF remain Pillow-gated."""
+    rejected like the reference. 'webp' uses the system libwebp via
+    ctypes (reference quality semantics: None -> 95 lossy, >= 100 ->
+    lossless, opaque alpha dropped). 'rgba-raw' is the zero-cost
+    interchange; AVIF remains Pillow-gated."""
     if fmt == RAW_FORMAT:
         return from_array(arr)
     if fmt == "png":
@@ -184,6 +210,42 @@ def encode(arr: np.ndarray, fmt: str, quality=None):
                 )
             arr = arr[:, :, :3]
         return _jpeg.encode_jpeg(arr, quality)
+    if fmt == "webp":
+        from . import native as _native
+
+        if _native.HAVE_WEBP:
+            # reference semantics (versatiles_image/src/format/webp.rs):
+            # 8-bit RGB/RGBA only (greyscale rejected by design);
+            # quality None -> 95 lossy, q >= 100 -> lossless; a fully
+            # opaque alpha channel is dropped before encoding.
+            if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+                raise ValueError("webp only supports RGB or RGBA images")
+            if arr.shape[2] == 4 and is_opaque(arr):
+                arr = arr[:, :, :3]
+            q = 95 if quality is None else int(quality)
+            arr = np.ascontiguousarray(arr, dtype=np.uint8)
+            return _native.webp_encode(
+                arr.tobytes(), arr.shape[1], arr.shape[0], arr.shape[2],
+                quality=None if q >= 100 else float(q),
+            )
+    if fmt == "avif":
+        from . import native as _native
+
+        if _native.HAVE_AVIF:
+            # reference semantics (versatiles_image/src/format/avif.rs):
+            # quality None -> 90; lossless (>= 100) unsupported; write-
+            # only format (decode intentionally absent, as in the
+            # reference). speed fixed at the reference default (10).
+            q = 90 if quality is None else int(quality)
+            if q >= 100:
+                raise ValueError(
+                    "Lossless AVIF encoding is not supported, quality must be less than 100"
+                )
+            rgba = ensure_rgba(arr)
+            return _native.avif_encode(
+                np.ascontiguousarray(rgba, dtype=np.uint8).tobytes(),
+                rgba.shape[1], rgba.shape[0], quality=q,
+            )
     if _PILImage is None:  # pragma: no cover
         raise NotImplementedError(f"encoding {fmt!r} needs Pillow (not in sandbox)")
     import io
@@ -205,6 +267,12 @@ def decode(payload: bytes, fmt: str, width=None, height=None) -> np.ndarray:
         from . import jpeg as _jpeg
 
         return _jpeg.decode_jpeg(payload)
+    if fmt == "webp":
+        from . import native as _native
+
+        if _native.HAVE_WEBP:
+            rgba, w, h = _native.webp_decode_rgba(payload)
+            return np.frombuffer(rgba, dtype=np.uint8).reshape(h, w, 4)
     if _PILImage is None:  # pragma: no cover
         raise NotImplementedError(f"decoding {fmt!r} needs Pillow (not in sandbox)")
     import io

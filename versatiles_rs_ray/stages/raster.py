@@ -57,8 +57,10 @@ def raster_format(ds, fmt, quality_schedule=None, speed=None):
     real baseline JPEG (core/jpeg.py) with the per-zoom quality
     driving the quantization tables (default 95, translucent tiles
     rejected — run raster_flatten first; reference parity with
-    versatiles_image/src/format/jpeg.rs). WEBP/AVIF remain
-    Pillow-gated in core/raster.py.
+    versatiles_image/src/format/jpeg.rs). ``fmt="webp"`` and
+    ``fmt="avif"`` bind the system libwebp/libavif via ctypes
+    (core/native.py) with the reference quality semantics (webp.rs:
+    q>=100 lossless; avif.rs: encode-only, lossless rejected).
     """
     schedule = raster.parse_quality_schedule(quality_schedule)
 
