@@ -1,0 +1,151 @@
+"""Tile server + random-access dispatcher: the `versatiles serve`
+surface (reference versatiles/src/server/{routes,tile_server}.rs,
+tools/serve.rs) over written containers."""
+
+import gzip
+import json
+import urllib.request
+
+import pytest
+
+from versatiles_rs_ray.core.bbox import TileBBoxPyramid
+from versatiles_rs_ray.server import TileServer, _accepts_gzip
+from versatiles_rs_ray.sources import pmtiles
+from versatiles_rs_ray.sources.debug_tiles import json_debug_tiles
+from versatiles_rs_ray.sources.random_access import (
+    DirectoryRandomAccess,
+    MBTilesRandomAccess,
+    VersatilesRandomAccess,
+    open_random_access,
+)
+from versatiles_rs_ray.sources.tiles_io import write_directory_tiles, write_mbtiles
+from versatiles_rs_ray.sources.versatiles import write_versatiles
+
+
+def _get(url, headers=None):
+    req = urllib.request.Request(url, headers=headers or {})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, dict(r.headers), r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, dict(e.headers), e.read()
+
+
+@pytest.fixture(scope="module")
+def debug_ds(ray_session):
+    return json_debug_tiles(TileBBoxPyramid.new_full(3, 0))
+
+
+def test_versatiles_random_access(debug_ds, tmp_path):
+    path = str(tmp_path / "ra.versatiles")
+    write_versatiles(debug_ds, path, tile_format="json")
+    ra = VersatilesRandomAccess(path)
+    assert ra.get_tile(3, 2, 5) == b'{"x":2,"y":5,"z":3}'
+    assert ra.get_tile(0, 0, 0) == b'{"x":0,"y":0,"z":0}'
+    assert ra.get_tile(4, 0, 0) is None
+    assert ra.get_tile(3, 7, 7) == b'{"x":7,"y":7,"z":3}'
+    # block tile-index cache warm after lookups in the same block
+    assert len(ra._idx_cache) >= 1
+
+
+def test_mbtiles_random_access(debug_ds, tmp_path):
+    path = str(tmp_path / "ra.mbtiles")
+    write_mbtiles(debug_ds, path)
+    ra = MBTilesRandomAccess(path)
+    assert ra.get_tile(2, 1, 3) == b'{"x":1,"y":3,"z":2}'
+    assert ra.get_tile(2, 1, 99) is None
+
+
+def test_directory_random_access(debug_ds, tmp_path):
+    out = str(tmp_path / "dirtiles")
+    write_directory_tiles(debug_ds, out, ext="json")
+    ra = DirectoryRandomAccess(out)
+    assert ra.get_tile(1, 0, 1) == b'{"x":0,"y":1,"z":1}'
+    assert ra.get_tile(1, 5, 5) is None
+
+
+def test_open_random_access_dispatch(debug_ds, tmp_path):
+    vp = str(tmp_path / "d.versatiles")
+    write_versatiles(debug_ds, vp)
+    assert isinstance(open_random_access(vp), VersatilesRandomAccess)
+    mp = str(tmp_path / "d.mbtiles")
+    write_mbtiles(debug_ds, mp)
+    assert isinstance(open_random_access(mp), MBTilesRandomAccess)
+    with pytest.raises(ValueError):
+        open_random_access(str(tmp_path / "nope.xyz"))
+
+
+def test_accepts_gzip_header_parse():
+    class H(dict):
+        def get(self, k, d=None):
+            return super().get(k, d)
+
+    assert _accepts_gzip(H({"Accept-Encoding": "gzip, deflate"}))
+    assert _accepts_gzip(H({"Accept-Encoding": "br;q=1, *;q=0.5"}))
+    assert not _accepts_gzip(H({"Accept-Encoding": "gzip;q=0"}))
+    assert not _accepts_gzip(H({"Accept-Encoding": "identity"}))
+    assert not _accepts_gzip(H({}))
+
+
+@pytest.fixture(scope="module")
+def server(debug_ds, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    pm = str(tmp / "a.pmtiles")
+    pmtiles.write_pmtiles(debug_ds, pm, metadata={"name": "debug-a"})
+    from versatiles_rs_ray.stages.transform import recompress_ds
+
+    vt = str(tmp / "b.versatiles")
+    write_versatiles(
+        recompress_ds(debug_ds, "payload", "raw", "gzip"),
+        vt, tile_format="json", compression="gzip",
+    )
+    srv = TileServer()
+    srv.add_tile_source("a", pm)
+    srv.add_tile_source("b", vt)
+    url = srv.start()
+    yield url
+    srv.shutdown()
+
+
+def test_server_status_and_index(server):
+    st, _, body = _get(f"{server}/status")
+    assert st == 200 and body == b"ready!"
+    st, hdr, body = _get(f"{server}/tiles/index.json")
+    assert st == 200 and json.loads(body) == ["a", "b"]
+    assert hdr["Content-Type"] == "application/json"
+
+
+def test_server_tile_fetch(server):
+    st, hdr, body = _get(f"{server}/tiles/a/3/2/5")
+    assert st == 200
+    assert json.loads(body) == {"x": 2, "y": 5, "z": 3}
+    st, _, _ = _get(f"{server}/tiles/a/3/9/9")
+    assert st == 404
+    st, _, _ = _get(f"{server}/tiles/zzz/1/1/1")
+    assert st == 404
+    # extension suffix on y is ignored
+    st, _, body = _get(f"{server}/tiles/a/0/0/0.json")
+    assert st == 200 and json.loads(body) == {"x": 0, "y": 0, "z": 0}
+
+
+def test_server_gzip_negotiation(server):
+    # source b stores gzip tiles: client accepting gzip gets passthrough
+    st, hdr, body = _get(f"{server}/tiles/b/2/1/2", {"Accept-Encoding": "gzip"})
+    assert st == 200 and hdr.get("Content-Encoding") == "gzip"
+    assert json.loads(gzip.decompress(body)) == {"x": 1, "y": 2, "z": 2}
+    # identity-only client gets decoded bytes
+    st, hdr, body = _get(f"{server}/tiles/b/2/1/2", {"Accept-Encoding": "identity"})
+    assert st == 200 and "Content-Encoding" not in hdr
+    assert json.loads(body) == {"x": 1, "y": 2, "z": 2}
+
+
+def test_server_tilejson(server):
+    st, _, body = _get(f"{server}/tiles/a/tiles.json")
+    assert st == 200
+    doc = json.loads(body)
+    assert doc["tilejson"] == "3.0.0"
+    assert doc["tiles"] == [f"{server}/tiles/a/{{z}}/{{x}}/{{y}}"]
+    assert doc.get("name") == "debug-a"
+    # meta.json is an alias (tile_source.rs:79)
+    st2, _, body2 = _get(f"{server}/tiles/a/meta.json")
+    assert st2 == 200 and json.loads(body2) == doc

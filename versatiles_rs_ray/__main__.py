@@ -10,6 +10,7 @@ an OWNER of the Ray session (guarded init) — library code never is.
   python -m versatiles_rs_ray probe IN
   python -m versatiles_rs_ray pyramid SF_DIR OUT [--z-base N] [--z-min N]
   python -m versatiles_rs_ray vpl "from_debug zmax=3 | filter ..." OUT
+  python -m versatiles_rs_ray serve NAME=PATH [...] [--host H] [--port P]
 """
 
 from __future__ import annotations
@@ -89,6 +90,32 @@ def cmd_vpl(args):
     ray.shutdown()
 
 
+def cmd_serve(args):
+    """Serve containers over HTTP (reference tools/serve.rs: each
+    SOURCE is `path` or `name=path`, mounted at /tiles/{name})."""
+    import os
+
+    from versatiles_rs_ray.server import TileServer
+
+    srv = TileServer(host=args.host, port=args.port)
+    for spec in args.sources:
+        if "=" in spec:
+            name, path = spec.split("=", 1)
+        else:
+            name = os.path.basename(spec).rsplit(".", 1)[0]
+            path = spec
+        srv.add_tile_source(name, path)
+    url = srv.start()
+    print(json.dumps({"url": url, "sources": sorted(srv.sources)}), flush=True)
+    try:
+        import time
+
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.shutdown()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="versatiles_rs_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -122,6 +149,12 @@ def main(argv=None):
     v.add_argument("output")
     v.add_argument("--sf-dir")
     v.set_defaults(fn=cmd_vpl)
+
+    s = sub.add_parser("serve", help="serve containers over HTTP")
+    s.add_argument("sources", nargs="+", help="container paths (or name=path)")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8080)
+    s.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     args.fn(args)

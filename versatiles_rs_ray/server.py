@@ -1,0 +1,238 @@
+"""Tile server: the engine's `versatiles serve` analogue.
+
+Serves the reference's HTTP surface (versatiles/src/server/routes.rs,
+tile_server.rs:198-206, sources/tile_source.rs:63-103) from the
+random-access readers in sources/random_access.py:
+
+  GET /status                      -> "ready!"
+  GET /tiles/index.json            -> JSON list of mounted source ids
+  GET /tiles/{id}/tiles.json       -> TileJSON (meta.json is an alias,
+                                      tile_source.rs:79)
+  GET /tiles/{id}/{z}/{x}/{y}      -> tile bytes (any extension suffix
+                                      on y is ignored, as the reference
+                                      parses `{z}/{x}/{y}` prefix)
+
+Encoding negotiation mirrors server/encoding.rs narrowly: if the
+stored payload is gzip and the client accepts gzip, bytes pass through
+with `Content-Encoding: gzip`; otherwise the payload is decoded before
+sending. Identity is always acceptable (encoding.rs doc contract).
+
+This is a *serving* layer, not a data-processing stage: it runs on the
+driver (or one actor per node behind a load balancer at scale), each
+request doing one O(1) container lookup — no Ray Dataset involvement,
+exactly like the reference's axum handlers calling
+`reader.get_tile_data()`. Stdlib-only (http.server, ThreadingHTTPServer)
+because no web framework ships in this sandbox.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .sources.random_access import open_random_access
+
+# Payload magic -> MIME, the reference's format table
+# (versatiles_core/src/types/tile_format.rs as_mime_str).
+_MAGIC_MIME = [
+    (b"\x89PNG", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"RIFF", "image/webp"),
+    (b"{", "application/json"),
+]
+_FORMAT_MIME = {
+    "png": "image/png",
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "webp": "image/webp",
+    "avif": "image/avif",
+    "pbf": "application/x-protobuf",
+    "mvt": "application/x-protobuf",
+    "json": "application/json",
+    "geojson": "application/geo+json",
+    "bin": "application/octet-stream",
+}
+
+
+def _sniff_mime(payload: bytes, fmt_hint: str | None) -> str:
+    if fmt_hint and fmt_hint in _FORMAT_MIME:
+        return _FORMAT_MIME[fmt_hint]
+    for magic, mime in _MAGIC_MIME:
+        if payload.startswith(magic):
+            return mime
+    return "application/octet-stream"
+
+
+def _accepts_gzip(headers) -> bool:
+    """Narrow Accept-Encoding parse (server/encoding.rs): recognize
+    gzip and `*`; a `;q=0` disables; unknown tokens ignored."""
+    raw = headers.get("Accept-Encoding", "") or ""
+    for token in raw.split(","):
+        token = token.strip().lower()
+        if not token:
+            continue
+        name, _, q = token.partition(";")
+        name = name.strip()
+        if name in ("gzip", "*"):
+            qv = q.strip()
+            if qv.startswith("q=") and float(qv[2:] or 1.0) == 0.0:
+                continue
+            return True
+    return False
+
+
+class TileSource:
+    """One mounted container: random-access reader + cached TileJSON.
+
+    Mirrors sources/tile_source.rs: id, reader, tilejson built once
+    with the `tiles` URL injected (tile_source.rs:94-103).
+    """
+
+    def __init__(self, source_id: str, path: str):
+        self.id = source_id
+        self.path = path
+        self.reader = open_random_access(path)
+        self.fmt_hint = None
+        self.compression = "raw"
+        if path.endswith(".versatiles"):
+            hdr = self.reader.header
+            self.fmt_hint = hdr["tile_format"]
+            self.compression = hdr["compression"]
+        elif path.endswith(".pmtiles"):
+            from .sources import pmtiles as _pm
+
+            hdr = self.reader.header_bytes
+            # pmtiles v3 spec: byte 98 = tile_compression, 99 = tile_type
+            self.fmt_hint = {1: "pbf", 2: "png", 3: "jpg", 4: "webp", 5: "avif"}.get(hdr[99])
+            if hdr[98] == _pm.COMPRESSION_GZIP:
+                self.compression = "gzip"
+
+    def tilejson(self, base_url: str) -> dict:
+        doc = {
+            "tilejson": "3.0.0",
+            "tiles": [f"{base_url}/tiles/{self.id}/{{z}}/{{x}}/{{y}}"],
+        }
+        meta = self._container_meta()
+        if meta:
+            for k in ("name", "attribution", "vector_layers", "minzoom", "maxzoom", "bounds"):
+                if k in meta:
+                    doc[k] = meta[k]
+        return doc
+
+    def _container_meta(self) -> dict | None:
+        try:
+            if self.path.endswith(".pmtiles"):
+                from .sources.pmtiles import read_pmtiles_metadata
+
+                return read_pmtiles_metadata(self.path)
+            if self.path.endswith(".versatiles"):
+                from .sources.versatiles import read_versatiles_metadata
+
+                blob = read_versatiles_metadata(self.path)
+                return json.loads(blob) if blob else None
+        except Exception:
+            return None
+        return None
+
+    def get_tile(self, z: int, x: int, y: int):
+        return self.reader.get_tile(z, x, y)
+
+
+def _make_handler(sources: dict, base_url_holder: list):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, status: int, body: bytes, mime: str, extra=None):
+            self.send_response(status)
+            self.send_header("Content-Type", mime)
+            self.send_header("Content-Length", str(len(body)))
+            # cors.rs: permissive GET CORS on every response
+            self.send_header("Access-Control-Allow-Origin", "*")
+            for k, v in (extra or {}).items():
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            path = self.path.split("?", 1)[0].rstrip("/") or "/"
+            if path == "/status":
+                return self._send(200, b"ready!", "text/plain")
+            if path == "/tiles/index.json":
+                body = json.dumps(sorted(sources)).encode()
+                return self._send(200, body, "application/json")
+            parts = [p for p in path.split("/") if p]
+            if len(parts) >= 2 and parts[0] == "tiles" and parts[1] in sources:
+                src = sources[parts[1]]
+                rest = parts[2:]
+                if rest in (["tiles.json"], ["meta.json"]):
+                    base = base_url_holder[0]
+                    body = json.dumps(src.tilejson(base)).encode()
+                    return self._send(200, body, "application/json")
+                if len(rest) == 3:
+                    try:
+                        z, x = int(rest[0]), int(rest[1])
+                        y = int(rest[2].split(".", 1)[0])
+                    except ValueError:
+                        return self._send(400, b"bad tile coords", "text/plain")
+                    payload = src.get_tile(z, x, y)
+                    if payload is None:
+                        return self._send(404, b"tile not found", "text/plain")
+                    if isinstance(payload, dict):  # PyramidRandomAccess row
+                        payload = json.dumps(
+                            {k: v for k, v in payload.items() if not isinstance(v, bytes)}
+                        ).encode()
+                        return self._send(200, payload, "application/json")
+                    extra = {}
+                    stored_gzip = src.compression == "gzip" or payload[:2] == b"\x1f\x8b"
+                    if stored_gzip and _accepts_gzip(self.headers):
+                        extra["Content-Encoding"] = "gzip"
+                    elif stored_gzip:
+                        payload = gzip.decompress(payload)
+                        stored_gzip = False
+                    if src.fmt_hint:
+                        mime = _FORMAT_MIME[src.fmt_hint]
+                    else:
+                        mime = _sniff_mime(
+                            gzip.decompress(payload) if stored_gzip else payload, None
+                        )
+                    return self._send(200, payload, mime, extra)
+            return self._send(404, b"not found", "text/plain")
+
+    return Handler
+
+
+class TileServer:
+    """Mount containers, serve them; `start()` binds and returns
+    (background thread), `shutdown()` stops. Test-friendly analogue of
+    tile_server.rs TileServer::start."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        self.host, self.port = host, port
+        self.sources: dict[str, TileSource] = {}
+        self._httpd = None
+        self._thread = None
+        self._base_url_holder = [""]
+
+    def add_tile_source(self, source_id: str, path: str):
+        self.sources[source_id] = TileSource(source_id, path)
+
+    def start(self):
+        handler = _make_handler(self.sources, self._base_url_holder)
+        self._httpd = ThreadingHTTPServer((self.host, self.port), handler)
+        self.port = self._httpd.server_address[1]
+        self._base_url_holder[0] = f"http://{self.host}:{self.port}"
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self._base_url_holder[0]
+
+    def shutdown(self):
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._thread.join(timeout=5)
+            self._httpd = None

@@ -42,6 +42,7 @@ class PMTilesRandomAccess:
         self._reader = open_data_reader(path)
         header = self._reader.read(0, 127)
         assert header[0:7] == MAGIC and header[7] == VERSION
+        self.header_bytes = header  # raw 127-byte header (spec layout)
         (root_off, root_len, _m_off, _m_len, self.leaf_off, _l_len,
          self.data_off, _d_len) = struct.unpack_from("<QQQQQQQQ", header, 8)
         self._internal = header[97]
@@ -69,6 +70,8 @@ class PMTilesRandomAccess:
         return self.root
 
     def get_tile(self, z: int, x: int, y: int):
+        if not (0 <= x < (1 << z) and 0 <= y < (1 << z)):
+            return None  # hilbert_index would alias out-of-range coords
         tid = int(hilbert_index(z, x, y))
         entries = self._entries_for(tid)
         ids = np.asarray([e[0] for e in entries], dtype=np.int64)
@@ -79,6 +82,111 @@ class PMTilesRandomAccess:
         if not (etid <= tid < etid + max(rl, 1)):
             return None
         return self._reader.read(self.data_off + off, ln)
+
+
+class VersatilesRandomAccess:
+    """`.versatiles` container: block index parsed once; per-block
+    tile indices decoded lazily and cached (the reference reader's
+    LimitedCache, versatiles reader.rs:135,325-355). Each get_tile is
+    one range read of exactly the tile's bytes."""
+
+    def __init__(self, path: str):
+        from .data_reader import open_data_reader
+        from .versatiles import _block_table
+
+        self.path = path
+        self._reader = open_data_reader(path)
+        self.header, blocks = _block_table(path)
+        self._blocks = {}  # (level, bx, by) -> row dict
+        for i in range(blocks.num_rows):
+            row = {c: int(blocks[c][i].as_py()) for c in blocks.column_names}
+            self._blocks[(row["level"], row["bx"], row["by"])] = row
+        self._idx_cache = {}  # (level,bx,by) -> decoded tile index bytes
+
+    def get_tile(self, z: int, x: int, y: int):
+        import struct as _struct
+
+        from ..core import brotli_stored
+
+        key = (z, x // 256, y // 256)
+        blk = self._blocks.get(key)
+        if blk is None:
+            return None
+        cx, cy = x % 256, y % 256
+        if not (blk["x0"] <= cx <= blk["x1"] and blk["y0"] <= cy <= blk["y1"]):
+            return None
+        if key not in self._idx_cache:
+            self._idx_cache[key] = brotli_stored.decompress(
+                self._reader.read(blk["tiles_off"] + blk["tiles_len"], blk["idx_len"])
+            )
+        idx = self._idx_cache[key]
+        w = blk["x1"] - blk["x0"] + 1
+        li = (cy - blk["y0"]) * w + (cx - blk["x0"])
+        off, ln = _struct.unpack_from(">QI", idx, li * 12)
+        if ln == 0:
+            return None
+        return self._reader.read(blk["tiles_off"] + off, ln)
+
+
+class MBTilesRandomAccess:
+    """SQLite point lookup with the XYZ->TMS y-flip
+    (mbtiles reader.rs get_tile semantics)."""
+
+    def __init__(self, path: str):
+        import sqlite3
+
+        self.con = sqlite3.connect(f"file:{path}?mode=ro", uri=True,
+                                   check_same_thread=False)
+
+    def get_tile(self, z: int, x: int, y: int):
+        row = self.con.execute(
+            "SELECT tile_data FROM tiles WHERE zoom_level=? AND tile_column=? "
+            "AND tile_row=?",
+            (z, x, (1 << z) - 1 - y),
+        ).fetchone()
+        return None if row is None else row[0]
+
+
+class DirectoryRandomAccess:
+    """z/x/y.ext file tree: get_tile is one os.path probe + read."""
+
+    def __init__(self, out_dir: str):
+        import glob
+        import os
+
+        self.out_dir = out_dir
+        probe = glob.glob(os.path.join(out_dir, "*", "*", "*.*"))
+        self.ext = probe[0].rsplit(".", 1)[1] if probe else "bin"
+
+    def get_tile(self, z: int, x: int, y: int):
+        import os
+
+        p = os.path.join(self.out_dir, str(z), str(x), f"{y}.{self.ext}")
+        if not os.path.isfile(p):
+            return None
+        with open(p, "rb") as f:
+            return f.read()
+
+
+def open_random_access(path: str):
+    """Dispatch a container path to its random-access reader — the
+    registry the serving layer uses (reference:
+    container_registry.rs get_reader_from_str + tile_server fast path)."""
+    import os
+
+    if path.endswith(".pmtiles"):
+        return PMTilesRandomAccess(path)
+    if path.endswith(".versatiles"):
+        return VersatilesRandomAccess(path)
+    if path.endswith(".mbtiles"):
+        return MBTilesRandomAccess(path)
+    if os.path.isdir(path):
+        if os.path.isdir(os.path.join(path, "z=0")) or any(
+            d.startswith("z=") for d in os.listdir(path)
+        ):
+            return PyramidRandomAccess(path)
+        return DirectoryRandomAccess(path)
+    raise ValueError(f"no random-access reader for {path!r}")
 
 
 class PyramidRandomAccess:
