@@ -131,3 +131,57 @@ def test_ivf_assign_consistent_with_topk_probe(ray_session, sf_dir):
     want = embed._nearest_cell(m, cn)
     assert np.array_equal(np.sort(cells), np.sort(want))
     assert cells.min() >= 0 and cells.max() < 8
+
+
+def test_fixed_centroids_closed_form(ray_session, sf_dir):
+    """fixed_centroids == L2-normalized per-(vec_id % C) means,
+    computed via the one-pass partial-sum path."""
+    import ray.data as rd
+
+    vid, m = _emb(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    C = 16
+    cent = embed.fixed_centroids(ds, C, dim=m.shape[1])
+    assert cent.shape == (C, m.shape[1]) and cent.dtype == np.float64
+    # reference computation driver-side
+    sums = np.zeros((C, m.shape[1]), dtype=np.float64)
+    np.add.at(sums, vid % C, m.astype(np.float64))
+    cnt = np.bincount(vid % C, minlength=C).astype(np.float64)
+    ref = sums / np.maximum(cnt, 1.0)[:, None]
+    ref /= np.linalg.norm(ref, axis=1, keepdims=True)
+    np.testing.assert_allclose(cent, ref, rtol=1e-12)
+
+
+def test_ivf_fixed_matches_pruned_bruteforce(ray_session, sf_dir):
+    """ivf_topk with fixed centroids == exact top-k restricted to the
+    union of the queries' nprobe cells (the oracle's semantics)."""
+    import ray.data as rd
+
+    vid, m = _emb(sf_dir)
+    q_ids, k, nprobe = vid[:4], 5, 4
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cent = embed.fixed_centroids(ds, 16, dim=m.shape[1])
+    got = (
+        embed.ivf_topk(ds, q_ids, m[:4], k, dim=m.shape[1], nprobe=nprobe,
+                       centroids=cent)
+        .sort_values(["q_id", "rank"]).reset_index(drop=True)
+    )
+    # driver-side mirror in float64
+    md = m.astype(np.float64)
+    mn = md / np.linalg.norm(md, axis=1, keepdims=True)
+    cells = np.argmax(mn @ cent.T, axis=1)
+    qsims = mn[:4] @ cent.T
+    probe = np.unique(np.argsort(-qsims, axis=1)[:, :nprobe])
+    keep = np.isin(cells, probe)
+    rows = []
+    for qi, qv in zip(q_ids, mn[:4]):
+        sims = mn[keep] @ qv
+        cand_ids = vid[keep]
+        order = np.lexsort((cand_ids, -sims))
+        picked = [c for c in cand_ids[order] if c != qi][:k]
+        rows += [(qi, c, r + 1) for r, c in enumerate(picked)]
+    import pandas as pd
+
+    ref = pd.DataFrame(rows, columns=["q_id", "vec_id", "rank"]).sort_values(
+        ["q_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), ref.astype("int64"))

@@ -48,6 +48,8 @@ S2_LEVEL = 12
 MINHASH_TAU = 0.5
 SIMHASH_MAX_HAMMING = 3
 LSH_TOPK_NBITS = 12
+IVF_FIXED_CELLS = 16
+IVF_FIXED_NPROBE = 4
 NEAR_DUP_NBITS = 6
 # the driver's synthetic embeddings max out at pairwise cosine ~0.51,
 # so a 0.95 "near-dup" threshold matches nothing; 0.4 exercises the
@@ -564,6 +566,27 @@ def q_embedding_ivf_topk(sf_dir):
     return embed.ivf_topk(
         ds, vid[q_mask], emb[q_mask], TOPK_K, dim=emb.shape[1],
         n_centroids=16, nprobe=4,
+    )
+
+
+def q_embedding_ivf_fixed(sf_dir):
+    """The IVF probe machinery under the DuckDB gate: closed-form
+    centroids (per-(vec_id % 16) means, stages/embed.fixed_centroids)
+    replace k-means, so assignment + nprobe pruning + exact refine are
+    all SQL-expressible while exercising the IDENTICAL
+    ivf_assign -> keep_cells -> cosine_topk path as
+    embedding_ivf_topk (whose iterative training stays rows-only)."""
+    import ray.data as rd
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vid = np.asarray(t["vec_id"], dtype=np.int64)
+    emb = embed._to_matrix(t["embedding"])
+    q_mask = np.isin(vid, np.asarray(TOPK_QUERY_IDS))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cent = embed.fixed_centroids(ds, IVF_FIXED_CELLS, dim=emb.shape[1])
+    return embed.ivf_topk(
+        ds, vid[q_mask], emb[q_mask], TOPK_K, dim=emb.shape[1],
+        nprobe=IVF_FIXED_NPROBE, centroids=cent,
     )
 
 
@@ -1277,6 +1300,43 @@ def _oracle_embedding_lsh_topk():
     )
 
 
+def _oracle_embedding_ivf_fixed():
+    """Full IVF walk in SQL, mirroring stages/embed exactly:
+    closed-form centroids = per-(vec_id % C) element-wise means
+    (list_cosine_similarity normalizes internally, so skipping the
+    L2 normalization is equivalent to the engine's normalized
+    centroids); cell assignment = argmax cosine with lowest-cell
+    tie-break (_nearest_cell/np.argmax); probe set = union of every
+    query's nprobe nearest cells; refine = exact cosine top-k over the
+    pruned pool, exclude-self, (cosine DESC, vec_id ASC) tie-break."""
+    ids = ", ".join(str(i) for i in TOPK_QUERY_IDS)
+    C, P = IVF_FIXED_CELLS, IVF_FIXED_NPROBE
+    return (
+        "WITH e AS (SELECT vec_id, embedding FROM embeddings), "
+        f"u AS (SELECT vec_id % {C} AS cell, "
+        "generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM e), "
+        "cm AS (SELECT cell, i, avg(v) AS v FROM u GROUP BY cell, i), "
+        "cent AS (SELECT cell, list(v ORDER BY i) AS cv FROM cm GROUP BY cell), "
+        "asgn AS (SELECT vec_id, embedding, cell FROM ("
+        "SELECT e.vec_id, e.embedding, c.cell, row_number() OVER ("
+        "PARTITION BY e.vec_id ORDER BY "
+        "list_cosine_similarity(e.embedding, c.cv) DESC, c.cell) AS rn "
+        "FROM e CROSS JOIN cent c) WHERE rn = 1), "
+        f"q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id IN ({ids})), "
+        "probe AS (SELECT DISTINCT cell FROM ("
+        "SELECT q.qid, c.cell, row_number() OVER (PARTITION BY q.qid ORDER BY "
+        "list_cosine_similarity(q.qe, c.cv) DESC, c.cell) AS rn "
+        f"FROM q CROSS JOIN cent c) WHERE rn <= {P}), "
+        "cand AS (SELECT a.vec_id, a.embedding FROM asgn a "
+        "WHERE a.cell IN (SELECT cell FROM probe)) "
+        "SELECT q_id, vec_id, rank FROM ("
+        "SELECT q.qid AS q_id, c.vec_id, row_number() OVER (PARTITION BY q.qid ORDER BY "
+        "list_cosine_similarity(q.qe, c.embedding) DESC, c.vec_id) AS rank "
+        "FROM q CROSS JOIN cand c WHERE c.vec_id <> q.qid) "
+        f"WHERE rank <= {TOPK_K}"
+    )
+
+
 def _oracle_embedding_near_dup():
     """SRP-bucketed near-dup pairs: same-bucket pairs with exact cosine
     >= NEAR_DUP_TAU (stages/embed.cosine_near_dup_pairs; a vector lives
@@ -1332,6 +1392,7 @@ QUERIES = {
     "simhash_dedup": q_simhash_dedup,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_ivf_fixed": q_embedding_ivf_fixed,
     "media_decode": q_media_decode,
     "media_pipeline": q_media_pipeline,
     "raster_pipeline": q_raster_pipeline,
@@ -1381,5 +1442,6 @@ ORACLES = {
     "minhash_dedup": _oracle_minhash_dedup(),
     "simhash_dedup": _oracle_simhash_dedup(),
     "embedding_lsh_topk": _oracle_embedding_lsh_topk(),
+    "embedding_ivf_fixed": _oracle_embedding_ivf_fixed(),
     "embedding_near_dup": _oracle_embedding_near_dup(),
 }

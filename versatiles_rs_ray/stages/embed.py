@@ -215,7 +215,11 @@ def lsh_topk(embeddings_ds, q_ids, q_matrix, k, dim, nbits=12, seed=42):
 
 def _nearest_cell(m: np.ndarray, cn: np.ndarray) -> np.ndarray:
     """Nearest centroid by cosine (the ONE cell-assignment rule —
-    train, assign and probe all route through it)."""
+    train, assign and probe all route through it). When the centroids
+    are float64 (fixed_centroids path) the whole computation runs in
+    double, matching the SQL oracle's arithmetic."""
+    if cn.dtype == np.float64:
+        m = m.astype(np.float64)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return np.argmax((m / norms) @ cn.T, axis=1).astype(np.int64)
@@ -267,9 +271,53 @@ def ivf_train(embeddings_ds, n_centroids, dim, iters=2, seed=42):
     return c
 
 
+def fixed_centroids(embeddings_ds, n_cells, dim):
+    """Closed-form coarse quantizer: centroid c = L2-normalized mean of
+    the embeddings with ``vec_id % n_cells == c``.
+
+    Non-iterative, hence SQL-expressible — the `embedding_ivf_fixed`
+    oracle reproduces it exactly, putting the whole IVF probe path
+    (assign -> nprobe prune -> exact refine) under the DuckDB gate that
+    the k-means-trained variant can't have. One map_batches pass of
+    per-cell partial sums (n_cells x (dim+1) floats per block — tiny),
+    combined on the driver; float64 throughout so the oracle's
+    double-precision arithmetic sees the same centroid values.
+    """
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch["embedding"]).astype(np.float64)
+        cell = np.asarray(batch["vec_id"], dtype=np.int64) % n_cells
+        sums = np.zeros((n_cells, dim), dtype=np.float64)
+        np.add.at(sums, cell, m)
+        cnt = np.bincount(cell, minlength=n_cells).astype(np.float64)
+        return pa.table(
+            {
+                "cid": pa.array(np.arange(n_cells), type=pa.int64()),
+                "sum": pa.array(list(sums), type=pa.list_(pa.float64())),
+                "cnt": pa.array(cnt, type=pa.float64()),
+            }
+        )
+
+    parts = embeddings_ds.map_batches(partial_sums, batch_format="pyarrow").to_pandas()
+    sums = np.zeros((n_cells, dim), dtype=np.float64)
+    cnts = np.zeros(n_cells, dtype=np.float64)
+    for cid, s, c in zip(parts["cid"], parts["sum"], parts["cnt"]):
+        sums[cid] += np.asarray(s)
+        cnts[cid] += c
+    cent = sums / np.maximum(cnts, 1.0)[:, None]
+    n = np.linalg.norm(cent, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return cent / n  # float64 (callers decide the kernel dtype)
+
+
 def ivf_assign(embeddings_ds, centroids):
-    """Add the IVF cell id column (nearest centroid by cosine)."""
-    cn = np.asarray(centroids, dtype=np.float32)
+    """Add the IVF cell id column (nearest centroid by cosine).
+
+    Preserves a float64 centroid dtype (fixed_centroids path: the
+    assignment then runs in double, matching the SQL oracle's
+    arithmetic); float32 k-means centroids stay float32."""
+    cn = np.asarray(centroids)
+    if cn.dtype != np.float64:
+        cn = cn.astype(np.float32)
 
     def add_cell(batch: pa.Table) -> pa.Table:
         cell = _nearest_cell(_to_matrix(batch["embedding"]), cn)
@@ -293,8 +341,10 @@ def ivf_topk(embeddings_ds, q_ids, q_matrix, k, dim, n_centroids=16, nprobe=4,
     """
     if centroids is None:
         centroids = ivf_train(embeddings_ds, n_centroids, dim, iters=iters, seed=seed)
-    cn = np.asarray(centroids, dtype=np.float32)
-    q = np.asarray(q_matrix, dtype=np.float32)
+    cn = np.asarray(centroids)
+    if cn.dtype != np.float64:
+        cn = cn.astype(np.float32)
+    q = np.asarray(q_matrix, dtype=cn.dtype)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     sims = qn @ cn.T
     nprobe = min(nprobe, cn.shape[0])
