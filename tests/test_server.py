@@ -149,3 +149,72 @@ def test_server_tilejson(server):
     # meta.json is an alias (tile_source.rs:79)
     st2, _, body2 = _get(f"{server}/tiles/a/meta.json")
     assert st2 == 200 and json.loads(body2) == doc
+
+
+def test_static_folder(tmp_path):
+    import gzip as _gz
+
+    from versatiles_rs_ray.server import StaticFolder
+
+    root = tmp_path / "web"
+    (root / "sub").mkdir(parents=True)
+    (root / "index.html").write_text("<html>root</html>")
+    (root / "app.js").write_text("console.log(1)")
+    (root / "sub" / "data.json.gz").write_bytes(_gz.compress(b'{"k":1}', mtime=0))
+    sf = StaticFolder(str(root), "/")
+    blob, enc, mime = sf.get_data("/app.js", set())
+    assert blob == b"console.log(1)" and enc is None
+    assert mime in ("text/javascript", "application/javascript")
+    # directory -> index.html
+    blob, _, mime = sf.get_data("/", set())
+    assert blob == b"<html>root</html>" and mime == "text/html"
+    # precompressed variant: passthrough when accepted, decode otherwise
+    blob, enc, mime = sf.get_data("/sub/data.json", {"gzip"})
+    assert enc == "gzip" and _gz.decompress(blob) == b'{"k":1}'
+    blob, enc, _ = sf.get_data("/sub/data.json", set())
+    assert enc is None and blob == b'{"k":1}'
+    # path escape blocked
+    assert sf.get_data("/../secrets", {"gzip"}) is None
+
+
+def test_static_tar_and_server_mount(tmp_path):
+    import gzip as _gz
+    import io
+    import tarfile
+
+    from versatiles_rs_ray.core import brotli_stored
+    from versatiles_rs_ray.server import TileServer
+
+    tar_path = tmp_path / "site.tar"
+    with tarfile.open(tar_path, "w") as tf:
+        def add(name, data):
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+        add("index.html", b"<html>tar</html>")
+        add("style.css.gz", _gz.compress(b"body{}", mtime=0))
+        add("big.txt.br", brotli_stored.compress(b"x" * 100))
+    srv = TileServer()
+    srv.add_static_source(str(tar_path), "/assets")
+    url = srv.start()
+    try:
+        st, hdr, body = _get(f"{url}/assets/index.html")
+        assert st == 200 and body == b"<html>tar</html>"
+        assert hdr["Content-Type"] == "text/html"
+        # directory alias for index.html
+        st, _, body = _get(f"{url}/assets/")
+        assert st == 200 and body == b"<html>tar</html>"
+        # gz passthrough vs decode
+        st, hdr, body = _get(f"{url}/assets/style.css", {"Accept-Encoding": "gzip"})
+        assert hdr.get("Content-Encoding") == "gzip" and _gz.decompress(body) == b"body{}"
+        st, hdr, body = _get(f"{url}/assets/style.css", {"Accept-Encoding": "identity"})
+        assert "Content-Encoding" not in hdr and body == b"body{}"
+        # br-only entry decoded for identity clients
+        st, hdr, body = _get(f"{url}/assets/big.txt", {"Accept-Encoding": "identity"})
+        assert body == b"x" * 100 and "Content-Encoding" not in hdr
+        st, _, _ = _get(f"{url}/assets/nope.txt")
+        assert st == 404
+        st, _, _ = _get(f"{url}/elsewhere/x")
+        assert st == 404
+    finally:
+        srv.shutdown()

@@ -105,6 +105,9 @@ def cmd_serve(args):
             name = os.path.basename(spec).rsplit(".", 1)[0]
             path = spec
         srv.add_tile_source(name, path)
+    for spec in args.static or []:
+        prefix, _, path = spec.rpartition("=")
+        srv.add_static_source(path, url_prefix=prefix or "/")
     url = srv.start()
     print(json.dumps({"url": url, "sources": sorted(srv.sources)}), flush=True)
     try:
@@ -154,6 +157,8 @@ def main(argv=None):
     s.add_argument("sources", nargs="+", help="container paths (or name=path)")
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8080)
+    s.add_argument("--static", action="append",
+                   help="static mount: PREFIX=PATH (folder or tar), repeatable")
     s.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)

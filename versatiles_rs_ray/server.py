@@ -11,6 +11,11 @@ random-access readers in sources/random_access.py:
   GET /tiles/{id}/{z}/{x}/{y}      -> tile bytes (any extension suffix
                                       on y is ignored, as the reference
                                       parses `{z}/{x}/{y}` prefix)
+  GET {static_prefix}/{path}       -> static folder/tar mounts
+                                      (static_source_{folder,tar}.rs:
+                                      directory -> index.html, .gz/.br
+                                      precompressed variants, checked
+                                      after tile routes)
 
 Encoding negotiation mirrors server/encoding.rs narrowly: if the
 stored payload is gzip and the client accepts gzip, bytes pass through
@@ -65,22 +70,30 @@ def _sniff_mime(payload: bytes, fmt_hint: str | None) -> str:
     return "application/octet-stream"
 
 
-def _accepts_gzip(headers) -> bool:
+def _accept_encodings(headers) -> set:
     """Narrow Accept-Encoding parse (server/encoding.rs): recognize
-    gzip and `*`; a `;q=0` disables; unknown tokens ignored."""
+    gzip and br; `*` enables both; a `;q=0` disables; unknown tokens
+    ignored; identity is always acceptable."""
     raw = headers.get("Accept-Encoding", "") or ""
+    out = set()
     for token in raw.split(","):
         token = token.strip().lower()
         if not token:
             continue
         name, _, q = token.partition(";")
         name = name.strip()
-        if name in ("gzip", "*"):
-            qv = q.strip()
-            if qv.startswith("q=") and float(qv[2:] or 1.0) == 0.0:
-                continue
-            return True
-    return False
+        qv = q.strip()
+        if qv.startswith("q=") and float(qv[2:] or 1.0) == 0.0:
+            continue
+        if name == "*":
+            out |= {"gzip", "br"}
+        elif name in ("gzip", "br"):
+            out.add(name)
+    return out
+
+
+def _accepts_gzip(headers) -> bool:
+    return "gzip" in _accept_encodings(headers)
 
 
 class TileSource:
@@ -140,7 +153,99 @@ class TileSource:
         return self.reader.get_tile(z, x, y)
 
 
-def _make_handler(sources: dict, base_url_holder: list):
+def _guess_mime(name: str) -> str:
+    import mimetypes
+
+    mime, _ = mimetypes.guess_type(name)
+    return mime or "application/octet-stream"
+
+
+def _decode_variant(blob: bytes, enc: str) -> bytes:
+    if enc == "gzip":
+        return gzip.decompress(blob)
+    from .core import brotli_stored
+
+    return brotli_stored.decompress(blob)
+
+
+class StaticFolder:
+    """Static file mount (static_source_folder.rs): a directory path
+    resolves to its index.html; `file.gz` / `file.br` siblings serve
+    as precompressed variants when the plain file is absent."""
+
+    def __init__(self, root: str, url_prefix: str = "/"):
+        import os
+
+        self.root = os.path.realpath(root)
+        self.url_prefix = "/" + url_prefix.strip("/")
+
+    def get_data(self, rel: str, accept: set):
+        import os
+
+        local = os.path.realpath(os.path.join(self.root, rel.lstrip("/")))
+        if not (local == self.root or local.startswith(self.root + os.sep)):
+            return None  # path escape attempt
+        if os.path.isdir(local):
+            local = os.path.join(local, "index.html")
+        candidates = [(local, None), (local + ".br", "br"), (local + ".gz", "gzip")]
+        for path, enc in candidates:
+            if os.path.isfile(path):
+                with open(path, "rb") as f:
+                    blob = f.read()
+                mime = _guess_mime(local)
+                if enc is None:
+                    return blob, None, mime
+                if enc in accept:
+                    return blob, enc, mime
+                return _decode_variant(blob, enc), None, mime
+        return None
+
+
+class StaticTar:
+    """Static tar mount (static_source_tar.rs): all entries preloaded;
+    `x.gz` / `x.br` entries register as compressed variants of `x`;
+    an `index.html` entry also answers for its directory; responses
+    prefer br, then gzip, when the client accepts them."""
+
+    def __init__(self, tar_path: str, url_prefix: str = "/"):
+        import tarfile
+
+        self.url_prefix = "/" + url_prefix.strip("/")
+        self._files = {}  # rel -> (variants {None|'gzip'|'br': bytes}, mime)
+        with tarfile.open(tar_path) as tf:
+            for m in tf.getmembers():
+                if not m.isfile():
+                    continue
+                name = m.name.lstrip("./")
+                enc = None
+                if name.endswith(".gz"):
+                    name, enc = name[:-3], "gzip"
+                elif name.endswith(".br"):
+                    name, enc = name[:-3], "br"
+                blob = tf.extractfile(m).read()
+                variants, _ = self._files.setdefault(name, ({}, _guess_mime(name)))
+                variants[enc] = blob
+                if name.rsplit("/", 1)[-1] == "index.html":
+                    dirname = name[: -len("index.html")].rstrip("/")
+                    self._files.setdefault(dirname, self._files[name])
+
+    def get_data(self, rel: str, accept: set):
+        entry = self._files.get(rel.strip("/"))
+        if entry is None:
+            return None
+        variants, mime = entry
+        for enc in ("br", "gzip"):
+            if enc in variants and enc in accept:
+                return variants[enc], enc, mime
+        if None in variants:
+            return variants[None], None, mime
+        for enc in ("br", "gzip"):  # stored compressed, client wants identity
+            if enc in variants:
+                return _decode_variant(variants[enc], enc), None, mime
+        return None
+
+
+def _make_handler(sources: dict, base_url_holder: list, statics: list = ()):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -201,6 +306,17 @@ def _make_handler(sources: dict, base_url_holder: list):
                             gzip.decompress(payload) if stored_gzip else payload, None
                         )
                     return self._send(200, payload, mime, extra)
+            accept = _accept_encodings(self.headers)
+            raw_path = self.path.split("?", 1)[0]
+            for st in statics:
+                pfx = st.url_prefix
+                if raw_path == pfx or raw_path.startswith(pfx.rstrip("/") + "/"):
+                    rel = raw_path[len(pfx.rstrip("/")):]
+                    hit = st.get_data(rel, accept)
+                    if hit is not None:
+                        blob, enc, mime = hit
+                        extra = {"Content-Encoding": enc} if enc else {}
+                        return self._send(200, blob, mime, extra)
             return self._send(404, b"not found", "text/plain")
 
     return Handler
@@ -214,6 +330,7 @@ class TileServer:
     def __init__(self, host: str = "127.0.0.1", port: int = 0):
         self.host, self.port = host, port
         self.sources: dict[str, TileSource] = {}
+        self.static_sources: list = []
         self._httpd = None
         self._thread = None
         self._base_url_holder = [""]
@@ -221,8 +338,17 @@ class TileServer:
     def add_tile_source(self, source_id: str, path: str):
         self.sources[source_id] = TileSource(source_id, path)
 
+    def add_static_source(self, path: str, url_prefix: str = "/"):
+        """Mount a folder or tar at url_prefix (tile_server.rs
+        add_static_source; dispatch by path type)."""
+        import os
+
+        cls = StaticTar if os.path.isfile(path) else StaticFolder
+        self.static_sources.append(cls(path, url_prefix))
+
     def start(self):
-        handler = _make_handler(self.sources, self._base_url_holder)
+        handler = _make_handler(self.sources, self._base_url_holder,
+                                self.static_sources)
         self._httpd = ThreadingHTTPServer((self.host, self.port), handler)
         self.port = self._httpd.server_address[1]
         self._base_url_holder[0] = f"http://{self.host}:{self.port}"
