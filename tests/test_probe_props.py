@@ -119,3 +119,60 @@ def test_coverage_runs_exchange_matches_brute(ray_session):
         ends = np.concatenate((brk, [len(row) - 1]))
         want += [(y, int(row[s]), int(row[e])) for s, e in zip(starts, ends)]
     assert got == sorted(want)
+
+
+def test_probe_tile_contents(ray_session):
+    """Deep probe: per-zoom format counts + MVT layer feature totals,
+    with gzip payloads transparently decoded before the sniff."""
+    import gzip
+
+    import ray.data as rd
+
+    from versatiles_rs_ray.core import mvt
+
+    tile = {
+        "layers": [
+            {
+                "name": "roads",
+                "version": 2,
+                "extent": 4096,
+                "features": [
+                    {"id": 1, "type": mvt.GEOM_POINT, "geometry": [[(25, 17)]],
+                     "properties": {"kind": "a"}},
+                    {"id": 2, "type": mvt.GEOM_POINT, "geometry": [[(26, 15)]],
+                     "properties": {"kind": "b"}},
+                ],
+            },
+            {
+                "name": "water",
+                "version": 2,
+                "extent": 4096,
+                "features": [
+                    {"id": 3, "type": mvt.GEOM_POINT, "geometry": [[(1, 1)]],
+                     "properties": {}},
+                ],
+            },
+        ]
+    }
+    blob = mvt.encode_tile(tile)
+    rows = [
+        {"z": 1, "x": 0, "y": 0, "payload": blob},
+        {"z": 1, "x": 1, "y": 0, "payload": gzip.compress(blob, mtime=0)},
+        {"z": 2, "x": 0, "y": 0, "payload": b'{"x":0}'},
+        {"z": 2, "x": 1, "y": 0, "payload": b"\x00\x01binary"},
+    ]
+    ds = rd.from_arrow(pa.table({
+        "z": [r["z"] for r in rows],
+        "x": [r["x"] for r in rows],
+        "y": [r["y"] for r in rows],
+        "payload": pa.array([r["payload"] for r in rows], type=pa.binary()),
+    }))
+    out = probe.probe_tile_contents(ds).to_pandas()
+    rec = {(r.z, r.kind, r["name"]): (r.n, r["bytes"]) for _, r in out.iterrows()}
+    assert rec[(1, "format", "mvt")][0] == 2
+    # stored bytes counted as-is (one raw + one gzipped payload)
+    assert rec[(1, "format", "mvt")][1] == len(blob) + len(gzip.compress(blob, mtime=0))
+    assert rec[(1, "layer", "roads")][0] == 4  # 2 features x 2 tiles
+    assert rec[(1, "layer", "water")][0] == 2
+    assert rec[(2, "format", "json")] == (1, 7)
+    assert rec[(2, "format", "bin")][0] == 1

@@ -218,3 +218,48 @@ def test_static_tar_and_server_mount(tmp_path):
         assert st == 404
     finally:
         srv.shutdown()
+
+
+def test_serve_remote_container_over_http(debug_ds, tmp_path):
+    """Two-hop: a .versatiles served by a plain file server is mounted
+    remotely in TileServer — every tile request becomes range reads
+    against the upstream (reference: registry http(s):// dispatch,
+    container_registry.rs:196-246)."""
+    import contextlib
+    import functools
+    import http.server
+    import threading
+
+    from versatiles_rs_ray.server import TileServer
+    from versatiles_rs_ray.sources.random_access import VersatilesRandomAccess
+
+    path = str(tmp_path / "remote.versatiles")
+    write_versatiles(debug_ds, path, tile_format="json")
+
+    @contextlib.contextmanager
+    def _serve_dir(directory):
+        handler = functools.partial(
+            http.server.SimpleHTTPRequestHandler, directory=str(directory))
+        httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            yield f"http://127.0.0.1:{httpd.server_address[1]}"
+        finally:
+            httpd.shutdown()
+
+    with _serve_dir(tmp_path) as upstream:
+        remote_url = f"{upstream}/remote.versatiles"
+        ra = open_random_access(remote_url)
+        assert isinstance(ra, VersatilesRandomAccess)
+        assert ra.get_tile(2, 1, 2) == b'{"x":1,"y":2,"z":2}'
+        srv = TileServer()
+        srv.add_tile_source("r", remote_url)
+        url = srv.start()
+        try:
+            st, _, body = _get(f"{url}/tiles/r/3/4/4")
+            assert st == 200 and json.loads(body) == {"x": 4, "y": 4, "z": 3}
+            st, _, _ = _get(f"{url}/tiles/r/5/0/0")
+            assert st == 404
+        finally:
+            srv.shutdown()

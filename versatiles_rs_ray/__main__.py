@@ -58,13 +58,48 @@ def cmd_convert(args):
 
 
 def cmd_probe(args):
+    """Depths mirror the reference's ProbeDepth ladder (probe.rs:14-16):
+    default = per-level pyramid scan; -d adds container metadata;
+    -dd adds the distributed tile-contents scan (formats + MVT layers)."""
     from versatiles_rs_ray.pipelines.vpl import open_container
-    from versatiles_rs_ray.stages.probe import infer_pyramid
+    from versatiles_rs_ray.stages.probe import infer_pyramid, probe_tile_contents
 
     ray = _ray_session(args.num_cpus)
     ds = open_container(args.input)
     levels = infer_pyramid(ds).to_pandas().sort_values("z")
-    print(json.dumps({"levels": levels.to_dict("records"), "total_tiles": int(levels["n_tiles"].sum())}))
+    out = {
+        "levels": levels.to_dict("records"),
+        "total_tiles": int(levels["n_tiles"].sum()),
+    }
+    depth = getattr(args, "deep", 0) or 0
+    if depth >= 1:
+        if args.input.endswith(".versatiles"):
+            from versatiles_rs_ray.sources.versatiles import (
+                read_versatiles_header,
+                read_versatiles_metadata,
+            )
+
+            hdr = read_versatiles_header(args.input)
+            out["container"] = {
+                "tile_format": hdr["tile_format"],
+                "compression": hdr["compression"],
+                "zoom_range": list(hdr["zoom_range"]),
+                "geo_bbox": list(hdr["geo_bbox"]),
+            }
+            try:
+                out["metadata"] = json.loads(read_versatiles_metadata(args.input))
+            except Exception:
+                pass
+        elif args.input.endswith(".pmtiles"):
+            from versatiles_rs_ray.sources.pmtiles import read_pmtiles_metadata
+
+            out["metadata"] = read_pmtiles_metadata(args.input)
+    if depth >= 2:
+        contents = probe_tile_contents(ds).to_pandas().sort_values(
+            ["z", "kind", "name"]
+        )
+        out["contents"] = contents.to_dict("records")
+    print(json.dumps(out))
     ray.shutdown()
 
 
@@ -137,6 +172,8 @@ def main(argv=None):
 
     pr = sub.add_parser("probe", help="inspect a tile container")
     pr.add_argument("input")
+    pr.add_argument("-d", "--deep", action="count", default=0,
+                    help="-d: container metadata; -dd: scan tile contents")
     pr.set_defaults(fn=cmd_probe)
 
     py = sub.add_parser("pyramid", help="build the doc pyramid (resumable)")

@@ -173,3 +173,82 @@ def coverage_outline_geojson(tiles_ds, level: int):
             [[[west, south], [east, south], [east, north], [west, north], [west, south]]]
         )
     return {"type": "MultiPolygon", "coordinates": polygons}
+
+
+# ---- deep probe: tile-contents scan (probe.rs -dd / ProbeDepth) --------
+
+_FORMAT_MAGICS = (
+    (b"\x89PNG", "png"),
+    (b"\xff\xd8\xff", "jpg"),
+    (b"RIFF", "webp"),
+    (b"{", "json"),
+)
+
+
+def _sniff_format(payload: bytes) -> str:
+    if payload[:1] == b"\x1a":  # MVT layer field tag (field 3, wire 2)
+        return "mvt"
+    for magic, name in _FORMAT_MAGICS:
+        if payload.startswith(magic):
+            return name
+    if len(payload) > 11 and payload[4:12] == b"ftypavif":
+        return "avif"
+    return "bin"
+
+
+def probe_tile_contents(tiles_ds, payload_col="payload"):
+    """Deep content scan (ProbeDepth::TileContents, probe_depth.rs:23):
+    per-zoom payload-format counts plus MVT per-layer feature totals.
+
+    One map_batches pass emits tiny per-(z, kind, name) partials
+    (kind='format': n = tiles, bytes = payload bytes; kind='layer':
+    n = features in that MVT layer), combined by a small groupby —
+    the scan distributes, only per-key sums shuffle. Payload decode is
+    inherently per-tile (each MVT parses independently), matching the
+    reference's per-tile probe loop.
+    """
+    import gzip as _gzip
+
+    from ray.data.aggregate import Sum
+
+    from ..core import mvt as _mvt
+
+    def partial(batch: pa.Table) -> pa.Table:
+        z = np.asarray(batch["z"], dtype=np.int64)
+        sizes = byte_sizes(batch[payload_col])
+        counts = {}  # (z, kind, name) -> [n, bytes]
+        col = batch[payload_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        for i in range(len(col)):
+            payload = col[i].as_py()
+            if payload[:2] == b"\x1f\x8b":
+                payload = _gzip.decompress(payload)
+            fmt = _sniff_format(payload)
+            key = (int(z[i]), "format", fmt)
+            agg = counts.setdefault(key, [0, 0])
+            agg[0] += 1
+            agg[1] += int(sizes[i])
+            if fmt == "mvt":
+                try:
+                    tile = _mvt.decode_tile(payload)
+                except Exception:
+                    continue
+                for layer in tile["layers"]:
+                    lkey = (int(z[i]), "layer", layer["name"])
+                    lagg = counts.setdefault(lkey, [0, 0])
+                    lagg[0] += len(layer["features"])
+        keys = sorted(counts)
+        return pa.table(
+            {
+                "z": pa.array([k[0] for k in keys], type=pa.int64()),
+                "kind": pa.array([k[1] for k in keys], type=pa.string()),
+                "name": pa.array([k[2] for k in keys], type=pa.string()),
+                "n": pa.array([counts[k][0] for k in keys], type=pa.int64()),
+                "bytes": pa.array([counts[k][1] for k in keys], type=pa.int64()),
+            }
+        )
+
+    return tiles_ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["z", "kind", "name"]
+    ).aggregate(Sum("n", alias_name="n"), Sum("bytes", alias_name="bytes"))
