@@ -169,3 +169,72 @@ def test_tilejson_full_surface():
 
     # robust parse fallback (lib.rs:498-505)
     assert TileJSON.try_from_text_or_default("not json").tilejson == "3.0.0"
+
+
+def test_from_container_vpl(ray_session, tmp_path):
+    """from_container reads any registered container as a head node;
+    relative filenames resolve against sf_dir (from_container.rs:20)."""
+    src = vpl.build_pipeline("from_debug zmax=2")
+    path = str(tmp_path / "c.mbtiles")
+    vpl.write_container(src, path)
+    ds = vpl.build_pipeline(f"from_container filename={path} | filter level_min=1")
+    assert ds.count() == 20  # z1 (4) + z2 (16)
+    ds2 = vpl.build_pipeline("from_container filename=c.mbtiles", sf_dir=str(tmp_path))
+    assert ds2.count() == 21
+
+
+def test_from_gdal_raster_vpl(ray_session):
+    out = vpl.build_pipeline(
+        "from_gdal_raster zmax=1 tile_size=16 source_height=64"
+    ).to_pandas()
+    assert len(out) == 5  # z0 + 4 z1 tiles
+    assert (out["width"] == 16).all()
+
+
+def test_raster_format_and_overview_vpl(ray_session):
+    from versatiles_rs_ray.core import png
+
+    out = vpl.build_pipeline(
+        "from_gradient zmax=2 size=8 | raster_overview z_from=2 z_to=0 | "
+        "raster_format format=png"
+    ).to_pandas()
+    assert sorted(out["z"].unique()) == [0, 1, 2]
+    arr = png.decode_png_rgba(out["payload"].iloc[0])
+    assert arr.shape[0] == 8
+    assert (out["format"] == "png").all()
+
+
+def test_vector_update_properties_and_meta_update_vpl(ray_session, tmp_path, monkeypatch):
+    import pyarrow as pa
+
+    from versatiles_rs_ray.core import mvt
+
+    tile = {
+        "layers": [{
+            "name": "pois", "version": 2, "extent": 4096,
+            "features": [{"id": 1, "type": mvt.GEOM_POINT,
+                          "geometry": [[(5, 5)]],
+                          "properties": {"kind": "cafe"}}],
+        }]
+    }
+    (tmp_path / "side.csv").write_text("kind,speed\ncafe,11\nbar,22\n")
+
+    @vpl.register_read_op("one_mvt_tile")
+    def _one(sf_dir=None, **_):
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "z": [1], "x": [0], "y": [0],
+            "payload": pa.array([mvt.encode_tile(tile)], type=pa.binary()),
+        }))
+
+    try:
+        out = vpl.build_pipeline(
+            f"one_mvt_tile | vector_update_properties "
+            f"data_source_path={tmp_path}/side.csv "
+            f"id_field_tiles=kind id_field_data=kind | meta_update"
+        ).to_pandas()
+        got = mvt.decode_tile(out["payload"].iloc[0])
+        assert got["layers"][0]["features"][0]["properties"]["speed"] == 11
+    finally:
+        vpl.READ_OPS.pop("one_mvt_tile", None)

@@ -186,6 +186,39 @@ def _from_stacked_raster(sf_dir=None, sources=None, **_):
     return stacked_raster(sources)
 
 
+@register_read_op("from_container")
+def _from_container(sf_dir=None, filename=None, **_):
+    """Open any registered container as a VPL head node
+    (from_container.rs:20-43: filename resolved relative to the
+    pipeline's base path — here sf_dir)."""
+    import os
+
+    if filename is None:
+        raise ValueError("from_container needs filename=...")
+    path = str(filename)
+    if sf_dir and "://" not in path and not os.path.isabs(path):
+        path = os.path.join(sf_dir, path)
+    return open_container(path)
+
+
+@register_read_op("from_gdal_raster")
+def _from_gdal_raster(sf_dir=None, zmax=3, zmin=0, tile_size=64,
+                      source_height=512, **_):
+    """Deterministic stand-in for the GDAL raster source (no GDAL in
+    sandbox): a synthetic WGS84 world raster warped to mercator tiles
+    through the real reprojection pool
+    (from_gdal/raster/raster_source.rs semantics, stages/reproject)."""
+    from ..sources.debug_tiles import json_debug_tiles
+    from ..stages.reproject import make_world_raster, reproject_raster
+
+    coords = json_debug_tiles(
+        TileBBoxPyramid.new_full(int(zmax), int(zmin))
+    ).select_columns(["z", "x", "y"])
+    return reproject_raster(
+        coords, make_world_raster(int(source_height)), tile_size=int(tile_size)
+    )
+
+
 @register_transform_op("filter")
 def _filter(ds, bbox=None, level_min=None, level_max=None, **_):
     from ..stages.filter import filter_bbox_zoom
@@ -257,6 +290,71 @@ def _vfp(ds, regex=".*", invert=0, **_):
     return ds.map_batches(
         VectorFilterProperties(str(regex), bool(int(invert))), batch_format="pyarrow"
     )
+
+
+@register_transform_op("raster_format")
+def _rformat(ds, format="png", quality=None, speed=None, **_):
+    from ..stages.raster import raster_format
+
+    return raster_format(ds, str(format), quality_schedule=quality, speed=speed)
+
+
+@register_transform_op("raster_overview")
+def _roverview(ds, z_from=None, z_to=0, **_):
+    from ..stages.raster import raster_overview
+
+    if z_from is None:
+        raise ValueError("raster_overview needs z_from=...")
+    # derive strictly from the base level (raster_overview.rs fills
+    # missing lower zooms from the bottom of the pyramid)
+    import pyarrow.compute as pc
+
+    base = ds.map_batches(
+        lambda b: b.filter(pc.equal(b["z"], int(z_from))), batch_format="pyarrow"
+    )
+    levels = raster_overview(base, int(z_from), int(z_to))
+    union = None  # one stream: the base level plus every derived level
+    for z in sorted(levels):
+        union = levels[z] if union is None else union.union(levels[z])
+    return union
+
+
+@register_transform_op("vector_update_properties")
+def _vup(ds, data_source_path=None, id_field_tiles=None, id_field_data=None,
+         replace_properties=0, remove_non_matching=0, **_):
+    """CSV side table broadcast into feature properties
+    (vector_update_properties.rs Args; the side dict ships once via
+    ray.put, each actor reads it from the object store)."""
+    import ray
+
+    from ..sources.geojson import load_csv_side
+    from ..stages.vector import VectorUpdateProperties
+
+    if not (data_source_path and id_field_tiles and id_field_data):
+        raise ValueError(
+            "vector_update_properties needs data_source_path=, "
+            "id_field_tiles=, id_field_data=")
+    side = load_csv_side(str(data_source_path), str(id_field_data))
+    return ds.map_batches(
+        VectorUpdateProperties,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={
+            "side": ray.put(side),
+            "id_field": str(id_field_tiles),
+            "replace_properties": bool(int(replace_properties)),
+            "remove_non_matching": bool(int(remove_non_matching)),
+        },
+        concurrency=2,
+    )
+
+
+@register_transform_op("meta_update")
+def _meta_update(ds, **_):
+    """No-op on tile rows: TileJSON metadata travels beside the tile
+    stream, not through it (core/tilejson.meta_update holds the real
+    merge logic; the reference's op rewrites the reader's tilejson,
+    meta_update.rs). Registered so reference pipelines parse."""
+    return ds
 
 
 # ---- container registry (extension -> reader/writer) ------------------

@@ -79,9 +79,11 @@ def raster_format(ds, fmt, quality_schedule=None, speed=None):
         ]
         idx = batch.schema.get_field_index("payload")
         t = batch.set_column(idx, "payload", pa.array(out, type=pa.binary()))
+        col = pa.array([fmt] * len(out), type=pa.string())
         if "format" in t.column_names:
-            fi = t.schema.get_field_index("format")
-            t = t.set_column(fi, "format", pa.array([fmt] * len(out)))
+            t = t.set_column(t.schema.get_field_index("format"), "format", col)
+        else:
+            t = t.append_column("format", col)
         return t
 
     return ds.map_batches(fn, batch_format="pyarrow")
