@@ -128,15 +128,68 @@ def cosine_topk(embeddings_ds, q_ids, q_matrix, k, exclude_self=True):
     return final[["q_id", "vec_id", "rank"]]
 
 
-def cosine_near_dup_pairs(embeddings_ds, threshold: float, nbits=10, seed=42, dim=None):
+def _near_dup_block(table: pa.Table, threshold: float) -> pa.Table:
+    """One exchange partition (whole buckets, co-located by the hash
+    route) -> near-dup pairs. Buckets resolve as runs of one argsort;
+    the only loop is over bucket RUNS (dozens per partition), each a
+    single dense matmul — no per-row Python."""
+    empty = pa.table(
+        {
+            "vec_a": pa.array([], type=pa.int64()),
+            "vec_b": pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64()),
+        }
+    )
+    if table.num_rows < 2:
+        return empty
+    bucket = np.asarray(table["bucket"], dtype=np.int64)
+    ids = np.asarray(table["vec_id"], dtype=np.int64)
+    m = _to_matrix(table["embedding"]).astype(np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mn = m / norms
+    order = np.argsort(bucket, kind="stable")
+    b_s, ids_s, mn_s = bucket[order], ids[order], mn[order]
+    starts = np.flatnonzero(np.r_[True, b_s[1:] != b_s[:-1]])
+    bounds = np.append(starts, len(b_s))
+    la, lb, lc = [], [], []
+    for i in range(len(starts)):
+        s, e = bounds[i], bounds[i + 1]
+        if e - s < 2:
+            continue
+        sub_ids, sub = ids_s[s:e], mn_s[s:e]
+        sims = sub @ sub.T
+        ia, ib = np.triu_indices(e - s, k=1)
+        keep = sims[ia, ib] >= threshold
+        a, b = sub_ids[ia[keep]], sub_ids[ib[keep]]
+        la.append(np.minimum(a, b))
+        lb.append(np.maximum(a, b))
+        lc.append(sims[ia[keep], ib[keep]])
+    if not la:
+        return empty
+    return pa.table(
+        {
+            "vec_a": pa.array(np.concatenate(la), type=pa.int64()),
+            "vec_b": pa.array(np.concatenate(lb), type=pa.int64()),
+            "cosine": pa.array(np.concatenate(lc), type=pa.float64()),
+        }
+    )
+
+
+def cosine_near_dup_pairs(embeddings_ds, threshold: float, nbits=10, seed=42,
+                          dim=None, num_partitions: int = 16):
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >= t).
 
-    LSH-bucketed: SRP bucket per vector -> groupby bucket -> exact
-    cosine within buckets. Same candidate-capping discipline as
-    MinHash (dedup.py); recall vs brute force is tested, and at scale
-    the bucket count (nbits) is the recall/cost knob.
+    LSH-bucketed: SRP bucket per vector -> hash exchange on bucket ->
+    exact cosine within buckets, one vectorized kernel per partition
+    (replacing the earlier groupby(bucket).map_groups pandas path).
+    A vector lives in exactly one bucket, so each unordered pair
+    appears once. At scale the bucket count (nbits) is the recall/cost
+    knob; recall vs brute force is tested.
     """
-    import pandas as pd
+    import functools
+
+    from .exchange import hash_exchange
 
     first = embeddings_ds.take(1)
     if dim is None:
@@ -147,24 +200,13 @@ def cosine_near_dup_pairs(embeddings_ds, threshold: float, nbits=10, seed=42, di
         m = _to_matrix(batch["embedding"])
         return batch.append_column("bucket", pa.array(srp.bucket_of(m), type=pa.int64()))
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
-        ids = g["vec_id"].to_numpy()
-        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(m, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        mn = m / norms
-        sims = mn @ mn.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= threshold
-        order = np.argsort(ids)
-        a, b = ids[ia[keep]], ids[ib[keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": sims[ia[keep], ib[keep]]})
-
     bucketed = embeddings_ds.map_batches(bucketize, batch_format="pyarrow")
-    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    return hash_exchange(
+        bucketed,
+        "bucket",
+        functools.partial(_near_dup_block, threshold=threshold),
+        num_partitions=num_partitions,
+    )
 
 
 class SrpBuckets:

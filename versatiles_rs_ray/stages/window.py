@@ -45,32 +45,66 @@ def tumbling_partials(batch: pa.Table, window_s=WINDOW_S) -> pa.Table:
 SESSION_GAP_S = 1800
 
 
-def sessionize(events_ds, gap_s=SESSION_GAP_S):
+def _sessionize_block(table: pa.Table, gap_us: int) -> pa.Table:
+    """One partition's events (ALL events of its users, guaranteed by
+    the hash exchange) -> one row per session. Fully vectorized: one
+    lexsort, run-boundary masks, reduceat-style slicing — no per-user
+    Python, so partition cost is O(rows log rows) regardless of how
+    many users it holds."""
+    n = table.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "session_id": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                "start_us": pa.array([], type=pa.int64()),
+                "end_us": pa.array([], type=pa.int64()),
+            }
+        )
+    uid = np.asarray(table["user_id"], dtype=np.int64)
+    eid = np.asarray(table["event_id"], dtype=np.int64)
+    ts = np.asarray(table["ts_us"], dtype=np.int64)
+    order = np.lexsort((eid, ts, uid))  # by user, then ts, then event_id
+    u, t = uid[order], ts[order]
+    new_user = np.empty(n, dtype=bool)
+    new_user[0] = True
+    new_user[1:] = u[1:] != u[:-1]
+    brk = new_user.copy()
+    brk[1:] |= (t[1:] - t[:-1]) > gap_us
+    starts = np.flatnonzero(brk)  # first event index of each session
+    ends = np.append(starts[1:], n) - 1  # last event index
+    s_user = u[starts]
+    # 1-based session number within each user: position inside the
+    # session-run of that user
+    user_first = np.flatnonzero(np.r_[True, s_user[1:] != s_user[:-1]])
+    runs = np.diff(np.append(user_first, len(starts)))
+    session_id = np.arange(len(starts)) - np.repeat(user_first, runs) + 1
+    return pa.table(
+        {
+            "user_id": pa.array(s_user, type=pa.int64()),
+            "session_id": pa.array(session_id, type=pa.int64()),
+            "n_events": pa.array(ends - starts + 1, type=pa.int64()),
+            "start_us": pa.array(t[starts], type=pa.int64()),
+            "end_us": pa.array(t[ends], type=pa.int64()),
+        }
+    )
+
+
+def sessionize(events_ds, gap_s=SESSION_GAP_S, num_partitions: int = 16):
     """Session windows per user: a session breaks when the gap between
     consecutive events (ordered by ts, then event_id for determinism)
     exceeds ``gap_s``. Output one row per session:
     (user_id, session_id 1-based, n_events, start_us, end_us).
 
-    groupby(user).map_groups with an in-group sort — the Ray Data
-    answer to stateful sessionization (ray_guide.md streaming section);
-    per-group state never crosses group boundaries so no actor needed.
-    """
-    import pandas as pd
+    Hash exchange on user_id co-locates each user's events, then ONE
+    vectorized kernel per partition builds every session — replacing
+    the earlier groupby(user).map_groups per-group pandas path, which
+    pays per-group Python at millions of users (the engine's measured
+    10-20x-slower groupby regime; NOTES.md lesson 2)."""
+    import functools
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
-        ts = g["ts_us"].to_numpy()
-        brk = np.zeros(len(ts), dtype=np.int64)
-        brk[1:] = (np.diff(ts) > gap_s * 1_000_000).astype(np.int64)
-        sid = brk.cumsum() + 1
-        out = (
-            pd.DataFrame({"session_id": sid, "ts_us": ts})
-            .groupby("session_id")
-            .agg(n_events=("ts_us", "size"), start_us=("ts_us", "min"), end_us=("ts_us", "max"))
-            .reset_index()
-        )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
+    from .exchange import hash_exchange
 
     def prep(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -81,8 +115,12 @@ def sessionize(events_ds, gap_s=SESSION_GAP_S):
             }
         )
 
-    return events_ds.map_batches(prep, batch_format="pyarrow").groupby("user_id").map_groups(
-        per_user, batch_format="pandas"
+    prepped = events_ds.map_batches(prep, batch_format="pyarrow")
+    return hash_exchange(
+        prepped,
+        "user_id",
+        functools.partial(_sessionize_block, gap_us=gap_s * 1_000_000),
+        num_partitions=num_partitions,
     )
 
 
