@@ -1,0 +1,138 @@
+"""Property-based tests (hypothesis): invariants the reference pins
+with inline goldens (SURVEY.md §5.1) hold over the whole input space —
+curve round-trips, codec idempotence, compression losslessness.
+No Ray involvement: pure kernels."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from versatiles_rs_ray.core import compression, coords, mvt
+
+# first-call numba-free but import/JIT-ish warmup can trip the default
+# 200 ms deadline (observed flake); correctness, not latency, is under test
+settings.register_profile("repo", deadline=None)
+settings.load_profile("repo")
+
+# z capped at 28: hilbert/morton keys stay within int64 (the engine's
+# documented id-space contract, matching pmtiles tile-id limits)
+ZXY = st.integers(min_value=0, max_value=28).flatmap(
+    lambda z: st.tuples(
+        st.just(z),
+        st.integers(min_value=0, max_value=(1 << z) - 1),
+        st.integers(min_value=0, max_value=(1 << z) - 1),
+    )
+)
+
+
+@given(ZXY)
+def test_hilbert_roundtrip(t):
+    z, x, y = t
+    idx = coords.hilbert_index(z, x, y)
+    zz, xx, yy = coords.hilbert_to_coord(int(np.asarray(idx).item()))
+    assert (zz, xx, yy) == (z, x, y)
+
+
+@given(ZXY)
+def test_hilbert_is_within_level_range(t):
+    """Level z occupies exactly [base, base + 4^z): the pmtiles
+    directory layout's contiguity contract."""
+    z, x, y = t
+    base = sum(4**i for i in range(z))
+    idx = int(np.asarray(coords.hilbert_index(z, x, y)).item())
+    assert base <= idx < base + 4**z
+
+
+@given(st.integers(min_value=0, max_value=(1 << 31) - 1),
+       st.integers(min_value=0, max_value=(1 << 31) - 1))
+def test_morton_roundtrip(x, y):
+    key = coords.morton_key(np.int64(x), np.int64(y))
+    xx, yy = coords.morton_to_xy(np.asarray(key))
+    assert (int(np.asarray(xx).item()), int(np.asarray(yy).item())) == (x, y)
+
+
+@given(ZXY)
+def test_quadkey_decodes_by_digit(t):
+    """Each quadkey digit holds one (x, y) bit pair, root-first."""
+    z, x, y = t
+    qk = coords.quadkey(z, x, y)
+    qk = qk if isinstance(qk, str) else str(np.asarray(qk).item())
+    assert len(qk) == z
+    rx = ry = 0
+    for ch in qk:
+        d = int(ch)
+        rx = (rx << 1) | (d & 1)
+        ry = (ry << 1) | (d >> 1)
+    assert (rx, ry) == (x, y)
+
+
+@given(ZXY)
+def test_geo_tile_roundtrip(t):
+    """A tile's own center geo-locates back to the same tile."""
+    z, x, y = t
+    lon, lat = coords.tile_to_lonlat(z, x + 0.5, y + 0.5)
+    xx, yy = coords.lonlat_to_tile(float(np.asarray(lon)), float(np.asarray(lat)), z)
+    assert (int(np.asarray(xx).item()), int(np.asarray(yy).item())) == (x, y)
+
+
+@given(st.binary(max_size=4096), st.sampled_from(["gzip", "br"]))
+@settings(max_examples=40)
+def test_compression_roundtrip(data, codec):
+    assert compression._decompress_one(
+        compression._compress_one(data, codec), codec) == data
+
+
+_PROPS = st.dictionaries(
+    st.text(st.characters(codec="ascii", min_codepoint=97, max_codepoint=122),
+            min_size=1, max_size=6),
+    st.one_of(
+        st.booleans(),
+        st.integers(min_value=-(2**60), max_value=2**60),
+        st.text(max_size=12),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+    ),
+    max_size=4,
+)
+_POINT = st.tuples(st.integers(0, 4095), st.integers(0, 4095))
+_FEATURE = st.fixed_dictionaries(
+    {
+        "id": st.integers(min_value=0, max_value=2**40),
+        "type": st.just(mvt.GEOM_POINT),
+        "geometry": st.lists(st.lists(_POINT, min_size=1, max_size=1),
+                             min_size=1, max_size=3),
+        "properties": _PROPS,
+    }
+)
+_TILE = st.fixed_dictionaries(
+    {
+        "layers": st.lists(
+            st.fixed_dictionaries(
+                {
+                    "name": st.text(st.characters(codec="ascii", min_codepoint=97,
+                                                  max_codepoint=122),
+                                    min_size=1, max_size=8),
+                    "version": st.just(2),
+                    "extent": st.just(4096),
+                    "features": st.lists(_FEATURE, min_size=1, max_size=3),
+                }
+            ),
+            min_size=1,
+            max_size=2,
+        )
+    }
+)
+
+
+@given(_TILE)
+@settings(max_examples=40)
+def test_mvt_decode_encode_idempotent(tile):
+    """encode -> decode -> encode is byte-stable (the wire-variant
+    preservation contract, core/mvt.py _encode_value)."""
+    wire1 = mvt.encode_tile(tile)
+    decoded = mvt.decode_tile(wire1)
+    wire2 = mvt.encode_tile(decoded)
+    assert wire1 == wire2
+    again = mvt.decode_tile(wire2)
+    for l1, l2 in zip(decoded["layers"], again["layers"]):
+        assert l1["name"] == l2["name"]
+        assert len(l1["features"]) == len(l2["features"])
