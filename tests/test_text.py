@@ -52,3 +52,23 @@ def test_langid_profiles():
     )
     out = lid(b)
     assert out["lang_guess"].to_pylist() == ["en", "de"]
+
+
+def test_fingerprint_batch_matches_single_doc_kernel():
+    """The cross-doc vectorized gather is bit-identical to the per-doc
+    reference kernel, including zero-padded short docs and boundary
+    windows (a doc's last window must not read the next doc's bytes)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from versatiles_rs_ray.stages.text import _doc_fingerprint, fingerprint_batch
+
+    texts = ["", "a", "abcdefg", "abcdefgh", "abcdefghi",
+             "zzzzzzzz" * 10, "x" * 7 + "Q" * 9, "\x00\x01\x02"]
+    batch = pa.table({
+        "doc_id": pa.array([str(i) for i in range(len(texts))]),
+        "text": pa.array(texts),
+    })
+    got = fingerprint_batch(batch)["fingerprint"].to_pylist()
+    ref = [np.uint64(_doc_fingerprint(t.encode())).astype(np.int64) for t in texts]
+    assert got == [int(r) for r in ref]

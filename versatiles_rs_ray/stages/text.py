@@ -29,18 +29,57 @@ _FP_BASE = np.uint64(1000003)
 _FP_K = 8  # fingerprint shingle length (bytes)
 
 
+def _split_tokens(texts):
+    """text column -> (flat tokens, per-token char lengths, doc offsets).
+
+    Arrow's whitespace split emits EMPTY tokens for leading/trailing/
+    repeated whitespace where Python's ``str.split()`` emits none;
+    callers treat zero-length tokens as absent so both agree with the
+    SQL oracle's regexp_split_to_array(trim(text), '\\s+')."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    split = pc.utf8_split_whitespace(texts)
+    counts = np.asarray(pc.list_value_length(split), dtype=np.int64)
+    offs = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    flat = pc.list_flatten(split)
+    tlen = np.asarray(pc.utf8_length(flat), dtype=np.int64)
+    return flat, tlen, offs
+
+
+def _per_doc_sum(values: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Ragged per-doc sums via one cumsum (safe for empty docs where
+    reduceat is not)."""
+    c = np.zeros(len(values) + 1, dtype=np.int64)
+    np.cumsum(values, out=c[1:])
+    return c[offs[1:]] - c[offs[:-1]]
+
+
 def token_stats_batch(batch: pa.Table) -> pa.Table:
-    """doc_id, n_tokens, n_stop, max_token_len per document."""
-    texts = batch["text"].to_pylist()
-    n_tokens = np.empty(len(texts), dtype=np.int64)
-    n_stop = np.empty(len(texts), dtype=np.int64)
-    max_len = np.empty(len(texts), dtype=np.int64)
-    stop = set(STOPWORDS)
-    for i, t in enumerate(texts):
-        toks = (t or "").split()
-        n_tokens[i] = len(toks)
-        n_stop[i] = sum(1 for w in toks if w in stop)
-        max_len[i] = max((len(w) for w in toks), default=0)
+    """doc_id, n_tokens, n_stop, max_token_len per document.
+
+    Fully vectorized: one Arrow whitespace split over the whole batch,
+    then cumsum/maximum kernels over the flat token array — no per-doc
+    Python (the round-1 per-doc loop was the flagged text hot-spot)."""
+    import pyarrow.compute as pc
+
+    flat, tlen, offs = _split_tokens(batch["text"])
+    nonempty = (tlen > 0).astype(np.int64)
+    n_tokens = _per_doc_sum(nonempty, offs)
+    is_stop = np.asarray(
+        pc.is_in(flat, value_set=pa.array(STOPWORDS)).fill_null(False)
+    ).astype(np.int64)
+    n_stop = _per_doc_sum(is_stop, offs)
+    max_len = np.zeros(len(n_tokens), dtype=np.int64)
+    has = offs[1:] > offs[:-1]
+    if has.any():
+        # reduceat over non-empty ranges only (every non-null doc has
+        # >=1 token slot, but guard anyway)
+        starts = offs[:-1][has]
+        max_len[has] = np.maximum.reduceat(tlen, starts)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
@@ -64,8 +103,8 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     stats = token_stats_batch(batch)
     n_tokens = np.asarray(stats["n_tokens"])
     n_stop = np.asarray(stats["n_stop"])
-    texts = batch["text"].to_pylist()
-    alpha = np.asarray([sum(len(w) for w in (t or "").split()) for t in texts], dtype=np.int64)
+    _, tlen, offs = _split_tokens(batch["text"])
+    alpha = _per_doc_sum(tlen, offs)
     good = (
         (n_tokens >= 10)
         & (3 * n_tokens <= alpha)
@@ -80,22 +119,45 @@ def quality_batch(batch: pa.Table) -> pa.Table:
 
 
 class LangId:
-    """Actor-style language guesser: profiles built once per worker."""
+    """Actor-style language guesser: profiles built once per worker.
+
+    Vectorized: lowercase + vocab index_in over the batch's flat token
+    array, distinct (doc, word) pairs by one np.unique, per-doc hit
+    counts via one scatter-add against the word->language membership
+    matrix. Tie-break identical to the reference heuristic: first
+    language in sorted order with the strictly highest DISTINCT-word
+    hit count; zero hits -> 'unk'."""
 
     def __init__(self):
         self.profiles = {k: frozenset(v) for k, v in LANG_PROFILES.items() if v}
+        self.langs = sorted(self.profiles)
+        self.vocab = sorted({w for p in self.profiles.values() for w in p})
+        self._vocab_arr = pa.array(self.vocab)
+        self.member = np.zeros((len(self.vocab), len(self.langs)), dtype=np.int64)
+        for j, lang in enumerate(self.langs):
+            for w in self.profiles[lang]:
+                self.member[self.vocab.index(w), j] = 1
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        guesses = []
-        for t in texts:
-            toks = set((t or "").lower().split())
-            best, best_hits = "unk", 0
-            for lang, prof in sorted(self.profiles.items()):
-                hits = len(toks & prof)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            guesses.append(best)
+        import pyarrow.compute as pc
+
+        flat, _tlen, offs = _split_tokens(batch["text"])
+        ndocs = len(offs) - 1
+        lower = pc.utf8_lower(flat)
+        vidx = pc.index_in(lower, value_set=self._vocab_arr)
+        v = np.asarray(vidx.fill_null(-1), dtype=np.int64)
+        doc_rep = np.repeat(np.arange(ndocs, dtype=np.int64), np.diff(offs))
+        hitm = v >= 0
+        # distinct (doc, word): the heuristic counts each profile word
+        # once per doc however often it repeats
+        key = doc_rep[hitm] * len(self.vocab) + v[hitm]
+        key = np.unique(key)
+        hits = np.zeros((ndocs, len(self.langs)), dtype=np.int64)
+        if len(key):
+            np.add.at(hits, key // len(self.vocab), self.member[key % len(self.vocab)])
+        best = hits.argmax(axis=1)  # first max wins == sorted-order tie-break
+        langs = np.asarray(self.langs, dtype=object)
+        guesses = np.where(hits.max(axis=1) > 0, langs[best], "unk")
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -124,11 +186,44 @@ def _doc_fingerprint(data: bytes) -> int:
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
-    fps = [_doc_fingerprint((t or "").encode()) for t in batch["text"].to_pylist()]
-    # store as int64 (wrapped) for Arrow/SQL friendliness
-    out = np.asarray(fps, dtype=np.uint64).astype(np.int64)
+    """Winnowed min-rolling-hash per doc, vectorized ACROSS docs: one
+    (windows x K) zero-padded gather over the batch's concatenated
+    bytes (the _shingle_rows pattern, stages/dedup.py), K shifted
+    multiply-adds over every window of every doc at once, one
+    minimum.reduceat. Bit-identical to _doc_fingerprint (kept as the
+    single-doc reference kernel; equality is pytest-pinned)."""
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    import pyarrow.compute as pc
+
+    b = pc.fill_null(texts, "").cast(pa.binary())
+    _, off_buf, data_buf = b.buffers()
+    offs = np.frombuffer(off_buf, dtype=np.int32)[b.offset : b.offset + len(b) + 1]
+    data = np.frombuffer(data_buf, dtype=np.uint8)
+    L = np.diff(offs).astype(np.int64)
+    n_win = np.maximum(L - _FP_K + 1, 1)  # short docs: one zero-padded window
+    total = int(n_win.sum())
+    run_start = np.zeros(len(L), dtype=np.int64)
+    run_start[1:] = np.cumsum(n_win)[:-1]
+    within = np.arange(total, dtype=np.int64) - np.repeat(run_start, n_win)
+    w_start = np.repeat(offs[:-1].astype(np.int64), n_win) + within
+    idx = w_start[:, None] + np.arange(_FP_K, dtype=np.int64)[None, :]
+    idx = np.minimum(idx, len(data) - 1 if len(data) else 0)
+    win = data[idx].astype(np.uint64) if len(data) else np.zeros(
+        (total, _FP_K), dtype=np.uint64)
+    # zero the padding tail of short docs' single window
+    w_len = np.repeat(np.minimum(L, _FP_K), n_win)
+    win[np.arange(_FP_K, dtype=np.int64)[None, :] >= w_len[:, None]] = 0
+    h = win[:, 0].copy()
+    for j in range(1, _FP_K):
+        h = h * _FP_BASE + win[:, j]
+    mins = np.minimum.reduceat(h, run_start) if total else np.zeros(0, dtype=np.uint64)
     return pa.table(
-        {"doc_id": batch["doc_id"], "fingerprint": pa.array(out, type=pa.int64())}
+        {
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(mins.astype(np.int64), type=pa.int64()),
+        }
     )
 
 

@@ -22,7 +22,12 @@ def tumbling_partials(batch: pa.Table, window_s=WINDOW_S) -> pa.Table:
     value = np.asarray(batch["value"], dtype=np.float64)
     cents = np.floor(value * 100.0).astype(np.int64)  # int cents: oracle-stable sums
 
-    key = np.char.add(np.char.add(etype.astype(str), "|"), win.astype(str))
+    # pack (event-type code, window) into one int64 so the per-batch
+    # dedup is integer np.unique, not per-row string building: one
+    # string-space unique over the batch's few distinct types, then
+    # integer keys (win < 2^48 for any realistic epoch)
+    _, codes = np.unique(etype.astype(str), return_inverse=True)
+    key = (codes.astype(np.int64) << np.int64(48)) | win
     uniq, first, inv = np.unique(key, return_index=True, return_inverse=True)
     n = np.bincount(inv).astype(np.int64)
     s = np.bincount(inv, weights=cents).astype(np.int64)
