@@ -72,3 +72,33 @@ def test_fingerprint_batch_matches_single_doc_kernel():
     got = fingerprint_batch(batch)["fingerprint"].to_pylist()
     ref = [np.uint64(_doc_fingerprint(t.encode())).astype(np.int64) for t in texts]
     assert got == [int(r) for r in ref]
+
+
+def test_bpe_token_counter_pattern():
+    """The RE2-safe GPT-2-ish pre-tokenizer splits contractions, letter
+    runs, digit runs, punctuation runs, and whitespace runs."""
+    import re
+
+    from versatiles_rs_ray.stages.text import BPE_PATTERN
+
+    pat = re.compile(BPE_PATTERN)
+    assert pat.findall("it's") == ["it", "'s"]
+    assert pat.findall("Hello world!") == ["Hello", " world", "!"]
+    assert pat.findall("abc123def") == ["abc", "123", "def"]
+    # no-lookahead RE2 variant: whitespace runs are greedy (the real
+    # GPT-2 pattern leaves the final space for the next token)
+    assert pat.findall("a  b") == ["a", "  ", "b"]
+    assert pat.findall("") == []
+
+
+def test_bpe_token_counter_stage(ray_session):
+    import pyarrow as pa
+
+    from versatiles_rs_ray.stages.text import BpeTokenCounter
+
+    batch = pa.table({
+        "doc_id": pa.array(["a", "b", "c"]),
+        "text": pa.array(["Hello world, it's 2026!", "", "don't stop"]),
+    })
+    out = BpeTokenCounter()(batch)
+    assert out["n_bpe_tokens"].to_pylist() == [7, 0, 3]

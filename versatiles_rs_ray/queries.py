@@ -293,6 +293,15 @@ def q_token_stats(sf_dir):
     return _docs(sf_dir).map_batches(text_stage.token_stats_batch, batch_format="pyarrow")
 
 
+def q_bpe_tokens(sf_dir):
+    """BPE-ish pre-token counts (GPT-2-style pattern restricted to RE2
+    syntax): actor pool compiles the regex once per actor; the oracle
+    runs regexp_extract_all with the IDENTICAL pattern."""
+    return _docs(sf_dir).map_batches(
+        text_stage.BpeTokenCounter, batch_format="pyarrow", concurrency=2
+    )
+
+
 def q_quality(sf_dir):
     ds = _docs(sf_dir).map_batches(text_stage.quality_batch, batch_format="pyarrow")
     return ds.select_columns(["doc_id", "n_tokens", "n_stop", "alpha_chars", "quality_bucket"])
@@ -984,6 +993,15 @@ def _oracle_simhash_dedup():
 _SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
 
 
+def _oracle_bpe_tokens():
+    # single-quote SQL-escape the pattern (it contains a ')
+    pat = text_stage.BPE_PATTERN.replace("'", "''")
+    return (
+        f"SELECT {D.SQL_DOC_ID_STR} AS doc_id, "
+        f"len(regexp_extract_all(text, '{pat}')) AS n_bpe_tokens FROM documents"
+    )
+
+
 def _oracle_token_stats():
     return (
         f"SELECT {D.SQL_DOC_ID_STR} AS doc_id, n_chars, "
@@ -1371,6 +1389,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "token_stats": q_token_stats,
+    "bpe_tokens": q_bpe_tokens,
     "quality": q_quality,
     "corpus_stats": q_corpus_stats,
     "events_window": q_events_window,
@@ -1422,6 +1441,7 @@ ORACLES = {
     "dedup_exact": _oracle_dedup_exact(),
     "ngram_jaccard": _oracle_ngram_jaccard(),
     "token_stats": _oracle_token_stats(),
+    "bpe_tokens": _oracle_bpe_tokens(),
     "quality": _oracle_quality(),
     "corpus_stats": _oracle_corpus_stats(),
     "events_window": _oracle_events_window(),

@@ -243,3 +243,37 @@ def lang_accuracy(ds):
         .groupby("lang")
         .aggregate(Count(alias_name="n_docs"), Sum("hit", alias_name="n_correct"))
     )
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to RE2-compatible
+# syntax (no lookahead) so Python re and the DuckDB oracle's
+# regexp_extract_all count the IDENTICAL matches. Pieces: common
+# contractions, optional-space letter runs, optional-space digit runs,
+# optional-space punctuation runs, whitespace runs.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+class BpeTokenCounter:
+    """Actor-pool token counter: the BPE-ish pre-tokenizer regex is
+    compiled ONCE per actor (__init__), each batch is one C-speed
+    findall pass per doc. This is the 'whitespace + BPE-ish regex'
+    token-counting operator of a training-data pipeline; whitespace
+    counting lives in token_stats_batch."""
+
+    def __init__(self):
+        import re
+
+        self.pat = re.compile(BPE_PATTERN)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        counts = np.fromiter(
+            (len(self.pat.findall(t or "")) for t in texts),
+            dtype=np.int64, count=len(texts),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": pa.array(counts, type=pa.int64()),
+            }
+        )
