@@ -80,3 +80,42 @@ def test_resizer_deterministic_and_shaped(ray_session):
     assert out["width"].to_pylist() == [4, 4] and out["height"].to_pylist() == [3, 3]
     p0 = out["payload"][0].as_py()
     assert len(p0) == 12 and p0 == r._resize(b"0123456789abcdef")
+
+
+def test_media_bytes_decoder_real_codecs(ray_session):
+    """Inline PNG/JPEG/WEBP bytes decode through the real codecs to
+    rgba-raw + true dimensions; unknown bytes pass through opaque."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.core import raster
+    from versatiles_rs_ray.stages.multimodal import decode_media_bytes
+
+    rng = np.random.default_rng(7)
+    img1 = rng.integers(0, 256, size=(5, 8, 4), dtype=np.uint8)
+    img1[:, :, 3] = 255
+    img2 = rng.integers(0, 256, size=(12, 3, 4), dtype=np.uint8)
+    img2[:, :, 3] = 255
+    rows = pa.table({
+        "doc_id": pa.array(["a", "b", "c"]),
+        "span_idx": pa.array([0, 1, 2], type=pa.int64()),
+        "kind": pa.array(["image", "image", "audio"]),
+        "media_ref": pa.array(["png:1", "jpg:2", "bin:3"]),
+        "payload": pa.array(
+            [raster.encode(img1, "png"), raster.encode(img2, "jpg"), b"\x00raw"],
+            type=pa.binary()),
+    })
+    out = decode_media_bytes(rd.from_arrow(rows)).to_pandas().set_index("doc_id")
+    # PNG is lossless: decoded rgba-raw round-trips exactly
+    assert (out.loc["a", "width"], out.loc["a", "height"]) == (8, 5)
+    got1 = raster.to_array(out.loc["a", "payload"], 8, 5)
+    np.testing.assert_array_equal(got1, img1)
+    # JPEG is lossy: dimensions exact, pixels close
+    assert (out.loc["b", "width"], out.loc["b", "height"]) == (3, 12)
+    got2 = raster.to_array(out.loc["b", "payload"], 3, 12)
+    assert got2.shape == img2.shape
+    assert np.mean(np.abs(got2[:, :, :3].astype(int) - img2[:, :, :3].astype(int))) < 32
+    # unknown bytes untouched
+    assert out.loc["c", "payload"] == b"\x00raw"
+    assert out.loc["c", "width"] == 0

@@ -1,12 +1,16 @@
 """Multimodal span handling: media extraction + decode plumbing.
 
 Media payloads are opaque `binary` columns with typed metadata
-(kind, media_ref) — the decode itself is STUBBED (no image/audio
-codecs in this container; cf. the reference's real codec surface,
-versatiles_image/src/format/all.rs:32-54). What IS real and tested:
-the Ray-side plumbing — span explosion, media_ref parsing, the
-actor-pool decode stage signature, batch sizing, and output schema.
-Swap `FakeMediaDecoder` for a Pillow/libav-backed class at deploy.
+(kind, media_ref). Two decode stages:
+- `MediaBytesDecoder` — REAL image decode over inline bytes via the
+  engine's own codecs (PNG/JPEG pure-stdlib, WEBP ctypes libwebp; cf.
+  the reference surface versatiles_image/src/format/all.rs:32-54);
+  audio/video bytes pass through opaque (no codecs in sandbox).
+- `FakeMediaDecoder` — deterministic stand-in for REF-only inputs
+  (media_ref points at an external store this sandbox can't reach);
+  swap its _decode for an object-store fetch + MediaBytesDecoder at
+  deploy. The Ray-side plumbing (span explosion, actor pools, batch
+  sizing, output schema) is identical and tested for both.
 """
 
 from __future__ import annotations
@@ -109,6 +113,64 @@ class FakeMediaDecoder:
                 "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
             }
         )
+
+
+class MediaBytesDecoder:
+    """Actor-pool decode stage over INLINE media bytes — REAL decode.
+
+    The prompt-level contract: image payloads arrive as opaque binary
+    columns; this stage sniffs PNG/JPEG/WEBP magic and decodes through
+    the engine's real codecs (core/png stdlib zlib, core/jpeg baseline,
+    core/native libwebp) to rgba-raw + dimensions. Rows whose bytes
+    don't match a known magic pass through with width=height=0 and the
+    original payload (audio/video stay opaque until their codecs are
+    bound). Same output schema as FakeMediaDecoder, so downstream
+    resize/feature stages compose unchanged.
+    """
+
+    _MAGICS = ((b"\x89PNG", "png"), (b"\xff\xd8\xff", "jpg"), (b"RIFF", "webp"))
+
+    def __init__(self):
+        from ..core import raster as _raster
+
+        self._raster = _raster
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload_col = batch["payload"]
+        if isinstance(payload_col, pa.ChunkedArray):
+            payload_col = payload_col.combine_chunks()
+        payloads, widths, heights = [], [], []
+        for blob in payload_col.to_pylist():
+            fmt = next((f for m, f in self._MAGICS if blob.startswith(m)), None)
+            if fmt is None:
+                payloads.append(blob)
+                widths.append(0)
+                heights.append(0)
+                continue
+            arr = self._raster.decode(blob, fmt)
+            payloads.append(self._raster.from_array(arr))
+            widths.append(arr.shape[1])
+            heights.append(arr.shape[0])
+        names = [n for n in ("doc_id", "span_idx", "kind", "media_ref")
+                 if n in batch.column_names]
+        cols = {n: batch[n] for n in names}
+        cols["payload"] = pa.array(payloads, type=pa.binary())
+        cols["width"] = pa.array(widths, type=pa.int64())
+        cols["height"] = pa.array(heights, type=pa.int64())
+        cols["n_bytes"] = pa.array([len(p) for p in payloads], type=pa.int64())
+        return pa.table(cols)
+
+
+def decode_media_bytes(media_ds, concurrency=4, batch_size=256):
+    """Real-codec decode pipeline over inline binary media columns:
+    small batches (decoded RGBA is wide), elastic (1, n) pool like the
+    rest of the multimodal chain."""
+    return media_ds.map_batches(
+        MediaBytesDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+    )
 
 
 def hash_stable(s: str) -> int:
