@@ -263,3 +263,31 @@ def test_serve_remote_container_over_http(debug_ds, tmp_path):
             assert st == 404
         finally:
             srv.shutdown()
+
+
+def test_versatiles_random_access_multiblock(ray_session, tmp_path):
+    """A z9 pyramid slice spans multiple 256x256 blocks: block grid
+    dispatch, per-block index caching, and bbox bounds all engage."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    rows = []
+    for x in range(250, 262):  # crosses the x=256 block boundary
+        for y in range(254, 259):
+            rows.append((9, x, y, f"tile-{x}-{y}".encode()))
+    ds = rd.from_arrow(pa.table({
+        "z": [r[0] for r in rows], "x": [r[1] for r in rows],
+        "y": [r[2] for r in rows],
+        "payload": pa.array([r[3] for r in rows], type=pa.binary()),
+    }))
+    path = str(tmp_path / "mb.versatiles")
+    write_versatiles(ds, path)
+    ra = VersatilesRandomAccess(path)
+    assert ra.get_tile(9, 255, 255) == b"tile-255-255"  # block (0,0) corner
+    assert ra.get_tile(9, 256, 256) == b"tile-256-256"  # block (1,1) corner
+    assert ra.get_tile(9, 261, 258) == b"tile-261-258"
+    assert ra.get_tile(9, 250, 254) == b"tile-250-254"
+    assert ra.get_tile(9, 249, 254) is None   # inside block bbox gap
+    assert ra.get_tile(9, 300, 300) is None   # block exists? no -> None
+    assert ra.get_tile(8, 255, 255) is None   # level absent
+    assert len(ra._idx_cache) >= 2  # multiple blocks decoded
