@@ -291,3 +291,69 @@ def test_versatiles_random_access_multiblock(ray_session, tmp_path):
     assert ra.get_tile(9, 300, 300) is None   # block exists? no -> None
     assert ra.get_tile(8, 255, 255) is None   # level absent
     assert len(ra._idx_cache) >= 2  # multiple blocks decoded
+
+
+def test_sniff_format_riff_wav_not_webp():
+    from versatiles_rs_ray.core.formats import sniff_format
+
+    wav = b"RIFF\x24\x00\x00\x00WAVEfmt "
+    assert sniff_format(wav) == "bin"
+    webp = b"RIFF\x24\x00\x00\x00WEBPVP8 "
+    assert sniff_format(webp) == "webp"
+    assert sniff_format(b"\x89PNG\r\n\x1a\n") == "png"
+    assert sniff_format(b"\x1a\x05hello") == "mvt"
+
+
+def test_server_brotli_tiles(debug_ds, tmp_path):
+    """br-stored container: passthrough for br-accepting clients,
+    decoded for identity clients — never raw-bytes-with-no-header."""
+    from versatiles_rs_ray.stages.transform import recompress_ds
+
+    vt = str(tmp_path / "br.versatiles")
+    write_versatiles(
+        recompress_ds(debug_ds, "payload", "raw", "br"),
+        vt, tile_format="json", compression="br",
+    )
+    srv = TileServer()
+    srv.add_tile_source("c", vt)
+    url = srv.start()
+    try:
+        from versatiles_rs_ray.core import brotli_stored
+
+        st, hdr, body = _get(f"{url}/tiles/c/2/1/2", {"Accept-Encoding": "br"})
+        assert st == 200 and hdr.get("Content-Encoding") == "br"
+        assert json.loads(brotli_stored.decompress(body)) == {"x": 1, "y": 2, "z": 2}
+        st, hdr, body = _get(f"{url}/tiles/c/2/1/2", {"Accept-Encoding": "identity"})
+        assert st == 200 and "Content-Encoding" not in hdr
+        assert json.loads(body) == {"x": 1, "y": 2, "z": 2}
+    finally:
+        srv.shutdown()
+
+
+def test_static_tar_dotfile(tmp_path):
+    import io
+    import tarfile
+
+    from versatiles_rs_ray.server import StaticTar
+
+    tar_path = tmp_path / "dot.tar"
+    with tarfile.open(tar_path, "w") as tf:
+        info = tarfile.TarInfo("./.well-known/token")
+        data = b"challenge"
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+    st = StaticTar(str(tar_path), "/")
+    got = st.get_data("/.well-known/token", set())
+    assert got is not None and got[0] == b"challenge"
+
+
+def test_write_versatiles_rejects_empty_payload(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({
+        "z": [0], "x": [0], "y": [0],
+        "payload": pa.array([b""], type=pa.binary()),
+    }))
+    with pytest.raises(Exception, match="zero-length"):
+        write_versatiles(ds, str(tmp_path / "e.versatiles"))

@@ -220,3 +220,65 @@ def test_tar_sharded_read_equality(tile_ds, tmp_path):
         (r.z, r.x, r.y, bytes(r.payload)) for r in df.itertuples()
     )
     assert key(one) == key(many) and len(one) == len(rows)
+
+
+def test_read_tar_tiles_tgz_magic_detection(ray_session, tmp_path):
+    """A gzip-compressed tar with a NON-.gz extension still decodes
+    correctly: compression is detected from the file magic, so range
+    reads against compressed bytes never happen."""
+    import gzip
+    import shutil
+
+    from versatiles_rs_ray.core.bbox import TileBBoxPyramid
+    from versatiles_rs_ray.sources.debug_tiles import json_debug_tiles
+    from versatiles_rs_ray.sources.tiles_io import read_tar_tiles, write_tar_tiles
+
+    ds = json_debug_tiles(TileBBoxPyramid.new_full(2, 0))
+    plain = str(tmp_path / "t.tar")
+    write_tar_tiles(ds, plain, ext="json")
+    tgz = str(tmp_path / "t.tgz")  # compressed but extension lies
+    with open(plain, "rb") as fin, gzip.open(tgz, "wb") as fout:
+        shutil.copyfileobj(fin, fout)
+    back = read_tar_tiles(tgz, ext="json").to_pandas().sort_values(["z", "x", "y"])
+    assert len(back) == 21
+    assert back.iloc[0]["payload"] == b'{"x":0,"y":0,"z":0}'
+
+
+def test_read_pmtiles_run_length_expansion(ray_session, tmp_path):
+    """Foreign archives coalesce duplicate tiles with run_length > 1;
+    the bulk reader must emit every tile of the run (matching what
+    PMTilesRandomAccess serves for the same file)."""
+    import gzip
+    import json as _json
+    import struct
+
+    from versatiles_rs_ray.core.coords import hilbert_index
+    from versatiles_rs_ray.sources import pmtiles as pm
+    from versatiles_rs_ray.sources.random_access import PMTilesRandomAccess
+
+    payload = b'{"ocean":true}'
+    tid0 = int(hilbert_index(2, 1, 1))
+    # one run-length-3 entry + one singleton after it
+    entries = [(tid0, 0, len(payload), 3), (tid0 + 3, len(payload), len(payload), 1)]
+    root = gzip.compress(pm._encode_directory(entries), mtime=0)
+    meta = gzip.compress(_json.dumps({}).encode(), mtime=0)
+    data = payload + payload
+    header = bytearray(pm.HEADER_SIZE)
+    header[0:7] = pm.MAGIC
+    header[7] = pm.VERSION
+    offs = pm.HEADER_SIZE
+    struct.pack_into("<QQQQQQQQ", header, 8,
+                     offs, len(root),                      # root dir
+                     offs + len(root), len(meta),          # metadata
+                     offs + len(root) + len(meta), 0,      # leaf dirs
+                     offs + len(root) + len(meta), len(data))  # data
+    header[97] = pm.COMPRESSION_GZIP  # internal compression
+    path = str(tmp_path / "runs.pmtiles")
+    with open(path, "wb") as f:
+        f.write(bytes(header) + root + meta + data)
+
+    back = pm.read_pmtiles(path).to_pandas()
+    assert len(back) == 4  # 3 from the run + 1 singleton
+    assert (back["payload"] == payload).all()
+    ra = PMTilesRandomAccess(path)
+    assert ra.get_tile(2, 1, 1) == payload  # inside the run

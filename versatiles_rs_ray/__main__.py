@@ -141,7 +141,11 @@ def cmd_serve(args):
             path = spec
         srv.add_tile_source(name, path)
     for spec in args.static or []:
-        prefix, _, path = spec.rpartition("=")
+        # first '=' splits PREFIX=PATH (same semantics as tile sources;
+        # paths may themselves contain '=')
+        prefix, sep, path = spec.partition("=")
+        if not sep:
+            prefix, path = "/", spec
         srv.add_static_source(path, url_prefix=prefix or "/")
     url = srv.start()
     print(json.dumps({"url": url, "sources": sorted(srv.sources)}), flush=True)

@@ -1,0 +1,50 @@
+"""Payload format sniffing + MIME map — the ONE copy.
+
+Mirrors the reference's tile-format table
+(versatiles_core/src/types/tile_format.rs) for the formats this engine
+can produce or meet in the wild. Consumers: the deep probe
+(stages/probe.py), the tile server (server.py), and the inline media
+decoder (stages/multimodal.py).
+"""
+
+from __future__ import annotations
+
+FORMAT_MIME = {
+    "png": "image/png",
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "webp": "image/webp",
+    "avif": "image/avif",
+    "mvt": "application/x-protobuf",
+    "pbf": "application/x-protobuf",
+    "json": "application/json",
+    "geojson": "application/geo+json",
+    "bin": "application/octet-stream",
+}
+
+
+def sniff_format(payload: bytes) -> str:
+    """bytes -> format name ('bin' when unknown).
+
+    WEBP requires the full RIFF....WEBP signature — a bare RIFF prefix
+    is WAV/AVI, not an image. MVT is recognized by its layer field tag
+    (field 3, wire type 2)."""
+    if payload[:4] == b"\x89PNG":
+        return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
+    if len(payload) > 11 and payload[4:12] == b"ftypavif":
+        return "avif"
+    if payload[:1] == b"\x1a":
+        return "mvt"
+    if payload[:1] in (b"{", b"["):
+        return "json"
+    return "bin"
+
+
+def sniff_mime(payload: bytes, fmt_hint: str | None = None) -> str:
+    if fmt_hint and fmt_hint in FORMAT_MIME:
+        return FORMAT_MIME[fmt_hint]
+    return FORMAT_MIME[sniff_format(payload)]

@@ -39,35 +39,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .sources.random_access import open_random_access
 
-# Payload magic -> MIME, the reference's format table
-# (versatiles_core/src/types/tile_format.rs as_mime_str).
-_MAGIC_MIME = [
-    (b"\x89PNG", "image/png"),
-    (b"\xff\xd8\xff", "image/jpeg"),
-    (b"RIFF", "image/webp"),
-    (b"{", "application/json"),
-]
-_FORMAT_MIME = {
-    "png": "image/png",
-    "jpg": "image/jpeg",
-    "jpeg": "image/jpeg",
-    "webp": "image/webp",
-    "avif": "image/avif",
-    "pbf": "application/x-protobuf",
-    "mvt": "application/x-protobuf",
-    "json": "application/json",
-    "geojson": "application/geo+json",
-    "bin": "application/octet-stream",
-}
-
-
-def _sniff_mime(payload: bytes, fmt_hint: str | None) -> str:
-    if fmt_hint and fmt_hint in _FORMAT_MIME:
-        return _FORMAT_MIME[fmt_hint]
-    for magic, mime in _MAGIC_MIME:
-        if payload.startswith(magic):
-            return mime
-    return "application/octet-stream"
+from .core.formats import FORMAT_MIME as _FORMAT_MIME
+from .core.formats import sniff_mime as _sniff_mime
 
 
 def _accept_encodings(headers) -> set:
@@ -117,17 +90,23 @@ class TileSource:
             from .sources import pmtiles as _pm
 
             hdr = self.reader.header_bytes
-            # pmtiles v3 spec: byte 98 = tile_compression, 99 = tile_type
+            # pmtiles v3 spec: byte 98 = tile_compression (2=gzip,
+            # 3=brotli), byte 99 = tile_type
             self.fmt_hint = {1: "pbf", 2: "png", 3: "jpg", 4: "webp", 5: "avif"}.get(hdr[99])
             if hdr[98] == _pm.COMPRESSION_GZIP:
                 self.compression = "gzip"
+            elif hdr[98] == 3:
+                self.compression = "br"
+        # metadata read once (remote containers: avoid per-request
+        # range reads on every tiles.json hit)
+        self._meta = self._container_meta()
 
     def tilejson(self, base_url: str) -> dict:
         doc = {
             "tilejson": "3.0.0",
             "tiles": [f"{base_url}/tiles/{self.id}/{{z}}/{{x}}/{{y}}"],
         }
-        meta = self._container_meta()
+        meta = self._meta
         if meta:
             for k in ("name", "attribution", "vector_layers", "minzoom", "maxzoom", "bounds"):
                 if k in meta:
@@ -216,7 +195,7 @@ class StaticTar:
             for m in tf.getmembers():
                 if not m.isfile():
                     continue
-                name = m.name.lstrip("./")
+                name = m.name.removeprefix("./")
                 enc = None
                 if name.endswith(".gz"):
                     name, enc = name[:-3], "gzip"
@@ -293,17 +272,23 @@ def _make_handler(sources: dict, base_url_holder: list, statics: list = ()):
                         ).encode()
                         return self._send(200, payload, "application/json")
                     extra = {}
-                    stored_gzip = src.compression == "gzip" or payload[:2] == b"\x1f\x8b"
-                    if stored_gzip and _accepts_gzip(self.headers):
-                        extra["Content-Encoding"] = "gzip"
-                    elif stored_gzip:
-                        payload = gzip.decompress(payload)
-                        stored_gzip = False
+                    # stored tile encoding: from the container header,
+                    # else gzip magic sniff (raw containers may hold
+                    # pre-gzipped payloads)
+                    enc = src.compression if src.compression in ("gzip", "br") else None
+                    if enc is None and payload[:2] == b"\x1f\x8b":
+                        enc = "gzip"
+                    if enc is not None:
+                        if enc in _accept_encodings(self.headers):
+                            extra["Content-Encoding"] = enc
+                        else:  # identity is always acceptable
+                            payload = _decode_variant(payload, enc)
+                            enc = None
                     if src.fmt_hint:
                         mime = _FORMAT_MIME[src.fmt_hint]
                     else:
                         mime = _sniff_mime(
-                            gzip.decompress(payload) if stored_gzip else payload, None
+                            _decode_variant(payload, enc) if enc else payload, None
                         )
                     return self._send(200, payload, mime, extra)
             accept = _accept_encodings(self.headers)

@@ -279,14 +279,29 @@ def read_pmtiles(path: str, entries_per_block: int = 4096):
     import ray.data as rd
 
     entries, data_off = read_pmtiles_entries(path)
+    # expand run-length entries: rl=N means tile ids tid..tid+N-1 all
+    # share this payload span (pmtiles v3 dedup for e.g. ocean tiles);
+    # our writer emits rl=1 but foreign archives coalesce
+    tid = np.asarray([e[0] for e in entries], dtype=np.int64)
+    off = np.asarray([e[1] for e in entries], dtype=np.int64)
+    ln = np.asarray([e[2] for e in entries], dtype=np.int64)
+    rl = np.maximum(np.asarray([e[3] for e in entries], dtype=np.int64), 1)
+    if (rl > 1).any():
+        total = int(rl.sum())
+        starts = np.zeros(len(rl), dtype=np.int64)
+        starts[1:] = np.cumsum(rl)[:-1]
+        within = np.arange(total, dtype=np.int64) - np.repeat(starts, rl)
+        tid = np.repeat(tid, rl) + within
+        off = np.repeat(off, rl)
+        ln = np.repeat(ln, rl)
     table = pa.table(
         {
-            "tid": pa.array([e[0] for e in entries], type=pa.int64()),
-            "off": pa.array([e[1] for e in entries], type=pa.int64()),
-            "len": pa.array([e[2] for e in entries], type=pa.int64()),
+            "tid": pa.array(tid, type=pa.int64()),
+            "off": pa.array(off, type=pa.int64()),
+            "len": pa.array(ln, type=pa.int64()),
         }
     )
-    num_blocks = max(1, (len(entries) + entries_per_block - 1) // entries_per_block)
+    num_blocks = max(1, (table.num_rows + entries_per_block - 1) // entries_per_block)
     return rd.from_arrow(table).repartition(num_blocks).map_batches(
         _FetchPMTilesPayloads,
         batch_format="pyarrow",

@@ -274,7 +274,15 @@ def read_tar_tiles(path: str, ext="bin", entries_per_shard: int = 4096):
 
     import ray.data as rd
 
-    compressed = path.endswith((".gz", ".bz2", ".xz"))
+    # detect compression from the FILE MAGIC, not the extension — a
+    # .tgz (or mislabeled .tar) still opens via tarfile's transparent
+    # mode, and offset_data would index the decompressed stream
+    with open(path, "rb") as _f:
+        head = _f.read(6)
+    compressed = (
+        head[:2] == b"\x1f\x8b" or head[:3] == b"BZh"
+        or head[:6] == b"\xfd7zXZ\x00"
+    )
     zs, xs, ys, offs, lens, payloads = [], [], [], [], [], []
     with tarfile.open(path) as tar:
         for member in tar.getmembers():

@@ -142,6 +142,13 @@ def write_versatiles(ds, path: str, tile_format="bin", compression="raw",
             tiles_off = f.tell()
             hash_lookup = {}
             for (tx, ty, payload) in rows:
+                if len(payload) == 0:
+                    # the format cannot represent empty payloads: a
+                    # length-0 index entry reads back as tile-absent
+                    raise ValueError(
+                        f"empty payload at z{z} ({tx},{ty}): .versatiles "
+                        "cannot store zero-length tiles (drop or filter them first)"
+                    )
                 li = (int(ty & 255) - y0) * w + (int(tx & 255) - x0)
                 if len(payload) < 1000 and payload in hash_lookup:
                     index[li] = hash_lookup[payload]

@@ -128,12 +128,12 @@ class MediaBytesDecoder:
     resize/feature stages compose unchanged.
     """
 
-    _MAGICS = ((b"\x89PNG", "png"), (b"\xff\xd8\xff", "jpg"), (b"RIFF", "webp"))
-
     def __init__(self):
         from ..core import raster as _raster
+        from ..core.formats import sniff_format as _sniff
 
         self._raster = _raster
+        self._sniff = _sniff
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payload_col = batch["payload"]
@@ -141,8 +141,8 @@ class MediaBytesDecoder:
             payload_col = payload_col.combine_chunks()
         payloads, widths, heights = [], [], []
         for blob in payload_col.to_pylist():
-            fmt = next((f for m, f in self._MAGICS if blob.startswith(m)), None)
-            if fmt is None:
+            fmt = self._sniff(blob)
+            if fmt not in ("png", "jpg", "webp"):
                 payloads.append(blob)
                 widths.append(0)
                 heights.append(0)

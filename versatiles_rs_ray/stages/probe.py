@@ -177,23 +177,7 @@ def coverage_outline_geojson(tiles_ds, level: int):
 
 # ---- deep probe: tile-contents scan (probe.rs -dd / ProbeDepth) --------
 
-_FORMAT_MAGICS = (
-    (b"\x89PNG", "png"),
-    (b"\xff\xd8\xff", "jpg"),
-    (b"RIFF", "webp"),
-    (b"{", "json"),
-)
-
-
-def _sniff_format(payload: bytes) -> str:
-    if payload[:1] == b"\x1a":  # MVT layer field tag (field 3, wire 2)
-        return "mvt"
-    for magic, name in _FORMAT_MAGICS:
-        if payload.startswith(magic):
-            return name
-    if len(payload) > 11 and payload[4:12] == b"ftypavif":
-        return "avif"
-    return "bin"
+from ..core.formats import sniff_format as _sniff_format  # one sniffer, core/formats.py
 
 
 def probe_tile_contents(tiles_ds, payload_col="payload"):

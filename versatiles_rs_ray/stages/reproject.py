@@ -189,9 +189,15 @@ class SRSReprojector:
             c1c = np.clip(c0 + 1, 0, self.w - 1)
             r0c = np.clip(r0, 0, self.h - 1)
             r1c = np.clip(r0 + 1, 0, self.h - 1)
-            src = self.source.astype(np.float64)
-            top = src[r0c, c0c] * (1 - wc)[:, None] + src[r0c, c1c] * wc[:, None]
-            bot = src[r1c, c0c] * (1 - wc)[:, None] + src[r1c, c1c] * wc[:, None]
+            # gather uint8 corners FIRST, convert only the gathered
+            # (s*s, 4) pixels — converting the whole source per tile
+            # is O(source) work per tile
+            p00 = self.source[r0c, c0c].astype(np.float64)
+            p01 = self.source[r0c, c1c].astype(np.float64)
+            p10 = self.source[r1c, c0c].astype(np.float64)
+            p11 = self.source[r1c, c1c].astype(np.float64)
+            top = p00 * (1 - wc)[:, None] + p01 * wc[:, None]
+            bot = p10 * (1 - wc)[:, None] + p11 * wc[:, None]
             val = top * (1 - wr)[:, None] + bot * wr[:, None]
             out[ok] = np.clip(np.rint(val[ok]), 0, 255).astype(np.uint8)
         else:
