@@ -41,3 +41,76 @@ def test_cli_pyramid(tmp_path):
     doc = _run(["pyramid", "/root/testdata/sf0.001", out, "--z-base", "4"])
     assert doc["z=0"] == 1  # one root tile row
     assert len(doc) == 5
+
+
+def test_cli_dev_tools(tmp_path):
+    """dev measure-tile-sizes / export-outline over a written container
+    in a subprocess (fresh Ray session, the real CLI path)."""
+    import json
+    import subprocess
+    import sys
+
+    code = (
+        "import ray; ray.init(address='local', num_cpus=2, include_dashboard=False, logging_level='ERROR');"
+        "import ray.data; ray.data.DataContext.get_current().enable_progress_bars = False;"
+        "from versatiles_rs_ray.core.bbox import TileBBoxPyramid;"
+        "from versatiles_rs_ray.sources.debug_tiles import json_debug_tiles;"
+        "from versatiles_rs_ray.sources.tiles_io import write_mbtiles;"
+        f"write_mbtiles(json_debug_tiles(TileBBoxPyramid.new_full(2, 2)), r'{tmp_path}/d.mbtiles');"
+        "ray.shutdown()"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, capture_output=True)
+    r = subprocess.run(
+        [sys.executable, "-m", "versatiles_rs_ray", "--num-cpus", "2",
+         "dev", "measure-tile-sizes", f"{tmp_path}/d.mbtiles", "--scale-level", "1"],
+        capture_output=True, text=True, check=True)
+    rows = json.loads(r.stdout.strip().splitlines()[-1])
+    assert sum(row["n_tiles"] for row in rows) == 16
+    r = subprocess.run(
+        [sys.executable, "-m", "versatiles_rs_ray", "--num-cpus", "2",
+         "dev", "export-outline", f"{tmp_path}/d.mbtiles", "--level", "2"],
+        capture_output=True, text=True, check=True)
+    geo = json.loads(r.stdout.strip().splitlines()[-1])
+    assert geo["type"] == "MultiPolygon" and len(geo["coordinates"]) == 1
+
+
+def test_cli_serve_subprocess(tmp_path):
+    """serve CLI end-to-end: spawn, parse the startup JSON, fetch
+    /status and a tile, terminate."""
+    import json
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=2, include_dashboard=False,
+                 logging_level="ERROR", ignore_reinit_error=True)
+    import ray.data as rd  # noqa: F401
+
+    from versatiles_rs_ray.core.bbox import TileBBoxPyramid
+    from versatiles_rs_ray.sources.debug_tiles import json_debug_tiles
+    from versatiles_rs_ray.sources.pmtiles import write_pmtiles
+
+    pm = f"{tmp_path}/s.pmtiles"
+    write_pmtiles(json_debug_tiles(TileBBoxPyramid.new_full(1, 0)), pm)
+    (tmp_path / "web").mkdir()
+    (tmp_path / "web" / "index.html").write_text("hi")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "versatiles_rs_ray", "serve", f"t={pm}",
+         "--port", "0", "--static", f"/site={tmp_path}/web"],
+        stdout=subprocess.PIPE, text=True)
+    try:
+        line = proc.stdout.readline()
+        url = json.loads(line)["url"]
+        with urllib.request.urlopen(f"{url}/status", timeout=10) as r:
+            assert r.read() == b"ready!"
+        with urllib.request.urlopen(f"{url}/tiles/t/1/0/1", timeout=10) as r:
+            assert json.loads(r.read()) == {"x": 0, "y": 1, "z": 1}
+        with urllib.request.urlopen(f"{url}/site/", timeout=10) as r:
+            assert r.read() == b"hi"
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)

@@ -158,6 +158,27 @@ def cmd_serve(args):
         srv.shutdown()
 
 
+def cmd_dev(args):
+    """Dev tools (reference tools/dev.rs): measure-tile-sizes emits the
+    scaled byte-sum grid (dev_tools/measure_tile_sizes.rs), export-
+    outline the coverage MultiPolygon (dev_tools/export_outline.rs)."""
+    from versatiles_rs_ray.pipelines.vpl import open_container
+    from versatiles_rs_ray.stages.probe import (
+        coverage_outline_geojson,
+        tile_size_histogram,
+    )
+
+    ray = _ray_session(args.num_cpus)
+    ds = open_container(args.input)
+    if args.tool == "measure-tile-sizes":
+        out = tile_size_histogram(ds, scale_level=args.scale_level).to_pandas()
+        out = out.sort_values(["z", "cell_x", "cell_y"])
+        print(json.dumps(out.to_dict("records")))
+    elif args.tool == "export-outline":
+        print(json.dumps(coverage_outline_geojson(ds, args.level)))
+    ray.shutdown()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="versatiles_rs_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -193,6 +214,13 @@ def main(argv=None):
     v.add_argument("output")
     v.add_argument("--sf-dir")
     v.set_defaults(fn=cmd_vpl)
+
+    d = sub.add_parser("dev", help="dev tools: measure-tile-sizes, export-outline")
+    d.add_argument("tool", choices=["measure-tile-sizes", "export-outline"])
+    d.add_argument("input")
+    d.add_argument("--scale-level", type=int, default=2)
+    d.add_argument("--level", type=int, default=2)
+    d.set_defaults(fn=cmd_dev)
 
     s = sub.add_parser("serve", help="serve containers over HTTP")
     s.add_argument("sources", nargs="+", help="container paths (or name=path)")
