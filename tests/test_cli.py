@@ -74,21 +74,21 @@ def test_cli_dev_tools(tmp_path):
     assert geo["type"] == "MultiPolygon" and len(geo["coordinates"]) == 1
 
 
-def test_cli_serve_subprocess(tmp_path):
+def test_cli_serve_subprocess(ray_session, tmp_path):
     """serve CLI end-to-end: spawn, parse the startup JSON, fetch
-    /status and a tile, terminate."""
+    /status and a tile, terminate.
+
+    Uses the session-scoped ray fixture: an ad-hoc ray.init here with
+    fewer cpus than conftest's 4 would PIN the whole pytest session's
+    cluster at that size (ignore_reinit_error makes the later fixture
+    init a no-op) and starve the multi-pool multimodal tests into a
+    scheduling deadlock (observed: full-suite hang at
+    test_media_pipeline_stages with only decode+resize actors placed).
+    """
     import json
     import subprocess
     import sys
-    import time
     import urllib.request
-
-    import ray
-
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=2, include_dashboard=False,
-                 logging_level="ERROR", ignore_reinit_error=True)
-    import ray.data as rd  # noqa: F401
 
     from versatiles_rs_ray.core.bbox import TileBBoxPyramid
     from versatiles_rs_ray.sources.debug_tiles import json_debug_tiles

@@ -282,3 +282,36 @@ def test_read_pmtiles_run_length_expansion(ray_session, tmp_path):
     assert (back["payload"] == payload).all()
     ra = PMTilesRandomAccess(path)
     assert ra.get_tile(2, 1, 1) == payload  # inside the run
+
+
+def test_write_pmtiles_run_length_coalescing(ray_session, tmp_path):
+    """Consecutive hilbert ids with identical payloads coalesce into
+    one run-length entry; read_pmtiles and random access both
+    reconstruct every tile."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.sources import pmtiles as pm
+    from versatiles_rs_ray.sources.random_access import PMTilesRandomAccess
+
+    ocean = b'{"ocean":true}'
+    rows = []
+    for x in range(4):
+        for y in range(4):
+            rows.append((2, x, y, ocean if (x, y) != (1, 2) else b'{"land":1}'))
+    ds = rd.from_arrow(pa.table({
+        "z": [r[0] for r in rows], "x": [r[1] for r in rows],
+        "y": [r[2] for r in rows],
+        "payload": pa.array([r[3] for r in rows], type=pa.binary()),
+    }))
+    path = str(tmp_path / "runs_w.pmtiles")
+    n = pm.write_pmtiles(ds, path)
+    assert n == 16  # addressed tiles, not entries
+    entries, _ = pm.read_pmtiles_entries(path)
+    assert len(entries) < 16  # coalescing actually happened
+    assert sum(e[3] for e in entries) == 16
+    back = pm.read_pmtiles(path).to_pandas()
+    assert len(back) == 16
+    ra = PMTilesRandomAccess(path)
+    assert ra.get_tile(2, 1, 2) == b'{"land":1}'
+    assert ra.get_tile(2, 3, 3) == ocean

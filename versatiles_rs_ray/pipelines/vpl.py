@@ -344,7 +344,7 @@ def _vup(ds, data_source_path=None, id_field_tiles=None, id_field_data=None,
             "replace_properties": bool(int(replace_properties)),
             "remove_non_matching": bool(int(remove_non_matching)),
         },
-        concurrency=2,
+        concurrency=(1, 2),
     )
 
 

@@ -298,7 +298,7 @@ def q_bpe_tokens(sf_dir):
     syntax): actor pool compiles the regex once per actor; the oracle
     runs regexp_extract_all with the IDENTICAL pattern."""
     return _docs(sf_dir).map_batches(
-        text_stage.BpeTokenCounter, batch_format="pyarrow", concurrency=2
+        text_stage.BpeTokenCounter, batch_format="pyarrow", concurrency=(1, 2)
     )
 
 
@@ -484,7 +484,7 @@ def q_mvt_tiles(sf_dir):
 def q_lang_guess_docs(sf_dir):
     """Heuristic language id per doc (distinct-stopword-hit argmax,
     ties by lang name) — SQL-expressible, so oracle-checked."""
-    ds = _docs(sf_dir).map_batches(text_stage.LangId, batch_format="pyarrow", concurrency=2)
+    ds = _docs(sf_dir).map_batches(text_stage.LangId, batch_format="pyarrow", concurrency=(1, 2))
     return ds.select_columns(["doc_id", "lang_guess"])
 
 
@@ -539,7 +539,7 @@ def q_minhash_dedup(sf_dir):
         dedup.JaccardVerify,
         batch_format="pyarrow",
         fn_constructor_kwargs={"texts_ref": ref, "threshold": MINHASH_TAU},
-        concurrency=2,
+        concurrency=(1, 2),
     )
 
 

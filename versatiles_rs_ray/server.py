@@ -18,9 +18,10 @@ random-access readers in sources/random_access.py:
                                       after tile routes)
 
 Encoding negotiation mirrors server/encoding.rs narrowly: if the
-stored payload is gzip and the client accepts gzip, bytes pass through
-with `Content-Encoding: gzip`; otherwise the payload is decoded before
-sending. Identity is always acceptable (encoding.rs doc contract).
+stored payload is gzip or brotli and the client accepts that coding,
+bytes pass through with the matching `Content-Encoding`; otherwise the
+payload is decoded before sending. Identity is always acceptable
+(encoding.rs doc contract).
 
 This is a *serving* layer, not a data-processing stage: it runs on the
 driver (or one actor per node behind a load balancer at scale), each

@@ -133,6 +133,15 @@ def write_pmtiles(ds, path: str, metadata=None, tile_type=TILETYPE_UNKNOWN,
             zmin = min(zmin, int(zs.min()))
             zmax = max(zmax, int(zs.max()))
         for tid, payload in zip(tids.tolist(), batch[payload_col].to_pylist()):
+            if entries:
+                ptid, poff, plen, prl = entries[-1]
+                # run-length coalesce: consecutive hilbert ids with an
+                # IDENTICAL payload extend the previous entry (pmtiles
+                # v3 dedup — what real writers emit for ocean tiles)
+                if tid == ptid + prl and plen == len(payload) \
+                        and data[poff:poff + plen] == payload:
+                    entries[-1] = (ptid, poff, plen, prl + 1)
+                    continue
             entries.append((tid, len(data), len(payload), 1))
             data.extend(payload)
 
@@ -166,7 +175,8 @@ def write_pmtiles(ds, path: str, metadata=None, tile_type=TILETYPE_UNKNOWN,
     struct.pack_into("<QQQQQQQQ", header, 8,
                      root_off, len(root), meta_off, len(meta_bytes),
                      leaf_off, len(leaves), data_off, len(data))
-    struct.pack_into("<QQQ", header, 72, len(entries), len(entries), len(entries))
+    addressed = sum(e[3] for e in entries)  # total tiles incl. run-coalesced
+    struct.pack_into("<QQQ", header, 72, addressed, len(entries), len(entries))
     header[96] = 1  # clustered
     header[97] = COMPRESSION_GZIP  # internal compression
     header[98] = tile_compression
@@ -185,7 +195,7 @@ def write_pmtiles(ds, path: str, metadata=None, tile_type=TILETYPE_UNKNOWN,
         f.write(meta_bytes)
         f.write(leaves)
         f.write(data)
-    return len(entries)
+    return addressed
 
 
 def read_pmtiles_entries(path: str):

@@ -317,9 +317,10 @@ def minhash_candidates(docs_ds, k=5, num_perm=64, bands=8, seed=42, num_partitio
     from .exchange import hash_exchange
 
     band_rows = docs_ds.map_batches(
-        MinHashSignatures(k=k, num_perm=num_perm, bands=bands, seed=seed),
+        MinHashSignatures,
+        fn_constructor_kwargs={"k": k, "num_perm": num_perm, "bands": bands, "seed": seed},
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=(1, 4),
     )
     pairs = hash_exchange(
         band_rows, "route", _bucket_pairs_block, num_partitions=num_partitions
@@ -509,7 +510,7 @@ def simhash_candidates(docs_ds, max_hamming=3, num_partitions=16):
 
     from .exchange import hash_exchange
 
-    rows = docs_ds.map_batches(SimHashSignatures(), batch_format="pyarrow", concurrency=4)
+    rows = docs_ds.map_batches(SimHashSignatures, batch_format="pyarrow", concurrency=(1, 4))
     pairs = hash_exchange(
         rows,
         "route",

@@ -161,7 +161,7 @@ class MediaBytesDecoder:
         return pa.table(cols)
 
 
-def decode_media_bytes(media_ds, concurrency=4, batch_size=256):
+def decode_media_bytes(media_ds, concurrency: int = 4, batch_size=256):
     """Real-codec decode pipeline over inline binary media columns:
     small batches (decoded RGBA is wide), elastic (1, n) pool like the
     rest of the multimodal chain."""
@@ -181,13 +181,19 @@ def hash_stable(s: str) -> int:
     return h & 0x7FFFFFFFFFFFFFFF
 
 
-def decode_media(docs_ds, concurrency=4, batch_size=1024):
+def decode_media(docs_ds, concurrency=(1, 4), batch_size=1024):
     """The multimodal decode pipeline: explode -> filter media -> decode pool.
 
     Small batch_size because decoded payloads are wide (binary) rows —
     the batch x concurrency product must fit worker heaps (SURVEY.md
-    §7.4 hard part 4).
+    §7.4 hard part 4). An int concurrency is coerced to an elastic
+    (1, n) pool: a FIXED pool can wait forever for its full CPU
+    reservation while a previous dataset's actors are still tearing
+    down (observed full-suite hang on a 4-cpu cluster; same class as
+    the chained fixed-pool deadlock in NOTES.md).
     """
+    if isinstance(concurrency, int):
+        concurrency = (1, concurrency)
     return media_spans(docs_ds).map_batches(
         FakeMediaDecoder,
         batch_format="pyarrow",

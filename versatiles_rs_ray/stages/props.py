@@ -58,5 +58,5 @@ def props_join(ds, side_dict, key_col, remove_non_matching=False, prefix=""):
             "remove_non_matching": remove_non_matching,
             "prefix": prefix,
         },
-        concurrency=4,
+        concurrency=(1, 4),
     )

@@ -30,7 +30,9 @@ import pyarrow as pa
 
 from ..core.raster import RAW_FORMAT, from_array
 
-DEFAULT_CONCURRENCY = 4  # from_gdal default (operation.rs:36-41)
+# from_gdal default pool size (operation.rs:36-41); elastic (1, n) so a
+# fixed reservation can never deadlock against in-teardown actors
+DEFAULT_CONCURRENCY = (1, 4)
 DEFAULT_REUSE_LIMIT = 100
 
 

@@ -238,7 +238,7 @@ def lang_accuracy(ds):
         return batch.append_column("hit", pa.array(hit, type=pa.int64()))
 
     return (
-        ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+        ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
         .map_batches(add_hit, batch_format="pyarrow")
         .groupby("lang")
         .aggregate(Count(alias_name="n_docs"), Sum("hit", alias_name="n_correct"))
