@@ -15,6 +15,13 @@ def ray_session():
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+    # Guard: if some test ray.init()s ahead of this fixture with fewer
+    # cpus, ignore_reinit_error makes this init a no-op and the pinned
+    # cluster deadlocks multi-actor-pool pipelines. Fail loudly instead.
+    assert ray.cluster_resources().get("CPU", 0) >= 4, (
+        "pytest Ray cluster pinned below 4 cpus by an earlier ad-hoc "
+        "ray.init; route all in-process Ray use through this fixture"
+    )
     yield ray
     ray.shutdown()
 
