@@ -59,17 +59,18 @@ def test_cli_dev_tools(tmp_path):
         f"write_mbtiles(json_debug_tiles(TileBBoxPyramid.new_full(2, 2)), r'{tmp_path}/d.mbtiles');"
         "ray.shutdown()"
     )
-    subprocess.run([sys.executable, "-c", code], check=True, capture_output=True)
+    subprocess.run([sys.executable, "-c", code], check=True,
+                   capture_output=True, timeout=240)
     r = subprocess.run(
         [sys.executable, "-m", "versatiles_rs_ray", "--num-cpus", "2",
          "dev", "measure-tile-sizes", f"{tmp_path}/d.mbtiles", "--scale-level", "1"],
-        capture_output=True, text=True, check=True)
+        capture_output=True, text=True, check=True, timeout=240)
     rows = json.loads(r.stdout.strip().splitlines()[-1])
     assert sum(row["n_tiles"] for row in rows) == 16
     r = subprocess.run(
         [sys.executable, "-m", "versatiles_rs_ray", "--num-cpus", "2",
          "dev", "export-outline", f"{tmp_path}/d.mbtiles", "--level", "2"],
-        capture_output=True, text=True, check=True)
+        capture_output=True, text=True, check=True, timeout=240)
     geo = json.loads(r.stdout.strip().splitlines()[-1])
     assert geo["type"] == "MultiPolygon" and len(geo["coordinates"]) == 1
 
@@ -103,6 +104,12 @@ def test_cli_serve_subprocess(ray_session, tmp_path):
          "--port", "0", "--static", f"/site={tmp_path}/web"],
         stdout=subprocess.PIPE, text=True)
     try:
+        # bounded startup wait: a wedged server must fail the test,
+        # not hang readline() (and thus the whole suite) forever
+        import select
+
+        ready, _, _ = select.select([proc.stdout], [], [], 120)
+        assert ready, "serve subprocess printed no startup JSON in 120s"
         line = proc.stdout.readline()
         url = json.loads(line)["url"]
         with urllib.request.urlopen(f"{url}/status", timeout=10) as r:

@@ -291,7 +291,8 @@ def read_pmtiles(path: str, entries_per_block: int = 4096):
     entries, data_off = read_pmtiles_entries(path)
     # expand run-length entries: rl=N means tile ids tid..tid+N-1 all
     # share this payload span (pmtiles v3 dedup for e.g. ocean tiles);
-    # our writer emits rl=1 but foreign archives coalesce
+    # both our writer (which coalesces identical consecutive payloads)
+    # and foreign archives produce rl>1 entries
     tid = np.asarray([e[0] for e in entries], dtype=np.int64)
     off = np.asarray([e[1] for e in entries], dtype=np.int64)
     ln = np.asarray([e[2] for e in entries], dtype=np.int64)

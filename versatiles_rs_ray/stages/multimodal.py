@@ -161,7 +161,16 @@ class MediaBytesDecoder:
         return pa.table(cols)
 
 
-def decode_media_bytes(media_ds, concurrency: int = 4, batch_size=256):
+def _elastic(concurrency):
+    """Coerce an int to an elastic (1, n) actor-pool spec; pass tuples
+    through. Fixed-size pools deadlock the streaming executor when the
+    reservation exceeds free cpus (NOTES.md chained-pool deadlock)."""
+    if isinstance(concurrency, int):
+        return (1, concurrency)
+    return concurrency
+
+
+def decode_media_bytes(media_ds, concurrency=4, batch_size=256):
     """Real-codec decode pipeline over inline binary media columns:
     small batches (decoded RGBA is wide), elastic (1, n) pool like the
     rest of the multimodal chain."""
@@ -169,7 +178,7 @@ def decode_media_bytes(media_ds, concurrency: int = 4, batch_size=256):
         MediaBytesDecoder,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        concurrency=_elastic(concurrency),
     )
 
 
@@ -192,13 +201,11 @@ def decode_media(docs_ds, concurrency=(1, 4), batch_size=1024):
     down (observed full-suite hang on a 4-cpu cluster; same class as
     the chained fixed-pool deadlock in NOTES.md).
     """
-    if isinstance(concurrency, int):
-        concurrency = (1, concurrency)
     return media_spans(docs_ds).map_batches(
         FakeMediaDecoder,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=_elastic(concurrency),
     )
 
 
@@ -313,14 +320,15 @@ def media_pipeline(docs_ds, concurrency=4, batch_size=1024):
     # elastic (1, n) pools: three chained actor stages must not
     # RESERVE more cpus than the cluster has (fixed-size pools
     # deadlock the streaming executor on small clusters)
-    decoded = decode_media(docs_ds, concurrency=(1, concurrency), batch_size=batch_size)
+    pool = _elastic(concurrency)
+    decoded = decode_media(docs_ds, concurrency=pool, batch_size=batch_size)
     resized = decoded.map_batches(
         FakeImageResizer, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=(1, concurrency),
+        concurrency=pool,
     )
     frames = resized.map_batches(
         FrameSampler, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=(1, concurrency),
+        concurrency=pool,
     )
     return frames.map_batches(
         _frame_features, batch_format="pyarrow", batch_size=batch_size,
