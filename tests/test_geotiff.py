@@ -1,0 +1,128 @@
+"""GeoTIFF reader parity against the reference's own gradient.tif
+goldens (versatiles_pipeline/src/operations/read/from_gdal/raster/
+operation.rs:301-345: 7x7 pixel rows/cols at z0/z1 with max diff 1,
+16x16 average colors per z1 quadrant)."""
+
+import numpy as np
+import pytest
+
+from versatiles_rs_ray.sources.geotiff import GeoTIFF, read_geotiff, write_tiff
+from versatiles_rs_ray.stages.reproject import SRSReprojector
+
+FIXTURE = "/root/reference/testdata/gradient.tif"
+
+
+def _assert_same_vec(a, b, tol=1):
+    a = np.asarray(a, dtype=np.int16)
+    b = np.asarray(b, dtype=np.int16)
+    assert a.shape == b.shape and np.abs(a - b).max() <= tol, (a.tolist(), b.tolist())
+
+
+def test_decode_reference_gradient():
+    g = read_geotiff(FIXTURE)
+    assert g.array.shape == (256, 256, 3)
+    assert g.epsg == 4326 and g.model_type == 2
+    # plate-carree world coverage: (0,0) -> (-180, 90), 360/256 x 180/256
+    assert g.geotransform == (-180.0, 1.40625, 0.0, 90.0, 0.0, -0.703125)
+    # the fixture encodes R = column index, G = row index, B = 0
+    assert np.array_equal(g.array[0, :, 0], np.arange(256, dtype=np.uint8))
+    assert np.array_equal(g.array[:, 0, 1], np.arange(256, dtype=np.uint8))
+    assert (g.array[..., 2] == 0).all()
+
+
+@pytest.mark.parametrize(
+    "z,x,y,row,col",
+    [
+        # operation.rs:303-316 — row 3 of R (x-gradient), col 3 of G
+        (0, 0, 0, [18, 54, 91, 127, 164, 201, 237], [12, 29, 67, 128, 188, 226, 243]),
+        (1, 0, 0, [9, 27, 45, 64, 82, 100, 118], [9, 14, 22, 34, 52, 77, 110]),
+        (1, 1, 0, [137, 155, 173, 192, 210, 228, 246], [9, 14, 22, 34, 52, 77, 110]),
+        (1, 0, 1, [9, 27, 45, 64, 82, 100, 118], [145, 178, 203, 221, 233, 241, 246]),
+        (1, 1, 1, [137, 155, 173, 192, 210, 228, 246], [145, 178, 203, 221, 233, 241, 246]),
+    ],
+)
+def test_gradient_tile_goldens(z, x, y, row, col):
+    g = read_geotiff(FIXTURE)
+    rp = SRSReprojector(g.array, g.geotransform, g.epsg, tile_size=7,
+                        resampling="average")
+    tile = rp._reproject_one(z, x, y)  # (7, 7, 4)
+    _assert_same_vec(tile[3, :, 0], row)
+    _assert_same_vec(tile[:, 3, 1], col)
+    assert (tile[..., 3] == 255).all()  # full coverage, opaque
+
+
+def _triangle_1x1(tile):
+    """The reference's `average_color` is NOT a mean: it is the image
+    crate's Triangle-filter resize to 1x1 (operation.rs:101-104), i.e.
+    a center-weighted triangle kernel with radius = tile size. Replicate
+    that weighting so the golden comparison tests the warp, not the
+    averaging artifact."""
+    s = tile.shape[0]
+    w = 1.0 - np.abs(np.arange(s) + 0.5 - s / 2) / s
+    w /= w.sum()
+    a = (tile[..., :3].astype(np.float64) * w[:, None, None]).sum(axis=0)
+    return np.round((a * w[:, None]).sum(axis=0))
+
+
+def test_gradient_average_colors():
+    # operation.rs:330-343: 16x16 z1 tiles, average RGB per quadrant
+    g = read_geotiff(FIXTURE)
+    rp = SRSReprojector(g.array, g.geotransform, g.epsg, tile_size=16,
+                        resampling="average")
+    goldens = {(0, 0): [63, 43, 0], (1, 0): [192, 43, 0],
+               (0, 1): [63, 212, 0], (1, 1): [192, 212, 0]}
+    for (x, y), want in goldens.items():
+        tile = rp._reproject_one(1, x, y)
+        _assert_same_vec(_triangle_1x1(tile), want)
+
+
+def test_vpl_from_gdal_raster_real_file(ray_session):
+    from versatiles_rs_ray.core.raster import to_array
+    from versatiles_rs_ray.pipelines.vpl import build_pipeline
+
+    ds = build_pipeline(
+        f'from_gdal_raster filename="{FIXTURE}" tile_size="16" '
+        'level_min="1" level_max="1"'
+    )
+    rows = {(r["x"], r["y"]): r for r in ds.take_all()}
+    assert set(rows) == {(0, 0), (1, 0), (0, 1), (1, 1)}
+    tile = to_array(rows[(1, 1)]["payload"], rows[(1, 1)]["width"],
+                    rows[(1, 1)]["height"])
+    _assert_same_vec(_triangle_1x1(tile), [192, 212, 0])
+
+
+def test_writer_roundtrip_layouts():
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (100, 130, 3), dtype=np.uint8)
+    gt = (-180.0, 360 / 130, 0.0, 90.0, 0.0, -180 / 100)
+    for tiled in (False, True):
+        for compression in (1, 8):
+            for predictor in (1, 2):
+                if compression == 1 and predictor == 2:
+                    continue  # predictor without compression is unusual; skip
+                b = write_tiff(arr, geotransform=gt, epsg=4326, tiled=tiled,
+                               compression=compression, predictor=predictor)
+                g = read_geotiff(b)
+                assert np.array_equal(g.array, arr), (tiled, compression, predictor)
+                assert g.epsg == 4326
+                assert np.allclose(g.geotransform, gt)
+
+
+def test_grayscale_and_projected_keys():
+    arr = np.arange(64 * 64, dtype=np.uint16).reshape(64, 64) % 256
+    arr = arr.astype(np.uint8)
+    gt = (399960.0, 10.0, 0.0, 4100020.0, 0.0, -10.0)  # UTM-ish
+    b = write_tiff(arr, geotransform=gt, epsg=32633)
+    g = read_geotiff(b)
+    assert g.array.shape == (64, 64, 1)
+    assert g.epsg == 32633 and g.model_type == 1
+    assert np.array_equal(g.array[..., 0], arr)
+
+
+def test_unsupported_gates():
+    # Honest NotImplementedError gates, repo convention (no silent wrongness)
+    bad = bytearray(open(FIXTURE, "rb").read())
+    with pytest.raises(ValueError):
+        read_geotiff(b"PK\x03\x04nope")
+    g = read_geotiff(FIXTURE)
+    assert isinstance(g, GeoTIFF)

@@ -78,6 +78,10 @@ def parse_vpl(text: str):
 
 def _coerce(v: str):
     v = v.strip()
+    # reference VPL quotes values (`filename="..." tile_size="512"`,
+    # vpl/parser.rs): strip one layer of matching quotes before casting
+    if len(v) >= 2 and v[0] == v[-1] and v[0] in "\"'":
+        v = v[1:-1]
     for cast in (int, float):
         try:
             return cast(v)
@@ -203,17 +207,43 @@ def _from_container(sf_dir=None, filename=None, **_):
 
 @register_read_op("from_gdal_raster")
 def _from_gdal_raster(sf_dir=None, zmax=3, zmin=0, tile_size=64,
-                      source_height=512, **_):
-    """Deterministic stand-in for the GDAL raster source (no GDAL in
-    sandbox): a synthetic WGS84 world raster warped to mercator tiles
-    through the real reprojection pool
-    (from_gdal/raster/raster_source.rs semantics, stages/reproject)."""
-    from ..sources.debug_tiles import json_debug_tiles
-    from ..stages.reproject import make_world_raster, reproject_raster
+                      source_height=512, filename=None,
+                      level_min=None, level_max=None, **_):
+    """GDAL-path raster source: `filename=` opens a real GeoTIFF via
+    the stdlib reader (sources/geotiff.py) and warps it through the
+    arbitrary-SRS pool, exactly the reference's
+    `from_gdal_raster filename=... tile_size=... level_min/max=...`
+    surface (from_gdal/raster/operation.rs:262). Without a filename the
+    deterministic synthetic WGS84 world raster substitutes (no GDAL in
+    sandbox for exotic formats)."""
+    import os
 
+    from ..sources.debug_tiles import json_debug_tiles
+    from ..stages.reproject import (
+        make_world_raster,
+        reproject_raster,
+        reproject_srs_raster,
+    )
+
+    if level_min is not None:
+        zmin = level_min
+    if level_max is not None:
+        zmax = level_max
     coords = json_debug_tiles(
         TileBBoxPyramid.new_full(int(zmax), int(zmin))
     ).select_columns(["z", "x", "y"])
+    if filename is not None:
+        from ..sources.geotiff import read_geotiff
+
+        path = str(filename)
+        if sf_dir and "://" not in path and not os.path.isabs(path):
+            path = os.path.join(sf_dir, path)
+        g = read_geotiff(path)
+        # GDAL's default warp resampling is Average (resample.rs:54)
+        return reproject_srs_raster(
+            coords, g.array, g.geotransform, g.epsg or 4326,
+            tile_size=int(tile_size), resampling="average",
+        )
     return reproject_raster(
         coords, make_world_raster(int(source_height)), tile_size=int(tile_size)
     )

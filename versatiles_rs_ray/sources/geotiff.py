@@ -1,0 +1,310 @@
+"""Pure-stdlib GeoTIFF reader — the real-file path of `from_gdal_raster`.
+
+The reference reads rasters through GDAL
+(versatiles_pipeline/src/operations/read/from_gdal/raster/raster_source.rs:36-112:
+open dataset, read geotransform + SRS, window-read bands). GDAL is not
+in this sandbox, so this module parses the TIFF container directly
+(struct + zlib, numpy for the predictor) and hands the decoded array +
+geotransform + EPSG to the existing warp pool in stages/reproject.
+
+Scope (honest gates, not stubs): byte order II/MM; strip and tiled
+layouts; planar config 1 (chunky); 8-bit samples, 1/3/4 channels;
+compression none(1) and deflate(8/32946); predictor 1 (none) and
+2 (horizontal differencing). GeoTIFF georeferencing via
+ModelPixelScale+ModelTiepoint (or ModelTransformation) and the GeoKey
+directory (GTModelType, Geographic/ProjectedCSType -> EPSG). Anything
+else raises NotImplementedError naming the exact capability, matching
+the repo's gating convention (core/compression.py).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+# TIFF tag ids (TIFF 6.0 spec) + GeoTIFF 1.1 tags
+TAG_WIDTH = 256
+TAG_HEIGHT = 257
+TAG_BITS = 258
+TAG_COMPRESSION = 259
+TAG_PHOTOMETRIC = 262
+TAG_STRIP_OFFSETS = 273
+TAG_SAMPLES = 277
+TAG_ROWS_PER_STRIP = 278
+TAG_STRIP_COUNTS = 279
+TAG_PLANAR = 284
+TAG_PREDICTOR = 317
+TAG_TILE_WIDTH = 322
+TAG_TILE_HEIGHT = 323
+TAG_TILE_OFFSETS = 324
+TAG_TILE_COUNTS = 325
+TAG_SAMPLE_FORMAT = 339
+TAG_PIXEL_SCALE = 33550
+TAG_TIEPOINT = 33922
+TAG_TRANSFORM = 34264
+TAG_GEO_KEYS = 34735
+TAG_GEO_DOUBLES = 34736
+TAG_GEO_ASCII = 34737
+
+# GeoKey ids (GeoTIFF spec §6.2)
+KEY_MODEL_TYPE = 1024  # 1=projected, 2=geographic
+KEY_RASTER_TYPE = 1025  # 1=PixelIsArea, 2=PixelIsPoint
+KEY_GEOGRAPHIC_TYPE = 2048
+KEY_PROJECTED_CS = 3072
+
+# field type -> (struct fmt, byte size); rationals handled separately
+_FIELD = {1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4), 5: ("II", 8),
+          6: ("b", 1), 8: ("h", 2), 9: ("i", 4), 10: ("ii", 8),
+          11: ("f", 4), 12: ("d", 8), 16: ("Q", 8), 17: ("q", 8)}
+
+
+@dataclass
+class GeoTIFF:
+    """Decoded raster + georeferencing, ready for the warp pool."""
+
+    array: np.ndarray  # (H, W, C) uint8
+    geotransform: tuple  # GDAL 6-tuple (x0, dx, rx, y0, ry, dy)
+    epsg: int  # CRS code from the GeoKey directory
+    model_type: int  # 1=projected, 2=geographic
+    raster_type: int  # 1=PixelIsArea, 2=PixelIsPoint
+
+    @property
+    def width(self) -> int:
+        return self.array.shape[1]
+
+    @property
+    def height(self) -> int:
+        return self.array.shape[0]
+
+
+def _read_ifd(data: bytes, bo: str):
+    """First IFD -> {tag: tuple(values)} (value offsets resolved)."""
+    off = struct.unpack_from(bo + "I", data, 4)[0]
+    n = struct.unpack_from(bo + "H", data, off)[0]
+    tags = {}
+    for i in range(n):
+        base = off + 2 + i * 12
+        tag, ftype, count = struct.unpack_from(bo + "HHI", data, base)
+        if ftype not in _FIELD:
+            continue  # unknown field type: skip, per TIFF 6.0 readers-must-skip
+        fmt, size = _FIELD[ftype]
+        nbytes = size * count
+        src = base + 8 if nbytes <= 4 else struct.unpack_from(bo + "I", data, base + 8)[0]
+        if ftype == 2:  # ASCII
+            tags[tag] = (data[src:src + count].split(b"\0")[0].decode("latin-1"),)
+        elif ftype in (5, 10):  # rational -> float
+            vals = struct.unpack_from(bo + fmt * count, data, src)
+            tags[tag] = tuple(vals[2 * j] / (vals[2 * j + 1] or 1) for j in range(count))
+        else:
+            tags[tag] = struct.unpack_from(bo + str(count) + fmt, data, src)
+    return tags
+
+
+def _decompress(chunk: bytes, compression: int) -> bytes:
+    if compression == 1:
+        return chunk
+    if compression in (8, 32946):  # zlib/deflate (Adobe + legacy code)
+        return zlib.decompress(chunk)
+    raise NotImplementedError(
+        f"TIFF compression {compression} not supported (only none=1, deflate=8); "
+        "LZW/JPEG-in-TIFF need external codecs"
+    )
+
+
+def _undo_predictor(rows: np.ndarray, predictor: int) -> np.ndarray:
+    """rows: (nrows, width, channels) uint8."""
+    if predictor == 1:
+        return rows
+    if predictor == 2:  # horizontal differencing per channel
+        return np.cumsum(rows.astype(np.uint32), axis=1).astype(np.uint8)
+    raise NotImplementedError(f"TIFF predictor {predictor} not supported (only 1, 2)")
+
+
+def read_geotiff(path_or_bytes) -> GeoTIFF:
+    """Parse a (Geo)TIFF file into a GeoTIFF record.
+
+    Matches the subset GDAL would hand the reference for its own
+    fixture (testdata/gradient.tif: 256x256 RGB, deflate strips,
+    predictor 2, WGS84 plate-carree world coverage) plus tiled layouts.
+    """
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        data = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    magic = struct.unpack_from(bo + "H", data, 2)[0]
+    if magic == 43:
+        raise NotImplementedError("BigTIFF (magic 43) not supported")
+    if magic != 42:
+        raise ValueError(f"not a TIFF: magic {magic}")
+
+    t = _read_ifd(data, bo)
+    width = int(t[TAG_WIDTH][0])
+    height = int(t[TAG_HEIGHT][0])
+    samples = int(t.get(TAG_SAMPLES, (1,))[0])
+    bits = t.get(TAG_BITS, (8,) * samples)
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"only 8-bit samples supported, got {bits}")
+    if samples not in (1, 3, 4):
+        raise NotImplementedError(f"unsupported channel count {samples}")
+    if int(t.get(TAG_PLANAR, (1,))[0]) != 1:
+        raise NotImplementedError("planar configuration 2 (separate planes) not supported")
+    compression = int(t.get(TAG_COMPRESSION, (1,))[0])
+    predictor = int(t.get(TAG_PREDICTOR, (1,))[0])
+
+    arr = np.zeros((height, width, samples), dtype=np.uint8)
+    if TAG_TILE_OFFSETS in t:  # tiled layout
+        tw = int(t[TAG_TILE_WIDTH][0])
+        th = int(t[TAG_TILE_HEIGHT][0])
+        offs, cnts = t[TAG_TILE_OFFSETS], t[TAG_TILE_COUNTS]
+        across = (width + tw - 1) // tw
+        for idx, (o, c) in enumerate(zip(offs, cnts)):
+            raw = _decompress(data[o:o + c], compression)
+            tile = np.frombuffer(raw, np.uint8)[: tw * th * samples]
+            tile = _undo_predictor(tile.reshape(th, tw, samples), predictor)
+            ty, tx = divmod(idx, across)
+            y0, x0 = ty * th, tx * tw
+            arr[y0:y0 + th, x0:x0 + tw] = tile[: height - y0, : width - x0]
+    else:  # strip layout
+        rps = int(t.get(TAG_ROWS_PER_STRIP, (height,))[0])
+        offs, cnts = t[TAG_STRIP_OFFSETS], t[TAG_STRIP_COUNTS]
+        for idx, (o, c) in enumerate(zip(offs, cnts)):
+            y0 = idx * rps
+            nrows = min(rps, height - y0)
+            raw = _decompress(data[o:o + c], compression)
+            rows = np.frombuffer(raw, np.uint8)[: nrows * width * samples]
+            rows = _undo_predictor(rows.reshape(nrows, width, samples), predictor)
+            arr[y0:y0 + nrows] = rows
+
+    # georeferencing: ModelTransformation wins, else scale+tiepoint
+    if TAG_TRANSFORM in t:
+        m = t[TAG_TRANSFORM]
+        gt = (m[3], m[0], m[1], m[7], m[4], m[5])
+    elif TAG_PIXEL_SCALE in t and TAG_TIEPOINT in t:
+        sx, sy = t[TAG_PIXEL_SCALE][0], t[TAG_PIXEL_SCALE][1]
+        tp = t[TAG_TIEPOINT]  # (i, j, k, x, y, z): pixel (i,j) -> model (x,y)
+        gt = (tp[3] - tp[0] * sx, sx, 0.0, tp[4] + tp[1] * sy, 0.0, -sy)
+    else:
+        gt = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)  # pixel coords (no geo tags)
+
+    model_type, raster_type, epsg = 0, 1, 0
+    keys = t.get(TAG_GEO_KEYS)
+    if keys:
+        nkeys = keys[3]
+        for k in range(nkeys):
+            kid, loc, cnt, val = keys[4 + 4 * k: 8 + 4 * k]
+            if kid == KEY_MODEL_TYPE:
+                model_type = val
+            elif kid == KEY_RASTER_TYPE:
+                raster_type = val
+            elif kid in (KEY_GEOGRAPHIC_TYPE, KEY_PROJECTED_CS) and loc == 0:
+                epsg = val
+    if epsg in (0, 32767) and model_type == 2:
+        epsg = 4326  # geographic with user-defined/absent code: assume WGS84
+    return GeoTIFF(array=arr, geotransform=gt, epsg=int(epsg),
+                   model_type=int(model_type), raster_type=int(raster_type))
+
+
+def write_tiff(arr: np.ndarray, *, geotransform=None, epsg: int = 4326,
+               tiled: bool = False, compression: int = 8,
+               predictor: int = 2) -> bytes:
+    """Minimal GeoTIFF writer (test fixture generator + container parity:
+    the reference writes no TIFFs, but round-trip tests need one source
+    of truth for the reader's layout handling)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    arr = arr.astype(np.uint8)
+
+    def enc(block: np.ndarray) -> bytes:
+        if predictor == 2:
+            block = np.diff(block.astype(np.int16), axis=1,
+                            prepend=np.zeros((block.shape[0], 1, c), np.int16))
+            block = (block & 0xFF).astype(np.uint8)
+        raw = block.tobytes()
+        return zlib.compress(raw) if compression in (8, 32946) else raw
+
+    chunks, chunk_meta = [], []
+    if tiled:
+        tw = th = 64
+        for y0 in range(0, h, th):
+            for x0 in range(0, w, tw):
+                tile = np.zeros((th, tw, c), np.uint8)
+                sub = arr[y0:y0 + th, x0:x0 + tw]
+                tile[: sub.shape[0], : sub.shape[1]] = sub
+                chunks.append(enc(tile))
+    else:
+        rps = 16
+        for y0 in range(0, h, rps):
+            chunks.append(enc(arr[y0:y0 + rps]))
+
+    # layout: header | chunk data | geo doubles | IFD
+    header_len = 8
+    data_off = header_len
+    offsets, counts = [], []
+    for ch in chunks:
+        offsets.append(data_off)
+        counts.append(len(ch))
+        data_off += len(ch)
+    body = b"".join(chunks)
+
+    entries = []  # (tag, type, count, packed-or-(values, payload))
+
+    def add(tag, ftype, values):
+        entries.append((tag, ftype, values))
+
+    add(TAG_WIDTH, 3, (w,))
+    add(TAG_HEIGHT, 3, (h,))
+    add(TAG_BITS, 3, (8,) * c)
+    add(TAG_COMPRESSION, 3, (compression,))
+    add(TAG_PHOTOMETRIC, 3, (2 if c >= 3 else 1,))
+    add(TAG_SAMPLES, 3, (c,))
+    if tiled:
+        add(TAG_TILE_WIDTH, 3, (64,))
+        add(TAG_TILE_HEIGHT, 3, (64,))
+        add(TAG_TILE_OFFSETS, 4, tuple(offsets))
+        add(TAG_TILE_COUNTS, 4, tuple(counts))
+    else:
+        add(TAG_ROWS_PER_STRIP, 3, (16,))
+        add(TAG_STRIP_OFFSETS, 4, tuple(offsets))
+        add(TAG_STRIP_COUNTS, 4, tuple(counts))
+    add(TAG_PLANAR, 3, (1,))
+    add(TAG_PREDICTOR, 3, (predictor,))
+    if geotransform is not None:
+        x0, dx, _, y0, _, dy = geotransform
+        add(TAG_PIXEL_SCALE, 12, (dx, -dy, 0.0))
+        add(TAG_TIEPOINT, 12, (0.0, 0.0, 0.0, x0, y0, 0.0))
+        mt = 2 if epsg == 4326 or 4200 <= epsg < 5000 else 1
+        code_key = KEY_GEOGRAPHIC_TYPE if mt == 2 else KEY_PROJECTED_CS
+        add(TAG_GEO_KEYS, 3, (1, 1, 0, 3,
+                              KEY_MODEL_TYPE, 0, 1, mt,
+                              KEY_RASTER_TYPE, 0, 1, 1,
+                              code_key, 0, 1, epsg))
+
+    entries.sort(key=lambda e: e[0])
+    # out-of-line payloads go after the IFD
+    ifd_off = header_len + len(body)
+    ifd_len = 2 + len(entries) * 12 + 4
+    tail_off = ifd_off + ifd_len
+    tail = b""
+    ifd = struct.pack("<H", len(entries))
+    for tag, ftype, values in entries:
+        fmt, size = _FIELD[ftype]
+        nbytes = size * len(values)
+        packed = struct.pack("<" + str(len(values)) + fmt, *values)
+        if nbytes <= 4:
+            ifd += struct.pack("<HHI", tag, ftype, len(values)) + packed.ljust(4, b"\0")
+        else:
+            ifd += struct.pack("<HHII", tag, ftype, len(values), tail_off + len(tail))
+            tail += packed
+    ifd += struct.pack("<I", 0)  # next-IFD pointer: none
+    return struct.pack("<2sHI", b"II", 42, ifd_off) + body + ifd + tail

@@ -166,6 +166,13 @@ class SRSReprojector:
             raise ValueError(f"unsupported channel count {c}")
         self.source = np.ascontiguousarray(src)
         self.h, self.w = src.shape[:2]
+        if self.resampling == "average":
+            # summed-area table, built once per actor: box means in O(1)
+            # per dst pixel. 8B x 4 channels x (H+1)(W+1) — fine for the
+            # GDAL-fixture scale; window the source at 100-TB scale.
+            self._sat = np.zeros((self.h + 1, self.w + 1, 4), np.uint64)
+            np.cumsum(self.source, axis=0, dtype=np.uint64,
+                      out=self._sat[1:, 1:]).cumsum(axis=1, out=self._sat[1:, 1:])
 
     def _tile_lonlat(self, z: int, x: int, y: int):
         s = self.tile_size
@@ -176,7 +183,64 @@ class SRSReprojector:
         lat = (np.arctan(np.exp(np.pi * (1.0 - 2.0 * fy))) / np.pi - 0.25) * 360.0
         return np.broadcast_to(lon[None, :], (s, s)), np.broadcast_to(lat[:, None], (s, s))
 
+    def _reproject_average(self, z: int, x: int, y: int) -> np.ndarray:
+        """GDAL's default warp resampling (GRA_Average — resample.rs:54:
+        `Default for ResampleAlg` is `Average`): each dst pixel averages
+        every source pixel whose center back-projects into the dst
+        pixel's footprint; an empty footprint (upsampling) degrades to
+        the single covering pixel, exactly GDAL's clamp."""
+        s = self.tile_size
+        n = float(1 << z)
+        # dst pixel EDGES in mercator fractions -> lon/lat -> src coords
+        fxe = (x + np.arange(s + 1) / s) / n
+        fye = (y + np.arange(s + 1) / s) / n
+        lon_e = (fxe - 0.5) * 360.0
+        lat_e = (np.arctan(np.exp(np.pi * (1.0 - 2.0 * fye))) / np.pi - 0.25) * 360.0
+        LON = np.broadcast_to(lon_e[None, :], (s + 1, s + 1))
+        LAT = np.broadcast_to(lat_e[:, None], (s + 1, s + 1))
+        sx, sy = self.srs.forward(LON.ravel(), LAT.ravel())
+        col, row = self.gt.crs_to_pixel(sx, sy)
+        col = col.reshape(s + 1, s + 1)
+        row = row.reshape(s + 1, s + 1)
+        # per-dst-pixel src bounding rect from its 4 corners (exact for
+        # separable mappings, GDAL-style rect approximation otherwise)
+        c_lo = np.minimum.reduce([col[:-1, :-1], col[:-1, 1:], col[1:, :-1], col[1:, 1:]])
+        c_hi = np.maximum.reduce([col[:-1, :-1], col[:-1, 1:], col[1:, :-1], col[1:, 1:]])
+        r_lo = np.minimum.reduce([row[:-1, :-1], row[:-1, 1:], row[1:, :-1], row[1:, 1:]])
+        r_hi = np.maximum.reduce([row[:-1, :-1], row[:-1, 1:], row[1:, :-1], row[1:, 1:]])
+        # src pixels with centers inside [lo, hi): c0 inclusive, c1 exclusive
+        c0 = np.ceil(c_lo - 0.5).astype(np.int64)
+        c1 = np.ceil(c_hi - 0.5).astype(np.int64)
+        r0 = np.ceil(r_lo - 0.5).astype(np.int64)
+        r1 = np.ceil(r_hi - 0.5).astype(np.int64)
+        # empty range (dst finer than src): clamp to the single pixel
+        # under the footprint midpoint
+        cmid = np.floor((c_lo + c_hi) * 0.5).astype(np.int64)
+        rmid = np.floor((r_lo + r_hi) * 0.5).astype(np.int64)
+        empty_c = c1 <= c0
+        empty_r = r1 <= r0
+        c0 = np.where(empty_c, cmid, c0)
+        c1 = np.where(empty_c, cmid + 1, c1)
+        r0 = np.where(empty_r, rmid, r0)
+        r1 = np.where(empty_r, rmid + 1, r1)
+        # clip to source bounds; dst pixels with nothing under them stay
+        # transparent (outside source coverage)
+        c0c = np.clip(c0, 0, self.w)
+        c1c = np.clip(c1, 0, self.w)
+        r0c = np.clip(r0, 0, self.h)
+        r1c = np.clip(r1, 0, self.h)
+        cnt = (c1c - c0c) * (r1c - r0c)
+        ok = cnt > 0
+        sat = self._sat
+        tot = (sat[r1c, c1c] - sat[r0c, c1c] - sat[r1c, c0c] + sat[r0c, c0c]).astype(np.float64)
+        mean = tot / np.maximum(cnt, 1)[..., None]
+        out = np.zeros((s, s, 4), dtype=np.uint8)
+        out[ok] = np.clip(np.rint(mean[ok]), 0, 255).astype(np.uint8)
+        return out
+
     def _reproject_one(self, z: int, x: int, y: int) -> np.ndarray:
+        if self.resampling == "average":
+            return self._reproject_average(z, x, y)
         lon, lat = self._tile_lonlat(z, x, y)
         sx, sy = self.srs.forward(lon.ravel(), lat.ravel())
         col, row = self.gt.crs_to_pixel(sx, sy)
