@@ -123,7 +123,9 @@ def _build_nodes(nodes, sf_dir):
     for name, targs in nodes[1:]:
         if name not in TRANSFORM_OPS:
             raise ValueError(f"unknown transform {name!r} (have {sorted(TRANSFORM_OPS)})")
-        ds = TRANSFORM_OPS[name](ds, **targs)
+        # transforms resolve relative side-files (e.g. cities.csv)
+        # against the pipeline's base dir, like the reference factory
+        ds = TRANSFORM_OPS[name](ds, sf_dir=sf_dir, **targs)
     return ds
 
 
@@ -349,12 +351,24 @@ def _roverview(ds, z_from=None, z_to=0, **_):
     return union
 
 
+def _to_bool(v) -> bool:
+    """VPL booleans arrive as `true`/`false` strings (parser.rs) or
+    already-coerced ints."""
+    if isinstance(v, str):
+        return v.strip().lower() in ("true", "1", "yes")
+    return bool(v)
+
+
 @register_transform_op("vector_update_properties")
 def _vup(ds, data_source_path=None, id_field_tiles=None, id_field_data=None,
-         replace_properties=0, remove_non_matching=0, **_):
+         layer_name=None, replace_properties=0, remove_non_matching=0,
+         include_id=0, sf_dir=None, **_):
     """CSV side table broadcast into feature properties
-    (vector_update_properties.rs Args; the side dict ships once via
-    ray.put, each actor reads it from the object store)."""
+    (vector_update_properties.rs Args: layer_name restricts the update
+    to that layer, include_id keeps the CSV id column; the side dict
+    ships once via ray.put, each actor reads it from the object store)."""
+    import os
+
     import ray
 
     from ..sources.geojson import load_csv_side
@@ -364,15 +378,19 @@ def _vup(ds, data_source_path=None, id_field_tiles=None, id_field_data=None,
         raise ValueError(
             "vector_update_properties needs data_source_path=, "
             "id_field_tiles=, id_field_data=")
-    side = load_csv_side(str(data_source_path), str(id_field_data))
+    path = str(data_source_path)
+    if sf_dir and "://" not in path and not os.path.isabs(path):
+        path = os.path.join(sf_dir, path)
+    side = load_csv_side(path, str(id_field_data), include_id=_to_bool(include_id))
     return ds.map_batches(
         VectorUpdateProperties,
         batch_format="pyarrow",
         fn_constructor_kwargs={
             "side": ray.put(side),
             "id_field": str(id_field_tiles),
-            "replace_properties": bool(int(replace_properties)),
-            "remove_non_matching": bool(int(remove_non_matching)),
+            "layer_name": str(layer_name) if layer_name is not None else None,
+            "replace_properties": _to_bool(replace_properties),
+            "remove_non_matching": _to_bool(remove_non_matching),
         },
         concurrency=(1, 2),
     )

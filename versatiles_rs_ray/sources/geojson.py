@@ -21,11 +21,13 @@ from ..core import mvt
 from ..core.coords import lonlat_to_tile, mercator_fraction
 
 
-def load_csv_side(path: str, key_col: str) -> dict:
+def load_csv_side(path: str, key_col: str, include_id: bool = False) -> dict:
     """CSV -> {key: {col: value}} for broadcast property joins.
 
-    The engine-side analogue of the reference's CSV property loader;
-    values keep their parsed types (pyarrow csv inference).
+    The engine-side analogue of the reference's CSV property loader
+    (vector_update_properties.rs:55-68: the id column is dropped from
+    the attrs unless `include_id`); values keep their parsed types
+    (pyarrow csv inference).
     """
     from pyarrow import csv as pa_csv
 
@@ -36,7 +38,7 @@ def load_csv_side(path: str, key_col: str) -> dict:
         out[k] = {
             name: table[name][i].as_py()
             for name in table.column_names
-            if name != key_col
+            if include_id or name != key_col
         }
     return out
 

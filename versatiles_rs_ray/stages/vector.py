@@ -89,21 +89,28 @@ class VectorUpdateProperties:
     """Broadcast property join into features (vector_update_properties).
 
     side: {id_value: {key: value}}; id_field: feature property to match
-    on. replace_properties drops existing props of matched features;
-    remove_non_matching drops unmatched features (semi-join).
+    on. layer_name (when given) restricts the update to that layer,
+    like the reference's `tile.find_layer_mut(layer_name)`
+    (vector_update_properties.rs:100-104). replace_properties drops
+    existing props of matched features; remove_non_matching drops
+    unmatched features (semi-join).
     """
 
-    def __init__(self, side, id_field, replace_properties=False, remove_non_matching=False):
+    def __init__(self, side, id_field, replace_properties=False,
+                 remove_non_matching=False, layer_name=None):
         import ray
 
         self.side = ray.get(side) if not isinstance(side, dict) else side
         self.id_field = id_field
+        self.layer_name = layer_name
         self.replace = replace_properties
         self.remove_non_matching = remove_non_matching
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         def fn(tile):
             for layer in tile["layers"]:
+                if self.layer_name is not None and layer.get("name") != self.layer_name:
+                    continue
                 kept = []
                 for feat in layer["features"]:
                     key = feat["properties"].get(self.id_field)
