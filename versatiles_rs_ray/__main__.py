@@ -132,7 +132,19 @@ def cmd_serve(args):
 
     from versatiles_rs_ray.server import TileServer
 
-    srv = TileServer(host=args.host, port=args.port)
+    if getattr(args, "config", None):
+        from versatiles_rs_ray.config import server_from_config
+
+        srv = server_from_config(args.config,
+                                 skip_unreachable=args.skip_unreachable)
+        # CLI host/port (when explicitly given) override the config,
+        # matching the reference's CLI-wins precedence (tools/serve.rs)
+        if args.host != "127.0.0.1":
+            srv.host = args.host
+        if args.port != 8080:
+            srv.port = args.port
+    else:
+        srv = TileServer(host=args.host, port=args.port)
     for spec in args.sources:
         if "=" in spec:
             name, path = spec.split("=", 1)
@@ -223,11 +235,14 @@ def main(argv=None):
     d.set_defaults(fn=cmd_dev)
 
     s = sub.add_parser("serve", help="serve containers over HTTP")
-    s.add_argument("sources", nargs="+", help="container paths (or name=path)")
+    s.add_argument("sources", nargs="*", help="container paths (or name=path)")
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8080)
     s.add_argument("--static", action="append",
                    help="static mount: PREFIX=PATH (folder or tar), repeatable")
+    s.add_argument("--config", help="YAML server config (config/main.rs surface)")
+    s.add_argument("--skip-unreachable", action="store_true",
+                   help="with --config: skip tile sources that fail to open")
     s.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)

@@ -133,6 +133,32 @@ class TileSource:
         return self.reader.get_tile(z, x, y)
 
 
+class MemTileSource:
+    """In-memory tile source (materialized VPL pipelines, tests):
+    same surface as TileSource."""
+
+    def __init__(self, source_id: str, tiles: dict, fmt_hint=None,
+                 compression: str = "raw", meta: dict | None = None):
+        self.id = source_id
+        self.path = f"mem://{source_id}"
+        self.fmt_hint = fmt_hint
+        self.compression = compression
+        self._tiles = tiles
+        self._meta = meta
+
+    def tilejson(self, base_url: str) -> dict:
+        doc = {
+            "tilejson": "3.0.0",
+            "tiles": [f"{base_url}/tiles/{self.id}/{{z}}/{{x}}/{{y}}"],
+        }
+        if self._meta:
+            doc.update(self._meta)
+        return doc
+
+    def get_tile(self, z: int, x: int, y: int):
+        return self._tiles.get((z, x, y))
+
+
 def _guess_mime(name: str) -> str:
     import mimetypes
 
@@ -188,11 +214,30 @@ class StaticTar:
     prefer br, then gzip, when the client accepts them."""
 
     def __init__(self, tar_path: str, url_prefix: str = "/"):
+        import io
         import tarfile
 
         self.url_prefix = "/" + url_prefix.strip("/")
         self._files = {}  # rel -> (variants {None|'gzip'|'br': bytes}, mime)
-        with tarfile.open(tar_path) as tf:
+        # peel OUTER compression suffixes exactly like the reference
+        # (static_source_tar.rs:56-58: "tar" break, "gz"/"br" decompress)
+        with open(tar_path, "rb") as f:
+            buffer = f.read()
+        name = tar_path.lower()
+        while True:
+            stem, _, ext = name.rpartition(".")
+            if ext == "gz" and not tarfile.is_tarfile(io.BytesIO(buffer)):
+                import gzip
+
+                buffer = gzip.decompress(buffer)
+            elif ext == "br":
+                from .core.compression import _decompress_one
+
+                buffer = _decompress_one(buffer, "br")
+            else:
+                break
+            name = stem
+        with tarfile.open(fileobj=io.BytesIO(buffer)) as tf:
             for m in tf.getmembers():
                 if not m.isfile():
                     continue
@@ -225,23 +270,59 @@ class StaticTar:
         return None
 
 
-def _make_handler(sources: dict, base_url_holder: list, statics: list = ()):
+def _origin_allowed(origin: str, patterns) -> bool:
+    """cors.rs:29: allowed_origins are exact strings or glob patterns."""
+    from fnmatch import fnmatch
+
+    return any(origin == p or fnmatch(origin, p) for p in patterns)
+
+
+def _make_handler(sources: dict, base_url_holder: list, statics: list = (),
+                  extra_headers=None, cors=None):
+    """cors: None = permissive `*` (the no-config default), else a dict
+    {"allowed_origins": [...], "max_age_seconds": int|None} mirroring
+    CorsConfig (config/cors.rs:36-55)."""
+
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
+        def _cors_origin(self):
+            if cors is None:
+                return "*"
+            origin = self.headers.get("Origin")
+            if origin and _origin_allowed(origin, cors.get("allowed_origins", ())):
+                return origin
+            return None
+
         def _send(self, status: int, body: bytes, mime: str, extra=None):
             self.send_response(status)
-            self.send_header("Content-Type", mime)
-            self.send_header("Content-Length", str(len(body)))
-            # cors.rs: permissive GET CORS on every response
-            self.send_header("Access-Control-Allow-Origin", "*")
-            for k, v in (extra or {}).items():
-                self.send_header(k, v)
+            headers = {"Content-Type": mime, "Content-Length": str(len(body))}
+            allow = self._cors_origin()
+            if allow is not None:
+                headers["Access-Control-Allow-Origin"] = allow
+            headers.update(extra or {})
+            # config/main.rs:94: extra headers are added to EVERY
+            # response and override existing ones
+            headers.update(extra_headers or {})
+            for k, v in headers.items():
+                self.send_header(k, str(v))
             self.end_headers()
             self.wfile.write(body)
+
+        def do_OPTIONS(self):  # noqa: N802 (preflight, cors.rs)
+            allow = self._cors_origin()
+            self.send_response(204 if allow else 403)
+            if allow:
+                self.send_header("Access-Control-Allow-Origin", allow)
+                self.send_header("Access-Control-Allow-Methods", "GET, HEAD, OPTIONS")
+                if cors and cors.get("max_age_seconds"):
+                    self.send_header("Access-Control-Max-Age",
+                                     str(cors["max_age_seconds"]))
+            self.send_header("Content-Length", "0")
+            self.end_headers()
 
         def do_GET(self):  # noqa: N802 (http.server API)
             path = self.path.split("?", 1)[0].rstrip("/") or "/"
@@ -313,10 +394,13 @@ class TileServer:
     (background thread), `shutdown()` stops. Test-friendly analogue of
     tile_server.rs TileServer::start."""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 extra_response_headers=None, cors=None):
         self.host, self.port = host, port
         self.sources: dict[str, TileSource] = {}
         self.static_sources: list = []
+        self.extra_response_headers = dict(extra_response_headers or {})
+        self.cors = cors
         self._httpd = None
         self._thread = None
         self._base_url_holder = [""]
@@ -334,7 +418,9 @@ class TileServer:
 
     def start(self):
         handler = _make_handler(self.sources, self._base_url_holder,
-                                self.static_sources)
+                                self.static_sources,
+                                extra_headers=self.extra_response_headers,
+                                cors=self.cors)
         self._httpd = ThreadingHTTPServer((self.host, self.port), handler)
         self.port = self._httpd.server_address[1]
         self._base_url_holder[0] = f"http://{self.host}:{self.port}"
