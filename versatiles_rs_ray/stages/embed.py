@@ -35,74 +35,76 @@ class CosineTopKPartial:
     CHUNK = 4096  # candidate chunk: bounds the (Q, CHUNK) sim matrix
     # per task so concurrent tasks don't thrash memory bandwidth
 
+    # compact the candidate pool once it outgrows this many entries
+    POOL_LIMIT = 1 << 16
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Threshold-masked streaming top-k over negated similarities
+        (exact, deterministic) — same scheme as stages/join.KnnPartial:
+        the per-chunk argpartition profiled at ~60% of kernel time, so
+        each chunk now only computes the GEMM and one comparison
+        against the per-query kth-best score; passing candidates pool
+        up and compact via one lexsort. `<=` keeps boundary ties, so
+        the (sim desc, id asc) tie-break stays exact."""
+        from .join import _topk_runs
+
         ids = np.asarray(batch["vec_id"], dtype=np.int64)
         m = _to_matrix(batch["embedding"])
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mn = m / norms
         k = self.k
-        q_parts, id_parts, val_parts = [], [], []
+        Q = len(self.q_ids)
+        thresh = np.full(Q, np.inf)  # kth-best NEGATED similarity
+        pool_q, pool_i, pool_v = [], [], []
+        pool_n = 0
+        q_sorted = np.sort(self.q_ids)
+        q_rank = np.argsort(self.q_ids, kind="stable")
+
+        def compact():
+            nonlocal pool_q, pool_i, pool_v, pool_n
+            qidx = np.concatenate(pool_q)
+            ids_f = np.concatenate(pool_i)
+            vals_f = np.concatenate(pool_v)
+            finite = vals_f < np.inf
+            if not finite.all():
+                qidx, ids_f, vals_f = qidx[finite], ids_f[finite], vals_f[finite]
+            qs, cs, vs, starts, keep = _topk_runs(qidx, ids_f, vals_f, k)
+            pool_q, pool_i, pool_v = [qs[keep]], [cs[keep]], [vs[keep]]
+            pool_n = int(keep.sum())
+            n = len(qs)
+            run_len = np.diff(np.append(starts, n))
+            full = run_len >= k
+            thresh[qs[starts[full]]] = vs[starts[full] + k - 1]
+            return qs, cs, vs, keep
+
         for start in range(0, len(ids), self.CHUNK):
             sl = slice(start, start + self.CHUNK)
             sims = (self.qn @ mn[sl].T).astype(np.float64)  # (Q, chunk)
+            np.negative(sims, out=sims)  # minimize negated similarity
             if self.exclude_self:
-                sims[self.q_ids[:, None] == ids[None, sl]] = -np.inf
-            Q, W = sims.shape
-            kk = min(2 * k, W)
-            if kk < W:
-                part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-                pv = np.take_along_axis(sims, part, axis=1)
-                # widen to boundary ties (see stages/join.KnnPartial):
-                # keeps the (sim desc, id asc) tie-break exact even
-                # when > kk candidates share the k-th similarity; the
-                # rectangle is the fast path, widening only fires on
-                # overflowing rows
-                boundary = pv.min(axis=1)
-                over = (sims >= boundary[:, None]).sum(axis=1) > kk
-                if over.any():
-                    ok = ~over
-                    rows = np.repeat(np.flatnonzero(ok), kk)
-                    cols = part[ok].ravel()
-                    vals = pv[ok].ravel()
-                    tr = np.flatnonzero(over)
-                    r2, c2 = np.nonzero(sims[tr] >= boundary[tr, None])
-                    rows = np.concatenate([rows, tr[r2]])
-                    cols = np.concatenate([cols, c2])
-                    vals = np.concatenate([vals, sims[tr[r2], c2]])
-                else:
-                    rows = np.repeat(np.arange(Q, dtype=np.int64), kk)
-                    cols = part.ravel()
-                    vals = pv.ravel()
-            else:
-                rows = np.repeat(np.arange(Q, dtype=np.int64), W)
-                cols = np.tile(np.arange(W, dtype=np.int64), Q)
-                vals = sims.ravel()
-            q_parts.append(rows.astype(np.int64))
-            id_parts.append(ids[sl][cols])
-            val_parts.append(vals)
-        if not q_parts:
+                pos = np.searchsorted(q_sorted, ids[sl])
+                hit = np.flatnonzero(q_sorted[np.minimum(pos, Q - 1)] == ids[sl])
+                if len(hit):
+                    sims[q_rank[pos[hit]], hit] = np.inf
+            qi, ci = np.nonzero(sims <= thresh[:, None])
+            if len(qi):
+                pool_q.append(qi.astype(np.int64))
+                pool_i.append(ids[sl][ci])
+                pool_v.append(sims[qi, ci])
+                pool_n += len(qi)
+            if pool_n > self.POOL_LIMIT:
+                compact()
+        if not pool_q:
             empty64 = pa.array([], type=pa.int64())
             return pa.table({"q_id": empty64, "vec_id": empty64,
                              "sim": pa.array([], type=pa.float64())})
-        qidx = np.concatenate(q_parts)
-        ids_f = np.concatenate(id_parts)
-        vals_f = np.concatenate(val_parts)
-        finite = vals_f > -np.inf
-        qidx, ids_f, vals_f = qidx[finite], ids_f[finite], vals_f[finite]
-        order = np.lexsort((ids_f, -vals_f, qidx))
-        qs, vs, cs = qidx[order], vals_f[order], ids_f[order]
-        n = len(qs)
-        new_run = np.ones(n, dtype=bool)
-        new_run[1:] = qs[1:] != qs[:-1]
-        starts = np.flatnonzero(new_run)
-        run_start = np.repeat(starts, np.diff(np.append(starts, n)))
-        keep = (np.arange(n, dtype=np.int64) - run_start) < k
+        qs, cs, vs, keep = compact()
         return pa.table(
             {
                 "q_id": pa.array(self.q_ids[qs[keep]], type=pa.int64()),
                 "vec_id": pa.array(cs[keep], type=pa.int64()),
-                "sim": pa.array(vs[keep], type=pa.float64()),
+                "sim": pa.array(-vs[keep], type=pa.float64()),
             }
         )
 
