@@ -121,3 +121,28 @@ def test_cli_serve_subprocess(ray_session, tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_cli_convert_border_and_brotli(tmp_path):
+    """convert --bbox-border N (convert.rs:117-119) widens the filter;
+    --compress br writes brotli payloads (real codec via libbrotli)."""
+    src = str(tmp_path / "src.mbtiles")
+    _run(["vpl", "from_debug zmax=3", src])
+    plain = _run(["convert", src, str(tmp_path / "a.tar"),
+                  "--bbox", "0,0,40,20", "--max-zoom", "3"])
+    border = _run(["convert", src, str(tmp_path / "b.tar"),
+                   "--bbox", "0,0,40,20", "--max-zoom", "3", "--bbox-border", "1"])
+    assert border["written"] > plain["written"]
+
+    br = _run(["convert", src, str(tmp_path / "c.mbtiles"), "--compress", "br"])
+    assert br["written"] == 85
+    # payloads round-trip through brotli back to the original JSON
+    import sqlite3
+
+    from versatiles_rs_ray.core.compression import _decompress_one
+
+    con = sqlite3.connect(str(tmp_path / "c.mbtiles"))
+    blob = con.execute(
+        "select tile_data from tiles where zoom_level=0").fetchone()[0]
+    con.close()
+    assert json.loads(_decompress_one(bytes(blob), "br")) == {"x": 0, "y": 0, "z": 0}

@@ -174,3 +174,32 @@ def test_s2_distinct_cells_cover():
 def test_quadkey():
     assert coords.quadkey(3, 1, 2)[0] == "021"
     assert coords.quadkey(0, 0, 0)[0] == ""
+
+
+def test_bbox_expand_by_reference_goldens():
+    # tile_bbox/mutate.rs:444-447 expand_by cases (clamp, saturate, no-op)
+    from versatiles_rs_ray.core.bbox import TileBBox, TileBBoxPyramid
+
+    def bb(level, x0, y0, x1, y1):
+        return TileBBox.from_min_and_max(level, x0, y0, x1, y1)
+
+    cases = [
+        (bb(3, 1, 1, 2, 2), (1, 1, 1, 1), (0, 0, 3, 3)),
+        (bb(3, 6, 6, 7, 7), (5, 5, 5, 5), (1, 1, 7, 7)),
+        (bb(3, 2, 2, 3, 3), (0, 0, 0, 0), (2, 2, 3, 3)),
+    ]
+    for b, off, want in cases:
+        e = b.expand_by(*off)
+        assert (e.x_min, e.y_min, e.x_max, e.y_max) == want
+    # empty stays empty (mutate.rs:103)
+    empty = TileBBox.new_empty(3).expand_by(2, 2, 2, 2)
+    assert empty.is_empty
+    # pyramid border expands every level (tile_bbox_pyramid.rs:112-117)
+    p = TileBBoxPyramid.from_geo_bbox(0.0, 0.0, 40.0, 20.0, min_level=2, max_level=4)
+    before = {z: p.get(z) for z in (2, 3, 4)}
+    p.add_border(1, 1, 1, 1)
+    for z in (2, 3, 4):
+        b0, b1 = before[z], p.get(z)
+        top = (1 << z) - 1
+        assert b1.x_min == max(b0.x_min - 1, 0)
+        assert b1.y_max == min(b0.y_max + 1, top)

@@ -45,13 +45,19 @@ def cmd_convert(args):
     ds = open_container(args.input)
     if args.bbox or args.min_zoom is not None or args.max_zoom is not None:
         bbox = [float(v) for v in args.bbox.split(",")] if args.bbox else None
-        ds = filter_bbox_zoom(ds, bbox=bbox, level_min=args.min_zoom, level_max=args.max_zoom)
+        ds = filter_bbox_zoom(ds, bbox=bbox, level_min=args.min_zoom,
+                              level_max=args.max_zoom,
+                              bbox_border=args.bbox_border)
     if args.flip_y:
         ds = flip_y_ds(ds)
     if args.swap_xy:
         ds = swap_xy_ds(ds)
-    if args.compress and args.compress != "raw":
-        ds = recompress_ds(ds, "payload", "raw", args.compress)
+    src_codec = args.override_input_compression or "raw"
+    if args.compress and args.compress != src_codec:
+        ds = recompress_ds(ds, "payload", src_codec, args.compress)
+    elif args.override_input_compression and not args.compress:
+        # override without a target: normalize payloads to raw
+        ds = recompress_ds(ds, "payload", src_codec, "raw")
     rows = write_container(ds, args.output)
     print(json.dumps({"written": rows, "output": args.output}))
     ray.shutdown()
@@ -200,11 +206,15 @@ def main(argv=None):
     c.add_argument("input")
     c.add_argument("output")
     c.add_argument("--bbox", help="W,S,E,N in WGS84")
+    c.add_argument("--bbox-border", type=int,
+                   help="extra tiles around the bbox at every level")
     c.add_argument("--min-zoom", type=int)
     c.add_argument("--max-zoom", type=int)
     c.add_argument("--flip-y", action="store_true")
     c.add_argument("--swap-xy", action="store_true")
-    c.add_argument("--compress", choices=["raw", "gzip"])
+    c.add_argument("--compress", choices=["raw", "gzip", "br"])
+    c.add_argument("--override-input-compression", choices=["raw", "gzip", "br"],
+                   help="treat input payloads as this compression (convert.rs)")
     c.set_defaults(fn=cmd_convert)
 
     pr = sub.add_parser("probe", help="inspect a tile container")

@@ -105,6 +105,20 @@ class TileBBox:
             return TileBBox.new_empty(self.level)
         return TileBBox.from_min_and_max(self.level, x0, y0, x1, y1)
 
+    def expand_by(self, x_min: int, y_min: int, x_max: int, y_max: int) -> "TileBBox":
+        """Shift the box outward by per-edge offsets, clamped to level
+        bounds; empty boxes stay empty (tile_bbox/mutate.rs:102-114)."""
+        if self.is_empty:
+            return self
+        top = (1 << self.level) - 1
+        return TileBBox.from_min_and_max(
+            self.level,
+            max(self.x_min - x_min, 0),
+            max(self.y_min - y_min, 0),
+            min(self.x_max + x_max, top),
+            min(self.y_max + y_max, top),
+        )
+
     def include(self, other: "TileBBox") -> "TileBBox":
         assert self.level == other.level
         if self.is_empty:
@@ -251,6 +265,12 @@ class TileBBoxPyramid:
 
     def include_coord(self, z, x, y):
         self.level_bbox[z] = self.level_bbox[z].include_coord(x, y)
+
+    def add_border(self, x_min: int, y_min: int, x_max: int, y_max: int):
+        """Expand every level's box outward (tile_bbox_pyramid.rs:112-117;
+        the `convert --bbox-border` surface)."""
+        for z in range(MAX_LEVEL + 1):
+            self.level_bbox[z] = self.level_bbox[z].expand_by(x_min, y_min, x_max, y_max)
 
     def set_level_min(self, level):
         """Drop levels below (tile_bbox_pyramid.rs:244-246)."""

@@ -39,16 +39,22 @@ def filter_pyramid(ds, pyramid: TileBBoxPyramid):
     return ds.map_batches(PyramidFilter(pyramid), batch_format="pyarrow")
 
 
-def filter_bbox_zoom(ds, bbox=None, level_min=None, level_max=None, max_level=14):
+def filter_bbox_zoom(ds, bbox=None, level_min=None, level_max=None, max_level=14,
+                     bbox_border=None):
     """The reference's `filter bbox=[w,s,e,n] level_min= level_max=`.
 
     Builds the per-level pyramid from the WGS84 bbox exactly like
-    filter.rs:44-57 (set_level_min/max + intersect_geo_bbox).
+    filter.rs:44-57 (set_level_min/max + intersect_geo_bbox);
+    bbox_border expands each level's box by N tiles on every edge
+    (convert.rs:117-119 `--bbox-border`).
     """
     lo = level_min if level_min is not None else 0
     hi = level_max if level_max is not None else max_level
     if bbox is not None:
         pyramid = TileBBoxPyramid.from_geo_bbox(*bbox, min_level=lo, max_level=hi)
+        if bbox_border:
+            b = int(bbox_border)
+            pyramid.add_border(b, b, b, b)
     else:
         pyramid = TileBBoxPyramid.new_full(hi, lo)
     return filter_pyramid(ds, pyramid)
