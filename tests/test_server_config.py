@@ -128,3 +128,17 @@ def test_unreachable_sources(tmp_path):
         server_from_config(str(tmp_path / "bad.yml"))
     srv = server_from_config(str(tmp_path / "bad.yml"), skip_unreachable=True)
     assert srv.sources == {}
+
+
+def test_head_requests(cfg_server):
+    # HEAD answers like GET with no body (the reference's axum router
+    # handles HEAD implicitly)
+    req = urllib.request.Request(f"{cfg_server}/status", method="HEAD")
+    r = urllib.request.urlopen(req, timeout=10)
+    assert r.status == 200
+    assert r.headers["Content-Length"] == "6"  # b"ready!"
+    assert r.headers["X-Test"] == "yes"
+    assert r.read() == b""
+    req = urllib.request.Request(f"{cfg_server}/tiles/t/0/0/0", method="HEAD")
+    r = urllib.request.urlopen(req, timeout=10)
+    assert r.status == 200 and r.read() == b""

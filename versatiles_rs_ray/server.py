@@ -310,7 +310,12 @@ def _make_handler(sources: dict, base_url_holder: list, statics: list = (),
             for k, v in headers.items():
                 self.send_header(k, str(v))
             self.end_headers()
-            self.wfile.write(body)
+            if self.command != "HEAD":
+                self.wfile.write(body)
+
+        def do_HEAD(self):  # noqa: N802 — headers-only GET (the axum
+            # router in the reference answers HEAD implicitly)
+            self.do_GET()
 
         def do_OPTIONS(self):  # noqa: N802 (preflight, cors.rs)
             allow = self._cors_origin()
