@@ -136,3 +136,46 @@ def test_mvt_decode_encode_idempotent(tile):
     for l1, l2 in zip(decoded["layers"], again["layers"]):
         assert l1["name"] == l2["name"]
         assert len(l1["features"]) == len(l2["features"])
+
+
+# ---- threshold-masked streaming top-k (stages/join, stages/embed) ----
+
+@given(st.data())
+@settings(max_examples=40)
+def test_knn_partial_matches_bruteforce(data):
+    """The threshold-mask + compaction kernel must equal brute force
+    exactly, including (distance, id) tie-breaks, for any input — low
+    coordinate cardinality forces heavy distance ties."""
+    import pyarrow as pa
+
+    from versatiles_rs_ray.stages.join import KnnPartial
+
+    n = data.draw(st.integers(min_value=1, max_value=300))
+    qn = data.draw(st.integers(min_value=1, max_value=8))
+    qn = min(qn, n)
+    k = data.draw(st.integers(min_value=1, max_value=6))
+    card = data.draw(st.sampled_from([2, 3, 100]))
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    # tiny CHUNK/POOL exercise the compaction paths on small inputs
+    c_id = rng.permutation(n).astype(np.int64)
+    c_lon = rng.integers(0, card, n).astype(np.float64)
+    c_lat = rng.integers(0, card, n).astype(np.float64)
+    q_ids = rng.choice(n, qn, replace=False).astype(np.int64)
+    q_lon = rng.integers(0, card, qn).astype(np.float64)
+    q_lat = rng.integers(0, card, qn).astype(np.float64)
+    kp = KnnPartial(q_ids, q_lon, q_lat, k=k)
+    kp.CHUNK = data.draw(st.sampled_from([3, 7, 64]))
+    kp.POOL_LIMIT = data.draw(st.sampled_from([4, 50, 1 << 16]))
+    out = kp(pa.table({"doc_num": pa.array(c_id), "lon": pa.array(c_lon),
+                       "lat": pa.array(c_lat)}))
+    got = sorted(zip(out["q_doc"].to_pylist(), out["d2"].to_pylist(),
+                     out["n_doc"].to_pylist()))
+    want = []
+    for qi in range(qn):
+        d2 = (q_lon[qi] - c_lon) ** 2 + (q_lat[qi] - c_lat) ** 2
+        d2 = np.where(c_id == q_ids[qi], np.inf, d2)
+        order = np.lexsort((c_id, d2))
+        for j in order[:k]:
+            if np.isfinite(d2[j]):
+                want.append((int(q_ids[qi]), float(d2[j]), int(c_id[j])))
+    assert got == sorted(want)
