@@ -304,3 +304,29 @@ def test_ngram_max_df_drops_hot_grams(ray_session):
         rd.from_arrow(t), k=8, threshold=0.01, num_buckets=4, max_df=3
     ).to_pandas()
     assert len(cut) == 0  # the only shared gram was hot -> dropped
+
+
+def test_quota_per_key(ray_session):
+    """Per-key quota: first n by order within each key, deterministic,
+    exchange-shaped (no Ray groupby). Includes a heavily skewed key."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.curate import quota_per_key
+
+    rows = []
+    for i in range(500):
+        rows.append({"doc_id": i, "source": "hot"})  # skewed key
+    for i in range(3):
+        rows.append({"doc_id": 1000 + i, "source": "cold"})
+    rows.append({"doc_id": 2000, "source": "single"})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = quota_per_key(ds, "source", "doc_id", 4).to_pandas()
+    by = {k: sorted(g.doc_id) for k, g in out.groupby("source")}
+    assert by == {"hot": [0, 1, 2, 3], "cold": [1000, 1001, 1002],
+                  "single": [2000]}
+    # string order column path
+    rows2 = [{"k": "a", "o": f"x{j:02d}"} for j in range(9, -1, -1)]
+    ds2 = rd.from_arrow(pa.Table.from_pylist(rows2))
+    out2 = quota_per_key(ds2, "k", "o", 2).to_pandas()
+    assert sorted(out2.o) == ["x00", "x01"]

@@ -240,6 +240,33 @@ def q_dedup_exact(sf_dir):
     return dedup.dedup_exact(_docs(sf_dir))
 
 
+QUOTA_N = 5
+
+
+def q_source_quota(sf_dir):
+    """Per-source quota curation (keep first 5 docs per source by
+    doc_id) — the anti-domination step of web-corpus curation, as ONE
+    hash exchange + vectorized rank<n (stages/curate.py). Columns are
+    pruned at the read."""
+    import ray.data as rd
+
+    from .stages.curate import quota_per_key
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    return quota_per_key(ds, "source", "doc_id", QUOTA_N)
+
+
+def _oracle_source_quota():
+    return (
+        "SELECT doc_id, source FROM ("
+        "  SELECT doc_id, source,"
+        "         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn"
+        "  FROM documents"
+        f") WHERE rn <= {QUOTA_N}"
+    )
+
+
 NGRAM_K = 12
 NGRAM_TAU = 0.5
 
@@ -1387,6 +1414,7 @@ QUERIES = {
     "knn_join": q_knn_join,
     "knn_grouped": q_knn_grouped,
     "dedup_exact": q_dedup_exact,
+    "source_quota": q_source_quota,
     "ngram_jaccard": q_ngram_jaccard,
     "token_stats": q_token_stats,
     "bpe_tokens": q_bpe_tokens,
@@ -1439,6 +1467,7 @@ ORACLES = {
     "knn_join": _oracle_knn_join(),
     "knn_grouped": _oracle_knn_grouped(),
     "dedup_exact": _oracle_dedup_exact(),
+    "source_quota": _oracle_source_quota(),
     "ngram_jaccard": _oracle_ngram_jaccard(),
     "token_stats": _oracle_token_stats(),
     "bpe_tokens": _oracle_bpe_tokens(),

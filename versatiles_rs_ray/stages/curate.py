@@ -1,0 +1,84 @@
+"""Corpus curation operators for training-data pipelines.
+
+`quota_per_key` caps how many documents any one key (source domain,
+site, shard) may contribute — the standard anti-domination step in
+web-corpus curation (keep at most N docs per domain, deterministic).
+Scale shape: ONE hash exchange on the key (map-side routing, no Ray
+groupby), then a vectorized lexsort + rank<N per run inside each
+partition — the same first-of-run machinery as the dedup pair paths
+(VERDICT round-1 prescription; stages/exchange.py streaming exchange).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .exchange import hash_exchange
+
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _hash_strings(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic int64 routing hash for a string column.
+
+    Dictionary-encodes first so the Python-level FNV runs once per
+    DISTINCT key (domains are few; rows are many), then gathers.
+    """
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    enc = arr.dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
+    h = np.empty(len(uniq), dtype=np.uint64)
+    for i, s in enumerate(uniq):
+        acc = _FNV_OFFSET
+        for byte in (s or "").encode():
+            acc = (acc ^ np.uint64(byte)) * _FNV_PRIME
+        h[i] = acc
+    idx = np.asarray(enc.indices, dtype=np.int64)
+    return (h[idx] & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+
+
+def _add_route(batch: pa.Table, key_col: str) -> pa.Table:
+    return batch.append_column("_route", pa.array(_hash_strings(batch[key_col]),
+                                                  type=pa.int64()))
+
+
+def _first_n_per_key(table: pa.Table, key_col: str, order_col: str, n: int) -> pa.Table:
+    """Vectorized rank<n per key: one lexsort by (key, order), run
+    detection, positional mask — no per-group Python."""
+    keys = np.asarray(table[key_col].combine_chunks().dictionary_encode().indices,
+                      dtype=np.int64)
+    # dictionary codes are per-table arbitrary, but runs only need
+    # EQUALITY grouping; ordering inside a run uses order_col
+    order_vals = table[order_col].combine_chunks()
+    if pa.types.is_string(order_vals.type) or pa.types.is_large_string(order_vals.type):
+        order_np = np.asarray(order_vals.to_pylist(), dtype=object)
+    else:
+        order_np = np.asarray(order_vals)
+    pos = np.lexsort((order_np, keys))
+    ks = keys[pos]
+    m = len(ks)
+    new_run = np.ones(m, dtype=bool)
+    new_run[1:] = ks[1:] != ks[:-1]
+    starts = np.flatnonzero(new_run)
+    run_start = np.repeat(starts, np.diff(np.append(starts, m)))
+    keep = (np.arange(m, dtype=np.int64) - run_start) < n
+    return table.take(pa.array(pos[keep], type=pa.int64()))
+
+
+def quota_per_key(ds, key_col: str, order_col: str, n: int, num_partitions: int = 64):
+    """Keep at most ``n`` rows per distinct ``key_col`` value, chosen
+    deterministically as the first ``n`` by ``order_col``.
+
+    Equivalent SQL: ``row_number() OVER (PARTITION BY key ORDER BY
+    order_col) <= n`` — the oracle for the `source_quota` query.
+    """
+    import functools
+
+    routed = ds.map_batches(functools.partial(_add_route, key_col=key_col),
+                            batch_format="pyarrow")
+    combine = functools.partial(_first_n_per_key, key_col=key_col,
+                                order_col=order_col, n=n)
+    out = hash_exchange(routed, "_route", combine, num_partitions=num_partitions)
+    return out.drop_columns(["_route"])
