@@ -185,3 +185,42 @@ def test_ivf_fixed_matches_pruned_bruteforce(ray_session, sf_dir):
     ref = pd.DataFrame(rows, columns=["q_id", "vec_id", "rank"]).sort_values(
         ["q_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype("int64"), ref.astype("int64"))
+
+
+def test_label_centroids_exact(ray_session):
+    """Quantized-sum centroids equal a direct float mean to ~1e-12 and
+    are summation-order-independent (the property the oracle needs)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.embed import label_centroids
+
+    rng = np.random.default_rng(5)
+    n, dim = 200, 8
+    emb = (rng.integers(-2**20, 2**20, (n, dim)) / 2**21).astype(np.float32)
+    labels = rng.integers(0, 3, n).astype(np.int32)
+    t = pa.table({"label": pa.array(labels),
+                  "embedding": pa.array(list(emb), type=pa.list_(pa.float32()))})
+    out = label_centroids(rd.from_arrow(t).repartition(7)).to_pandas()
+    for lbl in np.unique(labels):
+        want = emb[labels == lbl].astype(np.float64).mean(axis=0)
+        got = out[out.label == lbl].sort_values("dim").centroid.to_numpy()
+        assert np.allclose(got, want, atol=1e-12)
+        assert (out[out.label == lbl].n == (labels == lbl).sum()).all()
+
+
+def test_systematic_sample_deterministic(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.curate import systematic_sample
+
+    ids = np.arange(4000, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    a = sorted(systematic_sample(ds, "doc_id", 0.3).to_pandas().doc_id)
+    b = sorted(systematic_sample(ds.repartition(13), "doc_id", 0.3).to_pandas().doc_id)
+    assert a == b  # partitioning-independent
+    assert 0.25 < len(a) / len(ids) < 0.35  # ~rate
+    # monotone: raising the rate only ADDS rows (nested samples)
+    c = set(systematic_sample(ds, "doc_id", 0.6).to_pandas().doc_id)
+    assert set(a) <= c

@@ -267,6 +267,31 @@ def _oracle_source_quota():
     )
 
 
+SAMPLE_RATE = 0.25
+
+
+def q_docs_sample(sf_dir):
+    """Deterministic systematic sampling (id-keyed multiplicative hash):
+    reproducible across runs/cluster sizes — pure map, no shuffle."""
+    import ray.data as rd
+
+    from .stages.curate import systematic_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"])
+    return systematic_sample(ds, "doc_id", SAMPLE_RATE)
+
+
+def _oracle_docs_sample():
+    from .stages.curate import _SAMPLE_MOD, _SAMPLE_MULT
+
+    cut = int(SAMPLE_RATE * _SAMPLE_MOD)
+    return (
+        "SELECT doc_id, source, n_chars FROM documents "
+        f"WHERE (doc_id * {_SAMPLE_MULT}) % {_SAMPLE_MOD} < {cut}"
+    )
+
+
 NGRAM_K = 12
 NGRAM_TAU = 0.5
 
@@ -391,6 +416,30 @@ def q_embedding_topk(sf_dir):
     q_mask = np.isin(vid, np.asarray(TOPK_QUERY_IDS))
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return embed.cosine_topk(ds, vid[q_mask], emb[q_mask], TOPK_K)
+
+
+def q_label_centroids(sf_dir):
+    """Per-label mean embedding (classifier prototypes): pre-aggregated
+    combiner per batch, tiny driver merge; integer-quantized sums make
+    the float centroids bit-exact vs the SQL oracle."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+    return embed.label_centroids(ds)
+
+
+def _oracle_label_centroids():
+    s = float(embed.CENTROID_SCALE)
+    return (
+        "SELECT label::BIGINT AS label, i AS dim, "
+        f"  CAST(SUM(CAST(round(embedding[i + 1] * {s:.1f}) AS BIGINT)) AS DOUBLE)"
+        f"    / (COUNT(*) * {s:.1f}) AS centroid, "
+        "  COUNT(*) AS n "
+        "FROM embeddings, (SELECT unnest(range(CAST((SELECT max(len(embedding)) "
+        "  FROM embeddings) AS BIGINT))) AS i) dims "
+        "GROUP BY label, i"
+    )
 
 
 def q_debug_tiles(sf_dir):
@@ -1415,6 +1464,8 @@ QUERIES = {
     "knn_grouped": q_knn_grouped,
     "dedup_exact": q_dedup_exact,
     "source_quota": q_source_quota,
+    "label_centroids": q_label_centroids,
+    "docs_sample": q_docs_sample,
     "ngram_jaccard": q_ngram_jaccard,
     "token_stats": q_token_stats,
     "bpe_tokens": q_bpe_tokens,
@@ -1468,6 +1519,8 @@ ORACLES = {
     "knn_grouped": _oracle_knn_grouped(),
     "dedup_exact": _oracle_dedup_exact(),
     "source_quota": _oracle_source_quota(),
+    "label_centroids": _oracle_label_centroids(),
+    "docs_sample": _oracle_docs_sample(),
     "ngram_jaccard": _oracle_ngram_jaccard(),
     "token_stats": _oracle_token_stats(),
     "bpe_tokens": _oracle_bpe_tokens(),

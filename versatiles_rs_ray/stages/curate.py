@@ -82,3 +82,32 @@ def quota_per_key(ds, key_col: str, order_col: str, n: int, num_partitions: int 
                                 order_col=order_col, n=n)
     out = hash_exchange(routed, "_route", combine, num_partitions=num_partitions)
     return out.drop_columns(["_route"])
+
+
+# Knuth multiplicative hash constant (2^32 / phi) — reproducible in
+# ANSI SQL with plain bigint arithmetic, which is the whole point
+_SAMPLE_MULT = 2654435761
+_SAMPLE_MOD = 1 << 32
+
+
+def _sample_batch(batch: pa.Table, id_col: str, rate: float) -> pa.Table:
+    ids = np.asarray(batch[id_col], dtype=np.int64)
+    bucket = (ids * _SAMPLE_MULT) % _SAMPLE_MOD
+    return batch.filter(pa.array(bucket < int(rate * _SAMPLE_MOD)))
+
+
+def systematic_sample(ds, id_col: str, rate: float):
+    """Deterministic ~``rate`` sampling keyed on a numeric id column.
+
+    Each row's fate depends only on its id (Knuth multiplicative hash
+    mod 2^32 < rate*2^32): reproducible across runs, cluster sizes and
+    engines — the property random sampling lacks for resumable 100-TB
+    curation runs. Embarrassingly parallel (pure map, no shuffle).
+    Equivalent SQL: ``(id * 2654435761) % 4294967296 < rate * 2^32``.
+    """
+    import functools
+
+    return ds.map_batches(
+        functools.partial(_sample_batch, id_col=id_col, rate=rate),
+        batch_format="pyarrow",
+    )

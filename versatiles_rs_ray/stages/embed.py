@@ -402,3 +402,57 @@ def ivf_topk(embeddings_ds, q_ids, q_matrix, k, dim, n_centroids=16, nprobe=4,
 
     filtered = ivf_assign(embeddings_ds, cn).map_batches(keep_cells, batch_format="pyarrow")
     return cosine_topk(filtered, q_ids, q_matrix, k)
+
+
+# ---- per-label centroids (classifier prototypes) ------------------------
+
+# Quantization scale for ORDER-INDEPENDENT exact centroid sums: float32
+# inputs are dyadic rationals, and every |v| >= 2^-22 times 2^45 is an
+# exact int64, so partial sums commute bit-exactly with any grouping —
+# including DuckDB's (the oracle). 2^45 * rows_per_label must stay
+# under 2^63: exact to ~2^17 rows per label end-to-end (the driver
+# combine stays int64). Beyond that, shrink the scale or switch the
+# combine to python ints; the oracle bound is the same.
+CENTROID_SCALE = 1 << 45
+
+
+def _label_centroid_partial(batch: pa.Table) -> pa.Table:
+    m = _to_matrix(batch["embedding"]).astype(np.float64)
+    q = np.rint(m * CENTROID_SCALE).astype(np.int64)
+    labels = np.asarray(batch["label"], dtype=np.int64)
+    order = np.argsort(labels, kind="stable")
+    ls = labels[order]
+    starts = np.flatnonzero(np.r_[True, ls[1:] != ls[:-1]])
+    sums = np.add.reduceat(q[order], starts, axis=0)  # (L, dim)
+    counts = np.diff(np.append(starts, len(ls)))
+    L, dim = sums.shape
+    return pa.table({
+        "label": pa.array(np.repeat(ls[starts], dim), type=pa.int64()),
+        "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), L)),
+        "qsum": pa.array(sums.ravel(), type=pa.int64()),
+        "n": pa.array(np.repeat(counts, dim), type=pa.int64()),
+    })
+
+
+def label_centroids(embeddings_ds) -> pa.Table:
+    """Per-label mean embedding (one row per (label, dim)).
+
+    Combiner shape: each batch emits L x dim partial rows (tiny), the
+    driver merges the partials — a classic pre-aggregated global
+    aggregate, no shuffle. The quantized integer sums make the result
+    BIT-EXACT and summation-order-independent, so the DuckDB oracle
+    (same quantization in SQL) matches by hash.
+    """
+    parts = embeddings_ds.map_batches(
+        _label_centroid_partial, batch_format="pyarrow"
+    ).to_pandas()
+    agg = parts.groupby(["label", "dim"], sort=True).agg(
+        qsum=("qsum", "sum"), n=("n", "sum")).reset_index()
+    centroid = agg["qsum"].to_numpy(dtype=np.float64) / (
+        agg["n"].to_numpy(dtype=np.float64) * float(CENTROID_SCALE))
+    return pa.table({
+        "label": pa.array(agg["label"].to_numpy(), type=pa.int64()),
+        "dim": pa.array(agg["dim"].to_numpy(), type=pa.int64()),
+        "centroid": pa.array(centroid, type=pa.float64()),
+        "n": pa.array(agg["n"].to_numpy(), type=pa.int64()),
+    })
