@@ -380,6 +380,25 @@ def q_events_window(sf_dir):
     return window.tumbling_window(ev)
 
 
+def q_props_stats(sf_dir):
+    """Integer-field stats out of the JSON event payload, per
+    event_type (vectorized Arrow regex extract, combiner partials)."""
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+    return window.props_field_stats(ev, "k")
+
+
+def _oracle_props_stats():
+    k = "CAST(json_extract(props, '$.k') AS BIGINT)"
+    return (
+        f"SELECT event_type, COUNT(*) AS n, CAST(SUM({k}) AS BIGINT) AS sum_v, "
+        f"MAX({k}) AS max_v FROM events WHERE {k} IS NOT NULL "
+        "GROUP BY event_type"
+    )
+
+
 def q_media_refs(sf_dir):
     from ray.data.aggregate import Sum
 
@@ -1466,6 +1485,7 @@ QUERIES = {
     "source_quota": q_source_quota,
     "label_centroids": q_label_centroids,
     "docs_sample": q_docs_sample,
+    "props_stats": q_props_stats,
     "ngram_jaccard": q_ngram_jaccard,
     "token_stats": q_token_stats,
     "bpe_tokens": q_bpe_tokens,
@@ -1521,6 +1541,7 @@ ORACLES = {
     "source_quota": _oracle_source_quota(),
     "label_centroids": _oracle_label_centroids(),
     "docs_sample": _oracle_docs_sample(),
+    "props_stats": _oracle_props_stats(),
     "ngram_jaccard": _oracle_ngram_jaccard(),
     "token_stats": _oracle_token_stats(),
     "bpe_tokens": _oracle_bpe_tokens(),

@@ -142,3 +142,51 @@ def tumbling_window(events_ds, window_s=WINDOW_S):
         Min("min_cents", alias_name="min_cents"),
         Max("max_cents", alias_name="max_cents"),
     )
+
+
+# ---- JSON props extraction (event-payload field stats) -------------------
+
+
+def _props_partial(batch: pa.Table, field: str) -> pa.Table:
+    """Per-batch combiner: extract an integer field from the JSON
+    `props` column with a VECTORIZED Arrow regex (no per-row
+    json.loads in the hot path — the fields the pipeline needs are
+    named up front, so a targeted extract beats a full parse), then
+    pre-aggregate per event_type."""
+    import pyarrow.compute as pc
+
+    ex = pc.extract_regex(batch["props"], f'"{field}":\\s*(?P<v>-?\\d+)')
+    valid = ex.is_valid()
+    v = pc.cast(pc.struct_field(ex.combine_chunks() if isinstance(ex, pa.ChunkedArray) else ex, "v"), pa.int64())
+    t = pa.table({"event_type": batch["event_type"], "v": v}).filter(valid)
+    et = t["event_type"].combine_chunks().dictionary_encode()
+    codes = np.asarray(et.indices, dtype=np.int64)
+    vals = np.asarray(t["v"], dtype=np.int64)
+    order = np.argsort(codes, kind="stable")
+    cs = codes[order]
+    starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+    sums = np.add.reduceat(vals[order], starts)
+    maxs = np.maximum.reduceat(vals[order], starts)
+    counts = np.diff(np.append(starts, len(cs)))
+    names = et.dictionary.take(pa.array(cs[starts], type=pa.int64()))
+    return pa.table({
+        "event_type": names,
+        "n": pa.array(counts, type=pa.int64()),
+        "sum_v": pa.array(sums, type=pa.int64()),
+        "max_v": pa.array(maxs, type=pa.int64()),
+    })
+
+
+def props_field_stats(events_ds, field: str = "k") -> pa.Table:
+    """Per-event_type stats over an integer field inside the JSON
+    `props` payload: vectorized extract + per-batch partials + tiny
+    driver merge (event types are few). Integer sums — exact."""
+    import functools
+
+    parts = events_ds.map_batches(
+        functools.partial(_props_partial, field=field), batch_format="pyarrow"
+    ).to_pandas()
+    agg = parts.groupby("event_type", sort=True).agg(
+        n=("n", "sum"), sum_v=("sum_v", "sum"), max_v=("max_v", "max")
+    ).reset_index()
+    return pa.Table.from_pandas(agg, preserve_index=False)
