@@ -142,3 +142,46 @@ def test_head_requests(cfg_server):
     req = urllib.request.Request(f"{cfg_server}/tiles/t/0/0/0", method="HEAD")
     r = urllib.request.urlopen(req, timeout=10)
     assert r.status == 200 and r.read() == b""
+
+
+def test_disable_api_and_recompression(tmp_path, ray_session):
+    import gzip as _gz
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.sources.tiles_io import write_mbtiles
+
+    ds = rd.from_arrow(pa.table({
+        "z": pa.array([0], pa.int64()), "x": pa.array([0], pa.int64()),
+        "y": pa.array([0], pa.int64()),
+        "payload": pa.array([b'{"hello": 1}'], pa.binary())}))
+    write_mbtiles(ds, str(tmp_path / "t.mbtiles"))
+    (tmp_path / "api_off.yml").write_text(f"""
+server:
+  ip: 127.0.0.1
+  port: 0
+  disable_api: true
+tiles:
+  - name: t
+    path: {tmp_path}/t.mbtiles
+""")
+    srv = server_from_config(str(tmp_path / "api_off.yml"))
+    url = srv.start()
+    try:
+        # API endpoints 404 (server.rs:58 disable_api)
+        for ep in ("/tiles/index.json", "/tiles/t/tiles.json"):
+            try:
+                _get(f"{url}{ep}")
+                raise AssertionError("expected 404")
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        # tiles still served; identity client untouched
+        assert json.loads(_get(f"{url}/tiles/t/0/0/0").read()) == {"hello": 1}
+        # config default minimal_recompression=false -> gzip for
+        # accepting clients (server.rs:52 best-accepted-encoding)
+        r = _get(f"{url}/tiles/t/0/0/0", {"Accept-Encoding": "gzip"})
+        assert r.headers["Content-Encoding"] == "gzip"
+        assert json.loads(_gz.decompress(r.read())) == {"hello": 1}
+    finally:
+        srv.shutdown()

@@ -138,19 +138,23 @@ def cmd_serve(args):
 
     from versatiles_rs_ray.server import TileServer
 
+    if not args.sources and not getattr(args, "config", None):
+        raise SystemExit("serve: need at least one SOURCE or --config")
     if getattr(args, "config", None):
         from versatiles_rs_ray.config import server_from_config
 
         srv = server_from_config(args.config,
                                  skip_unreachable=args.skip_unreachable)
-        # CLI host/port (when explicitly given) override the config,
-        # matching the reference's CLI-wins precedence (tools/serve.rs)
-        if args.host != "127.0.0.1":
+        # CLI host/port override the config only when EXPLICITLY given
+        # (defaults are None here so passing the default value still
+        # counts as explicit) — the reference's CLI-wins precedence
+        if args.host is not None:
             srv.host = args.host
-        if args.port != 8080:
+        if args.port is not None:
             srv.port = args.port
     else:
-        srv = TileServer(host=args.host, port=args.port)
+        srv = TileServer(host=args.host if args.host is not None else "127.0.0.1",
+                         port=args.port if args.port is not None else 8080)
     for spec in args.sources:
         if "=" in spec:
             name, path = spec.split("=", 1)
@@ -246,8 +250,8 @@ def main(argv=None):
 
     s = sub.add_parser("serve", help="serve containers over HTTP")
     s.add_argument("sources", nargs="*", help="container paths (or name=path)")
-    s.add_argument("--host", default="127.0.0.1")
-    s.add_argument("--port", type=int, default=8080)
+    s.add_argument("--host", default=None, help="default 127.0.0.1 (or config ip)")
+    s.add_argument("--port", type=int, default=None, help="default 8080 (or config port)")
     s.add_argument("--static", action="append",
                    help="static mount: PREFIX=PATH (folder or tar), repeatable")
     s.add_argument("--config", help="YAML server config (config/main.rs surface)")

@@ -62,8 +62,9 @@ def load_server_config(path: str) -> dict:
     for t in raw.get("tiles") or []:
         p = resolve(t["path"])
         name = t.get("name")
-        if not name:  # tile_source.rs: name defaults to the file stem
-            name = os.path.basename(p).split(".", 1)[0]
+        if not name:  # tile_source.rs: name defaults to the file STEM
+            # (last-dot split, like Path::file_stem and cmd_serve)
+            name = os.path.basename(p).rsplit(".", 1)[0]
         cfg["tiles"].append({"name": str(name), "path": p})
     return cfg
 
@@ -84,6 +85,8 @@ def server_from_config(path: str, *, skip_unreachable: bool = False):
         port=cfg["server"]["port"],
         extra_response_headers=cfg["extra_response_headers"],
         cors=cfg["cors"],
+        disable_api=cfg["server"]["disable_api"],
+        minimal_recompression=cfg["server"]["minimal_recompression"],
     )
     for t in cfg["tiles"]:
         try:

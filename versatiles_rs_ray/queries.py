@@ -288,7 +288,7 @@ def _oracle_docs_sample():
     cut = int(SAMPLE_RATE * _SAMPLE_MOD)
     return (
         "SELECT doc_id, source, n_chars FROM documents "
-        f"WHERE (doc_id * {_SAMPLE_MULT}) % {_SAMPLE_MOD} < {cut}"
+        f"WHERE (doc_id::HUGEINT * {_SAMPLE_MULT}) % {_SAMPLE_MOD} < {cut}"
     )
 
 
@@ -391,10 +391,15 @@ def q_props_stats(sf_dir):
 
 
 def _oracle_props_stats():
-    k = "CAST(json_extract(props, '$.k') AS BIGINT)"
+    # Same targeted-regex extraction CONTRACT as the engine (flat JSON
+    # objects with primitive values — stages/window.props_field_stats
+    # documents the approximation): first `"k": <int>` occurrence.
+    # json_extract would differ on adversarial nested/string payloads.
+    k = r"CAST(regexp_extract(props, '\"k\":\s*(-?\d+)', 1) AS BIGINT)"
     return (
         f"SELECT event_type, COUNT(*) AS n, CAST(SUM({k}) AS BIGINT) AS sum_v, "
-        f"MAX({k}) AS max_v FROM events WHERE {k} IS NOT NULL "
+        f"MAX({k}) AS max_v FROM events "
+        f"WHERE regexp_extract(props, '\"k\":\\s*(-?\\d+)', 1) <> '' "
         "GROUP BY event_type"
     )
 

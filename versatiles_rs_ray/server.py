@@ -278,10 +278,16 @@ def _origin_allowed(origin: str, patterns) -> bool:
 
 
 def _make_handler(sources: dict, base_url_holder: list, statics: list = (),
-                  extra_headers=None, cors=None):
+                  extra_headers=None, cors=None, disable_api=False,
+                  minimal_recompression=False):
     """cors: None = permissive `*` (the no-config default), else a dict
     {"allowed_origins": [...], "max_age_seconds": int|None} mirroring
-    CorsConfig (config/cors.rs:36-55)."""
+    CorsConfig (config/cors.rs:36-55). disable_api suppresses the JSON
+    API endpoints (index/tilejson — server.rs:58); when
+    minimal_recompression is False the server recompresses identity
+    tile payloads to gzip for clients that accept it (server.rs:52:
+    the reference recompresses to the best accepted encoding unless
+    told to do minimal work)."""
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -326,6 +332,9 @@ def _make_handler(sources: dict, base_url_holder: list, statics: list = (),
                 if cors and cors.get("max_age_seconds"):
                     self.send_header("Access-Control-Max-Age",
                                      str(cors["max_age_seconds"]))
+            # extra headers go on EVERY response, preflight included
+            for k, v in (extra_headers or {}).items():
+                self.send_header(k, str(v))
             self.send_header("Content-Length", "0")
             self.end_headers()
 
@@ -334,6 +343,8 @@ def _make_handler(sources: dict, base_url_holder: list, statics: list = (),
             if path == "/status":
                 return self._send(200, b"ready!", "text/plain")
             if path == "/tiles/index.json":
+                if disable_api:
+                    return self._send(404, b"api disabled", "text/plain")
                 body = json.dumps(sorted(sources)).encode()
                 return self._send(200, body, "application/json")
             parts = [p for p in path.split("/") if p]
@@ -341,6 +352,8 @@ def _make_handler(sources: dict, base_url_holder: list, statics: list = (),
                 src = sources[parts[1]]
                 rest = parts[2:]
                 if rest in (["tiles.json"], ["meta.json"]):
+                    if disable_api:
+                        return self._send(404, b"api disabled", "text/plain")
                     base = base_url_holder[0]
                     body = json.dumps(src.tilejson(base)).encode()
                     return self._send(200, body, "application/json")
@@ -377,6 +390,12 @@ def _make_handler(sources: dict, base_url_holder: list, statics: list = (),
                         mime = _sniff_mime(
                             _decode_variant(payload, enc) if enc else payload, None
                         )
+                    if (enc is None and not minimal_recompression
+                            and "gzip" in _accept_encodings(self.headers)):
+                        # best-accepted-encoding recompression
+                        # (server.rs:52 semantics; sniff BEFORE encoding)
+                        payload = gzip.compress(payload, 6, mtime=0)
+                        extra["Content-Encoding"] = "gzip"
                     return self._send(200, payload, mime, extra)
             accept = _accept_encodings(self.headers)
             raw_path = self.path.split("?", 1)[0]
@@ -400,12 +419,19 @@ class TileServer:
     tile_server.rs TileServer::start."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
-                 extra_response_headers=None, cors=None):
+                 extra_response_headers=None, cors=None,
+                 disable_api: bool = False,
+                 minimal_recompression: bool = True):
+        # minimal_recompression defaults True here (serve stored bytes
+        # as-is); the YAML config path applies the reference's default
+        # (False = recompress to best accepted encoding, server.rs:52)
         self.host, self.port = host, port
         self.sources: dict[str, TileSource] = {}
         self.static_sources: list = []
         self.extra_response_headers = dict(extra_response_headers or {})
         self.cors = cors
+        self.disable_api = disable_api
+        self.minimal_recompression = minimal_recompression
         self._httpd = None
         self._thread = None
         self._base_url_holder = [""]
@@ -425,7 +451,9 @@ class TileServer:
         handler = _make_handler(self.sources, self._base_url_holder,
                                 self.static_sources,
                                 extra_headers=self.extra_response_headers,
-                                cors=self.cors)
+                                cors=self.cors,
+                                disable_api=self.disable_api,
+                                minimal_recompression=self.minimal_recompression)
         self._httpd = ThreadingHTTPServer((self.host, self.port), handler)
         self.port = self._httpd.server_address[1]
         self._base_url_holder[0] = f"http://{self.host}:{self.port}"

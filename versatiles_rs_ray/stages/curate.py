@@ -92,18 +92,25 @@ _SAMPLE_MOD = 1 << 32
 
 def _sample_batch(batch: pa.Table, id_col: str, rate: float) -> pa.Table:
     ids = np.asarray(batch[id_col], dtype=np.int64)
-    bucket = (ids * _SAMPLE_MULT) % _SAMPLE_MOD
-    return batch.filter(pa.array(bucket < int(rate * _SAMPLE_MOD)))
+    if len(ids) and ids.min() < 0:
+        raise ValueError("systematic_sample requires non-negative ids")
+    # uint64 wrap-around IS arithmetic mod 2^64, and
+    # (id * M) mod 2^32 == ((id mod 2^64) * M mod 2^64) mod 2^32,
+    # so this stays exact for the whole non-negative int64 id range
+    bucket = (ids.astype(np.uint64) * np.uint64(_SAMPLE_MULT)) % np.uint64(_SAMPLE_MOD)
+    return batch.filter(pa.array(bucket < np.uint64(int(rate * _SAMPLE_MOD))))
 
 
 def systematic_sample(ds, id_col: str, rate: float):
-    """Deterministic ~``rate`` sampling keyed on a numeric id column.
+    """Deterministic ~``rate`` sampling keyed on a NON-NEGATIVE numeric
+    id column.
 
     Each row's fate depends only on its id (Knuth multiplicative hash
     mod 2^32 < rate*2^32): reproducible across runs, cluster sizes and
     engines — the property random sampling lacks for resumable 100-TB
     curation runs. Embarrassingly parallel (pure map, no shuffle).
-    Equivalent SQL: ``(id * 2654435761) % 4294967296 < rate * 2^32``.
+    Equivalent SQL (HUGEINT avoids BIGINT overflow at large ids):
+    ``(id::HUGEINT * 2654435761) % 4294967296 < rate * 2^32``.
     """
     import functools
 

@@ -82,7 +82,7 @@ class CosineTopKPartial:
             sl = slice(start, start + self.CHUNK)
             sims = (self.qn @ mn[sl].T).astype(np.float64)  # (Q, chunk)
             np.negative(sims, out=sims)  # minimize negated similarity
-            if self.exclude_self:
+            if self.exclude_self and Q:
                 pos = np.searchsorted(q_sorted, ids[sl])
                 hit = np.flatnonzero(q_sorted[np.minimum(pos, Q - 1)] == ids[sl])
                 if len(hit):
@@ -417,6 +417,9 @@ CENTROID_SCALE = 1 << 45
 
 
 def _label_centroid_partial(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0:  # Ray Data emits empty blocks for empty inputs
+        e64 = pa.array([], type=pa.int64())
+        return pa.table({"label": e64, "dim": e64, "qsum": e64, "n": e64})
     m = _to_matrix(batch["embedding"]).astype(np.float64)
     q = np.rint(m * CENTROID_SCALE).astype(np.int64)
     labels = np.asarray(batch["label"], dtype=np.int64)

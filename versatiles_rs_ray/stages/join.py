@@ -166,7 +166,7 @@ class KnnPartial:
             np.subtract(self.q_lat[:, None], c_lat[None, sl], out=b)
             np.multiply(b, b, out=b)
             d2 = np.add(a, b, out=a)  # (Q, W)
-            if self.exclude_self:
+            if self.exclude_self and Q:
                 pos = np.searchsorted(q_sorted, c_id[sl])
                 hit = np.flatnonzero(q_sorted[np.minimum(pos, Q - 1)] == c_id[sl])
                 if len(hit):

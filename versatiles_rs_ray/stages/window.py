@@ -155,10 +155,18 @@ def _props_partial(batch: pa.Table, field: str) -> pa.Table:
     pre-aggregate per event_type."""
     import pyarrow.compute as pc
 
+    empty = pa.table({
+        "event_type": pa.array([], type=pa.string()),
+        "n": pa.array([], type=pa.int64()),
+        "sum_v": pa.array([], type=pa.int64()),
+        "max_v": pa.array([], type=pa.int64()),
+    })
     ex = pc.extract_regex(batch["props"], f'"{field}":\\s*(?P<v>-?\\d+)')
     valid = ex.is_valid()
     v = pc.cast(pc.struct_field(ex.combine_chunks() if isinstance(ex, pa.ChunkedArray) else ex, "v"), pa.int64())
     t = pa.table({"event_type": batch["event_type"], "v": v}).filter(valid)
+    if t.num_rows == 0:  # no row carries the field: empty partial
+        return empty
     et = t["event_type"].combine_chunks().dictionary_encode()
     codes = np.asarray(et.indices, dtype=np.int64)
     vals = np.asarray(t["v"], dtype=np.int64)
@@ -180,7 +188,15 @@ def _props_partial(batch: pa.Table, field: str) -> pa.Table:
 def props_field_stats(events_ds, field: str = "k") -> pa.Table:
     """Per-event_type stats over an integer field inside the JSON
     `props` payload: vectorized extract + per-batch partials + tiny
-    driver merge (event types are few). Integer sums — exact."""
+    driver merge (event types are few). Integer sums — exact.
+
+    CONTRACT: the extraction is a targeted regex (first `"field": int`
+    occurrence), correct for flat JSON objects with primitive values —
+    the shape event-payload columns have. It is NOT a JSON parser: a
+    string VALUE containing the quoted pattern, or nested objects
+    reusing the key, would be misread; route such payloads through a
+    real parse stage instead. The oracle uses the same regex so the
+    contract is what's verified."""
     import functools
 
     parts = events_ds.map_batches(
