@@ -179,3 +179,46 @@ def test_knn_partial_matches_bruteforce(data):
             if np.isfinite(d2[j]):
                 want.append((int(q_ids[qi]), float(d2[j]), int(c_id[j])))
     assert got == sorted(want)
+
+
+@given(st.data())
+@settings(max_examples=25)
+def test_geotiff_roundtrip_fuzz(data):
+    """write_tiff -> read_geotiff is identity for any 8-bit array shape,
+    channel count, layout, and codec combination."""
+    from versatiles_rs_ray.sources.geotiff import read_geotiff, write_tiff
+
+    h = data.draw(st.integers(min_value=1, max_value=90))
+    w = data.draw(st.integers(min_value=1, max_value=90))
+    c = data.draw(st.sampled_from([1, 3, 4]))
+    tiled = data.draw(st.booleans())
+    compression = data.draw(st.sampled_from([1, 8]))
+    predictor = 2 if compression == 8 and data.draw(st.booleans()) else 1
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    arr = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+    gt = (-180.0, 360.0 / w, 0.0, 90.0, 0.0, -180.0 / h)
+    blob = write_tiff(arr, geotransform=gt, epsg=4326, tiled=tiled,
+                      compression=compression, predictor=predictor)
+    g = read_geotiff(blob)
+    assert np.array_equal(g.array, arr)
+    assert np.allclose(g.geotransform, gt) and g.epsg == 4326
+
+
+@given(st.integers(min_value=0, max_value=2**31), st.integers(1, 3),
+       st.integers(0, 7))
+@settings(max_examples=20)
+def test_average_resample_constant_image(seed, z, xy):
+    """GDAL-average warp of a constant image is constant wherever
+    covered (box means of a constant are the constant)."""
+    from versatiles_rs_ray.stages.reproject import SRSReprojector
+
+    rng = np.random.default_rng(seed)
+    val = int(rng.integers(0, 256))
+    src = np.full((64, 128, 3), val, np.uint8)
+    gt = (-180.0, 360.0 / 128, 0.0, 90.0, 0.0, -180.0 / 64)
+    rp = SRSReprojector(src, gt, 4326, tile_size=8, resampling="average")
+    n = 1 << z
+    tile = rp._reproject_one(z, min(xy, n - 1), min(xy, n - 1))
+    covered = tile[..., 3] == 255
+    assert covered.any()
+    assert (tile[covered][:, :3] == val).all()
