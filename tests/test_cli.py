@@ -146,3 +146,38 @@ def test_cli_convert_border_and_brotli(tmp_path):
         "select tile_data from tiles where zoom_level=0").fetchone()[0]
     con.close()
     assert json.loads(_decompress_one(bytes(blob), "br")) == {"x": 0, "y": 0, "z": 0}
+
+
+def test_cli_print_tilejson(tmp_path):
+    """dev print-tilejson (print_tilejson.rs): canonical sorted-key
+    JSON of the container metadata, vector_layers lifted out of the
+    mbtiles `json` row."""
+    import subprocess
+    import sys
+
+    code = (
+        "import ray, json; ray.init(address='local', num_cpus=2, include_dashboard=False, logging_level='ERROR');"
+        "import ray.data; ray.data.DataContext.get_current().enable_progress_bars = False;"
+        "from versatiles_rs_ray.core.bbox import TileBBoxPyramid;"
+        "from versatiles_rs_ray.sources.debug_tiles import json_debug_tiles;"
+        "from versatiles_rs_ray.sources.tiles_io import write_mbtiles;"
+        "meta = {'name': 'demo', 'minzoom': '0', 'maxzoom': '1',"
+        "        'bounds': '-180,-85,180,85',"
+        "        'json': json.dumps({'vector_layers': [{'id': 'a', 'fields': {}}]})};"
+        f"write_mbtiles(json_debug_tiles(TileBBoxPyramid.new_full(1)), r'{tmp_path}/m.mbtiles', metadata=meta);"
+        "ray.shutdown()"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True,
+                   capture_output=True, timeout=240)
+    r = subprocess.run(
+        [sys.executable, "-m", "versatiles_rs_ray", "dev", "print-tilejson",
+         f"{tmp_path}/m.mbtiles"],
+        capture_output=True, text=True, check=True, timeout=240)
+    doc = json.loads(r.stdout.strip())
+    assert doc["name"] == "demo"
+    assert doc["minzoom"] == 0 and doc["maxzoom"] == 1
+    assert doc["bounds"] == [-180.0, -85.0, 180.0, 85.0]
+    assert doc["vector_layers"] == [{"id": "a", "fields": {}}]
+    assert doc["tilejson"] == "3.0.0"
+    # canonical: keys sorted like the reference's as_string
+    assert list(doc) == sorted(doc)

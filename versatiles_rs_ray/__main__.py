@@ -183,12 +183,25 @@ def cmd_serve(args):
 def cmd_dev(args):
     """Dev tools (reference tools/dev.rs): measure-tile-sizes emits the
     scaled byte-sum grid (dev_tools/measure_tile_sizes.rs), export-
-    outline the coverage MultiPolygon (dev_tools/export_outline.rs)."""
+    outline the coverage MultiPolygon (dev_tools/export_outline.rs),
+    print-tilejson the container's TileJSON (print_tilejson.rs)."""
     from versatiles_rs_ray.pipelines.vpl import open_container
     from versatiles_rs_ray.stages.probe import (
         coverage_outline_geojson,
         tile_size_histogram,
     )
+
+    if args.tool == "print-tilejson":
+        # metadata-only: no Ray session needed (print_tilejson.rs reads
+        # the reader's tilejson, never the tile stream)
+        from versatiles_rs_ray.core.tilejson import TileJSON
+        from versatiles_rs_ray.sources.tiles_io import container_metadata
+
+        tj = TileJSON.from_json(json.dumps(container_metadata(args.input)))
+        doc = json.loads(tj.to_json())
+        print(json.dumps(doc, sort_keys=True,
+                         indent=2 if args.pretty else None))
+        return
 
     ray = _ray_session(args.num_cpus)
     ds = open_container(args.input)
@@ -242,10 +255,12 @@ def main(argv=None):
     v.set_defaults(fn=cmd_vpl)
 
     d = sub.add_parser("dev", help="dev tools: measure-tile-sizes, export-outline")
-    d.add_argument("tool", choices=["measure-tile-sizes", "export-outline"])
+    d.add_argument("tool", choices=["measure-tile-sizes", "export-outline",
+                                    "print-tilejson"])
     d.add_argument("input")
     d.add_argument("--scale-level", type=int, default=2)
     d.add_argument("--level", type=int, default=2)
+    d.add_argument("--pretty", "-p", action="store_true")
     d.set_defaults(fn=cmd_dev)
 
     s = sub.add_parser("serve", help="serve containers over HTTP")

@@ -18,6 +18,7 @@ Ray-Data reformulations of the reference's writers
 
 from __future__ import annotations
 
+import json
 import os
 import sqlite3
 
@@ -346,3 +347,62 @@ def write_hilbert_parquet(ds, path: str):
     if writer is not None:
         writer.close()
     return rows
+
+
+def read_mbtiles_metadata(path: str) -> dict:
+    """mbtiles metadata table -> TileJSON-shaped dict (mbtiles spec:
+    the `json` row carries vector_layers etc.; numeric/tuple fields
+    parsed like the reference's metadata ingestion)."""
+    import sqlite3
+
+    con = sqlite3.connect(path)
+    rows = con.execute("SELECT name, value FROM metadata").fetchall()
+    con.close()
+    meta = {}
+    for k, v in rows:
+        if k == "json":
+            try:
+                meta.update(json.loads(v))
+            except (ValueError, TypeError):
+                meta[k] = v
+        elif k in ("minzoom", "maxzoom"):
+            meta[k] = int(v)
+        elif k in ("bounds", "center"):
+            meta[k] = [float(x) for x in str(v).split(",")]
+        else:
+            meta[k] = v
+    return meta
+
+
+def container_metadata(path: str) -> dict:
+    """TileJSON-shaped metadata of any container (the surface behind
+    `dev print-tilejson`, dev_tools/print_tilejson.rs)."""
+    import os
+    import tarfile
+
+    if path.endswith(".mbtiles"):
+        return read_mbtiles_metadata(path)
+    if path.endswith(".pmtiles"):
+        from .pmtiles import read_pmtiles_metadata
+
+        return read_pmtiles_metadata(path) or {}
+    if path.endswith(".versatiles"):
+        from .versatiles import read_versatiles_metadata
+
+        blob = read_versatiles_metadata(path)
+        try:
+            return json.loads(blob) if blob else {}
+        except (ValueError, TypeError):
+            return {}
+    if os.path.isdir(path):
+        p = os.path.join(path, "tiles.json")
+        if os.path.exists(p):
+            return json.loads(open(p).read())
+        return {}
+    if tarfile.is_tarfile(path):
+        with tarfile.open(path) as tf:
+            for m in tf.getmembers():
+                if m.name.removeprefix("./") == "tiles.json":
+                    return json.loads(tf.extractfile(m).read())
+        return {}
+    return {}
