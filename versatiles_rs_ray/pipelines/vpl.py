@@ -142,10 +142,16 @@ def build_pipeline(text: str, sf_dir: str | None = None):
 
 
 @register_read_op("from_debug")
-def _from_debug(sf_dir=None, zmax=3, zmin=0, **_):
-    from ..sources.debug_tiles import json_debug_tiles
+def _from_debug(sf_dir=None, zmax=3, zmin=0, format=None, **_):
+    """from_debug [format=mvt|png|jpg|webp|avif|json] — real encoded
+    payloads per format (from_debug/mod.rs:31-34; our default stays the
+    oracle-friendly json payload, the reference defaults to mvt)."""
+    from ..sources.debug_tiles import format_debug_tiles, json_debug_tiles
 
-    return json_debug_tiles(TileBBoxPyramid.new_full(int(zmax), int(zmin)))
+    pyr = TileBBoxPyramid.new_full(int(zmax), int(zmin))
+    if format in (None, "json"):
+        return json_debug_tiles(pyr)
+    return format_debug_tiles(pyr, str(format))
 
 
 @register_read_op("from_docs")

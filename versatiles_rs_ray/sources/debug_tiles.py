@@ -99,3 +99,105 @@ def gradient_tiles(pyramid: TileBBoxPyramid, size: int = 64, override_num_blocks
     if override_num_blocks:
         ds = ds.repartition(override_num_blocks)
     return ds.map_batches(lambda t: add_gradient_payload(t, size), batch_format="pyarrow")
+
+
+def debug_raster_array(z: int, x: int, y: int, use_alpha: bool = False) -> np.ndarray:
+    """The reference's debug image, semantically (from_debug/image.rs:
+    13-34): 512x512, checkerboard background br=((x+y)%2)*255 with
+    alpha 16 when the format carries alpha, and 'z:/x:/y:' text at the
+    reference's exact offsets/colors. Glyphs come from the built-in
+    pixel font (core/pixfont), not the reference's TTF — layout and
+    colors match, glyph pixels don't."""
+    from ..core.pixfont import draw_text
+
+    br = np.uint8(((x + y) % 2) * 255)
+    a = np.uint8(16 if use_alpha else 255)
+    img = np.empty((512, 512, 4), dtype=np.uint8)
+    img[..., 0] = img[..., 1] = img[..., 2] = br
+    img[..., 3] = a
+    # image.rs:23-26: 40px text at x=220, y=195/225/255
+    draw_text(img, 220, 195, f"z: {z}", (127, 30, 16, 255))
+    draw_text(img, 220, 225, f"x: {x}", (0, 92, 45, 255))
+    draw_text(img, 220, 255, f"y: {y}", (30, 23, 98, 255))
+    return img if use_alpha else img[..., :3]
+
+
+def debug_vector_tile(z: int, x: int, y: int) -> bytes:
+    """The reference's debug MVT, structurally (from_debug/vector.rs:
+    17-24): layers background + debug_z/x/y; text features carry one
+    MultiPolygon PER CHARACTER with properties char/x/index; layout
+    constants (start x=100, rows y=140/190/240, tile-space x8 scale,
+    extent 4096) match; glyph outlines come from the pixel font."""
+    from ..core import mvt
+    from ..core.pixfont import text_polygons
+
+    def quant(p):
+        return (int(round(p[0])), int(round(p[1])))
+
+    def text_layer(name, row_y, text):
+        feats = []
+        # vector.rs: position starts at (100, y), glyph height scaled
+        # to 80 font units, all coords x8 into the 4096 extent
+        for i, (ch, char_x, polys) in enumerate(
+                text_polygons(text, 100.0, row_y, 80.0 / 7)):
+            if ch == " " or not polys:
+                continue
+            feats.append({
+                "id": i + 1,
+                "type": 3,  # polygon
+                "geometry": [[quant((8 * px, 8 * py)) for px, py in ring]
+                             for ring in polys],
+                "properties": {"char": ch, "x": float(char_x), "index": i},
+            })
+        return {"version": 2, "name": name, "extent": 4096, "features": feats}
+
+    background = {
+        "version": 2, "name": "background", "extent": 4096,
+        "features": [{
+            "id": 1, "type": 3,
+            "geometry": [[(0, 0), (4096, 0), (4096, 4096), (0, 4096), (0, 0)]],
+            "properties": {},
+        }],
+    }
+    tile = {"layers": [
+        background,
+        text_layer("debug_z", 140.0, f"z:{z}"),
+        text_layer("debug_x", 190.0, f"x:{x}"),
+        text_layer("debug_y", 240.0, f"y:{y}"),
+    ]}
+    return mvt.encode_tile(tile)
+
+
+def add_format_payload(batch: pa.Table, fmt: str) -> pa.Table:
+    """payload column for from_debug format= (mvt or encoded raster)."""
+    from ..core import raster as R
+
+    z = np.asarray(batch["z"], dtype=np.int64)
+    x = np.asarray(batch["x"], dtype=np.int64)
+    y = np.asarray(batch["y"], dtype=np.int64)
+    payloads = []
+    for zi, xi, yi in zip(z.tolist(), x.tolist(), y.tolist()):
+        if fmt == "mvt":
+            payloads.append(debug_vector_tile(zi, xi, yi))
+        else:
+            use_alpha = fmt in ("png", "webp", "avif")
+            arr = debug_raster_array(zi, xi, yi, use_alpha=use_alpha)
+            payloads.append(R.encode(arr, fmt))
+    out = batch.append_column("payload", pa.array(payloads, type=pa.binary()))
+    return out.append_column("format", pa.array([fmt] * len(z)))
+
+
+def format_debug_tiles(pyramid: TileBBoxPyramid, fmt: str,
+                       override_num_blocks=None):
+    """from_debug format=mvt|png|jpg|webp|avif — real encoded payloads
+    (from_debug/mod.rs:31-34 format arg)."""
+    import functools
+
+    import ray.data as rd
+
+    table = coords_table(pyramid)
+    ds = rd.from_arrow(table)
+    if override_num_blocks:
+        ds = ds.repartition(override_num_blocks)
+    return ds.map_batches(functools.partial(add_format_payload, fmt=fmt),
+                          batch_format="pyarrow")
