@@ -181,3 +181,20 @@ def test_cli_print_tilejson(tmp_path):
     assert doc["tilejson"] == "3.0.0"
     # canonical: keys sorted like the reference's as_string
     assert list(doc) == sorted(doc)
+
+
+def test_cli_help_topics():
+    """help pipeline|config (tools/help.rs): docs from live registries."""
+    import subprocess
+    import sys
+
+    r = subprocess.run([sys.executable, "-m", "versatiles_rs_ray", "help",
+                        "pipeline"], capture_output=True, text=True,
+                       check=True, timeout=240)
+    for op in ("from_debug", "from_gdal_raster", "vector_update_properties",
+               "raster_overview", "filter"):
+        assert f"**{op}**" in r.stdout
+    r = subprocess.run([sys.executable, "-m", "versatiles_rs_ray", "help",
+                        "config"], capture_output=True, text=True,
+                       check=True, timeout=240)
+    assert "allowed_origins" in r.stdout

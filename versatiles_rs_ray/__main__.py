@@ -214,6 +214,33 @@ def cmd_dev(args):
     ray.shutdown()
 
 
+def cmd_help(args):
+    """help pipeline|config (tools/help.rs Topic enum): markdown docs
+    generated from the live registries, like the reference's
+    PipelineFactory::help_md / Config::help_md."""
+    if args.topic == "pipeline":
+        from versatiles_rs_ray.pipelines import vpl
+
+        lines = ["# VPL pipeline operations", "", "## Read operations", ""]
+        for name in sorted(vpl.READ_OPS):
+            doc = (vpl.READ_OPS[name].__doc__ or "").strip().splitlines()
+            lines.append(f"- **{name}** — {doc[0] if doc else ''}")
+        lines += ["", "## Transform operations", ""]
+        for name in sorted(vpl.TRANSFORM_OPS):
+            doc = (vpl.TRANSFORM_OPS[name].__doc__ or "").strip().splitlines()
+            lines.append(f"- **{name}** — {doc[0] if doc else ''}")
+        print("\n".join(lines))
+    else:
+        from versatiles_rs_ray import config as _cfg
+
+        print("# Server YAML configuration\n")
+        print((_cfg.load_server_config.__doc__ or "").strip())
+        print("\nSections: server{ip,port,minimal_recompression,disable_api},")
+        print("cors{allowed_origins globs,max_age_seconds}, extra_response_headers,")
+        print("static[{path,url_prefix}], tiles[{name,path}] — see config.py")
+        print("and the reference example testdata/config1.yml.")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="versatiles_rs_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -273,6 +300,10 @@ def main(argv=None):
     s.add_argument("--skip-unreachable", action="store_true",
                    help="with --config: skip tile sources that fail to open")
     s.set_defaults(fn=cmd_serve)
+
+    h = sub.add_parser("help", help="print operation / config docs")
+    h.add_argument("topic", choices=["pipeline", "config"])
+    h.set_defaults(fn=cmd_help)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -156,6 +156,7 @@ def _from_debug(sf_dir=None, zmax=3, zmin=0, format=None, **_):
 
 @register_read_op("from_docs")
 def _from_docs(sf_dir=None, replicate=1, **_):
+    """Interleaved-docs source over {sf_dir}/documents.parquet (replicate= tiles the id space)."""
     from ..sources.docs import read_docs
 
     return read_docs(sf_dir, replicate=int(replicate))
@@ -163,6 +164,7 @@ def _from_docs(sf_dir=None, replicate=1, **_):
 
 @register_read_op("from_gradient")
 def _from_gradient(sf_dir=None, zmax=3, zmin=0, size=64, **_):
+    """Synthetic WGS84 gradient raster tiles (testdata/gradient.tif analogue)."""
     from ..sources.debug_tiles import gradient_tiles
 
     return gradient_tiles(TileBBoxPyramid.new_full(int(zmax), int(zmin)), size=int(size))
@@ -170,6 +172,7 @@ def _from_gradient(sf_dir=None, zmax=3, zmin=0, size=64, **_):
 
 @register_read_op("from_stacked")
 def _from_stacked(sf_dir=None, sources=None, **_):
+    """First-wins stack of N nested sources (from_stacked.rs:125-165)."""
     from ..stages.stack import stacked_tiles
 
     if not sources:
@@ -179,6 +182,7 @@ def _from_stacked(sf_dir=None, sources=None, **_):
 
 @register_read_op("from_merged_vector")
 def _from_merged_vector(sf_dir=None, sources=None, **_):
+    """Merge N nested vector sources per tile key (from_merged_vector.rs: same-name layers concatenated)."""
     from ..stages.vector import merge_vector_tiles
 
     if not sources:
@@ -191,6 +195,7 @@ def _from_merged_vector(sf_dir=None, sources=None, **_):
 
 @register_read_op("from_stacked_raster")
 def _from_stacked_raster(sf_dir=None, sources=None, **_):
+    """Alpha-composite stack of N nested raster sources (from_stacked_raster.rs)."""
     from ..stages.raster import stacked_raster
 
     if not sources:
@@ -259,6 +264,7 @@ def _from_gdal_raster(sf_dir=None, zmax=3, zmin=0, tile_size=64,
 
 @register_transform_op("filter")
 def _filter(ds, bbox=None, level_min=None, level_max=None, **_):
+    """Keep tiles inside bbox=[w,s,e,n] / level_min= / level_max= (filter.rs:44-57)."""
     from ..stages.filter import filter_bbox_zoom
 
     return filter_bbox_zoom(ds, bbox=bbox, level_min=level_min, level_max=level_max)
@@ -266,6 +272,7 @@ def _filter(ds, bbox=None, level_min=None, level_max=None, **_):
 
 @register_transform_op("flip_y")
 def _flip(ds, **_):
+    """Flip y within each zoom level (TMS <-> XYZ)."""
     from ..stages.transform import flip_y_ds
 
     return flip_y_ds(ds)
@@ -273,6 +280,7 @@ def _flip(ds, **_):
 
 @register_transform_op("swap_xy")
 def _swap(ds, **_):
+    """Swap x and y coordinates."""
     from ..stages.transform import swap_xy_ds
 
     return swap_xy_ds(ds)
@@ -280,6 +288,7 @@ def _swap(ds, **_):
 
 @register_transform_op("assign_tiles")
 def _assign(ds, zoom=8, **_):
+    """Assign doc rows to (z,x,y) tiles at zoom= (mercator point assignment)."""
     from ..stages.assign import assign_tiles
 
     return assign_tiles(ds, int(zoom))
@@ -287,6 +296,7 @@ def _assign(ds, zoom=8, **_):
 
 @register_transform_op("raster_levels")
 def _levels(ds, brightness=0.0, contrast=1.0, gamma=1.0, **_):
+    """Brightness/contrast/gamma adjust raster tiles with Rust rounding (raster_levels.rs)."""
     from ..stages.raster import raster_levels
 
     return raster_levels(ds, float(brightness), float(contrast), float(gamma))
@@ -294,6 +304,7 @@ def _levels(ds, brightness=0.0, contrast=1.0, gamma=1.0, **_):
 
 @register_transform_op("raster_flatten")
 def _flatten(ds, **_):
+    """Composite tiles onto an opaque background color (raster_flatten.rs)."""
     from ..stages.raster import raster_flatten
 
     return raster_flatten(ds)
@@ -301,6 +312,7 @@ def _flatten(ds, **_):
 
 @register_transform_op("raster_overscale")
 def _overscale(ds, delta=1, **_):
+    """Derive missing deeper zooms by 1->4^d pixel upscaling (raster_overscale.rs)."""
     from ..stages.raster import raster_overscale
 
     return raster_overscale(ds, int(delta))
@@ -308,6 +320,7 @@ def _overscale(ds, delta=1, **_):
 
 @register_transform_op("recompress")
 def _recompress(ds, src="raw", dst="gzip", **_):
+    """Recompress payloads from=/to= raw|gzip|br (converter recompression)."""
     from ..stages.transform import recompress_ds
 
     return recompress_ds(ds, "payload", src, dst)
@@ -315,6 +328,7 @@ def _recompress(ds, src="raw", dst="gzip", **_):
 
 @register_transform_op("vector_filter_layers")
 def _vfl(ds, names=None, invert=0, **_):
+    """Keep/remove named layers in vector tiles (vector_filter_layers.rs)."""
     from ..stages.vector import VectorFilterLayers
 
     names = names if isinstance(names, list) else [names]
@@ -323,6 +337,7 @@ def _vfl(ds, names=None, invert=0, **_):
 
 @register_transform_op("vector_filter_properties")
 def _vfp(ds, regex=".*", invert=0, **_):
+    """Keep/remove feature properties in vector tiles (vector_filter_properties.rs)."""
     from ..stages.vector import VectorFilterProperties
 
     return ds.map_batches(
@@ -332,6 +347,7 @@ def _vfp(ds, regex=".*", invert=0, **_):
 
 @register_transform_op("raster_format")
 def _rformat(ds, format="png", quality=None, speed=None, **_):
+    """Re-encode raster payloads per-zoom via a format/quality schedule (raster_format.rs)."""
     from ..stages.raster import raster_format
 
     return raster_format(ds, str(format), quality_schedule=quality, speed=speed)
@@ -339,6 +355,7 @@ def _rformat(ds, format="png", quality=None, speed=None, **_):
 
 @register_transform_op("raster_overview")
 def _roverview(ds, z_from=None, z_to=0, **_):
+    """Derive shallower zooms by 2x2 mosaic downscale cascade (raster_overview.rs)."""
     from ..stages.raster import raster_overview
 
     if z_from is None:
