@@ -102,3 +102,17 @@ def test_bpe_token_counter_stage(ray_session):
     })
     out = BpeTokenCounter()(batch)
     assert out["n_bpe_tokens"].to_pylist() == [7, 0, 3]
+
+
+def test_normalize_text_batch():
+    import pyarrow as pa
+
+    from versatiles_rs_ray.stages.text import normalize_text_batch
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3]),
+                  "text": pa.array(["  Hello\t WORLD \n", "café",
+                                    "éclair"])})  # combining accent
+    out = normalize_text_batch(t)["text"].to_pylist()
+    assert out[0] == "hello world"
+    assert out[1] == "café"
+    assert out[2] == "éclair"  # NFC composes e + combining acute

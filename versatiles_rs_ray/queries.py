@@ -380,6 +380,25 @@ def q_events_window(sf_dir):
     return window.tumbling_window(ev)
 
 
+def q_normalize_text(sf_dir):
+    """Corpus text cleaning (NFC + lower + trim + whitespace collapse),
+    pure vectorized map over the raw documents table."""
+    import ray.data as rd
+
+    from .stages.text import normalize_docs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return normalize_docs(ds)
+
+
+def _oracle_normalize_text():
+    return (
+        "SELECT doc_id, lower(regexp_replace(trim(nfc_normalize(text)), "
+        "'\\s+', ' ', 'g')) AS text FROM documents"
+    )
+
+
 def q_props_stats(sf_dir):
     """Integer-field stats out of the JSON event payload, per
     event_type (vectorized Arrow regex extract, combiner partials)."""
@@ -1491,6 +1510,7 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "docs_sample": q_docs_sample,
     "props_stats": q_props_stats,
+    "normalize_text": q_normalize_text,
     "ngram_jaccard": q_ngram_jaccard,
     "token_stats": q_token_stats,
     "bpe_tokens": q_bpe_tokens,
@@ -1547,6 +1567,7 @@ ORACLES = {
     "label_centroids": _oracle_label_centroids(),
     "docs_sample": _oracle_docs_sample(),
     "props_stats": _oracle_props_stats(),
+    "normalize_text": _oracle_normalize_text(),
     "ngram_jaccard": _oracle_ngram_jaccard(),
     "token_stats": _oracle_token_stats(),
     "bpe_tokens": _oracle_bpe_tokens(),

@@ -277,3 +277,32 @@ class BpeTokenCounter:
                 "n_bpe_tokens": pa.array(counts, type=pa.int64()),
             }
         )
+
+
+def normalize_text_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Standard corpus text cleaning, fully vectorized:
+    NFC-normalize, lowercase, trim, collapse runs of whitespace to one
+    space. Pure map (no shuffle); the usual first stage of a
+    training-data text pipeline. Matches DuckDB
+    `lower(regexp_replace(trim(nfc_normalize(text)), '\\s+', ' ', 'g'))`.
+    """
+    import pyarrow.compute as pc
+
+    t = batch[col]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    t = pc.utf8_normalize(t, form="NFC")
+    t = pc.utf8_lower(t)
+    t = pc.utf8_trim_whitespace(t)
+    t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+    idx = batch.schema.get_field_index(col)
+    return batch.set_column(idx, col, t)
+
+
+def normalize_docs(docs_ds, col: str = "text"):
+    """Dataset wrapper for normalize_text_batch."""
+    import functools
+
+    return docs_ds.map_batches(
+        functools.partial(normalize_text_batch, col=col), batch_format="pyarrow"
+    )
