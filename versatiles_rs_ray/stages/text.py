@@ -286,12 +286,31 @@ def normalize_text_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     training-data text pipeline. Matches DuckDB
     `lower(regexp_replace(trim(nfc_normalize(text)), '\\s+', ' ', 'g'))`.
     """
+    import unicodedata
+
     import pyarrow.compute as pc
 
     t = batch[col]
     if isinstance(t, pa.ChunkedArray):
         t = t.combine_chunks()
-    t = pc.utf8_normalize(t, form="NFC")
+    # NFC: ASCII is NFC by definition (the vectorized fast path for
+    # the vast majority of rows); only the non-ASCII minority pays the
+    # python unicodedata call. pyarrow's own utf8_normalize is NOT
+    # usable here: in pyarrow 16.1 it returns decomposed output even
+    # with form="NFC" (verified), which would diverge from every other
+    # NFC implementation incl. the DuckDB oracle.
+    ascii_mask = np.asarray(pc.string_is_ascii(t))
+    if not ascii_mask.all():
+        idx = np.flatnonzero(~ascii_mask)
+        vals = t.take(pa.array(idx, type=pa.int64())).to_pylist()
+        fixed = pa.array([None if v is None else unicodedata.normalize("NFC", v)
+                          for v in vals], type=pa.string())
+        # scatter back via concat + take (no per-row assignment)
+        pool = pa.concat_arrays([t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t,
+                                 fixed])
+        remap = np.arange(len(t), dtype=np.int64)
+        remap[idx] = len(t) + np.arange(len(idx), dtype=np.int64)
+        t = pool.take(pa.array(remap, type=pa.int64()))
     t = pc.utf8_lower(t)
     t = pc.utf8_trim_whitespace(t)
     t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
