@@ -330,3 +330,25 @@ def test_quota_per_key(ray_session):
     ds2 = rd.from_arrow(pa.Table.from_pylist(rows2))
     out2 = quota_per_key(ds2, "k", "o", 2).to_pandas()
     assert sorted(out2.o) == ["x00", "x01"]
+
+
+def test_deterministic_shuffle(ray_session):
+    """Exact global ranks, independent of input partitioning (the
+    property training-resume needs; Ray random_shuffle lacks it)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.curate import deterministic_shuffle
+
+    ids = np.arange(1000, dtype=np.int64)
+    ds1 = rd.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    a = deterministic_shuffle(ds1, "doc_id").to_pandas().sort_values("doc_id")
+    b = (deterministic_shuffle(ds1.repartition(17), "doc_id")
+         .to_pandas().sort_values("doc_id"))
+    assert (a.shuffle_rank.to_numpy() == b.shuffle_rank.to_numpy()).all()
+    # ranks are a permutation of 0..n-1 and match the reference hash order
+    assert sorted(a.shuffle_rank) == list(range(1000))
+    key = ids.astype(np.uint64) * np.uint64(6364136223846793005)
+    want = np.empty(1000, dtype=np.int64)
+    want[np.lexsort((ids, key))] = np.arange(1000)
+    assert (a.shuffle_rank.to_numpy() == want).all()

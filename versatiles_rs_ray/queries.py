@@ -380,6 +380,30 @@ def q_events_window(sf_dir):
     return window.tumbling_window(ev)
 
 
+def q_shuffle_ranks(sf_dir):
+    """Deterministic global shuffle with exact ranks (training-data
+    interleaving): keyed sort + per-block rank bases from block
+    metadata (stages/curate.deterministic_shuffle)."""
+    import ray.data as rd
+
+    from .stages.curate import deterministic_shuffle
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    return deterministic_shuffle(ds, "doc_id").select_columns(
+        ["doc_id", "shuffle_rank"])
+
+
+def _oracle_shuffle_ranks():
+    from .stages.curate import _SHUFFLE_MOD, _SHUFFLE_MULT
+
+    return (
+        "SELECT doc_id, row_number() OVER (ORDER BY "
+        f"(doc_id::HUGEINT * {_SHUFFLE_MULT}) % {_SHUFFLE_MOD}::HUGEINT, "
+        "doc_id) - 1 AS shuffle_rank FROM documents"
+    )
+
+
 def q_normalize_text(sf_dir):
     """Corpus text cleaning (NFC + lower + trim + whitespace collapse),
     pure vectorized map over the raw documents table."""
@@ -1511,6 +1535,7 @@ QUERIES = {
     "docs_sample": q_docs_sample,
     "props_stats": q_props_stats,
     "normalize_text": q_normalize_text,
+    "shuffle_ranks": q_shuffle_ranks,
     "ngram_jaccard": q_ngram_jaccard,
     "token_stats": q_token_stats,
     "bpe_tokens": q_bpe_tokens,
@@ -1568,6 +1593,7 @@ ORACLES = {
     "docs_sample": _oracle_docs_sample(),
     "props_stats": _oracle_props_stats(),
     "normalize_text": _oracle_normalize_text(),
+    "shuffle_ranks": _oracle_shuffle_ranks(),
     "ngram_jaccard": _oracle_ngram_jaccard(),
     "token_stats": _oracle_token_stats(),
     "bpe_tokens": _oracle_bpe_tokens(),

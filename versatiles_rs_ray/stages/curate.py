@@ -118,3 +118,56 @@ def systematic_sample(ds, id_col: str, rate: float):
         functools.partial(_sample_batch, id_col=id_col, rate=rate),
         batch_format="pyarrow",
     )
+
+
+# 64-bit multiplicative shuffle constant (PCG's LCG multiplier);
+# HUGEINT-expressible in SQL, uint64 wrap-exact in numpy
+_SHUFFLE_MULT = 6364136223846793005
+_SHUFFLE_MOD = 1 << 64
+
+
+def _add_shuffle_key(batch: pa.Table, id_col: str) -> pa.Table:
+    ids = np.asarray(batch[id_col], dtype=np.int64)
+    if len(ids) and ids.min() < 0:
+        raise ValueError("deterministic_shuffle requires non-negative ids")
+    key = ids.astype(np.uint64) * np.uint64(_SHUFFLE_MULT)  # wrap = mod 2^64
+    return batch.append_column("shuffle_key", pa.array(key, type=pa.uint64()))
+
+
+def _rank_block(base: int, table: pa.Table) -> pa.Table:
+    n = table.num_rows
+    return table.drop_columns(["shuffle_key"]).append_column(
+        "shuffle_rank", pa.array(base + np.arange(n, dtype=np.int64)))
+
+
+def deterministic_shuffle(ds, id_col: str):
+    """Reproducible global shuffle with EXACT ranks — the interleaving
+    step of a training-data pipeline (sample order must be independent
+    of partitioning/cluster size for resumable runs, which
+    `random_shuffle()` is not).
+
+    Shape: key = id * LCG-mult mod 2^64 (pure map) -> one `ds.sort`
+    (the unavoidable all-to-all) -> per-block rank assignment with
+    bases from the sorted blocks' METADATA row counts (no extra pass
+    over the data; blocks never touch the driver — same refs pattern
+    as stages/exchange). Equivalent SQL rank:
+    ``row_number() OVER (ORDER BY (id::HUGEINT * mult) % 2^64, id)``.
+    """
+    import functools
+
+    import ray
+    import ray.data as rd
+
+    keyed = ds.map_batches(functools.partial(_add_shuffle_key, id_col=id_col),
+                           batch_format="pyarrow")
+    s = keyed.sort(["shuffle_key", id_col])
+    rank_task = ray.remote(_rank_block)
+    out_refs = []
+    base = 0
+    for bundle in s.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            out_refs.append(rank_task.remote(base, ref))
+            base += meta.num_rows
+    if not out_refs:
+        return s.drop_columns(["shuffle_key"])
+    return rd.from_arrow_refs(out_refs)
