@@ -2,6 +2,7 @@
 matches a pandas brute force."""
 
 import numpy as np
+import pytest
 import pandas as pd
 import pyarrow as pa
 
@@ -352,3 +353,24 @@ def test_deterministic_shuffle(ray_session):
     want = np.empty(1000, dtype=np.int64)
     want[np.lexsort((ids, key))] = np.arange(1000)
     assert (a.shuffle_rank.to_numpy() == want).all()
+
+
+def test_curate_null_and_empty_guards(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.curate import (
+        _add_shuffle_key, _first_n_per_key, deterministic_shuffle,
+        systematic_sample)
+
+    t = pa.table({"k": pa.array(["a", None]), "o": pa.array([1, 2])})
+    with pytest.raises(ValueError, match="null"):
+        _first_n_per_key(t, "k", "o", 1)
+    tn = pa.table({"doc_id": pa.array([1, None], type=pa.int64())})
+    with pytest.raises(ValueError, match="null"):
+        _add_shuffle_key(tn, "doc_id")
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([], type=pa.int64())}))
+    out = deterministic_shuffle(ds, "doc_id")
+    assert out.count() == 0
+    assert "shuffle_rank" in out.schema().names  # promised schema kept
+    assert systematic_sample(ds, "doc_id", 0.5).count() == 0

@@ -126,3 +126,52 @@ def test_unsupported_gates():
         read_geotiff(b"PK\x03\x04nope")
     g = read_geotiff(FIXTURE)
     assert isinstance(g, GeoTIFF)
+
+
+def test_pixel_is_point_half_pixel_shift():
+    # GDAL shifts the area-origin by half a pixel for PixelIsPoint DEMs
+    import struct
+
+    import versatiles_rs_ray.sources.geotiff as G
+
+    arr = np.zeros((4, 4, 1), np.uint8)
+    blob = bytearray(G.write_tiff(arr, geotransform=(10.0, 1.0, 0.0, 20.0, 0.0, -1.0),
+                                  epsg=4326))
+    # patch RasterType key (1025) value from 1 (area) to 2 (point)
+    b = bytes(blob)
+    i = b.find(struct.pack("<HHHH", 1025, 0, 1, 1))
+    assert i > 0
+    blob[i:i + 8] = struct.pack("<HHHH", 1025, 0, 1, 2)
+    g = G.read_geotiff(bytes(blob))
+    assert g.raster_type == 2
+    assert g.geotransform == (9.5, 1.0, 0.0, 20.5, 0.0, -1.0)
+
+
+def test_unsupported_photometric_and_rotation():
+    import struct
+
+    import versatiles_rs_ray.sources.geotiff as G
+
+    with pytest.raises(NotImplementedError, match="rotated"):
+        G.write_tiff(np.zeros((4, 4, 3), np.uint8),
+                     geotransform=(0, 1, 0.5, 0, 0.2, -1))
+    blob = bytearray(G.write_tiff(np.zeros((4, 4, 1), np.uint8)))
+    b = bytes(blob)
+    i = b.find(struct.pack("<HHIHH", 262, 3, 1, 1, 0))  # photometric=1
+    assert i > 0
+    blob[i:i + 10] = struct.pack("<HHIHH", 262, 3, 1, 3, 0)  # palette
+    with pytest.raises(NotImplementedError, match="photometric"):
+        G.read_geotiff(bytes(blob))
+
+
+def test_wgs84_reprojector_rgb_source(ray_session):
+    # 3-channel sources must normalize to RGBA payloads (rgba-raw)
+    from versatiles_rs_ray.core.raster import to_array
+    from versatiles_rs_ray.stages.reproject import WGS84Reprojector
+
+    src = np.zeros((8, 16, 3), np.uint8)
+    src[..., 0] = 200
+    rp = WGS84Reprojector(src, tile_size=4)
+    tile = rp._reproject_one(0, 0, 0)
+    assert tile.shape == (4, 4, 4)
+    assert (tile[..., 0] == 200).all() and (tile[..., 3] == 255).all()

@@ -158,6 +158,16 @@ def read_geotiff(path_or_bytes) -> GeoTIFF:
         raise NotImplementedError(f"unsupported channel count {samples}")
     if int(t.get(TAG_PLANAR, (1,))[0]) != 1:
         raise NotImplementedError("planar configuration 2 (separate planes) not supported")
+    photometric = int(t.get(TAG_PHOTOMETRIC, (1,))[0])
+    if photometric not in (1, 2):  # 1=min-is-black grey, 2=RGB
+        raise NotImplementedError(
+            f"TIFF photometric interpretation {photometric} not supported "
+            "(only 1=grayscale, 2=RGB; palette=3 and min-is-white=0 need "
+            "a palette/inversion pass)")
+    sample_fmt = t.get(TAG_SAMPLE_FORMAT, (1,) * samples)
+    if any(f != 1 for f in sample_fmt):
+        raise NotImplementedError(
+            f"TIFF sample format {sample_fmt} not supported (only 1=unsigned)")
     compression = int(t.get(TAG_COMPRESSION, (1,))[0])
     predictor = int(t.get(TAG_PREDICTOR, (1,))[0])
 
@@ -208,8 +218,20 @@ def read_geotiff(path_or_bytes) -> GeoTIFF:
                 raster_type = val
             elif kid in (KEY_GEOGRAPHIC_TYPE, KEY_PROJECTED_CS) and loc == 0:
                 epsg = val
-    if epsg in (0, 32767) and model_type == 2:
-        epsg = 4326  # geographic with user-defined/absent code: assume WGS84
+    if epsg in (0, 32767):
+        if model_type == 2:
+            epsg = 4326  # geographic, user-defined/absent code: WGS84
+        elif model_type == 1:
+            raise NotImplementedError(
+                "projected GeoTIFF without an inline EPSG code "
+                "(ProjectedCSTypeGeoKey absent or 32767=user-defined): the "
+                "CRS cannot be resolved without a PROJ database")
+    if raster_type == 2:
+        # PixelIsPoint: the tiepoint names the SAMPLE POINT, so the
+        # area-style origin sits half a pixel up-left (GDAL's
+        # GTIFF_POINTGEOLOCATION shift)
+        gt = (gt[0] - 0.5 * gt[1], gt[1], gt[2],
+              gt[3] - 0.5 * gt[5], gt[4], gt[5])
     return GeoTIFF(array=arr, geotransform=gt, epsg=int(epsg),
                    model_type=int(model_type), raster_type=int(raster_type))
 
@@ -280,7 +302,12 @@ def write_tiff(arr: np.ndarray, *, geotransform=None, epsg: int = 4326,
     add(TAG_PLANAR, 3, (1,))
     add(TAG_PREDICTOR, 3, (predictor,))
     if geotransform is not None:
-        x0, dx, _, y0, _, dy = geotransform
+        x0, dx, rx, y0, ry, dy = geotransform
+        if rx or ry:
+            raise NotImplementedError(
+                "rotated geotransforms cannot be expressed as "
+                "PixelScale+Tiepoint; ModelTransformationTag writing is "
+                "not implemented")
         add(TAG_PIXEL_SCALE, 12, (dx, -dy, 0.0))
         add(TAG_TIEPOINT, 12, (0.0, 0.0, 0.0, x0, y0, 0.0))
         mt = 2 if epsg == 4326 or 4200 <= epsg < 5000 else 1

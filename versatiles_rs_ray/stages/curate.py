@@ -27,6 +27,9 @@ def _hash_strings(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     DISTINCT key (domains are few; rows are many), then gathers.
     """
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count:
+        raise ValueError("curation key column contains nulls; filter or "
+                         "fill them before quota_per_key")
     enc = arr.dictionary_encode()
     uniq = enc.dictionary.to_pylist()
     h = np.empty(len(uniq), dtype=np.uint64)
@@ -45,18 +48,23 @@ def _add_route(batch: pa.Table, key_col: str) -> pa.Table:
 
 
 def _first_n_per_key(table: pa.Table, key_col: str, order_col: str, n: int) -> pa.Table:
-    """Vectorized rank<n per key: one lexsort by (key, order), run
-    detection, positional mask — no per-group Python."""
-    keys = np.asarray(table[key_col].combine_chunks().dictionary_encode().indices,
-                      dtype=np.int64)
+    """Vectorized rank<n per key: one native Arrow sort by (key,
+    order), run detection over dictionary codes, positional mask — no
+    per-group (or per-element) Python, string order columns included."""
+    import pyarrow.compute as pc
+
+    kc = table[key_col].combine_chunks()
+    if kc.null_count:
+        raise ValueError("curation key column contains nulls; filter or "
+                         "fill them before quota_per_key")
+    keys = np.asarray(kc.dictionary_encode().indices, dtype=np.int64)
     # dictionary codes are per-table arbitrary, but runs only need
-    # EQUALITY grouping; ordering inside a run uses order_col
-    order_vals = table[order_col].combine_chunks()
-    if pa.types.is_string(order_vals.type) or pa.types.is_large_string(order_vals.type):
-        order_np = np.asarray(order_vals.to_pylist(), dtype=object)
-    else:
-        order_np = np.asarray(order_vals)
-    pos = np.lexsort((order_np, keys))
+    # EQUALITY grouping; ordering comes from the native Arrow sort
+    pos = np.asarray(
+        pc.sort_indices(table, sort_keys=[(key_col, "ascending"),
+                                          (order_col, "ascending")]),
+        dtype=np.int64,
+    )
     ks = keys[pos]
     m = len(ks)
     new_run = np.ones(m, dtype=bool)
@@ -90,10 +98,19 @@ _SAMPLE_MULT = 2654435761
 _SAMPLE_MOD = 1 << 32
 
 
-def _sample_batch(batch: pa.Table, id_col: str, rate: float) -> pa.Table:
-    ids = np.asarray(batch[id_col], dtype=np.int64)
+def _require_ids(batch: pa.Table, id_col: str, op: str) -> np.ndarray:
+    col = batch[id_col]
+    nc = col.null_count if hasattr(col, "null_count") else 0
+    if nc:
+        raise ValueError(f"{op} id column contains {nc} nulls")
+    ids = np.asarray(col, dtype=np.int64)
     if len(ids) and ids.min() < 0:
-        raise ValueError("systematic_sample requires non-negative ids")
+        raise ValueError(f"{op} requires non-negative ids")
+    return ids
+
+
+def _sample_batch(batch: pa.Table, id_col: str, rate: float) -> pa.Table:
+    ids = _require_ids(batch, id_col, "systematic_sample")
     # uint64 wrap-around IS arithmetic mod 2^64, and
     # (id * M) mod 2^32 == ((id mod 2^64) * M mod 2^64) mod 2^32,
     # so this stays exact for the whole non-negative int64 id range
@@ -127,16 +144,16 @@ _SHUFFLE_MOD = 1 << 64
 
 
 def _add_shuffle_key(batch: pa.Table, id_col: str) -> pa.Table:
-    ids = np.asarray(batch[id_col], dtype=np.int64)
-    if len(ids) and ids.min() < 0:
-        raise ValueError("deterministic_shuffle requires non-negative ids")
+    ids = _require_ids(batch, id_col, "deterministic_shuffle")
     key = ids.astype(np.uint64) * np.uint64(_SHUFFLE_MULT)  # wrap = mod 2^64
     return batch.append_column("shuffle_key", pa.array(key, type=pa.uint64()))
 
 
 def _rank_block(base: int, table: pa.Table) -> pa.Table:
     n = table.num_rows
-    return table.drop_columns(["shuffle_key"]).append_column(
+    if "shuffle_key" in table.column_names:
+        table = table.drop_columns(["shuffle_key"])
+    return table.append_column(
         "shuffle_rank", pa.array(base + np.arange(n, dtype=np.int64)))
 
 
@@ -169,5 +186,8 @@ def deterministic_shuffle(ds, id_col: str):
             out_refs.append(rank_task.remote(base, ref))
             base += meta.num_rows
     if not out_refs:
-        return s.drop_columns(["shuffle_key"])
+        # keep the promised schema (shuffle_rank) on empty inputs
+        empty = s.schema().empty_table().drop_columns(["shuffle_key"])
+        empty = empty.append_column("shuffle_rank", pa.array([], type=pa.int64()))
+        return rd.from_arrow(empty)
     return rd.from_arrow_refs(out_refs)

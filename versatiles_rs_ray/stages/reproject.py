@@ -56,39 +56,36 @@ def make_world_raster(height: int = 512) -> np.ndarray:
     return arr
 
 
-class WGS84Reprojector:
-    """Actor: holds the source raster; reprojects (z, x, y) rows to
-    raw-RGBA mercator tiles."""
+def _merc_axes(z: int, x: int, y: int, s: int):
+    """(lon_1d, lat_1d) of a tile's pixel centers in WGS84 degrees."""
+    n = float(1 << z)
+    fx = (x + (np.arange(s) + 0.5) / s) / n
+    fy = (y + (np.arange(s) + 0.5) / s) / n
+    lon = (fx - 0.5) * 360.0
+    lat = (np.arctan(np.exp(np.pi * (1.0 - 2.0 * fy))) / np.pi - 0.25) * 360.0
+    return lon, lat
 
-    def __init__(self, source_ref, tile_size: int = 64, max_uses: int = DEFAULT_REUSE_LIMIT):
-        self._source_ref = source_ref
-        self.tile_size = tile_size
-        self.max_uses = max_uses
-        self._uses = 0
-        self._load()
 
-    def _load(self):
-        import ray
+def _normalize_rgba(src: np.ndarray) -> np.ndarray:
+    """Grey/L, RGB or RGBA -> contiguous RGBA (one gather downstream)."""
+    if src.ndim == 2:
+        src = src[:, :, None]
+    c = src.shape[2]
+    if c == 1:
+        src = np.concatenate(
+            [src] * 3 + [np.full(src.shape[:2] + (1,), 255, src.dtype)], axis=2)
+    elif c == 3:
+        src = np.concatenate(
+            [src, np.full(src.shape[:2] + (1,), 255, src.dtype)], axis=2)
+    elif c != 4:
+        raise ValueError(f"unsupported channel count {c}")
+    return np.ascontiguousarray(src)
 
-        self.source = (
-            ray.get(self._source_ref)
-            if not isinstance(self._source_ref, np.ndarray)
-            else self._source_ref
-        )
-        self.h, self.w = self.source.shape[:2]
 
-    def _reproject_one(self, z: int, x: int, y: int) -> np.ndarray:
-        s = self.tile_size
-        n = float(1 << z)
-        # output pixel centers in mercator fractions
-        fx = (x + (np.arange(s) + 0.5) / s) / n
-        fy = (y + (np.arange(s) + 0.5) / s) / n
-        lon = (fx - 0.5) * 360.0
-        lat = (np.arctan(np.exp(np.pi * (1.0 - 2.0 * fy))) / np.pi - 0.25) * 360.0
-        # source pixel indices (plate-carree: linear in lon/lat)
-        sx = np.clip(((lon + 180.0) / 360.0 * self.w).astype(np.int64), 0, self.w - 1)
-        sy = np.clip(((90.0 - lat) / 180.0 * self.h).astype(np.int64), 0, self.h - 1)
-        return self.source[sy[:, None], sx[None, :]]
+class _ReprojectorBase:
+    """Shared actor mechanics: recycle-after-N reloads and the
+    per-batch payload table assembly (both pools emit the identical
+    rgba-raw tile schema)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         self._uses += 1
@@ -116,7 +113,37 @@ class WGS84Reprojector:
         )
 
 
-class SRSReprojector:
+class WGS84Reprojector(_ReprojectorBase):
+    """Actor: holds the source raster; reprojects (z, x, y) rows to
+    raw-RGBA mercator tiles (plate-carree fast path)."""
+
+    def __init__(self, source_ref, tile_size: int = 64, max_uses: int = DEFAULT_REUSE_LIMIT):
+        self._source_ref = source_ref
+        self.tile_size = tile_size
+        self.max_uses = max_uses
+        self._uses = 0
+        self._load()
+
+    def _load(self):
+        import ray
+
+        src = (
+            ray.get(self._source_ref)
+            if not isinstance(self._source_ref, np.ndarray)
+            else self._source_ref
+        )
+        self.source = _normalize_rgba(src)
+        self.h, self.w = self.source.shape[:2]
+
+    def _reproject_one(self, z: int, x: int, y: int) -> np.ndarray:
+        lon, lat = _merc_axes(z, x, y, self.tile_size)
+        # source pixel indices (plate-carree: linear in lon/lat)
+        sx = np.clip(((lon + 180.0) / 360.0 * self.w).astype(np.int64), 0, self.w - 1)
+        sy = np.clip(((90.0 - lat) / 180.0 * self.h).astype(np.int64), 0, self.h - 1)
+        return self.source[sy[:, None], sx[None, :]]
+
+
+class SRSReprojector(_ReprojectorBase):
     """Actor: window-warps mercator tiles out of a source raster in
     ANY registered SRS (core/srs.py: 4326 / 3857 / UTM; extend there).
 
@@ -156,16 +183,8 @@ class SRSReprojector:
             src = src[:, :, None]
         if self.band_mapping is not None:
             src = src[:, :, list(self.band_mapping)]
-        # normalize to RGBA so sampling is one gather
-        c = src.shape[2]
-        if c == 1:
-            src = np.concatenate([src] * 3 + [np.full(src.shape[:2] + (1,), 255, src.dtype)], axis=2)
-        elif c == 3:
-            src = np.concatenate([src, np.full(src.shape[:2] + (1,), 255, src.dtype)], axis=2)
-        elif c != 4:
-            raise ValueError(f"unsupported channel count {c}")
-        self.source = np.ascontiguousarray(src)
-        self.h, self.w = src.shape[:2]
+        self.source = _normalize_rgba(src)
+        self.h, self.w = self.source.shape[:2]
         if self.resampling == "average":
             # summed-area table, built once per actor: box means in O(1)
             # per dst pixel. 8B x 4 channels x (H+1)(W+1) — fine for the
@@ -176,11 +195,7 @@ class SRSReprojector:
 
     def _tile_lonlat(self, z: int, x: int, y: int):
         s = self.tile_size
-        n = float(1 << z)
-        fx = (x + (np.arange(s) + 0.5) / s) / n
-        fy = (y + (np.arange(s) + 0.5) / s) / n
-        lon = (fx - 0.5) * 360.0
-        lat = (np.arctan(np.exp(np.pi * (1.0 - 2.0 * fy))) / np.pi - 0.25) * 360.0
+        lon, lat = _merc_axes(z, x, y, s)
         return np.broadcast_to(lon[None, :], (s, s)), np.broadcast_to(lat[:, None], (s, s))
 
     def _reproject_average(self, z: int, x: int, y: int) -> np.ndarray:
@@ -271,31 +286,6 @@ class SRSReprojector:
             ok = (ci >= 0) & (ci < self.w) & (ri >= 0) & (ri < self.h)
             out[ok] = self.source[ri[ok], ci[ok]]
         return out.reshape(s, s, 4)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        self._uses += 1
-        if self._uses > self.max_uses:
-            self._load()
-            self._uses = 1
-        z = np.asarray(batch["z"], dtype=np.int64)
-        x = np.asarray(batch["x"], dtype=np.int64)
-        y = np.asarray(batch["y"], dtype=np.int64)
-        payloads = [
-            from_array(self._reproject_one(int(zi), int(xi), int(yi)))
-            for zi, xi, yi in zip(z, x, y)
-        ]
-        s = self.tile_size
-        return pa.table(
-            {
-                "z": batch["z"],
-                "x": batch["x"],
-                "y": batch["y"],
-                "payload": pa.array(payloads, type=pa.binary()),
-                "format": pa.array([RAW_FORMAT] * len(z)),
-                "width": pa.array(np.full(len(z), s), type=pa.int64()),
-                "height": pa.array(np.full(len(z), s), type=pa.int64()),
-            }
-        )
 
 
 def reproject_srs_raster(coords_ds, source: np.ndarray, geotransform, epsg: int,
