@@ -374,3 +374,67 @@ def test_curate_null_and_empty_guards(ray_session):
     assert out.count() == 0
     assert "shuffle_rank" in out.schema().names  # promised schema kept
     assert systematic_sample(ds, "doc_id", 0.5).count() == 0
+
+
+def test_greedy_pack_kernel():
+    from versatiles_rs_ray.stages.curate import _greedy_pack
+
+    # reference greedy (matches the recursive-CTE oracle semantics)
+    def ref(tokens, budget):
+        seq, acc, out = 0, 0, []
+        for i, t in enumerate(tokens):
+            if i == 0:
+                acc = t
+            elif acc + t > budget:
+                seq += 1
+                acc = t
+            else:
+                acc += t
+            out.append(seq)
+        return out
+
+    rng = np.random.default_rng(11)
+    for trial in range(50):
+        toks = rng.integers(0, 15, rng.integers(1, 60)).astype(np.int64)
+        budget = int(rng.integers(1, 20))
+        got, acc, seq = _greedy_pack(toks, budget)
+        assert got.tolist() == ref(toks, budget), (toks.tolist(), budget)
+    # chaining across arbitrary splits == one global pass
+    toks = rng.integers(0, 15, 200).astype(np.int64)
+    whole, _, _ = _greedy_pack(toks, 17)
+    cut = sorted(rng.choice(199, 4, replace=False) + 1)
+    parts, state = [], (0, 0)
+    prev = 0
+    for c in list(cut) + [200]:
+        ids, acc, seq = _greedy_pack(toks[prev:c], 17, *state)
+        parts.append(ids)
+        state = (acc, seq)
+        prev = c
+    assert np.concatenate(parts).tolist() == whole.tolist()
+
+
+def test_pack_sequences_modes(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.curate import pack_sequences
+
+    n = 500
+    rng = np.random.default_rng(3)
+    t = pa.table({"rank": pa.array(np.arange(n, dtype=np.int64)),
+                  "tok": pa.array(rng.integers(1, 40, n).astype(np.int64))})
+    ds = rd.from_arrow(t).repartition(7)
+    exact = pack_sequences(ds, "tok", 100, "rank").to_pandas().sort_values("rank")
+    # per-sequence budget respected (no doc exceeds 40 < 100, so strict)
+    sums = exact.groupby("seq_id").tok.sum()
+    assert (sums <= 100).all()
+    # sequence ids are contiguous along rank order
+    sid = exact.seq_id.to_numpy()
+    assert (np.diff(sid) >= 0).all() and sid[0] == 0
+    assert len(np.unique(sid)) == sid[-1] + 1
+    # partitioned mode: bins disjoint, budget still respected per bin
+    part = pack_sequences(ds, "tok", 100, "rank",
+                          exact_global=False).to_pandas()
+    psums = part.groupby("seq_id").tok.sum()
+    assert (psums <= 100).all()
+    assert len(part) == n

@@ -404,6 +404,48 @@ def _oracle_shuffle_ranks():
     )
 
 
+PACK_BUDGET = 2000
+
+
+def q_pack_sequences(sf_dir):
+    """Greedy sequence packing (budget 2000 chars as token proxy) over
+    the deterministic shuffle order — the training-sequence assembly
+    step; exact-global chained mode so the recursive-CTE oracle matches
+    bit-for-bit."""
+    import ray.data as rd
+
+    from .stages.curate import deterministic_shuffle, pack_sequences
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    shuffled = deterministic_shuffle(ds, "doc_id")
+    packed = pack_sequences(shuffled, "n_chars", PACK_BUDGET, "shuffle_rank",
+                            exact_global=True)
+    return packed.select_columns(["doc_id", "seq_id"])
+
+
+def _oracle_pack_sequences():
+    from .stages.curate import _SHUFFLE_MOD, _SHUFFLE_MULT
+
+    return (
+        "WITH RECURSIVE ranked AS ("
+        "  SELECT doc_id, n_chars, row_number() OVER (ORDER BY "
+        f"   (doc_id::HUGEINT * {_SHUFFLE_MULT}) % {_SHUFFLE_MOD}::HUGEINT,"
+        "    doc_id) - 1 AS rnk FROM documents"
+        "), rec AS ("
+        "  SELECT doc_id, n_chars, rnk, n_chars AS acc, 0 AS seq"
+        "  FROM ranked WHERE rnk = 0"
+        "  UNION ALL"
+        "  SELECT r.doc_id, r.n_chars, r.rnk,"
+        f"    CASE WHEN rec.acc + r.n_chars > {PACK_BUDGET}"
+        "         THEN r.n_chars ELSE rec.acc + r.n_chars END,"
+        f"    CASE WHEN rec.acc + r.n_chars > {PACK_BUDGET}"
+        "         THEN rec.seq + 1 ELSE rec.seq END"
+        "  FROM rec JOIN ranked r ON r.rnk = rec.rnk + 1"
+        ") SELECT doc_id, seq AS seq_id FROM rec"
+    )
+
+
 def q_normalize_text(sf_dir):
     """Corpus text cleaning (NFC + lower + trim + whitespace collapse),
     pure vectorized map over the raw documents table."""
@@ -1536,6 +1578,7 @@ QUERIES = {
     "props_stats": q_props_stats,
     "normalize_text": q_normalize_text,
     "shuffle_ranks": q_shuffle_ranks,
+    "pack_sequences": q_pack_sequences,
     "ngram_jaccard": q_ngram_jaccard,
     "token_stats": q_token_stats,
     "bpe_tokens": q_bpe_tokens,
@@ -1594,6 +1637,7 @@ ORACLES = {
     "props_stats": _oracle_props_stats(),
     "normalize_text": _oracle_normalize_text(),
     "shuffle_ranks": _oracle_shuffle_ranks(),
+    "pack_sequences": _oracle_pack_sequences(),
     "ngram_jaccard": _oracle_ngram_jaccard(),
     "token_stats": _oracle_token_stats(),
     "bpe_tokens": _oracle_bpe_tokens(),

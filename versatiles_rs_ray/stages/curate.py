@@ -191,3 +191,84 @@ def deterministic_shuffle(ds, id_col: str):
         empty = empty.append_column("shuffle_rank", pa.array([], type=pa.int64()))
         return rd.from_arrow(empty)
     return rd.from_arrow_refs(out_refs)
+
+
+def _greedy_pack(tokens: np.ndarray, budget: int, acc: int = 0, seq: int = 0):
+    """Greedy sequence packing over ordered docs: close the bin when
+    the next doc would exceed `budget` (an oversized doc sits alone).
+    O(bins * log n) via searchsorted over the prefix sums; returns
+    (seq_ids, carry_acc, next_seq) so blocks can chain exactly."""
+    n = len(tokens)
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out, acc, seq
+    csum = np.cumsum(tokens, dtype=np.int64)
+    start = 0
+    base = -acc  # tokens already in the open bin count against budget
+    while start < n:
+        j = int(np.searchsorted(csum, base + budget, side="right")) - 1
+        if j < start:  # next doc alone exceeds budget (or open bin full)
+            if acc > 0:  # close the carried bin first
+                seq += 1
+                acc = 0
+                base = csum[start - 1] if start else 0
+                continue
+            j = start
+        out[start:j + 1] = seq
+        acc += int(csum[j] - (csum[start - 1] if start else 0))
+        base = csum[j]
+        start = j + 1
+        if start < n:  # bin stays open only at block end
+            seq += 1
+            acc = 0
+    return out, acc, seq
+
+
+def _pack_block(state, table: pa.Table, token_col: str, budget: int):
+    acc, seq = state
+    toks = np.asarray(table[token_col], dtype=np.int64)
+    ids, acc, seq = _greedy_pack(toks, budget, acc, seq)
+    return table.append_column("seq_id", pa.array(ids, type=pa.int64())), (acc, seq)
+
+
+def pack_sequences(ds, token_col: str, budget: int, order_col: str,
+                   exact_global: bool = True):
+    """Pack rank-ordered docs into training sequences of <= `budget`
+    tokens (greedy, deterministic) — the assembly step after
+    deterministic_shuffle.
+
+    exact_global=True chains the sorted blocks through tiny carry
+    states (acc, next_seq): bit-identical to a single global greedy
+    pass (the recursive-CTE oracle), blocks never touching the driver
+    but processed sequentially in time. For 100-TB runs set
+    exact_global=False: each sorted block packs independently with
+    seq_id = (block_idx << 32) | local — fully parallel, bins never
+    span workers (the standard practice trade-off).
+    """
+    import ray
+    import ray.data as rd
+
+    s = ds.sort(order_col)
+    pack_task = ray.remote(num_returns=2)(_pack_block)
+    out_refs = []
+    if exact_global:
+        # carry state threads block-to-block as an ObjectRef: the
+        # chain never touches the driver, Ray schedules each link as
+        # its predecessor's state lands
+        state = (0, 0)
+        for bundle in s.iter_internal_ref_bundles():
+            for ref in bundle.block_refs:
+                out, state = pack_task.remote(state, ref, token_col, budget)
+                out_refs.append(out)
+    else:
+        block_idx = 0
+        for bundle in s.iter_internal_ref_bundles():
+            for ref in bundle.block_refs:
+                out, _ = pack_task.remote((0, block_idx << 32), ref,
+                                          token_col, budget)
+                out_refs.append(out)
+                block_idx += 1
+    if not out_refs:
+        empty = pa.table({}).append_column("seq_id", pa.array([], type=pa.int64()))
+        return rd.from_arrow(empty)
+    return rd.from_arrow_refs(out_refs)
