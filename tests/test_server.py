@@ -357,3 +357,49 @@ def test_write_versatiles_rejects_empty_payload(ray_session, tmp_path):
     }))
     with pytest.raises(Exception, match="zero-length"):
         write_versatiles(ds, str(tmp_path / "e.versatiles"))
+
+
+def test_server_hardening(ray_session, tmp_path):
+    """Malformed Accept-Encoding, negative/out-of-range tile coords,
+    and per-source mime caching must not crash request threads."""
+    import urllib.error
+    import urllib.request
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.server import TileServer, _accept_encodings
+    from versatiles_rs_ray.sources.tiles_io import write_mbtiles
+
+    # robust q parsing
+    class H(dict):
+        def get(self, k, d=None):
+            return super().get(k, d)
+
+    assert _accept_encodings(H({"Accept-Encoding": "gzip;q=abc"})) == {"gzip"}
+    assert _accept_encodings(H({"Accept-Encoding": "gzip;q=0;level=1"})) == set()
+    assert _accept_encodings(H({"Accept-Encoding": "br;level=1;q=0.5"})) == {"br"}
+
+    ds = rd.from_arrow(pa.table({
+        "z": pa.array([0], pa.int64()), "x": pa.array([0], pa.int64()),
+        "y": pa.array([0], pa.int64()),
+        "payload": pa.array([b'{"a":1}'], pa.binary())}))
+    write_mbtiles(ds, str(tmp_path / "h.mbtiles"))
+    srv = TileServer()
+    srv.add_tile_source("h", str(tmp_path / "h.mbtiles"))
+    url = srv.start()
+    try:
+        for bad, code in (("/tiles/h/-1/0/0", 400), ("/tiles/h/40/0/0", 400),
+                          ("/tiles/h/1/5/0", 404), ("/tiles/h/0/0/-1", 404)):
+            try:
+                urllib.request.urlopen(f"{url}{bad}", timeout=10)
+                raise AssertionError("expected HTTPError")
+            except urllib.error.HTTPError as e:
+                assert e.code == code, bad
+        r = urllib.request.urlopen(
+            urllib.request.Request(f"{url}/tiles/h/0/0/0",
+                                   headers={"Accept-Encoding": "gzip;q=??"}),
+            timeout=10)
+        assert r.status == 200
+    finally:
+        srv.shutdown()

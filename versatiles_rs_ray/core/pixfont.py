@@ -53,7 +53,7 @@ def draw_text(img: np.ndarray, x: int, y: int, text: str, color, px: int = 5):
         for r, c in zip(*np.nonzero(m)):
             y0, x0 = y + int(r) * px, cx + int(c) * px
             y1, x1 = min(y0 + px, h), min(x0 + px, w)
-            if y0 < h and x0 < w:
+            if y0 < h and x0 < w and y1 > 0 and x1 > 0:
                 img[max(y0, 0):y1, max(x0, 0):x1, : len(color)] = color
         cx += ADVANCE * px
     return img

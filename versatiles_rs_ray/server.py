@@ -54,10 +54,17 @@ def _accept_encodings(headers) -> set:
         token = token.strip().lower()
         if not token:
             continue
-        name, _, q = token.partition(";")
-        name = name.strip()
-        qv = q.strip()
-        if qv.startswith("q=") and float(qv[2:] or 1.0) == 0.0:
+        parts = token.split(";")
+        name = parts[0].strip()
+        q = 1.0
+        for p in parts[1:]:  # params individually; unparsable q -> 1.0
+            p = p.strip()
+            if p.startswith("q="):
+                try:
+                    q = float(p[2:] or 1.0)
+                except ValueError:
+                    q = 1.0
+        if q == 0.0:
             continue
         if name == "*":
             out |= {"gzip", "br"}
@@ -358,11 +365,16 @@ def _make_handler(sources: dict, base_url_holder: list, statics: list = (),
                     body = json.dumps(src.tilejson(base)).encode()
                     return self._send(200, body, "application/json")
                 if len(rest) == 3:
+                    accept = _accept_encodings(self.headers)
                     try:
                         z, x = int(rest[0]), int(rest[1])
                         y = int(rest[2].split(".", 1)[0])
                     except ValueError:
                         return self._send(400, b"bad tile coords", "text/plain")
+                    if not 0 <= z <= 31:  # guards reader shift math
+                        return self._send(400, b"bad zoom level", "text/plain")
+                    if not (0 <= x < (1 << z) and 0 <= y < (1 << z)):
+                        return self._send(404, b"tile not found", "text/plain")
                     payload = src.get_tile(z, x, y)
                     if payload is None:
                         return self._send(404, b"tile not found", "text/plain")
@@ -379,19 +391,23 @@ def _make_handler(sources: dict, base_url_holder: list, statics: list = (),
                     if enc is None and payload[:2] == b"\x1f\x8b":
                         enc = "gzip"
                     if enc is not None:
-                        if enc in _accept_encodings(self.headers):
+                        if enc in accept:
                             extra["Content-Encoding"] = enc
                         else:  # identity is always acceptable
                             payload = _decode_variant(payload, enc)
                             enc = None
-                    if src.fmt_hint:
-                        mime = _FORMAT_MIME[src.fmt_hint]
-                    else:
+                    # mime: fmt_hint through the GUARDED helper (svg/
+                    # topojson have no entry); sniffed once per source —
+                    # tile format is uniform per container, so cache it
+                    mime = getattr(src, "_mime_cache", None)
+                    if mime is None:
                         mime = _sniff_mime(
-                            _decode_variant(payload, enc) if enc else payload, None
+                            _decode_variant(payload, enc) if enc else payload,
+                            src.fmt_hint,
                         )
+                        src._mime_cache = mime
                     if (enc is None and not minimal_recompression
-                            and "gzip" in _accept_encodings(self.headers)):
+                            and "gzip" in accept):
                         # best-accepted-encoding recompression
                         # (server.rs:52 semantics; sniff BEFORE encoding)
                         payload = gzip.compress(payload, 6, mtime=0)

@@ -25,12 +25,20 @@ def tumbling_partials(batch: pa.Table, window_s=WINDOW_S) -> pa.Table:
     # pack (event-type code, window) into one int64 so the per-batch
     # dedup is integer np.unique, not per-row string building: one
     # string-space unique over the batch's few distinct types, then
-    # integer keys (win < 2^48 for any realistic epoch)
+    # ARITHMETIC keys win*2^16+code — correct for negative windows too
+    # (pre-1970 ts), where a bitwise OR would merge all types
     _, codes = np.unique(etype.astype(str), return_inverse=True)
-    key = (codes.astype(np.int64) << np.int64(48)) | win
+    if len(np.unique(codes)) >= (1 << 16):
+        raise ValueError("more than 2^16 distinct event types in one batch")
+    key = win * np.int64(1 << 16) + codes.astype(np.int64)
     uniq, first, inv = np.unique(key, return_index=True, return_inverse=True)
     n = np.bincount(inv).astype(np.int64)
-    s = np.bincount(inv, weights=cents).astype(np.int64)
+    # integer-exact sums (float bincount weights would round above
+    # 2^53 cents, defeating the int-cents design): reduceat over the
+    # group-sorted cents
+    order = np.argsort(inv, kind="stable")
+    starts = np.flatnonzero(np.r_[True, inv[order][1:] != inv[order][:-1]])
+    s = np.add.reduceat(cents[order], starts)
     mn = np.full(len(uniq), np.iinfo(np.int64).max)
     mx = np.full(len(uniq), np.iinfo(np.int64).min)
     np.minimum.at(mn, inv, cents)
@@ -161,7 +169,10 @@ def _props_partial(batch: pa.Table, field: str) -> pa.Table:
         "sum_v": pa.array([], type=pa.int64()),
         "max_v": pa.array([], type=pa.int64()),
     })
-    ex = pc.extract_regex(batch["props"], f'"{field}":\\s*(?P<v>-?\\d+)')
+    import re
+
+    ex = pc.extract_regex(batch["props"],
+                          f'"{re.escape(field)}":\\s*(?P<v>-?\\d+)')
     valid = ex.is_valid()
     v = pc.cast(pc.struct_field(ex.combine_chunks() if isinstance(ex, pa.ChunkedArray) else ex, "v"), pa.int64())
     t = pa.table({"event_type": batch["event_type"], "v": v}).filter(valid)
