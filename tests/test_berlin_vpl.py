@@ -101,3 +101,24 @@ def test_berlin_vpl_parses_exactly():
         "id_field_tiles": "name",
         "id_field_data": "city_name",
     }
+
+
+def test_convert_vpl_input(berlin_dir, tmp_path):
+    """`convert berlin.vpl out.pmtiles` — a .vpl file as the convert
+    INPUT, dispatched by the container registry (the reference's
+    tools/convert.rs test_local case 4)."""
+    from versatiles_rs_ray.pipelines.vpl import open_container, write_container
+    from versatiles_rs_ray.sources.pmtiles import read_pmtiles
+
+    # write the real berlin.vpl text beside its inputs
+    (berlin_dir / "berlin.vpl").write_text(open(BERLIN_VPL).read())
+    ds = open_container(str(berlin_dir / "berlin.vpl"))
+    out = str(tmp_path / "berlin4.pmtiles")
+    rows = write_container(ds, out)
+    assert rows == 1
+    back = read_pmtiles(out).take_all()
+    tile = mvt.decode_tile(bytes(back[0]["payload"]))
+    place = {f["properties"]["name"]: f["properties"]
+             for f in next(l for l in tile["layers"]
+                           if l["name"] == "place_labels")["features"]}
+    assert place["Berlin"]["city_population"] == 3755251

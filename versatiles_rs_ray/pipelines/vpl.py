@@ -466,6 +466,18 @@ def _builtin_containers():
     register_container(
         "versatiles", reader=_vt.read_versatiles, writer=_vt.write_versatiles
     )
+    # a .vpl file IS a container source: the registry dispatches it to
+    # the pipeline builder (container_registry.rs:196-246; exercised by
+    # the reference's `convert ../testdata/berlin.vpl out.pmtiles` test)
+    register_container("vpl", reader=_read_vpl_container)
+
+
+def _read_vpl_container(path: str):
+    import os
+
+    with open(path) as f:
+        text = f.read()
+    return build_pipeline(text, sf_dir=os.path.dirname(os.path.abspath(path)))
 
 
 _builtin_containers()
