@@ -198,3 +198,36 @@ def test_cli_help_topics():
                         "config"], capture_output=True, text=True,
                        check=True, timeout=240)
     assert "allowed_origins" in r.stdout
+
+
+def test_cli_serve_bracket_names_and_auto_shutdown(ray_session, tmp_path):
+    """tools/serve.rs source syntax `path[name]` / `[name]path` and
+    --auto-shutdown (the reference's own serve tests use both)."""
+    import subprocess
+    import sys
+    import urllib.request
+
+    from versatiles_rs_ray.core.bbox import TileBBoxPyramid
+    from versatiles_rs_ray.sources.debug_tiles import json_debug_tiles
+    from versatiles_rs_ray.sources.pmtiles import write_pmtiles
+
+    pm = f"{tmp_path}/s.pmtiles"
+    write_pmtiles(json_debug_tiles(TileBBoxPyramid.new_full(0)), pm)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "versatiles_rs_ray", "serve",
+         f"{pm}[test]", f"[t2]{pm}", "--port", "0",
+         "--auto-shutdown", "30000"],
+        stdout=subprocess.PIPE, text=True)
+    try:
+        import select
+
+        ready, _, _ = select.select([proc.stdout], [], [], 120)
+        assert ready, "no startup JSON"
+        doc = json.loads(proc.stdout.readline())
+        assert doc["sources"] == ["t2", "test"]
+        with urllib.request.urlopen(f"{doc['url']}/tiles/test/0/0/0",
+                                    timeout=10) as r:
+            assert json.loads(r.read()) == {"x": 0, "y": 0, "z": 0}
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)

@@ -155,8 +155,18 @@ def cmd_serve(args):
     else:
         srv = TileServer(host=args.host if args.host is not None else "127.0.0.1",
                          port=args.port if args.port is not None else 8080)
+    import re as _re
+
     for spec in args.sources:
-        if "=" in spec:
+        # accepted forms (tools/serve.rs source syntax + our name=path):
+        #   path[name]   [name]path   name=path   path
+        m = _re.fullmatch(r"(.+)\[([^\]]+)\]", spec)
+        m2 = _re.fullmatch(r"\[([^\]]+)\](.+)", spec)
+        if m:
+            path, name = m.group(1), m.group(2)
+        elif m2:
+            name, path = m2.group(1), m2.group(2)
+        elif "=" in spec:
             name, path = spec.split("=", 1)
         else:
             name = os.path.basename(spec).rsplit(".", 1)[0]
@@ -174,6 +184,10 @@ def cmd_serve(args):
     try:
         import time
 
+        if args.auto_shutdown:
+            time.sleep(args.auto_shutdown / 1000.0)
+            srv.shutdown()
+            return
         while True:
             time.sleep(3600)
     except KeyboardInterrupt:
@@ -296,7 +310,9 @@ def main(argv=None):
     s.add_argument("--port", type=int, default=None, help="default 8080 (or config port)")
     s.add_argument("--static", action="append",
                    help="static mount: PREFIX=PATH (folder or tar), repeatable")
-    s.add_argument("--config", help="YAML server config (config/main.rs surface)")
+    s.add_argument("--config", "-c", help="YAML server config (config/main.rs surface)")
+    s.add_argument("--auto-shutdown", type=int, default=0, metavar="MS",
+                   help="stop after MS milliseconds (tools/serve.rs test flag)")
     s.add_argument("--skip-unreachable", action="store_true",
                    help="with --config: skip tile sources that fail to open")
     s.set_defaults(fn=cmd_serve)
