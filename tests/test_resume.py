@@ -109,3 +109,36 @@ def test_stale_lineage_partitions_invalidated(ray_session, sf_dir, tmp_path):
             f.write(json.dumps(r) + "\n")
     df2 = read_pyramid(out).to_pandas()
     assert sorted(df2["z"].unique()) == [0, 1, 2, 3]
+
+
+def test_increment_pyramid_equals_full_rebuild(ray_session, tmp_path):
+    """increment(base, delta) must equal a full rebuild over the
+    concatenated corpus — the decomposable-aggregate guarantee."""
+    import pyarrow as pa
+
+    from versatiles_rs_ray.pipelines.pyramid import (
+        build_and_write_pyramid, increment_pyramid, read_pyramid)
+    from versatiles_rs_ray.sources.docs import load_shard_spec, shard_specs
+    import ray.data as rd
+
+    sf = "/root/testdata/sf0.001"
+    zb = 5
+    base_dir = str(tmp_path / "base")
+    full_dir = str(tmp_path / "full")
+    inc_dir = str(tmp_path / "inc")
+    # base corpus = replica 0; full corpus = replicas 0+1
+    build_and_write_pyramid(sf, base_dir, z_base=zb, replicate=1)
+    build_and_write_pyramid(sf, full_dir, z_base=zb, replicate=2)
+    # delta = replica 1 only (id-space tiled docs)
+    spec = dict(shard_specs(sf, 2)[0])
+    spec["replicas"] = [1]
+    delta = rd.from_arrow(load_shard_spec(spec))
+    increment_pyramid(delta, base_dir, inc_dir, z_base=zb)
+
+    cols = ["tkey", "n_docs", "n_spans", "min_doc", "max_doc"]
+    a = read_pyramid(inc_dir).select_columns(cols).to_pandas().sort_values("tkey").reset_index(drop=True)
+    b = read_pyramid(full_dir).select_columns(cols).to_pandas().sort_values("tkey").reset_index(drop=True)
+    assert a.equals(b)
+    # resume: re-running the increment is a no-op (all levels committed)
+    rec2 = increment_pyramid(delta, base_dir, inc_dir, z_base=zb)
+    assert set(rec2) == {f"z={z}" for z in range(zb + 1)}

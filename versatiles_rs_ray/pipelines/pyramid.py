@@ -189,3 +189,60 @@ def read_pyramid(out_dir: str, z_levels=None):
                 # read_parquet accepts one dir or a list of FILES — expand
                 files += [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
     return rd.read_parquet(files)
+
+
+def increment_pyramid(delta_docs_ds, base_dir: str, out_dir: str,
+                      z_base: int, z_min: int = 0, delta_tag: str = "delta",
+                      num_buckets: int = 64):
+    """Merge a DELTA corpus into an existing written pyramid without
+    re-reading the base corpus — the daily-increment path at 100 TB.
+
+    Possible because every per-tile stat is a decomposable aggregate
+    (sum/min/max): the delta runs the normal one-exchange spatial
+    aggregation, the BASE levels are read back from their parquet
+    partitions (tile stats, ~10^6x smaller than the corpus), and one
+    more exchange on tkey merges the two — cost is O(delta + tiles),
+    never O(base corpus). Written with its own manifest lineage
+    (base lineage + delta_tag) so resume/invalidations behave exactly
+    like a fresh build; pytest asserts bit-equality with a full
+    rebuild of base+delta.
+    """
+    import ray.data as rd
+
+    from ..stages.pyramid import combine_partials
+
+    stats_cols = ["tkey", "n_docs", "n_spans", "min_doc", "max_doc"]
+    delta_tiles = aggregate_pyramid_spatial(
+        assign_tiles(delta_docs_ds, z_base), z_base, z_min,
+        num_buckets=num_buckets,
+    ).select_columns(stats_cols)
+    base_manifest = Manifest(base_dir, "")
+    base_records = base_manifest.load()
+    base_lineage = next(iter(base_records.values()), {}).get("lineage", "")
+    base_tiles = read_pyramid(base_dir).select_columns(stats_cols)
+    merged = combine_partials(base_tiles.union(delta_tiles),
+                              num_buckets=num_buckets)
+    tiles = merged.map_batches(finalize_level, batch_format="pyarrow").materialize()
+
+    params = {"z_base": z_base, "z_min": z_min, "base": base_lineage,
+              "delta": delta_tag, "v": 1}
+    lineage = lineage_hash([base_dir], params)
+    manifest = Manifest(out_dir, lineage)
+    manifest.invalidate_stale()
+    done = manifest.load()
+    records = dict(done)
+    for z in range(z_min, z_base + 1):
+        if f"z={z}" in done:
+            continue
+        t0 = time.monotonic()
+        tmp = manifest.begin(f"z={z}")
+        level = tiles.filter(expr=f"z == {z}")
+        level.write_parquet(tmp)
+        import os
+
+        rows = rd.read_parquet(
+            [os.path.join(tmp, f) for f in sorted(os.listdir(tmp))]
+        ).count()
+        records[f"z={z}"] = manifest.commit(f"z={z}", tmp, rows,
+                                            time.monotonic() - t0)
+    return records
