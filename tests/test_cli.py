@@ -231,3 +231,22 @@ def test_cli_serve_bracket_names_and_auto_shutdown(ray_session, tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_cli_corpus_ops(tmp_path):
+    """corpus quota/sample/shuffle/pack/normalize over the real sf0.001
+    documents table, via subprocesses (own Ray sessions)."""
+    src = "/root/testdata/sf0.001/documents.parquet"
+    doc = _run(["corpus", "sample", src, str(tmp_path / "s"), "--key",
+                "doc_id", "--rate", "0.25"])
+    assert doc["rows"] == 126  # matches the docs_sample oracle count
+    doc = _run(["corpus", "quota", src, str(tmp_path / "q"), "--key",
+                "source", "--order-by", "doc_id", "--n", "5"])
+    assert doc["rows"] == 100
+    doc = _run(["corpus", "pack", src, str(tmp_path / "p"), "--key",
+                "doc_id", "--order-by", "n_chars", "--n", "2000"])
+    assert doc["rows"] == 500
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{tmp_path}/p")
+    assert "seq_id" in t.schema.names and "shuffle_rank" in t.schema.names

@@ -228,6 +228,49 @@ def cmd_dev(args):
     ray.shutdown()
 
 
+def cmd_corpus(args):
+    """Training-data curation over a documents parquet table: each op
+    streams batches and writes partitioned parquet (stages/curate,
+    stages/text). The tool surface over the graft's curation suite."""
+    import ray.data as rd
+
+    ray = _ray_session(args.num_cpus)
+    ds = rd.read_parquet(args.input)
+    if args.op == "quota":
+        from versatiles_rs_ray.stages.curate import quota_per_key
+
+        out = quota_per_key(ds, args.key, args.order_by, args.n)
+    elif args.op == "sample":
+        from versatiles_rs_ray.stages.curate import systematic_sample
+
+        out = systematic_sample(ds, args.key, args.rate)
+    elif args.op == "shuffle":
+        from versatiles_rs_ray.stages.curate import deterministic_shuffle
+
+        out = deterministic_shuffle(ds, args.key)
+    elif args.op == "pack":
+        from versatiles_rs_ray.stages.curate import (
+            deterministic_shuffle,
+            pack_sequences,
+        )
+
+        shuffled = deterministic_shuffle(ds, args.key)
+        out = pack_sequences(shuffled, args.order_by, args.n, "shuffle_rank",
+                             exact_global=not args.parallel_bins)
+    elif args.op == "normalize":
+        from versatiles_rs_ray.stages.text import normalize_docs
+
+        out = normalize_docs(ds, col=args.order_by)
+    else:  # pragma: no cover - argparse choices guard
+        raise SystemExit(f"unknown corpus op {args.op}")
+    out.write_parquet(args.output)
+    import os
+
+    rows = rd.read_parquet(args.output).count()
+    print(json.dumps({"op": args.op, "rows": rows, "output": args.output}))
+    ray.shutdown()
+
+
 def cmd_help(args):
     """help pipeline|config (tools/help.rs Topic enum): markdown docs
     generated from the live registries, like the reference's
@@ -316,6 +359,21 @@ def main(argv=None):
     s.add_argument("--skip-unreachable", action="store_true",
                    help="with --config: skip tile sources that fail to open")
     s.set_defaults(fn=cmd_serve)
+
+    co = sub.add_parser("corpus", help="training-data curation ops over parquet")
+    co.add_argument("op", choices=["quota", "sample", "shuffle", "pack", "normalize"])
+    co.add_argument("input", help="documents parquet file/dir")
+    co.add_argument("output", help="output parquet dir")
+    co.add_argument("--key", default="doc_id",
+                    help="id / group column (quota: group key; others: id)")
+    co.add_argument("--order-by", default="doc_id",
+                    help="quota order / pack token column / normalize text column")
+    co.add_argument("--n", type=int, default=5,
+                    help="quota per key, or pack token budget")
+    co.add_argument("--rate", type=float, default=0.1, help="sample rate")
+    co.add_argument("--parallel-bins", action="store_true",
+                    help="pack: independent per-block bins (scale mode)")
+    co.set_defaults(fn=cmd_corpus)
 
     h = sub.add_parser("help", help="print operation / config docs")
     h.add_argument("topic", choices=["pipeline", "config"])
