@@ -33,11 +33,12 @@ def _hash_strings(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     enc = arr.dictionary_encode()
     uniq = enc.dictionary.to_pylist()
     h = np.empty(len(uniq), dtype=np.uint64)
-    for i, s in enumerate(uniq):
-        acc = _FNV_OFFSET
-        for byte in (s or "").encode():
-            acc = (acc ^ np.uint64(byte)) * _FNV_PRIME
-        h[i] = acc
+    with np.errstate(over="ignore"):  # uint64 wrap IS the FNV algorithm
+        for i, s in enumerate(uniq):
+            acc = _FNV_OFFSET
+            for byte in (s or "").encode():
+                acc = (acc ^ np.uint64(byte)) * _FNV_PRIME
+            h[i] = acc
     idx = np.asarray(enc.indices, dtype=np.int64)
     return (h[idx] & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
