@@ -48,6 +48,15 @@ def _add_route(batch: pa.Table, key_col: str) -> pa.Table:
                                                   type=pa.int64()))
 
 
+def _local_prune_and_route(batch: pa.Table, key_col: str, order_col: str,
+                           n: int) -> pa.Table:
+    """Map-side combiner: the global first-n per key is a subset of the
+    union of per-batch first-n, so pruning HERE bounds shuffle rows to
+    n x distinct-keys per batch regardless of key skew (a zipf-hot
+    domain stops dominating the exchange)."""
+    return _add_route(_first_n_per_key(batch, key_col, order_col, n), key_col)
+
+
 def _first_n_per_key(table: pa.Table, key_col: str, order_col: str, n: int) -> pa.Table:
     """Vectorized rank<n per key: one native Arrow sort by (key,
     order), run detection over dictionary codes, positional mask — no
@@ -85,8 +94,10 @@ def quota_per_key(ds, key_col: str, order_col: str, n: int, num_partitions: int 
     """
     import functools
 
-    routed = ds.map_batches(functools.partial(_add_route, key_col=key_col),
-                            batch_format="pyarrow")
+    routed = ds.map_batches(
+        functools.partial(_local_prune_and_route, key_col=key_col,
+                          order_col=order_col, n=n),
+        batch_format="pyarrow")
     combine = functools.partial(_first_n_per_key, key_col=key_col,
                                 order_col=order_col, n=n)
     out = hash_exchange(routed, "_route", combine, num_partitions=num_partitions)
