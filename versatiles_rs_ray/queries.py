@@ -306,6 +306,32 @@ def q_ngram_jaccard(sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(sf_dir), k=NGRAM_K, threshold=NGRAM_TAU)
 
 
+def q_dup_components(sf_dir):
+    """Duplicate-document components over the exact n-gram near-dup
+    pairs: distributed co-partitioned min-label propagation with no
+    driver label map (stages/dedup.propagate_min_labels_exchange —
+    converges or raises)."""
+    pairs = dedup.ngram_jaccard_pairs(_docs(sf_dir), k=NGRAM_K,
+                                      threshold=NGRAM_TAU)
+    return dedup.propagate_min_labels_exchange(pairs)
+
+
+def _oracle_dup_components():
+    # transitive closure over the SAME pair oracle, min reachable label
+    ng = _oracle_ngram_jaccard()
+    return (
+        f"WITH RECURSIVE pairs AS ({ng}), "
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+        "          UNION SELECT doc_b, doc_a FROM pairs), "
+        "reach AS ("
+        "  SELECT a, b FROM edges"
+        "  UNION"
+        "  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a"
+        ") SELECT a AS doc_num, least(a, min(b)) AS group_id "
+        "FROM reach GROUP BY a"
+    )
+
+
 Z_TILE_SPANS = 4
 
 
@@ -1579,6 +1605,7 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "shuffle_ranks": q_shuffle_ranks,
     "pack_sequences": q_pack_sequences,
+    "dup_components": q_dup_components,
     "ngram_jaccard": q_ngram_jaccard,
     "token_stats": q_token_stats,
     "bpe_tokens": q_bpe_tokens,
@@ -1638,6 +1665,7 @@ ORACLES = {
     "normalize_text": _oracle_normalize_text(),
     "shuffle_ranks": _oracle_shuffle_ranks(),
     "pack_sequences": _oracle_pack_sequences(),
+    "dup_components": _oracle_dup_components(),
     "ngram_jaccard": _oracle_ngram_jaccard(),
     "token_stats": _oracle_token_stats(),
     "bpe_tokens": _oracle_bpe_tokens(),
