@@ -244,7 +244,7 @@ def test_cli_corpus_ops(tmp_path):
                 "source", "--order-by", "doc_id", "--n", "5"])
     assert doc["rows"] == 100
     doc = _run(["corpus", "pack", src, str(tmp_path / "p"), "--key",
-                "doc_id", "--order-by", "n_chars", "--n", "2000"])
+                "doc_id", "--token-col", "n_chars", "--budget", "2000"])
     assert doc["rows"] == 500
     import pyarrow.parquet as pq
 

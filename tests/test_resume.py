@@ -133,12 +133,30 @@ def test_increment_pyramid_equals_full_rebuild(ray_session, tmp_path):
     spec = dict(shard_specs(sf, 2)[0])
     spec["replicas"] = [1]
     delta = rd.from_arrow(load_shard_spec(spec))
-    increment_pyramid(delta, base_dir, inc_dir, z_base=zb)
+    increment_pyramid(delta, base_dir, inc_dir, z_base=zb, delta_tag="r1")
 
     cols = ["tkey", "n_docs", "n_spans", "min_doc", "max_doc"]
     a = read_pyramid(inc_dir).select_columns(cols).to_pandas().sort_values("tkey").reset_index(drop=True)
     b = read_pyramid(full_dir).select_columns(cols).to_pandas().sort_values("tkey").reset_index(drop=True)
     assert a.equals(b)
     # resume: re-running the increment is a no-op (all levels committed)
-    rec2 = increment_pyramid(delta, base_dir, inc_dir, z_base=zb)
+    rec2 = increment_pyramid(delta, base_dir, inc_dir, z_base=zb, delta_tag="r1")
     assert set(rec2) == {f"z={z}" for z in range(zb + 1)}
+
+
+def test_increment_pyramid_guards(ray_session, tmp_path):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from versatiles_rs_ray.pipelines.pyramid import (
+        build_and_write_pyramid, increment_pyramid)
+
+    sf = "/root/testdata/sf0.001"
+    base_dir = str(tmp_path / "b")
+    build_and_write_pyramid(sf, base_dir, z_base=4, replicate=1)
+    delta = rd.from_arrow(pa.table({"doc_id": pa.array([], type=pa.int64())}))
+    # requested range must match the base's built levels
+    with pytest.raises(ValueError, match="do not match"):
+        increment_pyramid(delta, base_dir, str(tmp_path / "o"), z_base=7,
+                          delta_tag="x")

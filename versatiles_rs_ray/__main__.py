@@ -232,8 +232,14 @@ def cmd_corpus(args):
     """Training-data curation over a documents parquet table: each op
     streams batches and writes partitioned parquet (stages/curate,
     stages/text). The tool surface over the graft's curation suite."""
+    import os
+
     import ray.data as rd
 
+    if os.path.isdir(args.output) and os.listdir(args.output):
+        # Ray write_parquet appends uuid-named files: a re-run into a
+        # non-empty dir would silently mix two runs' outputs
+        raise SystemExit(f"corpus: output dir {args.output!r} is not empty")
     ray = _ray_session(args.num_cpus)
     ds = rd.read_parquet(args.input)
     if args.op == "quota":
@@ -255,12 +261,13 @@ def cmd_corpus(args):
         )
 
         shuffled = deterministic_shuffle(ds, args.key)
-        out = pack_sequences(shuffled, args.order_by, args.n, "shuffle_rank",
+        out = pack_sequences(shuffled, args.token_col, args.budget,
+                             "shuffle_rank",
                              exact_global=not args.parallel_bins)
     elif args.op == "normalize":
         from versatiles_rs_ray.stages.text import normalize_docs
 
-        out = normalize_docs(ds, col=args.order_by)
+        out = normalize_docs(ds, col=args.col)
     else:  # pragma: no cover - argparse choices guard
         raise SystemExit(f"unknown corpus op {args.op}")
     out.write_parquet(args.output)
@@ -366,11 +373,12 @@ def main(argv=None):
     co.add_argument("output", help="output parquet dir")
     co.add_argument("--key", default="doc_id",
                     help="id / group column (quota: group key; others: id)")
-    co.add_argument("--order-by", default="doc_id",
-                    help="quota order / pack token column / normalize text column")
-    co.add_argument("--n", type=int, default=5,
-                    help="quota per key, or pack token budget")
+    co.add_argument("--order-by", default="doc_id", help="quota order column")
+    co.add_argument("--n", type=int, default=5, help="quota: max rows per key")
     co.add_argument("--rate", type=float, default=0.1, help="sample rate")
+    co.add_argument("--token-col", default="n_chars", help="pack: token-count column")
+    co.add_argument("--budget", type=int, default=8192, help="pack: tokens per sequence")
+    co.add_argument("--col", default="text", help="normalize: text column")
     co.add_argument("--parallel-bins", action="store_true",
                     help="pack: independent per-block bins (scale mode)")
     co.set_defaults(fn=cmd_corpus)

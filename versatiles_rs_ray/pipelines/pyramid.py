@@ -102,15 +102,7 @@ def build_and_write_pyramid(
         return records
 
     def write_level(z: int, level_ds):
-        t0 = time.monotonic()
-        tmp = manifest.begin(f"z={z}")
-        level_ds.write_parquet(tmp)
-        import os
-
-        rows = rd.read_parquet(
-            [os.path.join(tmp, f) for f in sorted(os.listdir(tmp))]
-        ).count()
-        records[f"z={z}"] = manifest.commit(f"z={z}", tmp, rows, time.monotonic() - t0)
+        _write_level(manifest, records, z, level_ds)
 
     if strategy in ("single_shuffle", "fused"):
         if strategy == "fused":
@@ -191,8 +183,25 @@ def read_pyramid(out_dir: str, z_levels=None):
     return rd.read_parquet(files)
 
 
+def _write_level(manifest: Manifest, records: dict, z: int, level_ds):
+    """Atomic level write: begin -> parquet -> re-read count -> commit
+    (shared by build/increment so the resume protocol cannot diverge)."""
+    import os
+
+    import ray.data as rd
+
+    t0 = time.monotonic()
+    tmp = manifest.begin(f"z={z}")
+    level_ds.write_parquet(tmp)
+    rows = rd.read_parquet(
+        [os.path.join(tmp, f) for f in sorted(os.listdir(tmp))]
+    ).count()
+    records[f"z={z}"] = manifest.commit(f"z={z}", tmp, rows,
+                                        time.monotonic() - t0)
+
+
 def increment_pyramid(delta_docs_ds, base_dir: str, out_dir: str,
-                      z_base: int, z_min: int = 0, delta_tag: str = "delta",
+                      z_base: int, z_min: int = 0, *, delta_tag: str,
                       num_buckets: int = 64):
     """Merge a DELTA corpus into an existing written pyramid without
     re-reading the base corpus — the daily-increment path at 100 TB.
@@ -202,47 +211,46 @@ def increment_pyramid(delta_docs_ds, base_dir: str, out_dir: str,
     aggregation, the BASE levels are read back from their parquet
     partitions (tile stats, ~10^6x smaller than the corpus), and one
     more exchange on tkey merges the two — cost is O(delta + tiles),
-    never O(base corpus). Written with its own manifest lineage
-    (base lineage + delta_tag) so resume/invalidations behave exactly
-    like a fresh build; pytest asserts bit-equality with a full
-    rebuild of base+delta.
+    never O(base corpus). ``delta_tag`` is REQUIRED and must uniquely
+    name the delta (a date, a batch id): it is the delta's identity in
+    the output lineage — reusing a tag against the same base makes the
+    run a resume NO-OP, not a second merge. The base's own manifest
+    lineage folds into the output lineage, so rebuilding the base with
+    different inputs/params invalidates the increment; the requested
+    z range must match the base's built levels exactly (a mismatched
+    merge would silently drop corpus data). pytest asserts
+    bit-equality with a full rebuild of base+delta.
     """
-    import ray.data as rd
-
     from ..stages.pyramid import combine_partials
+
+    base_all = Manifest(base_dir, "")._all_records()
+    want = {f"z={z}" for z in range(z_min, z_base + 1)}
+    if set(base_all) != want:
+        raise ValueError(
+            f"base pyramid levels {sorted(base_all)} do not match the "
+            f"requested range z={z_min}..{z_base}")
+    base_lineage = next(iter(base_all.values()), {}).get("lineage", "")
+
+    params = {"z_base": z_base, "z_min": z_min, "base": base_lineage,
+              "delta": delta_tag, "v": 2}
+    lineage = lineage_hash([base_dir], params)
+    manifest = Manifest(out_dir, lineage)
+    manifest.invalidate_stale()
+    done = manifest.load()
+    records = dict(done)
+    missing = [z for z in range(z_min, z_base + 1) if f"z={z}" not in done]
+    if not missing:  # completed increment: resume costs nothing
+        return records
 
     stats_cols = ["tkey", "n_docs", "n_spans", "min_doc", "max_doc"]
     delta_tiles = aggregate_pyramid_spatial(
         assign_tiles(delta_docs_ds, z_base), z_base, z_min,
         num_buckets=num_buckets,
     ).select_columns(stats_cols)
-    base_manifest = Manifest(base_dir, "")
-    base_records = base_manifest.load()
-    base_lineage = next(iter(base_records.values()), {}).get("lineage", "")
     base_tiles = read_pyramid(base_dir).select_columns(stats_cols)
     merged = combine_partials(base_tiles.union(delta_tiles),
                               num_buckets=num_buckets)
     tiles = merged.map_batches(finalize_level, batch_format="pyarrow").materialize()
-
-    params = {"z_base": z_base, "z_min": z_min, "base": base_lineage,
-              "delta": delta_tag, "v": 1}
-    lineage = lineage_hash([base_dir], params)
-    manifest = Manifest(out_dir, lineage)
-    manifest.invalidate_stale()
-    done = manifest.load()
-    records = dict(done)
-    for z in range(z_min, z_base + 1):
-        if f"z={z}" in done:
-            continue
-        t0 = time.monotonic()
-        tmp = manifest.begin(f"z={z}")
-        level = tiles.filter(expr=f"z == {z}")
-        level.write_parquet(tmp)
-        import os
-
-        rows = rd.read_parquet(
-            [os.path.join(tmp, f) for f in sorted(os.listdir(tmp))]
-        ).count()
-        records[f"z={z}"] = manifest.commit(f"z={z}", tmp, rows,
-                                            time.monotonic() - t0)
+    for z in missing:
+        _write_level(manifest, records, z, tiles.filter(expr=f"z == {z}"))
     return records
