@@ -293,6 +293,9 @@ def normalize_text_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     t = batch[col]
     if isinstance(t, pa.ChunkedArray):
         t = t.combine_chunks()
+    if not (pa.types.is_string(t.type) or pa.types.is_large_string(t.type)):
+        raise TypeError(f"normalize_text_batch: column {col!r} is "
+                        f"{t.type}, expected a string column")
     # NFC: ASCII is NFC by definition (the vectorized fast path for
     # the vast majority of rows); only the non-ASCII minority pays the
     # python unicodedata call. pyarrow's own utf8_normalize is NOT
