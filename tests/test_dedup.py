@@ -413,6 +413,29 @@ def test_greedy_pack_kernel():
     assert np.concatenate(parts).tolist() == whole.tolist()
 
 
+def test_pack_block_rejects_negative_tokens():
+    import pyarrow as pa
+    import pytest
+
+    from versatiles_rs_ray.stages.curate import _pack_block
+
+    t = pa.table({"tok": pa.array([5, -1, 3], type=pa.int64())})
+    with pytest.raises(ValueError, match="negative"):
+        _pack_block((0, 0), t, "tok", 100)
+
+
+def test_knn_cosine_partials_reject_duplicate_qids():
+    import pytest
+
+    from versatiles_rs_ray.stages.embed import CosineTopKPartial
+    from versatiles_rs_ray.stages.join import KnnPartial
+
+    with pytest.raises(ValueError, match="unique q_ids"):
+        KnnPartial([1, 1], [0.0, 1.0], [0.0, 1.0], k=1)
+    with pytest.raises(ValueError, match="unique q_ids"):
+        CosineTopKPartial([2, 2], np.ones((2, 4)), k=1)
+
+
 def test_pack_sequences_modes(ray_session):
     import pyarrow as pa
     import ray.data as rd

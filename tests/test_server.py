@@ -403,3 +403,28 @@ def test_server_hardening(ray_session, tmp_path):
         assert r.status == 200
     finally:
         srv.shutdown()
+
+
+def test_server_mixed_format_mime_per_tile(tmp_path):
+    """A hintless source with mixed payload formats must sniff the
+    Content-Type per tile — the old per-source cache pinned the first
+    format seen onto every later tile."""
+    import urllib.request
+
+    from versatiles_rs_ray.core.png import encode_png
+    import numpy as np
+
+    from versatiles_rs_ray.server import MemTileSource, TileServer
+
+    png = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    tiles = {(0, 0, 0): b'{"kind":"json"}', (1, 0, 0): png}
+    srv = TileServer()
+    srv.sources["m"] = MemTileSource("m", tiles, fmt_hint=None)
+    url = srv.start()
+    try:
+        r1 = urllib.request.urlopen(f"{url}/tiles/m/0/0/0", timeout=10)
+        r2 = urllib.request.urlopen(f"{url}/tiles/m/1/0/0", timeout=10)
+        assert r1.headers["Content-Type"] == "application/json"
+        assert r2.headers["Content-Type"] == "image/png"
+    finally:
+        srv.shutdown()

@@ -116,3 +116,21 @@ def test_normalize_text_batch():
     assert out[0] == "hello world"
     assert out[1] == "café"
     assert out[2] == "éclair"  # NFC composes e + combining acute
+
+
+def test_normalize_text_batch_nulls():
+    # null rows must flow through unchanged on BOTH the ascii fast
+    # path and the NFC scatter path (string_is_ascii yields null for
+    # null rows; an unfilled mask used to poison the numpy ~ operator)
+    import pyarrow as pa
+
+    from versatiles_rs_ray.stages.text import normalize_text_batch
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4]),
+                  "text": pa.array(["Hello", None, "CAFÉ", None])})
+    out = normalize_text_batch(t)["text"].to_pylist()
+    assert out == ["hello", None, "café", None]
+
+    # all-ascii batch with a null (pure fast path)
+    t2 = pa.table({"text": pa.array(["A  B", None])})
+    assert normalize_text_batch(t2)["text"].to_pylist() == ["a b", None]

@@ -41,7 +41,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from .sources.random_access import open_random_access
 
 from .core.formats import FORMAT_MIME as _FORMAT_MIME
-from .core.formats import sniff_mime as _sniff_mime
+from .core.formats import FORMAT_MIME, sniff_mime as _sniff_mime
 
 
 def _accept_encodings(headers) -> set:
@@ -397,15 +397,18 @@ def _make_handler(sources: dict, base_url_holder: list, statics: list = (),
                             payload = _decode_variant(payload, enc)
                             enc = None
                     # mime: fmt_hint through the GUARDED helper (svg/
-                    # topojson have no entry); sniffed once per source —
-                    # tile format is uniform per container, so cache it
-                    mime = getattr(src, "_mime_cache", None)
-                    if mime is None:
+                    # topojson have no entry). Cache per source ONLY
+                    # when fmt_hint declares a uniform format; hintless
+                    # sources (e.g. a mixed MemTileSource) sniff each
+                    # tile's magic bytes — a per-source cache would pin
+                    # the first format seen onto every later tile
+                    if src.fmt_hint is not None and src.fmt_hint in FORMAT_MIME:
+                        mime = FORMAT_MIME[src.fmt_hint]
+                    else:
                         mime = _sniff_mime(
                             _decode_variant(payload, enc) if enc else payload,
-                            src.fmt_hint,
+                            None,
                         )
-                        src._mime_cache = mime
                     if (enc is None and not minimal_recompression
                             and "gzip" in accept):
                         # best-accepted-encoding recompression

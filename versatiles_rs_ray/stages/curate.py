@@ -239,6 +239,12 @@ def _greedy_pack(tokens: np.ndarray, budget: int, acc: int = 0, seq: int = 0):
 def _pack_block(state, table: pa.Table, token_col: str, budget: int):
     acc, seq = state
     toks = np.asarray(table[token_col], dtype=np.int64)
+    # negative counts would make the prefix sum non-monotonic and the
+    # searchsorted bin boundaries silently wrong — reject, like
+    # _require_ids does for ids
+    if len(toks) and toks.min() < 0:
+        raise ValueError(f"pack_sequences: negative value in {token_col!r} "
+                         "(token counts must be >= 0)")
     ids, acc, seq = _greedy_pack(toks, budget, acc, seq)
     return table.append_column("seq_id", pa.array(ids, type=pa.int64())), (acc, seq)
 

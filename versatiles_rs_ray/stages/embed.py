@@ -27,6 +27,12 @@ class CosineTopKPartial:
 
     def __init__(self, q_ids, q_matrix, k, exclude_self=True):
         self.q_ids = np.asarray(q_ids, dtype=np.int64)
+        # searchsorted self-exclusion masks one hit per id; duplicate
+        # query ids would silently change semantics vs a full equality
+        # mask — pin the unique-ids assumption
+        if np.unique(self.q_ids).size != self.q_ids.size:
+            raise ValueError("CosineTopKPartial requires unique q_ids "
+                             "(searchsorted self-exclusion masks one hit per id)")
         q = np.asarray(q_matrix, dtype=np.float32)
         self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
         self.k = k

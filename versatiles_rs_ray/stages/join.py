@@ -95,6 +95,13 @@ class KnnPartial:
 
     def __init__(self, q_ids, q_lon, q_lat, k: int, exclude_self=True):
         self.q_ids = np.asarray(q_ids, dtype=np.int64)
+        # the searchsorted self-exclusion probe masks only the FIRST
+        # matching query position, so duplicate query ids would change
+        # semantics vs the old full (Q, W) equality mask — pin the
+        # unique-ids assumption all current callers satisfy
+        if np.unique(self.q_ids).size != self.q_ids.size:
+            raise ValueError("KnnPartial requires unique q_ids "
+                             "(searchsorted self-exclusion masks one hit per id)")
         self.q_lon = np.asarray(q_lon, dtype=np.float64)
         self.q_lat = np.asarray(q_lat, dtype=np.float64)
         self.k = k

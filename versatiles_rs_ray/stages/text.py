@@ -302,7 +302,10 @@ def normalize_text_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     # usable here: in pyarrow 16.1 it returns decomposed output even
     # with form="NFC" (verified), which would diverge from every other
     # NFC implementation incl. the DuckDB oracle.
-    ascii_mask = np.asarray(pc.string_is_ascii(t))
+    # null rows take the ASCII fast path (string_is_ascii yields null
+    # for them, which would poison the numpy mask); the later Arrow
+    # kernels are null-preserving so None flows through unchanged
+    ascii_mask = np.asarray(pc.fill_null(pc.string_is_ascii(t), True))
     if not ascii_mask.all():
         idx = np.flatnonzero(~ascii_mask)
         vals = t.take(pa.array(idx, type=pa.int64())).to_pylist()
