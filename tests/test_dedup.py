@@ -70,6 +70,33 @@ def test_minhash_finds_planted_dups(ray_session):
     assert (verified["jaccard"] >= 0.5).all()
 
 
+def test_jaccard_verify_exchange_equals_broadcast(ray_session):
+    """The co-partitioned verify (no corpus broadcast) must produce the
+    SAME (pair, jaccard) set as the JaccardVerify broadcast fast path."""
+    import ray
+
+    ds, texts, ids = _planted_ds(ray_session)
+    cand = dedup.minhash_candidates(ds, k=5, num_perm=64, bands=16)
+    ref = ray.put(dict(zip(ids, texts)))
+    broadcast = cand.map_batches(
+        dedup.JaccardVerify,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"texts_ref": ref, "threshold": 0.5},
+        concurrency=1,
+    ).to_pandas()
+    cand2 = dedup.minhash_candidates(ds, k=5, num_perm=64, bands=16)
+    exchanged = dedup.jaccard_verify_exchange(
+        cand2, ds, threshold=0.5, num_partitions=4
+    ).to_pandas()
+    want = {(a, b): j for a, b, j in
+            zip(broadcast.doc_a, broadcast.doc_b, broadcast.jaccard)}
+    got = {(a, b): j for a, b, j in
+           zip(exchanged.doc_a, exchanged.doc_b, exchanged.jaccard)}
+    assert set(got) == set(want)
+    for pair, j in got.items():
+        assert j == want[pair], pair  # bit-exact: same shingle polynomial
+
+
 def test_simhash_finds_exact_dups(ray_session):
     ds, texts, ids = _planted_ds(ray_session)
     got = dedup.simhash_candidates(ds, max_hamming=3).to_pandas()

@@ -739,18 +739,13 @@ def q_fingerprint(sf_dir):
 
 
 def q_minhash_dedup(sf_dir):
-    import ray
-
-    docs_ds = _docs(sf_dir)
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts = dict(zip(np.asarray(t["doc_id"], dtype=np.int64).tolist(), t["text"].to_pylist()))
-    cand = dedup.minhash_candidates(docs_ds)
-    ref = ray.put(texts)
-    return cand.map_batches(
-        dedup.JaccardVerify,
-        batch_format="pyarrow",
-        fn_constructor_kwargs={"texts_ref": ref, "threshold": MINHASH_TAU},
-        concurrency=(1, 2),
+    """MinHash LSH candidates + exact-Jaccard verify, with the verify
+    stage on the co-partitioned exchange path (no corpus broadcast —
+    the scale path, exercised by the driver oracle)."""
+    cand = dedup.minhash_candidates(_docs(sf_dir))
+    texts = D.read_docs(sf_dir, columns=["doc_num", "text"])
+    return dedup.jaccard_verify_exchange(
+        cand, texts, threshold=MINHASH_TAU, num_partitions=8
     )
 
 

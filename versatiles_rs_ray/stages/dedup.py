@@ -334,8 +334,10 @@ class JaccardVerify:
     """Verify candidate pairs with exact shingle-set Jaccard.
 
     Broadcast side: dict doc_num -> text (built once per actor from a
-    ray.put handle). At full scale this would be a co-partitioned
-    lookup; for the verify stage the candidate set is small by design.
+    ray.put handle) — the SMALL-CORPUS fast path (one object-store
+    round-trip, no exchange). The scale path is
+    :func:`jaccard_verify_exchange`, which co-partitions pairs and doc
+    shingle sets and never holds the corpus in any one actor.
     For corpus-wide EXACT verification use ngram_jaccard_pairs below
     (inverted-index double exchange, no broadcast anywhere).
     """
@@ -360,6 +362,192 @@ class JaccardVerify:
         keep = jac >= self.threshold
         out = batch.filter(pa.array(keep))
         return out.append_column("jaccard", pa.array(jac[keep], type=pa.float64()))
+
+
+# ---- co-partitioned Jaccard verify (scale path) ------------------------
+
+_SH_TYPE = pa.large_list(pa.int64())
+
+
+def _sh_list_column(texts, k: int) -> pa.LargeListArray:
+    """Per-doc sorted-unique shingle-hash sets as one large_list<int64>
+    column (uint64 hashes stored as their int64 bit pattern)."""
+    flat, _starts, counts = _shingle_hashes_flat(texts, k)
+    offs = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    return pa.LargeListArray.from_arrays(
+        pa.array(offs, type=pa.int64()), pa.array(flat.view(np.int64), type=pa.int64())
+    )
+
+
+def _list_buffers(col) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets, values) numpy views of a (chunked) large_list column."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = np.asarray(arr.values, dtype=np.int64)
+    return offs, vals
+
+
+def _jv_doc_rows(batch: pa.Table, k: int = 5, id_col: str = "doc_num",
+                 text_col: str = "text") -> pa.Table:
+    n = batch.num_rows
+    return pa.table({
+        "route": batch[id_col].combine_chunks().cast(pa.int64()),
+        "doc_a": pa.nulls(n, pa.int64()),
+        "doc_b": pa.nulls(n, pa.int64()),
+        "sh": _sh_list_column(batch[text_col], k),
+    })
+
+
+def _jv_pair_rows(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table({
+        "route": batch["doc_a"].combine_chunks().cast(pa.int64()),
+        "doc_a": batch["doc_a"].combine_chunks().cast(pa.int64()),
+        "doc_b": batch["doc_b"].combine_chunks().cast(pa.int64()),
+        "sh": pa.nulls(n, _SH_TYPE),
+    })
+
+
+def _jv_gather_sh(doc_tbl: pa.Table, want: np.ndarray) -> pa.LargeListArray:
+    """Gather shingle lists for ``want`` doc ids from this partition's
+    doc rows. A missing doc behaves like empty text (its single
+    zero-padded gram hashes to 0) — parity with JaccardVerify's
+    ``texts.get(id, "")``."""
+    nw = len(want)
+    doc_ids = np.asarray(doc_tbl["route"], dtype=np.int64)
+    offs, vals = _list_buffers(doc_tbl["sh"])
+    order = np.argsort(doc_ids, kind="stable")
+    sids = doc_ids[order]
+    if len(sids):
+        pos = np.searchsorted(sids, want)
+        pos_c = np.minimum(pos, len(sids) - 1)
+        found = sids[pos_c] == want
+        src = order[pos_c]
+    else:
+        found = np.zeros(nw, dtype=bool)
+        src = np.zeros(nw, dtype=np.int64)
+    lens = np.where(found, offs[src + 1] - offs[src] if len(sids) else 0, 1)
+    out_off = np.zeros(nw + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    total = int(out_off[-1])
+    within = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], lens)
+    src_start = np.where(found, offs[src] if len(sids) else 0, 0)
+    idx = np.repeat(src_start, lens) + within
+    if len(vals):
+        flat = np.where(
+            np.repeat(found, lens), vals[np.minimum(idx, len(vals) - 1)], 0
+        )
+    else:
+        flat = np.zeros(total, dtype=np.int64)
+    return pa.LargeListArray.from_arrays(
+        pa.array(out_off, type=pa.int64()), pa.array(flat, type=pa.int64())
+    )
+
+
+def _jv_attach_a(table: pa.Table) -> pa.Table:
+    """Exchange 1 combine (partition key: doc_a / doc_num): attach
+    side-A shingles to each pair, re-route the pair by doc_b, and pass
+    the partition's doc rows through unchanged (the same hash routes
+    them to the same partition in exchange 2)."""
+    import pyarrow.compute as pc
+
+    if table.num_rows == 0:
+        return table
+    is_pair = np.asarray(pc.is_valid(table["doc_a"]))
+    doc_tbl = table.filter(pa.array(~is_pair))
+    pair_tbl = table.filter(pa.array(is_pair))
+    if pair_tbl.num_rows == 0:
+        return doc_tbl
+    sh_a = _jv_gather_sh(doc_tbl, np.asarray(pair_tbl["doc_a"], dtype=np.int64))
+    pair_out = pa.table({
+        "route": pair_tbl["doc_b"].combine_chunks(),
+        "doc_a": pair_tbl["doc_a"],
+        "doc_b": pair_tbl["doc_b"],
+        "sh": sh_a,
+    })
+    return pa.concat_tables([doc_tbl, pair_out], promote_options="default")
+
+
+def _jv_score(table: pa.Table, threshold: float = 0.6) -> pa.Table:
+    """Exchange 2 combine (partition key: doc_b / doc_num): attach
+    side-B shingles, compute exact Jaccard for the whole partition with
+    one lexsort (each side's set is unique, so a (pair, hash) run of
+    length 2 == one intersection element), filter by threshold."""
+    import pyarrow.compute as pc
+
+    def _empty():
+        return pa.table({
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64()),
+        })
+
+    if table.num_rows == 0 or "doc_a" not in table.column_names:
+        return _empty()
+    is_pair = np.asarray(pc.is_valid(table["doc_a"]))
+    pair_tbl = table.filter(pa.array(is_pair))
+    n = pair_tbl.num_rows
+    if n == 0:
+        return _empty()
+    doc_tbl = table.filter(pa.array(~is_pair))
+    sh_b = _jv_gather_sh(doc_tbl, np.asarray(pair_tbl["doc_b"], dtype=np.int64))
+    a_off, a_val = _list_buffers(pair_tbl["sh"])
+    b_off, b_val = _list_buffers(sh_b)
+    len_a, len_b = np.diff(a_off), np.diff(b_off)
+    rows = np.arange(n, dtype=np.int64)
+    tags = np.concatenate([np.repeat(rows, len_a), np.repeat(rows, len_b)])
+    vals = np.concatenate([
+        a_val[a_off[0] : a_off[-1]] if len(a_val) else a_val,
+        b_val[b_off[0] : b_off[-1]] if len(b_val) else b_val,
+    ])
+    order = np.lexsort((vals, tags))
+    t, v = tags[order], vals[order]
+    dup = (t[1:] == t[:-1]) & (v[1:] == v[:-1])
+    inter = np.bincount(t[1:][dup], minlength=n)
+    union = len_a + len_b - inter
+    jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    keep = jac >= threshold
+    kept = pair_tbl.filter(pa.array(keep))
+    return pa.table({
+        "doc_a": kept["doc_a"].combine_chunks(),
+        "doc_b": kept["doc_b"].combine_chunks(),
+        "jaccard": pa.array(jac[keep], type=pa.float64()),
+    })
+
+
+def jaccard_verify_exchange(pairs_ds, docs_ds, k: int = 5, threshold: float = 0.6,
+                            num_partitions: int = 16, id_col: str = "doc_num",
+                            text_col: str = "text"):
+    """Exact-Jaccard verify of candidate pairs WITHOUT broadcasting the
+    corpus: co-partition pairs and per-doc shingle sets on a shared doc
+    key through two hash exchanges (route by doc_a, attach; route by
+    doc_b, attach + score). No actor ever holds more than one
+    partition's docs; shuffle volume is O(corpus shingle sets + pairs),
+    the same class as the LSH signature exchange that produced the
+    candidates. Output: (doc_a, doc_b, jaccard >= threshold) — the same
+    pair set as the :class:`JaccardVerify` broadcast fast path.
+
+    Partitioning assumption: both exchanges use the same key hash and
+    ``num_partitions``, so doc rows emitted unchanged from exchange 1
+    land in their own partition again in exchange 2.
+    """
+    import functools
+
+    from .exchange import hash_exchange
+
+    doc_rows = docs_ds.map_batches(
+        functools.partial(_jv_doc_rows, k=k, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+    )
+    pair_rows = pairs_ds.map_batches(_jv_pair_rows, batch_format="pyarrow")
+    routed = pair_rows.union(doc_rows)
+    attached = hash_exchange(routed, "route", _jv_attach_a, num_partitions=num_partitions)
+    return hash_exchange(
+        attached, "route",
+        functools.partial(_jv_score, threshold=threshold),
+        num_partitions=num_partitions,
+    )
 
 
 def dup_groups_driver(pairs_df) -> "pd.DataFrame":
