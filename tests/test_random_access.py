@@ -46,3 +46,45 @@ def test_pyramid_random_access(ray_session, sf_dir, tmp_path):
     assert row["n_docs"] == 500
     assert ra.get_tile(4, 0, 0) is None or ra.get_tile(4, 0, 0)["n_docs"] >= 1
     assert ra.get_tile(9, 0, 0) is None  # level not written
+
+
+def test_limited_cache_bounds_and_lru():
+    from versatiles_rs_ray.core.cache import LimitedCache
+
+    c = LimitedCache(max_bytes=100)
+    for i in range(5):
+        c.put(i, b"x" * 30)  # 30 bytes each; cap 100 -> keeps last 3
+    assert len(c) == 3 and c.nbytes == 90
+    assert c.get(0) is None and c.get(4) == b"x" * 30
+    # touching 2 makes it most-recent; inserting evicts 3, not 2
+    assert c.get(2) is not None
+    c.put(9, b"y" * 30)
+    assert c.get(3) is None and c.get(2) is not None
+    # a single oversized value still caches (never evict below 1 entry)
+    c2 = LimitedCache(max_bytes=10)
+    c2.put("big", b"z" * 50)
+    assert c2.get("big") == b"z" * 50 and len(c2) == 1
+
+
+def test_pmtiles_leaf_cache_bounded(ray_session, tmp_path):
+    """Serving path must not grow caches with the archive: force a tiny
+    budget and confirm reads stay correct while the cache stays bounded."""
+    from versatiles_rs_ray.core.cache import LimitedCache, sizeof_entries
+    from versatiles_rs_ray.sources.pmtiles import write_pmtiles
+
+    p = str(tmp_path / "c.pmtiles")
+    old = pmtiles.MAX_DIR_ENTRIES
+    pmtiles.MAX_DIR_ENTRIES = 16  # force leaf directories
+    try:
+        write_pmtiles(json_debug_tiles(TileBBoxPyramid.new_full(3, 0)), p)
+    finally:
+        pmtiles.MAX_DIR_ENTRIES = old
+    r = PMTilesRandomAccess(p)
+    r._leaf_cache = LimitedCache(max_bytes=1, size_of=sizeof_entries)
+    import json
+
+    for z, x, y in [(0, 0, 0), (3, 2, 5), (3, 7, 7), (0, 0, 0)]:
+        t = r.get_tile(z, x, y)
+        if t is not None:
+            assert json.loads(t) == {"x": x, "y": y, "z": z}
+    assert len(r._leaf_cache) <= 1

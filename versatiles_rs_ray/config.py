@@ -5,11 +5,11 @@ extra_response_headers, static_sources, tile_sources}).
 `load_server_config` parses + normalizes (defaults from server.rs /
 cors.rs; relative paths resolve against the config file's directory,
 like the reference's DataLocation). `server_from_config` builds a
-ready-to-start TileServer. A `.vpl` tile source runs the pipeline once
-at mount time and serves from the materialized result — fixture-scale
-by design; at production scale pre-convert the pipeline to a container
-(the reference evaluates VPL per request through its async runtime,
-which has no analogue in a Ray-Dataset-per-request model).
+ready-to-start TileServer. A `.vpl` tile source is converted ONCE at
+mount time to a PMTiles archive (distributed write) and served by
+random access — the reference instead evaluates VPL per request
+through its async runtime, which has no analogue in a
+Ray-Dataset-per-request model.
 """
 
 from __future__ import annotations
@@ -107,15 +107,20 @@ def server_from_config(path: str, *, skip_unreachable: bool = False):
 
 
 def _mount_vpl(srv, name: str, vpl_path: str):
-    """Materialize a VPL pipeline into an in-memory tile source
+    """Mount a VPL pipeline by converting it to a PMTiles archive at
+    mount time and serving via the random-access reader
     (container_registry.rs:196-246 dispatches .vpl to the pipeline
-    reader). Fixture-scale: the whole pipeline output is held in RAM."""
+    reader). The pipeline streams through the distributed writer — no
+    driver-side tile dict; serving is per-tile range reads through the
+    bounded-cache PMTilesRandomAccess, so a big mounted pipeline costs
+    one conversion, not resident RAM."""
+    import tempfile
+
     from .pipelines.vpl import build_pipeline
-    from .server import MemTileSource
+    from .sources.pmtiles import write_pmtiles
 
     text = open(vpl_path).read()
     ds = build_pipeline(text, sf_dir=os.path.dirname(os.path.abspath(vpl_path)))
-    tiles = {}
-    for row in ds.take_all():
-        tiles[(int(row["z"]), int(row["x"]), int(row["y"]))] = bytes(row["payload"])
-    srv.sources[name] = MemTileSource(name, tiles)
+    out = os.path.join(tempfile.mkdtemp(prefix="vts_serve_"), f"{name}.pmtiles")
+    write_pmtiles(ds, out, metadata={"name": name})
+    srv.add_tile_source(name, out)

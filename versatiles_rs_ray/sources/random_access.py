@@ -50,7 +50,11 @@ class PMTilesRandomAccess:
             self._maybe_gunzip(self._reader.read(root_off, root_len))
         )
         self._root_ids = np.asarray([e[0] for e in self.root], dtype=np.int64)
-        self._leaf_cache = {}  # leaf offset -> decoded entries (the LimitedCache analogue)
+        # leaf offset -> decoded entries, byte-bounded LRU (reference
+        # LimitedCache, versatiles reader.rs:135)
+        from ..core.cache import LimitedCache, sizeof_entries
+
+        self._leaf_cache = LimitedCache(size_of=sizeof_entries)
 
     def _maybe_gunzip(self, b: bytes) -> bytes:
         return gzip.decompress(b) if self._internal == COMPRESSION_GZIP else b
@@ -62,11 +66,12 @@ class PMTilesRandomAccess:
         entry = self.root[idx]
         if entry[3] == 0:  # leaf pointer
             off, ln = entry[1], entry[2]
-            if off not in self._leaf_cache:
-                self._leaf_cache[off] = _decode_directory(
+            hit = self._leaf_cache.get(off)
+            if hit is None:
+                hit = self._leaf_cache.put(off, _decode_directory(
                     self._maybe_gunzip(self._reader.read(self.leaf_off + off, ln))
-                )
-            return self._leaf_cache[off]
+                ))
+            return hit
         return self.root
 
     def get_tile(self, z: int, x: int, y: int):
@@ -101,7 +106,11 @@ class VersatilesRandomAccess:
         for i in range(blocks.num_rows):
             row = {c: int(blocks[c][i].as_py()) for c in blocks.column_names}
             self._blocks[(row["level"], row["bx"], row["by"])] = row
-        self._idx_cache = {}  # (level,bx,by) -> decoded tile index bytes
+        # (level,bx,by) -> decoded tile index bytes, byte-bounded LRU
+        # (reference LimitedCache, versatiles reader.rs:135)
+        from ..core.cache import LimitedCache
+
+        self._idx_cache = LimitedCache()
 
     def get_tile(self, z: int, x: int, y: int):
         import struct as _struct
@@ -115,11 +124,11 @@ class VersatilesRandomAccess:
         cx, cy = x % 256, y % 256
         if not (blk["x0"] <= cx <= blk["x1"] and blk["y0"] <= cy <= blk["y1"]):
             return None
-        if key not in self._idx_cache:
-            self._idx_cache[key] = brotli_stored.decompress(
+        idx = self._idx_cache.get(key)
+        if idx is None:
+            idx = self._idx_cache.put(key, brotli_stored.decompress(
                 self._reader.read(blk["tiles_off"] + blk["tiles_len"], blk["idx_len"])
-            )
-        idx = self._idx_cache[key]
+            ))
         w = blk["x1"] - blk["x0"] + 1
         li = (cy - blk["y0"]) * w + (cx - blk["x0"])
         off, ln = _struct.unpack_from(">QI", idx, li * 12)
