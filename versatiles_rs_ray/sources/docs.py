@@ -241,6 +241,134 @@ def derive_docs_batch(batch: pa.Table, columns=None) -> pa.Table:
     return pa.table(out)
 
 
+# ---- Lance input (the north-star's native table format) ---------------
+
+
+def have_lance() -> bool:
+    """True when the `lance` package is importable (absent in this
+    sandbox; the gate mirrors core/cells.py's h3 gate)."""
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def adapt_interleaved_batch(batch: pa.Table, columns=None) -> pa.Table:
+    """Hint-shaped batch -> the engine's docs surface.
+
+    Input is the BASELINE.json input_hint schema as stored in a real
+    Lance table: ``doc_id:string`` + ``spans:list<struct<kind, text,
+    media_ref, offset:int32>>`` (lon/lat optional passthroughs).
+    Derives: ``doc_num`` (trailing digits of doc_id), ``text`` (the
+    doc's text-kind span texts concatenated in stored span order —
+    span order IS the per-row invariant), ``n_chars``, and lon/lat
+    (passthrough when present, else the deterministic doc_num hash so
+    geo queries behave identically to the parquet derive path).
+    All-Arrow kernels; the span regroup is one mask + bincount, no
+    per-row Python.
+    """
+    import pyarrow.compute as pc
+
+    want = set(columns) if columns else None
+
+    def _want(c):
+        return want is None or c in want
+
+    ids = batch["doc_id"].combine_chunks() if isinstance(
+        batch["doc_id"], pa.ChunkedArray) else batch["doc_id"]
+    digits = pc.extract_regex(ids, r"(?P<n>\d+)$")
+    did = np.asarray(
+        pc.cast(pc.struct_field(digits, "n"), pa.int64()), dtype=np.int64
+    )
+    out = {}
+    if _want("doc_id"):
+        out["doc_id"] = ids
+    out["doc_num"] = pa.array(did, type=pa.int64())
+    spans = batch["spans"].combine_chunks() if isinstance(
+        batch["spans"], pa.ChunkedArray) else batch["spans"]
+    if _want("spans"):
+        out["spans"] = spans
+    flat = spans.flatten()
+    offs = np.asarray(spans.offsets, dtype=np.int64)
+    parent = np.repeat(
+        np.arange(batch.num_rows, dtype=np.int64), np.diff(offs)
+    )
+    if want is not None and "n_spans" in want:
+        out["n_spans"] = pa.array(np.diff(offs), type=pa.int64())
+    if _want("text") or _want("n_chars"):
+        is_text = np.asarray(pc.equal(flat.field("kind"), "text"))
+        keep = np.flatnonzero(is_text)
+        texts = flat.field("text").take(pa.array(keep, type=pa.int64()))
+        cnt = np.bincount(parent[keep], minlength=batch.num_rows)
+        t_offs = np.zeros(batch.num_rows + 1, dtype=np.int32)
+        np.cumsum(cnt, out=t_offs[1:])
+        doc_text = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(t_offs, type=pa.int32()),
+                                     texts.combine_chunks()
+                                     if isinstance(texts, pa.ChunkedArray)
+                                     else texts),
+            "",
+        )
+        if _want("text"):
+            out["text"] = doc_text
+        if _want("n_chars"):
+            out["n_chars"] = pc.cast(pc.utf8_length(doc_text), pa.int64())
+    if _want("lon") or _want("lat"):
+        if "lon" in batch.column_names and "lat" in batch.column_names:
+            lon = np.asarray(batch["lon"], dtype=np.float64)
+            lat = np.asarray(batch["lat"], dtype=np.float64)
+        else:
+            lon, lat = derive_lonlat(did)
+        if _want("lon"):
+            out["lon"] = pa.array(lon, type=pa.float64())
+        if _want("lat"):
+            out["lat"] = pa.array(lat, type=pa.float64())
+    for c in ("lang", "source"):
+        if want is not None and c in want and c in batch.column_names:
+            out[c] = batch[c]
+    return pa.table(out)
+
+
+def read_docs_lance(path: str, columns=None):
+    """Docs Dataset from a Lance table of the input_hint shape.
+
+    GATED on the `lance` package (not in this container — same posture
+    as the h3 gate in core/cells.py): when present,
+    ``ray.data.read_lance`` gives per-fragment read tasks with column
+    projection pushed to the Lance scanner; the hint->docs adaptation
+    runs as a zero-copy Arrow map_batches. When absent, raises with
+    the parquet-path alternative. The adapter itself
+    (:func:`adapt_interleaved_batch`) is real and tested today against
+    hint-shaped in-memory tables.
+    """
+    if not have_lance():
+        raise ImportError(
+            "Lance input needs the `lance` package (pip install pylance), "
+            "which is not available in this sandbox. Use read_docs() over "
+            "the parquet mirror of the same table instead."
+        )
+    import functools
+
+    import ray.data as rd
+
+    native = {"doc_id", "spans", "lon", "lat", "lang", "source"}
+    proj = None
+    if columns:
+        # pushdown: native columns project in the scanner; derived ones
+        # (doc_num, text, n_chars) need doc_id + spans
+        proj = sorted(native & set(columns) | {"doc_id", "spans"})
+    ds = rd.read_lance(path, columns=proj)
+    ds = ds.map_batches(
+        functools.partial(adapt_interleaved_batch, columns=columns),
+        batch_format="pyarrow",
+    )
+    if columns:
+        ds = ds.select_columns(list(columns))
+    return ds
+
+
 # per-worker-process cache for the replicated shard reader: stateless
 # tasks reuse Ray's long-lived workers, so a module global amortizes
 # the parquet parse without paying actor-pool startup per stage.
@@ -292,6 +420,13 @@ def read_docs(sf_dir: str, replicate: int = 1, columns=None, shards_per_task: in
     import ray.data as rd  # deferred: library code must not touch ray at import
 
     import functools
+    import os
+
+    # a Lance mirror of the table takes precedence when readable (the
+    # north-star's native format; gated on the `lance` package)
+    lance_path = f"{sf_dir}/documents.lance"
+    if replicate == 1 and os.path.isdir(lance_path) and have_lance():
+        return read_docs_lance(lance_path, columns=columns)
 
     path = f"{sf_dir}/documents.parquet"
     if replicate > 1:
