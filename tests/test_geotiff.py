@@ -175,3 +175,59 @@ def test_wgs84_reprojector_rgb_source(ray_session):
     tile = rp._reproject_one(0, 0, 0)
     assert tile.shape == (4, 4, 4)
     assert (tile[..., 0] == 200).all() and (tile[..., 3] == 255).all()
+
+
+def test_16bit_bigtiff_planar_roundtrips():
+    """Round 3: 16-bit unsigned/signed samples (DEM case), BigTIFF
+    (magic 43) and planar configuration 2 — the from_gdal_raster
+    any-raster posture (reference operation.rs:56-221) beyond 8-bit
+    chunky classic TIFF."""
+    rng = np.random.default_rng(11)
+    gt = (-180.0, 360 / 90, 0.0, 90.0, 0.0, -180 / 70)
+    u16 = rng.integers(0, 1 << 16, (70, 90, 1), dtype=np.uint16)
+    i16 = rng.integers(-12000, 9000, (70, 90, 1)).astype(np.int16)  # DEM range
+    rgb8 = rng.integers(0, 256, (70, 90, 3), dtype=np.uint8)
+    cases = [
+        (u16, dict()),                       # classic strips, deflate+pred2
+        (u16, dict(tiled=True)),             # classic tiles
+        (i16, dict()),                       # signed DEM
+        (i16, dict(bigtiff=True, tiled=True)),
+        (u16, dict(bigtiff=True)),
+        (rgb8, dict(bigtiff=True)),          # BigTIFF with 8-bit RGB
+        (rgb8, dict(planar=2)),              # separate planes, strips
+        (rgb8, dict(planar=2, tiled=True)),  # separate planes, tiles
+        (i16, dict(predictor=1, compression=1)),  # raw, no predictor
+    ]
+    for arr, kw in cases:
+        b = write_tiff(arr, geotransform=gt, epsg=4326, **kw)
+        g = read_geotiff(b)
+        assert g.array.dtype == arr.dtype, kw
+        assert np.array_equal(g.array, arr), kw
+        assert np.allclose(g.geotransform, gt)
+
+
+def test_16bit_dem_through_srs_reprojector(ray_session):
+    """Exact-value goldens: a synthetic int16 DEM warped by
+    SRSReprojector (nearest) must reproduce the exact source samples
+    the plate-carree inverse mapping selects, dtype preserved."""
+    h, w = 64, 128
+    dem = (np.arange(h * w, dtype=np.int64).reshape(h, w) % 20000 - 10000).astype(np.int16)
+    gt = (-180.0, 360.0 / w, 0.0, 90.0, 0.0, -180.0 / h)
+    b = write_tiff(dem, geotransform=gt, epsg=4326, bigtiff=True)
+    g = read_geotiff(b)
+    assert g.array.dtype == np.int16 and np.array_equal(g.array[..., 0], dem)
+    rp = SRSReprojector(g.array, g.geotransform, g.epsg, tile_size=32)
+    tile = rp._reproject_one(1, 0, 0).reshape(32, 32, 4)
+    assert tile.dtype == np.int16
+    # golden: nearest sample at each mercator pixel center (independent
+    # recomputation of the inverse mapping)
+    s = 32
+    fx = (0 + (np.arange(s) + 0.5) / s) / 2.0
+    fy = (0 + (np.arange(s) + 0.5) / s) / 2.0
+    lon = (fx - 0.5) * 360.0
+    lat = (np.arctan(np.exp(np.pi * (1.0 - 2.0 * fy))) / np.pi - 0.25) * 360.0
+    ci = np.floor((lon + 180.0) / (360.0 / w)).astype(np.int64)
+    ri = np.floor((90.0 - lat) / (180.0 / h)).astype(np.int64)
+    want = dem[ri[:, None], ci[None, :]]
+    assert np.array_equal(tile[..., 0], want)
+    assert (tile[..., 3] == np.iinfo(np.int16).max).all()  # opaque alpha

@@ -7,9 +7,11 @@ in this sandbox, so this module parses the TIFF container directly
 (struct + zlib, numpy for the predictor) and hands the decoded array +
 geotransform + EPSG to the existing warp pool in stages/reproject.
 
-Scope (honest gates, not stubs): byte order II/MM; strip and tiled
-layouts; planar config 1 (chunky); 8-bit samples, 1/3/4 channels;
-compression none(1) and deflate(8/32946); predictor 1 (none) and
+Scope (honest gates, not stubs): byte order II/MM; classic TIFF and
+BigTIFF (magic 43); strip and tiled layouts; planar config 1 (chunky)
+and 2 (separate planes); 8-bit unsigned and 16-bit unsigned/signed
+samples (the DEM case), 1/3/4 channels; compression none(1) and
+deflate(8/32946); predictor 1 (none) and
 2 (horizontal differencing). GeoTIFF georeferencing via
 ModelPixelScale+ModelTiepoint (or ModelTransformation) and the GeoKey
 directory (GTModelType, Geographic/ProjectedCSType -> EPSG). Anything
@@ -65,7 +67,7 @@ _FIELD = {1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4), 5: ("II", 8),
 class GeoTIFF:
     """Decoded raster + georeferencing, ready for the warp pool."""
 
-    array: np.ndarray  # (H, W, C) uint8
+    array: np.ndarray  # (H, W, C) uint8 | uint16 | int16
     geotransform: tuple  # GDAL 6-tuple (x0, dx, rx, y0, ry, dy)
     epsg: int  # CRS code from the GeoKey directory
     model_type: int  # 1=projected, 2=geographic
@@ -80,19 +82,38 @@ class GeoTIFF:
         return self.array.shape[0]
 
 
-def _read_ifd(data: bytes, bo: str):
-    """First IFD -> {tag: tuple(values)} (value offsets resolved)."""
-    off = struct.unpack_from(bo + "I", data, 4)[0]
-    n = struct.unpack_from(bo + "H", data, off)[0]
+def _read_ifd(data: bytes, bo: str, big: bool = False):
+    """First IFD -> {tag: tuple(values)} (value offsets resolved).
+
+    ``big`` selects BigTIFF layout (magic 43): u64 IFD offset at byte
+    8, u64 entry count, 20-byte entries with u64 count + 8 inline
+    bytes, u64 next-IFD pointer.
+    """
+    if big:
+        off = struct.unpack_from(bo + "Q", data, 8)[0]
+        n = struct.unpack_from(bo + "Q", data, off)[0]
+        ent0, ent_sz, inline = off + 8, 20, 8
+    else:
+        off = struct.unpack_from(bo + "I", data, 4)[0]
+        n = struct.unpack_from(bo + "H", data, off)[0]
+        ent0, ent_sz, inline = off + 2, 12, 4
     tags = {}
-    for i in range(n):
-        base = off + 2 + i * 12
-        tag, ftype, count = struct.unpack_from(bo + "HHI", data, base)
+    for i in range(int(n)):
+        base = ent0 + i * ent_sz
+        if big:
+            tag, ftype, count = struct.unpack_from(bo + "HHQ", data, base)
+            count = int(count)
+        else:
+            tag, ftype, count = struct.unpack_from(bo + "HHI", data, base)
         if ftype not in _FIELD:
             continue  # unknown field type: skip, per TIFF 6.0 readers-must-skip
         fmt, size = _FIELD[ftype]
         nbytes = size * count
-        src = base + 8 if nbytes <= 4 else struct.unpack_from(bo + "I", data, base + 8)[0]
+        val_at = base + (12 if big else 8)
+        if nbytes <= inline:
+            src = val_at
+        else:
+            src = struct.unpack_from(bo + ("Q" if big else "I"), data, val_at)[0]
         if ftype == 2:  # ASCII
             tags[tag] = (data[src:src + count].split(b"\0")[0].decode("latin-1"),)
         elif ftype in (5, 10):  # rational -> float
@@ -115,11 +136,12 @@ def _decompress(chunk: bytes, compression: int) -> bytes:
 
 
 def _undo_predictor(rows: np.ndarray, predictor: int) -> np.ndarray:
-    """rows: (nrows, width, channels) uint8."""
+    """rows: (nrows, width, channels), uint8 or uint16 (the predictor
+    operates on the unsigned bit pattern; int16 views back after)."""
     if predictor == 1:
         return rows
-    if predictor == 2:  # horizontal differencing per channel
-        return np.cumsum(rows.astype(np.uint32), axis=1).astype(np.uint8)
+    if predictor == 2:  # horizontal differencing per channel, mod 2^bits
+        return np.cumsum(rows.astype(np.uint64), axis=1).astype(rows.dtype)
     raise NotImplementedError(f"TIFF predictor {predictor} not supported (only 1, 2)")
 
 
@@ -142,22 +164,28 @@ def read_geotiff(path_or_bytes) -> GeoTIFF:
     else:
         raise ValueError("not a TIFF: bad byte-order mark")
     magic = struct.unpack_from(bo + "H", data, 2)[0]
-    if magic == 43:
-        raise NotImplementedError("BigTIFF (magic 43) not supported")
-    if magic != 42:
+    big = magic == 43
+    if not big and magic != 42:
         raise ValueError(f"not a TIFF: magic {magic}")
+    if big:
+        osz, zero = struct.unpack_from(bo + "HH", data, 4)
+        if osz != 8 or zero != 0:
+            raise ValueError(f"bad BigTIFF header (offset size {osz})")
 
-    t = _read_ifd(data, bo)
+    t = _read_ifd(data, bo, big=big)
     width = int(t[TAG_WIDTH][0])
     height = int(t[TAG_HEIGHT][0])
     samples = int(t.get(TAG_SAMPLES, (1,))[0])
     bits = t.get(TAG_BITS, (8,) * samples)
-    if any(b != 8 for b in bits):
-        raise NotImplementedError(f"only 8-bit samples supported, got {bits}")
+    if len(set(bits)) != 1 or bits[0] not in (8, 16):
+        raise NotImplementedError(
+            f"only uniform 8- or 16-bit samples supported, got {bits}")
+    depth = int(bits[0])
     if samples not in (1, 3, 4):
         raise NotImplementedError(f"unsupported channel count {samples}")
-    if int(t.get(TAG_PLANAR, (1,))[0]) != 1:
-        raise NotImplementedError("planar configuration 2 (separate planes) not supported")
+    planar = int(t.get(TAG_PLANAR, (1,))[0])
+    if planar not in (1, 2):
+        raise NotImplementedError(f"TIFF planar configuration {planar} not supported")
     photometric = int(t.get(TAG_PHOTOMETRIC, (1,))[0])
     if photometric not in (1, 2):  # 1=min-is-black grey, 2=RGB
         raise NotImplementedError(
@@ -165,35 +193,61 @@ def read_geotiff(path_or_bytes) -> GeoTIFF:
             "(only 1=grayscale, 2=RGB; palette=3 and min-is-white=0 need "
             "a palette/inversion pass)")
     sample_fmt = t.get(TAG_SAMPLE_FORMAT, (1,) * samples)
-    if any(f != 1 for f in sample_fmt):
+    if any(f not in (1, 2) for f in sample_fmt) or (
+            2 in sample_fmt and depth == 8):
         raise NotImplementedError(
-            f"TIFF sample format {sample_fmt} not supported (only 1=unsigned)")
+            f"TIFF sample format {sample_fmt} not supported "
+            "(1=unsigned at 8/16 bit, 2=signed at 16 bit — the DEM case)")
+    signed = sample_fmt[0] == 2
+    # decode in the UNSIGNED bit pattern (predictor semantics), view to
+    # the final dtype at the end
+    wire = np.dtype(bo + ("u2" if depth == 16 else "u1"))
+    work = np.uint16 if depth == 16 else np.uint8
+    final = np.int16 if signed else work
     compression = int(t.get(TAG_COMPRESSION, (1,))[0])
     predictor = int(t.get(TAG_PREDICTOR, (1,))[0])
 
-    arr = np.zeros((height, width, samples), dtype=np.uint8)
+    # planar=2: chunks are plane-major (all chunks of sample 0, then
+    # sample 1, ...; TIFF 6.0 §PlanarConfiguration); each chunk holds
+    # ONE channel
+    chans_per_chunk = samples if planar == 1 else 1
+    arr = np.zeros((height, width, samples), dtype=work)
     if TAG_TILE_OFFSETS in t:  # tiled layout
         tw = int(t[TAG_TILE_WIDTH][0])
         th = int(t[TAG_TILE_HEIGHT][0])
         offs, cnts = t[TAG_TILE_OFFSETS], t[TAG_TILE_COUNTS]
         across = (width + tw - 1) // tw
+        down = (height + th - 1) // th
+        per_plane = across * down
         for idx, (o, c) in enumerate(zip(offs, cnts)):
             raw = _decompress(data[o:o + c], compression)
-            tile = np.frombuffer(raw, np.uint8)[: tw * th * samples]
-            tile = _undo_predictor(tile.reshape(th, tw, samples), predictor)
-            ty, tx = divmod(idx, across)
+            plane, pidx = divmod(idx, per_plane) if planar == 2 else (None, idx)
+            tile = np.frombuffer(raw, wire)[: tw * th * chans_per_chunk].astype(work)
+            tile = _undo_predictor(tile.reshape(th, tw, chans_per_chunk), predictor)
+            ty, tx = divmod(pidx, across)
             y0, x0 = ty * th, tx * tw
-            arr[y0:y0 + th, x0:x0 + tw] = tile[: height - y0, : width - x0]
+            dst = arr[y0:y0 + th, x0:x0 + tw]
+            src = tile[: height - y0, : width - x0]
+            if planar == 2:
+                dst[:, :, plane] = src[:, :, 0]
+            else:
+                dst[:] = src
     else:  # strip layout
         rps = int(t.get(TAG_ROWS_PER_STRIP, (height,))[0])
         offs, cnts = t[TAG_STRIP_OFFSETS], t[TAG_STRIP_COUNTS]
+        per_plane = (height + rps - 1) // rps
         for idx, (o, c) in enumerate(zip(offs, cnts)):
-            y0 = idx * rps
+            plane, pidx = divmod(idx, per_plane) if planar == 2 else (None, idx)
+            y0 = pidx * rps
             nrows = min(rps, height - y0)
             raw = _decompress(data[o:o + c], compression)
-            rows = np.frombuffer(raw, np.uint8)[: nrows * width * samples]
-            rows = _undo_predictor(rows.reshape(nrows, width, samples), predictor)
-            arr[y0:y0 + nrows] = rows
+            rows = np.frombuffer(raw, wire)[: nrows * width * chans_per_chunk].astype(work)
+            rows = _undo_predictor(rows.reshape(nrows, width, chans_per_chunk), predictor)
+            if planar == 2:
+                arr[y0:y0 + nrows, :, plane] = rows[:, :, 0]
+            else:
+                arr[y0:y0 + nrows] = rows
+    arr = arr.view(final) if signed else arr
 
     # georeferencing: ModelTransformation wins, else scale+tiepoint
     if TAG_TRANSFORM in t:
@@ -238,39 +292,54 @@ def read_geotiff(path_or_bytes) -> GeoTIFF:
 
 def write_tiff(arr: np.ndarray, *, geotransform=None, epsg: int = 4326,
                tiled: bool = False, compression: int = 8,
-               predictor: int = 2) -> bytes:
+               predictor: int = 2, bigtiff: bool = False,
+               planar: int = 1) -> bytes:
     """Minimal GeoTIFF writer (test fixture generator + container parity:
     the reference writes no TIFFs, but round-trip tests need one source
-    of truth for the reader's layout handling)."""
+    of truth for the reader's layout handling). Sample depth/signedness
+    follows ``arr.dtype`` (uint8 / uint16 / int16); ``bigtiff`` emits
+    the magic-43 64-bit layout; ``planar=2`` writes separate planes."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
-    arr = arr.astype(np.uint8)
+    if arr.dtype == np.uint8:
+        depth, signed = 8, False
+    elif arr.dtype == np.uint16:
+        depth, signed = 16, False
+    elif arr.dtype == np.int16:
+        depth, signed = 16, True
+    else:
+        raise NotImplementedError(f"write_tiff: dtype {arr.dtype} unsupported")
+    work = arr.view(np.uint16) if signed else arr  # predictor on bit pattern
+    wdt = work.dtype
 
     def enc(block: np.ndarray) -> bytes:
         if predictor == 2:
-            block = np.diff(block.astype(np.int16), axis=1,
-                            prepend=np.zeros((block.shape[0], 1, c), np.int16))
-            block = (block & 0xFF).astype(np.uint8)
-        raw = block.tobytes()
+            bc = block.shape[2]
+            block = np.diff(block.astype(np.int64), axis=1,
+                            prepend=np.zeros((block.shape[0], 1, bc), np.int64))
+            block = (block & ((1 << depth) - 1)).astype(wdt)
+        raw = block.astype("<" + wdt.str[1:]).tobytes()
         return zlib.compress(raw) if compression in (8, 32946) else raw
 
-    chunks, chunk_meta = [], []
-    if tiled:
-        tw = th = 64
-        for y0 in range(0, h, th):
-            for x0 in range(0, w, tw):
-                tile = np.zeros((th, tw, c), np.uint8)
-                sub = arr[y0:y0 + th, x0:x0 + tw]
-                tile[: sub.shape[0], : sub.shape[1]] = sub
-                chunks.append(enc(tile))
-    else:
-        rps = 16
-        for y0 in range(0, h, rps):
-            chunks.append(enc(arr[y0:y0 + rps]))
+    planes = [work] if planar == 1 else [work[:, :, i:i + 1] for i in range(c)]
+    chunks = []
+    for pl in planes:
+        if tiled:
+            tw = th = 64
+            for y0 in range(0, h, th):
+                for x0 in range(0, w, tw):
+                    tile = np.zeros((th, tw, pl.shape[2]), wdt)
+                    sub = pl[y0:y0 + th, x0:x0 + tw]
+                    tile[: sub.shape[0], : sub.shape[1]] = sub
+                    chunks.append(enc(tile))
+        else:
+            rps = 16
+            for y0 in range(0, h, rps):
+                chunks.append(enc(pl[y0:y0 + rps]))
 
     # layout: header | chunk data | geo doubles | IFD
-    header_len = 8
+    header_len = 16 if bigtiff else 8
     data_off = header_len
     offsets, counts = [], []
     for ch in chunks:
@@ -284,23 +353,26 @@ def write_tiff(arr: np.ndarray, *, geotransform=None, epsg: int = 4326,
     def add(tag, ftype, values):
         entries.append((tag, ftype, values))
 
+    off_type = 16 if bigtiff else 4  # u64 offsets in BigTIFF fixtures
     add(TAG_WIDTH, 3, (w,))
     add(TAG_HEIGHT, 3, (h,))
-    add(TAG_BITS, 3, (8,) * c)
+    add(TAG_BITS, 3, (depth,) * c)
     add(TAG_COMPRESSION, 3, (compression,))
     add(TAG_PHOTOMETRIC, 3, (2 if c >= 3 else 1,))
     add(TAG_SAMPLES, 3, (c,))
     if tiled:
         add(TAG_TILE_WIDTH, 3, (64,))
         add(TAG_TILE_HEIGHT, 3, (64,))
-        add(TAG_TILE_OFFSETS, 4, tuple(offsets))
+        add(TAG_TILE_OFFSETS, off_type, tuple(offsets))
         add(TAG_TILE_COUNTS, 4, tuple(counts))
     else:
         add(TAG_ROWS_PER_STRIP, 3, (16,))
-        add(TAG_STRIP_OFFSETS, 4, tuple(offsets))
+        add(TAG_STRIP_OFFSETS, off_type, tuple(offsets))
         add(TAG_STRIP_COUNTS, 4, tuple(counts))
-    add(TAG_PLANAR, 3, (1,))
+    add(TAG_PLANAR, 3, (planar,))
     add(TAG_PREDICTOR, 3, (predictor,))
+    if signed:
+        add(TAG_SAMPLE_FORMAT, 3, (2,) * c)
     if geotransform is not None:
         x0, dx, rx, y0, ry, dy = geotransform
         if rx or ry:
@@ -320,18 +392,35 @@ def write_tiff(arr: np.ndarray, *, geotransform=None, epsg: int = 4326,
     entries.sort(key=lambda e: e[0])
     # out-of-line payloads go after the IFD
     ifd_off = header_len + len(body)
-    ifd_len = 2 + len(entries) * 12 + 4
+    if bigtiff:
+        ifd_len = 8 + len(entries) * 20 + 8
+        inline = 8
+        ifd = struct.pack("<Q", len(entries))
+    else:
+        ifd_len = 2 + len(entries) * 12 + 4
+        inline = 4
+        ifd = struct.pack("<H", len(entries))
     tail_off = ifd_off + ifd_len
     tail = b""
-    ifd = struct.pack("<H", len(entries))
     for tag, ftype, values in entries:
         fmt, size = _FIELD[ftype]
         nbytes = size * len(values)
         packed = struct.pack("<" + str(len(values)) + fmt, *values)
-        if nbytes <= 4:
-            ifd += struct.pack("<HHI", tag, ftype, len(values)) + packed.ljust(4, b"\0")
+        if bigtiff:
+            if nbytes <= inline:
+                ifd += struct.pack("<HHQ", tag, ftype, len(values)) + packed.ljust(8, b"\0")
+            else:
+                ifd += struct.pack("<HHQQ", tag, ftype, len(values), tail_off + len(tail))
+                tail += packed
         else:
-            ifd += struct.pack("<HHII", tag, ftype, len(values), tail_off + len(tail))
-            tail += packed
-    ifd += struct.pack("<I", 0)  # next-IFD pointer: none
-    return struct.pack("<2sHI", b"II", 42, ifd_off) + body + ifd + tail
+            if nbytes <= inline:
+                ifd += struct.pack("<HHI", tag, ftype, len(values)) + packed.ljust(4, b"\0")
+            else:
+                ifd += struct.pack("<HHII", tag, ftype, len(values), tail_off + len(tail))
+                tail += packed
+    ifd += struct.pack("<Q" if bigtiff else "<I", 0)  # next-IFD pointer: none
+    if bigtiff:
+        head = struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_off)
+    else:
+        head = struct.pack("<2sHI", b"II", 42, ifd_off)
+    return head + body + ifd + tail

@@ -66,17 +66,26 @@ def _merc_axes(z: int, x: int, y: int, s: int):
     return lon, lat
 
 
+def _opaque(dtype) -> int:
+    """Fully-opaque alpha for the sample dtype (255 for u8, dtype max
+    for the 16-bit DEM case)."""
+    return int(np.iinfo(dtype).max)
+
+
 def _normalize_rgba(src: np.ndarray) -> np.ndarray:
-    """Grey/L, RGB or RGBA -> contiguous RGBA (one gather downstream)."""
+    """Grey/L, RGB or RGBA -> contiguous RGBA (one gather downstream).
+    dtype-preserving: uint8 imagery and uint16/int16 DEM rasters both
+    flow through the same warp kernels."""
     if src.ndim == 2:
         src = src[:, :, None]
     c = src.shape[2]
     if c == 1:
         src = np.concatenate(
-            [src] * 3 + [np.full(src.shape[:2] + (1,), 255, src.dtype)], axis=2)
+            [src] * 3 + [np.full(src.shape[:2] + (1,), _opaque(src.dtype), src.dtype)],
+            axis=2)
     elif c == 3:
         src = np.concatenate(
-            [src, np.full(src.shape[:2] + (1,), 255, src.dtype)], axis=2)
+            [src, np.full(src.shape[:2] + (1,), _opaque(src.dtype), src.dtype)], axis=2)
     elif c != 4:
         raise ValueError(f"unsupported channel count {c}")
     return np.ascontiguousarray(src)
@@ -189,8 +198,10 @@ class SRSReprojector(_ReprojectorBase):
             # summed-area table, built once per actor: box means in O(1)
             # per dst pixel. 8B x 4 channels x (H+1)(W+1) — fine for the
             # GDAL-fixture scale; window the source at 100-TB scale.
-            self._sat = np.zeros((self.h + 1, self.w + 1, 4), np.uint64)
-            np.cumsum(self.source, axis=0, dtype=np.uint64,
+            # int64 accumulator so signed (int16 DEM) sources sum right.
+            sat_t = np.uint64 if self.source.dtype == np.uint8 else np.int64
+            self._sat = np.zeros((self.h + 1, self.w + 1, 4), sat_t)
+            np.cumsum(self.source, axis=0, dtype=sat_t,
                       out=self._sat[1:, 1:]).cumsum(axis=1, out=self._sat[1:, 1:])
 
     def _tile_lonlat(self, z: int, x: int, y: int):
@@ -249,8 +260,10 @@ class SRSReprojector(_ReprojectorBase):
         sat = self._sat
         tot = (sat[r1c, c1c] - sat[r0c, c1c] - sat[r1c, c0c] + sat[r0c, c0c]).astype(np.float64)
         mean = tot / np.maximum(cnt, 1)[..., None]
-        out = np.zeros((s, s, 4), dtype=np.uint8)
-        out[ok] = np.clip(np.rint(mean[ok]), 0, 255).astype(np.uint8)
+        dt = self.source.dtype
+        info = np.iinfo(dt)
+        out = np.zeros((s, s, 4), dtype=dt)
+        out[ok] = np.clip(np.rint(mean[ok]), info.min, info.max).astype(dt)
         return out
 
     def _reproject_one(self, z: int, x: int, y: int) -> np.ndarray:
@@ -260,7 +273,9 @@ class SRSReprojector(_ReprojectorBase):
         sx, sy = self.srs.forward(lon.ravel(), lat.ravel())
         col, row = self.gt.crs_to_pixel(sx, sy)
         s = self.tile_size
-        out = np.zeros((s * s, 4), dtype=np.uint8)
+        dt = self.source.dtype
+        info = np.iinfo(dt)
+        out = np.zeros((s * s, 4), dtype=dt)
         if self.resampling == "bilinear":
             cf, rf = col - 0.5, row - 0.5
             c0, r0 = np.floor(cf).astype(np.int64), np.floor(rf).astype(np.int64)
@@ -280,7 +295,7 @@ class SRSReprojector(_ReprojectorBase):
             top = p00 * (1 - wc)[:, None] + p01 * wc[:, None]
             bot = p10 * (1 - wc)[:, None] + p11 * wc[:, None]
             val = top * (1 - wr)[:, None] + bot * wr[:, None]
-            out[ok] = np.clip(np.rint(val[ok]), 0, 255).astype(np.uint8)
+            out[ok] = np.clip(np.rint(val[ok]), info.min, info.max).astype(dt)
         else:
             ci, ri = np.floor(col).astype(np.int64), np.floor(row).astype(np.int64)
             ok = (ci >= 0) & (ci < self.w) & (ri >= 0) & (ri < self.h)
