@@ -1,5 +1,6 @@
-"""Multimodal plumbing: span explosion, media filtering, decode pool
-schema (decode itself is a documented stub)."""
+"""Multimodal plumbing: span explosion, media filtering, and the
+REAL-codec decode pool (PNG/JPEG payloads synthesized per media_ref;
+audio stays opaque behind the honest no-audio-codec gate)."""
 
 import pyarrow as pa
 
@@ -28,14 +29,35 @@ def test_decode_media_schema_and_determinism(ray_session, sf_dir):
     assert set(a.columns) == {
         "doc_id", "span_idx", "kind", "media_ref", "payload", "width", "height", "n_bytes"
     }
-    assert (a["n_bytes"] == 64).all()
+    img0 = a[a.kind == "image"]
+    aud = a[a.kind == "audio"]
+    # images: real decoded rgba-raw payloads (w*h*4); audio: opaque 64B
+    assert (img0["n_bytes"] == img0["width"] * img0["height"] * 4).all()
+    assert (aud["n_bytes"] == 64).all() and (aud["width"] == 0).all()
     b = M.decode_media(D.read_docs(sf_dir), concurrency=2, batch_size=128).to_pandas()
     key = ["doc_id", "span_idx"]
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
-    assert (a["payload"] == b["payload"]).all()  # fake decode is deterministic
+    assert (a["payload"] == b["payload"]).all()  # synth+decode is deterministic
     img = a[a.kind == "image"]
     assert (img["width"] > 0).all() and (img["height"] > 0).all()
+    # codec-real: a PNG-routed ref (even hash) round-trips the synthetic
+    # gradient EXACTLY (PNG is lossless)
+    import numpy as np
+
+    from versatiles_rs_ray.stages.multimodal import (
+        SyntheticMediaFetcher, hash_stable)
+
+    f = SyntheticMediaFetcher()
+    png_rows = img[[hash_stable(r) % 2 == 0 for r in img["media_ref"]]]
+    assert len(png_rows) > 0
+    row = png_rows.iloc[0]
+    from versatiles_rs_ray.core.png import decode_png_rgba
+
+    want = decode_png_rgba(f._fetch(row["media_ref"], "image"))
+    got = np.frombuffer(row["payload"], np.uint8).reshape(
+        row["height"], row["width"], 4)
+    assert np.array_equal(got, want)
 
 
 def test_media_pipeline_stages(ray_session, sf_dir):

@@ -812,9 +812,11 @@ def q_media_decode(sf_dir):
 
 
 def q_media_pipeline(sf_dir):
-    """Full multimodal chain: explode -> decode pool -> resize pool ->
-    frame-sample -> per-frame byte-histogram features. Rows-only
-    (stubbed decode; plumbing and feature math tested in pytest)."""
+    """Full multimodal chain: explode -> real-codec decode pool
+    (PNG/JPEG payloads synthesized deterministically per media_ref) ->
+    nearest-neighbor RGBA resize pool -> frame-sample -> per-frame
+    byte-histogram features. Rows-only (codec-real features; pixel
+    goldens live in pytest)."""
     return multimodal.media_pipeline(_docs(sf_dir)).select_columns(
         ["doc_id", "span_idx", "kind", "media_ref", "frame_idx", "width", "height"]
     )

@@ -161,6 +161,106 @@ class MediaBytesDecoder:
         return pa.table(cols)
 
 
+class SyntheticMediaFetcher:
+    """Actor-pool fetch stage: materialize each media_ref as REAL
+    encoded bytes — from-scratch PNG for even ref hashes, baseline
+    JPEG for odd — of a small deterministic RGBA gradient seeded by
+    the ref (the sandbox stand-in for an object-store GET; swap
+    ``_fetch`` for the store client at deploy; the reference pools its
+    I/O handles the same way, raster_source.rs:36-112). Audio spans
+    stay opaque bytes: no audio codec is bound, and MediaBytesDecoder
+    passes unknown magics through with width=height=0 (honest gate,
+    not a fake decode)."""
+
+    def __init__(self, max_side: int = 24):
+        from ..core.jpeg import encode_jpeg
+        from ..core.png import encode_png
+
+        self._encode_png = encode_png
+        self._encode_jpeg = encode_jpeg
+        self.max_side = max_side
+
+    def _fetch(self, media_ref: str, kind: str) -> bytes:
+        seed = hash_stable(media_ref)
+        if kind != "image":
+            rng = np.random.default_rng(seed % (1 << 31))
+            return rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
+        w = 8 + seed % self.max_side
+        h = 8 + (seed >> 8) % self.max_side
+        yy, xx = np.mgrid[0:h, 0:w]
+        r = ((xx * 255) // max(w - 1, 1)).astype(np.uint8)
+        g = ((yy * 255) // max(h - 1, 1)).astype(np.uint8)
+        b = np.full((h, w), seed % 256, np.uint8)
+        if seed % 2 == 0:
+            a = np.full((h, w), 255, np.uint8)
+            return self._encode_png(np.stack([r, g, b, a], axis=2))
+        # baseline JPEG carries no alpha channel: encode RGB
+        return self._encode_jpeg(np.stack([r, g, b], axis=2))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = [
+            self._fetch(r, k)
+            for r, k in zip(batch["media_ref"].to_pylist(), batch["kind"].to_pylist())
+        ]
+        return batch.append_column("payload", pa.array(payloads, type=pa.binary()))
+
+
+# the synthesizer is stateless, so the pipelines run it as a plain TASK
+# map_batches (no actor reservation): every added actor pool in a chain
+# raises the executor's minimum CPU footprint, and a 4-pool chain
+# starves a 4-cpu cluster outright (observed deadlock; NOTES.md
+# chained-pool class). A real object-store fetcher WOULD be an actor
+# pool holding its client — swap this fn for the class above then.
+_FETCHER: list = []
+
+
+def synthesize_media_batch(batch: pa.Table) -> pa.Table:
+    if not _FETCHER:
+        _FETCHER.append(SyntheticMediaFetcher())
+    return _FETCHER[0](batch)
+
+
+class RgbaResizer:
+    """Actor-pool resize — REAL nearest-neighbor over the rgba-raw
+    payloads MediaBytesDecoder emits. Non-image rows (width=0: opaque
+    audio bytes) keep the FakeImageResizer linspace subsample so the
+    frame sampler still sees deterministic bytes."""
+
+    def __init__(self, target_w: int = 8, target_h: int = 8):
+        self.target_w = target_w
+        self.target_h = target_h
+
+    def _resize(self, payload: bytes, w: int, h: int) -> bytes:
+        tw, th = self.target_w, self.target_h
+        if w > 0 and h > 0 and len(payload) == w * h * 4:
+            arr = np.frombuffer(payload, dtype=np.uint8).reshape(h, w, 4)
+            ri = (np.arange(th) * h) // th
+            ci = (np.arange(tw) * w) // tw
+            return arr[ri][:, ci].tobytes()
+        src = np.frombuffer(payload, dtype=np.uint8)
+        n = tw * th
+        if len(src) == 0:
+            return b"\x00" * n
+        idx = np.linspace(0, len(src) - 1, n).astype(np.int64)
+        return src[idx].tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [
+            self._resize(p, int(w), int(h))
+            for p, w, h in zip(batch["payload"].to_pylist(),
+                               batch["width"].to_pylist(),
+                               batch["height"].to_pylist())
+        ]
+        batch = batch.drop_columns(["payload", "width", "height"])
+        batch = batch.append_column("payload", pa.array(out, type=pa.binary()))
+        batch = batch.append_column(
+            "width", pa.array(np.full(len(out), self.target_w), type=pa.int64())
+        )
+        return batch.append_column(
+            "height", pa.array(np.full(len(out), self.target_h), type=pa.int64())
+        )
+
+
 def _elastic(concurrency):
     """Coerce an int to an elastic (1, n) actor-pool spec; pass tuples
     through. Fixed-size pools deadlock the streaming executor when the
@@ -191,7 +291,9 @@ def hash_stable(s: str) -> int:
 
 
 def decode_media(docs_ds, concurrency=(1, 4), batch_size=1024):
-    """The multimodal decode pipeline: explode -> filter media -> decode pool.
+    """The multimodal decode pipeline: explode -> filter media ->
+    synthesize REAL encoded bytes (fetch stand-in) -> REAL codec
+    decode (MediaBytesDecoder: from-scratch PNG/JPEG, ctypes WEBP).
 
     Small batch_size because decoded payloads are wide (binary) rows —
     the batch x concurrency product must fit worker heaps (SURVEY.md
@@ -201,12 +303,13 @@ def decode_media(docs_ds, concurrency=(1, 4), batch_size=1024):
     down (observed full-suite hang on a 4-cpu cluster; same class as
     the chained fixed-pool deadlock in NOTES.md).
     """
-    return media_spans(docs_ds).map_batches(
-        FakeMediaDecoder,
+    pool = _elastic(concurrency)
+    fetched = media_spans(docs_ds).map_batches(
+        synthesize_media_batch,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=_elastic(concurrency),
     )
+    return decode_media_bytes(fetched, concurrency=pool, batch_size=batch_size)
 
 
 class FakeImageResizer:
@@ -323,7 +426,7 @@ def media_pipeline(docs_ds, concurrency=4, batch_size=1024):
     pool = _elastic(concurrency)
     decoded = decode_media(docs_ds, concurrency=pool, batch_size=batch_size)
     resized = decoded.map_batches(
-        FakeImageResizer, batch_format="pyarrow", batch_size=batch_size,
+        RgbaResizer, batch_format="pyarrow", batch_size=batch_size,
         concurrency=pool,
     )
     frames = resized.map_batches(
