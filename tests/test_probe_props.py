@@ -176,3 +176,45 @@ def test_probe_tile_contents(ray_session):
     assert rec[(1, "layer", "water")][0] == 2
     assert rec[(2, "format", "json")] == (1, 7)
     assert rec[(2, "format", "bin")][0] == 1
+
+
+def test_measure_tile_sizes_image(ray_session):
+    """Golden parity with measure_tile_sizes.rs:57-93: grayscale PNG at
+    (2^level/scale)^2, pixel = clamp(10*log2(max(sum/scale^2,1)),0,255),
+    off-level tiles ignored, empty cells 0."""
+    from versatiles_rs_ray.core.png import decode_png_rgba
+
+    p = TileBBoxPyramid.new_full(3)  # z0..z3; only z3 must count
+    ds = json_debug_tiles(p)
+    png = probe.measure_tile_sizes_image(ds, level=3, scale=2)
+    img = decode_png_rgba(png)
+    assert img.shape == (4, 4, 4)
+    grey = img[..., 0]
+    assert (img[..., 0] == img[..., 1]).all() and (img[..., 2] == grey).all()
+    want = np.zeros((4, 4))
+    for x in range(8):
+        for y in range(8):
+            want[y // 2, x // 2] += len(f'{{"x":{x},"y":{y},"z":3}}')
+    want = np.clip(np.log2(np.maximum(want / 4.0, 1.0)) * 10.0, 0, 255).astype(np.uint8)
+    assert np.array_equal(grey, want)
+
+
+def test_measure_tile_sizes_cli(ray_session, tmp_path):
+    import subprocess
+    import sys
+
+    from versatiles_rs_ray.sources.tiles_io import write_mbtiles
+
+    p = TileBBoxPyramid.new_full(2, 2)
+    mb = tmp_path / "t.mbtiles"
+    write_mbtiles(json_debug_tiles(p), str(mb))
+    out = tmp_path / "sizes.png"
+    r = subprocess.run(
+        [sys.executable, "-m", "versatiles_rs_ray", "--num-cpus", "2",
+         "dev", "measure-tile-sizes", str(mb), "-o", str(out),
+         "--level", "2", "--scale", "2"],
+        capture_output=True, text=True, timeout=240)
+    assert r.returncode == 0, r.stderr[-2000:]
+    from versatiles_rs_ray.core.png import decode_png_rgba
+
+    assert decode_png_rgba(out.read_bytes()).shape == (2, 2, 4)

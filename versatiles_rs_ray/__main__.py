@@ -220,9 +220,20 @@ def cmd_dev(args):
     ray = _ray_session(args.num_cpus)
     ds = open_container(args.input)
     if args.tool == "measure-tile-sizes":
-        out = tile_size_histogram(ds, scale_level=args.scale_level).to_pandas()
-        out = out.sort_values(["z", "cell_x", "cell_y"])
-        print(json.dumps(out.to_dict("records")))
+        if args.output:
+            # image parity path (measure_tile_sizes.rs:36-93): PNG only,
+            # like the reference's extension ensure!()
+            if not args.output.endswith(".png"):
+                raise SystemExit("measure-tile-sizes: output must end in .png")
+            from versatiles_rs_ray.stages.probe import measure_tile_sizes_image
+
+            png = measure_tile_sizes_image(ds, level=args.level, scale=args.scale)
+            with open(args.output, "wb") as f:
+                f.write(png)
+        else:
+            out = tile_size_histogram(ds, scale_level=args.scale_level).to_pandas()
+            out = out.sort_values(["z", "cell_x", "cell_y"])
+            print(json.dumps(out.to_dict("records")))
     elif args.tool == "export-outline":
         print(json.dumps(coverage_outline_geojson(ds, args.level)))
     ray.shutdown()
@@ -351,6 +362,11 @@ def main(argv=None):
     d.add_argument("input")
     d.add_argument("--scale-level", type=int, default=2)
     d.add_argument("--level", type=int, default=2)
+    d.add_argument("--scale", type=int, default=4,
+                   help="measure-tile-sizes image downscale factor")
+    d.add_argument("--output", "-o",
+                   help="measure-tile-sizes: write the log-scaled size "
+                        "image (PNG) instead of the JSON histogram")
     d.add_argument("--pretty", "-p", action="store_true")
     d.set_defaults(fn=cmd_dev)
 

@@ -67,6 +67,53 @@ def tile_size_histogram(tiles_ds, scale_level: int, payload_col="payload"):
     )
 
 
+def measure_tile_sizes_image(tiles_ds, level: int = 14, scale: int = 4,
+                             payload_col="payload") -> bytes:
+    """Render the reference's tile-size visualization as a grayscale
+    PNG: scan ONE zoom level, sum stored byte sizes into
+    ``(x // scale, y // scale)`` cells, pixel brightness =
+    ``clamp(10 * log2(max(mean_bytes, 1)), 0, 255)``
+    (dev_tools/measure_tile_sizes.rs:36-93: 0 -> <=1 B, 100 -> ~1 KB,
+    200 -> ~1 MB). Returns encoded PNG bytes.
+
+    The per-batch partial dedups cells before anything leaves the
+    task; the driver accumulates the (at most ``W**2``-cell) partial
+    stream into the dense grid exactly like the reference's
+    driver-side ``result`` vec — 128 MB of u64 at level 14 / scale 4,
+    the tool's documented ceiling, never the raw tile stream.
+    """
+    from ..core.png import encode_png
+
+    if scale < 1 or (1 << level) % scale:
+        raise ValueError(f"scale {scale} must divide 2^{level}")
+    w = (1 << level) // scale
+
+    def partial(batch: pa.Table) -> pa.Table:
+        z = np.asarray(batch["z"], dtype=np.int64)
+        keep = z == level
+        cx = np.asarray(batch["x"], dtype=np.int64)[keep] // scale
+        cy = np.asarray(batch["y"], dtype=np.int64)[keep] // scale
+        sizes = byte_sizes(batch[payload_col])[keep]
+        uniq, inv = np.unique(cy * w + cx, return_inverse=True)
+        return pa.table(
+            {
+                "cell": pa.array(uniq, type=pa.int64()),
+                "sum_bytes": pa.array(
+                    np.bincount(inv, weights=sizes).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    grid = np.zeros(w * w, dtype=np.int64)
+    partials = tiles_ds.map_batches(partial, batch_format="pyarrow")
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        np.add.at(grid, np.asarray(b["cell"]), np.asarray(b["sum_bytes"]))
+    mean = grid / float(scale * scale)
+    px = np.clip(np.log2(np.maximum(mean, 1.0)) * 10.0, 0.0, 255.0)
+    return encode_png(px.astype(np.uint8).reshape(w, w))
+
+
 # packs (y, x) into one sortable key; y-transitions can never look like
 # an x-gap of 1 because x < 2^32 << 2^33
 _RUN_B = np.int64(1) << np.int64(33)

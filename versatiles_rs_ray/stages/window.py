@@ -18,17 +18,21 @@ def tumbling_partials(batch: pa.Table, window_s=WINDOW_S) -> pa.Table:
     """Per-batch partials keyed by (event_type, window_start_epoch)."""
     ts = np.asarray(batch["ts"].cast(pa.int64()))  # microseconds
     win = ts // (window_s * 1_000_000) * window_s  # window start, seconds
-    etype = np.asarray(batch["event_type"].to_pandas(), dtype=object)
+    etype_arr = batch["event_type"]
+    if isinstance(etype_arr, pa.ChunkedArray):
+        etype_arr = etype_arr.combine_chunks()
     value = np.asarray(batch["value"], dtype=np.float64)
     cents = np.floor(value * 100.0).astype(np.int64)  # int cents: oracle-stable sums
 
     # pack (event-type code, window) into one int64 so the per-batch
-    # dedup is integer np.unique, not per-row string building: one
-    # string-space unique over the batch's few distinct types, then
-    # ARITHMETIC keys win*2^16+code — correct for negative windows too
-    # (pre-1970 ts), where a bitwise OR would merge all types
-    _, codes = np.unique(etype.astype(str), return_inverse=True)
-    if len(np.unique(codes)) >= (1 << 16):
+    # dedup is integer np.unique, not per-row string building: Arrow
+    # dictionary-encode stays in string space once (no object arrays in
+    # the hot kernel), then ARITHMETIC keys win*2^16+code — correct for
+    # negative windows too (pre-1970 ts), where a bitwise OR would
+    # merge all types
+    enc = etype_arr.dictionary_encode()
+    codes = np.asarray(enc.indices)
+    if len(enc.dictionary) >= (1 << 16):
         raise ValueError("more than 2^16 distinct event types in one batch")
     key = win * np.int64(1 << 16) + codes.astype(np.int64)
     uniq, first, inv = np.unique(key, return_index=True, return_inverse=True)
@@ -45,7 +49,7 @@ def tumbling_partials(batch: pa.Table, window_s=WINDOW_S) -> pa.Table:
     np.maximum.at(mx, inv, cents)
     return pa.table(
         {
-            "event_type": pa.array(etype[first], type=pa.string()),
+            "event_type": enc.dictionary.take(pa.array(codes[first])).cast(pa.string()),
             "window_start": pa.array(win[first], type=pa.int64()),
             "n_events": pa.array(n, type=pa.int64()),
             "sum_cents": pa.array(s, type=pa.int64()),
