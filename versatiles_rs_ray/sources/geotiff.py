@@ -39,6 +39,7 @@ TAG_ROWS_PER_STRIP = 278
 TAG_STRIP_COUNTS = 279
 TAG_PLANAR = 284
 TAG_PREDICTOR = 317
+TAG_COLORMAP = 320
 TAG_TILE_WIDTH = 322
 TAG_TILE_HEIGHT = 323
 TAG_TILE_OFFSETS = 324
@@ -124,14 +125,155 @@ def _read_ifd(data: bytes, bo: str, big: bool = False):
     return tags
 
 
+def _packbits_decode(data: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits RLE: n in 0..127 copies n+1 literals,
+    n in -127..-1 repeats the next byte 1-n times, -128 is a no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal run
+            out += data[i:i + c + 1]
+            i += c + 1
+        elif c > 128:  # repeat run of 257-c
+            out += data[i:i + 1] * (257 - c)
+            i += 1
+        # c == 128: no-op
+    return bytes(out)
+
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first bit packing, 9->12 bit codes,
+    ClearCode=256, EOI=257, EARLY CHANGE (the code width grows when the
+    table reaches 2^width - 1, one code before a late-change coder
+    would — the libtiff/GDAL convention the spec's errata fixed)."""
+    out = bytearray()
+    bits = nbits = pos = 0
+    width = 9
+    table: list[bytes] | None = None
+    prev: bytes | None = None
+    dlen = len(data)
+    while True:
+        while nbits < width:
+            if pos >= dlen:
+                return bytes(out)  # truncated stream: emit what we have
+            bits = (bits << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (bits >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == _LZW_EOI:
+            return bytes(out)
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if table is None:
+            raise ValueError("LZW stream must begin with a ClearCode")
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} beyond table")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Greedy PackBits: repeat runs >=2 as RLE, the rest as literals."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find run length at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 2:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            continue
+        # literal stretch: until the next >=3 run or 128 bytes
+        j = i + 1
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW encoder, the exact mirror of :func:`_lzw_decode`'s
+    width schedule: the decoder's table runs one entry behind the
+    encoder's at equal stream positions, so the decoder bumping at
+    table length 2^w - 1 corresponds to the encoder bumping when its
+    next free code reaches 2^w."""
+    out = bytearray()
+    bits = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal bits, nbits
+        bits = (bits << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bits >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    width = 9
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_free = 258
+    emit(_LZW_CLEAR, width)
+    s = b""
+    for bch in data:
+        sb = s + bytes([bch])
+        if sb in table:
+            s = sb
+            continue
+        emit(table[s], width)
+        table[sb] = next_free
+        next_free += 1
+        if next_free == (1 << width) and width < 12:
+            width += 1
+        if next_free == 4094:  # 12-bit table nearly full: restart
+            emit(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_free = 258
+            width = 9
+        s = bytes([bch])
+    if s:
+        emit(table[s], width)
+    emit(_LZW_EOI, width)
+    if nbits:
+        out.append((bits << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _decompress(chunk: bytes, compression: int) -> bytes:
     if compression == 1:
         return chunk
     if compression in (8, 32946):  # zlib/deflate (Adobe + legacy code)
         return zlib.decompress(chunk)
+    if compression == 5:
+        return _lzw_decode(chunk)
+    if compression == 32773:
+        return _packbits_decode(chunk)
     raise NotImplementedError(
-        f"TIFF compression {compression} not supported (only none=1, deflate=8); "
-        "LZW/JPEG-in-TIFF need external codecs"
+        f"TIFF compression {compression} not supported "
+        "(none=1, LZW=5, deflate=8, PackBits=32773); JPEG-in-TIFF needs "
+        "an external codec"
     )
 
 
@@ -187,11 +329,13 @@ def read_geotiff(path_or_bytes) -> GeoTIFF:
     if planar not in (1, 2):
         raise NotImplementedError(f"TIFF planar configuration {planar} not supported")
     photometric = int(t.get(TAG_PHOTOMETRIC, (1,))[0])
-    if photometric not in (1, 2):  # 1=min-is-black grey, 2=RGB
+    if photometric not in (0, 1, 2, 3):  # 0=min-is-white, 1=grey, 2=RGB, 3=palette
         raise NotImplementedError(
             f"TIFF photometric interpretation {photometric} not supported "
-            "(only 1=grayscale, 2=RGB; palette=3 and min-is-white=0 need "
-            "a palette/inversion pass)")
+            "(0=min-is-white, 1=grayscale, 2=RGB, 3=palette)")
+    if photometric == 3 and (samples != 1 or TAG_COLORMAP not in t):
+        raise NotImplementedError(
+            "palette TIFF needs SamplesPerPixel=1 and a ColorMap tag")
     sample_fmt = t.get(TAG_SAMPLE_FORMAT, (1,) * samples)
     if any(f not in (1, 2) for f in sample_fmt) or (
             2 in sample_fmt and depth == 8):
@@ -248,6 +392,20 @@ def read_geotiff(path_or_bytes) -> GeoTIFF:
             else:
                 arr[y0:y0 + nrows] = rows
     arr = arr.view(final) if signed else arr
+    if photometric == 0:
+        if signed:
+            raise NotImplementedError("min-is-white with signed samples")
+        # invert to min-is-black (GDAL's MINISWHITE normalization)
+        arr = ((1 << depth) - 1 - arr.astype(np.int64)).astype(work)
+    elif photometric == 3:
+        # palette expansion: ColorMap holds 3*2^depth uint16s (all reds,
+        # all greens, all blues; 0xFFFF = white) -> 8-bit RGB via /257
+        cmap = np.asarray(t[TAG_COLORMAP], dtype=np.uint32).reshape(3, -1)
+        if cmap.shape[1] != (1 << depth):
+            raise ValueError(
+                f"ColorMap has {cmap.shape[1]} entries, expected {1 << depth}")
+        rgb8 = np.rint(cmap / 257.0).astype(np.uint8)
+        arr = rgb8[:, arr[:, :, 0]].transpose(1, 2, 0)
 
     # georeferencing: ModelTransformation wins, else scale+tiepoint
     if TAG_TRANSFORM in t:
@@ -293,7 +451,8 @@ def read_geotiff(path_or_bytes) -> GeoTIFF:
 def write_tiff(arr: np.ndarray, *, geotransform=None, epsg: int = 4326,
                tiled: bool = False, compression: int = 8,
                predictor: int = 2, bigtiff: bool = False,
-               planar: int = 1) -> bytes:
+               planar: int = 1, photometric: int | None = None,
+               colormap: np.ndarray | None = None) -> bytes:
     """Minimal GeoTIFF writer (test fixture generator + container parity:
     the reference writes no TIFFs, but round-trip tests need one source
     of truth for the reader's layout handling). Sample depth/signedness
@@ -320,7 +479,13 @@ def write_tiff(arr: np.ndarray, *, geotransform=None, epsg: int = 4326,
                             prepend=np.zeros((block.shape[0], 1, bc), np.int64))
             block = (block & ((1 << depth) - 1)).astype(wdt)
         raw = block.astype("<" + wdt.str[1:]).tobytes()
-        return zlib.compress(raw) if compression in (8, 32946) else raw
+        if compression in (8, 32946):
+            return zlib.compress(raw)
+        if compression == 5:
+            return _lzw_encode(raw)
+        if compression == 32773:
+            return _packbits_encode(raw)
+        return raw
 
     planes = [work] if planar == 1 else [work[:, :, i:i + 1] for i in range(c)]
     chunks = []
@@ -358,7 +523,14 @@ def write_tiff(arr: np.ndarray, *, geotransform=None, epsg: int = 4326,
     add(TAG_HEIGHT, 3, (h,))
     add(TAG_BITS, 3, (depth,) * c)
     add(TAG_COMPRESSION, 3, (compression,))
-    add(TAG_PHOTOMETRIC, 3, (2 if c >= 3 else 1,))
+    if photometric is None:
+        photometric = 3 if colormap is not None else (2 if c >= 3 else 1)
+    add(TAG_PHOTOMETRIC, 3, (photometric,))
+    if colormap is not None:
+        cm = np.ascontiguousarray(colormap, dtype=np.uint16).reshape(3, -1)
+        if cm.shape[1] != (1 << depth):
+            raise ValueError(f"colormap needs {1 << depth} entries per channel")
+        add(TAG_COLORMAP, 3, tuple(int(v) for v in cm.ravel()))
     add(TAG_SAMPLES, 3, (c,))
     if tiled:
         add(TAG_TILE_WIDTH, 3, (64,))
