@@ -1,6 +1,7 @@
 """Spatial join operators vs driver-side brute force (FIXTURES.md F8)."""
 
 import numpy as np
+import pyarrow as pa
 import pandas as pd
 import pyarrow.parquet as pq
 
@@ -132,3 +133,69 @@ def test_knn_grouped_windowed_semantics(ray_session, sf_dir):
         ["q_doc", "rank"]
     ).reset_index(drop=True)
     assert got[["q_doc", "n_doc", "rank"]].equals(brute)
+
+
+def test_asof_join_directions_and_nulls(ray_session):
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.join import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "lid": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "k": pa.array([10, 10, 10, 99], type=pa.int64()),
+        "t": pa.array([5, 15, 24, 7], type=pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([10, 10, 10], type=pa.int64()),
+        "rt": pa.array([10, 20, 30], type=pa.int64()),
+        "rv": pa.array(["a", "b", "c"]),
+    }))
+    back = asof_join(left, right, by="k", left_on="t", right_on="rt",
+                     num_partitions=4).to_pandas().sort_values("lid")
+    # t=5: no rt<=5 -> null; t=15 -> rt10 'a'; t=24 -> rt20 'b'; k=99 -> null
+    assert back["rv"].tolist() == [None, "a", "b", None]
+    fwd = asof_join(left, right, by="k", left_on="t", right_on="rt",
+                    direction="forward", num_partitions=4
+                    ).to_pandas().sort_values("lid")
+    # t=5 -> rt10; t=15 -> rt20; t=24 -> rt30; k=99 -> null
+    assert fwd["rv"].tolist() == ["a", "b", "c", None]
+
+
+def test_asof_join_equality_inclusive(ray_session):
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.join import asof_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1], type=pa.int64()),
+                                   "t": pa.array([10], type=pa.int64())}))
+    right = rd.from_arrow(pa.table({"k": pa.array([1], type=pa.int64()),
+                                    "rt": pa.array([10], type=pa.int64()),
+                                    "rv": pa.array([7], type=pa.int64())}))
+    out = asof_join(left, right, by="k", left_on="t", right_on="rt",
+                    num_partitions=2).to_pandas()
+    assert out["rv"].tolist() == [7]  # rt <= t includes equality
+
+
+def test_range_join_agg_edges(ray_session):
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.join import range_join_agg
+
+    iv = rd.from_arrow(pa.table({
+        "iid": pa.array([1, 2, 3], type=pa.int64()),
+        "k": pa.array([5, 5, 6], type=pa.int64()),
+        "lo": pa.array([10, 100, 10], type=pa.int64()),
+        "hi": pa.array([20, 110, 20], type=pa.int64()),
+    }))
+    pts = rd.from_arrow(pa.table({
+        "k": pa.array([5, 5, 5, 6], type=pa.int64()),
+        "at": pa.array([10, 20, 21, 15], type=pa.int64()),
+        "v": pa.array([1.0, 2.5, 4.0, 8.0]),
+    }))
+    out = range_join_agg(iv, pts, by="k", lo="lo", hi="hi", at="at",
+                         value="v", num_partitions=4
+                         ).to_pandas().sort_values("iid")
+    # iid1: at=10 (lo edge) + at=20 (hi edge), cents 100+250; at=21 excluded
+    # iid2: none; iid3: different key's at=15 only
+    assert out["n_points"].tolist() == [2, 0, 1]
+    assert out["sum_cents"].tolist() == [350, 0, 800]

@@ -706,6 +706,90 @@ def q_sessionize(sf_dir):
     return window.sessionize(ev)
 
 
+def _events_typed(sf_dir, etype, cols):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=cols + ["event_type"])
+
+    def keep(batch: pa.Table, _t=etype) -> pa.Table:
+        return batch.filter(pc.equal(batch["event_type"], _t)).select(cols)
+
+    return ev.map_batches(keep, batch_format="pyarrow")
+
+
+def q_asof_join(sf_dir):
+    """Distributed as-of join (stages/join.asof_join): for every click
+    event, the latest same-user view event at-or-before it, LEFT
+    semantics (nulls when no prior view). Right side pre-aggregated to
+    one row per (user, ts) so ties are deterministic; both sides
+    co-partitioned by user through one hash exchange, matched with a
+    vectorized searchsorted per partition. Oracle: DuckDB ASOF LEFT
+    JOIN."""
+    from ray.data.aggregate import Max
+
+    from .stages.join import asof_join
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "value": batch["value"],
+        })
+
+    left = _events_typed(sf_dir, "click", ["event_id", "ts", "user_id", "value"]) \
+        .map_batches(to_us, batch_format="pyarrow")
+
+    def r_prep(batch: pa.Table) -> pa.Table:
+        on = batch["ts"].cast(pa.int64())
+        return pa.table({
+            "user_id": batch["user_id"],
+            "__r_on": on,
+            "prior_ts_us": on,
+            "prior_value": batch["max(value)"],
+        })
+
+    right = (
+        _events_typed(sf_dir, "view", ["ts", "user_id", "value"])
+        .groupby(["user_id", "ts"]).aggregate(Max("value"))
+        .map_batches(r_prep, batch_format="pyarrow")
+    )
+    return asof_join(left, right, by="user_id", left_on="ts_us",
+                     right_on="__r_on")
+
+
+RANGE_JOIN_WINDOW_US = 3_600_000_000  # 1 h after each purchase
+
+
+def q_range_join(sf_dir):
+    """Range join, windowed-aggregate flavor (stages/join.range_join_agg):
+    per purchase event, the count and int-cents value sum of the same
+    user's clicks within [ts, ts + 1h]. One co-partitioning exchange,
+    then prefix-sum + two searchsorteds per partition — no pair
+    materialization. Oracle: plain SQL interval LEFT JOIN + GROUP BY."""
+    import pyarrow.compute as pc
+
+    from .stages.join import range_join_agg
+
+    def i_prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64())
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "lo_us": us,
+            "hi_us": pc.add(us, RANGE_JOIN_WINDOW_US),
+        })
+
+    intervals = _events_typed(sf_dir, "purchase", ["event_id", "ts", "user_id"]) \
+        .map_batches(i_prep, batch_format="pyarrow")
+    points = _events_typed(sf_dir, "click", ["ts", "user_id", "value"])
+    return range_join_agg(intervals, points, by="user_id", lo="lo_us",
+                          hi="hi_us", at="ts", value="value",
+                          n_col="n_clicks", sum_col="click_cents")
+
+
 # ---- rows-only queries (no SQL-expressible oracle) --------------------
 
 
@@ -1474,6 +1558,36 @@ def _oracle_sessionize():
     )
 
 
+def _oracle_asof_join():
+    return (
+        "WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value "
+        "FROM events WHERE event_type = 'click'), "
+        "r AS (SELECT user_id, epoch_us(ts) AS r_on, max(value) AS prior_value "
+        "FROM events WHERE event_type = 'view' GROUP BY 1, 2) "
+        "SELECT l.event_id, l.user_id, l.ts_us, l.value, "
+        "r.r_on AS prior_ts_us, r.prior_value "
+        "FROM l ASOF LEFT JOIN r "
+        "ON l.user_id = r.user_id AND l.ts_us >= r.r_on"
+    )
+
+
+def _oracle_range_join():
+    w = RANGE_JOIN_WINDOW_US
+    return (
+        "WITH i AS (SELECT event_id, user_id, epoch_us(ts) AS lo_us, "
+        f"epoch_us(ts) + {w} AS hi_us FROM events WHERE event_type = 'purchase'), "
+        "p AS (SELECT user_id, epoch_us(ts) AS at_us, "
+        "CAST(FLOOR(value * 100) AS BIGINT) AS cents "
+        "FROM events WHERE event_type = 'click') "
+        "SELECT i.event_id, i.user_id, i.lo_us, i.hi_us, "
+        "count(p.at_us) AS n_clicks, "
+        "CAST(COALESCE(SUM(p.cents), 0) AS BIGINT) AS click_cents "
+        "FROM i LEFT JOIN p ON p.user_id = i.user_id "
+        "AND p.at_us >= i.lo_us AND p.at_us <= i.hi_us "
+        "GROUP BY 1, 2, 3, 4"
+    )
+
+
 def _oracle_embedding_topk():
     ids = ", ".join(str(i) for i in TOPK_QUERY_IDS)
     return (
@@ -1619,6 +1733,8 @@ QUERIES = {
     "mvt_tiles": q_mvt_tiles,
     "lang_guess_docs": q_lang_guess_docs,
     "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
     # rows-only (non-SQL-expressible; pytest covers correctness)
     "s2_cells": q_s2_cells,
     "hilbert_order": q_hilbert_order,
@@ -1679,6 +1795,8 @@ ORACLES = {
     "mvt_tiles": _oracle_mvt_tiles(),
     "lang_guess_docs": _oracle_lang_guess_docs(),
     "sessionize": _oracle_sessionize(),
+    "asof_join": _oracle_asof_join(),
+    "range_join": _oracle_range_join(),
     # round 2: oracles for formerly rows-only queries
     "lang_guess": _oracle_lang_guess(),
     "hilbert_order": _oracle_hilbert_order(),

@@ -392,3 +392,221 @@ def knn_join_grouped(docs_ds, queries_ds, k: int, zoom: int,
         functools.partial(_grouped_knn_combine, k=k, exclude_self=exclude_self),
         num_partitions=num_partitions,
     )
+
+
+# ---- as-of join ---------------------------------------------------------
+
+
+def _asof_side_rows(batch: pa.Table, by: str, on: str, side: int,
+                    copy: frozenset, ordered: tuple) -> pa.Table:
+    """Route rows + the UNIFIED schema in ONE canonical column order:
+    the other side's columns are typed nulls, so every exchange
+    partition (even one fed by a single side) carries an identical
+    schema and the reduce concat never sees a mismatch."""
+    cols = {
+        "route": batch[by].cast(pa.int64()),
+        "__on": batch[on].cast(pa.int64()),
+        "__side": pa.array(np.full(batch.num_rows, side), type=pa.int64()),
+    }
+    for c, typ in ordered:
+        cols[c] = batch[c] if c in copy else pa.nulls(batch.num_rows, type=typ)
+    return pa.table(cols)
+
+
+def _rank_key(by: np.ndarray, on: np.ndarray):
+    """Joint rank-encode (by, on) into one int64 key: ranks over the
+    PARTITION's value universe, so products never overflow and order /
+    equality semantics survive any raw int64 domain (timestamps, ids)."""
+    _, binv = np.unique(by, return_inverse=True)
+    uo, oinv = np.unique(on, return_inverse=True)
+    span = np.int64(len(uo) + 1)
+    return binv.astype(np.int64) * span + oinv.astype(np.int64), span
+
+
+def _asof_combine(tbl: pa.Table, left_cols: tuple, right_cols: tuple,
+                  direction: str) -> pa.Table:
+    side = np.asarray(tbl["__side"], dtype=np.int64)
+    key, span = _rank_key(np.asarray(tbl["route"], dtype=np.int64),
+                          np.asarray(tbl["__on"], dtype=np.int64))
+    lmask = side == 0
+    lkey = key[lmask]
+    r_rows = np.flatnonzero(~lmask)
+    order = np.argsort(key[r_rows], kind="stable")
+    r_rows = r_rows[order]
+    rkey = key[r_rows]
+    n_r = len(rkey)
+    if direction == "backward":  # greatest right __on <= left __on
+        pos = np.searchsorted(rkey, lkey, side="right") - 1
+        valid = pos >= 0
+    elif direction == "forward":  # smallest right __on >= left __on
+        pos = np.searchsorted(rkey, lkey, side="left")
+        valid = pos < n_r
+    else:
+        raise ValueError(f"asof direction {direction!r}")
+    pos = np.clip(pos, 0, max(n_r - 1, 0))
+    if n_r:
+        valid &= (rkey[pos] // span) == (lkey // span)  # same `by` group
+    else:
+        valid = np.zeros(len(lkey), dtype=bool)
+    out = {}
+    lsel = pa.array(lmask)
+    for c in left_cols:
+        out[c] = tbl[c].filter(lsel)
+    match_idx = pa.array(r_rows[pos] if n_r else np.zeros(len(lkey), np.int64),
+                         type=pa.int64(), mask=~valid)
+    for c in right_cols:
+        out[c] = tbl[c].take(match_idx)  # null index -> null value
+    return pa.table(out)
+
+
+def asof_join(left_ds, right_ds, *, by: str, left_on: str, right_on: str,
+              direction: str = "backward", num_partitions: int = 32):
+    """Distributed as-of join: for every left row, attach the single
+    right row with the greatest ``right_on <= left_on`` (backward; ties
+    on (by, right_on) should be pre-aggregated away by the caller) or
+    the smallest ``right_on >= left_on`` (forward), matching within the
+    same ``by`` key. DuckDB's ``ASOF JOIN`` semantics; Ray Data has no
+    such verb, so this composes the engine's hash exchange: both sides
+    are routed by ``by`` (one co-partitioning shuffle of exactly the
+    join inputs), then each partition runs one vectorized
+    searchsorted over rank-encoded (by, on) keys — no sort-merge of the
+    full datasets, no broadcast.
+
+    Column contract: output = all left columns + all right columns
+    except ``by``/``right_on``; rename right columns beforehand to
+    avoid collisions. Partitioning assumption: ``by`` is int64 and
+    spreads under the multiplicative hash (same as every exchange).
+    Left rows with no match carry nulls (LEFT join semantics).
+    """
+    import functools
+
+    from .exchange import hash_exchange
+
+    l_schema, r_schema = left_ds.schema(), right_ds.schema()
+    left_cols = tuple(l_schema.names)
+    right_cols = tuple(c for c in r_schema.names if c not in (by, right_on))
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"asof_join column collision: {sorted(overlap)}")
+    ordered = tuple(zip(l_schema.names, l_schema.types)) + tuple(
+        (c, t) for c, t in zip(r_schema.names, r_schema.types)
+        if c in right_cols)
+    l_rows = left_ds.map_batches(
+        functools.partial(_asof_side_rows, by=by, on=left_on, side=0,
+                          copy=frozenset(left_cols), ordered=ordered),
+        batch_format="pyarrow",
+    )
+    r_rows = right_ds.map_batches(
+        functools.partial(_asof_side_rows, by=by, on=right_on, side=1,
+                          copy=frozenset(right_cols), ordered=ordered),
+        batch_format="pyarrow",
+    )
+    return hash_exchange(
+        l_rows.union(r_rows),
+        "route",
+        functools.partial(_asof_combine, left_cols=left_cols,
+                          right_cols=right_cols, direction=direction),
+        num_partitions=num_partitions,
+    )
+
+
+# ---- range join (windowed aggregate flavor) -----------------------------
+
+
+def _rj_interval_rows(batch: pa.Table, by: str, lo: str, hi: str,
+                      keep: tuple) -> pa.Table:
+    cols = {
+        "route": batch[by].cast(pa.int64()),
+        "__lo": batch[lo].cast(pa.int64()),
+        "__hi": batch[hi].cast(pa.int64()),
+        "__cents": pa.array(np.zeros(batch.num_rows, np.int64), type=pa.int64()),
+        "__side": pa.array(np.full(batch.num_rows, 0), type=pa.int64()),
+    }
+    for c in keep:
+        cols[c] = batch[c]
+    return pa.table(cols)
+
+
+def _rj_point_rows(batch: pa.Table, by: str, at: str, value: str,
+                   null_fill: tuple) -> pa.Table:
+    at_i = batch[at].cast(pa.int64())
+    cents = np.floor(np.asarray(batch[value], dtype=np.float64) * 100.0)
+    cols = {
+        "route": batch[by].cast(pa.int64()),
+        "__lo": at_i,
+        "__hi": at_i,
+        "__cents": pa.array(cents.astype(np.int64), type=pa.int64()),
+        "__side": pa.array(np.full(batch.num_rows, 1), type=pa.int64()),
+    }
+    for c, typ in null_fill:
+        cols[c] = pa.nulls(batch.num_rows, type=typ)
+    return pa.table(cols)
+
+
+def _rj_combine(tbl: pa.Table, keep: tuple, n_col: str, sum_col: str) -> pa.Table:
+    side = np.asarray(tbl["__side"], dtype=np.int64)
+    by = np.asarray(tbl["route"], dtype=np.int64)
+    imask = side == 0
+    pmask = ~imask
+    # joint ranks over lo/hi/at so inclusive [lo, hi] bounds are exact
+    allv = np.concatenate([np.asarray(tbl["__lo"], dtype=np.int64),
+                           np.asarray(tbl["__hi"], dtype=np.int64)])
+    uo = np.unique(allv)
+    span = np.int64(len(uo) + 1)
+    _, binv = np.unique(by, return_inverse=True)
+    binv = binv.astype(np.int64)
+    lo_r = np.searchsorted(uo, np.asarray(tbl["__lo"], dtype=np.int64))
+    hi_r = np.searchsorted(uo, np.asarray(tbl["__hi"], dtype=np.int64))
+    p_key = binv[pmask] * span + lo_r[pmask]  # points: __lo == __hi == at
+    order = np.argsort(p_key, kind="stable")
+    p_key = p_key[order]
+    cents = np.asarray(tbl["__cents"], dtype=np.int64)[pmask][order]
+    csum = np.concatenate(([0], np.cumsum(cents)))
+    lo_key = binv[imask] * span + lo_r[imask]
+    hi_key = binv[imask] * span + hi_r[imask]
+    a = np.searchsorted(p_key, lo_key, side="left")
+    b = np.searchsorted(p_key, hi_key, side="right")
+    out = {}
+    isel = pa.array(imask)
+    for c in keep:
+        out[c] = tbl[c].filter(isel)
+    out[n_col] = pa.array(b - a, type=pa.int64())
+    out[sum_col] = pa.array(csum[b] - csum[a], type=pa.int64())
+    return pa.table(out)
+
+
+def range_join_agg(intervals_ds, points_ds, *, by: str, lo: str, hi: str,
+                   at: str, value: str, n_col: str = "n_points",
+                   sum_col: str = "sum_cents", num_partitions: int = 32):
+    """Range join aggregated per interval: for each interval row
+    ``[lo, hi]`` (inclusive), count the same-``by`` points with
+    ``lo <= at <= hi`` and sum their int-cents values (floor(value*100)
+    — the engine's oracle-exact money convention). Co-partition both
+    sides by ``by`` through one hash exchange, then per partition a
+    prefix-sum + two searchsorteds answer every interval in O(n log n)
+    — the windowed-aggregate form of a range join that never
+    materializes matched PAIRS (pair output is the same routing with a
+    per-partition expand; counts/sums are what curation pipelines
+    consume). Output: interval ``keep`` columns + n_col + sum_col.
+    """
+    import functools
+
+    from .exchange import hash_exchange
+
+    i_schema = intervals_ds.schema()
+    keep = tuple(i_schema.names)
+    i_rows = intervals_ds.map_batches(
+        functools.partial(_rj_interval_rows, by=by, lo=lo, hi=hi, keep=keep),
+        batch_format="pyarrow",
+    )
+    p_rows = points_ds.map_batches(
+        functools.partial(_rj_point_rows, by=by, at=at, value=value,
+                          null_fill=tuple(zip(i_schema.names, i_schema.types))),
+        batch_format="pyarrow",
+    )
+    return hash_exchange(
+        i_rows.union(p_rows),
+        "route",
+        functools.partial(_rj_combine, keep=keep, n_col=n_col, sum_col=sum_col),
+        num_partitions=num_partitions,
+    )
