@@ -272,3 +272,21 @@ def test_exchange_edge_cases(ray_session):
     finally:
         ex.REF_BUDGET = old_budget
     assert df["v"].sum() == 40 and len(df) == 5
+
+
+def test_topk_per_key_ties_and_prune(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.curate import topk_per_key
+
+    t = pa.table({
+        "k": pa.array(["a"] * 5 + ["b"] * 2),
+        "v": pa.array([9, 9, 7, 9, 1, 3, 3], type=pa.int64()),
+        "id": pa.array([5, 2, 1, 9, 0, 11, 10], type=pa.int64()),
+    })
+    out = topk_per_key(rd.from_arrow(t).repartition(3), "k", "v", 3, "id",
+                       num_partitions=4).to_pandas().sort_values(["k", "id"])
+    # a: three v=9 rows win, tiebreak id asc -> ids 2,5,9; b: both rows
+    assert out[out.k == "a"]["id"].tolist() == [2, 5, 9]
+    assert out[out.k == "b"]["id"].tolist() == [10, 11]

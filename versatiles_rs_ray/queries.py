@@ -257,6 +257,23 @@ def q_source_quota(sf_dir):
     return quota_per_key(ds, "source", "doc_id", QUOTA_N)
 
 
+TOPK_PER_KEY_K = 5
+
+
+def q_lang_topk(sf_dir):
+    """Top-k curation: the 5 LONGEST docs per language (n_chars desc,
+    doc_id tiebreak) — map-side per-batch top-k prune bounds shuffle
+    rows under skew, one exchange, per-partition final top-k
+    (stages/curate.topk_per_key)."""
+    import ray.data as rd
+
+    from .stages.curate import topk_per_key
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    return topk_per_key(ds, "lang", "n_chars", TOPK_PER_KEY_K, "doc_id")
+
+
 def _oracle_source_quota():
     return (
         "SELECT doc_id, source FROM ("
@@ -264,6 +281,17 @@ def _oracle_source_quota():
         "         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn"
         "  FROM documents"
         f") WHERE rn <= {QUOTA_N}"
+    )
+
+
+def _oracle_lang_topk():
+    return (
+        "SELECT doc_id, lang, n_chars FROM ("
+        "  SELECT doc_id, lang, n_chars,"
+        "         row_number() OVER (PARTITION BY lang"
+        "                            ORDER BY n_chars DESC, doc_id) AS rn"
+        "  FROM documents"
+        f") WHERE rn <= {TOPK_PER_KEY_K}"
     )
 
 
@@ -1710,6 +1738,7 @@ QUERIES = {
     "knn_grouped": q_knn_grouped,
     "dedup_exact": q_dedup_exact,
     "source_quota": q_source_quota,
+    "lang_topk": q_lang_topk,
     "label_centroids": q_label_centroids,
     "docs_sample": q_docs_sample,
     "props_stats": q_props_stats,
@@ -1772,6 +1801,7 @@ ORACLES = {
     "knn_grouped": _oracle_knn_grouped(),
     "dedup_exact": _oracle_dedup_exact(),
     "source_quota": _oracle_source_quota(),
+    "lang_topk": _oracle_lang_topk(),
     "label_centroids": _oracle_label_centroids(),
     "docs_sample": _oracle_docs_sample(),
     "props_stats": _oracle_props_stats(),

@@ -69,10 +69,13 @@ def _first_n_per_key(table: pa.Table, key_col: str, order_col: str, n: int) -> p
                          "fill them before quota_per_key")
     keys = np.asarray(kc.dictionary_encode().indices, dtype=np.int64)
     # dictionary codes are per-table arbitrary, but runs only need
-    # EQUALITY grouping; ordering comes from the native Arrow sort
+    # EQUALITY grouping; ordering comes from the native Arrow sort.
+    # order_col: either one ascending column (quota) or an explicit
+    # [(col, direction), ...] list (top-k with tiebreak).
+    order_keys = ([(order_col, "ascending")] if isinstance(order_col, str)
+                  else list(order_col))
     pos = np.asarray(
-        pc.sort_indices(table, sort_keys=[(key_col, "ascending"),
-                                          (order_col, "ascending")]),
+        pc.sort_indices(table, sort_keys=[(key_col, "ascending")] + order_keys),
         dtype=np.int64,
     )
     ks = keys[pos]
@@ -100,6 +103,31 @@ def quota_per_key(ds, key_col: str, order_col: str, n: int, num_partitions: int 
         batch_format="pyarrow")
     combine = functools.partial(_first_n_per_key, key_col=key_col,
                                 order_col=order_col, n=n)
+    out = hash_exchange(routed, "_route", combine, num_partitions=num_partitions)
+    return out.drop_columns(["_route"])
+
+
+def topk_per_key(ds, key_col: str, order_col: str, k: int,
+                 tiebreak_col: str, descending: bool = True,
+                 num_partitions: int = 64):
+    """Top-``k`` rows per key by ``order_col`` (descending by default),
+    ties broken ascending on ``tiebreak_col`` (must be unique per key
+    for a deterministic result). Same shuffle shape as
+    :func:`quota_per_key`: per-batch top-k prune bounds exchange rows
+    to k x distinct-keys per batch under any skew, then one exchange +
+    per-partition final top-k. Equivalent SQL: ``row_number() OVER
+    (PARTITION BY key ORDER BY order_col DESC, tiebreak) <= k``.
+    """
+    import functools
+
+    order = [(order_col, "descending" if descending else "ascending"),
+             (tiebreak_col, "ascending")]
+    routed = ds.map_batches(
+        functools.partial(_local_prune_and_route, key_col=key_col,
+                          order_col=order, n=k),
+        batch_format="pyarrow")
+    combine = functools.partial(_first_n_per_key, key_col=key_col,
+                                order_col=order, n=k)
     out = hash_exchange(routed, "_route", combine, num_partitions=num_partitions)
     return out.drop_columns(["_route"])
 
