@@ -290,3 +290,24 @@ def test_topk_per_key_ties_and_prune(ray_session):
     # a: three v=9 rows win, tiebreak id asc -> ids 2,5,9; b: both rows
     assert out[out.k == "a"]["id"].tolist() == [2, 5, 9]
     assert out[out.k == "b"]["id"].tolist() == [10, 11]
+
+
+def test_dataset_split_deterministic_and_stable(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.curate import dataset_split
+
+    t = pa.table({"id": pa.array(list(range(2000)), type=pa.int64())})
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = dataset_split(rd.from_arrow(t), "id", fr).to_pandas()
+    b = dataset_split(rd.from_arrow(t).repartition(7), "id", fr).to_pandas()
+    m = a.merge(b, on="id", suffixes=("_a", "_b"))
+    assert (m.split_a == m.split_b).all()  # partitioning-independent
+    frac = a.split.value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.05
+    # growing the dataset never reassigns an existing id
+    big = pa.table({"id": pa.array(list(range(4000)), type=pa.int64())})
+    c = dataset_split(rd.from_arrow(big), "id", fr).to_pandas()
+    m2 = a.merge(c, on="id", suffixes=("_a", "_c"))
+    assert (m2.split_a == m2.split_c).all()

@@ -275,6 +275,19 @@ def cmd_corpus(args):
         out = pack_sequences(shuffled, args.token_col, args.budget,
                              "shuffle_rank",
                              exact_global=not args.parallel_bins)
+    elif args.op == "topk":
+        from versatiles_rs_ray.stages.curate import topk_per_key
+
+        out = topk_per_key(ds, args.key, args.order_by, args.n,
+                           args.tiebreak)
+    elif args.op == "split":
+        from versatiles_rs_ray.stages.curate import dataset_split
+
+        fracs = {}
+        for part in args.fracs.split(","):
+            name, _, v = part.partition("=")
+            fracs[name] = float(v)
+        out = dataset_split(ds, args.key, fracs)
     elif args.op == "normalize":
         from versatiles_rs_ray.stages.text import normalize_docs
 
@@ -384,7 +397,8 @@ def main(argv=None):
     s.set_defaults(fn=cmd_serve)
 
     co = sub.add_parser("corpus", help="training-data curation ops over parquet")
-    co.add_argument("op", choices=["quota", "sample", "shuffle", "pack", "normalize"])
+    co.add_argument("op", choices=["quota", "sample", "shuffle", "pack",
+                                   "normalize", "topk", "split"])
     co.add_argument("input", help="documents parquet file/dir")
     co.add_argument("output", help="output parquet dir")
     co.add_argument("--key", default="doc_id",
@@ -395,6 +409,9 @@ def main(argv=None):
     co.add_argument("--token-col", default="n_chars", help="pack: token-count column")
     co.add_argument("--budget", type=int, default=8192, help="pack: tokens per sequence")
     co.add_argument("--col", default="text", help="normalize: text column")
+    co.add_argument("--tiebreak", default="doc_id", help="topk tiebreak column")
+    co.add_argument("--fracs", default="train=0.9,val=0.05,test=0.05",
+                    help="split: name=frac list summing to 1")
     co.add_argument("--parallel-bins", action="store_true",
                     help="pack: independent per-block bins (scale mode)")
     co.set_defaults(fn=cmd_corpus)

@@ -258,6 +258,23 @@ def q_source_quota(sf_dir):
 
 
 TOPK_PER_KEY_K = 5
+SPLIT_FRACS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_docs_split(sf_dir):
+    """Deterministic train/val/test split (stages/curate.dataset_split:
+    Knuth-hash buckets, pure map) aggregated to per-(lang, split)
+    counts. Reproducible across runs and cluster sizes; the SQL oracle
+    recomputes the identical HUGEINT arithmetic."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .stages.curate import dataset_split
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    return dataset_split(ds, "doc_id", SPLIT_FRACS).groupby(
+        ["lang", "split"]).aggregate(Count(alias_name="n_docs"))
 
 
 def q_lang_topk(sf_dir):
@@ -281,6 +298,21 @@ def _oracle_source_quota():
         "         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn"
         "  FROM documents"
         f") WHERE rn <= {QUOTA_N}"
+    )
+
+
+def _oracle_docs_split():
+    from .stages.curate import split_cuts
+
+    cuts = split_cuts(SPLIT_FRACS)
+    names = list(SPLIT_FRACS)
+    h = "(doc_id::HUGEINT * 2654435761) % 4294967296"
+    whens = " ".join(
+        f"WHEN {h} < {c} THEN '{n}'" for n, c in zip(names[:-1], cuts))
+    return (
+        f"WITH s AS (SELECT lang, CASE {whens} ELSE '{names[-1]}' END AS split "
+        "FROM documents) "
+        "SELECT lang, split, count(*) AS n_docs FROM s GROUP BY 1, 2"
     )
 
 
@@ -1739,6 +1771,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "source_quota": q_source_quota,
     "lang_topk": q_lang_topk,
+    "docs_split": q_docs_split,
     "label_centroids": q_label_centroids,
     "docs_sample": q_docs_sample,
     "props_stats": q_props_stats,
@@ -1802,6 +1835,7 @@ ORACLES = {
     "dedup_exact": _oracle_dedup_exact(),
     "source_quota": _oracle_source_quota(),
     "lang_topk": _oracle_lang_topk(),
+    "docs_split": _oracle_docs_split(),
     "label_centroids": _oracle_label_centroids(),
     "docs_sample": _oracle_docs_sample(),
     "props_stats": _oracle_props_stats(),

@@ -177,6 +177,52 @@ def systematic_sample(ds, id_col: str, rate: float):
     )
 
 
+def _split_batch(batch: pa.Table, id_col: str, cuts: tuple, names: tuple,
+                 split_col: str) -> pa.Table:
+    ids = _require_ids(batch, id_col, "dataset_split")
+    bucket = (ids.astype(np.uint64) * np.uint64(_SAMPLE_MULT)) % np.uint64(_SAMPLE_MOD)
+    idx = np.searchsorted(np.asarray(cuts, dtype=np.uint64), bucket, side="right")
+    labels = pa.array(np.asarray(names, dtype=object)[idx], type=pa.string())
+    return batch.append_column(split_col, labels)
+
+
+def dataset_split(ds, id_col: str, fracs: dict, split_col: str = "split"):
+    """Deterministic train/val/test assignment: the same Knuth
+    multiplicative hash as :func:`systematic_sample` buckets each id
+    into 2^32 slots, carved by cumulative fractions — reproducible
+    across runs/cluster sizes/engines, embarrassingly parallel (pure
+    map, no shuffle), and every id keeps its split when the dataset
+    grows (the property a random or rank-based split lacks for
+    resumable 100-TB curation). ``fracs`` maps name -> fraction in
+    iteration order; the LAST split absorbs the rounding remainder.
+    Equivalent SQL: CASE over ``(id::HUGEINT * 2654435761) % 4294967296``
+    against the same cumulative cut points.
+    """
+    import functools
+
+    names = tuple(fracs)
+    return ds.map_batches(
+        functools.partial(_split_batch, id_col=id_col,
+                          cuts=tuple(split_cuts(fracs)),
+                          names=names, split_col=split_col),
+        batch_format="pyarrow",
+    )
+
+
+def split_cuts(fracs: dict) -> list:
+    """Cumulative 2^32-slot cut points for :func:`dataset_split` — one
+    source of truth shared with the SQL oracle so float rounding can
+    never diverge between engine and oracle."""
+    names = tuple(fracs)
+    if len(names) < 2 or abs(sum(fracs.values()) - 1.0) > 1e-9:
+        raise ValueError("dataset_split needs >=2 fractions summing to 1")
+    cum, cuts = 0.0, []
+    for name in names[:-1]:
+        cum += fracs[name]
+        cuts.append(int(cum * _SAMPLE_MOD))
+    return cuts
+
+
 # 64-bit multiplicative shuffle constant (PCG's LCG multiplier);
 # HUGEINT-expressible in SQL, uint64 wrap-exact in numpy
 _SHUFFLE_MULT = 6364136223846793005
