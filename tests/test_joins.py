@@ -199,3 +199,13 @@ def test_range_join_agg_edges(ray_session):
     # iid2: none; iid3: different key's at=15 only
     assert out["n_points"].tolist() == [2, 0, 1]
     assert out["sum_cents"].tolist() == [350, 0, 800]
+    # inverted interval matches nothing (never a negative count)
+    bad = rd.from_arrow(pa.table({
+        "iid": pa.array([9], type=pa.int64()),
+        "k": pa.array([5], type=pa.int64()),
+        "lo": pa.array([50], type=pa.int64()),
+        "hi": pa.array([10], type=pa.int64()),
+    }))
+    o2 = range_join_agg(bad, pts, by="k", lo="lo", hi="hi", at="at",
+                        value="v", num_partitions=2).to_pandas()
+    assert o2["n_points"].tolist() == [0] and o2["sum_cents"].tolist() == [0]

@@ -566,6 +566,7 @@ def _rj_combine(tbl: pa.Table, keep: tuple, n_col: str, sum_col: str) -> pa.Tabl
     hi_key = binv[imask] * span + hi_r[imask]
     a = np.searchsorted(p_key, lo_key, side="left")
     b = np.searchsorted(p_key, hi_key, side="right")
+    b = np.maximum(b, a)  # inverted intervals (lo > hi) match nothing
     out = {}
     isel = pa.array(imask)
     for c in keep:
