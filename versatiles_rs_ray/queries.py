@@ -94,6 +94,31 @@ def q_span_explode(sf_dir):
     return ds.select_columns(["doc_id", "span_idx", "kind", "text", "media_ref", "offset"])
 
 
+def q_span_dedup(sf_dir):
+    """Span-level exact dedup across the interleaved corpus: keep the
+    FIRST (doc_id, span_idx) occurrence of every distinct text span —
+    the sub-document dedup step of curation over span-structured docs
+    (BASELINE.json input_hint). Explode -> filter text spans ->
+    quota_per_key(n=1) keyed on the span text: map-side first-per-key
+    prune bounds shuffle rows, one exchange, per-partition rank<1."""
+    import pyarrow.compute as pc
+
+    from .stages.curate import quota_per_key
+
+    ds = multimodal.explode_spans(_docs(sf_dir))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["kind"], "text"))
+        return t.select(["doc_id", "span_idx", "text"])
+
+    # deterministic first = (doc_id, span_idx) ascending; doc_id is the
+    # zero-padded string id, so lexicographic == numeric, matching the
+    # oracle's ORDER BY
+    return quota_per_key(
+        ds.map_batches(prep, batch_format="pyarrow"), "text",
+        [("doc_id", "ascending"), ("span_idx", "ascending")], 1)
+
+
 def q_span_fingerprint(sf_dir):
     """Per-doc span-sequence fingerprint: the order-sensitive invariant.
 
@@ -1051,6 +1076,20 @@ def _oracle_span_explode():
     )
 
 
+def _oracle_span_dedup():
+    i = "e.span_idx"
+    return (
+        f"WITH s AS (SELECT {D.SQL_DOC_ID_STR} AS doc_id, e.span_idx, "
+        f"{D.SQL_SPAN_TEXT.format(i=i)} AS text, "
+        f"{D.SQL_SPAN_KIND.format(i=i)} AS kind "
+        f"FROM {D.SQL_SPANS_EXPLODED} e) "
+        "SELECT doc_id, span_idx, text FROM ("
+        "SELECT doc_id, span_idx, text, row_number() OVER ("
+        "PARTITION BY text ORDER BY doc_id, span_idx) AS rn "
+        "FROM s WHERE kind = 'text') WHERE rn = 1"
+    )
+
+
 def _oracle_span_fingerprint():
     i = "e.span_idx"
     piece = (
@@ -1757,6 +1796,7 @@ def _oracle_embedding_near_dup():
 QUERIES = {
     "tile_assign": q_tile_assign,
     "span_explode": q_span_explode,
+    "span_dedup": q_span_dedup,
     "span_fingerprint": q_span_fingerprint,
     "tile_spans": q_tile_spans,
     "tile_spans_pyramid": q_tile_spans_pyramid,
@@ -1819,6 +1859,7 @@ QUERIES["outline"] = q_outline
 ORACLES = {
     "tile_assign": _oracle_tile_assign(),
     "span_explode": _oracle_span_explode(),
+    "span_dedup": _oracle_span_dedup(),
     "span_fingerprint": _oracle_span_fingerprint(),
     "tile_spans": _oracle_tile_spans(),
     "tile_spans_pyramid": _oracle_tile_spans_pyramid(),
