@@ -309,3 +309,79 @@ def test_palette_and_min_is_white():
     b = G.write_tiff(g16, photometric=0)
     g = G.read_geotiff(b)
     assert np.array_equal(g.array[..., 0], 65535 - g16)
+
+
+def test_world_file_png_raster(tmp_path):
+    """PNG + ESRI world file (+ .prj EPSG) opens like the equivalent
+    GeoTIFF: same array, same GDAL geotransform (center-of-pixel world
+    file convention -> half-pixel-shifted area origin)."""
+    from versatiles_rs_ray.core.png import encode_png
+    from versatiles_rs_ray.sources.geotiff import read_raster_source
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(32, 64, 4), dtype=np.uint8)
+    arr[..., 3] = 255
+    p = tmp_path / "w.png"
+    p.write_bytes(encode_png(arr))
+    # world file: dx=360/64, dy=-180/32, center of UL pixel
+    dx, dy = 360.0 / 64, -180.0 / 32
+    (tmp_path / "w.pgw").write_text(
+        f"{dx}\n0.0\n0.0\n{dy}\n{-180 + dx / 2}\n{90 + dy / 2}\n")
+    g = read_raster_source(str(p))
+    assert np.array_equal(g.array, arr)
+    assert np.allclose(g.geotransform, (-180.0, dx, 0.0, 90.0, 0.0, dy))
+    assert g.epsg == 4326
+    # .prj AUTHORITY wins over the default
+    (tmp_path / "w.prj").write_text(
+        'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+        '298.257223563,AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
+        'AUTHORITY["EPSG","4326"]]')
+    assert read_raster_source(str(p)).epsg == 4326
+    # explicit epsg overrides everything
+    assert read_raster_source(str(p), epsg=3857).epsg == 3857
+
+
+def test_world_file_vpl_from_gdal_raster(ray_session, tmp_path):
+    """A world-file PNG through the full from_gdal_raster VPL op must
+    produce the same z1 tiles as the SAME pixels shipped as GeoTIFF."""
+    from versatiles_rs_ray.core.png import encode_png
+    from versatiles_rs_ray.pipelines.vpl import build_pipeline
+
+    yy, xx = np.mgrid[0:64, 0:128]
+    arr = np.zeros((64, 128, 4), np.uint8)
+    arr[..., 0] = (xx * 2) % 256
+    arr[..., 1] = (yy * 4) % 256
+    arr[..., 3] = 255
+    png = tmp_path / "world.png"
+    png.write_bytes(encode_png(arr))
+    dx, dy = 360.0 / 128, -180.0 / 64
+    (tmp_path / "world.pgw").write_text(
+        f"{dx}\n0\n0\n{dy}\n{-180 + dx / 2}\n{90 + dy / 2}\n")
+    tif = tmp_path / "world.tif"
+    tif.write_bytes(write_tiff(arr, geotransform=(-180.0, dx, 0.0, 90.0, 0.0, dy),
+                               epsg=4326))
+    rows_png = {(r["x"], r["y"]): r["payload"] for r in build_pipeline(
+        f'from_gdal_raster filename="{png}" tile_size="8" '
+        'level_min="1" level_max="1"').take_all()}
+    rows_tif = {(r["x"], r["y"]): r["payload"] for r in build_pipeline(
+        f'from_gdal_raster filename="{tif}" tile_size="8" '
+        'level_min="1" level_max="1"').take_all()}
+    assert set(rows_png) == set(rows_tif) == {(0, 0), (1, 0), (0, 1), (1, 1)}
+    for k in rows_tif:
+        assert rows_png[k] == rows_tif[k]
+
+
+def test_world_file_gates(tmp_path):
+    import pytest as _pytest
+
+    from versatiles_rs_ray.core.png import encode_png
+    from versatiles_rs_ray.sources.geotiff import read_raster_source
+
+    p = tmp_path / "nowf.png"
+    p.write_bytes(encode_png(np.zeros((4, 4, 4), np.uint8)))
+    with _pytest.raises(NotImplementedError, match="world file"):
+        read_raster_source(str(p))
+    (tmp_path / "nowf.pgw").write_text("1\n0\n0\n-1\n0.5\n-0.5\n")
+    (tmp_path / "nowf.prj").write_text('PROJCS["local",UNIT["metre",1]]')
+    with _pytest.raises(NotImplementedError, match="EPSG"):
+        read_raster_source(str(p))

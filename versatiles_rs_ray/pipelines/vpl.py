@@ -246,12 +246,12 @@ def _from_gdal_raster(sf_dir=None, zmax=3, zmin=0, tile_size=64,
         TileBBoxPyramid.new_full(int(zmax), int(zmin))
     ).select_columns(["z", "x", "y"])
     if filename is not None:
-        from ..sources.geotiff import read_geotiff
+        from ..sources.geotiff import read_raster_source
 
         path = str(filename)
         if sf_dir and "://" not in path and not os.path.isabs(path):
             path = os.path.join(sf_dir, path)
-        g = read_geotiff(path)
+        g = read_raster_source(path, epsg=int(_["epsg"]) if "epsg" in _ else None)
         # GDAL's default warp resampling is Average (resample.rs:54)
         return reproject_srs_raster(
             coords, g.array, g.geotransform, g.epsg or 4326,

@@ -596,3 +596,99 @@ def write_tiff(arr: np.ndarray, *, geotransform=None, epsg: int = 4326,
     else:
         head = struct.pack("<2sHI", b"II", 42, ifd_off)
     return head + body + ifd + tail
+
+
+# ---- world-file rasters (GDAL's PNG/JPEG/WEBP-with-sidecar path) --------
+
+_WORLD_EXTS = {".png": ".pgw", ".jpg": ".jgw", ".jpeg": ".jgw",
+               ".webp": ".wpw"}
+
+
+def _world_file_for(path: str):
+    import os
+
+    base, ext = os.path.splitext(path)
+    cands = []
+    if ext.lower() in _WORLD_EXTS:
+        cands.append(base + _WORLD_EXTS[ext.lower()])
+    cands.append(base + ".wld")
+    for c in cands:
+        if os.path.exists(c):
+            return c
+    return None
+
+
+def _read_world_file(path: str):
+    """ESRI world file -> geotransform (x0, dx, rx, y0, ry, dy).
+
+    Six lines A D B E C F: pixel sizes/rotations plus the coordinates
+    of the CENTER of the upper-left pixel; the area-convention origin
+    shifts back half a pixel along both axes (what GDAL does when it
+    pairs a world file with a raster)."""
+    with open(path) as f:
+        vals = [float(line.strip()) for line in f if line.strip()][:6]
+    if len(vals) != 6:
+        raise ValueError(f"world file {path!r} needs 6 numeric lines")
+    a, d, b, e, c, fy = vals
+    return (c - a / 2.0 - b / 2.0, a, b, fy - d / 2.0 - e / 2.0, d, e)
+
+
+def _read_prj_epsg(path: str):
+    """Best-effort EPSG from a sidecar .prj: the LAST AUTHORITY clause
+    of the WKT names the top-level CRS code. No PROJ database in the
+    sandbox, so anything else raises (honest gate, like the projected
+    GeoTIFF without an inline code)."""
+    import os
+    import re
+
+    prj = os.path.splitext(path)[0] + ".prj"
+    if not os.path.exists(prj):
+        return None
+    wkt = open(prj).read()
+    codes = re.findall(r'AUTHORITY\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]', wkt)
+    if not codes:
+        raise NotImplementedError(
+            f"{prj!r} carries no EPSG AUTHORITY clause; CRS cannot be "
+            "resolved without a PROJ database")
+    return int(codes[-1])
+
+
+def read_raster_source(path_or_bytes, epsg: int | None = None) -> GeoTIFF:
+    """Open any supported georeferenced raster as a GeoTIFF record:
+    TIFF/BigTIFF via the stdlib parser, or PNG/JPEG/WEBP paired with an
+    ESRI world file (+ optional .prj) — the sidecar path GDAL's raster
+    driver accepts (from_gdal opens any GDAL dataset,
+    operation.rs:56-221; these are the formats whose codecs exist
+    in-repo). ``epsg`` overrides/supplies the CRS (world files carry
+    none; default 4326 geographic)."""
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        return read_geotiff(path_or_bytes)
+    path = str(path_or_bytes)
+    head = open(path, "rb").read(16)
+    if head[:2] in (b"II", b"MM"):
+        g = read_geotiff(path)
+        if epsg:
+            return GeoTIFF(array=g.array, geotransform=g.geotransform,
+                           epsg=int(epsg), model_type=g.model_type,
+                           raster_type=g.raster_type)
+        return g
+    from ..core.formats import sniff_format
+    from ..core.raster import decode
+
+    blob = open(path, "rb").read()
+    fmt = sniff_format(blob)
+    if fmt not in ("png", "jpg", "webp"):
+        raise NotImplementedError(
+            f"raster source {path!r}: unrecognized format "
+            "(TIFF, PNG, JPEG, WEBP supported)")
+    wf = _world_file_for(path)
+    if wf is None:
+        raise NotImplementedError(
+            f"raster source {path!r}: no world file "
+            f"({_WORLD_EXTS.get('.' + fmt.replace('jpg', 'jpg'), '.wld')} "
+            "or .wld) — an unreferenced image cannot be warped")
+    gt = _read_world_file(wf)
+    code = epsg or _read_prj_epsg(path) or 4326
+    arr = decode(blob, fmt)
+    return GeoTIFF(array=arr, geotransform=gt, epsg=int(code),
+                   model_type=2 if code == 4326 else 1, raster_type=1)
