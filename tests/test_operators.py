@@ -311,3 +311,44 @@ def test_dataset_split_deterministic_and_stable(ray_session):
     c = dataset_split(rd.from_arrow(big), "id", fr).to_pandas()
     m2 = a.merge(c, on="id", suffixes=("_a", "_c"))
     assert (m2.split_a == m2.split_c).all()
+
+
+def test_tumbling_window_null_event_type():
+    import pyarrow as pa
+
+    from versatiles_rs_ray.stages.window import tumbling_partials
+
+    t = pa.table({
+        "ts": pa.array([1_000_000, 2_000_000, 3_600_000_000 + 5],
+                       type=pa.int64()).cast(pa.timestamp("us")),
+        "event_type": pa.array(["click", None, None]),
+        "value": pa.array([1.0, 2.0, 3.0]),
+    })
+    out = tumbling_partials(t).to_pandas()
+    # nulls group together per window and stay null (SQL GROUP BY NULL)
+    nulls = out[out.event_type.isna()].sort_values("window_start")
+    assert nulls["n_events"].tolist() == [1, 1]
+    assert out[out.event_type == "click"]["n_events"].tolist() == [1]
+
+
+def test_range_join_null_value_counts_but_adds_zero(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.join import range_join_agg
+
+    iv = rd.from_arrow(pa.table({
+        "iid": pa.array([1], type=pa.int64()),
+        "k": pa.array([5], type=pa.int64()),
+        "lo": pa.array([0], type=pa.int64()),
+        "hi": pa.array([100], type=pa.int64()),
+    }))
+    pts = rd.from_arrow(pa.table({
+        "k": pa.array([5, 5], type=pa.int64()),
+        "at": pa.array([10, 20], type=pa.int64()),
+        "v": pa.array([1.5, None], type=pa.float64()),
+    }))
+    out = range_join_agg(iv, pts, by="k", lo="lo", hi="hi", at="at",
+                         value="v", num_partitions=2).to_pandas()
+    assert out["n_points"].tolist() == [2]      # null-valued point counts
+    assert out["sum_cents"].tolist() == [150]   # but adds zero cents

@@ -88,3 +88,41 @@ def test_pmtiles_leaf_cache_bounded(ray_session, tmp_path):
         if t is not None:
             assert json.loads(t) == {"x": x, "y": y, "z": z}
     assert len(r._leaf_cache) <= 1
+
+
+def test_limited_cache_thread_safety():
+    """Concurrent put/get of overlapping keys must keep the byte
+    accounting exact (reviewer repro: unlocked puts drifted +10k over
+    a 500 B budget within seconds)."""
+    import threading
+
+    from versatiles_rs_ray.core.cache import LimitedCache
+
+    c = LimitedCache(max_bytes=500)
+    stop = threading.Event()
+    errors = []
+
+    def hammer(seed):
+        try:
+            i = 0
+            while not stop.is_set():
+                k = (seed + i) % 13
+                c.put(k, b"x" * 50)
+                c.get(k)
+                i += 1
+        except Exception as e:  # KeyError from racing popitem, etc.
+            errors.append(e)
+
+    ts = [threading.Thread(target=hammer, args=(s,)) for s in range(8)]
+    for t in ts:
+        t.start()
+    import time as _time
+
+    _time.sleep(1.5)
+    stop.set()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    assert c.nbytes <= 500, c.nbytes
+    # accounting still exact after the storm
+    assert c.nbytes == sum(50 for _ in range(len(c)))

@@ -11,6 +11,7 @@ correctly.
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 
 DEFAULT_MAX_BYTES = 100 * 1024 * 1024  # the reference's 100 MB
@@ -35,32 +36,41 @@ class LimitedCache:
         self._size_of = size_of
         self._bytes = 0
         self.max_bytes = max_bytes
+        # readers holding this cache are shared across
+        # ThreadingHTTPServer handler threads; unlocked put/put races
+        # corrupt the byte accounting (double-add of the same key) and
+        # popitem can KeyError on a concurrently-emptied dict
+        self._lock = threading.Lock()
 
     def __contains__(self, key) -> bool:
-        return key in self._d
+        with self._lock:
+            return key in self._d
 
     def __len__(self) -> int:
-        return len(self._d)
+        with self._lock:
+            return len(self._d)
 
     @property
     def nbytes(self) -> int:
         return self._bytes
 
     def get(self, key, default=None):
-        try:
-            self._d.move_to_end(key)
-            return self._d[key][0]
-        except KeyError:
-            return default
+        with self._lock:
+            try:
+                self._d.move_to_end(key)
+                return self._d[key][0]
+            except KeyError:
+                return default
 
     def put(self, key, value):
-        old = self._d.pop(key, None)
-        if old is not None:
-            self._bytes -= old[1]
-        sz = self._size_of(value)
-        self._d[key] = (value, sz)
-        self._bytes += sz
-        while self._bytes > self.max_bytes and len(self._d) > 1:
-            _, (_v, s) = self._d.popitem(last=False)
-            self._bytes -= s
+        with self._lock:
+            old = self._d.pop(key, None)
+            if old is not None:
+                self._bytes -= old[1]
+            sz = self._size_of(value)
+            self._d[key] = (value, sz)
+            self._bytes += sz
+            while self._bytes > self.max_bytes and len(self._d) > 1:
+                _, (_v, s) = self._d.popitem(last=False)
+                self._bytes -= s
         return value

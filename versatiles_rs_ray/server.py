@@ -40,7 +40,6 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .sources.random_access import open_random_access
 
-from .core.formats import FORMAT_MIME as _FORMAT_MIME
 from .core.formats import FORMAT_MIME, sniff_mime as _sniff_mime
 
 

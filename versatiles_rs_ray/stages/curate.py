@@ -20,25 +20,42 @@ _FNV_OFFSET = np.uint64(14695981039346656037)
 _FNV_PRIME = np.uint64(1099511628211)
 
 
+def _fnv_vec(arr: pa.Array) -> np.ndarray:
+    """Vectorized FNV-1a over a whole Arrow string array: one numpy
+    pass per BYTE POSITION (rows still shorter than the position drop
+    out), so hashing costs O(total bytes) in numpy kernels instead of
+    a per-byte Python loop. Bit-identical to the scalar FNV."""
+    b = arr.cast(pa.binary())
+    _, off_buf, data_buf = b.buffers()
+    offs = np.frombuffer(off_buf, dtype=np.int32)[
+        b.offset: b.offset + len(b) + 1].astype(np.int64)
+    data = (np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None else np.zeros(0, dtype=np.uint8))
+    lengths = np.diff(offs)
+    h = np.full(len(lengths), _FNV_OFFSET, dtype=np.uint64)
+    starts = offs[:-1]
+    max_len = int(lengths.max()) if len(lengths) else 0
+    with np.errstate(over="ignore"):  # uint64 wrap IS the FNV algorithm
+        for i in range(max_len):
+            active = lengths > i
+            idx = starts[active] + i
+            h[active] = (h[active] ^ data[idx].astype(np.uint64)) * _FNV_PRIME
+    return h
+
+
 def _hash_strings(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Deterministic int64 routing hash for a string column.
 
-    Dictionary-encodes first so the Python-level FNV runs once per
-    DISTINCT key (domains are few; rows are many), then gathers.
-    """
+    Dictionary-encodes first so hashing runs once per DISTINCT key,
+    then the vectorized FNV covers the distinct set in O(distinct
+    bytes) numpy work — cheap for few-distinct domains (quota keys)
+    AND for mostly-distinct ones (span-text dedup keys)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if arr.null_count:
         raise ValueError("curation key column contains nulls; filter or "
                          "fill them before quota_per_key")
     enc = arr.dictionary_encode()
-    uniq = enc.dictionary.to_pylist()
-    h = np.empty(len(uniq), dtype=np.uint64)
-    with np.errstate(over="ignore"):  # uint64 wrap IS the FNV algorithm
-        for i, s in enumerate(uniq):
-            acc = _FNV_OFFSET
-            for byte in (s or "").encode():
-                acc = (acc ^ np.uint64(byte)) * _FNV_PRIME
-            h[i] = acc
+    h = _fnv_vec(enc.dictionary)
     idx = np.asarray(enc.indices, dtype=np.int64)
     return (h[idx] & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 

@@ -396,6 +396,10 @@ def knn_join_grouped(docs_ds, queries_ds, k: int, zoom: int,
 
 # ---- as-of join ---------------------------------------------------------
 
+# internal routing/order columns of the exchange joins: silently
+# clobbering a same-named input column would misroute rows
+_RESERVED = {"route", "__on", "__side", "__lo", "__hi", "__cents"}
+
 
 def _asof_side_rows(batch: pa.Table, by: str, on: str, side: int,
                     copy: frozenset, ordered: tuple) -> pa.Table:
@@ -488,6 +492,10 @@ def asof_join(left_ds, right_ds, *, by: str, left_on: str, right_on: str,
     overlap = set(left_cols) & set(right_cols)
     if overlap:
         raise ValueError(f"asof_join column collision: {sorted(overlap)}")
+    reserved = _RESERVED & (set(l_schema.names) | set(r_schema.names))
+    if reserved:
+        raise ValueError(f"asof_join reserved column names in input: "
+                         f"{sorted(reserved)}")
     ordered = tuple(zip(l_schema.names, l_schema.types)) + tuple(
         (c, t) for c, t in zip(r_schema.names, r_schema.types)
         if c in right_cols)
@@ -530,7 +538,12 @@ def _rj_interval_rows(batch: pa.Table, by: str, lo: str, hi: str,
 def _rj_point_rows(batch: pa.Table, by: str, at: str, value: str,
                    null_fill: tuple) -> pa.Table:
     at_i = batch[at].cast(pa.int64())
-    cents = np.floor(np.asarray(batch[value], dtype=np.float64) * 100.0)
+    # null/NaN values contribute 0 cents but the point still counts —
+    # SQL's COUNT(row)/SUM-skips-NULL semantics (floor(NaN).astype
+    # would otherwise poison the prefix sum with INT64_MIN)
+    vals = np.asarray(batch[value].cast(pa.float64()).fill_null(0.0),
+                      dtype=np.float64)
+    cents = np.floor(np.nan_to_num(vals, nan=0.0) * 100.0)
     cols = {
         "route": batch[by].cast(pa.int64()),
         "__lo": at_i,
@@ -595,6 +608,10 @@ def range_join_agg(intervals_ds, points_ds, *, by: str, lo: str, hi: str,
     from .exchange import hash_exchange
 
     i_schema = intervals_ds.schema()
+    reserved = _RESERVED & (set(i_schema.names) | set(points_ds.schema().names))
+    if reserved:
+        raise ValueError(f"range_join_agg reserved column names in input: "
+                         f"{sorted(reserved)}")
     keep = tuple(i_schema.names)
     i_rows = intervals_ds.map_batches(
         functools.partial(_rj_interval_rows, by=by, lo=lo, hi=hi, keep=keep),

@@ -31,10 +31,13 @@ def tumbling_partials(batch: pa.Table, window_s=WINDOW_S) -> pa.Table:
     # negative windows too (pre-1970 ts), where a bitwise OR would
     # merge all types
     enc = etype_arr.dictionary_encode()
-    codes = np.asarray(enc.indices)
-    if len(enc.dictionary) >= (1 << 16):
+    # null event types form their own group (code -1 shifted to 0 so a
+    # window's null group can never collide with the previous window's
+    # last dictionary code); the output take() restores them to null
+    codes = np.asarray(enc.indices.fill_null(-1), dtype=np.int64)
+    if len(enc.dictionary) + 1 >= (1 << 16):
         raise ValueError("more than 2^16 distinct event types in one batch")
-    key = win * np.int64(1 << 16) + codes.astype(np.int64)
+    key = win * np.int64(1 << 16) + (codes + 1)
     uniq, first, inv = np.unique(key, return_index=True, return_inverse=True)
     n = np.bincount(inv).astype(np.int64)
     # integer-exact sums (float bincount weights would round above
@@ -49,7 +52,9 @@ def tumbling_partials(batch: pa.Table, window_s=WINDOW_S) -> pa.Table:
     np.maximum.at(mx, inv, cents)
     return pa.table(
         {
-            "event_type": enc.dictionary.take(pa.array(codes[first])).cast(pa.string()),
+            "event_type": enc.dictionary.take(
+                pa.array(codes[first], mask=codes[first] < 0)
+            ).cast(pa.string()),
             "window_start": pa.array(win[first], type=pa.int64()),
             "n_events": pa.array(n, type=pa.int64()),
             "sum_cents": pa.array(s, type=pa.int64()),
