@@ -155,6 +155,13 @@ _SAMPLE_MULT = 2654435761
 _SAMPLE_MOD = 1 << 32
 
 
+def _empty_from_schema(schema, drop=()) -> pa.Table:
+    """ray.data.Schema (names/types wrapper) -> 0-row pyarrow table."""
+    return pa.table({n: pa.array([], type=t)
+                     for n, t in zip(schema.names, schema.types)
+                     if n not in drop})
+
+
 def _require_ids(batch: pa.Table, id_col: str, op: str) -> np.ndarray:
     col = batch[id_col]
     nc = col.null_count if hasattr(col, "null_count") else 0
@@ -286,11 +293,19 @@ def deterministic_shuffle(ds, id_col: str):
     base = 0
     for bundle in s.iter_internal_ref_bundles():
         for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows == 0:
+                continue  # empty sorts emit schema-LESS blocks: drop them
             out_refs.append(rank_task.remote(base, ref))
             base += meta.num_rows
     if not out_refs:
-        # keep the promised schema (shuffle_rank) on empty inputs
-        empty = s.schema().empty_table().drop_columns(["shuffle_key"])
+        # keep the promised schema (shuffle_rank) on empty inputs;
+        # ray.data.Schema is a names/types wrapper, not a pyarrow
+        # schema — and an empty sort loses it, so fall back to the
+        # pre-keyed input's schema
+        schema = s.schema()
+        if schema is None or not schema.names:
+            schema = ds.schema()
+        empty = _empty_from_schema(schema, drop=("shuffle_key",))
         empty = empty.append_column("shuffle_rank", pa.array([], type=pa.int64()))
         return rd.from_arrow(empty)
     return rd.from_arrow_refs(out_refs)
@@ -329,6 +344,11 @@ def _greedy_pack(tokens: np.ndarray, budget: int, acc: int = 0, seq: int = 0):
 
 def _pack_block(state, table: pa.Table, token_col: str, budget: int):
     acc, seq = state
+    if table.num_rows == 0 and token_col not in table.column_names:
+        # Ray's sort can emit schema-LESS empty blocks; pass them
+        # through (a populated block missing token_col still raises)
+        return table.append_column(
+            "seq_id", pa.array([], type=pa.int64())), state
     toks = np.asarray(table[token_col], dtype=np.int64)
     # negative counts would make the prefix sum non-monotonic and the
     # searchsorted bin boundaries silently wrong — reject, like
@@ -366,18 +386,29 @@ def pack_sequences(ds, token_col: str, budget: int, order_col: str,
         # its predecessor's state lands
         state = (0, 0)
         for bundle in s.iter_internal_ref_bundles():
-            for ref in bundle.block_refs:
+            for ref, meta in zip(bundle.block_refs, bundle.metadata):
+                if meta.num_rows == 0:
+                    continue  # schema-less empty sort blocks
                 out, state = pack_task.remote(state, ref, token_col, budget)
                 out_refs.append(out)
     else:
         block_idx = 0
         for bundle in s.iter_internal_ref_bundles():
-            for ref in bundle.block_refs:
+            for ref, meta in zip(bundle.block_refs, bundle.metadata):
+                if meta.num_rows == 0:
+                    continue  # schema-less empty sort blocks
                 out, _ = pack_task.remote((0, block_idx << 32), ref,
                                           token_col, budget)
                 out_refs.append(out)
                 block_idx += 1
     if not out_refs:
-        empty = pa.table({}).append_column("seq_id", pa.array([], type=pa.int64()))
+        # preserve the INPUT columns on the empty path, like the
+        # non-empty path does (plus seq_id); empty sorts lose the
+        # schema, so fall back to the input's
+        schema = s.schema()
+        if schema is None or not schema.names:
+            schema = ds.schema()
+        empty = _empty_from_schema(schema)
+        empty = empty.append_column("seq_id", pa.array([], type=pa.int64()))
         return rd.from_arrow(empty)
     return rd.from_arrow_refs(out_refs)

@@ -109,6 +109,17 @@ def _shingle_hashes_flat(texts, k: int):
     return flat, starts, counts
 
 
+def _pair_route(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """THE pair routing hash: every stage that routes a (a, b) pair to
+    an exchange partition must produce the identical key or the
+    co-location invariant breaks — one helper instead of four inlined
+    copies of the two-constant mix."""
+    return (
+        np.asarray(a).view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        ^ np.asarray(b).view(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+    ).view(np.int64)
+
+
 def _pack_bucket_route(band_id: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
     """One int64 routing key per (band_id, band_hash) bucket, so a
     whole LSH bucket lands in one exchange partition. Collisions only
@@ -279,10 +290,7 @@ def _bucket_pairs_block(table: pa.Table, max_hamming=None) -> pa.Table:
         m = ham <= max_hamming
         doc_a, doc_b, ham = doc_a[m], doc_b[m], ham[m]
         cols["hamming"] = ham
-    route = (
-        doc_a.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-        ^ doc_b.view(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
-    ).view(np.int64)
+    route = _pair_route(doc_a, doc_b)
     out = {
         "route": pa.array(route, type=pa.int64()),
         "doc_a": pa.array(doc_a, type=pa.int64()),
@@ -779,7 +787,7 @@ def _shingle_rows(batch: pa.Table, k: int) -> pa.Table:
 
     s_hi = hi[sel].view(np.int64)
     s_lo = lo[sel].view(np.int64)
-    route = (hi[sel] * np.uint64(0x9E3779B97F4A7C15) ^ lo[sel] * np.uint64(0xC2B2AE3D27D4EB4F)).view(np.int64)
+    route = _pair_route(hi[sel], lo[sel])
     return pa.table(
         {
             "route": pa.array(route, type=pa.int64()),
@@ -872,10 +880,7 @@ def _gram_pairs_block(table: pa.Table, max_df=None) -> pa.Table:
     starts = np.flatnonzero(firstp)
     inter = np.diff(np.append(starts, total_pairs)).astype(np.int64)
     a3, b3, na3, nb3 = a2[starts], b2[starts], na2[starts], nb2[starts]
-    route = (
-        a3.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-        ^ b3.view(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
-    ).view(np.int64)
+    route = _pair_route(a3, b3)
     return pa.table(
         {
             "route": pa.array(route, type=pa.int64()),
@@ -1042,6 +1047,18 @@ def _cc_merge_labels(*slices):
     return _cc_min_by_doc(pa.concat_tables(ok, promote_options="default"))
 
 
+def _cc_merge_edges(*slices):
+    """One-time per-partition edge concat, so the static edge set is
+    a SINGLE object per partition: the round loop stops re-fetching
+    and re-concatenating the same immutable slices every round."""
+    ok = [s for s in slices if s.num_rows]
+    if not ok:
+        return slices[0]
+    if len(ok) == 1:
+        return ok[0]
+    return pa.concat_tables(ok, promote_options="default").combine_chunks()
+
+
 def _cc_join_flow(labels_p: pa.Table, p: int, *edges_slices):
     """One round, join side: label(dst) flows to src; outputs split by
     hash(src). Co-partitioning guarantees every dst in edges_p has its
@@ -1116,12 +1133,14 @@ def propagate_min_labels_exchange(pairs_ds, max_rounds: int = 64, num_partitions
     groups = [refs[i : i + 8] for i in range(0, len(refs), 8)]
     edge_lists = [split_edges.remote(p, *g) for g in groups]
     init_lists = [init_labels.remote(p, *g) for g in groups]
-    edge_parts = [[el[i] for el in edge_lists] for i in range(p)]
+    merge_edges = ray.remote(_cc_merge_edges)
+    edge_parts = [merge_edges.remote(*[el[i] for el in edge_lists])
+                  for i in range(p)]
     label_parts = [merge_labels.remote(*[il[i] for il in init_lists]) for i in range(p)]
     changed = None
     for _ in range(max_rounds):
         flow_lists = [
-            join_flow.remote(label_parts[i], p, *edge_parts[i]) for i in range(p)
+            join_flow.remote(label_parts[i], p, edge_parts[i]) for i in range(p)
         ]
         outs = [
             combine.remote(label_parts[q], *[fl[q] for fl in flow_lists])

@@ -13,9 +13,15 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _to_matrix(col) -> np.ndarray:
+def _to_matrix(col, dim: int = 0) -> np.ndarray:
+    """List column -> (n, d) float32. Ray Data emits EMPTY blocks for
+    empty inputs; reshape(-1) can't infer d from 0 rows, so empty
+    batches return (0, ``dim``) — callers that do dimension-sensitive
+    math (GEMMs, per-cell sums) pass their known dim."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if len(col) == 0:
+        return np.zeros((0, dim), dtype=np.float32)
     lengths = np.asarray(col.value_lengths())
     assert len(np.unique(lengths)) <= 1, "ragged embedding column"
     flat = np.asarray(col.values, dtype=np.float32)
@@ -34,7 +40,9 @@ class CosineTopKPartial:
             raise ValueError("CosineTopKPartial requires unique q_ids "
                              "(searchsorted self-exclusion masks one hit per id)")
         q = np.asarray(q_matrix, dtype=np.float32)
-        self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        qnorm = np.linalg.norm(q, axis=1, keepdims=True)
+        qnorm[qnorm == 0] = 1.0  # zero-norm query: sims 0, not NaN
+        self.qn = q / qnorm
         self.k = k
         self.exclude_self = exclude_self
 
@@ -131,7 +139,12 @@ def cosine_topk(embeddings_ds, q_ids, q_matrix, k, exclude_self=True):
     )
     # driver gather is blocks x Q x k rows (tiny); see stages/join.py on
     # why there is deliberately no coalescing combiner stage here.
-    final = _batch_topk(partials.to_pandas(), k).reset_index(drop=True)
+    df = partials.to_pandas()
+    if df.empty:  # empty input: Ray yields a column-less frame
+        return pd.DataFrame({"q_id": pd.Series([], dtype="int64"),
+                             "vec_id": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64")})
+    final = _batch_topk(df, k).reset_index(drop=True)
     final["rank"] = final.groupby("q_id", sort=False).cumcount() + 1
     return final[["q_id", "vec_id", "rank"]]
 
@@ -199,8 +212,11 @@ def cosine_near_dup_pairs(embeddings_ds, threshold: float, nbits=10, seed=42,
 
     from .exchange import hash_exchange
 
-    first = embeddings_ds.take(1)
     if dim is None:
+        first = embeddings_ds.take(1)
+        if not first:
+            raise ValueError("cosine_near_dup_pairs: cannot infer dim from "
+                             "an empty dataset; pass dim=")
         dim = len(first[0]["embedding"])
     srp = SrpBuckets(dim, nbits=nbits, seed=seed)
 
@@ -229,7 +245,10 @@ class SrpBuckets:
         self.planes = rng.standard_normal((dim, nbits)).astype(np.float32)
 
     def bucket_of(self, m: np.ndarray) -> np.ndarray:
-        signs = (np.asarray(m, dtype=np.float32) @ self.planes) > 0
+        m = np.asarray(m, dtype=np.float32)
+        if m.shape[0] == 0:  # empty block: no GEMM
+            return np.zeros(0, dtype=np.int64)
+        signs = (m @ self.planes) > 0
         weights = (1 << np.arange(signs.shape[1], dtype=np.int64))
         return (signs.astype(np.int64) * weights).sum(axis=1)
 
@@ -254,8 +273,10 @@ def lsh_topk(embeddings_ds, q_ids, q_matrix, k, dim, nbits=12, seed=42):
         b = srp.bucket_of(_to_matrix(batch["embedding"]))
         return batch.filter(pa.array(np.isin(b, wanted)))
 
-    # restrict queries to candidates sharing their bucket by running one
-    # partial-topk per bucket group (queries per bucket are few).
+    # candidates shrink to the UNION of all query buckets (not per-bucket
+    # matching): with few queries that is a ~2^nbits-fold cut; with many
+    # queries the union widens and this degrades gracefully toward the
+    # brute-force scan. The oracle encodes the same union semantics.
     filtered = embeddings_ds.map_batches(keep_buckets, batch_format="pyarrow")
     return cosine_topk(filtered, q_ids, q_matrix, k)
 
@@ -268,6 +289,8 @@ def _nearest_cell(m: np.ndarray, cn: np.ndarray) -> np.ndarray:
     train, assign and probe all route through it). When the centroids
     are float64 (fixed_centroids path) the whole computation runs in
     double, matching the SQL oracle's arithmetic."""
+    if m.shape[0] == 0:  # empty block: no GEMM
+        return np.zeros(0, dtype=np.int64)
     if cn.dtype == np.float64:
         m = m.astype(np.float64)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
@@ -293,7 +316,7 @@ def ivf_train(embeddings_ds, n_centroids, dim, iters=2, seed=42):
         cn = c  # capture current centroids (broadcast in the closure)
 
         def partial_sums(batch: pa.Table, cn=cn) -> pa.Table:
-            m = _to_matrix(batch["embedding"])
+            m = _to_matrix(batch["embedding"], dim=cn.shape[1])
             cell = _nearest_cell(m, cn)
             sums = np.zeros((len(cn), m.shape[1]), dtype=np.float64)
             np.add.at(sums, cell, m.astype(np.float64))
@@ -334,7 +357,7 @@ def fixed_centroids(embeddings_ds, n_cells, dim):
     double-precision arithmetic sees the same centroid values.
     """
     def partial_sums(batch: pa.Table) -> pa.Table:
-        m = _to_matrix(batch["embedding"]).astype(np.float64)
+        m = _to_matrix(batch["embedding"], dim=dim).astype(np.float64)
         cell = np.asarray(batch["vec_id"], dtype=np.int64) % n_cells
         sums = np.zeros((n_cells, dim), dtype=np.float64)
         np.add.at(sums, cell, m)
@@ -395,7 +418,9 @@ def ivf_topk(embeddings_ds, q_ids, q_matrix, k, dim, n_centroids=16, nprobe=4,
     if cn.dtype != np.float64:
         cn = cn.astype(np.float32)
     q = np.asarray(q_matrix, dtype=cn.dtype)
-    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qnorm = np.linalg.norm(q, axis=1, keepdims=True)
+    qnorm[qnorm == 0] = 1.0  # zero-norm query: sims 0, not NaN
+    qn = q / qnorm
     sims = qn @ cn.T
     nprobe = min(nprobe, cn.shape[0])
     probe = np.argpartition(-sims, nprobe - 1, axis=1)[:, :nprobe]

@@ -56,6 +56,20 @@ def _split_block(key_col: str, num_partitions: int, *tables):
     )
 
 
+def _empty_combined(ds, combine_block_fn):
+    """No-splits fallback: run the combine on a 0-row schema-bearing
+    table so the output keeps the POST-combine schema (returning the
+    input dataset would leak pre-combine columns like the route)."""
+    import ray.data as rd
+
+    schema = ds.schema()
+    if schema is None or not schema.names:
+        return None  # schema unknowable: caller returns ds unchanged
+    empty = pa.table({n: pa.array([], type=t)
+                      for n, t in zip(schema.names, schema.types)})
+    return rd.from_arrow(combine_block_fn(empty))
+
+
 def hash_exchange(ds, key_col: str, combine_block_fn, num_partitions: int = 64):
     """Dataset -> hash-partitioned Dataset, one combined block per partition.
 
@@ -81,7 +95,8 @@ def hash_exchange(ds, key_col: str, combine_block_fn, num_partitions: int = 64):
 
     split_lists = _stream_splits(ds, key_col, num_partitions)
     if not split_lists:
-        return ds
+        combined = _empty_combined(ds, combine_block_fn)
+        return combined if combined is not None else ds
     out_refs = [
         reduce_task.remote(combine_block_fn, *[s[b] for s in split_lists])
         for b in range(num_partitions)
@@ -130,7 +145,8 @@ def hash_exchange_with_aux(
 
     split_lists = _stream_splits(ds, key_col, num_partitions)
     if not split_lists:
-        return ds, []
+        combined = _empty_combined(ds, combine_block_fn)
+        return (combined if combined is not None else ds), []
     outs = [
         reduce_task.remote(combine_block_fn, aux_fn, *[s[b] for s in split_lists])
         for b in range(num_partitions)

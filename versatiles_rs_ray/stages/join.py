@@ -239,7 +239,12 @@ def knn_join(docs_ds, q_ids, q_lon, q_lat, k: int, exclude_self=True):
     # the upstream stage and serializes the whole pipeline into a
     # handful of giant tasks. At extreme block counts, add a
     # repartition(width) boundary before a combine pass instead.
-    final = _batch_topk(partials.to_pandas(), k).reset_index(drop=True)
+    df = partials.to_pandas()
+    if df.empty:  # empty input: Ray yields a column-less frame
+        return pd.DataFrame({"q_doc": pd.Series([], dtype="int64"),
+                             "n_doc": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64")})
+    final = _batch_topk(df, k).reset_index(drop=True)
     final["rank"] = final.groupby("q_doc", sort=False).cumcount() + 1
     return final[["q_doc", "n_doc", "rank"]]
 
