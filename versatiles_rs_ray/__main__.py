@@ -288,6 +288,42 @@ def cmd_corpus(args):
             name, _, v = part.partition("=")
             fracs[name] = float(v)
         out = dataset_split(ds, args.key, fracs)
+    elif args.op == "dedup":
+        if args.mode == "exact":
+            # exact text dedup: first doc (by key) per distinct col value
+            from versatiles_rs_ray.stages.curate import quota_per_key
+
+            out = quota_per_key(ds, args.col, args.key, 1)
+        else:  # near: n-gram Jaccard pairs -> components -> anti-join
+            import pyarrow.compute as _pc
+
+            from versatiles_rs_ray.stages import dedup as DD
+            from versatiles_rs_ray.stages.join import anti_join_ids
+
+            key, col = args.key, args.col
+
+            def std(batch, _k=key, _c=col):
+                import pyarrow as _pa
+
+                b = batch
+                if "doc_num" not in b.column_names:
+                    b = b.append_column("doc_num", b[_k].cast(_pa.int64()))
+                if "text" not in b.column_names:
+                    b = b.append_column("text", b[_c])
+                return b
+
+            stdds = ds.map_batches(std, batch_format="pyarrow")
+            pairs = DD.ngram_jaccard_pairs(stdds, k=5,
+                                           threshold=args.threshold)
+            labels = DD.propagate_min_labels_exchange(pairs)
+
+            def drops(batch):
+                t = batch.filter(
+                    _pc.not_equal(batch["doc_num"], batch["group_id"]))
+                return t.select(["doc_num"])
+
+            drop_ds = labels.map_batches(drops, batch_format="pyarrow")
+            out = anti_join_ids(stdds, drop_ds, "doc_num")
     elif args.op == "normalize":
         from versatiles_rs_ray.stages.text import normalize_docs
 
@@ -398,7 +434,7 @@ def main(argv=None):
 
     co = sub.add_parser("corpus", help="training-data curation ops over parquet")
     co.add_argument("op", choices=["quota", "sample", "shuffle", "pack",
-                                   "normalize", "topk", "split"])
+                                   "normalize", "topk", "split", "dedup"])
     co.add_argument("input", help="documents parquet file/dir")
     co.add_argument("output", help="output parquet dir")
     co.add_argument("--key", default="doc_id",
@@ -410,6 +446,10 @@ def main(argv=None):
     co.add_argument("--budget", type=int, default=8192, help="pack: tokens per sequence")
     co.add_argument("--col", default="text", help="normalize: text column")
     co.add_argument("--tiebreak", default="doc_id", help="topk tiebreak column")
+    co.add_argument("--mode", default="exact", choices=["exact", "near"],
+                    help="dedup: exact text equality or n-gram Jaccard near-dup")
+    co.add_argument("--threshold", type=float, default=0.6,
+                    help="dedup near: Jaccard threshold")
     co.add_argument("--fracs", default="train=0.9,val=0.05,test=0.05",
                     help="split: name=frac list summing to 1")
     co.add_argument("--parallel-bins", action="store_true",

@@ -401,6 +401,48 @@ def q_dup_components(sf_dir):
     return dedup.propagate_min_labels_exchange(pairs)
 
 
+def q_dedup_survivors(sf_dir):
+    """End-to-end near-dup REMOVAL: n-gram Jaccard pairs -> distributed
+    min-label components -> co-partitioned ANTI-JOIN (stages/join.
+    anti_join_ids — no broadcast of the drop set) keeping one doc per
+    duplicate group (the group leader) plus every unpaired doc. The
+    operator a curation pipeline actually runs; the pieces are the
+    already-oracled dup_components + a distributed anti-join."""
+    import pyarrow.compute as pc
+
+    from .stages.join import anti_join_ids
+
+    pairs = dedup.ngram_jaccard_pairs(_docs(sf_dir), k=NGRAM_K,
+                                      threshold=NGRAM_TAU)
+    labels = dedup.propagate_min_labels_exchange(pairs)
+
+    def drops(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch["doc_num"], batch["group_id"]))
+        return t.select(["doc_num"])
+
+    drop_ds = labels.map_batches(drops, batch_format="pyarrow")
+    base = _docs(sf_dir).select_columns(["doc_num", "n_chars"])
+    return anti_join_ids(base, drop_ds, "doc_num")
+
+
+def _oracle_dedup_survivors():
+    ng = _oracle_ngram_jaccard()
+    return (
+        f"WITH RECURSIVE pairs AS ({ng}), "
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+        "          UNION SELECT doc_b, doc_a FROM pairs), "
+        "reach AS ("
+        "  SELECT a, b FROM edges"
+        "  UNION"
+        "  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a"
+        "), labels AS (SELECT a AS doc_num, least(a, min(b)) AS group_id "
+        "FROM reach GROUP BY a) "
+        "SELECT d.doc_id AS doc_num, d.n_chars FROM documents d "
+        "LEFT JOIN labels l ON l.doc_num = d.doc_id "
+        "WHERE l.group_id IS NULL OR l.group_id = d.doc_id"
+    )
+
+
 def _oracle_dup_components():
     # transitive closure over the SAME pair oracle, min reachable label
     ng = _oracle_ngram_jaccard()
@@ -1819,6 +1861,7 @@ QUERIES = {
     "shuffle_ranks": q_shuffle_ranks,
     "pack_sequences": q_pack_sequences,
     "dup_components": q_dup_components,
+    "dedup_survivors": q_dedup_survivors,
     "ngram_jaccard": q_ngram_jaccard,
     "token_stats": q_token_stats,
     "bpe_tokens": q_bpe_tokens,
@@ -1884,6 +1927,7 @@ ORACLES = {
     "shuffle_ranks": _oracle_shuffle_ranks(),
     "pack_sequences": _oracle_pack_sequences(),
     "dup_components": _oracle_dup_components(),
+    "dedup_survivors": _oracle_dedup_survivors(),
     "ngram_jaccard": _oracle_ngram_jaccard(),
     "token_stats": _oracle_token_stats(),
     "bpe_tokens": _oracle_bpe_tokens(),

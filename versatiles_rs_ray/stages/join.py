@@ -633,3 +633,49 @@ def range_join_agg(intervals_ds, points_ds, *, by: str, lo: str, hi: str,
         functools.partial(_rj_combine, keep=keep, n_col=n_col, sum_col=sum_col),
         num_partitions=num_partitions,
     )
+
+
+# ---- distributed anti-join ----------------------------------------------
+
+
+def _aj_rows(batch: pa.Table, id_col: str, side: int, null_fill: tuple) -> pa.Table:
+    cols = {"__side": pa.array(np.full(batch.num_rows, side), type=pa.int64())}
+    for c, typ in null_fill:
+        cols[c] = batch[c] if c in batch.column_names else pa.nulls(
+            batch.num_rows, type=typ)
+    return pa.table(cols)
+
+
+def _aj_combine(tbl: pa.Table, id_col: str) -> pa.Table:
+    side = np.asarray(tbl["__side"], dtype=np.int64)
+    ids = np.asarray(tbl[id_col], dtype=np.int64)
+    keep_rows = side == 0
+    drop_ids = ids[~keep_rows]
+    keep = keep_rows & ~np.isin(ids, drop_ids)
+    return tbl.filter(pa.array(keep)).drop_columns(["__side"])
+
+
+def anti_join_ids(ds, drop_ds, id_col: str, num_partitions: int = 32):
+    """Distributed anti-join: rows of ``ds`` whose int64 ``id_col`` is
+    NOT present in ``drop_ds[id_col]``. Both sides co-partition by the
+    id through one hash exchange; each partition filters with one
+    vectorized ``isin`` — no broadcast of the drop set, so the drop
+    side may be as large as the data (the dedup-survivor case, where
+    duplicates can dominate a crawl corpus)."""
+    import functools
+
+    from .exchange import hash_exchange
+
+    if "__side" in ds.schema().names:
+        raise ValueError("anti_join_ids reserved column '__side' in input")
+    fill = tuple(zip(ds.schema().names, ds.schema().types))
+    l_rows = ds.map_batches(
+        functools.partial(_aj_rows, id_col=id_col, side=0, null_fill=fill),
+        batch_format="pyarrow")
+    r_rows = drop_ds.map_batches(
+        functools.partial(_aj_rows, id_col=id_col, side=1, null_fill=fill),
+        batch_format="pyarrow")
+    return hash_exchange(
+        l_rows.union(r_rows), id_col,
+        functools.partial(_aj_combine, id_col=id_col),
+        num_partitions=num_partitions)
