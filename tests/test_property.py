@@ -222,3 +222,89 @@ def test_average_resample_constant_image(seed, z, xy):
     covered = tile[..., 3] == 255
     assert covered.any()
     assert (tile[covered][:, :3] == val).all()
+
+
+# ---- as-of / range join combine kernels vs pandas (independent impl) ----
+
+_ASOF_ROWS = st.lists(
+    st.tuples(st.integers(0, 3),            # by key
+              st.integers(-50, 50)),        # on value
+    min_size=0, max_size=40)
+
+
+@given(left=_ASOF_ROWS, right=_ASOF_ROWS,
+       direction=st.sampled_from(["backward", "forward"]))
+def test_asof_combine_matches_pandas_merge_asof(left, right, direction):
+    import pandas as pd
+    import pyarrow as pa
+
+    from versatiles_rs_ray.stages.join import _asof_combine
+
+    # contract: right side unique per (by, on)
+    right = sorted(set(right))
+    n_l, n_r = len(left), len(right)
+    tbl = pa.table({
+        "route": pa.array([b for b, _ in left] + [b for b, _ in right],
+                          type=pa.int64()),
+        "__on": pa.array([t for _, t in left] + [t for _, t in right],
+                         type=pa.int64()),
+        "__side": pa.array([0] * n_l + [1] * n_r, type=pa.int64()),
+        "lid": pa.array(list(range(n_l)) + [None] * n_r, type=pa.int64()),
+        "lk": pa.array([b for b, _ in left] + [None] * n_r, type=pa.int64()),
+        "lt": pa.array([t for _, t in left] + [None] * n_r, type=pa.int64()),
+        "rv": pa.array([None] * n_l + [t * 10 + b for b, t in right],
+                       type=pa.int64()),
+    })
+    got = _asof_combine(tbl, ("lid", "lk", "lt"), ("rv",), direction
+                        ).to_pandas().sort_values("lid").reset_index(drop=True)
+    import numpy as np
+
+    ldf = pd.DataFrame({"lk": np.array([b for b, _ in left], np.int64),
+                        "lt": np.array([t for _, t in left], np.int64),
+                        "lid": np.arange(n_l)}).sort_values("lt", kind="stable")
+    rdf = pd.DataFrame({"lk": np.array([b for b, _ in right], np.int64),
+                        "rt": np.array([t for _, t in right], np.int64),
+                        "rv": np.array([t * 10 + b for b, t in right], np.int64)}
+                       ).sort_values("rt", kind="stable")
+    want = pd.merge_asof(ldf, rdf, left_on="lt", right_on="rt", by="lk",
+                         direction=direction, allow_exact_matches=True
+                         ).sort_values("lid").reset_index(drop=True)
+    g = got["rv"].astype(object).where(got["rv"].notna(), None).tolist()
+    w = [None if pd.isna(v) else int(v) for v in want["rv"]]
+    assert g == w
+
+
+_RJ_INTERVALS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(-30, 30), st.integers(-5, 40)),
+    min_size=0, max_size=20)
+_RJ_POINTS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(-40, 40), st.integers(-500, 500)),
+    min_size=0, max_size=40)
+
+
+@given(intervals=_RJ_INTERVALS, points=_RJ_POINTS)
+def test_rj_combine_matches_bruteforce(intervals, points):
+    import pyarrow as pa
+
+    from versatiles_rs_ray.stages.join import _rj_combine
+
+    n_i, n_p = len(intervals), len(points)
+    tbl = pa.table({
+        "route": pa.array([k for k, _, _ in intervals] +
+                          [k for k, _, _ in points], type=pa.int64()),
+        "__lo": pa.array([lo for _, lo, _ in intervals] +
+                         [at for _, at, _ in points], type=pa.int64()),
+        "__hi": pa.array([lo + w for _, lo, w in intervals] +
+                         [at for _, at, _ in points], type=pa.int64()),
+        "__cents": pa.array([0] * n_i + [c for _, _, c in points],
+                            type=pa.int64()),
+        "__side": pa.array([0] * n_i + [1] * n_p, type=pa.int64()),
+        "iid": pa.array(list(range(n_i)) + [None] * n_p, type=pa.int64()),
+    })
+    got = _rj_combine(tbl, ("iid",), "n", "s").to_pandas() \
+        .sort_values("iid").reset_index(drop=True)
+    for idx, (k, lo, w) in enumerate(intervals):
+        hi = lo + w
+        hits = [(c,) for pk, at, c in points if pk == k and lo <= at <= hi]
+        assert got.loc[idx, "n"] == len(hits), (idx, k, lo, hi)
+        assert got.loc[idx, "s"] == sum(c for (c,) in hits)
