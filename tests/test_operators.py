@@ -352,3 +352,28 @@ def test_range_join_null_value_counts_but_adds_zero(ray_session):
                          value="v", num_partitions=2).to_pandas()
     assert out["n_points"].tolist() == [2]      # null-valued point counts
     assert out["sum_cents"].tolist() == [150]   # but adds zero cents
+
+
+def test_quantile_by_key_exact_vs_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.curate import quantile_by_key
+
+    rng = np.random.default_rng(5)
+    keys = rng.choice(["a", "b", "c"], size=5000).tolist()
+    vals = rng.integers(0, 40, size=5000)  # heavy duplication: counting path
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals, type=pa.int64())})
+    got = quantile_by_key(rd.from_arrow(t).repartition(7), "k", "v",
+                          qs=(0.25, 0.5, 0.9), num_partitions=4
+                          ).to_pandas().sort_values("k").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT k, quantile_disc(v, 0.25) AS q25, quantile_disc(v, 0.5) AS q50,"
+        " quantile_disc(v, 0.9) AS q90 FROM t GROUP BY k ORDER BY k").df()
+    assert got["k"].tolist() == want["k"].tolist()
+    for c in ("q25", "q50", "q90"):
+        assert got[c].tolist() == want[c].tolist(), c

@@ -284,6 +284,22 @@ def q_source_quota(sf_dir):
 
 TOPK_PER_KEY_K = 5
 SPLIT_FRACS = {"train": 0.9, "val": 0.05, "test": 0.05}
+QUANTILES = (0.25, 0.5, 0.9)
+
+
+def q_lang_quantiles(sf_dir):
+    """EXACT per-language doc-length quantiles (DuckDB quantile_disc
+    parity) with no global sort: per-batch (lang, n_chars) count
+    partials -> one exchange -> cumulative-count searchsorted
+    (stages/curate.quantile_by_key). The counting trick makes exact
+    distributional stats shuffle O(distinct values), not O(rows)."""
+    import ray.data as rd
+
+    from .stages.curate import quantile_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+    return quantile_by_key(ds, "lang", "n_chars", qs=QUANTILES)
 
 
 def q_docs_split(sf_dir):
@@ -339,6 +355,12 @@ def _oracle_docs_split():
         "FROM documents) "
         "SELECT lang, split, count(*) AS n_docs FROM s GROUP BY 1, 2"
     )
+
+
+def _oracle_lang_quantiles():
+    cols = ", ".join(
+        f"quantile_disc(n_chars, {q}) AS q{int(q * 100)}" for q in QUANTILES)
+    return f"SELECT lang, {cols} FROM documents GROUP BY lang"
 
 
 def _oracle_lang_topk():
@@ -1853,6 +1875,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "source_quota": q_source_quota,
     "lang_topk": q_lang_topk,
+    "lang_quantiles": q_lang_quantiles,
     "docs_split": q_docs_split,
     "label_centroids": q_label_centroids,
     "docs_sample": q_docs_sample,
@@ -1919,6 +1942,7 @@ ORACLES = {
     "dedup_exact": _oracle_dedup_exact(),
     "source_quota": _oracle_source_quota(),
     "lang_topk": _oracle_lang_topk(),
+    "lang_quantiles": _oracle_lang_quantiles(),
     "docs_split": _oracle_docs_split(),
     "label_centroids": _oracle_label_centroids(),
     "docs_sample": _oracle_docs_sample(),

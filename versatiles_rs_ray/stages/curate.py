@@ -412,3 +412,95 @@ def pack_sequences(ds, token_col: str, budget: int, order_col: str,
         empty = empty.append_column("seq_id", pa.array([], type=pa.int64()))
         return rd.from_arrow(empty)
     return rd.from_arrow_refs(out_refs)
+
+
+def _q_partial(batch: pa.Table, key_col: str, value_col: str) -> pa.Table:
+    """(key, value) -> count partials: the whole batch collapses to its
+    distinct (key, value) pairs before anything is shuffled."""
+    kc = batch[key_col].combine_chunks() if isinstance(
+        batch[key_col], pa.ChunkedArray) else batch[key_col]
+    enc = kc.dictionary_encode()
+    kcodes = np.asarray(enc.indices, dtype=np.int64)
+    vals = np.asarray(batch[value_col], dtype=np.int64)
+    span = np.int64(len(np.unique(vals)) + 1)
+    uv = np.unique(vals)
+    vr = np.searchsorted(uv, vals)
+    packed = kcodes * span + vr
+    uniq, inv = np.unique(packed, return_inverse=True)
+    cnt = np.bincount(inv).astype(np.int64)
+    k_idx = (uniq // span).astype(np.int64)
+    v_idx = (uniq % span).astype(np.int64)
+    return pa.table({
+        key_col: enc.dictionary.take(pa.array(k_idx)).cast(pa.string()),
+        value_col: pa.array(uv[v_idx], type=pa.int64()),
+        "_cnt": pa.array(cnt, type=pa.int64()),
+        "_route": pa.array(_fnv_vec(
+            enc.dictionary.take(pa.array(k_idx)).cast(pa.string())
+        ).astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF), type=pa.int64()),
+    })
+
+
+def _q_combine(tbl: pa.Table, key_col: str, value_col: str, qs: tuple) -> pa.Table:
+    """Per partition: merge (key, value) counts, then DuckDB
+    quantile_disc semantics — the element at index
+    max(ceil(q*n) - 1, 0) of each key's sorted multiset — found with
+    ONE searchsorted over the global cumulative counts per q."""
+    import math
+
+    import pyarrow.compute as pc
+
+    if tbl.num_rows == 0:
+        cols = {key_col: pa.array([], type=pa.string())}
+        for q in qs:
+            cols[f"q{int(q * 100)}"] = pa.array([], type=pa.int64())
+        return pa.table(cols)
+    pos = np.asarray(pc.sort_indices(
+        tbl, sort_keys=[(key_col, "ascending"), (value_col, "ascending")]),
+        dtype=np.int64)
+    keys = np.asarray(tbl[key_col].combine_chunks().dictionary_encode()
+                      .indices, dtype=np.int64)[pos]
+    vals = np.asarray(tbl[value_col], dtype=np.int64)[pos]
+    cnts = np.asarray(tbl["_cnt"], dtype=np.int64)[pos]
+    # merge duplicate (key, value) rows arriving from different batches
+    new = np.ones(len(keys), dtype=bool)
+    new[1:] = (keys[1:] != keys[:-1]) | (vals[1:] != vals[:-1])
+    grp = np.cumsum(new) - 1
+    m_cnt = np.bincount(grp, weights=cnts).astype(np.int64)
+    first = np.flatnonzero(new)
+    m_keys, m_vals = keys[first], vals[first]
+    run_new = np.ones(len(m_keys), dtype=bool)
+    run_new[1:] = m_keys[1:] != m_keys[:-1]
+    run_start = np.flatnonzero(run_new)
+    cum = np.cumsum(m_cnt)
+    base = np.concatenate(([0], cum))[run_start]
+    n_per_key = np.add.reduceat(m_cnt, run_start)
+    out = {key_col: tbl[key_col].take(pa.array(pos[first[run_start]]))}
+    for q in qs:
+        target = np.maximum(
+            np.ceil(q * n_per_key.astype(np.float64)).astype(np.int64) - 1, 0)
+        rows = np.searchsorted(cum, base + target + 1, side="left")
+        out[f"q{int(q * 100)}"] = pa.array(m_vals[rows], type=pa.int64())
+    return pa.table(out)
+
+
+def quantile_by_key(ds, key_col: str, value_col: str, qs=(0.5,),
+                    num_partitions: int = 32):
+    """EXACT distributed quantiles of an integer-valued column per key
+    (DuckDB ``quantile_disc`` semantics), with no global sort: each
+    batch collapses to (key, value) count partials (bounded by the
+    value domain, the classic counting trick for discrete columns —
+    lengths, scores, token counts), one exchange co-locates each key's
+    histogram, and a searchsorted over cumulative counts reads off
+    every quantile. Output: key + one ``q<pct>`` int64 column per q.
+    """
+    import functools
+
+    parts = ds.map_batches(
+        functools.partial(_q_partial, key_col=key_col, value_col=value_col),
+        batch_format="pyarrow")
+    out = hash_exchange(
+        parts, "_route",
+        functools.partial(_q_combine, key_col=key_col, value_col=value_col,
+                          qs=tuple(qs)),
+        num_partitions=num_partitions)
+    return out
