@@ -377,3 +377,33 @@ def test_quantile_by_key_exact_vs_duckdb(ray_session):
     assert got["k"].tolist() == want["k"].tolist()
     for c in ("q25", "q50", "q90"):
         assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_distinct_by_key_and_hll(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.curate import approx_distinct, distinct_by_key
+
+    rng = np.random.default_rng(9)
+    keys = rng.choice(["a", "b"], size=4000).tolist()
+    vals = [f"v{int(i)}" for i in rng.integers(0, 300, size=4000)]
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    got = distinct_by_key(rd.from_arrow(t).repartition(5), "k", "v",
+                          num_partitions=4).to_pandas().sort_values("k")
+    import pandas as pd
+
+    df = pd.DataFrame({"k": keys, "v": vals})
+    want = df.groupby("k")["v"].nunique()
+    assert got.set_index("k")["n_distinct"].to_dict() == want.to_dict()
+
+    # HLL within 5% of the exact distinct count at p=12 (sigma ~1.6%)
+    n_true = 20_000
+    big = pa.table({"v": pa.array([f"item-{i}" for i in range(n_true)])})
+    est = approx_distinct(rd.from_arrow(big).repartition(6), "v", p=12)
+    assert abs(est - n_true) / n_true < 0.05, est
+    # small-range linear counting: tiny cardinality stays near-exact
+    small = pa.table({"v": pa.array([f"s{i}" for i in range(37)] * 3)})
+    est2 = approx_distinct(rd.from_arrow(small), "v", p=12)
+    assert abs(est2 - 37) < 2, est2

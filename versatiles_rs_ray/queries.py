@@ -357,6 +357,38 @@ def _oracle_docs_split():
     )
 
 
+def q_lang_distinct(sf_dir):
+    """Exact count(DISTINCT source) per language: distinct-pair
+    collapse per batch -> one exchange -> run counting
+    (stages/curate.distinct_by_key); shuffle O(distinct pairs)."""
+    import ray.data as rd
+
+    from .stages.curate import distinct_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source"])
+    return distinct_by_key(ds, "lang", "source")
+
+
+def q_approx_distinct(sf_dir):
+    """HyperLogLog distinct-text estimate (p=12, ~1.6% standard error;
+    stages/curate.approx_distinct — sketches ARE the shuffle). Driver
+    records rows-only; the pytest bound checks the estimate against
+    the exact count."""
+    import pandas as pd
+    import ray.data as rd
+
+    from .stages.curate import approx_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return pd.DataFrame([{"estimate": approx_distinct(ds, "text")}])
+
+
+def _oracle_lang_distinct():
+    return ("SELECT lang, count(DISTINCT source) AS n_distinct "
+            "FROM documents GROUP BY lang")
+
+
 def _oracle_lang_quantiles():
     cols = ", ".join(
         f"quantile_disc(n_chars, {q}) AS q{int(q * 100)}" for q in QUANTILES)
@@ -1876,6 +1908,8 @@ QUERIES = {
     "source_quota": q_source_quota,
     "lang_topk": q_lang_topk,
     "lang_quantiles": q_lang_quantiles,
+    "lang_distinct": q_lang_distinct,
+    "approx_distinct": q_approx_distinct,
     "docs_split": q_docs_split,
     "label_centroids": q_label_centroids,
     "docs_sample": q_docs_sample,
@@ -1943,6 +1977,7 @@ ORACLES = {
     "source_quota": _oracle_source_quota(),
     "lang_topk": _oracle_lang_topk(),
     "lang_quantiles": _oracle_lang_quantiles(),
+    "lang_distinct": _oracle_lang_distinct(),
     "docs_split": _oracle_docs_split(),
     "label_centroids": _oracle_label_centroids(),
     "docs_sample": _oracle_docs_sample(),

@@ -504,3 +504,124 @@ def quantile_by_key(ds, key_col: str, value_col: str, qs=(0.5,),
                           qs=tuple(qs)),
         num_partitions=num_partitions)
     return out
+
+
+def _dc_partial(batch: pa.Table, key_col: str, value_col: str) -> pa.Table:
+    """Distinct (key, value-hash) partials: the batch collapses to its
+    distinct pairs before the shuffle (FNV-64 stands in for the value;
+    a collision would need ~2^32 distinct values per key)."""
+    kc = batch[key_col].combine_chunks() if isinstance(
+        batch[key_col], pa.ChunkedArray) else batch[key_col]
+    vc = batch[value_col].combine_chunks() if isinstance(
+        batch[value_col], pa.ChunkedArray) else batch[value_col]
+    kh = _hash_strings(kc)
+    vh = _fnv_vec(vc.cast(pa.string())).view(np.int64)
+    packed = np.stack([kh, vh], axis=1)
+    uniq, idx = np.unique(packed, axis=0, return_index=True)
+    return pa.table({
+        key_col: kc.take(pa.array(idx, type=pa.int64())),
+        "_vh": pa.array(uniq[:, 1], type=pa.int64()),
+        "_route": pa.array(uniq[:, 0], type=pa.int64()),
+    })
+
+
+def _dc_combine(tbl: pa.Table, key_col: str, out_col: str) -> pa.Table:
+    import pyarrow.compute as pc
+
+    if tbl.num_rows == 0:
+        return pa.table({key_col: pa.array([], type=pa.string()),
+                         out_col: pa.array([], type=pa.int64())})
+    pos = np.asarray(pc.sort_indices(
+        tbl, sort_keys=[(key_col, "ascending"), ("_vh", "ascending")]),
+        dtype=np.int64)
+    keys = np.asarray(tbl[key_col].combine_chunks().dictionary_encode()
+                      .indices, dtype=np.int64)[pos]
+    vh = np.asarray(tbl["_vh"], dtype=np.int64)[pos]
+    new_pair = np.ones(len(keys), dtype=bool)
+    new_pair[1:] = (keys[1:] != keys[:-1]) | (vh[1:] != vh[:-1])
+    new_key = np.ones(len(keys), dtype=bool)
+    new_key[1:] = keys[1:] != keys[:-1]
+    kstart = np.flatnonzero(new_key)
+    n_distinct = np.add.reduceat(new_pair.astype(np.int64), kstart)
+    return pa.table({
+        key_col: tbl[key_col].take(pa.array(pos[kstart])),
+        out_col: pa.array(n_distinct, type=pa.int64()),
+    })
+
+
+def distinct_by_key(ds, key_col: str, value_col: str,
+                    out_col: str = "n_distinct", num_partitions: int = 32):
+    """EXACT count(DISTINCT value) per key: per-batch distinct-pair
+    collapse -> one exchange on the key -> run counting. Shuffle volume
+    is O(distinct pairs), never O(rows)."""
+    import functools
+
+    parts = ds.map_batches(
+        functools.partial(_dc_partial, key_col=key_col, value_col=value_col),
+        batch_format="pyarrow")
+    return hash_exchange(
+        parts, "_route",
+        functools.partial(_dc_combine, key_col=key_col, out_col=out_col),
+        num_partitions=num_partitions)
+
+
+# ---- HyperLogLog (Flajolet-Fuss-Gandouet-Meunier 2007) ------------------
+
+
+def _hll_partial(batch: pa.Table, value_col: str, p: int) -> pa.Table:
+    """One HLL register array per batch (2^p uint8 registers as ONE
+    binary cell): sub-KB partials regardless of batch size."""
+    vc = batch[value_col].combine_chunks() if isinstance(
+        batch[value_col], pa.ChunkedArray) else batch[value_col]
+    h = _fnv_vec(vc.cast(pa.string()))
+    # FNV-1a's HIGH bits avalanche poorly (observed: rho collapses to 1
+    # and the estimate craters); murmur3's fmix64 finalizer fixes the
+    # bit distribution the index/rho split depends on
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    if len(h):
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        # rho = leading zeros of the remaining 64-p bits + 1
+        nbits = 64 - p
+        rho = np.full(len(h), nbits + 1, dtype=np.uint8)
+        nz = rest != 0
+        # leading-zero count via float64 exponent would lose precision
+        # past 2^53; shift-count loop over BITS (<= 64 vector passes)
+        lz = np.zeros(int(nz.sum()), dtype=np.int64)
+        r = rest[nz]
+        for shift in (32, 16, 8, 4, 2, 1):
+            m = r < (np.uint64(1) << np.uint64(64 - shift))
+            lz[m] += shift
+            r[m] = r[m] << np.uint64(shift)
+        rho[nz] = np.minimum(lz + 1, nbits + 1).astype(np.uint8)
+        np.maximum.at(regs, idx, rho)
+    return pa.table({"regs": pa.array([regs.tobytes()], type=pa.binary())})
+
+
+def approx_distinct(ds, value_col: str, p: int = 12) -> float:
+    """HyperLogLog distinct estimate (standard error ~1.04/sqrt(2^p)):
+    per-batch register partials, elementwise-max merge on the driver
+    (2^p bytes per batch — the sketch IS the shuffle), small-range
+    linear counting correction per the original paper."""
+    import functools
+
+    m = 1 << p
+    parts = ds.map_batches(
+        functools.partial(_hll_partial, value_col=value_col, p=p),
+        batch_format="pyarrow")
+    regs = np.zeros(m, dtype=np.uint8)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for blob in b["regs"].to_pylist():
+            np.maximum(regs, np.frombuffer(blob, dtype=np.uint8), out=regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:  # small-range: linear counting
+        est = m * np.log(m / zeros)
+    return float(est)
