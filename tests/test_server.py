@@ -428,3 +428,73 @@ def test_server_mixed_format_mime_per_tile(tmp_path):
         assert r2.headers["Content-Type"] == "image/png"
     finally:
         srv.shutdown()
+
+
+def test_host_header_in_tilejson_and_mbtiles_meta(debug_ds, tmp_path):
+    mb = str(tmp_path / "meta.mbtiles")
+    write_mbtiles(debug_ds, mb, metadata={
+        "name": "debug", "format": "json", "bounds": "-180,-85,180,85",
+        "minzoom": "0", "maxzoom": "3"})
+    srv = TileServer()
+    srv.add_tile_source("m", mb)
+    url = srv.start()
+    try:
+        # tilejson advertises the Host header the client used
+        st, _, body = _get(f"{url}/tiles/m/tiles.json",
+                           headers={"Host": "tiles.example.com:9000"})
+        assert st == 200
+        doc = json.loads(body)
+        assert doc["tiles"][0].startswith("http://tiles.example.com:9000/")
+        # mbtiles metadata rows flow into the tilejson
+        assert doc["name"] == "debug"
+        assert doc["bounds"] == [-180.0, -85.0, 180.0, 85.0]
+        assert doc["minzoom"] == 0 and doc["maxzoom"] == 3
+        # fmt_hint from metadata: payload served without per-tile sniff
+        st, hdrs, body = _get(f"{url}/tiles/m/1/0/0")
+        assert st == 200 and hdrs["Content-Type"] == "application/json"
+    finally:
+        srv.shutdown()
+
+
+def test_percent_encoded_static_path(tmp_path):
+    d = tmp_path / "static"
+    d.mkdir()
+    (d / "my map.html").write_text("<html>hi</html>")
+    srv = TileServer()
+    srv.add_static_source(str(d))
+    url = srv.start()
+    try:
+        st, _, body = _get(f"{url}/my%20map.html")
+        assert st == 200 and b"hi" in body
+    finally:
+        srv.shutdown()
+
+
+def test_internal_error_returns_500_not_connection_drop(debug_ds, tmp_path):
+    mb = str(tmp_path / "e.mbtiles")
+    write_mbtiles(debug_ds, mb)
+    srv = TileServer()
+    srv.add_tile_source("m", mb)
+    # sabotage the reader AFTER mount: any request now raises inside do_GET
+    class Boom:
+        def get_tile(self, z, x, y):
+            raise RuntimeError("backend exploded")
+    srv.sources["m"].reader = Boom()
+    srv.sources["m"].get_tile = Boom().get_tile
+    url = srv.start()
+    try:
+        st, _, body = _get(f"{url}/tiles/m/1/0/0")
+        assert st == 500 and b"internal error" in body
+    finally:
+        srv.shutdown()
+
+
+def test_pmtiles_zstd_compression_fails_mount(tmp_path, debug_ds):
+    p = str(tmp_path / "z.pmtiles")
+    pmtiles.write_pmtiles(debug_ds, p)
+    blob = bytearray(open(p, "rb").read())
+    blob[98] = 4  # zstd per spec
+    open(p, "wb").write(bytes(blob))
+    srv = TileServer()
+    with pytest.raises(NotImplementedError, match="tile_compression"):
+        srv.add_tile_source("z", p)

@@ -104,6 +104,25 @@ class TileSource:
                 self.compression = "gzip"
             elif hdr[98] == 3:
                 self.compression = "br"
+            elif hdr[98] not in (0, 1):
+                # zstd (4) or unknown: serving mislabeled raw bytes
+                # would hand every client undecodable payloads — fail
+                # the MOUNT, visibly
+                raise NotImplementedError(
+                    f"pmtiles tile_compression {hdr[98]} not supported "
+                    "(none, gzip, brotli)")
+        elif path.endswith(".mbtiles"):
+            # metadata table: format row -> fmt_hint (tiles are then
+            # never decompressed just to sniff a MIME), name/bounds/
+            # zooms -> tilejson (mbtiles/reader.rs reads the same rows)
+            meta = self._mbtiles_meta()
+            fmt = meta.pop("format", None)
+            if fmt:
+                # compression stays per-tile verified-sniff: the spec
+                # says MVT *may* be gzipped, so declaring it here could
+                # mislabel raw-stored tiles
+                self.fmt_hint = {"mvt": "pbf"}.get(fmt, fmt)
+            self._mb_meta = meta
         # metadata read once (remote containers: avoid per-request
         # range reads on every tiles.json hit)
         self._meta = self._container_meta()
@@ -120,8 +139,41 @@ class TileSource:
                     doc[k] = meta[k]
         return doc
 
+    def _mbtiles_meta(self) -> dict:
+        import sqlite3
+
+        try:
+            conn = sqlite3.connect(self.path)
+            rows = dict(conn.execute("SELECT name, value FROM metadata").fetchall())
+            conn.close()
+        except Exception:
+            return {}
+        meta = {k: rows[k] for k in ("name", "attribution", "format")
+                if k in rows}
+        for k in ("minzoom", "maxzoom"):
+            if k in rows:
+                try:
+                    meta[k] = int(rows[k])
+                except ValueError:
+                    pass
+        if "bounds" in rows:
+            try:
+                meta["bounds"] = [float(v) for v in rows["bounds"].split(",")]
+            except ValueError:
+                pass
+        if "json" in rows:
+            try:
+                j = json.loads(rows["json"])
+                if "vector_layers" in j:
+                    meta["vector_layers"] = j["vector_layers"]
+            except Exception:
+                pass
+        return meta
+
     def _container_meta(self) -> dict | None:
         try:
+            if self.path.endswith(".mbtiles"):
+                return self._mb_meta or None
             if self.path.endswith(".pmtiles"):
                 from .sources.pmtiles import read_pmtiles_metadata
 
@@ -345,7 +397,23 @@ def _make_handler(sources: dict, base_url_holder: list, statics: list = (),
             self.end_headers()
 
         def do_GET(self):  # noqa: N802 (http.server API)
-            path = self.path.split("?", 1)[0].rstrip("/") or "/"
+            # one guard for the whole handler: a decode/sniff/read error
+            # must answer 500, not drop the connection mid-request
+            try:
+                self._do_get()
+            except Exception as exc:  # noqa: BLE001 (the HTTP boundary)
+                try:
+                    self._send(500, f"internal error: {type(exc).__name__}"
+                               .encode(), "text/plain")
+                except Exception:
+                    pass  # headers already sent: nothing left to salvage
+
+        def _do_get(self):
+            from urllib.parse import unquote
+
+            # percent-decode BEFORE routing (axum does; '%20' in a
+            # static filename or source id must match the real name)
+            path = unquote(self.path.split("?", 1)[0]).rstrip("/") or "/"
             if path == "/status":
                 return self._send(200, b"ready!", "text/plain")
             if path == "/tiles/index.json":
@@ -360,7 +428,12 @@ def _make_handler(sources: dict, base_url_holder: list, statics: list = (),
                 if rest in (["tiles.json"], ["meta.json"]):
                     if disable_api:
                         return self._send(404, b"api disabled", "text/plain")
-                    base = base_url_holder[0]
+                    # advertise the HOST THE CLIENT USED, not the bind
+                    # address (0.0.0.0 in config defaults would make
+                    # every tile URL unreachable)
+                    req_host = self.headers.get("Host")
+                    base = (f"http://{req_host}" if req_host
+                            else base_url_holder[0])
                     body = json.dumps(src.tilejson(base)).encode()
                     return self._send(200, body, "application/json")
                 if len(rest) == 3:
@@ -384,17 +457,26 @@ def _make_handler(sources: dict, base_url_holder: list, statics: list = (),
                         return self._send(200, payload, "application/json")
                     extra = {}
                     # stored tile encoding: from the container header,
-                    # else gzip magic sniff (raw containers may hold
-                    # pre-gzipped payloads)
+                    # else a VERIFIED gzip sniff (raw containers may
+                    # hold pre-gzipped payloads; a binary tile that
+                    # merely starts 0x1f8b must stay raw, not be
+                    # mislabeled Content-Encoding: gzip)
+                    decoded = None
                     enc = src.compression if src.compression in ("gzip", "br") else None
                     if enc is None and payload[:2] == b"\x1f\x8b":
-                        enc = "gzip"
+                        try:
+                            decoded = gzip.decompress(payload)
+                            enc = "gzip"
+                        except Exception:
+                            decoded = None  # magic collision: raw
                     if enc is not None:
                         if enc in accept:
                             extra["Content-Encoding"] = enc
                         else:  # identity is always acceptable
-                            payload = _decode_variant(payload, enc)
+                            payload = (decoded if decoded is not None
+                                       else _decode_variant(payload, enc))
                             enc = None
+                            decoded = None
                     # mime: fmt_hint through the GUARDED helper (svg/
                     # topojson have no entry). Cache per source ONLY
                     # when fmt_hint declares a uniform format; hintless
@@ -404,10 +486,9 @@ def _make_handler(sources: dict, base_url_holder: list, statics: list = (),
                     if src.fmt_hint is not None and src.fmt_hint in FORMAT_MIME:
                         mime = FORMAT_MIME[src.fmt_hint]
                     else:
-                        mime = _sniff_mime(
-                            _decode_variant(payload, enc) if enc else payload,
-                            None,
-                        )
+                        if enc and decoded is None:
+                            decoded = _decode_variant(payload, enc)
+                        mime = _sniff_mime(decoded if enc else payload, None)
                     if (enc is None and not minimal_recompression
                             and "gzip" in accept):
                         # best-accepted-encoding recompression
@@ -416,7 +497,7 @@ def _make_handler(sources: dict, base_url_holder: list, statics: list = (),
                         extra["Content-Encoding"] = "gzip"
                     return self._send(200, payload, mime, extra)
             accept = _accept_encodings(self.headers)
-            raw_path = self.path.split("?", 1)[0]
+            raw_path = unquote(self.path.split("?", 1)[0])
             for st in statics:
                 pfx = st.url_prefix
                 if raw_path == pfx or raw_path.startswith(pfx.rstrip("/") + "/"):

@@ -152,7 +152,6 @@ def write_pmtiles(ds, path: str, metadata=None, tile_type=TILETYPE_UNKNOWN,
         leaves = b""
     else:
         # leaf directories: root entries with run_length=0 point at leaves
-        leaf_blobs = []
         root_entries = []
         leaves_buf = bytearray()
         for i in range(0, len(entries), MAX_DIR_ENTRIES):
@@ -160,7 +159,6 @@ def write_pmtiles(ds, path: str, metadata=None, tile_type=TILETYPE_UNKNOWN,
             blob = gzip.compress(_encode_directory(chunk), mtime=0)
             root_entries.append((chunk[0][0], len(leaves_buf), len(blob), 0))
             leaves_buf.extend(blob)
-            leaf_blobs.append(blob)
         root = gzip.compress(_encode_directory(root_entries), mtime=0)
         leaves = bytes(leaves_buf)
 

@@ -27,6 +27,14 @@ from ..core.coords import hilbert_index
 from .pmtiles import COMPRESSION_GZIP, MAGIC, VERSION, _decode_directory
 
 
+_EMPTY_IDS = np.zeros(0, dtype=np.int64)
+
+
+def _sizeof_dir(v) -> int:
+    entries, ids = v
+    return 64 * len(entries) + ids.nbytes + 64
+
+
 class PMTilesRandomAccess:
     """Open once, then O(log n) get_tile by binary search on tile ids.
 
@@ -52,34 +60,38 @@ class PMTilesRandomAccess:
         self._root_ids = np.asarray([e[0] for e in self.root], dtype=np.int64)
         # leaf offset -> decoded entries, byte-bounded LRU (reference
         # LimitedCache, versatiles reader.rs:135)
-        from ..core.cache import LimitedCache, sizeof_entries
+        from ..core.cache import LimitedCache
 
-        self._leaf_cache = LimitedCache(size_of=sizeof_entries)
+        self._leaf_cache = LimitedCache(size_of=_sizeof_dir)
 
     def _maybe_gunzip(self, b: bytes) -> bytes:
         return gzip.decompress(b) if self._internal == COMPRESSION_GZIP else b
 
     def _entries_for(self, tid: int):
+        """-> (entries, ids): the id array is built ONCE per directory
+        and cached beside the entries (the serve fast path must not
+        rebuild a 16k-element numpy array per tile request)."""
         idx = int(np.searchsorted(self._root_ids, tid, side="right")) - 1
         if idx < 0:
-            return []
+            return [], _EMPTY_IDS
         entry = self.root[idx]
         if entry[3] == 0:  # leaf pointer
             off, ln = entry[1], entry[2]
             hit = self._leaf_cache.get(off)
             if hit is None:
-                hit = self._leaf_cache.put(off, _decode_directory(
+                entries = _decode_directory(
                     self._maybe_gunzip(self._reader.read(self.leaf_off + off, ln))
-                ))
+                )
+                ids = np.asarray([e[0] for e in entries], dtype=np.int64)
+                hit = self._leaf_cache.put(off, (entries, ids))
             return hit
-        return self.root
+        return self.root, self._root_ids
 
     def get_tile(self, z: int, x: int, y: int):
         if not (0 <= x < (1 << z) and 0 <= y < (1 << z)):
             return None  # hilbert_index would alias out-of-range coords
         tid = int(hilbert_index(z, x, y))
-        entries = self._entries_for(tid)
-        ids = np.asarray([e[0] for e in entries], dtype=np.int64)
+        entries, ids = self._entries_for(tid)
         i = int(np.searchsorted(ids, tid, side="right")) - 1
         if i < 0:
             return None

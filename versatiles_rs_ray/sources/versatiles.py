@@ -123,7 +123,7 @@ def write_versatiles(ds, path: str, tile_format="bin", compression="raw",
         f.write(meta_blob)
 
         cur_bkey = None
-        tiles_buf = rows = None
+        rows = None
 
         def flush_block():
             nonlocal cur_bkey, rows
@@ -180,13 +180,19 @@ def write_versatiles(ds, path: str, tile_format="bin", compression="raw",
                     flush_block()
                     cur_bkey, rows = int(bk[i]), []
                 rows.append((int(xcol[i]), int(ycol[i]), payloads[i]))
-                zi, xi, yi = int(zcol[i]), int(xcol[i]), int(ycol[i])
-                zmin, zmax = min(zmin, zi), max(zmax, zi)
-                tw, ts, te, tn = tile_geo_bbox(zi, xi, yi)
-                geo_w = tw if geo_w is None else min(geo_w, tw)
-                geo_s = ts if geo_s is None else min(geo_s, ts)
-                geo_e = te if geo_e is None else max(geo_e, te)
-                geo_n = tn if geo_n is None else max(geo_n, tn)
+            # geo bbox per BATCH: tile_geo_bbox is array-capable, so
+            # one vectorized call replaces a per-row Python call in the
+            # single-writer funnel (80M rows = minutes of driver CPU)
+            if len(bk):
+                zmin = min(zmin, int(zcol.min()))
+                zmax = max(zmax, int(zcol.max()))
+                tw, ts, te, tn = tile_geo_bbox(zcol, xcol, ycol)
+                bw, bs, be, bn = (float(np.min(tw)), float(np.min(ts)),
+                                  float(np.max(te)), float(np.max(tn)))
+                geo_w = bw if geo_w is None else min(geo_w, bw)
+                geo_s = bs if geo_s is None else min(geo_s, bs)
+                geo_e = be if geo_e is None else max(geo_e, be)
+                geo_n = bn if geo_n is None else max(geo_n, bn)
         flush_block()
 
         blocks_off = f.tell()
