@@ -407,3 +407,62 @@ def test_distinct_by_key_and_hll(ray_session):
     small = pa.table({"v": pa.array([f"s{i}" for i in range(37)] * 3)})
     est2 = approx_distinct(rd.from_arrow(small), "v", p=12)
     assert abs(est2 - 37) < 2, est2
+
+
+def test_distinct_quantile_null_values_match_duckdb(ray_session):
+    """NULL values must be ignored (DuckDB count(DISTINCT)/quantile_disc
+    semantics), not hashed as empty strings / read as garbage."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.curate import distinct_by_key, quantile_by_key
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "a", "b", "b", "b", "b"]),
+        "s": pa.array(["x", None, "y", None, None, "z", "z"]),
+        "v": pa.array([1, None, 5, None, None, 3, 9], type=pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+
+    got = distinct_by_key(rd.from_arrow(t).repartition(3), "k", "s",
+                          num_partitions=2).to_pandas().sort_values("k")
+    want = con.execute(
+        "SELECT k, count(DISTINCT s) AS n FROM t GROUP BY k ORDER BY k").df()
+    assert got["n_distinct"].tolist() == want["n"].tolist()
+
+    gq = quantile_by_key(rd.from_arrow(t).repartition(3), "k", "v",
+                         qs=(0.5,), num_partitions=2
+                         ).to_pandas().sort_values("k")
+    wq = con.execute(
+        "SELECT k, quantile_disc(v, 0.5) AS q50 FROM t GROUP BY k ORDER BY k").df()
+    assert gq["q50"].tolist() == wq["q50"].tolist()
+
+
+def test_approx_distinct_by_key_bound(ray_session):
+    """Per-key HLL estimates stay inside the tolerance the lang_distinct
+    driver row asserts (approx_ok column)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.curate import approx_distinct_by_key
+
+    rng = np.random.default_rng(11)
+    # per-key true cardinalities spanning linear-counting and HLL regimes
+    rows_k, rows_v = [], []
+    for key, card in (("small", 40), ("mid", 2_000), ("big", 15_000)):
+        ids = rng.integers(0, card * 3, size=card * 4) % card
+        rows_k += [key] * len(ids)
+        rows_v += [f"{key}-{int(i)}" for i in ids]
+    t = pa.table({"k": pa.array(rows_k), "v": pa.array(rows_v)})
+    est = approx_distinct_by_key(rd.from_arrow(t).repartition(6), "k", "v", p=12)
+    truth = pd.DataFrame({"k": rows_k, "v": rows_v}).groupby("k")["v"].nunique()
+    for key, n_true in truth.items():
+        assert abs(est[key] / n_true - 1.0) <= 0.05, (key, est[key], n_true)
+    # nulls are dropped, not counted as a distinct value
+    tn = pa.table({"k": pa.array(["a"] * 4), "v": pa.array(["p", None, "q", None])})
+    est_n = approx_distinct_by_key(rd.from_arrow(tn), "k", "v", p=12)
+    assert round(est_n["a"]) == 2

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .exchange import hash_exchange
 
@@ -416,7 +417,12 @@ def pack_sequences(ds, token_col: str, budget: int, order_col: str,
 
 def _q_partial(batch: pa.Table, key_col: str, value_col: str) -> pa.Table:
     """(key, value) -> count partials: the whole batch collapses to its
-    distinct (key, value) pairs before anything is shuffled."""
+    distinct (key, value) pairs before anything is shuffled. NULL
+    values are dropped (DuckDB quantile_disc ignores NULLs; an
+    unguarded np.asarray over a null-bearing Arrow column would read
+    garbage)."""
+    if batch[value_col].null_count:
+        batch = batch.filter(pc.is_valid(batch[value_col]))
     kc = batch[key_col].combine_chunks() if isinstance(
         batch[key_col], pa.ChunkedArray) else batch[key_col]
     enc = kc.dictionary_encode()
@@ -465,7 +471,10 @@ def _q_combine(tbl: pa.Table, key_col: str, value_col: str, qs: tuple) -> pa.Tab
     new = np.ones(len(keys), dtype=bool)
     new[1:] = (keys[1:] != keys[:-1]) | (vals[1:] != vals[:-1])
     grp = np.cumsum(new) - 1
-    m_cnt = np.bincount(grp, weights=cnts).astype(np.int64)
+    # int64 accumulation (np.add.at), not float bincount weights: the
+    # "exact" guarantee must hold past 2^53 per merged (key,value) pair
+    m_cnt = np.zeros(int(grp[-1]) + 1, dtype=np.int64)
+    np.add.at(m_cnt, grp, cnts)
     first = np.flatnonzero(new)
     m_keys, m_vals = keys[first], vals[first]
     run_new = np.ones(len(m_keys), dtype=bool)
@@ -509,7 +518,11 @@ def quantile_by_key(ds, key_col: str, value_col: str, qs=(0.5,),
 def _dc_partial(batch: pa.Table, key_col: str, value_col: str) -> pa.Table:
     """Distinct (key, value-hash) partials: the batch collapses to its
     distinct pairs before the shuffle (FNV-64 stands in for the value;
-    a collision would need ~2^32 distinct values per key)."""
+    a collision would need ~2^32 distinct values per key). NULL values
+    are dropped, matching DuckDB count(DISTINCT) which ignores NULLs
+    (keys are already null-guarded by _hash_strings)."""
+    if batch[value_col].null_count:
+        batch = batch.filter(pc.is_valid(batch[value_col]))
     kc = batch[key_col].combine_chunks() if isinstance(
         batch[key_col], pa.ChunkedArray) else batch[key_col]
     vc = batch[value_col].combine_chunks() if isinstance(
@@ -570,38 +583,111 @@ def distinct_by_key(ds, key_col: str, value_col: str,
 
 def _hll_partial(batch: pa.Table, value_col: str, p: int) -> pa.Table:
     """One HLL register array per batch (2^p uint8 registers as ONE
-    binary cell): sub-KB partials regardless of batch size."""
+    binary cell): sub-KB partials regardless of batch size. NULLs are
+    dropped (count-distinct semantics, same contract as _dc_partial)."""
+    if batch[value_col].null_count:
+        batch = batch.filter(pc.is_valid(batch[value_col]))
     vc = batch[value_col].combine_chunks() if isinstance(
         batch[value_col], pa.ChunkedArray) else batch[value_col]
-    h = _fnv_vec(vc.cast(pa.string()))
+    h = _hll_hash(vc)
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    if len(h):
+        idx, rho = _hll_idx_rho(h, p)
+        np.maximum.at(regs, idx, rho)
+    return pa.table({"regs": pa.array([regs.tobytes()], type=pa.binary())})
+
+
+def _hll_hash(vc: pa.Array) -> np.ndarray:
     # FNV-1a's HIGH bits avalanche poorly (observed: rho collapses to 1
     # and the estimate craters); murmur3's fmix64 finalizer fixes the
     # bit distribution the index/rho split depends on
+    h = _fnv_vec(vc.cast(pa.string()))
     with np.errstate(over="ignore"):
         h ^= h >> np.uint64(33)
         h *= np.uint64(0xFF51AFD7ED558CCD)
         h ^= h >> np.uint64(33)
         h *= np.uint64(0xC4CEB9FE1A85EC53)
         h ^= h >> np.uint64(33)
-    regs = np.zeros(1 << p, dtype=np.uint8)
+    return h
+
+
+def _hll_idx_rho(h: np.ndarray, p: int):
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    # rho = leading zeros of the remaining 64-p bits + 1
+    nbits = 64 - p
+    rho = np.full(len(h), nbits + 1, dtype=np.uint8)
+    nz = rest != 0
+    # leading-zero count via float64 exponent would lose precision
+    # past 2^53; shift-count loop over BITS (<= 64 vector passes)
+    lz = np.zeros(int(nz.sum()), dtype=np.int64)
+    r = rest[nz]
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = r < (np.uint64(1) << np.uint64(64 - shift))
+        lz[m] += shift
+        r[m] = r[m] << np.uint64(shift)
+    rho[nz] = np.minimum(lz + 1, nbits + 1).astype(np.uint8)
+    return idx, rho
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:  # small-range: linear counting
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def _hll_key_partial(batch: pa.Table, key_col: str, value_col: str,
+                     p: int) -> pa.Table:
+    """Per-KEY HLL register partials: one (key, 2^p-byte regs) row per
+    distinct key per batch — sized for low-cardinality keys (langs,
+    sources), where the partial stays a few KB per batch."""
+    if batch[value_col].null_count:
+        batch = batch.filter(pc.is_valid(batch[value_col]))
+    kc = batch[key_col].combine_chunks() if isinstance(
+        batch[key_col], pa.ChunkedArray) else batch[key_col]
+    vc = batch[value_col].combine_chunks() if isinstance(
+        batch[value_col], pa.ChunkedArray) else batch[value_col]
+    enc = kc.dictionary_encode()
+    kcodes = np.asarray(enc.indices, dtype=np.int64)
+    nkeys = len(enc.dictionary)
+    m = 1 << p
+    regs = np.zeros(nkeys * m, dtype=np.uint8)
+    h = _hll_hash(vc)
     if len(h):
-        idx = (h >> np.uint64(64 - p)).astype(np.int64)
-        rest = (h << np.uint64(p)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-        # rho = leading zeros of the remaining 64-p bits + 1
-        nbits = 64 - p
-        rho = np.full(len(h), nbits + 1, dtype=np.uint8)
-        nz = rest != 0
-        # leading-zero count via float64 exponent would lose precision
-        # past 2^53; shift-count loop over BITS (<= 64 vector passes)
-        lz = np.zeros(int(nz.sum()), dtype=np.int64)
-        r = rest[nz]
-        for shift in (32, 16, 8, 4, 2, 1):
-            m = r < (np.uint64(1) << np.uint64(64 - shift))
-            lz[m] += shift
-            r[m] = r[m] << np.uint64(shift)
-        rho[nz] = np.minimum(lz + 1, nbits + 1).astype(np.uint8)
-        np.maximum.at(regs, idx, rho)
-    return pa.table({"regs": pa.array([regs.tobytes()], type=pa.binary())})
+        idx, rho = _hll_idx_rho(h, p)
+        np.maximum.at(regs, kcodes * m + idx, rho)
+    blobs = [regs[k * m:(k + 1) * m].tobytes() for k in range(nkeys)]
+    return pa.table({
+        key_col: enc.dictionary.cast(pa.string()),
+        "regs": pa.array(blobs, type=pa.binary()),
+    })
+
+
+def approx_distinct_by_key(ds, key_col: str, value_col: str,
+                           p: int = 12) -> dict:
+    """Per-key HyperLogLog distinct estimates (driver register merge —
+    partials are nkeys x 2^p bytes per batch, bounded by construction
+    for low-cardinality keys). Returns {key: estimate}."""
+    import functools
+
+    m = 1 << p
+    parts = ds.map_batches(
+        functools.partial(_hll_key_partial, key_col=key_col,
+                          value_col=value_col, p=p),
+        batch_format="pyarrow")
+    merged: dict = {}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for key, blob in zip(b[key_col].to_pylist(), b["regs"].to_pylist()):
+            r = np.frombuffer(blob, dtype=np.uint8)
+            if key in merged:
+                np.maximum(merged[key], r, out=merged[key])
+            else:
+                merged[key] = r.copy()
+    return {k: _hll_estimate(r) for k, r in merged.items()}
 
 
 def approx_distinct(ds, value_col: str, p: int = 12) -> float:
@@ -619,9 +705,4 @@ def approx_distinct(ds, value_col: str, p: int = 12) -> float:
     for b in parts.iter_batches(batch_format="pyarrow"):
         for blob in b["regs"].to_pylist():
             np.maximum(regs, np.frombuffer(blob, dtype=np.uint8), out=regs)
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
-    zeros = int((regs == 0).sum())
-    if est <= 2.5 * m and zeros:  # small-range: linear counting
-        est = m * np.log(m / zeros)
-    return float(est)
+    return _hll_estimate(regs)

@@ -260,10 +260,11 @@ class BpeTokenCounter:
     token-counting operator of a training-data pipeline; whitespace
     counting lives in token_stats_batch."""
 
-    def __init__(self):
+    def __init__(self, keep_text: bool = False):
         import re
 
         self.pat = re.compile(BPE_PATTERN)
+        self.keep_text = keep_text
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -271,12 +272,11 @@ class BpeTokenCounter:
             (len(self.pat.findall(t or "")) for t in texts),
             dtype=np.int64, count=len(texts),
         )
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_bpe_tokens": pa.array(counts, type=pa.int64()),
-            }
-        )
+        cols = {"doc_id": batch["doc_id"]}
+        if self.keep_text:
+            cols["text"] = batch["text"]
+        cols["n_bpe_tokens"] = pa.array(counts, type=pa.int64())
+        return pa.table(cols)
 
 
 def normalize_text_batch(batch: pa.Table, col: str = "text") -> pa.Table:
