@@ -209,3 +209,82 @@ def test_range_join_agg_edges(ray_session):
     o2 = range_join_agg(bad, pts, by="k", lo="lo", hi="hi", at="at",
                         value="v", num_partitions=2).to_pandas()
     assert o2["n_points"].tolist() == [0] and o2["sum_cents"].tolist() == [0]
+
+
+def test_rect_join_bucketed_matches_broadcast(ray_session, sf_dir):
+    """Pair-set equality between the broadcast path and the bucketed
+    exchange path on overlapping rects spanning many grid cells."""
+    import ray.data as rd
+
+    rects = [
+        (1, 0.0, 0.0, 0.5, 0.5),
+        (2, 0.25, 0.25, 0.75, 0.75),   # overlaps rect 1
+        (3, 0.9, 0.9, 1.0, 1.0),
+        (4, 0.0, 0.0, 1.0, 1.0),       # whole world: every cell
+        (5, 0.49, 0.49, 0.51, 0.51),   # tiny: single/few cells
+        (6, 0.3, 0.3, 0.3, 0.4),       # degenerate (zero width)
+    ]
+    broad = (
+        D.read_docs(sf_dir)
+        .map_batches(join.RectJoin(rects), batch_format="pyarrow")
+        .select_columns(["doc_num", "rect_id"]).to_pandas()
+    )
+    rects_ds = rd.from_arrow(pa.table({
+        "rect_id": pa.array([r[0] for r in rects], type=pa.int64()),
+        "mx0": pa.array([r[1] for r in rects]),
+        "my0": pa.array([r[2] for r in rects]),
+        "mx1": pa.array([r[3] for r in rects]),
+        "my1": pa.array([r[4] for r in rects]),
+    }))
+    for zoom in (2, 5):
+        got = join.rect_join_bucketed(
+            D.read_docs(sf_dir), rects_ds, zoom=zoom, num_partitions=8
+        ).to_pandas()
+        assert set(map(tuple, got.values)) == set(map(tuple, broad.values)), zoom
+        assert len(got) == len(broad), zoom  # exactly one row per pair
+
+
+def test_rect_join_bucketed_large_catalog(ray_session):
+    """>=100k rects — the catalog size the broadcast path exists to
+    avoid — against a synthetic doc grid, verified on a sampled doc
+    subset by brute force."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    n_rects = 120_000
+    x0 = rng.uniform(0, 0.995, n_rects)
+    y0 = rng.uniform(0, 0.995, n_rects)
+    w = rng.uniform(0.0005, 0.004, n_rects)   # tiny rects: O(1) cells at z8
+    rect_t = pa.table({
+        "rect_id": pa.array(np.arange(n_rects, dtype=np.int64)),
+        "mx0": pa.array(x0), "my0": pa.array(y0),
+        "mx1": pa.array(np.minimum(x0 + w, 1.0)),
+        "my1": pa.array(np.minimum(y0 + w, 1.0)),
+    })
+    n_docs = 20_000
+    mx = rng.uniform(0, 1, n_docs)
+    my = rng.uniform(0, 1, n_docs)
+    # invert mercator fraction -> lon/lat so _doc_cell_rows' forward
+    # transform reproduces (mx, my)
+    lon = (mx - 0.5) * 360.0
+    lat = (2.0 * np.arctan(np.exp((0.5 - my) * 2.0 * np.pi)) - np.pi / 2) * 180.0 / np.pi
+    docs_t = pa.table({
+        "doc_num": pa.array(np.arange(n_docs, dtype=np.int64)),
+        "lon": pa.array(lon), "lat": pa.array(lat),
+    })
+    got = join.rect_join_bucketed(
+        rd.from_arrow(docs_t).repartition(8),
+        rd.from_arrow(rect_t).repartition(8),
+        zoom=8, num_partitions=16,
+    ).to_pandas()
+    # forward-transformed coordinates (what the engine tests against)
+    fmx, fmy = coords.mercator_fraction(lon, lat)
+    # brute-force verify a doc sample
+    sample = rng.choice(n_docs, 400, replace=False)
+    expected = set()
+    for d in sample:
+        m = ((fmx[d] >= x0) & (fmx[d] < np.minimum(x0 + w, 1.0))
+             & (fmy[d] >= y0) & (fmy[d] < np.minimum(y0 + w, 1.0)))
+        expected |= {(int(d), int(r)) for r in np.flatnonzero(m)}
+    got_sample = {(int(a), int(b)) for a, b in got.values if a in set(sample.tolist())}
+    assert got_sample == expected

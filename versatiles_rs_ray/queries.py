@@ -207,7 +207,27 @@ def q_merged_tile_sources(sf_dir):
     return stack.merge_sources(ds, source_names=names)
 
 
+# overlapping mercator-fraction rects for the bucketed-rect leg of
+# pip_join: (rect_id, mx0, my0, mx1, my1), half-open
+PIP_RECTS = (
+    (1, 0.10, 0.10, 0.40, 0.30),
+    (2, 0.25, 0.05, 0.60, 0.50),  # overlaps rect 1
+    (3, 0.80, 0.60, 0.95, 0.90),
+)
+PIP_RECT_ZOOM = 4  # grid zoom for rect_join_bucketed's exchange
+
+
 def q_pip_join(sf_dir):
+    """Point-in-polygon containment, BOTH execution shapes in one
+    driver row tagged by `leg`: 'tile' = broadcast tile-footprint
+    semi-join over the 14-tile golden pyramid (stages/join.
+    TileSetPIPJoin, no shuffle), 'rect' = the large-catalog scale path
+    (stages/join.rect_join_bucketed: rects explode to overlapped grid
+    cells, docs route to their cell, ONE co-partitioning exchange, no
+    broadcast). Rect rows carry rect_id with z/x/y = -1 and vice
+    versa; each leg has its exact SQL mirror."""
+    import ray.data as rd
+
     tiles_by_z = {}
     for z, x, y in _pip_tiles():
         tiles_by_z.setdefault(z, []).append((x, y))
@@ -217,7 +237,35 @@ def q_pip_join(sf_dir):
             join.TileSetPIPJoin(z, txy), batch_format="pyarrow"
         ).select_columns(["doc_num", "z", "x", "y"])
         out = ds if out is None else out.union(ds)
-    return out
+
+    def tag_tile(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        batch = pa.table({"leg": pa.array(["tile"] * n),
+                          "doc_num": batch["doc_num"], "z": batch["z"],
+                          "x": batch["x"], "y": batch["y"]})
+        return batch.append_column(
+            "rect_id", pa.array(np.full(n, -1, dtype=np.int64)))
+
+    out = out.map_batches(tag_tile, batch_format="pyarrow")
+
+    rects_ds = rd.from_arrow(pa.table({
+        "rect_id": pa.array([r[0] for r in PIP_RECTS], type=pa.int64()),
+        "mx0": pa.array([r[1] for r in PIP_RECTS]),
+        "my0": pa.array([r[2] for r in PIP_RECTS]),
+        "mx1": pa.array([r[3] for r in PIP_RECTS]),
+        "my1": pa.array([r[4] for r in PIP_RECTS]),
+    }))
+    rect = join.rect_join_bucketed(
+        _docs(sf_dir), rects_ds, zoom=PIP_RECT_ZOOM, num_partitions=8)
+
+    def tag_rect(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        neg = pa.array(np.full(n, -1, dtype=np.int64))
+        return pa.table({"leg": pa.array(["rect"] * n),
+                         "doc_num": batch["doc_num"], "z": neg, "x": neg,
+                         "y": neg, "rect_id": batch["rect_id"]})
+
+    return out.union(rect.map_batches(tag_rect, batch_format="pyarrow"))
 
 
 Z_KNN_GROUP = 3
@@ -1212,10 +1260,25 @@ def _oracle_pip_join():
     parts = []
     for z in sorted({t[0] for t in _pip_tiles()}):
         parts.append(
-            f"SELECT doc_num, t.z, t.x, t.y FROM {_sql_docs_at(z)} t "
+            f"SELECT 'tile' AS leg, doc_num, t.z, t.x, t.y, "
+            f"CAST(-1 AS BIGINT) AS rect_id FROM {_sql_docs_at(z)} t "
             f"JOIN (VALUES {vals}) AS poly(z, x, y) "
             f"ON poly.z = {z} AND t.x = poly.x AND t.y = poly.y"
         )
+    # rect leg: identical mercator-fraction formula as
+    # core/coords.mercator_fraction (lat*pi/360 == radians(lat)/2)
+    rvals = ", ".join(
+        f"({rid}, {x0!r}, {y0!r}, {x1!r}, {y1!r})"
+        for rid, x0, y0, x1, y1 in PIP_RECTS)
+    parts.append(
+        "SELECT 'rect' AS leg, doc_num, CAST(-1 AS BIGINT) AS z, "
+        "CAST(-1 AS BIGINT) AS x, CAST(-1 AS BIGINT) AS y, r.rect_id "
+        "FROM (SELECT doc_num, lon / 360.0 + 0.5 AS mx, "
+        "0.5 - 0.5 * ln(tan(radians(lat) / 2 + pi() / 4)) / pi() AS my "
+        f"FROM {SQL_DOCS} d) m "
+        f"JOIN (VALUES {rvals}) AS r(rect_id, x0, y0, x1, y1) "
+        "ON m.mx >= r.x0 AND m.mx < r.x1 AND m.my >= r.y0 AND m.my < r.y1"
+    )
     return " UNION ALL ".join(parts)
 
 

@@ -12,6 +12,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from . import topk as topk_kernel
+
 
 def _to_matrix(col, dim: int = 0) -> np.ndarray:
     """List column -> (n, d) float32. Ray Data emits EMPTY blocks for
@@ -33,12 +35,7 @@ class CosineTopKPartial:
 
     def __init__(self, q_ids, q_matrix, k, exclude_self=True):
         self.q_ids = np.asarray(q_ids, dtype=np.int64)
-        # searchsorted self-exclusion masks one hit per id; duplicate
-        # query ids would silently change semantics vs a full equality
-        # mask — pin the unique-ids assumption
-        if np.unique(self.q_ids).size != self.q_ids.size:
-            raise ValueError("CosineTopKPartial requires unique q_ids "
-                             "(searchsorted self-exclusion masks one hit per id)")
+        topk_kernel.check_unique_qids(self.q_ids, "CosineTopKPartial")
         q = np.asarray(q_matrix, dtype=np.float32)
         qnorm = np.linalg.norm(q, axis=1, keepdims=True)
         qnorm[qnorm == 0] = 1.0  # zero-norm query: sims 0, not NaN
@@ -46,79 +43,34 @@ class CosineTopKPartial:
         self.k = k
         self.exclude_self = exclude_self
 
-    CHUNK = 4096  # candidate chunk: bounds the (Q, CHUNK) sim matrix
-    # per task so concurrent tasks don't thrash memory bandwidth
-
-    # compact the candidate pool once it outgrows this many entries
-    POOL_LIMIT = 1 << 16
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """Threshold-masked streaming top-k over negated similarities
-        (exact, deterministic) — same scheme as stages/join.KnnPartial:
-        the per-chunk argpartition profiled at ~60% of kernel time, so
-        each chunk now only computes the GEMM and one comparison
-        against the per-query kth-best score; passing candidates pool
-        up and compact via one lexsort. `<=` keeps boundary ties, so
-        the (sim desc, id asc) tie-break stays exact."""
-        from .join import _topk_runs
-
+        """Streaming top-k over NEGATED similarities via the shared
+        threshold-mask kernel (stages/topk.streaming_topk); this class
+        only supplies the GEMM chunk scorer and maps the kernel output
+        to (q_id, vec_id, sim). Minimizing -sim with (score, id)
+        tie-breaking keeps the (sim desc, id asc) contract exact."""
         ids = np.asarray(batch["vec_id"], dtype=np.int64)
         m = _to_matrix(batch["embedding"])
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mn = m / norms
-        k = self.k
-        Q = len(self.q_ids)
-        thresh = np.full(Q, np.inf)  # kth-best NEGATED similarity
-        pool_q, pool_i, pool_v = [], [], []
-        pool_n = 0
-        q_sorted = np.sort(self.q_ids)
-        q_rank = np.argsort(self.q_ids, kind="stable")
 
-        def compact():
-            nonlocal pool_q, pool_i, pool_v, pool_n
-            qidx = np.concatenate(pool_q)
-            ids_f = np.concatenate(pool_i)
-            vals_f = np.concatenate(pool_v)
-            finite = vals_f < np.inf
-            if not finite.all():
-                qidx, ids_f, vals_f = qidx[finite], ids_f[finite], vals_f[finite]
-            qs, cs, vs, starts, keep = _topk_runs(qidx, ids_f, vals_f, k)
-            pool_q, pool_i, pool_v = [qs[keep]], [cs[keep]], [vs[keep]]
-            pool_n = int(keep.sum())
-            n = len(qs)
-            run_len = np.diff(np.append(starts, n))
-            full = run_len >= k
-            thresh[qs[starts[full]]] = vs[starts[full] + k - 1]
-            return qs, cs, vs, keep
+        def score(sl):
+            sims = (self.qn @ mn[sl].T).astype(np.float64)  # (Q, W)
+            return np.negative(sims, out=sims)
 
-        for start in range(0, len(ids), self.CHUNK):
-            sl = slice(start, start + self.CHUNK)
-            sims = (self.qn @ mn[sl].T).astype(np.float64)  # (Q, chunk)
-            np.negative(sims, out=sims)  # minimize negated similarity
-            if self.exclude_self and Q:
-                pos = np.searchsorted(q_sorted, ids[sl])
-                hit = np.flatnonzero(q_sorted[np.minimum(pos, Q - 1)] == ids[sl])
-                if len(hit):
-                    sims[q_rank[pos[hit]], hit] = np.inf
-            qi, ci = np.nonzero(sims <= thresh[:, None])
-            if len(qi):
-                pool_q.append(qi.astype(np.int64))
-                pool_i.append(ids[sl][ci])
-                pool_v.append(sims[qi, ci])
-                pool_n += len(qi)
-            if pool_n > self.POOL_LIMIT:
-                compact()
-        if not pool_q:
+        res = topk_kernel.streaming_topk(
+            ids, self.q_ids, self.k, score, exclude_self=self.exclude_self)
+        if res is None:
             empty64 = pa.array([], type=pa.int64())
             return pa.table({"q_id": empty64, "vec_id": empty64,
                              "sim": pa.array([], type=pa.float64())})
-        qs, cs, vs, keep = compact()
+        qs, cs, vs = res
         return pa.table(
             {
-                "q_id": pa.array(self.q_ids[qs[keep]], type=pa.int64()),
-                "vec_id": pa.array(cs[keep], type=pa.int64()),
-                "sim": pa.array(-vs[keep], type=pa.float64()),
+                "q_id": pa.array(self.q_ids[qs], type=pa.int64()),
+                "vec_id": pa.array(cs, type=pa.int64()),
+                "sim": pa.array(-vs, type=pa.float64()),
             }
         )
 

@@ -21,6 +21,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..core import coords
+from . import topk as topk_kernel
 from .assign import pack_tkey
 
 
@@ -56,10 +57,10 @@ class RectJoin:
 
     Rects: (rect_id, mx0, my0, mx1, my1) half-open in mercator fraction
     space. Vectorized candidate test per rect — right-sized for a
-    broadcast small side (<= a few thousand rects). At larger polygon
-    counts, bucket rects by the tile grid cell they overlap and probe
-    per-bucket (the STRtree-style scale path; same output contract).
-    Emits one output row per (doc, rect) pair.
+    broadcast small side (<= a few thousand rects). For larger rect
+    catalogs use ``rect_join_bucketed`` below (grid-bucketed exchange,
+    the STRtree-style scale path; pair-identical output). Emits one
+    output row per (doc, rect) pair.
     """
 
     def __init__(self, rects: list):
@@ -95,125 +96,49 @@ class KnnPartial:
 
     def __init__(self, q_ids, q_lon, q_lat, k: int, exclude_self=True):
         self.q_ids = np.asarray(q_ids, dtype=np.int64)
-        # the searchsorted self-exclusion probe masks only the FIRST
-        # matching query position, so duplicate query ids would change
-        # semantics vs the old full (Q, W) equality mask — pin the
-        # unique-ids assumption all current callers satisfy
-        if np.unique(self.q_ids).size != self.q_ids.size:
-            raise ValueError("KnnPartial requires unique q_ids "
-                             "(searchsorted self-exclusion masks one hit per id)")
+        topk_kernel.check_unique_qids(self.q_ids, "KnnPartial")
         self.q_lon = np.asarray(q_lon, dtype=np.float64)
         self.q_lat = np.asarray(q_lat, dtype=np.float64)
         self.k = k
         self.exclude_self = exclude_self
 
-    CHUNK = 4096  # candidates per inner chunk: keeps the (Q, CHUNK)
-    # distance matrix ~4 MB so 32 concurrent tasks don't thrash memory
-    # (un-chunked, per-task CPU inflates ~4x from bandwidth contention)
-
-    # compact the candidate pool once it outgrows this many entries
-    POOL_LIMIT = 1 << 16
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """Threshold-masked streaming top-k (exact, deterministic).
-
-        Per chunk only the distance matrix and one comparison against
-        the current per-query kth-best distance are computed; passing
-        candidates accumulate in a pool that is compacted (one lexsort
-        + first-k-per-run) when it grows. This replaces the earlier
-        per-chunk argpartition, which profiled at 60% of kernel time
-        (argpartition over (Q, 4096) float64 per chunk); after the
-        first compaction the mask admits almost nothing, so the steady
-        state is pure vectorized distance math. Ties at the threshold
-        pass the `<=` mask, preserving the documented (distance, id)
-        deterministic tie-breaking on degenerate inputs.
-        """
+        """Streaming top-k via the shared threshold-mask kernel
+        (stages/topk.streaming_topk — see its docstring for the
+        scheme); this class only supplies the squared-euclidean chunk
+        scorer with reusable (Q, CHUNK) work buffers (the chunk loop
+        allocates nothing in steady state) and maps the kernel output
+        to (q_doc, n_doc, d2)."""
         c_id = np.asarray(batch["doc_num"], dtype=np.int64)
         c_lon = np.asarray(batch["lon"], dtype=np.float64)
         c_lat = np.asarray(batch["lat"], dtype=np.float64)
-        k = self.k
         Q = len(self.q_ids)
-        thresh = np.full(Q, np.inf)
-        pool_q, pool_i, pool_v = [], [], []
-        pool_n = 0
-        # self-exclusion via searchsorted hit test per chunk — an
-        # O(W log Q) probe instead of a (Q, W) id-equality matrix pass
-        q_sorted = np.sort(self.q_ids)
-        q_rank = np.argsort(self.q_ids, kind="stable")
-        # reusable (Q, CHUNK) work buffers: the chunk loop allocates
-        # nothing in steady state
-        buf_a = np.empty((Q, self.CHUNK))
-        buf_b = np.empty((Q, self.CHUNK))
-        mask = np.empty((Q, self.CHUNK), dtype=bool)
+        buf_a = np.empty((Q, topk_kernel.CHUNK))
+        buf_b = np.empty((Q, topk_kernel.CHUNK))
 
-        def compact():
-            nonlocal pool_q, pool_i, pool_v, pool_n
-            qidx = np.concatenate(pool_q)
-            ids_f = np.concatenate(pool_i)
-            vals_f = np.concatenate(pool_v)
-            finite = vals_f < np.inf
-            if not finite.all():
-                qidx, ids_f, vals_f = qidx[finite], ids_f[finite], vals_f[finite]
-            qs, cs, vs, starts, keep = _topk_runs(qidx, ids_f, vals_f, k)
-            pool_q, pool_i, pool_v = [qs[keep]], [cs[keep]], [vs[keep]]
-            pool_n = int(keep.sum())
-            # tighten per-query thresholds to the kth-best distance
-            n = len(qs)
-            run_len = np.diff(np.append(starts, n))
-            full = run_len >= k
-            thresh[qs[starts[full]]] = vs[starts[full] + k - 1]
-            return qs, cs, vs, keep
-
-        for start in range(0, len(c_id), self.CHUNK):
-            sl = slice(start, start + self.CHUNK)
-            W = min(self.CHUNK, len(c_id) - start)
-            a, b, m = buf_a[:, :W], buf_b[:, :W], mask[:, :W]
+        def score(sl):
+            W = sl.stop - sl.start
+            a, b = buf_a[:, :W], buf_b[:, :W]
             np.subtract(self.q_lon[:, None], c_lon[None, sl], out=a)
             np.multiply(a, a, out=a)
             np.subtract(self.q_lat[:, None], c_lat[None, sl], out=b)
             np.multiply(b, b, out=b)
-            d2 = np.add(a, b, out=a)  # (Q, W)
-            if self.exclude_self and Q:
-                pos = np.searchsorted(q_sorted, c_id[sl])
-                hit = np.flatnonzero(q_sorted[np.minimum(pos, Q - 1)] == c_id[sl])
-                if len(hit):
-                    d2[q_rank[pos[hit]], hit] = np.inf
-            np.less_equal(d2, thresh[:, None], out=m)
-            qi, ci = np.nonzero(m)
-            if len(qi):
-                pool_q.append(qi.astype(np.int64))
-                pool_i.append(c_id[sl][ci])
-                pool_v.append(d2[qi, ci])
-                pool_n += len(qi)
-            if pool_n > self.POOL_LIMIT:
-                compact()
-        if not pool_q:
+            return np.add(a, b, out=a)  # (Q, W) squared distance
+
+        res = topk_kernel.streaming_topk(
+            c_id, self.q_ids, self.k, score, exclude_self=self.exclude_self)
+        if res is None:
             empty64 = pa.array([], type=pa.int64())
             return pa.table({"q_doc": empty64, "n_doc": empty64,
                              "d2": pa.array([], type=pa.float64())})
-        qs, cs, vs, keep = compact()
+        qs, cs, vs = res
         return pa.table(
             {
-                "q_doc": pa.array(self.q_ids[qs[keep]], type=pa.int64()),
-                "n_doc": pa.array(cs[keep], type=pa.int64()),
-                "d2": pa.array(vs[keep], type=pa.float64()),
+                "q_doc": pa.array(self.q_ids[qs], type=pa.int64()),
+                "n_doc": pa.array(cs, type=pa.int64()),
+                "d2": pa.array(vs, type=pa.float64()),
             }
         )
-
-
-def _topk_runs(qidx, ids, vals, k):
-    """Exact per-query top-k by (distance, id): one lexsort by
-    (query, distance, id) + first-k-per-run mask. Returns the sorted
-    (qs, cs, vs), run starts, and the keep mask."""
-    order = np.lexsort((ids, vals, qidx))
-    qs, vs, cs = qidx[order], vals[order], ids[order]
-    n = len(qs)
-    new_run = np.ones(n, dtype=bool)
-    new_run[1:] = qs[1:] != qs[:-1]
-    starts = np.flatnonzero(new_run)
-    run_start = np.repeat(starts, np.diff(np.append(starts, n)))
-    keep = (np.arange(n, dtype=np.int64) - run_start) < k
-    return qs, cs, vs, starts, keep
 
 
 def _batch_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
@@ -397,6 +322,149 @@ def knn_join_grouped(docs_ds, queries_ds, k: int, zoom: int,
         functools.partial(_grouped_knn_combine, k=k, exclude_self=exclude_self),
         num_partitions=num_partitions,
     )
+
+
+# ---- bucketed rect join: the large-catalog scale path -------------------
+
+
+def _rect_cell_rows(batch: pa.Table, zoom: int) -> pa.Table:
+    """Rect side: explode each rect to EVERY grid cell it overlaps at
+    ``zoom`` (ragged cross-product, fully vectorized). Cell c covers
+    [c/n, (c+1)/n) per axis, so a half-open rect overlaps x cells
+    floor(mx0*n) .. ceil(mx1*n)-1 inclusive (same floor(mx*2^z)
+    convention as tile assignment — no boundary drift vs the
+    broadcast path)."""
+    n = 1 << zoom
+    rid = np.asarray(batch["rect_id"], dtype=np.int64)
+    mx0 = np.asarray(batch["mx0"], dtype=np.float64)
+    my0 = np.asarray(batch["my0"], dtype=np.float64)
+    mx1 = np.asarray(batch["mx1"], dtype=np.float64)
+    my1 = np.asarray(batch["my1"], dtype=np.float64)
+    cx0 = np.clip(np.floor(mx0 * n), 0, n - 1).astype(np.int64)
+    cy0 = np.clip(np.floor(my0 * n), 0, n - 1).astype(np.int64)
+    cx1 = np.clip(np.ceil(mx1 * n) - 1, -1, n - 1).astype(np.int64)
+    cy1 = np.clip(np.ceil(my1 * n) - 1, -1, n - 1).astype(np.int64)
+    nx = np.maximum(cx1 - cx0 + 1, 0)
+    ny = np.maximum(cy1 - cy0 + 1, 0)
+    total = nx * ny  # cells per rect (0 for degenerate rects)
+    tot = int(total.sum())
+    rect_idx = np.repeat(np.arange(len(rid), dtype=np.int64), total)
+    # ragged 0..total_i-1 enumeration per rect
+    starts = np.concatenate(([0], np.cumsum(total)[:-1]))
+    pos = np.arange(tot, dtype=np.int64) - np.repeat(starts, total)
+    ny_rep = np.repeat(ny, total)
+    x = np.repeat(cx0, total) + pos // np.maximum(ny_rep, 1)
+    y = np.repeat(cy0, total) + pos % np.maximum(ny_rep, 1)
+    tkey = pack_tkey(np.full(tot, zoom, dtype=np.int64), x, y)
+    return pa.table(
+        {
+            "tkey": pa.array(tkey, type=pa.int64()),
+            "side": pa.array(np.zeros(tot, dtype=np.int8)),
+            "id": pa.array(rid[rect_idx], type=pa.int64()),
+            "a": pa.array(mx0[rect_idx]),
+            "b": pa.array(my0[rect_idx]),
+            "c": pa.array(mx1[rect_idx]),
+            "d": pa.array(my1[rect_idx]),
+        }
+    )
+
+
+def _doc_cell_rows(batch: pa.Table, zoom: int) -> pa.Table:
+    """Doc side: one row per doc, keyed by its single grid cell."""
+    lon = np.asarray(batch["lon"], dtype=np.float64)
+    lat = np.asarray(batch["lat"], dtype=np.float64)
+    doc = np.asarray(batch["doc_num"], dtype=np.int64)
+    x, y = coords.lonlat_to_tile(lon, lat, zoom)
+    mx, my = coords.mercator_fraction(lon, lat)
+    tkey = pack_tkey(np.full(len(x), zoom, dtype=np.int64), x, y)
+    z = np.zeros(len(x), dtype=np.float64)
+    return pa.table(
+        {
+            "tkey": pa.array(tkey, type=pa.int64()),
+            "side": pa.array(np.ones(len(x), dtype=np.int8)),
+            "id": pa.array(doc, type=pa.int64()),
+            "a": pa.array(mx),
+            "b": pa.array(my),
+            "c": pa.array(z),
+            "d": pa.array(z),
+        }
+    )
+
+
+def _rect_bucket_combine(table: pa.Table) -> pa.Table:
+    """Per partition: group rows by cell, probe that cell's docs
+    against that cell's rects (vectorized per rect — rects per cell is
+    the bounded quantity the bucketing buys). A (doc, rect) pair is
+    emitted exactly once: the doc lives in ONE cell and the rect copy
+    in that cell is unique."""
+    out_doc, out_rect = [], []
+    if table.num_rows:
+        tkey = np.asarray(table["tkey"], dtype=np.int64)
+        side = np.asarray(table["side"], dtype=np.int8)
+        ids = np.asarray(table["id"], dtype=np.int64)
+        a = np.asarray(table["a"], dtype=np.float64)
+        b = np.asarray(table["b"], dtype=np.float64)
+        c = np.asarray(table["c"], dtype=np.float64)
+        d = np.asarray(table["d"], dtype=np.float64)
+        order = np.lexsort((side, tkey))
+        tkey, side, ids = tkey[order], side[order], ids[order]
+        a, b, c, d = a[order], b[order], c[order], d[order]
+        run_starts = np.flatnonzero(np.r_[True, tkey[1:] != tkey[:-1]])
+        run_ends = np.r_[run_starts[1:], len(tkey)]
+        for s, e in zip(run_starts, run_ends):
+            split = s + int(np.searchsorted(side[s:e], 1))
+            if split == s or split == e:
+                continue  # rect-only or doc-only cell
+            mx, my = a[split:e], b[split:e]
+            docs = ids[split:e]
+            for r in range(s, split):
+                m = (mx >= a[r]) & (mx < c[r]) & (my >= b[r]) & (my < d[r])
+                hits = docs[m]
+                if len(hits):
+                    out_doc.append(hits)
+                    out_rect.append(np.full(len(hits), ids[r], dtype=np.int64))
+    cat = lambda p: np.concatenate(p) if p else np.empty(0, np.int64)
+    return pa.table(
+        {
+            "doc_num": pa.array(cat(out_doc), type=pa.int64()),
+            "rect_id": pa.array(cat(out_rect), type=pa.int64()),
+        }
+    )
+
+
+def rect_join_bucketed(docs_ds, rects_ds, zoom: int,
+                       num_partitions: int = 64):
+    """Rect join for LARGE rect catalogs (the STRtree-style scale path
+    RectJoin's docstring promises; reference containment maps tiles
+    through `TileBBoxPyramid::contains_coord`,
+    tile_bbox_pyramid.rs:171-177).
+
+    The broadcast path re-tests every doc against every rect; here
+    BOTH sides shuffle once by grid cell at ``zoom``: rects explode to
+    the cells they overlap, docs route to their single cell, and each
+    partition probes locally. Traffic is O(D + R·cells_per_rect) rows
+    through one exchange; no side is ever broadcast or materialized.
+
+    Partitioning assumption (document per call site): ``zoom`` should
+    make a typical rect span O(1) cells — too coarse re-creates the
+    broadcast problem inside a cell, too fine multiplies rect copies.
+    Hot cells are bounded by num_partitions spreading distinct cells.
+
+    ``rects_ds``: Dataset with (rect_id, mx0, my0, mx1, my1), half-open
+    mercator-fraction rects. Returns (doc_num, rect_id) pairs —
+    pair-identical to the broadcast path (tests assert equality).
+    """
+    import functools
+
+    from .exchange import hash_exchange
+
+    r = rects_ds.map_batches(
+        functools.partial(_rect_cell_rows, zoom=zoom), batch_format="pyarrow")
+    p = docs_ds.map_batches(
+        functools.partial(_doc_cell_rows, zoom=zoom), batch_format="pyarrow")
+    return hash_exchange(
+        r.union(p), "tkey", _rect_bucket_combine,
+        num_partitions=num_partitions)
 
 
 # ---- as-of join ---------------------------------------------------------
