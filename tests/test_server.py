@@ -498,3 +498,50 @@ def test_pmtiles_zstd_compression_fails_mount(tmp_path, debug_ds):
     srv = TileServer()
     with pytest.raises(NotImplementedError, match="tile_compression"):
         srv.add_tile_source("z", p)
+
+
+def test_forwarded_proto_and_host_in_tilejson(debug_ds, tmp_path):
+    """Behind a TLS-terminating proxy the advertised tile URLs must
+    carry the forwarded scheme+host, not http://<bind-host>."""
+    mb = str(tmp_path / "fwd.mbtiles")
+    write_mbtiles(debug_ds, mb)
+    srv = TileServer()
+    srv.add_tile_source("m", mb)
+    url = srv.start()
+    try:
+        st, _, body = _get(f"{url}/tiles/m/tiles.json", headers={
+            "X-Forwarded-Proto": "https",
+            "X-Forwarded-Host": "tiles.example.com"})
+        assert st == 200
+        doc = json.loads(body)
+        assert doc["tiles"][0].startswith("https://tiles.example.com/")
+        # an unknown scheme value must not be reflected
+        st, _, body = _get(f"{url}/tiles/m/tiles.json", headers={
+            "X-Forwarded-Proto": "gopher",
+            "Host": "h.example:1234"})
+        assert json.loads(body)["tiles"][0].startswith("http://h.example:1234/")
+    finally:
+        srv.shutdown()
+
+
+def test_vpl_mount_tempdir_reclaimed(tmp_path):
+    """A .vpl tile source converts into a scratch pmtiles dir at mount
+    time; TileServer.shutdown() must remove it (the round-3 leak)."""
+    import os
+
+    from versatiles_rs_ray.config import _mount_vpl
+
+    vpl = tmp_path / "p.vpl"
+    vpl.write_text('from_debug zmax="1"\n')
+    srv = TileServer()
+    _mount_vpl(srv, "pipe", str(vpl))
+    assert len(srv._temp_dirs) == 1
+    tmp = srv._temp_dirs[0]
+    assert os.path.isdir(tmp) and os.listdir(tmp)
+    url = srv.start()
+    try:
+        st, _, body = _get(f"{url}/tiles/pipe/1/0/1")
+        assert st == 200 and json.loads(body) == {"x": 0, "y": 1, "z": 1}
+    finally:
+        srv.shutdown()
+    assert not os.path.exists(tmp)

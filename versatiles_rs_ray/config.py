@@ -121,6 +121,8 @@ def _mount_vpl(srv, name: str, vpl_path: str):
 
     text = open(vpl_path).read()
     ds = build_pipeline(text, sf_dir=os.path.dirname(os.path.abspath(vpl_path)))
-    out = os.path.join(tempfile.mkdtemp(prefix="vts_serve_"), f"{name}.pmtiles")
+    tmp = tempfile.mkdtemp(prefix="vts_serve_")
+    srv._temp_dirs.append(tmp)  # reclaimed in TileServer.shutdown()
+    out = os.path.join(tmp, f"{name}.pmtiles")
     write_pmtiles(ds, out, metadata={"name": name})
     srv.add_tile_source(name, out)

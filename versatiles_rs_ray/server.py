@@ -430,9 +430,17 @@ def _make_handler(sources: dict, base_url_holder: list, statics: list = (),
                         return self._send(404, b"api disabled", "text/plain")
                     # advertise the HOST THE CLIENT USED, not the bind
                     # address (0.0.0.0 in config defaults would make
-                    # every tile URL unreachable)
-                    req_host = self.headers.get("Host")
-                    base = (f"http://{req_host}" if req_host
+                    # every tile URL unreachable); behind a
+                    # TLS-terminating proxy honor X-Forwarded-Proto /
+                    # X-Forwarded-Host so the scheme survives (the
+                    # reference sidesteps with a relative prefix,
+                    # tile_source.rs:100)
+                    req_host = (self.headers.get("X-Forwarded-Host")
+                                or self.headers.get("Host"))
+                    scheme = self.headers.get("X-Forwarded-Proto", "http")
+                    if scheme not in ("http", "https"):
+                        scheme = "http"
+                    base = (f"{scheme}://{req_host}" if req_host
                             else base_url_holder[0])
                     body = json.dumps(src.tilejson(base)).encode()
                     return self._send(200, body, "application/json")
@@ -534,6 +542,9 @@ class TileServer:
         self._httpd = None
         self._thread = None
         self._base_url_holder = [""]
+        # scratch dirs owned by this server (e.g. VPL mounts converted
+        # to pmtiles at mount time) — removed on shutdown()
+        self._temp_dirs: list[str] = []
 
     def add_tile_source(self, source_id: str, path: str):
         self.sources[source_id] = TileSource(source_id, path)
@@ -566,3 +577,7 @@ class TileServer:
             self._httpd.server_close()
             self._thread.join(timeout=5)
             self._httpd = None
+        import shutil
+
+        while self._temp_dirs:
+            shutil.rmtree(self._temp_dirs.pop(), ignore_errors=True)
