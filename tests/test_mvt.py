@@ -225,3 +225,131 @@ def test_value_variant_preserved_on_reencode():
 
     # variant classes still behave as their base types
     assert Float32(1.5) == 1.5 and Int64(7) == 7 and SInt64(-3) < 0
+
+
+# ---- round-4 fast paths: vectorized varints, raw-geometry passthrough,
+# ---- wire-level layer/property filters ---------------------------------
+
+
+def test_varint_codec_roundtrip_small_and_large():
+    import random
+
+    rng = random.Random(7)
+    cases = [
+        [],
+        [0],
+        [1, 127, 128, 300],
+        [2**64 - 1, 2**63, 0, 2**35 + 17],  # canonical 10-byte varints
+        [rng.randrange(2**rng.randrange(1, 64)) for _ in range(5000)],
+    ]
+    for vals in cases:
+        buf = mvt.encode_varints(vals)
+        # scalar reference encoding must be byte-identical
+        ref = bytearray()
+        for v in vals:
+            mvt._write_varint(ref, int(v))
+        assert buf == bytes(ref)
+        out = mvt.decode_varints(buf)
+        out = out.tolist() if isinstance(out, np.ndarray) else out
+        assert [int(v) for v in out] == [int(v) for v in vals]
+
+
+def test_decode_varints_rejects_truncated():
+    buf = mvt.encode_varints(list(range(1000)))
+    with pytest.raises(ValueError):
+        mvt.decode_varints(buf[:-1] + b"\x80")
+
+
+def test_geometry_vectorized_matches_scalar():
+    import random
+
+    rng = random.Random(11)
+    # large multi-part polygon: enough vertices to cross _VEC_MIN
+    parts = []
+    for _ in range(40):
+        n = rng.randrange(3, 30)
+        parts.append(
+            [(rng.randrange(-(2**20), 2**20), rng.randrange(-(2**20), 2**20))
+             for _ in range(n)]
+        )
+    for gtype in (mvt.GEOM_LINESTRING, mvt.GEOM_POLYGON):
+        enc_vec = mvt.encode_geometry(parts, gtype)
+        enc_ref = mvt._encode_geometry_scalar(parts, gtype)
+        assert [int(v) for v in enc_vec] == [int(v) for v in enc_ref]
+        dec_vec = mvt.decode_geometry(np.asarray(enc_ref, dtype=np.uint64),
+                                      gtype)
+        dec_ref = mvt._decode_geometry_scalar(enc_ref, gtype)
+        assert dec_vec == dec_ref == parts
+
+
+def test_raw_geometry_passthrough_preserves_content():
+    data = open(FIXTURE, "rb").read()
+    raw = mvt.decode_tile(data, raw_geometry=True)
+    for layer in raw["layers"]:
+        for f in layer["features"]:
+            assert "geometry" not in f and isinstance(f["geometry_raw"], bytes)
+    again = mvt.decode_tile(mvt.encode_tile(raw))
+    assert _norm(again) == _norm(mvt.decode_tile(data))
+
+
+def test_filter_layers_raw_matches_decode_path():
+    data = open(FIXTURE, "rb").read()
+    names = {"streets", "addresses"}
+    for invert in (False, True):
+        fast = mvt.decode_tile(mvt.filter_layers_raw(data, names, invert))
+        slow = mvt.decode_tile(data)
+        slow["layers"] = [
+            l for l in slow["layers"] if (l["name"] in names) == invert
+        ]
+        assert _norm(fast) == _norm(slow)
+
+
+def test_filter_properties_raw_matches_decode_path():
+    import re
+
+    data = open(FIXTURE, "rb").read()
+    for pattern, invert in [(r"streets/name", False), (r".*/kind", False),
+                            (r"streets/", True)]:
+        rx = re.compile(pattern)
+        fast = mvt.decode_tile(
+            mvt.filter_properties_raw(data, rx.search, invert))
+        slow = mvt.decode_tile(data)
+        for layer in slow["layers"]:
+            nm = layer["name"]
+            for f in layer["features"]:
+                f["properties"] = {
+                    k: v for k, v in f["properties"].items()
+                    if bool(rx.search(f"{nm}/{k}")) == invert
+                }
+        assert _norm(fast) == _norm(slow)
+
+
+def test_filter_properties_raw_handles_unpacked_tags():
+    # tags may legally arrive as individual wire-0 varint fields; the
+    # rewrite must pair them across occurrences, not copy them verbatim
+    # against a compacted key/value table
+    lay = bytearray()
+    mvt._write_field(lay, 1, 2, b"roads")
+    feat = bytearray()
+    mvt._write_field(feat, 3, 0, mvt.GEOM_POINT)
+    for t in (0, 0, 1, 1):  # kind=street, name=A as 4 unpacked tags
+        mvt._write_field(feat, 2, 0, t)
+    geom = bytearray()
+    for g in mvt.encode_geometry([[(3, 4)]], mvt.GEOM_POINT):
+        mvt._write_varint(geom, int(g))
+    mvt._write_field(feat, 4, 2, bytes(geom))
+    mvt._write_field(lay, 2, 2, bytes(feat))
+    mvt._write_field(lay, 3, 2, b"kind")
+    mvt._write_field(lay, 3, 2, b"name")
+    mvt._write_field(lay, 4, 2, mvt._encode_value("street"))
+    mvt._write_field(lay, 4, 2, mvt._encode_value("A"))
+    mvt._write_field(lay, 5, 0, 4096)
+    tile = bytearray()
+    mvt._write_field(tile, 3, 2, bytes(lay))
+
+    import re
+    out = mvt.decode_tile(
+        mvt.filter_properties_raw(bytes(tile), re.compile("roads/name").search))
+    props = out["layers"][0]["features"][0]["properties"]
+    assert props == {"kind": "street"}
+    assert out["layers"][0]["features"][0]["geometry"] == [[(3, 4)]]

@@ -893,7 +893,8 @@ def q_mvt_tiles(sf_dir):
 
     def summarize(batch: pa.Table) -> pa.Table:
         counts = [
-            sum(len(l["features"]) for l in M.decode_tile(p)["layers"])
+            sum(len(l["features"])
+                for l in M.decode_tile(p, raw_geometry=True)["layers"])
             for p in batch["payload"].to_pylist()
         ]
         return pa.table(

@@ -262,7 +262,7 @@ def probe_tile_contents(tiles_ds, payload_col="payload"):
             agg[1] += int(sizes[i])
             if fmt == "mvt":
                 try:
-                    tile = _mvt.decode_tile(payload)
+                    tile = _mvt.decode_tile(payload, raw_geometry=True)
                 except Exception:
                     continue
                 for layer in tile["layers"]:

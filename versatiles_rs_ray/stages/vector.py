@@ -29,12 +29,15 @@ from ..core import mvt
 from ..core.coords import mercator_fraction
 
 
-def _map_tiles(batch: pa.Table, fn) -> pa.Table:
+def _map_tiles(batch: pa.Table, fn, raw_geometry: bool = False) -> pa.Table:
+    # raw_geometry=True: features carry verbatim geometry bytes (no
+    # command decode/re-encode) — correct for property-only transforms
+    # and ~3x cheaper each way (mvt.decode_tile docstring)
     payloads = batch["payload"].to_pylist()
     out = []
     keep = []
     for p in payloads:
-        tile = fn(mvt.decode_tile(p))
+        tile = fn(mvt.decode_tile(p, raw_geometry=raw_geometry))
         if tile is None:
             keep.append(False)
             out.append(None)
@@ -52,13 +55,13 @@ class VectorFilterLayers:
         self.invert = invert
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        def fn(tile):
-            tile["layers"] = [
-                l for l in tile["layers"] if (l["name"] in self.names) == self.invert
-            ]
-            return tile
-
-        return _map_tiles(batch, fn)
+        # layer-level field surgery, no feature decode (mvt.
+        # filter_layers_raw) — the decode->encode round trip this
+        # replaces was the round-3 tile-transform hot spot
+        out = [mvt.filter_layers_raw(p, self.names, self.invert)
+               for p in batch["payload"].to_pylist()]
+        idx = batch.schema.get_field_index("payload")
+        return batch.set_column(idx, "payload", pa.array(out, type=pa.binary()))
 
 
 class VectorFilterProperties:
@@ -70,19 +73,15 @@ class VectorFilterProperties:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self._regex is None:
             self._regex = re.compile(self.pattern)
-
-        def fn(tile):
-            for layer in tile["layers"]:
-                name = layer["name"]
-                for feat in layer["features"]:
-                    feat["properties"] = {
-                        k: v
-                        for k, v in feat["properties"].items()
-                        if bool(self._regex.search(f"{name}/{k}")) == self.invert
-                    }
-            return tile
-
-        return _map_tiles(batch, fn)
+        # wire-level tag rewrite (mvt.filter_properties_raw): geometry,
+        # ids and value bytes are copied verbatim — no feature decode.
+        # The keep decision is per (layer, key), identical to the old
+        # per-feature dict filter since the predicate only sees
+        # f"{layer}/{key}".
+        out = [mvt.filter_properties_raw(p, self._regex.search, self.invert)
+               for p in batch["payload"].to_pylist()]
+        idx = batch.schema.get_field_index("payload")
+        return batch.set_column(idx, "payload", pa.array(out, type=pa.binary()))
 
 
 class VectorUpdateProperties:
@@ -127,7 +126,7 @@ class VectorUpdateProperties:
                 layer["features"] = kept
             return tile
 
-        return _map_tiles(batch, fn)
+        return _map_tiles(batch, fn, raw_geometry=True)
 
 
 def merge_vector_tiles(ds, num_partitions: int = 8):
@@ -158,7 +157,9 @@ def merge_vector_tiles(ds, num_partitions: int = 8):
             j = i
             tiles = []
             while j < len(order) and tkey[order[j]] == tkey[order[i]]:
-                tiles.append(mvt.decode_tile(payloads[order[j]]))
+                # merge concatenates features; geometry passes through raw
+                tiles.append(mvt.decode_tile(payloads[order[j]],
+                                             raw_geometry=True))
                 j += 1
             z, x, y = unpack_tkey(tkey[order[i]])
             zs.append(int(z))
