@@ -141,3 +141,40 @@ def test_media_bytes_decoder_real_codecs(ray_session):
     # unknown bytes untouched
     assert out.loc["c", "payload"] == b"\x00raw"
     assert out.loc["c", "width"] == 0
+
+
+def test_read_media_dir_decodes_real_files(ray_session, tmp_path):
+    """Externally-encoded fixtures (the reference's Rust-image-crate
+    mock tiles: 1-bit palette PNG, baseline JPEG, lossless WEBP) flow
+    read_binary_files -> decode_media_bytes with correct pixels —
+    the decode pool proven on bytes our own encoders never produced."""
+    import shutil
+
+    import numpy as np
+
+    from versatiles_rs_ray.sources.media import kind_of, read_media_dir
+    from versatiles_rs_ray.stages.multimodal import decode_media_bytes
+
+    src = "/root/reference/versatiles_container/src/container/mock/mock_tiles"
+    for name in ("mock.png", "mock.jpg", "mock.webp"):
+        shutil.copy(f"{src}/{name}", tmp_path / name)
+    (tmp_path / "notes.txt").write_bytes(b"not media")
+
+    assert kind_of("a/b.JPG") == "image" and kind_of("x.wav") == "audio"
+    assert kind_of("x.mkv") == "video" and kind_of("x.txt") == "binary"
+
+    out = decode_media_bytes(read_media_dir(str(tmp_path))).to_pandas()
+    out = out.set_index(out["media_ref"].str.rsplit("/", n=1).str[-1])
+    assert sorted(out.index) == ["mock.jpg", "mock.png", "mock.webp", "notes.txt"]
+    # non-media row passes through opaque (width=height=0)
+    assert out.loc["notes.txt", "width"] == 0
+    assert bytes(out.loc["notes.txt", "payload"]) == b"not media"
+    # all three mock tiles are a solid ~(170,211,223) 256x256 fill;
+    # JPEG is lossy -> +-2 per channel
+    want = np.array([170, 211, 223, 255])
+    for name, tol in [("mock.png", 0), ("mock.webp", 0), ("mock.jpg", 2)]:
+        row = out.loc[name]
+        assert row["kind"] == "image"
+        assert (row["width"], row["height"]) == (256, 256)
+        rgba = np.frombuffer(row["payload"], np.uint8).reshape(256, 256, 4)
+        assert int(np.abs(rgba.astype(int) - want).max()) <= tol, name

@@ -366,3 +366,77 @@ def test_raster_format_webp_stage(ray_session):
         arr = raster.decode(row["payload"], "webp")
         src = gradient_array(1, int(row["x"]), int(row["y"]), 8)
         assert np.array_equal(arr[..., :3], src[..., :3])
+
+
+def test_decode_png_foreign_depths_and_palette():
+    """Hand-built spec-conformant PNGs: palette 1/4-bit (+tRNS), 2-bit
+    grey, 16-bit RGB — the foreign-file classes encode_png never emits
+    (decode breadth landed for real read_binary_files corpora)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from versatiles_rs_ray.core import png as P
+
+    def build(w, h, depth, ctype, scanlines, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        raw = b"".join(b"\x00" + s for s in scanlines)  # filter 0 rows
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + P._chunk(b"IHDR", ihdr)
+            + extra
+            + P._chunk(b"IDAT", zlib.compress(raw))
+            + P._chunk(b"IEND", b"")
+        )
+
+    # 1-bit palette, 2 entries, 10px wide (bit-packing crosses a byte)
+    plte = P._chunk(b"PLTE", bytes([10, 20, 30, 200, 100, 0]))
+    rows = [bytes([0b10110011, 0b01000000]), bytes([0b00000000, 0b11000000])]
+    arr, ct = P.decode_png(build(10, 2, 1, 3, rows, plte))
+    assert ct == 3 and arr.shape == (2, 10, 3)
+    idx = (arr[..., 0] == 200).astype(int)
+    assert idx[0].tolist() == [1, 0, 1, 1, 0, 0, 1, 1, 0, 1]
+    assert idx[1].tolist() == [0] * 8 + [1, 1]
+
+    # + tRNS -> RGBA with per-entry alpha
+    trns = P._chunk(b"tRNS", bytes([255, 7]))
+    arr, _ = P.decode_png(build(10, 2, 1, 3, rows, plte + trns))
+    assert arr.shape == (2, 10, 4)
+    assert arr[0, 0].tolist() == [200, 100, 0, 7]
+    assert arr[0, 1].tolist() == [10, 20, 30, 255]
+
+    # 4-bit palette, 3px wide (odd width -> padded low nibble)
+    plte16 = P._chunk(
+        b"PLTE", bytes([i for e in range(16) for i in (e * 16, e, 255 - e)])
+    )
+    arr, _ = P.decode_png(build(3, 1, 4, 3, [bytes([0x5A, 0xF0])], plte16))
+    assert arr[0, :, 1].tolist() == [5, 10, 15]
+
+    # 2-bit greyscale: samples 0..3 -> 0, 85, 170, 255
+    arr, ct = P.decode_png(build(4, 1, 2, 0, [bytes([0b00011011])]))
+    assert ct == 0 and arr.shape == (1, 4, 1)
+    assert arr[0, :, 0].tolist() == [0, 85, 170, 255]
+
+    # 16-bit RGB: high byte kept
+    px = struct.pack(">HHH", 0xABCD, 0x1234, 0xFF00)
+    arr, ct = P.decode_png(build(1, 1, 16, 2, [px]))
+    assert ct == 2 and arr[0, 0].tolist() == [0xAB, 0x12, 0xFF]
+
+    # 16-bit with Sub filter (bpp=6): second pixel is delta-coded
+    line = b"\x01" + px + struct.pack(">HHH", 0x0100, 0x0100, 0x0100)
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n" + P._chunk(b"IHDR", ihdr)
+        + P._chunk(b"IDAT", zlib.compress(line)) + P._chunk(b"IEND", b"")
+    )
+    arr, _ = P.decode_png(data)
+    assert arr[0, 1].tolist() == [0xAC, 0x13, 0x00]
+
+    # reference's own 1-bit palette mock tile: solid (170, 211, 223)
+    mock = open(
+        "/root/reference/versatiles_container/src/container/mock/"
+        "mock_tiles/mock.png", "rb").read()
+    rgba = P.decode_png_rgba(mock)
+    assert rgba.shape == (256, 256, 4)
+    assert np.unique(rgba.reshape(-1, 4), axis=0).tolist() == [[170, 211, 223, 255]]

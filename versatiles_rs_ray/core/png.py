@@ -1,4 +1,6 @@
-"""Pure-stdlib PNG codec (zlib) — 8-bit L / LA / RGB / RGBA.
+"""Pure-stdlib PNG codec (zlib) — encodes 8-bit L / LA / RGB / RGBA;
+decodes additionally palette (PLTE/tRNS), 1/2/4-bit grey+palette and
+16-bit (high-byte fold) foreign files.
 
 Un-gates the raster surface in this sandbox: the reference encodes
 PNG via the `png` crate (versatiles_image/src/format/png.rs, used by
@@ -89,14 +91,23 @@ def _paeth(a, b, cc):
 def decode_png(data: bytes) -> tuple:
     """PNG bytes -> (array (H, W, C) uint8, color_type).
 
-    8-bit, non-interlaced, color types 0/2/4/6. All five filters
-    supported ({0,1,2} vectorized; 3/4 per-pixel for foreign files).
+    Non-interlaced; color types 0/2/3/4/6 at bit depths 1/2/4 (grey +
+    palette), 8 and 16 (high byte kept — 8-bit is the engine's
+    interchange). Palette rows come back expanded to RGB (RGBA when a
+    tRNS chunk is present) with the original color_type 3 so callers
+    can still see the source class. All five filters supported
+    ({0,1,2} vectorized; 3/4 per-pixel for foreign files); filtering
+    is byte-level per the spec, so one unfilter loop serves every
+    depth.
     """
     if data[:8] != _SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     w = h = None
     color_type = None
+    bit_depth = 8
+    palette = None
+    trns = None
     idat = bytearray()
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -107,19 +118,28 @@ def decode_png(data: bytes) -> tuple:
             w, h, bit_depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if bit_depth != 8:
-                raise ValueError(f"only 8-bit PNG supported (got {bit_depth})")
-            if color_type not in _CHANNELS:
+            if color_type not in (0, 2, 3, 4, 6):
                 raise ValueError(f"unsupported color type {color_type}")
+            if bit_depth not in (1, 2, 4, 8, 16) or (
+                bit_depth < 8 and color_type not in (0, 3)
+            ) or (bit_depth == 16 and color_type == 3):
+                raise ValueError(
+                    f"unsupported depth {bit_depth} for color type {color_type}")
             if interlace != 0:
                 raise ValueError("interlaced PNG not supported")
+        elif tag == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
             break
-    c = _CHANNELS[color_type]
+    # samples per pixel in the coded stream (palette codes 1 index)
+    spp = 1 if color_type == 3 else _CHANNELS[color_type]
+    stride = (w * spp * bit_depth + 7) // 8  # scanline bytes
+    bpp = max(1, (spp * bit_depth) // 8)     # filter offset, per spec
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = w * c
     rows = raw.reshape(h, stride + 1)
     filters = rows[:, 0]
     out = np.empty((h, stride), dtype=np.uint8)
@@ -129,25 +149,59 @@ def decode_png(data: bytes) -> tuple:
         prev = out[r - 1] if r else np.zeros(stride, dtype=np.uint8)
         if f == 0:
             out[r] = line
-        elif f == 1:  # Sub: prefix sum per channel lane (mod 256)
-            lanes = line.reshape(w, c)
-            out[r] = np.cumsum(lanes.astype(np.uint64), axis=0).astype(np.uint8).reshape(stride)
+        elif f == 1:  # Sub: prefix sum per byte lane (mod 256)
+            lanes = line.reshape(stride // bpp, bpp)
+            out[r] = (
+                np.cumsum(lanes.astype(np.uint64), axis=0)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
         elif f == 2:  # Up
             out[r] = line + prev
         elif f == 3:  # Average
             rec = out[r]
             for i in range(stride):
-                left = rec[i - c] if i >= c else 0
+                left = rec[i - bpp] if i >= bpp else 0
                 rec[i] = (int(line[i]) + ((int(left) + int(prev[i])) >> 1)) & 0xFF
         elif f == 4:  # Paeth
             rec = out[r]
             for i in range(stride):
-                left = rec[i - c] if i >= c else 0
-                ul = prev[i - c] if i >= c else 0
+                left = rec[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
                 rec[i] = (int(line[i]) + _paeth(left, prev[i], ul)) & 0xFF
         else:
             raise ValueError(f"bad filter byte {f}")
-    return out.reshape(h, w, c), color_type
+    if bit_depth < 8:
+        # MSB-first bit unpack, one vectorized pass over all rows
+        bits = np.unpackbits(out, axis=1)[:, : w * bit_depth]
+        weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint8)
+        vals = (bits.reshape(h, w, bit_depth) * weights).sum(axis=2)
+        if color_type == 3:
+            samples = vals.astype(np.uint8)
+        else:  # grey: expand the sample range to full 8 bits
+            samples = (vals * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
+            return samples[:, :, None], color_type
+    elif bit_depth == 16:
+        # big-endian pairs; keep the high byte (defined 16->8 fold)
+        arr16 = out.reshape(h, w, spp, 2)
+        return np.ascontiguousarray(arr16[..., 0]), color_type
+    else:
+        samples = out.reshape(h, w, spp)
+        if color_type != 3:
+            return samples, color_type
+        samples = samples[..., 0]
+    # palette expansion (color_type 3): PLTE rgb + optional tRNS alpha
+    if palette is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    idx = samples.astype(np.int64)
+    if idx.max() >= len(palette):
+        raise ValueError("palette index out of range")
+    rgb = palette[idx]
+    if trns is None:
+        return rgb, color_type
+    alpha = np.full(len(palette), 255, dtype=np.uint8)
+    alpha[: len(trns)] = trns
+    return np.concatenate([rgb, alpha[idx][..., None]], axis=2), color_type
 
 
 def decode_png_rgba(data: bytes) -> np.ndarray:
