@@ -385,3 +385,71 @@ def test_world_file_gates(tmp_path):
     (tmp_path / "nowf.prj").write_text('PROJCS["local",UNIT["metre",1]]')
     with _pytest.raises(NotImplementedError, match="EPSG"):
         read_raster_source(str(p))
+
+
+def test_jpeg_in_tiff_roundtrip():
+    """Compression 7 (new-style JPEG), strip + tiled, with and without
+    a shared JPEGTables tag (347) — the common satellite-export
+    layout. Lossy codec: assert small per-pixel error on a smooth
+    gradient, exact geo metadata."""
+    yy, xx = np.mgrid[0:100, 0:130]
+    arr = np.stack([
+        (xx * 255 // 129), (yy * 255 // 99), ((xx + yy) * 255 // 228)
+    ], axis=2).astype(np.uint8)
+    gt = (-180.0, 360 / 130, 0.0, 90.0, 0.0, -180 / 100)
+    for tiled in (False, True):
+        for tables in (False, True):
+            b = write_tiff(arr, geotransform=gt, epsg=4326, tiled=tiled,
+                           compression=7, jpeg_tables=tables)
+            g = read_geotiff(b)
+            assert g.array.shape == arr.shape
+            err = np.abs(g.array.astype(int) - arr.astype(int))
+            assert err.mean() < 2.0 and err.max() <= 40, (tiled, tables)
+            assert g.epsg == 4326 and np.allclose(g.geotransform, gt)
+            if tables:
+                # chunks really are abbreviated: tables appear once
+                assert b.count(b"\xff\xc4") < arr.size  # sanity
+    # greyscale single-sample path
+    grey = (xx * 255 // 129).astype(np.uint8)[:, :, None]
+    b = write_tiff(grey, geotransform=gt, epsg=4326, compression=7,
+                   jpeg_tables=True)
+    g = read_geotiff(b)
+    assert g.array.shape == grey.shape
+    assert np.abs(g.array.astype(int) - grey.astype(int)).mean() < 2.0
+
+
+def test_jpeg_in_tiff_jpegtables_chunks_are_abbreviated():
+    arr = np.full((32, 32, 3), 128, np.uint8)
+    with_t = write_tiff(arr, compression=7, jpeg_tables=True)
+    without = write_tiff(arr, compression=7, jpeg_tables=False)
+    # hoisting DQT/DHT out of every chunk shrinks multi-chunk files
+    assert len(with_t) < len(without)
+    a = read_geotiff(with_t).array
+    b = read_geotiff(without).array
+    assert np.array_equal(a, b)  # same decoded pixels either way
+
+
+def test_vpl_from_gdal_raster_jpeg_tiff(ray_session, tmp_path):
+    """JPEG-compressed GeoTIFF through the full from_gdal_raster
+    pipeline (reader -> warp pool -> tiles)."""
+    from versatiles_rs_ray.core.raster import to_array
+    from versatiles_rs_ray.pipelines.vpl import build_pipeline
+
+    yy, xx = np.mgrid[0:128, 0:128]
+    arr = np.stack([(xx * 2).astype(np.uint8), (yy * 2).astype(np.uint8),
+                    np.full((128, 128), 99, np.uint8)], axis=2)
+    gt = (-180.0, 360 / 128, 0.0, 90.0, 0.0, -180 / 128)
+    p = tmp_path / "jpeg_geo.tif"
+    p.write_bytes(write_tiff(arr, geotransform=gt, epsg=4326, tiled=True,
+                             compression=7, jpeg_tables=True))
+    ds = build_pipeline(
+        f'from_gdal_raster filename="{p}" tile_size="16" '
+        'level_min="1" level_max="1"'
+    )
+    rows = {(r["x"], r["y"]): r for r in ds.take_all()}
+    assert set(rows) == {(0, 0), (1, 0), (0, 1), (1, 1)}
+    t = to_array(rows[(0, 0)]["payload"], rows[(0, 0)]["width"],
+                 rows[(0, 0)]["height"])
+    # left half of the image: low red, blue channel ~99 everywhere
+    assert abs(int(t[..., 2].mean()) - 99) <= 3
+    assert t[..., 0].mean() < 130

@@ -10,8 +10,10 @@ geotransform + EPSG to the existing warp pool in stages/reproject.
 Scope (honest gates, not stubs): byte order II/MM; classic TIFF and
 BigTIFF (magic 43); strip and tiled layouts; planar config 1 (chunky)
 and 2 (separate planes); 8-bit unsigned and 16-bit unsigned/signed
-samples (the DEM case), 1/3/4 channels; compression none(1) and
-deflate(8/32946); predictor 1 (none) and
+samples (the DEM case), 1/3/4 channels; compression none(1), LZW(5),
+new-style JPEG(7, with or without a shared JPEGTables tag — the
+satellite-export layout), deflate(8/32946), PackBits(32773);
+predictor 1 (none) and
 2 (horizontal differencing). GeoTIFF georeferencing via
 ModelPixelScale+ModelTiepoint (or ModelTransformation) and the GeoKey
 directory (GTModelType, Geographic/ProjectedCSType -> EPSG). Anything
@@ -45,6 +47,7 @@ TAG_TILE_HEIGHT = 323
 TAG_TILE_OFFSETS = 324
 TAG_TILE_COUNTS = 325
 TAG_SAMPLE_FORMAT = 339
+TAG_JPEG_TABLES = 347
 TAG_PIXEL_SCALE = 33550
 TAG_TIEPOINT = 33922
 TAG_TRANSFORM = 34264
@@ -60,7 +63,7 @@ KEY_PROJECTED_CS = 3072
 
 # field type -> (struct fmt, byte size); rationals handled separately
 _FIELD = {1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4), 5: ("II", 8),
-          6: ("b", 1), 8: ("h", 2), 9: ("i", 4), 10: ("ii", 8),
+          6: ("b", 1), 7: ("B", 1), 8: ("h", 2), 9: ("i", 4), 10: ("ii", 8),
           11: ("f", 4), 12: ("d", 8), 16: ("Q", 8), 17: ("q", 8)}
 
 
@@ -261,6 +264,56 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _split_jpeg_tables(buf: bytes):
+    """Standalone JPEG -> (JPEGTables stream, abbreviated stream).
+
+    Moves the DQT/DHT segments into an SOI..EOI tables stream (TIFF
+    tag 347, TIFF-EP "new-style" JPEG) and leaves everything else —
+    APPn, SOF, SOS+scan — in the abbreviated per-chunk stream. The
+    shape GDAL writes for JPEG-in-TIFF satellite exports."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    tables = bytearray(b"\xff\xd8")
+    rest = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("bad JPEG segment marker")
+        marker = buf[pos + 1]
+        if marker == 0xDA:  # SOS: scan runs to EOI — copy verbatim
+            rest += buf[pos:]
+            break
+        seglen = struct.unpack_from(">H", buf, pos + 2)[0]
+        seg = buf[pos:pos + 2 + seglen]
+        (tables if marker in (0xDB, 0xC4) else rest).extend(seg)
+        pos += 2 + seglen
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(rest)
+
+
+def _jpeg_with_tables(chunk: bytes, tables) -> bytes:
+    """Re-join an abbreviated JPEG chunk with the shared JPEGTables
+    stream: insert the tables' segments right after the chunk's SOI
+    (T.81 only requires DQT/DHT to precede the scan that uses them).
+    Chunks that already carry their own tables pass through when no
+    tables tag exists."""
+    if not tables or len(tables) <= 4 or chunk[:2] != b"\xff\xd8":
+        return chunk
+    body = bytes(tables)
+    if body[:2] == b"\xff\xd8":
+        body = body[2:]
+    if body[-2:] == b"\xff\xd9":
+        body = body[:-2]
+    return chunk[:2] + body + chunk[2:]
+
+
+def _decode_jpeg_chunk(chunk: bytes, tables, samples: int) -> "np.ndarray":
+    from ..core.jpeg import decode_jpeg
+
+    rgba = decode_jpeg(_jpeg_with_tables(chunk, tables))
+    return rgba[:, :, :samples]
+
+
 def _decompress(chunk: bytes, compression: int) -> bytes:
     if compression == 1:
         return chunk
@@ -272,8 +325,7 @@ def _decompress(chunk: bytes, compression: int) -> bytes:
         return _packbits_decode(chunk)
     raise NotImplementedError(
         f"TIFF compression {compression} not supported "
-        "(none=1, LZW=5, deflate=8, PackBits=32773); JPEG-in-TIFF needs "
-        "an external codec"
+        "(none=1, LZW=5, JPEG=7, deflate=8, PackBits=32773)"
     )
 
 
@@ -328,11 +380,17 @@ def read_geotiff(path_or_bytes) -> GeoTIFF:
     planar = int(t.get(TAG_PLANAR, (1,))[0])
     if planar not in (1, 2):
         raise NotImplementedError(f"TIFF planar configuration {planar} not supported")
+    compression = int(t.get(TAG_COMPRESSION, (1,))[0])
     photometric = int(t.get(TAG_PHOTOMETRIC, (1,))[0])
-    if photometric not in (0, 1, 2, 3):  # 0=min-is-white, 1=grey, 2=RGB, 3=palette
+    # 6=YCbCr is what the JPEG codestream itself carries (decoded back
+    # to RGB by the codec), so it is only meaningful under JPEG
+    allowed_photo = (0, 1, 2, 3, 6) if compression == 7 else (0, 1, 2, 3)
+    if photometric not in allowed_photo:
         raise NotImplementedError(
             f"TIFF photometric interpretation {photometric} not supported "
-            "(0=min-is-white, 1=grayscale, 2=RGB, 3=palette)")
+            "(0=min-is-white, 1=grayscale, 2=RGB, 3=palette, 6=YCbCr "
+            "under JPEG)")
+
     if photometric == 3 and (samples != 1 or TAG_COLORMAP not in t):
         raise NotImplementedError(
             "palette TIFF needs SamplesPerPixel=1 and a ColorMap tag")
@@ -348,8 +406,17 @@ def read_geotiff(path_or_bytes) -> GeoTIFF:
     wire = np.dtype(bo + ("u2" if depth == 16 else "u1"))
     work = np.uint16 if depth == 16 else np.uint8
     final = np.int16 if signed else work
-    compression = int(t.get(TAG_COMPRESSION, (1,))[0])
     predictor = int(t.get(TAG_PREDICTOR, (1,))[0])
+    jpeg_tables = None
+    if compression == 7:
+        if (depth != 8 or signed or planar != 1 or predictor != 1
+                or photometric not in (1, 2, 6)):
+            raise NotImplementedError(
+                "JPEG-in-TIFF supports 8-bit unsigned chunky grey/RGB/YCbCr "
+                "samples without a predictor (the shape GDAL emits)")
+        raw_tables = t.get(TAG_JPEG_TABLES)
+        if raw_tables is not None:
+            jpeg_tables = bytes(raw_tables)
 
     # planar=2: chunks are plane-major (all chunks of sample 0, then
     # sample 1, ...; TIFF 6.0 §PlanarConfiguration); each chunk holds
@@ -364,10 +431,16 @@ def read_geotiff(path_or_bytes) -> GeoTIFF:
         down = (height + th - 1) // th
         per_plane = across * down
         for idx, (o, c) in enumerate(zip(offs, cnts)):
-            raw = _decompress(data[o:o + c], compression)
             plane, pidx = divmod(idx, per_plane) if planar == 2 else (None, idx)
-            tile = np.frombuffer(raw, wire)[: tw * th * chans_per_chunk].astype(work)
-            tile = _undo_predictor(tile.reshape(th, tw, chans_per_chunk), predictor)
+            if compression == 7:
+                dec = _decode_jpeg_chunk(data[o:o + c], jpeg_tables, samples)
+                tile = np.zeros((th, tw, chans_per_chunk), work)
+                tile[: dec.shape[0], : dec.shape[1]] = dec[:th, :tw]
+            else:
+                raw = _decompress(data[o:o + c], compression)
+                tile = np.frombuffer(raw, wire)[: tw * th * chans_per_chunk].astype(work)
+                tile = _undo_predictor(
+                    tile.reshape(th, tw, chans_per_chunk), predictor)
             ty, tx = divmod(pidx, across)
             y0, x0 = ty * th, tx * tw
             dst = arr[y0:y0 + th, x0:x0 + tw]
@@ -384,9 +457,15 @@ def read_geotiff(path_or_bytes) -> GeoTIFF:
             plane, pidx = divmod(idx, per_plane) if planar == 2 else (None, idx)
             y0 = pidx * rps
             nrows = min(rps, height - y0)
-            raw = _decompress(data[o:o + c], compression)
-            rows = np.frombuffer(raw, wire)[: nrows * width * chans_per_chunk].astype(work)
-            rows = _undo_predictor(rows.reshape(nrows, width, chans_per_chunk), predictor)
+            if compression == 7:
+                dec = _decode_jpeg_chunk(data[o:o + c], jpeg_tables, samples)
+                rows = np.zeros((nrows, width, chans_per_chunk), work)
+                rows[: dec.shape[0], : dec.shape[1]] = dec[:nrows, :width]
+            else:
+                raw = _decompress(data[o:o + c], compression)
+                rows = np.frombuffer(raw, wire)[: nrows * width * chans_per_chunk].astype(work)
+                rows = _undo_predictor(
+                    rows.reshape(nrows, width, chans_per_chunk), predictor)
             if planar == 2:
                 arr[y0:y0 + nrows, :, plane] = rows[:, :, 0]
             else:
@@ -452,7 +531,8 @@ def write_tiff(arr: np.ndarray, *, geotransform=None, epsg: int = 4326,
                tiled: bool = False, compression: int = 8,
                predictor: int = 2, bigtiff: bool = False,
                planar: int = 1, photometric: int | None = None,
-               colormap: np.ndarray | None = None) -> bytes:
+               colormap: np.ndarray | None = None,
+               jpeg_tables: bool = False, jpeg_quality: int = 95) -> bytes:
     """Minimal GeoTIFF writer (test fixture generator + container parity:
     the reference writes no TIFFs, but round-trip tests need one source
     of truth for the reader's layout handling). Sample depth/signedness
@@ -471,8 +551,25 @@ def write_tiff(arr: np.ndarray, *, geotransform=None, epsg: int = 4326,
         raise NotImplementedError(f"write_tiff: dtype {arr.dtype} unsupported")
     work = arr.view(np.uint16) if signed else arr  # predictor on bit pattern
     wdt = work.dtype
+    if compression == 7:
+        # new-style JPEG (tag 259=7): 8-bit chunky only, lossy chunks,
+        # no predictor; jpeg_tables=True moves the shared DQT/DHT into
+        # tag 347 and leaves abbreviated streams per chunk (GDAL's
+        # default layout for JPEG-compressed satellite exports)
+        if depth != 8 or signed or planar != 1 or c not in (1, 3):
+            raise NotImplementedError(
+                "JPEG-in-TIFF writing needs uint8 chunky 1- or 3-sample data")
+        predictor = 1
+        if photometric is None:
+            photometric = 6 if c == 3 else 1
 
     def enc(block: np.ndarray) -> bytes:
+        if compression == 7:
+            from ..core.jpeg import encode_jpeg
+
+            blk = block[:, :, 0] if block.shape[2] == 1 else block
+            return encode_jpeg(np.ascontiguousarray(blk, dtype=np.uint8),
+                               quality=jpeg_quality)
         if predictor == 2:
             bc = block.shape[2]
             block = np.diff(block.astype(np.int64), axis=1,
@@ -502,6 +599,13 @@ def write_tiff(arr: np.ndarray, *, geotransform=None, epsg: int = 4326,
             rps = 16
             for y0 in range(0, h, rps):
                 chunks.append(enc(pl[y0:y0 + rps]))
+    jtables = None
+    if compression == 7 and jpeg_tables:
+        # fixed quality -> identical DQT/DHT in every chunk; hoist the
+        # first chunk's tables and abbreviate all chunks
+        split = [_split_jpeg_tables(ch) for ch in chunks]
+        jtables = split[0][0]
+        chunks = [s[1] for s in split]
 
     # layout: header | chunk data | geo doubles | IFD
     header_len = 16 if bigtiff else 8
@@ -543,6 +647,8 @@ def write_tiff(arr: np.ndarray, *, geotransform=None, epsg: int = 4326,
         add(TAG_STRIP_COUNTS, 4, tuple(counts))
     add(TAG_PLANAR, 3, (planar,))
     add(TAG_PREDICTOR, 3, (predictor,))
+    if jtables is not None:
+        add(TAG_JPEG_TABLES, 7, tuple(jtables))
     if signed:
         add(TAG_SAMPLE_FORMAT, 3, (2,) * c)
     if geotransform is not None:
