@@ -250,3 +250,28 @@ def test_cli_corpus_ops(tmp_path):
 
     t = pq.read_table(f"{tmp_path}/p")
     assert "seq_id" in t.schema.names and "shuffle_rank" in t.schema.names
+
+
+def test_cli_help_single_op_params():
+    """help pipeline <op>: full docstring + parameter table derived
+    from the live op signature (the #[derive(VPLDecode)] analog)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run([sys.executable, "-m", "versatiles_rs_ray", "help",
+                        "pipeline", "from_gdal_raster"],
+                       capture_output=True, text=True, check=True, timeout=240)
+    assert "# from_gdal_raster (read operation)" in r.stdout
+    assert "`tile_size` = `64`" in r.stdout
+    assert "`filename` (optional)" in r.stdout
+    assert "Parameters:" in r.stdout
+    # listing includes per-op parameters too
+    r = subprocess.run([sys.executable, "-m", "versatiles_rs_ray", "help",
+                        "pipeline"], capture_output=True, text=True,
+                       check=True, timeout=240)
+    assert "`zoom` = `8`" in r.stdout  # assign_tiles param in the listing
+    # unknown op fails with the available set
+    r = subprocess.run([sys.executable, "-m", "versatiles_rs_ray", "help",
+                        "pipeline", "nope"], capture_output=True, text=True,
+                       timeout=240)
+    assert r.returncode != 0 and "unknown op" in r.stderr

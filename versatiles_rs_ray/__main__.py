@@ -338,21 +338,57 @@ def cmd_corpus(args):
     ray.shutdown()
 
 
+def _op_params(fn, skip=("ds", "sf_dir")):
+    """Parameter table derived from the op function's live signature —
+    the registry analog of the reference's #[derive(VPLDecode)] docs
+    (versatiles_derive/src/decode_vpl.rs): name, default, required."""
+    import inspect
+
+    rows = []
+    for p in inspect.signature(fn).parameters.values():
+        if p.name in skip or p.kind in (p.VAR_POSITIONAL, p.VAR_KEYWORD):
+            continue
+        if p.default is inspect.Parameter.empty:
+            rows.append(f"  - `{p.name}` (required)")
+        elif p.default is None:
+            rows.append(f"  - `{p.name}` (optional)")
+        else:
+            rows.append(f"  - `{p.name}` = `{p.default!r}`")
+    return rows
+
+
 def cmd_help(args):
     """help pipeline|config (tools/help.rs Topic enum): markdown docs
     generated from the live registries, like the reference's
-    PipelineFactory::help_md / Config::help_md."""
+    PipelineFactory::help_md / Config::help_md; per-op parameter lists
+    come from the op signatures, so they cannot drift from the code."""
     if args.topic == "pipeline":
         from versatiles_rs_ray.pipelines import vpl
 
+        if getattr(args, "op", None):
+            reg = {**vpl.READ_OPS, **vpl.TRANSFORM_OPS}
+            if args.op not in reg:
+                raise SystemExit(
+                    f"unknown op {args.op!r} (have {sorted(reg)})")
+            fn = reg[args.op]
+            kind = "read" if args.op in vpl.READ_OPS else "transform"
+            lines = [f"# {args.op} ({kind} operation)", ""]
+            doc = (fn.__doc__ or "").strip()
+            if doc:
+                lines += [doc, ""]
+            lines += ["Parameters:"] + (_op_params(fn) or ["  (none)"])
+            print("\n".join(lines))
+            return
         lines = ["# VPL pipeline operations", "", "## Read operations", ""]
         for name in sorted(vpl.READ_OPS):
             doc = (vpl.READ_OPS[name].__doc__ or "").strip().splitlines()
             lines.append(f"- **{name}** — {doc[0] if doc else ''}")
+            lines += _op_params(vpl.READ_OPS[name])
         lines += ["", "## Transform operations", ""]
         for name in sorted(vpl.TRANSFORM_OPS):
             doc = (vpl.TRANSFORM_OPS[name].__doc__ or "").strip().splitlines()
             lines.append(f"- **{name}** — {doc[0] if doc else ''}")
+            lines += _op_params(vpl.TRANSFORM_OPS[name])
         print("\n".join(lines))
     else:
         from versatiles_rs_ray import config as _cfg
@@ -458,6 +494,8 @@ def main(argv=None):
 
     h = sub.add_parser("help", help="print operation / config docs")
     h.add_argument("topic", choices=["pipeline", "config"])
+    h.add_argument("op", nargs="?", default=None,
+                   help="pipeline: a single operation for full docs")
     h.set_defaults(fn=cmd_help)
 
     args = p.parse_args(argv)
