@@ -460,3 +460,43 @@ def test_jpeg_vectorized_entropy_matches_scalar_walk():
         i = slow.find(b"\xff\xdd")
         assert i > 0
         assert fast == slow[:i] + slow[i + 6:]
+
+
+def test_decode_png_foreign_average_paeth_filters():
+    """Foreign encoders (libpng adaptive) emit Average/Paeth rows our
+    encoder never writes; build whole-image filter-3 and filter-4
+    streams with an independent reference filterer and require exact
+    reconstruction."""
+    import struct
+    import zlib
+
+    from versatiles_rs_ray.core import png as P
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+
+    h, w, c = 40, 30, 4
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+    flat = img.reshape(h, w * c).astype(np.int32)
+    for ftype in (3, 4):
+        raw = bytearray()
+        prev = np.zeros(w * c, np.int32)
+        for r in range(h):
+            raw.append(ftype)
+            rec = flat[r]
+            for i in range(w * c):
+                left = int(rec[i - c]) if i >= c else 0
+                ul = int(prev[i - c]) if i >= c else 0
+                pred = (paeth(left, int(prev[i]), ul) if ftype == 4
+                        else (left + int(prev[i])) >> 1)
+                raw.append((int(rec[i]) - pred) & 0xFF)
+            prev = rec
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+        data = (b"\x89PNG\r\n\x1a\n" + P._chunk(b"IHDR", ihdr)
+                + P._chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + P._chunk(b"IEND", b""))
+        arr, ct = P.decode_png(data)
+        assert ct == 6 and np.array_equal(arr, img), ftype

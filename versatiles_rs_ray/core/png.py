@@ -78,16 +78,6 @@ def encode_png(arr: np.ndarray, compress_level: int = _LEVEL) -> bytes:
     return _SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
-def _paeth(a, b, cc):
-    p = int(a) + int(b) - int(cc)
-    pa_, pb, pc = abs(p - int(a)), abs(p - int(b)), abs(p - int(cc))
-    if pa_ <= pb and pa_ <= pc:
-        return a
-    if pb <= pc:
-        return b
-    return cc
-
-
 def decode_png(data: bytes) -> tuple:
     """PNG bytes -> (array (H, W, C) uint8, color_type).
 
@@ -158,17 +148,35 @@ def decode_png(data: bytes) -> tuple:
             )
         elif f == 2:  # Up
             out[r] = line + prev
-        elif f == 3:  # Average
-            rec = out[r]
-            for i in range(stride):
-                left = rec[i - bpp] if i >= bpp else 0
-                rec[i] = (int(line[i]) + ((int(left) + int(prev[i])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            rec = out[r]
-            for i in range(stride):
-                left = rec[i - bpp] if i >= bpp else 0
-                ul = prev[i - bpp] if i >= bpp else 0
-                rec[i] = (int(line[i]) + _paeth(left, prev[i], ul)) & 0xFF
+        elif f == 3:  # Average (sequential in x: plain-int lists beat
+            # numpy scalar indexing ~10x here; foreign encoders emit
+            # these filters — ours never does)
+            ln, pr = line.tolist(), prev.tolist()
+            rec = [0] * stride
+            for i in range(bpp):
+                rec[i] = (ln[i] + (pr[i] >> 1)) & 0xFF
+            for i in range(bpp, stride):
+                rec[i] = (ln[i] + ((rec[i - bpp] + pr[i]) >> 1)) & 0xFF
+            out[r] = rec
+        elif f == 4:  # Paeth (same treatment, predictor inlined)
+            ln, pr = line.tolist(), prev.tolist()
+            rec = [0] * stride
+            for i in range(bpp):
+                rec[i] = (ln[i] + pr[i]) & 0xFF  # paeth(0, up, 0) == up
+            for i in range(bpp, stride):
+                a, b, cc = rec[i - bpp], pr[i], pr[i - bpp]
+                p = a + b - cc
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - cc if p >= cc else cc - p
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = cc
+                rec[i] = (ln[i] + pred) & 0xFF
+            out[r] = rec
         else:
             raise ValueError(f"bad filter byte {f}")
     if bit_depth < 8:
