@@ -188,3 +188,102 @@ def test_reuse_recycling(ray_session):
     for _ in range(4):  # crosses the recycle boundary
         b = local(batch)["payload"].to_pylist()
     assert a == b  # recycling is semantically a no-op
+
+
+def test_srs_laea_lcc_invariants_and_goldens():
+    """EPSG:3035 (LAEA Europe) and EPSG:2154 (Lambert-93): validated
+    by the projections' defining mathematical invariants — checks a
+    wrong constant cannot pass — plus the IOGP Guidance Note 7-2
+    LAEA worked example (50N 5E -> 3962799.45 E, 2999718.85 N)."""
+    from versatiles_rs_ray.core import srs
+
+    a, f = 6378137.0, 1.0 / 298.257222101
+    e2 = 2.0 * f - f * f
+
+    laea = srs.get_srs(3035)
+    # false origin exact; published worked example to the cm
+    x, y = laea.forward(10.0, 52.0)
+    assert abs(float(x) - 4321000.0) < 1e-6 and abs(float(y) - 3210000.0) < 1e-6
+    x, y = laea.forward(5.0, 50.0)
+    assert abs(float(x) - 3962799.45) < 0.01
+    assert abs(float(y) - 2999718.85) < 0.01
+
+    lcc = srs.get_srs(2154)
+    x, y = lcc.forward(3.0, 46.5)
+    assert abs(float(x) - 700000.0) < 1e-6 and abs(float(y) - 6600000.0) < 1e-5
+
+    # round-trips over each projection's service area
+    for proj, lons, lats in (
+        (laea, np.linspace(-10, 30, 9), np.linspace(35, 70, 8)),
+        (lcc, np.linspace(-5, 10, 9), np.linspace(41, 51, 8)),
+    ):
+        LO, LA = np.meshgrid(lons, lats)
+        lo2, la2 = proj.inverse(*proj.forward(LO, LA))
+        assert np.abs(lo2 - LO).max() < 1e-9
+        assert np.abs(la2 - LA).max() < 1e-9
+
+    def jacobian(proj, lon, lat, h=1e-6):
+        x1, y1 = proj.forward(lon + h, lat)
+        x0, y0 = proj.forward(lon - h, lat)
+        x3, y3 = proj.forward(lon, lat + h)
+        x2, y2 = proj.forward(lon, lat - h)
+        return np.array([[(x1 - x0), (x3 - x2)], [(y1 - y0), (y3 - y2)]],
+                        dtype=float) / (2 * h * np.pi / 180.0)
+
+    # LAEA: |det J| == ellipsoidal area element everywhere (equal-area)
+    for lon, lat in [(5.0, 50.0), (25.0, 40.0), (-8.0, 65.0), (12.0, 55.0)]:
+        J = jacobian(laea, lon, lat)
+        phi = np.radians(lat)
+        s = np.sin(phi)
+        dA = a * a * (1 - e2) * np.cos(phi) / (1 - e2 * s * s) ** 2
+        assert abs(abs(np.linalg.det(J)) / dA - 1.0) < 1e-6, (lon, lat)
+
+    # LCC: conformal (equal scale along meridian/parallel) everywhere,
+    # and scale == 1 exactly ON both standard parallels
+    for lon, lat in [(3.0, 44.0), (3.0, 49.0), (-1.0, 46.5), (7.0, 42.0)]:
+        J = jacobian(lcc, lon, lat)
+        phi = np.radians(lat)
+        s = np.sin(phi)
+        nu = a / np.sqrt(1 - e2 * s * s)
+        M = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+        kpar = np.hypot(*J[:, 0]) / (nu * np.cos(phi))
+        kmer = np.hypot(*J[:, 1]) / M
+        assert abs(kpar / kmer - 1.0) < 1e-6, (lon, lat)
+        if lat in (44.0, 49.0):
+            assert abs(kpar - 1.0) < 1e-7, lat
+
+
+def test_srs_reprojector_laea_warp(ray_session):
+    """Warp out of an EPSG:3035 source through the actor pool — the
+    European-grid raster path end to end."""
+    import ray.data as rd
+
+    from versatiles_rs_ray.core import srs
+
+    p = srs.get_srs(3035)
+    # 800km x 800km window around central Europe, 2km pixels
+    e0, n0, px = 3800000.0, 3400000.0, 2000.0
+    w = h = 400
+    gt = srs.GeoTransform.north_up(e0, n0, px)
+    cols, rows = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
+    ee, nn = gt.pixel_to_crs(cols, rows)
+    source = np.stack([
+        ((ee - e0) / (w * px) * 255).astype(np.uint8),
+        ((n0 - nn) / (h * px) * 255).astype(np.uint8),
+        np.zeros((h, w), np.uint8),
+        np.full((h, w), 255, np.uint8),
+    ], axis=-1)
+    z, lon_c, lat_c = 8, 10.0, 50.5
+    xt = int((lon_c + 180.0) / 360.0 * (1 << z))
+    yt = int((1.0 - np.log(np.tan(np.radians(lat_c))
+                           + 1 / np.cos(np.radians(lat_c))) / np.pi)
+             / 2.0 * (1 << z))
+    ds = rd.from_items([{"z": z, "x": xt, "y": yt}])
+    out = RP.reproject_srs_raster(ds, source, gt.gt, 3035, tile_size=32).to_pandas()
+    arr = to_array(out.iloc[0]["payload"], 32, 32)
+    assert (arr[..., 3] == 255).all()
+    local = RP.SRSReprojector(source, gt.gt, 3035, tile_size=32)
+    lon, lat = local._tile_lonlat(z, xt, yt)
+    E, _ = p.forward(lon.ravel(), lat.ravel())
+    want_r = np.clip((E - e0) / (w * px) * 255, 0, 255).astype(np.int64)
+    assert np.abs(arr[..., 0].ravel().astype(np.int64) - want_r).max() <= 2

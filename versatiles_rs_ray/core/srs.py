@@ -12,6 +12,11 @@ warp needs from public formulas:
   Krüger series (standard 3rd-order-in-n expansion, the same series
   PROJ's ``tmerc`` approx mode uses; accuracy well under a
   millimeter inside a zone)
+- EPSG:3035 (ETRS89-LAEA Europe, ellipsoidal Lambert azimuthal
+  equal-area, EPSG method 9820) and EPSG:2154 (Lambert-93, Lambert
+  conformal conic 2SP, EPSG method 9802) — property-validated
+  (equal-area Jacobian / conformality + unit scale on the standard
+  parallels) plus the IOGP GN7-2 worked example
 - GDAL-style affine geotransforms (pixel <-> source-CRS coords)
 
 Every transform is vectorized over numpy arrays. An SRS object maps
@@ -129,6 +134,142 @@ class UTM:
         return np.degrees(lon), np.degrees(lat)
 
 
+class LAEA:
+    """Ellipsoidal Lambert Azimuthal Equal-Area (EPSG method 9820,
+    Snyder 1987 §24 oblique aspect) — EPSG:3035 is the European
+    standard grid. Equal-area is a checkable invariant: the numeric
+    Jacobian determinant must equal the ellipsoidal area element
+    everywhere (tests/test_reproject.py), which validates the
+    formulas without an external geodesy library."""
+
+    def __init__(self, code, lat0_deg, lon0_deg, fe, fn,
+                 a=6378137.0, f=1.0 / 298.257222101):  # GRS80 default
+        self.code = code
+        self.a, self.e2 = a, 2.0 * f - f * f
+        self.e = math.sqrt(self.e2)
+        self.lon0 = math.radians(lon0_deg)
+        self.fe, self.fn = fe, fn
+        phi0 = math.radians(lat0_deg)
+        self.qp = float(self._q(np.array(math.pi / 2.0)))
+        q0 = float(self._q(np.array(phi0)))
+        self.beta0 = math.asin(q0 / self.qp)
+        self.rq = a * math.sqrt(self.qp / 2.0)
+        self.d = (a * math.cos(phi0)
+                  / math.sqrt(1.0 - self.e2 * math.sin(phi0) ** 2)
+                  / (self.rq * math.cos(self.beta0)))
+
+    def _q(self, phi):
+        s = np.sin(phi)
+        return (1.0 - self.e2) * (
+            s / (1.0 - self.e2 * s * s)
+            - (1.0 / (2.0 * self.e))
+            * np.log((1.0 - self.e * s) / (1.0 + self.e * s)))
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        beta = np.arcsin(np.clip(self._q(phi) / self.qp, -1.0, 1.0))
+        dl = lam - self.lon0
+        b = self.rq * np.sqrt(
+            2.0 / (1.0 + math.sin(self.beta0) * np.sin(beta)
+                   + math.cos(self.beta0) * np.cos(beta) * np.cos(dl)))
+        x = self.fe + b * self.d * np.cos(beta) * np.sin(dl)
+        y = self.fn + (b / self.d) * (
+            math.cos(self.beta0) * np.sin(beta)
+            - math.sin(self.beta0) * np.cos(beta) * np.cos(dl))
+        return x, y
+
+    def inverse(self, x, y):
+        xr = (np.asarray(x, dtype=np.float64) - self.fe) / self.d
+        yr = (np.asarray(y, dtype=np.float64) - self.fn) * self.d
+        rho = np.hypot(xr, yr)
+        c = 2.0 * np.arcsin(np.clip(rho / (2.0 * self.rq), -1.0, 1.0))
+        with np.errstate(invalid="ignore"):
+            qq = self.qp * (np.cos(c) * math.sin(self.beta0)
+                            + yr * np.sin(c) * math.cos(self.beta0)
+                            / np.where(rho == 0.0, 1.0, rho))
+        qq = np.where(rho == 0.0, self.qp * math.sin(self.beta0), qq)
+        phi = np.arcsin(np.clip(qq / 2.0, -1.0, 1.0))
+        for _ in range(8):  # Snyder 3-16, quadratic convergence
+            s = np.sin(phi)
+            phi = phi + (1.0 - self.e2 * s * s) ** 2 / (2.0 * np.cos(phi)) * (
+                qq / (1.0 - self.e2)
+                - s / (1.0 - self.e2 * s * s)
+                + (1.0 / (2.0 * self.e))
+                * np.log((1.0 - self.e * s) / (1.0 + self.e * s)))
+        lam = self.lon0 + np.arctan2(
+            xr * np.sin(c),
+            rho * math.cos(self.beta0) * np.cos(c)
+            - yr * math.sin(self.beta0) * np.sin(c))
+        lam = np.where(rho == 0.0, self.lon0, lam)
+        phi = np.where(rho == 0.0, math.asin(math.sin(self.beta0)), phi)
+        return np.degrees(lam), np.degrees(phi)
+
+
+class LCC2SP:
+    """Lambert Conformal Conic, 2 standard parallels (EPSG method
+    9802) — EPSG:2154 Lambert-93 is the French national grid.
+    Conformality + unit scale ON the standard parallels are checkable
+    invariants (tests/test_reproject.py)."""
+
+    def __init__(self, code, lat1_deg, lat2_deg, lat0_deg, lon0_deg, fe, fn,
+                 a=6378137.0, f=1.0 / 298.257222101):  # GRS80 default
+        self.code = code
+        self.a, self.e2 = a, 2.0 * f - f * f
+        self.e = math.sqrt(self.e2)
+        self.lon0 = math.radians(lon0_deg)
+        self.fe, self.fn = fe, fn
+        p1, p2, p0 = (math.radians(v) for v in (lat1_deg, lat2_deg, lat0_deg))
+
+        def m(phi):
+            return math.cos(phi) / math.sqrt(1.0 - self.e2 * math.sin(phi) ** 2)
+
+        def t(phi):
+            s = math.sin(phi)
+            return (math.tan(math.pi / 4.0 - phi / 2.0)
+                    / ((1.0 - self.e * s) / (1.0 + self.e * s)) ** (self.e / 2.0))
+
+        self.n = (math.log(m(p1)) - math.log(m(p2))) / (
+            math.log(t(p1)) - math.log(t(p2)))
+        self.fcap = m(p1) / (self.n * t(p1) ** self.n)
+        self.rho0 = a * self.fcap * t(p0) ** self.n
+
+    def _t(self, phi):
+        s = np.sin(phi)
+        return (np.tan(np.pi / 4.0 - phi / 2.0)
+                / ((1.0 - self.e * s) / (1.0 + self.e * s)) ** (self.e / 2.0))
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        rho = self.a * self.fcap * self._t(phi) ** self.n
+        th = self.n * (lam - self.lon0)
+        return (self.fe + rho * np.sin(th),
+                self.fn + self.rho0 - rho * np.cos(th))
+
+    def inverse(self, x, y):
+        xr = np.asarray(x, dtype=np.float64) - self.fe
+        yr = self.rho0 - (np.asarray(y, dtype=np.float64) - self.fn)
+        rho = np.hypot(xr, yr) * np.sign(self.n)
+        th = np.arctan2(xr, yr)
+        tt = (rho / (self.a * self.fcap)) ** (1.0 / self.n)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(tt)
+        for _ in range(8):  # EPSG 9802 fixed point on t
+            s = np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                tt * ((1.0 - self.e * s) / (1.0 + self.e * s)) ** (self.e / 2.0))
+        return np.degrees(self.lon0 + th / self.n), np.degrees(phi)
+
+
+# parameter sets from the EPSG registry entries for each code (the
+# full registry needs PROJ at deploy; these are the codes real
+# European/French rasters carry)
+_PROJECTED = {
+    3035: lambda: LAEA(3035, 52.0, 10.0, 4321000.0, 3210000.0),
+    2154: lambda: LCC2SP(2154, 49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0),
+}
+
+
 def get_srs(code: int):
     """EPSG code -> SRS object. The registry the warp consults; extend
     here for additional projections."""
@@ -141,6 +282,8 @@ def get_srs(code: int):
         return UTM(code - 32600, north=True)
     if 32701 <= code <= 32760:
         return UTM(code - 32700, north=False)
+    if code in _PROJECTED:
+        return _PROJECTED[code]()
     raise NotImplementedError(
         f"EPSG:{code} not in the built-in SRS registry (core/srs.py get_srs); "
         "add a forward/inverse pair or install GDAL at deploy"
