@@ -178,3 +178,31 @@ def test_read_media_dir_decodes_real_files(ray_session, tmp_path):
         assert (row["width"], row["height"]) == (256, 256)
         rgba = np.frombuffer(row["payload"], np.uint8).reshape(256, 256, 4)
         assert int(np.abs(rgba.astype(int) - want).max()) <= tol, name
+
+
+def test_media_bytes_decoder_tiff_payload(ray_session, tmp_path):
+    """A plain TIFF media payload decodes through the stdlib GeoTIFF
+    parser into the same rgba-raw interchange as PNG/JPEG/WEBP."""
+    import numpy as np
+
+    from versatiles_rs_ray.sources.geotiff import write_tiff
+    from versatiles_rs_ray.sources.media import read_media_dir
+    from versatiles_rs_ray.stages.multimodal import decode_media_bytes
+
+    yy, xx = np.mgrid[0:20, 0:30]
+    rgb = np.stack([(xx * 8).astype(np.uint8), (yy * 12).astype(np.uint8),
+                    np.full((20, 30), 7, np.uint8)], axis=2)
+    (tmp_path / "chip.tif").write_bytes(write_tiff(rgb, compression=5))
+    grey16 = ((xx + yy) * 600).astype(np.uint16)[:, :, None]
+    (tmp_path / "dem.tiff").write_bytes(write_tiff(grey16, predictor=1))
+
+    out = decode_media_bytes(read_media_dir(str(tmp_path))).to_pandas()
+    out = out.set_index(out["media_ref"].str.rsplit("/", n=1).str[-1])
+    row = out.loc["chip.tif"]
+    assert (row["kind"], row["width"], row["height"]) == ("image", 30, 20)
+    rgba = np.frombuffer(row["payload"], np.uint8).reshape(20, 30, 4)
+    assert np.array_equal(rgba[..., :3], rgb) and (rgba[..., 3] == 255).all()
+    row = out.loc["dem.tiff"]
+    assert (row["width"], row["height"]) == (30, 20)
+    rgba = np.frombuffer(row["payload"], np.uint8).reshape(20, 30, 4)
+    assert np.array_equal(rgba[..., 0], (grey16[..., 0] >> 8).astype(np.uint8))

@@ -15,6 +15,7 @@ FORMAT_MIME = {
     "jpeg": "image/jpeg",
     "webp": "image/webp",
     "avif": "image/avif",
+    "tiff": "image/tiff",
     "mvt": "application/x-protobuf",
     "pbf": "application/x-protobuf",
     "json": "application/json",
@@ -37,6 +38,8 @@ def sniff_format(payload: bytes) -> str:
         return "webp"
     if len(payload) > 11 and payload[4:12] == b"ftypavif":
         return "avif"
+    if payload[:4] in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):
+        return "tiff"  # classic and BigTIFF, either byte order
     if payload[:1] == b"\x1a":
         return "mvt"
     if payload[:1] in (b"{", b"["):

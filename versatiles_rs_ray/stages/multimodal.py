@@ -119,9 +119,10 @@ class MediaBytesDecoder:
     """Actor-pool decode stage over INLINE media bytes — REAL decode.
 
     The prompt-level contract: image payloads arrive as opaque binary
-    columns; this stage sniffs PNG/JPEG/WEBP magic and decodes through
-    the engine's real codecs (core/png stdlib zlib, core/jpeg baseline,
-    core/native libwebp) to rgba-raw + dimensions. Rows whose bytes
+    columns; this stage sniffs PNG/JPEG/WEBP/TIFF magic and decodes
+    through the engine's real codecs (core/png stdlib zlib, core/jpeg
+    baseline, core/native libwebp, sources/geotiff stdlib TIFF) to
+    rgba-raw + dimensions. Rows whose bytes
     don't match a known magic pass through with width=height=0 and the
     original payload (audio/video stay opaque until their codecs are
     bound). Same output schema as FakeMediaDecoder, so downstream
@@ -135,6 +136,28 @@ class MediaBytesDecoder:
         self._raster = _raster
         self._sniff = _sniff
 
+    def _decode_tiff(self, blob: bytes):
+        """Plain TIFF as a media payload (satellite chips, scans):
+        reuse the GeoTIFF parser, fold to the engine's 8-bit RGBA
+        interchange (16-bit by high byte, grey/RGB expanded)."""
+        import numpy as np
+
+        from ..sources.geotiff import read_geotiff
+
+        arr = read_geotiff(blob).array
+        if arr.dtype != np.uint8:  # uint16/int16 -> high byte
+            arr = (arr.astype(np.int32) >> 8).astype(np.uint8)
+        h, w, c = arr.shape
+        out = np.empty((h, w, 4), np.uint8)
+        out[..., 3] = 255
+        if c == 1:
+            out[..., :3] = arr
+        elif c == 3:
+            out[..., :3] = arr
+        else:
+            out[:] = arr[..., :4]
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payload_col = batch["payload"]
         if isinstance(payload_col, pa.ChunkedArray):
@@ -142,6 +165,20 @@ class MediaBytesDecoder:
         payloads, widths, heights = [], [], []
         for blob in payload_col.to_pylist():
             fmt = self._sniff(blob)
+            if fmt == "tiff":
+                try:
+                    arr = self._decode_tiff(blob)
+                except (NotImplementedError, ValueError):
+                    # unsupported TIFF shape: opaque passthrough, same
+                    # contract as unknown magics
+                    payloads.append(blob)
+                    widths.append(0)
+                    heights.append(0)
+                    continue
+                payloads.append(self._raster.from_array(arr))
+                widths.append(arr.shape[1])
+                heights.append(arr.shape[0])
+                continue
             if fmt not in ("png", "jpg", "webp"):
                 payloads.append(blob)
                 widths.append(0)
