@@ -508,6 +508,12 @@ def _build_fast_lut(bits, vals):
     hit = _FAST_LUT_CACHE.get(key)
     if hit is not None:
         return hit
+    if len(_FAST_LUT_CACHE) >= 16:
+        # optimize_coding encoders emit per-image tables; bound the
+        # cache (~0.5 MB/entry) so long-lived decode actors can't
+        # accumulate one entry per distinct image. FIFO eviction is
+        # enough: the shared Annex K tables re-enter on first use.
+        _FAST_LUT_CACHE.pop(next(iter(_FAST_LUT_CACHE)))
     lut = [0] * 65536
     code = 0
     k = 0

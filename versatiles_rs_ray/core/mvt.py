@@ -268,9 +268,11 @@ def decode_geometry(commands, geom_type: int):
             runs.append((i, count))
             n_vert += count
             i += 2 * count
-        elif op == 7:  # ClosePath: flushes the current part (part
-            # boundaries are the MoveTo starts, so nothing to record)
-            pass
+        elif op == 7:  # ClosePath: flushes the current part, so the
+            # NEXT vertex (if any) begins a new one — matching the
+            # scalar walk even for non-conforming LineTo-after-Close
+            # streams
+            part_breaks.append(n_vert)
         else:
             raise ValueError(f"unknown geometry op {op}")
     if not n_vert:
@@ -281,9 +283,10 @@ def decode_geometry(commands, geom_type: int):
     params = cmds[take].astype(np.int64)
     deltas = (params >> 1) ^ -(params & 1)  # unzigzag
     verts = np.cumsum(deltas.reshape(-1, 2), axis=0)
-    # split into parts at MoveTo vertices (ClosePath only flushes —
-    # boundaries are already the MoveTo starts, matching the scalar walk)
-    bounds = sorted(set(part_breaks) | {n_vert})
+    # split into parts at the recorded breaks; vertex 0 always starts
+    # a part (scalar parity for non-conforming LineTo-first streams),
+    # and a trailing ClosePath break == n_vert dedups away
+    bounds = sorted((set(part_breaks) | {0, n_vert}) - {v for v in part_breaks if v > n_vert})
     parts = []
     for s, e in zip(bounds[:-1], bounds[1:]):
         parts.append(list(map(tuple, verts[s:e].tolist())))

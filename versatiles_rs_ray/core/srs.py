@@ -150,6 +150,7 @@ class LAEA:
         self.lon0 = math.radians(lon0_deg)
         self.fe, self.fn = fe, fn
         phi0 = math.radians(lat0_deg)
+        self.phi0 = phi0
         self.qp = float(self._q(np.array(math.pi / 2.0)))
         q0 = float(self._q(np.array(phi0)))
         self.beta0 = math.asin(q0 / self.qp)
@@ -170,9 +171,13 @@ class LAEA:
         phi = np.radians(np.asarray(lat, dtype=np.float64))
         beta = np.arcsin(np.clip(self._q(phi) / self.qp, -1.0, 1.0))
         dl = lam - self.lon0
-        b = self.rq * np.sqrt(
-            2.0 / (1.0 + math.sin(self.beta0) * np.sin(beta)
-                   + math.cos(self.beta0) * np.cos(beta) * np.cos(dl)))
+        # denominator -> 0 only at the antipode of the projection
+        # center (outside any service area); floor it so out-of-domain
+        # points degrade to huge-but-finite coordinates, not inf/nan
+        denom = np.maximum(
+            1.0 + math.sin(self.beta0) * np.sin(beta)
+            + math.cos(self.beta0) * np.cos(beta) * np.cos(dl), 1e-12)
+        b = self.rq * np.sqrt(2.0 / denom)
         x = self.fe + b * self.d * np.cos(beta) * np.sin(dl)
         y = self.fn + (b / self.d) * (
             math.cos(self.beta0) * np.sin(beta)
@@ -189,7 +194,12 @@ class LAEA:
                             + yr * np.sin(c) * math.cos(self.beta0)
                             / np.where(rho == 0.0, 1.0, rho))
         qq = np.where(rho == 0.0, self.qp * math.sin(self.beta0), qq)
+        # |q| -> qp means a pole: Snyder 3-16's 1/cos(phi) blows up
+        # there, so pin those points and keep the iteration away from
+        # the division
+        pole = np.abs(qq) >= self.qp * (1.0 - 1e-12)
         phi = np.arcsin(np.clip(qq / 2.0, -1.0, 1.0))
+        phi = np.where(pole, 0.0, phi)
         for _ in range(8):  # Snyder 3-16, quadratic convergence
             s = np.sin(phi)
             phi = phi + (1.0 - self.e2 * s * s) ** 2 / (2.0 * np.cos(phi)) * (
@@ -197,12 +207,16 @@ class LAEA:
                 - s / (1.0 - self.e2 * s * s)
                 + (1.0 / (2.0 * self.e))
                 * np.log((1.0 - self.e * s) / (1.0 + self.e * s)))
+        phi = np.where(pole, np.sign(qq) * (np.pi / 2.0), phi)
         lam = self.lon0 + np.arctan2(
             xr * np.sin(c),
             rho * math.cos(self.beta0) * np.cos(c)
             - yr * math.sin(self.beta0) * np.sin(c))
         lam = np.where(rho == 0.0, self.lon0, lam)
-        phi = np.where(rho == 0.0, math.asin(math.sin(self.beta0)), phi)
+        # at the exact center the iteration has already converged to
+        # the GEODETIC phi0 (via the qq substitution above); pinning it
+        # avoids any residual first-guess dependence
+        phi = np.where(rho == 0.0, self.phi0, phi)
         return np.degrees(lam), np.degrees(phi)
 
 

@@ -168,9 +168,11 @@ class MediaBytesDecoder:
             if fmt == "tiff":
                 try:
                     arr = self._decode_tiff(blob)
-                except (NotImplementedError, ValueError):
-                    # unsupported TIFF shape: opaque passthrough, same
-                    # contract as unknown magics
+                except Exception:  # noqa: BLE001 — corrupt/truncated
+                    # payloads raise anything (KeyError/struct.error/
+                    # zlib.error...); one bad file in a media lake must
+                    # degrade to the opaque passthrough, not kill the
+                    # actor
                     payloads.append(blob)
                     widths.append(0)
                     heights.append(0)
