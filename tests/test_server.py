@@ -520,6 +520,13 @@ def test_forwarded_proto_and_host_in_tilejson(debug_ds, tmp_path):
             "X-Forwarded-Proto": "gopher",
             "Host": "h.example:1234"})
         assert json.loads(body)["tiles"][0].startswith("http://h.example:1234/")
+        # chained proxies append to X-Forwarded-* — only the first
+        # (client-facing edge) element may reach the tile URLs
+        st, _, body = _get(f"{url}/tiles/m/tiles.json", headers={
+            "X-Forwarded-Proto": "https, http",
+            "X-Forwarded-Host": "public.example.com, edge.internal"})
+        assert json.loads(body)["tiles"][0].startswith(
+            "https://public.example.com/")
     finally:
         srv.shutdown()
 

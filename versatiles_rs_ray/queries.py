@@ -240,7 +240,7 @@ def q_pip_join(sf_dir):
 
     def tag_tile(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        batch = pa.table({"leg": pa.array(["tile"] * n),
+        batch = pa.table({"leg": pa.array(["tile"] * n, type=pa.string()),
                           "doc_num": batch["doc_num"], "z": batch["z"],
                           "x": batch["x"], "y": batch["y"]})
         return batch.append_column(
@@ -261,7 +261,7 @@ def q_pip_join(sf_dir):
     def tag_rect(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         neg = pa.array(np.full(n, -1, dtype=np.int64))
-        return pa.table({"leg": pa.array(["rect"] * n),
+        return pa.table({"leg": pa.array(["rect"] * n, type=pa.string()),
                          "doc_num": batch["doc_num"], "z": neg, "x": neg,
                          "y": neg, "rect_id": batch["rect_id"]})
 

@@ -435,9 +435,15 @@ def _make_handler(sources: dict, base_url_holder: list, statics: list = (),
                     # X-Forwarded-Host so the scheme survives (the
                     # reference sidesteps with a relative prefix,
                     # tile_source.rs:100)
+                    # chained proxies append to X-Forwarded-* (like
+                    # X-Forwarded-For), so take the FIRST element of
+                    # the comma list — the client-facing edge
                     req_host = (self.headers.get("X-Forwarded-Host")
                                 or self.headers.get("Host"))
-                    scheme = self.headers.get("X-Forwarded-Proto", "http")
+                    if req_host:
+                        req_host = req_host.split(",")[0].strip()
+                    scheme = self.headers.get(
+                        "X-Forwarded-Proto", "http").split(",")[0].strip()
                     if scheme not in ("http", "https"):
                         scheme = "http"
                     base = (f"{scheme}://{req_host}" if req_host
