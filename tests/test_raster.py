@@ -500,3 +500,112 @@ def test_decode_png_foreign_average_paeth_filters():
                 + P._chunk(b"IEND", b""))
         arr, ct = P.decode_png(data)
         assert ct == 6 and np.array_equal(arr, img), ftype
+
+
+def test_decode_png_adam7_interlaced():
+    """Adam7-interlaced foreign PNGs: an independent in-test
+    interlacer (pass extraction per spec §8.2, per-pass Sub/Up/none
+    filtering with per-pass prev-row reset) must decode identically
+    to the source pixels across color types and depths, including
+    images small enough that several passes are empty."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from versatiles_rs_ray.core import png as P
+
+    PASSES = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    def interlace_bytes(img, depth, filt_cycle):
+        """img: (h, w) int sample codes (spp folded into the last axis
+        for depth>=8). Returns the concatenated filtered pass bytes."""
+        h, w = img.shape[:2]
+        spp = 1 if img.ndim == 2 else img.shape[2]
+        bpp = max(1, (spp * depth) // 8)
+        raw = bytearray()
+        fi = 0
+        for xs, ys, xst, yst in PASSES:
+            sub = img[ys::yst, xs::xst]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            # serialize one pass scanline to bytes
+            lines = []
+            for r in range(ph):
+                row = sub[r]
+                if depth < 8:
+                    bits = np.zeros(pw * depth, np.uint8)
+                    for i, v in enumerate(row.reshape(-1).tolist()):
+                        for b in range(depth):
+                            bits[i * depth + b] = (v >> (depth - 1 - b)) & 1
+                    lines.append(np.packbits(bits).tobytes())
+                elif depth == 16:
+                    lines.append(b"".join(
+                        struct.pack(">H", int(v))
+                        for v in row.reshape(-1).tolist()))
+                else:
+                    lines.append(np.asarray(row, np.uint8).tobytes())
+            prev = bytes(len(lines[0]))
+            for ln in lines:
+                f = filt_cycle[fi % len(filt_cycle)]
+                fi += 1
+                cur = np.frombuffer(ln, np.uint8).astype(np.int32)
+                pv = np.frombuffer(prev, np.uint8).astype(np.int32)
+                if f == 0:
+                    enc = cur
+                elif f == 1:  # Sub
+                    left = np.concatenate([np.zeros(bpp, np.int32),
+                                           cur[:-bpp]]) if len(cur) > bpp \
+                        else np.zeros_like(cur)
+                    enc = cur - left
+                else:  # Up
+                    enc = cur - pv
+                raw.append(f)
+                raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+                prev = ln
+        return bytes(raw)
+
+    def build(w, h, depth, ctype, raw, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1)
+        return (b"\x89PNG\r\n\x1a\n" + P._chunk(b"IHDR", ihdr) + extra
+                + P._chunk(b"IDAT", zlib.compress(raw))
+                + P._chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(7)
+
+    # 8-bit RGBA, 13x11 (odd dims -> ragged pass widths), mixed filters
+    img = rng.integers(0, 256, (11, 13, 4), dtype=np.uint8)
+    data = build(13, 11, 8, 6, interlace_bytes(img, 8, (0, 1, 2)))
+    arr, ct = P.decode_png(data)
+    assert ct == 6 and np.array_equal(arr, img)
+
+    # tiny 3x2 RGB: passes 1-4 contribute <=1 pixel, several empty
+    img = rng.integers(0, 256, (2, 3, 3), dtype=np.uint8)
+    arr, ct = P.decode_png(build(3, 2, 8, 2, interlace_bytes(img, 8, (0,))))
+    assert ct == 2 and np.array_equal(arr, img)
+
+    # 1x1: only pass 1 exists
+    img = np.array([[[9, 8, 7]]], dtype=np.uint8)
+    arr, _ = P.decode_png(build(1, 1, 8, 2, interlace_bytes(img, 8, (0,))))
+    assert np.array_equal(arr, img)
+
+    # 1-bit palette, 9x5 (bit packing differs per pass width)
+    codes = rng.integers(0, 2, (5, 9), dtype=np.uint8)
+    plte = P._chunk(b"PLTE", bytes([10, 20, 30, 200, 100, 0]))
+    arr, ct = P.decode_png(
+        build(9, 5, 1, 3, interlace_bytes(codes, 1, (0,)), plte))
+    assert ct == 3 and arr.shape == (5, 9, 3)
+    assert np.array_equal((arr[..., 0] == 200).astype(np.uint8), codes)
+
+    # 16-bit greyscale: high-byte fold after deinterlace
+    img16 = rng.integers(0, 65536, (6, 7), dtype=np.uint16)
+    arr, ct = P.decode_png(build(7, 6, 16, 0,
+                                 interlace_bytes(img16, 16, (0, 2))))
+    assert ct == 0 and np.array_equal(arr[..., 0], (img16 >> 8).astype(np.uint8))
+
+    # 2-bit grey interlaced: range expansion intact
+    codes = rng.integers(0, 4, (5, 5), dtype=np.uint8)
+    arr, ct = P.decode_png(build(5, 5, 2, 0, interlace_bytes(codes, 2, (0,))))
+    assert ct == 0 and np.array_equal(arr[..., 0], codes * 85)

@@ -78,59 +78,24 @@ def encode_png(arr: np.ndarray, compress_level: int = _LEVEL) -> bytes:
     return _SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
-def decode_png(data: bytes) -> tuple:
-    """PNG bytes -> (array (H, W, C) uint8, color_type).
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per the PNG
+# spec §8.2 — each pass is an independent sub-image with its own
+# filtered scanlines; empty passes contribute no bytes at all.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Non-interlaced; color types 0/2/3/4/6 at bit depths 1/2/4 (grey +
-    palette), 8 and 16 (high byte kept — 8-bit is the engine's
-    interchange). Palette rows come back expanded to RGB (RGBA when a
-    tRNS chunk is present) with the original color_type 3 so callers
-    can still see the source class. All five filters supported
-    ({0,1,2} vectorized; 3/4 per-pixel for foreign files); filtering
-    is byte-level per the spec, so one unfilter loop serves every
-    depth.
+
+def _unfilter(rows: np.ndarray, stride: int, bpp: int) -> np.ndarray:
+    """Reverse per-scanline filtering for one (sub-)image.
+
+    `rows` is (h, stride+1) — filter byte + filtered bytes per line.
+    All five filters supported ({0,1,2} vectorized; 3/4 per-pixel for
+    foreign files); filtering is byte-level per the spec, so this one
+    loop serves every depth.
     """
-    if data[:8] != _SIGNATURE:
-        raise ValueError("not a PNG (bad signature)")
-    pos = 8
-    w = h = None
-    color_type = None
-    bit_depth = 8
-    palette = None
-    trns = None
-    idat = bytearray()
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if tag == b"IHDR":
-            w, h, bit_depth, color_type, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if color_type not in (0, 2, 3, 4, 6):
-                raise ValueError(f"unsupported color type {color_type}")
-            if bit_depth not in (1, 2, 4, 8, 16) or (
-                bit_depth < 8 and color_type not in (0, 3)
-            ) or (bit_depth == 16 and color_type == 3):
-                raise ValueError(
-                    f"unsupported depth {bit_depth} for color type {color_type}")
-            if interlace != 0:
-                raise ValueError("interlaced PNG not supported")
-        elif tag == b"PLTE":
-            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
-        elif tag == b"tRNS":
-            trns = np.frombuffer(body, dtype=np.uint8)
-        elif tag == b"IDAT":
-            idat.extend(body)
-        elif tag == b"IEND":
-            break
-    # samples per pixel in the coded stream (palette codes 1 index)
-    spp = 1 if color_type == 3 else _CHANNELS[color_type]
-    stride = (w * spp * bit_depth + 7) // 8  # scanline bytes
-    bpp = max(1, (spp * bit_depth) // 8)     # filter offset, per spec
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    rows = raw.reshape(h, stride + 1)
+    h = rows.shape[0]
     filters = rows[:, 0]
     out = np.empty((h, stride), dtype=np.uint8)
     for r in range(h):
@@ -179,25 +144,104 @@ def decode_png(data: bytes) -> tuple:
             out[r] = rec
         else:
             raise ValueError(f"bad filter byte {f}")
+    return out
+
+
+def _bytes_to_samples(out, ph, pw, spp, bit_depth):
+    """Unfiltered scanline bytes -> (ph, pw, spp) uint8 sample codes
+    (sub-8-bit values NOT yet range-expanded; 16-bit folded to the
+    high byte — the engine's defined 16->8 fold)."""
     if bit_depth < 8:
-        # MSB-first bit unpack, one vectorized pass over all rows
-        bits = np.unpackbits(out, axis=1)[:, : w * bit_depth]
+        bits = np.unpackbits(out, axis=1)[:, : pw * bit_depth]
         weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint8)
-        vals = (bits.reshape(h, w, bit_depth) * weights).sum(axis=2)
+        vals = (bits.reshape(ph, pw, bit_depth) * weights).sum(axis=2)
+        return vals.astype(np.uint8)[:, :, None]
+    if bit_depth == 16:
+        arr16 = out.reshape(ph, pw, spp, 2)
+        return np.ascontiguousarray(arr16[..., 0])
+    return out.reshape(ph, pw, spp)
+
+
+def decode_png(data: bytes) -> tuple:
+    """PNG bytes -> (array (H, W, C) uint8, color_type).
+
+    Color types 0/2/3/4/6 at bit depths 1/2/4 (grey + palette), 8 and
+    16 (high byte kept — 8-bit is the engine's interchange), both
+    sequential and Adam7-interlaced (foreign files; the encoder never
+    emits interlace). Palette rows come back expanded to RGB (RGBA
+    when a tRNS chunk is present) with the original color_type 3 so
+    callers can still see the source class.
+    """
+    if data[:8] != _SIGNATURE:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    w = h = None
+    color_type = None
+    bit_depth = 8
+    interlace = 0
+    palette = None
+    trns = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if color_type not in (0, 2, 3, 4, 6):
+                raise ValueError(f"unsupported color type {color_type}")
+            if bit_depth not in (1, 2, 4, 8, 16) or (
+                bit_depth < 8 and color_type not in (0, 3)
+            ) or (bit_depth == 16 and color_type == 3):
+                raise ValueError(
+                    f"unsupported depth {bit_depth} for color type {color_type}")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
+        elif tag == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    # samples per pixel in the coded stream (palette codes 1 index)
+    spp = 1 if color_type == 3 else _CHANNELS[color_type]
+    bpp = max(1, (spp * bit_depth) // 8)     # filter offset, per spec
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if interlace == 0:
+        stride = (w * spp * bit_depth + 7) // 8  # scanline bytes
+        out = _unfilter(raw.reshape(h, stride + 1), stride, bpp)
+        full = _bytes_to_samples(out, h, w, spp, bit_depth)
+    else:  # Adam7: 7 independently-filtered sub-images, scattered
+        # back onto the pass grid (spec §8.2)
+        full = np.empty((h, w, spp), dtype=np.uint8)
+        off = 0
+        for xs, ys, xstep, ystep in _ADAM7:
+            pw = (w - xs + xstep - 1) // xstep
+            ph = (h - ys + ystep - 1) // ystep
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * spp * bit_depth + 7) // 8
+            nbytes = ph * (stride + 1)
+            rows = raw[off : off + nbytes].reshape(ph, stride + 1)
+            off += nbytes
+            out = _unfilter(rows, stride, bpp)
+            full[ys::ystep, xs::xstep] = _bytes_to_samples(
+                out, ph, pw, spp, bit_depth)
+    if bit_depth < 8:
         if color_type == 3:
-            samples = vals.astype(np.uint8)
+            samples = full[..., 0]
         else:  # grey: expand the sample range to full 8 bits
-            samples = (vals * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
-            return samples[:, :, None], color_type
-    elif bit_depth == 16:
-        # big-endian pairs; keep the high byte (defined 16->8 fold)
-        arr16 = out.reshape(h, w, spp, 2)
-        return np.ascontiguousarray(arr16[..., 0]), color_type
+            scale = np.uint16(255 // ((1 << bit_depth) - 1))
+            return (full * scale).astype(np.uint8), color_type
+    elif color_type != 3:
+        return full, color_type
     else:
-        samples = out.reshape(h, w, spp)
-        if color_type != 3:
-            return samples, color_type
-        samples = samples[..., 0]
+        samples = full[..., 0]
     # palette expansion (color_type 3): PLTE rgb + optional tRNS alpha
     if palette is None:
         raise ValueError("palette PNG missing PLTE chunk")
