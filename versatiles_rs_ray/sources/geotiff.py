@@ -739,30 +739,36 @@ def _read_world_file(path: str):
     return (c - a / 2.0 - b / 2.0, a, b, fy - d / 2.0 - e / 2.0, d, e)
 
 
-def _read_prj_epsg(path: str):
-    """Best-effort EPSG from a sidecar .prj: the LAST AUTHORITY clause
-    of the WKT names the top-level CRS code. No PROJ database in the
-    sandbox, so anything else raises (honest gate, like the projected
-    GeoTIFF without an inline code)."""
-    import os
+def _wkt_epsg(wkt: str, what: str = "WKT"):
+    """EPSG from a WKT string: the LAST AUTHORITY clause names the
+    top-level CRS code. No PROJ database in the sandbox, so anything
+    else raises (honest gate, like the projected GeoTIFF without an
+    inline code)."""
     import re
 
-    prj = os.path.splitext(path)[0] + ".prj"
-    if not os.path.exists(prj):
-        return None
-    wkt = open(prj).read()
     codes = re.findall(r'AUTHORITY\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]', wkt)
     if not codes:
         raise NotImplementedError(
-            f"{prj!r} carries no EPSG AUTHORITY clause; CRS cannot be "
+            f"{what} carries no EPSG AUTHORITY clause; CRS cannot be "
             "resolved without a PROJ database")
     return int(codes[-1])
 
 
+def _read_prj_epsg(path: str):
+    """Best-effort EPSG from a sidecar .prj (WKT AUTHORITY clause)."""
+    import os
+
+    prj = os.path.splitext(path)[0] + ".prj"
+    if not os.path.exists(prj):
+        return None
+    return _wkt_epsg(open(prj).read(), what=repr(prj))
+
+
 def read_raster_source(path_or_bytes, epsg: int | None = None) -> GeoTIFF:
     """Open any supported georeferenced raster as a GeoTIFF record:
-    TIFF/BigTIFF via the stdlib parser, or PNG/JPEG/WEBP paired with an
-    ESRI world file (+ optional .prj) — the sidecar path GDAL's raster
+    TIFF/BigTIFF via the stdlib parser, NetCDF classic CF grids
+    (sources/netcdf.py), or PNG/JPEG/WEBP paired with an ESRI world
+    file (+ optional .prj) — the sidecar path GDAL's raster
     driver accepts (from_gdal opens any GDAL dataset,
     operation.rs:56-221; these are the formats whose codecs exist
     in-repo). ``epsg`` overrides/supplies the CRS (world files carry
@@ -771,6 +777,10 @@ def read_raster_source(path_or_bytes, epsg: int | None = None) -> GeoTIFF:
         return read_geotiff(path_or_bytes)
     path = str(path_or_bytes)
     head = open(path, "rb").read(16)
+    if head[:3] == b"CDF" or head[:8] == b"\x89HDF\r\n\x1a\n":
+        from .netcdf import read_netcdf
+
+        return read_netcdf(path, epsg=epsg)
     if head[:2] in (b"II", b"MM"):
         g = read_geotiff(path)
         if epsg:
@@ -786,7 +796,7 @@ def read_raster_source(path_or_bytes, epsg: int | None = None) -> GeoTIFF:
     if fmt not in ("png", "jpg", "webp"):
         raise NotImplementedError(
             f"raster source {path!r}: unrecognized format "
-            "(TIFF, PNG, JPEG, WEBP supported)")
+            "(TIFF, NetCDF classic, PNG, JPEG, WEBP supported)")
     wf = _world_file_for(path)
     if wf is None:
         raise NotImplementedError(
