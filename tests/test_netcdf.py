@@ -146,6 +146,26 @@ def test_dispatch_and_gates(tmp_path):
         read_netcdf(pj2)
 
 
+def test_float32_coords_uniform_and_bytes_dispatch(tmp_path):
+    """NC_FLOAT coordinate variables — the common CF layout — carry
+    ~6e-8·|coord| rounding per value; the uniformity gate must accept
+    them. Also: read_raster_source sniffs NetCDF magic on raw bytes."""
+    lat = np.linspace(60.0, 36.1, 240)   # 0.1-degree step, stored f4
+    lon = np.linspace(100.0, 123.9, 240)
+    grid = np.arange(240 * 240, dtype=np.int16).reshape(240, 240)
+    p = str(tmp_path / "f4.nc")
+    write_netcdf(p, grid, lat, lon, coord_dtype="f4")
+    g = read_netcdf(p)
+    assert np.array_equal(g.array[..., 0], grid)
+    assert g.geotransform[1] == pytest.approx(0.1, rel=1e-5)
+    assert g.geotransform[5] == pytest.approx(-0.1, rel=1e-5)
+    # bytes input dispatches on the CDF magic like the path input
+    gb = read_raster_source(open(p, "rb").read())
+    assert np.array_equal(gb.array, g.array)
+    with pytest.raises(NotImplementedError, match="NetCDF-4"):
+        read_raster_source(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
+
+
 def test_vpl_from_gdal_raster_netcdf(ray_session, tmp_path):
     """End-to-end: a NetCDF CF grid warps through the arbitrary-SRS
     pool via the from_gdal_raster VPL op, like any GeoTIFF."""
@@ -167,7 +187,7 @@ def test_vpl_from_gdal_raster_netcdf(ray_session, tmp_path):
     assert set(rows) == {(0, 0), (1, 0), (0, 1), (1, 1)}
     top = to_array(rows[(0, 0)]["payload"], rows[(0, 0)]["width"],
                    rows[(0, 0)]["height"])
-    bot = to_array(rows[(0, 1)]["payload"], rows[(0, 1)]["height"],
+    bot = to_array(rows[(0, 1)]["payload"], rows[(0, 1)]["width"],
                    rows[(0, 1)]["height"])
     # northern tile samples the low-index (small-value) rows
     assert top.mean() < bot.mean()

@@ -507,12 +507,15 @@ def _build_fast_lut(bits, vals):
     key = (bytes(bits), bytes(vals))
     hit = _FAST_LUT_CACHE.get(key)
     if hit is not None:
+        # LRU refresh: keep the shared Annex K tables resident while
+        # per-image optimize_coding tables cycle through
+        del _FAST_LUT_CACHE[key]
+        _FAST_LUT_CACHE[key] = hit
         return hit
     if len(_FAST_LUT_CACHE) >= 16:
         # optimize_coding encoders emit per-image tables; bound the
         # cache (~0.5 MB/entry) so long-lived decode actors can't
-        # accumulate one entry per distinct image. FIFO eviction is
-        # enough: the shared Annex K tables re-enter on first use.
+        # accumulate one entry per distinct image
         _FAST_LUT_CACHE.pop(next(iter(_FAST_LUT_CACHE)))
     lut = [0] * 65536
     code = 0

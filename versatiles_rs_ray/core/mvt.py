@@ -286,7 +286,7 @@ def decode_geometry(commands, geom_type: int):
     # split into parts at the recorded breaks; vertex 0 always starts
     # a part (scalar parity for non-conforming LineTo-first streams),
     # and a trailing ClosePath break == n_vert dedups away
-    bounds = sorted((set(part_breaks) | {0, n_vert}) - {v for v in part_breaks if v > n_vert})
+    bounds = sorted(set(part_breaks) | {0, n_vert})
     parts = []
     for s, e in zip(bounds[:-1], bounds[1:]):
         parts.append(list(map(tuple, verts[s:e].tolist())))

@@ -774,6 +774,11 @@ def read_raster_source(path_or_bytes, epsg: int | None = None) -> GeoTIFF:
     in-repo). ``epsg`` overrides/supplies the CRS (world files carry
     none; default 4326 geographic)."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
+        head = bytes(path_or_bytes[:8])
+        if head[:3] == b"CDF" or head == b"\x89HDF\r\n\x1a\n":
+            from .netcdf import read_netcdf
+
+            return read_netcdf(path_or_bytes, epsg=epsg)
         return read_geotiff(path_or_bytes)
     path = str(path_or_bytes)
     head = open(path, "rb").read(16)

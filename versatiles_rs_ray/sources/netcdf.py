@@ -178,9 +178,14 @@ def _uniform_step(coord: np.ndarray, axis_name: str) -> float:
         raise NotImplementedError(
             f"netcdf coordinate {axis_name!r} has <2 points; cell size "
             "is undefined")
-    steps = np.diff(coord.astype(np.float64))
-    step = float(steps[0])
-    if step == 0.0 or not np.allclose(steps, step, rtol=1e-6, atol=1e-9):
+    c = coord.astype(np.float64)
+    # endpoint-averaged step: per-value NC_FLOAT rounding (~6e-8·|coord|,
+    # the common CF layout) cancels instead of biasing the cell size
+    step = float(c[-1] - c[0]) / (c.size - 1)
+    # tolerance scales with coordinate magnitude for the same reason
+    atol = max(1e-9, float(np.abs(c).max()) * 1e-6)
+    if step == 0.0 or not np.allclose(np.diff(c), step, rtol=1e-4,
+                                      atol=atol):
         raise NotImplementedError(
             f"netcdf coordinate {axis_name!r} is not uniformly spaced; "
             "irregular grids need a VRT-style geolocation warp")
@@ -300,7 +305,8 @@ def read_netcdf(path_or_bytes, epsg: int | None = None) -> GeoTIFF:
 def write_netcdf(path: str, grid: np.ndarray, ycoord, xcoord, *,
                  yname: str = "lat", xname: str = "lon",
                  gatts: dict | None = None, grid_atts: dict | None = None,
-                 record_dim: bool = False) -> None:
+                 record_dim: bool = False,
+                 coord_dtype: str = "f8") -> None:
     """Minimal CDF-1 writer for fixtures and grid exports: one data
     variable over (y, x) coordinate variables (optionally behind a
     record time dimension). Layout follows the classic-format spec:
@@ -350,8 +356,12 @@ def write_netcdf(path: str, grid: np.ndarray, ycoord, xcoord, *,
     def _pad4(n: int) -> int:
         return (n + 3) & ~3
 
-    coords = [(yname, np.asarray(ycoord, dtype=">f8"), ydim),
-              (xname, np.asarray(xcoord, dtype=">f8"), xdim)]
+    def _pad4_bytes(b: bytes) -> bytes:
+        return b + b"\x00" * (-len(b) % 4)
+
+    ctype, csz = (5, 4) if coord_dtype == "f4" else (6, 8)
+    coords = [(yname, np.asarray(ycoord, dtype=">" + coord_dtype), ydim),
+              (xname, np.asarray(xcoord, dtype=">" + coord_dtype), xdim)]
     gsize = _pad4(grid.size * _NC_TYPES[nc_type][1])
     var_defs = []  # (header bytes sans begin, payload bytes, is_record)
     for nm, vals, dd in coords:
@@ -359,8 +369,8 @@ def write_netcdf(path: str, grid: np.ndarray, ycoord, xcoord, *,
             {"units": "degrees_north" if dd == ydim and yname.startswith("lat")
              else "degrees_east" if dd == xdim and xname.startswith("lon")
              else "m"})
-            + struct.pack(">ii", 6, _pad4(vals.size * 8)))
-        var_defs.append((hdr, vals.tobytes(), False))
+            + struct.pack(">ii", ctype, _pad4(vals.size * csz)))
+        var_defs.append((hdr, _pad4_bytes(vals.tobytes()), False))
     gdims = ([0, ydim, xdim] if record_dim else [ydim, xdim])
     ghdr = (_name("grid") + struct.pack(">i", len(gdims))
             + b"".join(struct.pack(">i", d) for d in gdims)
