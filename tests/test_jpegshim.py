@@ -1,0 +1,89 @@
+"""Compiled libjpeg decode shim (core/jpegshim.py) — the fast path of
+decode_jpeg and the engine's progressive-JPEG coverage. Skips cleanly
+on hosts without gcc/libjpeg-dev (the shim then never activates and
+decode_jpeg serves pure-Python, covered by test_raster)."""
+
+import numpy as np
+import pytest
+
+from versatiles_rs_ray.core import jpeg as pyjpeg
+from versatiles_rs_ray.core import jpegshim
+
+pytestmark = pytest.mark.skipif(
+    not jpegshim.have_native_jpeg(),
+    reason="libjpeg shim unavailable (no gcc/headers) — pure-Python "
+           "decoder covers this host")
+
+
+def test_native_decode_parity_with_pure_python():
+    """On a stream OUR encoder produced (4:4:4), shim and pure-Python
+    decodes may differ only by IDCT/color-convert rounding."""
+    rng = np.random.default_rng(5)
+    for shape in ((64, 96, 3), (33, 47, 3)):  # non-MCU-aligned too
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        payload = pyjpeg.encode_jpeg(img, quality=90)
+        a = jpegshim.decode_jpeg_native(payload)
+        b = pyjpeg.decode_jpeg(payload, native=False)
+        assert a.shape == b.shape
+        d = np.abs(a[..., :3].astype(int) - b[..., :3].astype(int))
+        # T.81-conformant decoders differ by a few counts on noise
+        assert d.max() <= 12 and d.mean() < 1.0
+        assert (a[..., 3] == 255).all()
+
+
+def test_progressive_sof2_decodes_native_gates_pure():
+    """Real media lakes are full of progressive JPEGs: the native
+    path decodes them; the pure-Python decoder keeps its honest gate.
+    Progressive and baseline streams of the SAME pixels carry the
+    same quantized coefficients, so the decodes must agree to IDCT
+    rounding."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+    prog = jpegshim.encode_jpeg_native(img, quality=92, progressive=True)
+    base = jpegshim.encode_jpeg_native(img, quality=92, progressive=False)
+    assert b"\xff\xc2" in prog and b"\xff\xc2" not in base
+    with pytest.raises(NotImplementedError, match="baseline"):
+        pyjpeg.decode_jpeg(prog, native=False)
+    a = pyjpeg.decode_jpeg(prog)  # default routes through the shim
+    b = pyjpeg.decode_jpeg(base)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 2
+    # grayscale progressive expands to opaque RGBA like every decode
+    g = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    ga = pyjpeg.decode_jpeg(
+        jpegshim.encode_jpeg_native(g, quality=92, progressive=True))
+    assert ga.shape == (32, 32, 4) and (ga[..., 3] == 255).all()
+    assert (ga[..., 0] == ga[..., 1]).all()
+
+
+def test_corrupt_stream_falls_back_not_crash():
+    """The setjmp error path: header-corrupt streams return None from
+    the shim (no process abort, no exit()); entropy-truncated streams
+    decode best-effort at the right dimensions (libjpeg's documented
+    warning-and-gray-fill recovery — preferable to passthrough in a
+    media lake)."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    payload = pyjpeg.encode_jpeg(img, quality=90)
+    truncated = payload[: len(payload) // 2]
+    best_effort = jpegshim.decode_jpeg_native(truncated)
+    assert best_effort is not None and best_effort.shape == (32, 32, 4)
+    with pytest.raises((ValueError, IndexError)):  # pure path errors
+        pyjpeg.decode_jpeg(truncated, native=False)
+    garbage = b"\xff\xd8" + bytes(100)  # SOI then no valid marker
+    assert jpegshim.decode_jpeg_native(garbage) is None
+    assert jpegshim.decode_jpeg_native(payload[:8]) is None  # header cut
+
+
+def test_native_encode_roundtrip_and_speed_contract():
+    """Native encode is the opt-in throughput path: its output must
+    decode (both decoders) back to within JPEG loss of the source."""
+    rng = np.random.default_rng(11)
+    img = (rng.integers(0, 64, (48, 48, 3)) * 4).astype(np.uint8)
+    smooth = np.zeros((48, 48, 3), np.uint8)
+    smooth[...] = np.linspace(0, 255, 48, dtype=np.uint8)[None, :, None]
+    for src in (smooth,):
+        payload = jpegshim.encode_jpeg_native(src, quality=95)
+        for arr in (jpegshim.decode_jpeg_native(payload),
+                    pyjpeg.decode_jpeg(payload, native=False)):
+            d = np.abs(arr[..., :3].astype(int) - src.astype(int))
+            assert d.max() <= 12 and d.mean() < 3.0

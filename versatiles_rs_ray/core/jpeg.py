@@ -593,10 +593,24 @@ def _split_entropy(data: bytes, start: int):
     return segs, i
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode baseline/extended-sequential Huffman JPEG -> RGBA uint8."""
+def decode_jpeg(payload: bytes, native: bool = True) -> np.ndarray:
+    """Decode JPEG -> RGBA uint8.
+
+    Fast path: the compiled libjpeg shim (core/jpegshim.py, ~70x,
+    also covers progressive SOF2 streams) when it compiled and
+    self-verified on this host; any shim absence or stream rejection
+    falls through to the pure-Python baseline/extended-sequential
+    decoder below (pass native=False to force it — bit-exact golden
+    tests do). The two differ only by IDCT/color-convert rounding
+    (a few counts; JPEG is lossy at that level by construction)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
+    if native:
+        from .jpegshim import decode_jpeg_native
+
+        out = decode_jpeg_native(payload)
+        if out is not None:
+            return out
     qtables = {}
     htables = {}
     frame = None
