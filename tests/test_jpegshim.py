@@ -74,6 +74,28 @@ def test_corrupt_stream_falls_back_not_crash():
     assert jpegshim.decode_jpeg_native(payload[:8]) is None  # header cut
 
 
+def test_raster_format_codec_native(ray_session):
+    """raster_format(codec='native') emits real JPEG tiles through
+    the shim; the default stays byte-identical pure-Python."""
+    from versatiles_rs_ray.core import raster as R
+    from versatiles_rs_ray.core.tilejson import TileBBoxPyramid
+    from versatiles_rs_ray.sources.debug_tiles import gradient_tiles
+    from versatiles_rs_ray.stages.raster import raster_format
+
+    pyramid = TileBBoxPyramid.new_full(1, 1)
+    src = gradient_tiles(pyramid, size=16)
+    out = raster_format(src, "jpg", codec="native").to_pandas()
+    assert (out["format"] == "jpg").all()
+    ref = raster_format(gradient_tiles(pyramid, size=16),
+                        "jpg").to_pandas()
+    for (_, a), (_, b) in zip(out.sort_values(["x", "y"]).iterrows(),
+                              ref.sort_values(["x", "y"]).iterrows()):
+        pa_ = pyjpeg.decode_jpeg(a["payload"], native=False)
+        pb = pyjpeg.decode_jpeg(b["payload"], native=False)
+        assert np.abs(pa_.astype(int) - pb.astype(int)).max() <= 6
+        assert R.decode(a["payload"], "jpg").shape == (16, 16, 4)
+
+
 def test_native_encode_roundtrip_and_speed_contract():
     """Native encode is the opt-in throughput path: its output must
     decode (both decoders) back to within JPEG loss of the source."""

@@ -180,7 +180,7 @@ def parse_quality_schedule(text) -> list:
     return result
 
 
-def encode(arr: np.ndarray, fmt: str, quality=None):
+def encode(arr: np.ndarray, fmt: str, quality=None, codec: str = "pure"):
     """Encode RGBA -> bytes.
 
     'png' is always available (pure-stdlib codec, core/png.py; PNG is
@@ -209,6 +209,17 @@ def encode(arr: np.ndarray, fmt: str, quality=None):
                     "JPEG only supports Grey or RGB images without alpha channel"
                 )
             arr = arr[:, :, :3]
+        if codec == "native" and (arr.ndim == 2 or arr.shape[2] in (1, 3)):
+            # opt-in throughput path (~40x): system libjpeg via the
+            # compiled shim. Deterministic per host+lib version but
+            # NOT the engine's byte-determinism contract — callers
+            # choose it explicitly (raster_format codec=native).
+            from . import jpegshim as _shim
+
+            out = _shim.encode_jpeg_native(
+                arr, quality=95 if quality is None else int(quality))
+            if out is not None:
+                return out
         return _jpeg.encode_jpeg(arr, quality)
     if fmt == "webp":
         from . import native as _native

@@ -346,11 +346,15 @@ def _vfp(ds, regex=".*", invert=0, **_):
 
 
 @register_transform_op("raster_format")
-def _rformat(ds, format="png", quality=None, speed=None, **_):
-    """Re-encode raster payloads per-zoom via a format/quality schedule (raster_format.rs)."""
+def _rformat(ds, format="png", quality=None, speed=None, codec="pure", **_):
+    """Re-encode raster payloads per-zoom via a format/quality schedule
+    (raster_format.rs). codec=native opts JPEG into the compiled
+    libjpeg shim (~40x/tile; bytes differ from the deterministic
+    pure-Python default)."""
     from ..stages.raster import raster_format
 
-    return raster_format(ds, str(format), quality_schedule=quality, speed=speed)
+    return raster_format(ds, str(format), quality_schedule=quality,
+                         speed=speed, codec=str(codec))
 
 
 @register_transform_op("raster_overview")

@@ -46,7 +46,8 @@ def raster_flatten(ds, bg=(255, 255, 255)):
     return ds.map_batches(lambda t: _map_payloads(t, fn), batch_format="pyarrow")
 
 
-def raster_format(ds, fmt, quality_schedule=None, speed=None):
+def raster_format(ds, fmt, quality_schedule=None, speed=None,
+                  codec: str = "pure"):
     """Transcode with per-zoom quality (raster_format.rs:83-167).
 
     The schedule parser is the exact reference port. ``fmt="png"``
@@ -61,6 +62,12 @@ def raster_format(ds, fmt, quality_schedule=None, speed=None):
     ``fmt="avif"`` bind the system libwebp/libavif via ctypes
     (core/native.py) with the reference quality semantics (webp.rs:
     q>=100 lossless; avif.rs: encode-only, lossless rejected).
+
+    ``codec="native"`` routes JPEG encoding through the compiled
+    libjpeg shim (~40x per tile; core/jpegshim.py) — the 100-TB
+    conversion path. Bytes are deterministic per host+libjpeg version
+    but differ from the default pure-Python encoder, so the engine's
+    byte-golden contract keeps ``codec="pure"`` as the default.
     """
     schedule = raster.parse_quality_schedule(quality_schedule)
 
@@ -74,6 +81,7 @@ def raster_format(ds, fmt, quality_schedule=None, speed=None):
                 raster.decode(p, raster.RAW_FORMAT, int(w), int(h)),
                 fmt,
                 quality=schedule[int(zi)],
+                codec=codec,
             )
             for p, w, h, zi in zip(payloads, widths, heights, z)
         ]
