@@ -1,27 +1,32 @@
-"""Compiled libjpeg decode shim — the fast path of `decode_jpeg`.
+"""Compiled libjpeg/libpng decode shim — the fast path of
+`decode_jpeg` and `decode_png_rgba`.
 
 The judge-flagged throughput ceiling of codec-bearing tile pipelines
-is per-tile entropy coding in Python (core/jpeg.py; vectorized, but
-still ~10-30x off native). The base image ships libjpeg62-turbo AND
-its dev headers + gcc, so this module compiles a ~100-line flat-API
-shim ONCE per host (cached in /tmp, atomic rename against concurrent
-Ray workers) and binds it via ctypes. A C shim instead of raw ctypes
-against libjpeg because the classic libjpeg API is unusable safely
-from FFI: error handling requires setjmp/longjmp across the library,
-and `jpeg_decompress_struct` field offsets are build-specific.
+is per-tile entropy coding in Python (core/jpeg.py, core/png.py;
+vectorized, but still ~10-70x off native). The base image ships
+libjpeg62-turbo and libpng16 WITH dev headers + gcc, so this module
+compiles a flat-API shim ONCE per host (cached in /tmp, atomic rename
+against concurrent Ray workers) and binds it via ctypes. A C shim
+instead of raw ctypes because both libraries are unusable safely from
+FFI: error handling requires setjmp/longjmp across the library, and
+`jpeg_decompress_struct` field offsets are build-specific.
 
 Guard rails (the repo's gated-native convention, core/native.py):
 - everything is try/except; no gcc, no headers, compile failure,
-  load failure -> HAVE_NATIVE_JPEG False and the pure-Python decoder
-  (core/jpeg.py) serves, bit-for-bit as before.
-- first use self-verifies: a deterministic gradient encoded by OUR
-  encoder must decode through the shim to within IDCT rounding
-  (max |diff| <= 2) of the pure-Python decode, else the shim is
-  disabled for the process.
+  load failure -> the shim never activates and the pure-Python
+  decoders (core/jpeg.py, core/png.py) serve, bit-for-bit as before.
+- first use self-verifies per codec: JPEG — a deterministic gradient
+  encoded by OUR encoder must decode through the shim to within IDCT
+  rounding (max |diff| <= 2) of the pure-Python decode; PNG — the
+  shim is transform-configured for BIT-EXACT parity with the Python
+  decoder (strip_16 keeps the high byte like our fold, 1/2/4-bit
+  grey expands by bit replication = our v*255/85/17 scaling) and
+  must match exactly on a mixed L/LA/RGB/RGBA fixture. Any mismatch
+  disables that codec's native path for the process.
 
-What the native path adds beyond speed: progressive (SOF2) and
-arithmetic-free multi-scan JPEGs — real media lakes are full of
-progressive files, which the pure-Python decoder gates honestly.
+What the native path adds beyond speed: progressive (SOF2) JPEG —
+real media lakes are full of progressive files, which the pure-Python
+decoder gates honestly.
 """
 
 from __future__ import annotations
@@ -149,15 +154,84 @@ int vt_jpeg_encode(const unsigned char *in, int w, int h, int ch,
 }
 
 void vt_free(void *p) { free(p); }
+
+#include <png.h>
+
+struct vt_png_src { const unsigned char *p; unsigned long n, off; };
+
+static void vt_png_read(png_structp png, png_bytep out, png_size_t n) {
+    struct vt_png_src *s = (struct vt_png_src *)png_get_io_ptr(png);
+    if (s->off + n > s->n)
+        png_error(png, "read past end");
+    memcpy(out, s->p + s->off, n);
+    s->off += n;
+}
+
+/* Decode any PNG to 8-bit RGBA rows, matching the pure-Python
+ * decoder's conventions exactly: 16-bit folds to the high byte
+ * (png_set_strip_16), sub-8-bit grey expands by bit replication
+ * (png_set_expand_gray_1_2_4_to_8: v*255 / v*85 / v*17), palette and
+ * tRNS expand, interlace handled.  Returns 0 ok, -1 corrupt,
+ * -2 buffer too small (w/h set). */
+int vt_png_decode(const unsigned char *in, unsigned long inlen,
+                  unsigned char *out, unsigned long outcap,
+                  int *w, int *h) {
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING,
+                                             NULL, NULL, NULL);
+    if (!png) return -1;
+    png_infop info = png_create_info_struct(png);
+    if (!info) { png_destroy_read_struct(&png, NULL, NULL); return -1; }
+    png_bytep *rows = NULL;
+    if (setjmp(png_jmpbuf(png))) {
+        if (rows) free(rows);
+        png_destroy_read_struct(&png, &info, NULL);
+        return -1;
+    }
+    struct vt_png_src src = { in, inlen, 0 };
+    png_set_read_fn(png, &src, vt_png_read);
+    png_read_info(png, info);
+    png_uint_32 pw = png_get_image_width(png, info);
+    png_uint_32 ph = png_get_image_height(png, info);
+    *w = (int)pw;
+    *h = (int)ph;
+    if (outcap < (unsigned long)pw * ph * 4) {
+        png_destroy_read_struct(&png, &info, NULL);
+        return -2;
+    }
+    int ct = png_get_color_type(png, info);
+    int depth = png_get_bit_depth(png, info);
+    if (depth == 16) png_set_strip_16(png);
+    if (ct == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+    if (ct == PNG_COLOR_TYPE_GRAY && depth < 8)
+        png_set_expand_gray_1_2_4_to_8(png);
+    if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+    if (ct == PNG_COLOR_TYPE_GRAY || ct == PNG_COLOR_TYPE_GRAY_ALPHA)
+        png_set_gray_to_rgb(png);
+    png_set_filler(png, 0xFF, PNG_FILLER_AFTER);
+    png_set_interlace_handling(png);
+    png_read_update_info(png, info);
+    if (png_get_rowbytes(png, info) != (png_size_t)pw * 4)
+        png_error(png, "unexpected row layout");
+    rows = (png_bytep *)malloc(sizeof(png_bytep) * ph);
+    if (!rows) png_error(png, "oom");
+    { png_uint_32 r; for (r = 0; r < ph; r++)
+        rows[r] = out + (unsigned long)r * pw * 4; }
+    png_read_image(png, rows);
+    free(rows);
+    rows = NULL;
+    png_destroy_read_struct(&png, &info, NULL);
+    return 0;
+}
 """
 
 _lib = None
-_state = "unprobed"  # unprobed | ok | disabled
+_state = "unprobed"  # unprobed | ok | disabled  (JPEG entry points)
+_png_ok = False      # PNG entry point passed its bit-exact verify
 
 
 def _shim_path() -> str:
     tag = hashlib.sha256(_C_SOURCE.encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"vt_jpegshim_{tag}.so")
+    return os.path.join(tempfile.gettempdir(), f"vt_imgshim_{tag}.so")
 
 
 def _compile() -> str | None:
@@ -170,12 +244,53 @@ def _compile() -> str | None:
             f.write(_C_SOURCE)
         tmp = path + f".{os.getpid()}"
         subprocess.run(
-            ["gcc", "-O2", "-shared", "-fPIC", src, "-o", tmp, "-ljpeg"],
+            ["gcc", "-O2", "-shared", "-fPIC", src, "-o", tmp,
+             "-ljpeg", "-lpng16"],
             check=True, capture_output=True, timeout=60)
         os.rename(tmp, path)  # atomic vs concurrent Ray workers
         return path
     except Exception:
         return path if os.path.exists(path) else None
+
+
+def _self_verify_png(lib) -> bool:
+    """PNG must be BIT-EXACT vs the pure-Python decoder (lossless
+    format, transforms configured to the same conventions) across the
+    mode-narrowing encoder's L/LA/RGB/RGBA outputs."""
+    from . import png as pypng
+
+    rng = np.random.default_rng(12)
+    rgba = rng.integers(0, 256, (21, 13, 4), dtype=np.uint8)
+    cases = [rgba]                                   # RGBA
+    op = rgba.copy(); op[..., 3] = 255; cases.append(op)        # RGB
+    gr = op.copy(); gr[..., 1] = gr[..., 2] = gr[..., 0]
+    cases.append(gr)                                 # L
+    la = rgba.copy(); la[..., 1] = la[..., 2] = la[..., 0]
+    cases.append(la)                                 # LA
+    for src in cases:
+        payload = pypng.encode_png_auto(src)
+        ref = pypng.decode_png_rgba(payload, native=False)
+        out = _png_decode_raw(lib, payload)
+        if out is None or not np.array_equal(out, ref):
+            return False
+    return True
+
+
+def _png_decode_raw(lib, payload: bytes):
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.vt_png_decode(payload, len(payload), None, 0,
+                           ctypes.byref(w), ctypes.byref(h))
+    if rc != -2:
+        return None
+    buf = np.empty(w.value * h.value * 4, dtype=np.uint8)
+    rc = lib.vt_png_decode(
+        payload, len(payload),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), buf.size,
+        ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        return None
+    return buf.reshape(h.value, w.value, 4)
 
 
 def _self_verify(lib) -> bool:
@@ -219,7 +334,7 @@ def _decode_raw(lib, payload: bytes):
 
 
 def _probe():
-    global _lib, _state
+    global _lib, _state, _png_ok
     if _state != "unprobed":
         return
     _state = "disabled"
@@ -242,9 +357,18 @@ def _probe():
             ctypes.POINTER(ctypes.c_ulong)]
         lib.vt_free.restype = None
         lib.vt_free.argtypes = [ctypes.c_void_p]
+        lib.vt_png_decode.restype = ctypes.c_int
+        lib.vt_png_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_ulong,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_ulong,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
         if _self_verify(lib):
             _lib = lib
             _state = "ok"
+            try:
+                _png_ok = _self_verify_png(lib)
+            except Exception:
+                _png_ok = False
     except Exception:
         _lib = None
         _state = "disabled"
@@ -253,6 +377,21 @@ def _probe():
 def have_native_jpeg() -> bool:
     _probe()
     return _state == "ok"
+
+
+def have_native_png() -> bool:
+    _probe()
+    return _png_ok
+
+
+def decode_png_rgba_native(payload: bytes) -> np.ndarray | None:
+    """PNG bytes -> (H, W, 4) RGBA via the compiled libpng shim —
+    bit-exact with core/png.decode_png_rgba (verified at probe time)
+    — or None when unavailable/rejected (caller falls back)."""
+    _probe()
+    if not _png_ok:
+        return None
+    return _png_decode_raw(_lib, bytes(payload))
 
 
 def encode_jpeg_native(arr: np.ndarray, quality: int = 90,

@@ -596,7 +596,7 @@ def _split_entropy(data: bytes, start: int):
 def decode_jpeg(payload: bytes, native: bool = True) -> np.ndarray:
     """Decode JPEG -> RGBA uint8.
 
-    Fast path: the compiled libjpeg shim (core/jpegshim.py, ~70x,
+    Fast path: the compiled libjpeg shim (core/imgshim.py, ~70x,
     also covers progressive SOF2 streams) when it compiled and
     self-verified on this host; any shim absence or stream rejection
     falls through to the pure-Python baseline/extended-sequential
@@ -606,7 +606,7 @@ def decode_jpeg(payload: bytes, native: bool = True) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     if native:
-        from .jpegshim import decode_jpeg_native
+        from .imgshim import decode_jpeg_native
 
         out = decode_jpeg_native(payload)
         if out is not None:

@@ -256,8 +256,21 @@ def decode_png(data: bytes) -> tuple:
     return np.concatenate([rgb, alpha[idx][..., None]], axis=2), color_type
 
 
-def decode_png_rgba(data: bytes) -> np.ndarray:
-    """PNG bytes -> (H, W, 4) RGBA (greyscale/opaque expanded)."""
+def decode_png_rgba(data: bytes, native: bool = True) -> np.ndarray:
+    """PNG bytes -> (H, W, 4) RGBA (greyscale/opaque expanded).
+
+    Fast path: the compiled libpng shim (core/imgshim.py), verified
+    BIT-EXACT against this decoder at probe time (PNG is lossless and
+    the shim's transforms mirror our conventions: high-byte 16-bit
+    fold, bit-replication grey expansion). Falls back to the pure
+    path when the shim is absent or rejects the stream; native=False
+    forces pure (the shim's own verify does, to avoid recursion)."""
+    if native:
+        from .imgshim import decode_png_rgba_native
+
+        out = decode_png_rgba_native(data)
+        if out is not None:
+            return out
     arr, color_type = decode_png(data)
     h, w, c = arr.shape
     out = np.empty((h, w, 4), dtype=np.uint8)

@@ -214,7 +214,7 @@ def encode(arr: np.ndarray, fmt: str, quality=None, codec: str = "pure"):
             # compiled shim. Deterministic per host+lib version but
             # NOT the engine's byte-determinism contract — callers
             # choose it explicitly (raster_format codec=native).
-            from . import jpegshim as _shim
+            from . import imgshim as _shim
 
             out = _shim.encode_jpeg_native(
                 arr, quality=95 if quality is None else int(quality))

@@ -64,7 +64,7 @@ def raster_format(ds, fmt, quality_schedule=None, speed=None,
     q>=100 lossless; avif.rs: encode-only, lossless rejected).
 
     ``codec="native"`` routes JPEG encoding through the compiled
-    libjpeg shim (~40x per tile; core/jpegshim.py) — the 100-TB
+    libjpeg shim (~40x per tile; core/imgshim.py) — the 100-TB
     conversion path. Bytes are deterministic per host+libjpeg version
     but differ from the default pure-Python encoder, so the engine's
     byte-golden contract keeps ``codec="pure"`` as the default.
