@@ -75,7 +75,8 @@ def test_geo_tile_roundtrip(t):
     assert (int(np.asarray(xx).item()), int(np.asarray(yy).item())) == (x, y)
 
 
-@given(st.binary(max_size=4096), st.sampled_from(["gzip", "br"]))
+@given(st.binary(max_size=4096),
+       st.sampled_from([c for c in compression.AVAILABLE if c != "raw"]))
 @settings(max_examples=40)
 def test_compression_roundtrip(data, codec):
     assert compression._decompress_one(

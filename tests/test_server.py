@@ -489,15 +489,44 @@ def test_internal_error_returns_500_not_connection_drop(debug_ds, tmp_path):
         srv.shutdown()
 
 
-def test_pmtiles_zstd_compression_fails_mount(tmp_path, debug_ds):
+def test_pmtiles_zstd_serves_and_unknown_fails_mount(tmp_path, debug_ds):
+    """PMTiles v3 allows tile_compression zstd (4): with the system
+    libzstd bound the archive mounts and serves — Content-Encoding:
+    zstd to clients that accept it, transparently decoded for ones
+    that don't. Unknown compression ids still fail the mount."""
+    from versatiles_rs_ray.core.compression import AVAILABLE, compress_column
+    from versatiles_rs_ray.core.native import HAVE_ZSTD, zstd_decompress
+
     p = str(tmp_path / "z.pmtiles")
-    pmtiles.write_pmtiles(debug_ds, p)
-    blob = bytearray(open(p, "rb").read())
-    blob[98] = 4  # zstd per spec
-    open(p, "wb").write(bytes(blob))
+    if HAVE_ZSTD:
+        assert "zstd" in AVAILABLE
+        zds = debug_ds.map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("payload"), "payload",
+                compress_column(t["payload"], "zstd")),
+            batch_format="pyarrow")
+        pmtiles.write_pmtiles(zds, p, tile_compression=4)
+        srv = TileServer()
+        srv.add_tile_source("z", p)
+        url = srv.start()
+        try:
+            st, hdrs, body = _get(f"{url}/tiles/z/1/0/0",
+                                  headers={"Accept-Encoding": "zstd"})
+            assert st == 200 and hdrs.get("Content-Encoding") == "zstd"
+            assert json.loads(zstd_decompress(body))["z"] == 1
+            st, hdrs, body = _get(f"{url}/tiles/z/1/0/0",
+                                  headers={"Accept-Encoding": ""})
+            assert st == 200 and hdrs.get("Content-Encoding") is None
+            assert json.loads(body)["z"] == 1
+        finally:
+            srv.shutdown()
+    pmtiles.write_pmtiles(debug_ds, str(tmp_path / "u.pmtiles"))
+    blob = bytearray(open(tmp_path / "u.pmtiles", "rb").read())
+    blob[98] = 7  # unknown compression id
+    open(tmp_path / "u.pmtiles", "wb").write(bytes(blob))
     srv = TileServer()
     with pytest.raises(NotImplementedError, match="tile_compression"):
-        srv.add_tile_source("z", p)
+        srv.add_tile_source("u", str(tmp_path / "u.pmtiles"))
 
 
 def test_forwarded_proto_and_host_in_tilejson(debug_ds, tmp_path):

@@ -25,13 +25,19 @@ from . import brotli_stored as _br
 RAW = "raw"
 GZIP = "gzip"
 BROTLI = "br"
+ZSTD = "zstd"
 # brotli is ALWAYS available: the real library when importable, else
 # RFC 7932 stored-mode streams (valid brotli, no entropy coding —
 # core/brotli_stored.py). Decompression without the library handles
-# stored-mode streams only.
-AVAILABLE = (RAW, GZIP, BROTLI)
+# stored-mode streams only. zstd (beyond the reference's enum; the
+# PMTiles v3 spec allows it as tile_compression 4) binds the system
+# libzstd and is absent from AVAILABLE when the library is missing.
+from .native import HAVE_ZSTD as _HAVE_ZSTD  # noqa: E402
+
+AVAILABLE = (RAW, GZIP, BROTLI) + ((ZSTD,) if _HAVE_ZSTD else ())
 
 _GZIP_LEVEL = 6
+_ZSTD_LEVEL = 3  # libzstd default; fixed for deterministic bytes
 
 
 def _compress_one(data: bytes, codec: str) -> bytes:
@@ -43,6 +49,10 @@ def _compress_one(data: bytes, codec: str) -> bytes:
         return _gzip.compress(data, compresslevel=_GZIP_LEVEL, mtime=0)
     if codec == BROTLI:
         return _br.compress(data)
+    if codec == ZSTD:
+        from .native import zstd_compress
+
+        return zstd_compress(data, level=_ZSTD_LEVEL)
     raise ValueError(f"unknown compression {codec!r}")
 
 
@@ -53,6 +63,10 @@ def _decompress_one(data: bytes, codec: str) -> bytes:
         return zlib.decompress(data, wbits=zlib.MAX_WBITS | 32)
     if codec == BROTLI:
         return _br.decompress(data)
+    if codec == ZSTD:
+        from .native import zstd_decompress
+
+        return zstd_decompress(data)
     raise ValueError(f"unknown compression {codec!r}")
 
 

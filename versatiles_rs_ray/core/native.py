@@ -194,6 +194,71 @@ def webp_decode_rgba(data: bytes):
         _webp.WebPFree(p)
 
 
+# ---- zstd (flat one-shot API, zstd.h) -----------------------------------
+# Beyond the reference's compression enum (Uncompressed|Gzip|Brotli,
+# functions.rs:55-205): the PMTiles v3 spec allows tile_compression
+# zstd (id 4), so real-world archives need it to mount at all.
+
+_zstd = _load("libzstd.so.1", "libzstd.so", "libzstd.dylib")
+HAVE_ZSTD = _zstd is not None
+
+if HAVE_ZSTD:
+    _zstd.ZSTD_compressBound.restype = ctypes.c_size_t
+    _zstd.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+    _zstd.ZSTD_compress.restype = ctypes.c_size_t
+    _zstd.ZSTD_compress.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int]
+    _zstd.ZSTD_decompress.restype = ctypes.c_size_t
+    _zstd.ZSTD_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t]
+    _zstd.ZSTD_getFrameContentSize.restype = ctypes.c_ulonglong
+    _zstd.ZSTD_getFrameContentSize.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t]
+    _zstd.ZSTD_isError.restype = ctypes.c_uint
+    _zstd.ZSTD_isError.argtypes = [ctypes.c_size_t]
+
+_ZSTD_CONTENTSIZE_UNKNOWN = (1 << 64) - 1  # -1 as unsigned long long
+_ZSTD_CONTENTSIZE_ERROR = (1 << 64) - 2
+
+
+def zstd_compress(data: bytes, level: int = 3) -> bytes:
+    """One-shot zstd encode; level fixed by callers for deterministic
+    bytes (same build -> same output)."""
+    if not HAVE_ZSTD:
+        raise RuntimeError("libzstd not available")
+    cap = _zstd.ZSTD_compressBound(len(data))
+    out = ctypes.create_string_buffer(cap)
+    n = _zstd.ZSTD_compress(out, cap, data, len(data), int(level))
+    if _zstd.ZSTD_isError(n):
+        raise ValueError("zstd compression failed")
+    return out.raw[:n]
+
+
+def zstd_decompress(data: bytes) -> bytes:
+    """One-shot zstd decode; frames without a stored content size
+    (streaming writers) retry with a doubling buffer."""
+    if not HAVE_ZSTD:
+        raise RuntimeError("libzstd not available")
+    size = _zstd.ZSTD_getFrameContentSize(data, len(data))
+    if size == _ZSTD_CONTENTSIZE_ERROR:
+        raise ValueError("not a zstd frame")
+    if size != _ZSTD_CONTENTSIZE_UNKNOWN:
+        out = ctypes.create_string_buffer(max(int(size), 1))
+        n = _zstd.ZSTD_decompress(out, int(size), data, len(data))
+        if _zstd.ZSTD_isError(n) or n != size:
+            raise ValueError("zstd decompression failed")
+        return out.raw[:n]
+    cap = max(len(data) * 4, 1 << 16)
+    while cap <= (1 << 31):
+        out = ctypes.create_string_buffer(cap)
+        n = _zstd.ZSTD_decompress(out, cap, data, len(data))
+        if not _zstd.ZSTD_isError(n):
+            return out.raw[:n]
+        cap *= 4
+    raise ValueError("zstd decompression failed (frame too large)")
+
+
 # ---- AVIF (encode-only, matching the reference's write-only use:
 # versatiles_image/src/format/avif.rs "Decoding is intentionally not
 # implemented") -----------------------------------------------------------

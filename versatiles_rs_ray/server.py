@@ -45,8 +45,9 @@ from .core.formats import FORMAT_MIME, sniff_mime as _sniff_mime
 
 def _accept_encodings(headers) -> set:
     """Narrow Accept-Encoding parse (server/encoding.rs): recognize
-    gzip and br; `*` enables both; a `;q=0` disables; unknown tokens
-    ignored; identity is always acceptable."""
+    gzip, br and zstd (RFC 8878 registered token); `*` enables all;
+    a `;q=0` disables; unknown tokens ignored; identity is always
+    acceptable."""
     raw = headers.get("Accept-Encoding", "") or ""
     out = set()
     for token in raw.split(","):
@@ -66,8 +67,8 @@ def _accept_encodings(headers) -> set:
         if q == 0.0:
             continue
         if name == "*":
-            out |= {"gzip", "br"}
-        elif name in ("gzip", "br"):
+            out |= {"gzip", "br", "zstd"}
+        elif name in ("gzip", "br", "zstd"):
             out.add(name)
     return out
 
@@ -104,13 +105,21 @@ class TileSource:
                 self.compression = "gzip"
             elif hdr[98] == 3:
                 self.compression = "br"
+            elif hdr[98] == 4:
+                from .core.native import HAVE_ZSTD
+
+                if not HAVE_ZSTD:
+                    raise NotImplementedError(
+                        "pmtiles tile_compression zstd needs libzstd "
+                        "(not present on this host)")
+                self.compression = "zstd"
             elif hdr[98] not in (0, 1):
-                # zstd (4) or unknown: serving mislabeled raw bytes
-                # would hand every client undecodable payloads — fail
-                # the MOUNT, visibly
+                # unknown: serving mislabeled raw bytes would hand
+                # every client undecodable payloads — fail the MOUNT,
+                # visibly
                 raise NotImplementedError(
                     f"pmtiles tile_compression {hdr[98]} not supported "
-                    "(none, gzip, brotli)")
+                    "(none, gzip, brotli, zstd)")
         elif path.endswith(".mbtiles"):
             # metadata table: format row -> fmt_hint (tiles are then
             # never decompressed just to sniff a MIME), name/bounds/
@@ -227,6 +236,10 @@ def _guess_mime(name: str) -> str:
 def _decode_variant(blob: bytes, enc: str) -> bytes:
     if enc == "gzip":
         return gzip.decompress(blob)
+    if enc == "zstd":
+        from .core.native import zstd_decompress
+
+        return zstd_decompress(blob)
     from .core import brotli_stored
 
     return brotli_stored.decompress(blob)
@@ -476,7 +489,9 @@ def _make_handler(sources: dict, base_url_holder: list, statics: list = (),
                     # merely starts 0x1f8b must stay raw, not be
                     # mislabeled Content-Encoding: gzip)
                     decoded = None
-                    enc = src.compression if src.compression in ("gzip", "br") else None
+                    enc = (src.compression
+                           if src.compression in ("gzip", "br", "zstd")
+                           else None)
                     if enc is None and payload[:2] == b"\x1f\x8b":
                         try:
                             decoded = gzip.decompress(payload)
