@@ -320,7 +320,8 @@ def _overscale(ds, delta=1, **_):
 
 @register_transform_op("recompress")
 def _recompress(ds, src="raw", dst="gzip", **_):
-    """Recompress payloads from=/to= raw|gzip|br (converter recompression)."""
+    """Recompress payloads from=/to= raw|gzip|br|zstd (converter
+    recompression; zstd only when the system libzstd resolves)."""
     from ..stages.transform import recompress_ds
 
     return recompress_ds(ds, "payload", src, dst)
