@@ -16,6 +16,8 @@ FORMAT_MIME = {
     "webp": "image/webp",
     "avif": "image/avif",
     "tiff": "image/tiff",
+    "gif": "image/gif",
+    "bmp": "image/bmp",
     "mvt": "application/x-protobuf",
     "pbf": "application/x-protobuf",
     "json": "application/json",
@@ -40,6 +42,10 @@ def sniff_format(payload: bytes) -> str:
         return "avif"
     if payload[:4] in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):
         return "tiff"  # classic and BigTIFF, either byte order
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if payload[:2] == b"BM" and len(payload) > 17 and payload[14] >= 12:
+        return "bmp"
     if payload[:1] == b"\x1a":
         return "mvt"
     if payload[:1] in (b"{", b"["):

@@ -284,6 +284,14 @@ def decode(payload: bytes, fmt: str, width=None, height=None) -> np.ndarray:
         if _native.HAVE_WEBP:
             rgba, w, h = _native.webp_decode_rgba(payload)
             return np.frombuffer(rgba, dtype=np.uint8).reshape(h, w, 4)
+    if fmt == "gif":
+        from . import gif as _gif
+
+        return _gif.decode_gif(payload)
+    if fmt == "bmp":
+        from . import bmp as _bmp
+
+        return _bmp.decode_bmp(payload)
     if _PILImage is None:  # pragma: no cover
         raise NotImplementedError(f"decoding {fmt!r} needs Pillow (not in sandbox)")
     import io

@@ -119,14 +119,16 @@ class MediaBytesDecoder:
     """Actor-pool decode stage over INLINE media bytes — REAL decode.
 
     The prompt-level contract: image payloads arrive as opaque binary
-    columns; this stage sniffs PNG/JPEG/WEBP/TIFF magic and decodes
-    through the engine's real codecs (core/png stdlib zlib, core/jpeg
-    baseline, core/native libwebp, sources/geotiff stdlib TIFF) to
-    rgba-raw + dimensions. Rows whose bytes
-    don't match a known magic pass through with width=height=0 and the
-    original payload (audio/video stay opaque until their codecs are
-    bound). Same output schema as FakeMediaDecoder, so downstream
-    resize/feature stages compose unchanged.
+    columns; this stage sniffs PNG/JPEG/WEBP/TIFF/GIF/BMP magic and
+    decodes through the engine's real codecs (core/png + core/jpeg
+    with the compiled imgshim fast path — progressive JPEG included —
+    core/native libwebp, sources/geotiff stdlib TIFF, core/gif,
+    core/bmp) to rgba-raw + dimensions. Rows whose bytes don't match
+    a known magic, or whose payload is corrupt/truncated, pass
+    through with width=height=0 and the original payload (audio/video
+    stay opaque until their codecs are bound). Same output schema as
+    FakeMediaDecoder, so downstream resize/feature stages compose
+    unchanged.
     """
 
     def __init__(self):
@@ -181,12 +183,21 @@ class MediaBytesDecoder:
                 widths.append(arr.shape[1])
                 heights.append(arr.shape[0])
                 continue
-            if fmt not in ("png", "jpg", "webp"):
+            if fmt not in ("png", "jpg", "webp", "gif", "bmp"):
                 payloads.append(blob)
                 widths.append(0)
                 heights.append(0)
                 continue
-            arr = self._raster.decode(blob, fmt)
+            try:
+                arr = self._raster.decode(blob, fmt)
+            except Exception:  # noqa: BLE001 — same contract as the
+                # TIFF branch: one corrupt/truncated file in a media
+                # lake degrades to the opaque passthrough, not an
+                # actor death
+                payloads.append(blob)
+                widths.append(0)
+                heights.append(0)
+                continue
             payloads.append(self._raster.from_array(arr))
             widths.append(arr.shape[1])
             heights.append(arr.shape[0])
