@@ -31,9 +31,12 @@ def test_decode_media_schema_and_determinism(ray_session, sf_dir):
     }
     img0 = a[a.kind == "image"]
     aud = a[a.kind == "audio"]
-    # images: real decoded rgba-raw payloads (w*h*4); audio: opaque 64B
+    # images: real decoded rgba-raw payloads (w*h*4); audio: a REAL
+    # PCM WAV (decoded by audio_pipeline, not the image decoder — it
+    # passes through here opaque with w=h=0)
     assert (img0["n_bytes"] == img0["width"] * img0["height"] * 4).all()
-    assert (aud["n_bytes"] == 64).all() and (aud["width"] == 0).all()
+    assert (aud["width"] == 0).all()
+    assert all(bytes(p)[:4] == b"RIFF" for p in aud["payload"])
     b = M.decode_media(D.read_docs(sf_dir), concurrency=2, batch_size=128).to_pandas()
     key = ["doc_id", "span_idx"]
     a = a.sort_values(key).reset_index(drop=True)
@@ -206,3 +209,67 @@ def test_media_bytes_decoder_tiff_payload(ray_session, tmp_path):
     assert (row["width"], row["height"]) == (30, 20)
     rgba = np.frombuffer(row["payload"], np.uint8).reshape(20, 30, 4)
     assert np.array_equal(rgba[..., 0], (grey16[..., 0] >> 8).astype(np.uint8))
+
+
+def test_wav_codec_roundtrip_and_foreign_layouts():
+    """RIFF/WAVE parser (core/wav.py): 16-bit round-trip through our
+    encoder, hand-packed 8-bit/24-bit/float32 fixtures, chunk-skip
+    (LIST before data), and honest gates."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from versatiles_rs_ray.core.wav import decode_wav, encode_wav
+
+    t = np.arange(800) / 8000.0
+    src = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    s, rate = decode_wav(encode_wav(src, 8000))
+    assert rate == 8000 and s.shape == (800, 1)
+    assert np.abs(s[:, 0] - src).max() < 1.5 / 32768  # 16-bit quant
+
+    def wav(fmt_code, channels, rate, bits, raw, pre_chunks=b""):
+        fmt = struct.pack("<HHIIHH", fmt_code, channels, rate,
+                          rate * channels * bits // 8,
+                          channels * bits // 8, bits)
+        body = (b"WAVE" + pre_chunks
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(raw)) + raw)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # 8-bit PCM is unsigned: 128 -> 0.0, 255 -> ~1.0
+    s, _ = decode_wav(wav(1, 1, 8000, 8, bytes([128, 255, 0])))
+    assert s[0, 0] == 0.0 and s[1, 0] > 0.98 and s[2, 0] == -1.0
+    # 24-bit little-endian signed
+    raw24 = (0x7FFFFF).to_bytes(3, "little") + (0x800000).to_bytes(3, "little")
+    s, _ = decode_wav(wav(1, 1, 44100, 24, raw24))
+    assert s[0, 0] > 0.999 and s[1, 0] == -1.0
+    # float32 + a LIST chunk before fmt (chunk-skip per spec)
+    raw = np.array([0.25, -0.5], "<f4").tobytes()
+    s, rate = decode_wav(wav(3, 2, 16000, 32, raw,
+                             pre_chunks=b"LIST\x04\x00\x00\x00INFO"))
+    assert rate == 16000 and s.shape == (1, 2)
+    assert s[0].tolist() == [0.25, -0.5]
+    # gates
+    with pytest.raises(NotImplementedError, match="format"):
+        decode_wav(wav(85, 1, 8000, 16, b"\x00\x00"))  # mp3-in-wav
+    with pytest.raises(ValueError, match="not a WAV"):
+        decode_wav(b"RIFF\x00\x00\x00\x00AVI " + bytes(16))
+
+
+def test_audio_pipeline_real_wav_features(ray_session, sf_dir):
+    """Audio spans synthesize REAL PCM WAV and AudioFeatures decodes
+    them for real: rms of a 0.5-amplitude sine is 0.5/sqrt(2)."""
+    import numpy as np
+
+    from versatiles_rs_ray.stages.multimodal import audio_pipeline
+
+    out = audio_pipeline(D.read_docs(sf_dir)).to_pandas()
+    if len(out) == 0:  # testdata carries no audio spans at this SF
+        import pytest
+
+        pytest.skip("no audio spans at this scale factor")
+    assert (out["sample_rate"] == 8000).all()
+    assert (out["n_samples"] >= 400).all()
+    assert np.allclose(out["rms"], 0.5 / np.sqrt(2), atol=0.02)
+    assert (out["duration_ms"] == out["n_samples"] / 8.0).all()

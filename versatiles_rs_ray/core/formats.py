@@ -18,6 +18,7 @@ FORMAT_MIME = {
     "tiff": "image/tiff",
     "gif": "image/gif",
     "bmp": "image/bmp",
+    "wav": "audio/wav",
     "mvt": "application/x-protobuf",
     "pbf": "application/x-protobuf",
     "json": "application/json",
@@ -38,6 +39,8 @@ def sniff_format(payload: bytes) -> str:
         return "jpg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
     if len(payload) > 11 and payload[4:12] == b"ftypavif":
         return "avif"
     if payload[:4] in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):

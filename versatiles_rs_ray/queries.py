@@ -1094,6 +1094,17 @@ def q_media_pipeline(sf_dir):
     )
 
 
+def q_audio_features(sf_dir):
+    """Audio leg of the media chain: explode -> audio spans -> real
+    PCM WAV synthesis per media_ref -> AudioFeatures actor pool (real
+    RIFF/WAVE parse: sample_rate/channels/duration/rms/peak).
+    Rows-only (decode-real features; codec goldens live in pytest)."""
+    return multimodal.audio_pipeline(_docs(sf_dir)).select_columns(
+        ["doc_id", "span_idx", "media_ref", "sample_rate", "n_samples",
+         "duration_ms", "rms", "peak"]
+    )
+
+
 def q_embedding_near_dup(sf_dir):
     import ray.data as rd
 
@@ -1966,6 +1977,7 @@ QUERIES = {
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
     "raster_pipeline": q_raster_pipeline,
+    "audio_features": q_audio_features,
 }
 
 ORACLES = {

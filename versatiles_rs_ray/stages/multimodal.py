@@ -232,6 +232,15 @@ class SyntheticMediaFetcher:
 
     def _fetch(self, media_ref: str, kind: str) -> bytes:
         seed = hash_stable(media_ref)
+        if kind == "audio":
+            # REAL 16-bit PCM WAV: a seed-derived sine burst at 8 kHz
+            # (deterministic; AudioFeatures decodes it for real)
+            from ..core.wav import encode_wav
+
+            n = 400 + seed % 800
+            freq = 200.0 + (seed >> 8) % 1800
+            t = np.arange(n, dtype=np.float64) / 8000.0
+            return encode_wav(0.5 * np.sin(2 * np.pi * freq * t), 8000)
         if kind != "image":
             rng = np.random.default_rng(seed % (1 << 31))
             return rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
@@ -492,3 +501,74 @@ def _frame_features(batch: pa.Table) -> pa.Table:
     feats = ByteHistogramFeatures()
     tmp = batch.append_column("payload", batch["frame"]).drop_columns(["frame"])
     return feats(tmp)
+
+
+class AudioFeatures:
+    """Actor-pool audio feature extraction — REAL decode (core/wav.py
+    PCM/IEEE-float parser), no stub: per payload emits sample_rate,
+    channels, n_samples, duration_ms, rms and peak over normalized
+    samples. Non-WAV payloads (mp3/aac stay opaque — no codecs in the
+    sandbox) and corrupt files produce typed nulls, the same
+    degrade-don't-die contract as MediaBytesDecoder."""
+
+    def __init__(self):
+        from ..core.formats import sniff_format
+        from ..core.wav import decode_wav
+
+        self._sniff = sniff_format
+        self._decode = decode_wav
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rates, chans, counts, durs, rms, peak = [], [], [], [], [], []
+        col = batch["payload"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        for blob in col.to_pylist():
+            if self._sniff(blob) != "wav":
+                rates.append(None); chans.append(None); counts.append(None)
+                durs.append(None); rms.append(None); peak.append(None)
+                continue
+            try:
+                samples, rate = self._decode(blob)
+            except Exception:  # noqa: BLE001 — corrupt audio degrades
+                rates.append(None); chans.append(None); counts.append(None)
+                durs.append(None); rms.append(None); peak.append(None)
+                continue
+            n, c = samples.shape
+            rates.append(rate)
+            chans.append(c)
+            counts.append(n)
+            durs.append(1000.0 * n / rate if rate else None)
+            mono = samples.mean(axis=1) if c > 1 else samples[:, 0]
+            rms.append(float(np.sqrt(np.mean(mono * mono))) if n else 0.0)
+            peak.append(float(np.abs(mono).max()) if n else 0.0)
+        names = [n for n in ("doc_id", "span_idx", "kind", "media_ref")
+                 if n in batch.column_names]
+        cols = {n: batch[n] for n in names}
+        cols["sample_rate"] = pa.array(rates, type=pa.int64())
+        cols["channels"] = pa.array(chans, type=pa.int64())
+        cols["n_samples"] = pa.array(counts, type=pa.int64())
+        cols["duration_ms"] = pa.array(durs, type=pa.float64())
+        cols["rms"] = pa.array(rms, type=pa.float64())
+        cols["peak"] = pa.array(peak, type=pa.float64())
+        return pa.table(cols)
+
+
+def audio_pipeline(docs_ds, concurrency=4, batch_size=1024):
+    """Audio leg of the media chain: explode -> keep audio spans ->
+    fetch (real PCM WAV) -> AudioFeatures actor pool."""
+    import pyarrow.compute as pc
+
+    pool = _elastic(concurrency)
+    spans = media_spans(docs_ds).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], pa.scalar("audio"))),
+        batch_format="pyarrow",
+    )
+    fetched = spans.map_batches(
+        synthesize_media_batch, batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    return fetched.map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=pool,
+    )
