@@ -205,3 +205,49 @@ def test_media_pool_decodes_gif_bmp_and_survives_corruption(ray_session):
     assert out["width"].tolist() == [4, 2, 0]
     assert out["height"].tolist() == [4, 1, 0]
     assert bytes(out.iloc[2]["payload"]) == corrupt  # passthrough
+
+
+def test_gif_dimension_bomb_rejected():
+    """A ~40-byte crafted header claiming 65535x65535 must be
+    rejected BEFORE any allocation (media-lake decompression bomb)."""
+    data = _gif(np.zeros(4, np.uint8), 2, 2, PAL)
+    bomb = bytearray(data)
+    struct.pack_into("<HH", bomb, 6, 65535, 65535)       # screen
+    with pytest.raises(ValueError, match="exceeds"):
+        decode_gif(bytes(bomb))
+    bomb = bytearray(data)
+    # frame descriptor dims (after 13-byte header + 12-byte GCT)
+    idesc = bytes(bomb).index(b"\x2c")
+    struct.pack_into("<HH", bomb, idesc + 5, 65535, 65535)
+    with pytest.raises(ValueError, match="exceeds"):
+        decode_gif(bytes(bomb))
+
+
+def test_bmp_bitfields_masks_honored():
+    """BI_BITFIELDS with RGBA byte-order masks (real encoders emit
+    this) must decode with the right channels, not silently swapped;
+    non-byte-aligned masks gate."""
+    # V3-size header (56) embedding 4 masks: R=0xFF G=0xFF00
+    # B=0xFF0000 A=0xFF000000 (RGBA byte order)
+    hdr_size = 56
+    pixel_off = 14 + hdr_size
+    raw = bytes([10, 20, 30, 200])  # R=10 G=20 B=30 A=200
+    file_hdr = b"BM" + struct.pack("<IHHI", pixel_off + len(raw), 0, 0,
+                                   pixel_off)
+    info = struct.pack("<IiiHHIIiiII", hdr_size, 1, 1, 1, 32, 3,
+                       len(raw), 2835, 2835, 0, 0)
+    info += struct.pack("<IIII", 0xFF, 0xFF00, 0xFF0000, 0xFF000000)
+    arr = decode_bmp(file_hdr + info + raw)
+    assert arr[0, 0].tolist() == [10, 20, 30, 200]
+    # standard BGRA masks keep the default lanes
+    info2 = struct.pack("<IiiHHIIiiII", hdr_size, 1, 1, 1, 32, 3,
+                        len(raw), 2835, 2835, 0, 0)
+    info2 += struct.pack("<IIII", 0xFF0000, 0xFF00, 0xFF, 0xFF000000)
+    arr = decode_bmp(file_hdr + info2 + raw)
+    assert arr[0, 0].tolist() == [30, 20, 10, 200]
+    # 5-6-5 style packed masks are not byte lanes -> honest gate
+    info3 = struct.pack("<IiiHHIIiiII", hdr_size, 1, 1, 1, 32, 3,
+                        len(raw), 2835, 2835, 0, 0)
+    info3 += struct.pack("<IIII", 0xF800, 0x07E0, 0x001F, 0)
+    with pytest.raises(NotImplementedError, match="byte-aligned"):
+        decode_bmp(file_hdr + info3 + raw)

@@ -33,6 +33,32 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"BMP compression {compression} not supported (BI_RGB and "
             "32-bit BI_BITFIELDS only)")
+    # BI_BITFIELDS: HONOR the channel masks (real encoders emit RGBA
+    # byte order too); only byte-aligned 0xFF lanes are supported
+    lanes = (2, 1, 0, 3)  # default BGRA byte lanes (BI_RGB)
+    if compression == 3:
+        # masks sit at file offset 54 both when they follow a plain
+        # BITMAPINFOHEADER and when the V2+/V4/V5 header embeds them;
+        # an alpha mask exists only from V3 (hdr_size >= 56) on
+        off = 54
+        r_m, g_m, b_m = struct.unpack_from("<III", data, off)
+        a_m = (struct.unpack_from("<I", data, off + 12)[0]
+               if hdr_size >= 56 else 0)
+
+        def _lane(mask, name):
+            if mask == 0:
+                return None
+            shift = (mask.bit_length() - 8)
+            if shift % 8 or mask != (0xFF << shift):
+                raise NotImplementedError(
+                    f"BMP bitfields {name} mask 0x{mask:08x} is not a "
+                    "byte-aligned 8-bit lane")
+            return shift // 8
+
+        lanes = (_lane(r_m, "red"), _lane(g_m, "green"),
+                 _lane(b_m, "blue"), _lane(a_m, "alpha"))
+        if None in lanes[:3]:
+            raise ValueError("BMP bitfields with a zero color mask")
     if bpp not in (8, 24, 32):
         raise NotImplementedError(f"BMP bit depth {bpp} not supported "
                                   "(8/24/32)")
@@ -68,12 +94,15 @@ def decode_bmp(data: bytes) -> np.ndarray:
         out[..., 1] = px[..., 1]
         out[..., 2] = px[..., 0]
         out[..., 3] = 255
-    else:  # 32-bit BGRA (alpha meaningful only in V4/V5; treat 0s as
-        # the common "unused" convention -> opaque when ALL zero)
+    else:  # 32-bit: lanes from the bitfield masks (default BGRA);
+        # an absent/all-zero alpha lane means "unused" -> opaque
         px = rows[:, : w * 4].reshape(h, w, 4)
-        out[..., 0] = px[..., 2]
-        out[..., 1] = px[..., 1]
-        out[..., 2] = px[..., 0]
-        alpha = px[..., 3]
-        out[..., 3] = alpha if alpha.any() else 255
+        out[..., 0] = px[..., lanes[0]]
+        out[..., 1] = px[..., lanes[1]]
+        out[..., 2] = px[..., lanes[2]]
+        if lanes[3] is None:
+            out[..., 3] = 255
+        else:
+            alpha = px[..., lanes[3]]
+            out[..., 3] = alpha if alpha.any() else 255
     return out

@@ -38,19 +38,20 @@ def _lzw_decode(blob: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     out = np.empty(n_pixels, dtype=np.uint8)
     n_out = 0
 
-    bits = np.unpackbits(
-        np.frombuffer(blob, dtype=np.uint8)[:, None], axis=1,
-        bitorder="little").reshape(-1)
+    # 24-bit window reader over plain-int bytes (codes are <= 12 bits,
+    # +7 alignment < 24) — the per-bit numpy scalar loop this replaces
+    # was the media-pool hot spot, same class as the PNG unfilter fix
+    by = list(blob) + [0, 0, 0]
+    nbits = len(blob) * 8
     bitpos = 0
-    nbits = len(bits)
 
     def read_code(width: int) -> int:
         nonlocal bitpos
         if bitpos + width > nbits:
             return eoi  # truncated stream: stop cleanly
-        v = 0
-        for i in range(width):
-            v |= int(bits[bitpos + i]) << i
+        i = bitpos >> 3
+        window = by[i] | (by[i + 1] << 8) | (by[i + 2] << 16)
+        v = (window >> (bitpos & 7)) & ((1 << width) - 1)
         bitpos += width
         return v
 
@@ -104,6 +105,10 @@ def _lzw_decode(blob: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
 
 _INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))  # GIF 4-pass row order
 
+# allocation bound for untrusted dimensions (~16.7M px = 67 MB RGBA;
+# far above real-world GIFs, far below an OOM)
+_MAX_PIXELS = 1 << 24
+
 
 def decode_gif(data: bytes) -> np.ndarray:
     """GIF bytes -> (H, W, 4) RGBA of the first frame, composed onto
@@ -111,6 +116,13 @@ def decode_gif(data: bytes) -> np.ndarray:
     if data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF stream")
     sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    # untrusted header dims drive allocations: bound them BEFORE any
+    # buffer is sized, or a 40-byte crafted file forces multi-GB
+    # allocations in the media actor pool (decompression bomb)
+    if sw * sh > _MAX_PIXELS:
+        raise ValueError(
+            f"GIF logical screen {sw}x{sh} exceeds the decoder limit "
+            f"({_MAX_PIXELS} pixels)")
     pos = 13
     gct = None
     if flags & 0x80:
@@ -132,6 +144,9 @@ def decode_gif(data: bytes) -> np.ndarray:
         elif block == 0x2C:  # image descriptor: the first frame
             left, top, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
             pos += 9
+            if w * h > _MAX_PIXELS:
+                raise ValueError(
+                    f"GIF frame {w}x{h} exceeds the decoder limit")
             table = gct
             if iflags & 0x80:
                 table, pos = _color_table(data, pos, 2 << (iflags & 0x07))

@@ -181,7 +181,10 @@ int vt_png_decode(const unsigned char *in, unsigned long inlen,
     if (!png) return -1;
     png_infop info = png_create_info_struct(png);
     if (!info) { png_destroy_read_struct(&png, NULL, NULL); return -1; }
-    png_bytep *rows = NULL;
+    /* volatile: written between setjmp and longjmp and read in the
+     * error path (C11 7.13.2.1 — non-volatile locals are
+     * indeterminate there) */
+    png_bytep * volatile rows = NULL;
     if (setjmp(png_jmpbuf(png))) {
         if (rows) free(rows);
         png_destroy_read_struct(&png, &info, NULL);
@@ -225,19 +228,42 @@ int vt_png_decode(const unsigned char *in, unsigned long inlen,
 """
 
 _lib = None
-_state = "unprobed"  # unprobed | ok | disabled  (JPEG entry points)
+_state = "unprobed"  # unprobed | probed (lib may still be None)
+_jpeg_ok = False     # JPEG entry points passed their tolerance verify
 _png_ok = False      # PNG entry point passed its bit-exact verify
 
 
-def _shim_path() -> str:
+def _owned_only(path: str, want_dir: bool) -> bool:
+    """Refuse anything not owned by us or writable by others — a
+    predictable /tmp path would otherwise let another local user
+    plant a malicious library that CDLL() executes."""
+    st = os.lstat(path)
+    import stat as _stat
+
+    if want_dir and not _stat.S_ISDIR(st.st_mode):
+        return False
+    if not want_dir and not _stat.S_ISREG(st.st_mode):
+        return False
+    return st.st_uid == os.getuid() and not (st.st_mode & 0o022)
+
+
+def _shim_path() -> str | None:
+    """Per-user 0700 cache dir; any ownership/permission anomaly
+    disables the shim rather than loading untrusted bytes."""
     tag = hashlib.sha256(_C_SOURCE.encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"vt_imgshim_{tag}.so")
+    d = os.path.join(tempfile.gettempdir(), f"vt_imgshim_{os.getuid()}")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    if not _owned_only(d, want_dir=True):
+        return None
+    return os.path.join(d, f"shim_{tag}.so")
 
 
 def _compile() -> str | None:
     path = _shim_path()
+    if path is None:
+        return None
     if os.path.exists(path):
-        return path
+        return path if _owned_only(path, want_dir=False) else None
     src = path[:-3] + ".c"
     try:
         with open(src, "w") as f:
@@ -248,9 +274,11 @@ def _compile() -> str | None:
              "-ljpeg", "-lpng16"],
             check=True, capture_output=True, timeout=60)
         os.rename(tmp, path)  # atomic vs concurrent Ray workers
-        return path
     except Exception:
-        return path if os.path.exists(path) else None
+        pass
+    if os.path.exists(path) and _owned_only(path, want_dir=False):
+        return path
+    return None
 
 
 def _self_verify_png(lib) -> bool:
@@ -334,10 +362,10 @@ def _decode_raw(lib, payload: bytes):
 
 
 def _probe():
-    global _lib, _state, _png_ok
+    global _lib, _state, _jpeg_ok, _png_ok
     if _state != "unprobed":
         return
-    _state = "disabled"
+    _state = "probed"
     try:
         path = _compile()
         if path is None:
@@ -362,21 +390,26 @@ def _probe():
             ctypes.c_char_p, ctypes.c_ulong,
             ctypes.POINTER(ctypes.c_ubyte), ctypes.c_ulong,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
-        if _self_verify(lib):
-            _lib = lib
-            _state = "ok"
-            try:
-                _png_ok = _self_verify_png(lib)
-            except Exception:
-                _png_ok = False
+        _lib = lib
+        # the two codec verifies are INDEPENDENT: a libjpeg build
+        # outside the IDCT tolerance must not disable the bit-exact
+        # libpng path, and vice versa
+        try:
+            _jpeg_ok = _self_verify(lib)
+        except Exception:
+            _jpeg_ok = False
+        try:
+            _png_ok = _self_verify_png(lib)
+        except Exception:
+            _png_ok = False
     except Exception:
         _lib = None
-        _state = "disabled"
+        _jpeg_ok = _png_ok = False
 
 
 def have_native_jpeg() -> bool:
     _probe()
-    return _state == "ok"
+    return _jpeg_ok
 
 
 def have_native_png() -> bool:
@@ -403,7 +436,7 @@ def encode_jpeg_native(arr: np.ndarray, quality: int = 90,
     this is the opt-in throughput path and the fixture source for
     progressive-decode tests."""
     _probe()
-    if _state != "ok":
+    if not _jpeg_ok:
         return None
     a = np.ascontiguousarray(arr, dtype=np.uint8)
     if a.ndim == 2:
@@ -429,7 +462,7 @@ def decode_jpeg_native(payload: bytes) -> np.ndarray | None:
     None when the shim is unavailable or rejects the stream (caller
     falls back to the pure-Python decoder / its honest gates)."""
     _probe()
-    if _state != "ok":
+    if not _jpeg_ok:
         return None
     out = _decode_raw(_lib, bytes(payload))
     if out is None:

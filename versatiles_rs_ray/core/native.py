@@ -217,9 +217,12 @@ if HAVE_ZSTD:
         ctypes.c_char_p, ctypes.c_size_t]
     _zstd.ZSTD_isError.restype = ctypes.c_uint
     _zstd.ZSTD_isError.argtypes = [ctypes.c_size_t]
+    _zstd.ZSTD_getErrorCode.restype = ctypes.c_int
+    _zstd.ZSTD_getErrorCode.argtypes = [ctypes.c_size_t]
 
 _ZSTD_CONTENTSIZE_UNKNOWN = (1 << 64) - 1  # -1 as unsigned long long
 _ZSTD_CONTENTSIZE_ERROR = (1 << 64) - 2
+_ZSTD_ERROR_DST_TOO_SMALL = 70  # zstd_errors.h ZSTD_error_dstSize_tooSmall
 
 
 def zstd_compress(data: bytes, level: int = 3) -> bytes:
@@ -249,12 +252,19 @@ def zstd_decompress(data: bytes) -> bytes:
         if _zstd.ZSTD_isError(n) or n != size:
             raise ValueError("zstd decompression failed")
         return out.raw[:n]
+    # unknown content size (streaming writer): grow ONLY on
+    # dstSize_tooSmall — any other error is a corrupt frame and must
+    # not burn gigabytes of retry allocations; cap at 1024x the
+    # compressed size (beyond any real tile payload's ratio)
     cap = max(len(data) * 4, 1 << 16)
-    while cap <= (1 << 31):
+    limit = min(max(len(data) * 1024, 1 << 20), 1 << 31)
+    while cap <= limit:
         out = ctypes.create_string_buffer(cap)
         n = _zstd.ZSTD_decompress(out, cap, data, len(data))
         if not _zstd.ZSTD_isError(n):
             return out.raw[:n]
+        if _zstd.ZSTD_getErrorCode(n) != _ZSTD_ERROR_DST_TOO_SMALL:
+            raise ValueError("zstd decompression failed (corrupt frame)")
         cap *= 4
     raise ValueError("zstd decompression failed (frame too large)")
 

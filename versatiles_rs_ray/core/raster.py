@@ -209,6 +209,12 @@ def encode(arr: np.ndarray, fmt: str, quality=None, codec: str = "pure"):
                     "JPEG only supports Grey or RGB images without alpha channel"
                 )
             arr = arr[:, :, :3]
+        if quality is not None and int(quality) >= 100:
+            # reference parity (jpeg.rs): JPEG has no lossless mode —
+            # validated BEFORE the codec split so codec=native cannot
+            # accept what codec=pure rejects
+            raise ValueError("JPEG quality must be below 100 (no "
+                             "lossless JPEG)")
         if codec == "native" and (arr.ndim == 2 or arr.shape[2] in (1, 3)):
             # opt-in throughput path (~40x): system libjpeg via the
             # compiled shim. Deterministic per host+lib version but
