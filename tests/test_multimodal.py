@@ -20,7 +20,7 @@ def test_explode_spans_preserves_order(ray_session, sf_dir):
 
 def test_media_spans_only_nontext(ray_session, sf_dir):
     got = M.media_spans(D.read_docs(sf_dir)).to_pandas()
-    assert set(got["kind"]) <= {"image", "audio"}
+    assert set(got["kind"]) <= {"image", "audio", "video"}
     assert (got["media_ref"].str.startswith("media://")).all()
 
 

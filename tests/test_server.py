@@ -298,8 +298,9 @@ def test_sniff_format_riff_wav_not_webp():
 
     wav = b"RIFF\x24\x00\x00\x00WAVEfmt "
     assert sniff_format(wav) == "wav"  # distinct from webp (and from
-    # bin since the audio leg landed); AVI RIFF stays bin
-    assert sniff_format(b"RIFF\x24\x00\x00\x00AVI LIST") == "bin"
+    # bin since the audio leg landed); AVI RIFF identifies as avi
+    # since the video leg landed
+    assert sniff_format(b"RIFF\x24\x00\x00\x00AVI LIST") == "avi"
     webp = b"RIFF\x24\x00\x00\x00WEBPVP8 "
     assert sniff_format(webp) == "webp"
     assert sniff_format(b"\x89PNG\r\n\x1a\n") == "png"

@@ -19,6 +19,7 @@ FORMAT_MIME = {
     "gif": "image/gif",
     "bmp": "image/bmp",
     "wav": "audio/wav",
+    "avi": "video/x-msvideo",
     "mvt": "application/x-protobuf",
     "pbf": "application/x-protobuf",
     "json": "application/json",
@@ -41,6 +42,8 @@ def sniff_format(payload: bytes) -> str:
         return "webp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     if len(payload) > 11 and payload[4:12] == b"ftypavif":
         return "avif"
     if payload[:4] in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):

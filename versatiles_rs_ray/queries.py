@@ -1105,6 +1105,19 @@ def q_audio_features(sf_dir):
     )
 
 
+def q_video_frames(sf_dir):
+    """Video leg of the media chain: explode -> video spans -> REAL
+    container synthesis (animated GIF / MJPEG-AVI per media_ref) ->
+    VideoFrames demux+decode pool (uniform frame sampling, only the
+    sampled AVI frames decoded) -> resize -> per-frame byte-histogram
+    features. Rows-only (codec-real; container goldens live in
+    pytest)."""
+    return multimodal.video_pipeline(_docs(sf_dir)).select_columns(
+        ["doc_id", "span_idx", "media_ref", "frame_idx", "n_frames",
+         "timestamp_ms", "width", "height"]
+    )
+
+
 def q_embedding_near_dup(sf_dir):
     import ray.data as rd
 
@@ -1978,6 +1991,7 @@ QUERIES = {
     "media_pipeline": q_media_pipeline,
     "raster_pipeline": q_raster_pipeline,
     "audio_features": q_audio_features,
+    "video_frames": q_video_frames,
 }
 
 ORACLES = {

@@ -35,7 +35,13 @@ LAT_ADD = 3266489917
 M32 = 4294967296
 LAT_SPAN = 170.1022  # 2 * 85.0511
 LAT_HALF = 85.0511
-SPAN_KINDS = ("text", "image", "text", "audio")
+# span kind for span index i (0-based): SPAN_KINDS[(doc_id + i) % 8].
+# Even codes are text and codes 1/5 image — bit-identical to the
+# historical %4 rotation — while the former audio slot splits into
+# audio (code 3) and video (code 7) so every modality the media
+# pipelines decode (WAV / GIF / MJPEG-AVI) exists in the corpus.
+SPAN_KINDS = ("text", "image", "text", "audio",
+              "text", "image", "text", "video")
 SPAN_LEN = 16
 REPLICA_STRIDE = 100_000_000  # doc_id' = doc_id + replica * stride
 
@@ -44,17 +50,16 @@ SQL_LON = f"(((doc_id * {LON_MULT}) % {M32}) / {M32}.0 * 360.0 - 180.0)"
 SQL_LAT = f"(((doc_id * {LAT_MULT} + {LAT_ADD}) % {M32}) / {M32}.0 * {LAT_SPAN} - {LAT_HALF})"
 SQL_DOC_ID_STR = "('doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0'))"
 SQL_N_SPANS = "(1 + doc_id % 4)"
-# span kind for span index i (0-based): SPAN_KINDS[(doc_id + i) % 4]
 SQL_SPAN_KIND = (
-    "(CASE (doc_id + {i}) % 4 WHEN 0 THEN 'text' WHEN 1 THEN 'image' "
-    "WHEN 2 THEN 'text' ELSE 'audio' END)"
+    "(CASE (doc_id + {i}) % 8 WHEN 1 THEN 'image' WHEN 5 THEN 'image' "
+    "WHEN 3 THEN 'audio' WHEN 7 THEN 'video' ELSE 'text' END)"
 )
 SQL_SPAN_TEXT = (
-    "(CASE WHEN (doc_id + {i}) % 4 IN (0, 2) "
+    "(CASE WHEN (doc_id + {i}) % 2 = 0 "
     f"THEN substr(text, {{i}} * {SPAN_LEN} + 1, {SPAN_LEN}) ELSE '' END)"
 )
 SQL_SPAN_MEDIA = (
-    "(CASE WHEN (doc_id + {i}) % 4 IN (0, 2) THEN '' "
+    "(CASE WHEN (doc_id + {i}) % 2 = 0 THEN '' "
     "ELSE 'media://' || CAST(doc_id AS VARCHAR) || '/' || CAST({i} AS VARCHAR) END)"
 )
 SQL_SPAN_OFFSET = f"({{i}} * {SPAN_LEN})"
@@ -158,8 +163,8 @@ def span_fields(doc_id: np.ndarray, text: pa.Array):
     span_idx = np.arange(total, dtype=np.int64) - np.repeat(starts, n_spans)
 
     did = doc_id[row_index]
-    kind_code = (did + span_idx) % 4
-    is_text = pa.array((kind_code == 0) | (kind_code == 2))
+    kind_code = (did + span_idx) % 8
+    is_text = pa.array(kind_code % 2 == 0)
     kinds = pa.array(list(SPAN_KINDS), type=pa.string()).take(pa.array(kind_code))
 
     # 4 possible slices of each doc's text (span_idx in 0..3) + one ''

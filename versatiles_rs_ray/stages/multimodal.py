@@ -218,9 +218,11 @@ class SyntheticMediaFetcher:
     the ref (the sandbox stand-in for an object-store GET; swap
     ``_fetch`` for the store client at deploy; the reference pools its
     I/O handles the same way, raster_source.rs:36-112). Audio spans
-    stay opaque bytes: no audio codec is bound, and MediaBytesDecoder
-    passes unknown magics through with width=height=0 (honest gate,
-    not a fake decode)."""
+    are REAL PCM WAVs (core/wav.py) and video spans REAL animated
+    GIF / MJPEG-AVI containers (core/gif.py, core/avi.py) — every
+    modality is decoded for real downstream; any other kind stays
+    opaque bytes that MediaBytesDecoder passes through with
+    width=height=0 (honest gate, not a fake decode)."""
 
     def __init__(self, max_side: int = 24):
         from ..core.jpeg import encode_jpeg
@@ -241,6 +243,40 @@ class SyntheticMediaFetcher:
             freq = 200.0 + (seed >> 8) % 1800
             t = np.arange(n, dtype=np.float64) / 8000.0
             return encode_wav(0.5 * np.sin(2 * np.pi * freq * t), 8000)
+        if kind == "video":
+            # REAL container: seed-derived animated GIF for even seeds,
+            # MJPEG-in-AVI for odd — both decodable end-to-end by
+            # VideoFrames (core/gif.py, core/avi.py)
+            from ..core.avi import encode_avi
+            from ..core.gif import encode_gif
+
+            n_frames = 3 + seed % 4
+            w = 8 + (seed >> 4) % 9
+            h = 8 + (seed >> 8) % 9
+            yy, xx = np.mgrid[0:h, 0:w]
+            vframes = []
+            for k in range(n_frames):
+                fr = np.empty((h, w, 4), np.uint8)
+                if seed % 2 == 0:
+                    # GIF variant: low-color (palette-bounded) — flat
+                    # per-frame background + a moving bar
+                    fr[..., 0] = (37 * k + seed) % 256
+                    fr[..., 1] = 0
+                    fr[:, (k * w) // n_frames, 1] = 255
+                    fr[..., 2] = (seed >> 3) % 256
+                else:
+                    # MJPEG variant: smooth gradients (JPEG-friendly)
+                    fr[..., 0] = ((xx * 255) // max(w - 1, 1)
+                                  + 37 * k) % 256
+                    fr[..., 1] = ((yy * 255) // max(h - 1, 1)
+                                  ).astype(np.uint8)
+                    fr[..., 2] = (seed + 11 * k) % 256
+                fr[..., 3] = 255
+                vframes.append(fr)
+            if seed % 2 == 0:
+                return encode_gif(
+                    vframes, delays_cs=[4 + seed % 6] * n_frames)
+            return encode_avi(vframes, fps=10.0 + seed % 20, codec="mjpeg")
         if kind != "image":
             rng = np.random.default_rng(seed % (1 << 31))
             return rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
@@ -552,6 +588,132 @@ class AudioFeatures:
         cols["rms"] = pa.array(rms, type=pa.float64())
         cols["peak"] = pa.array(peak, type=pa.float64())
         return pa.table(cols)
+
+
+class VideoFrames:
+    """Actor-pool REAL video frame sampling — the 1->N stage a
+    training-data pipeline runs over video corpora. Each payload is
+    sniffed and demuxed by the engine's own container parsers:
+
+    - animated GIF (core/gif.py): full composed-frame decode with
+      disposal/transparency, timestamps from the per-frame delays;
+    - AVI (core/avi.py): MJPEG (per-frame baseline JPEG, standard
+      Annex K tables injected when the stream omits them — the MJPEG
+      convention) or raw DIB frames, timestamps from the stream fps.
+      Frame spans are LAZY: only the sampled frames are decoded.
+
+    ``max_frames`` frames are sampled uniformly across the clip
+    (first and last always included). Output is one row per sampled
+    frame in the engine's rgba-raw interchange (payload + width +
+    height), so RgbaResizer / ByteHistogramFeatures chain directly.
+    Undecodable payloads degrade to a single typed-null row
+    (frame_idx null, width=0) — the same degrade-don't-die contract
+    as MediaBytesDecoder; a corrupt upload must not kill the actor.
+    """
+
+    def __init__(self, max_frames: int = 4):
+        from ..core.avi import decode_avi_frame, parse_avi
+        from ..core.formats import sniff_format
+        from ..core.gif import decode_gif_frames
+
+        self.max_frames = max_frames
+        self._sniff = sniff_format
+        self._parse_avi = parse_avi
+        self._avi_frame = decode_avi_frame
+        self._gif_frames = decode_gif_frames
+
+    def _sample(self, n: int) -> np.ndarray:
+        k = min(self.max_frames, n)
+        return np.unique(np.round(np.linspace(0, n - 1, k)).astype(np.int64))
+
+    def _frames(self, payload: bytes):
+        """payload -> list[(frame_idx, n_frames, ts_ms, rgba)]."""
+        fmt = self._sniff(payload)
+        if fmt == "gif":
+            # composition is sequential: decode all (pixel-budget
+            # bounded), then sample
+            frames, delays = self._gif_frames(payload)
+            starts_ms = 10.0 * np.concatenate(
+                [[0], np.cumsum(delays[:-1])])
+            return [(int(i), len(frames), float(starts_ms[i]), frames[i])
+                    for i in self._sample(len(frames))]
+        if fmt in ("avi", "bin") and payload[:4] == b"RIFF":
+            info = self._parse_avi(payload)
+            if not info.n_frames:
+                raise ValueError("AVI carries no frames")
+            return [
+                (int(i), info.n_frames,
+                 1000.0 * i / info.fps if info.fps else None,
+                 self._avi_frame(payload, info, int(i)))
+                for i in self._sample(info.n_frames)
+            ]
+        raise ValueError(f"no video demuxer for format {fmt!r}")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep = [n for n in ("doc_id", "span_idx", "kind", "media_ref")
+                if n in batch.column_names]
+        row_idx, fidx, nfr, ts, pay, ws, hs = [], [], [], [], [], [], []
+        col = batch["payload"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        for r, blob in enumerate(col.to_pylist()):
+            try:
+                rows = self._frames(blob)
+            except Exception:  # noqa: BLE001 — corrupt video degrades
+                row_idx.append(r)
+                fidx.append(None); nfr.append(0); ts.append(None)
+                pay.append(b""); ws.append(0); hs.append(0)
+                continue
+            for i, n, t, rgba in rows:
+                row_idx.append(r)
+                fidx.append(i); nfr.append(n); ts.append(t)
+                pay.append(np.ascontiguousarray(rgba).tobytes())
+                hs.append(rgba.shape[0]); ws.append(rgba.shape[1])
+        base = batch.select(keep).take(pa.array(row_idx, type=pa.int64()))
+        cols = {n: base[n] for n in keep}
+        cols["frame_idx"] = pa.array(fidx, type=pa.int64())
+        cols["n_frames"] = pa.array(nfr, type=pa.int64())
+        cols["timestamp_ms"] = pa.array(ts, type=pa.float64())
+        cols["payload"] = pa.array(pay, type=pa.binary())
+        cols["width"] = pa.array(ws, type=pa.int64())
+        cols["height"] = pa.array(hs, type=pa.int64())
+        return pa.table(cols)
+
+
+def video_pipeline(docs_ds, concurrency=4, batch_size=256,
+                   max_frames: int = 4):
+    """Video leg of the media chain: explode -> keep video spans ->
+    fetch (real GIF/AVI containers) -> VideoFrames demux+decode pool
+    (1->N rows) -> resize pool -> byte-histogram features per frame.
+    Small batch sizes on purpose: rows carry whole containers
+    (SURVEY.md §7.4 hard part 4)."""
+    import pyarrow.compute as pc
+
+    pool = _elastic(concurrency)
+    spans = media_spans(docs_ds).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], pa.scalar("video"))),
+        batch_format="pyarrow",
+    )
+    fetched = spans.map_batches(
+        synthesize_media_batch, batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    frames = fetched.map_batches(
+        VideoFrames, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=pool, fn_constructor_kwargs={"max_frames": max_frames},
+    )
+    resized = frames.map_batches(
+        RgbaResizer, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=pool,
+    )
+    return resized.map_batches(
+        _payload_features, batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def _payload_features(batch: pa.Table) -> pa.Table:
+    return ByteHistogramFeatures()(batch)
 
 
 def audio_pipeline(docs_ds, concurrency=4, batch_size=1024):
