@@ -767,7 +767,8 @@ def _read_prj_epsg(path: str):
 def read_raster_source(path_or_bytes, epsg: int | None = None) -> GeoTIFF:
     """Open any supported georeferenced raster as a GeoTIFF record:
     TIFF/BigTIFF via the stdlib parser, NetCDF classic CF grids
-    (sources/netcdf.py), or PNG/JPEG/WEBP paired with an ESRI world
+    (sources/netcdf.py), ESRI ASCII grids / SRTM .hgt DEM tiles
+    (sources/grids.py), or PNG/JPEG/WEBP paired with an ESRI world
     file (+ optional .prj) — the sidecar path GDAL's raster
     driver accepts (from_gdal opens any GDAL dataset,
     operation.rs:56-221; these are the formats whose codecs exist
@@ -779,6 +780,10 @@ def read_raster_source(path_or_bytes, epsg: int | None = None) -> GeoTIFF:
             from .netcdf import read_netcdf
 
             return read_netcdf(path_or_bytes, epsg=epsg)
+        from .grids import looks_like_aaigrid, read_aaigrid
+
+        if looks_like_aaigrid(head):
+            return read_aaigrid(path_or_bytes, epsg=epsg)
         return read_geotiff(path_or_bytes)
     path = str(path_or_bytes)
     head = open(path, "rb").read(16)
@@ -786,6 +791,12 @@ def read_raster_source(path_or_bytes, epsg: int | None = None) -> GeoTIFF:
         from .netcdf import read_netcdf
 
         return read_netcdf(path, epsg=epsg)
+    from .grids import looks_like_aaigrid, read_aaigrid, read_hgt
+
+    if path.lower().endswith(".hgt"):
+        return read_hgt(path, epsg=epsg)
+    if path.lower().endswith((".asc", ".agr")) or looks_like_aaigrid(head):
+        return read_aaigrid(path, epsg=epsg)
     if head[:2] in (b"II", b"MM"):
         g = read_geotiff(path)
         if epsg:
@@ -801,7 +812,8 @@ def read_raster_source(path_or_bytes, epsg: int | None = None) -> GeoTIFF:
     if fmt not in ("png", "jpg", "webp"):
         raise NotImplementedError(
             f"raster source {path!r}: unrecognized format "
-            "(TIFF, NetCDF classic, PNG, JPEG, WEBP supported)")
+            "(TIFF, NetCDF classic, AAIGrid, HGT, PNG, JPEG, WEBP "
+            "supported)")
     wf = _world_file_for(path)
     if wf is None:
         raise NotImplementedError(
