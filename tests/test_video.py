@@ -230,6 +230,52 @@ def test_avi_hand_packed_fixture():
     assert np.array_equal(b[1, 1], [3, 2, 1, 255])
 
 
+def test_avi_topdown_and_32bit_dib():
+    """Spec edge cases: negative biHeight stores rows top-first (no
+    bottom-up flip), and BI_RGB 32-bit frames carry a RESERVED 4th
+    byte, not alpha."""
+    def chunk(cc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cc + struct.pack("<I", len(body)) + body + pad
+
+    # 2x1, 32-bit top-down: rows as stored = top row first, BGRX with
+    # X=0 (the reserved byte every BI_RGB writer emits)
+    frame = bytes([0, 0, 255, 0,   0, 255, 0, 0])  # red px, green px
+    avih = struct.pack("<IIIIIIIIII4I", 100000, 0, 0, 0, 1, 0, 1, 8,
+                       2, 1, 0, 0, 0, 0)
+    strh = (b"vids" + b"\x00\x00\x00\x00" +
+            struct.pack("<IHHIIIIIIIIhhhh", 0, 0, 0, 0, 1, 10, 0, 1, 8,
+                        0, 0, 0, 0, 2, 1))
+    strf = struct.pack("<IiiHH4sIiiII", 40, 2, -1, 1, 32,
+                       b"\x00\x00\x00\x00", 8, 0, 0, 0, 0)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) +
+                 chunk(b"LIST", b"strl" + chunk(b"strh", strh) +
+                       chunk(b"strf", strf)))
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", frame))
+    body = b"AVI " + hdrl + movi
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    info = parse_avi(data)
+    assert info.top_down and info.bit_count == 32
+    out = decode_avi_frame(data, info, 0)
+    # top-down: stored row order IS display order; alpha forced opaque
+    assert np.array_equal(out[0, 0], [255, 0, 0, 255])
+    assert np.array_equal(out[0, 1], [0, 255, 0, 255])
+
+
+def test_mjpeg_dht_injection_skips_fill_bytes():
+    """T.81 B.1.1.2 allows 0xFF fill bytes before any marker; the DHT
+    scanner must not read them as a marker with a length."""
+    f = _frames(1, h=16, w=16)[0]
+    js = _strip_dht(encode_jpeg(f[..., :3], quality=90))
+    # insert a fill byte right before the SOS marker
+    sos = js.find(b"\xff\xda")
+    filled = js[:sos] + b"\xff" + js[sos:]
+    out = decode_jpeg(ensure_jpeg_dht(filled), native=False)
+    assert np.array_equal(out, decode_jpeg(ensure_jpeg_dht(js),
+                                           native=False))
+
+
 def test_avi_gates():
     with pytest.raises(ValueError, match="not an AVI"):
         parse_avi(b"RIFF\x04\x00\x00\x00WAVE")

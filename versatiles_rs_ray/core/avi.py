@@ -82,6 +82,9 @@ def ensure_jpeg_dht(frame: bytes) -> bytes:
             i += 1
             continue
         marker = frame[i + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2 fill byte, not a marker
+            i += 1
+            continue
         if marker == 0xC4:
             return frame  # has its own tables
         if marker == 0xDA:  # SOS: no DHT seen — inject
@@ -98,9 +101,10 @@ class AviInfo:
     """Parsed container metadata + lazy frame spans."""
 
     __slots__ = ("width", "height", "fps", "fourcc", "bit_count",
-                 "frames", "n_frames")
+                 "frames", "n_frames", "top_down")
 
-    def __init__(self, width, height, fps, fourcc, bit_count, frames):
+    def __init__(self, width, height, fps, fourcc, bit_count, frames,
+                 top_down=False):
         self.width = width
         self.height = height
         self.fps = fps
@@ -108,6 +112,7 @@ class AviInfo:
         self.bit_count = bit_count
         self.frames = frames  # list[(offset, size)] into the raw bytes
         self.n_frames = len(frames)
+        self.top_down = top_down  # negative biHeight: rows top-first
 
 
 def _chunks(data: bytes, pos: int, end: int):
@@ -136,13 +141,14 @@ def parse_avi(data: bytes) -> AviInfo:
     fps = 0.0
     fourcc = b"\x00\x00\x00\x00"
     bit_count = 24
+    top_down = False
     video_stream = -1
     frames: list[tuple[int, int]] = []
     micro_per_frame = 0
 
     def walk_hdrl(pos, hend):
         nonlocal width, height, fps, fourcc, bit_count, video_stream, \
-            micro_per_frame
+            micro_per_frame, top_down
         stream_no = 0
         for cc, body, size in _chunks(data, pos, hend):
             if cc == b"avih" and size >= 40:
@@ -166,6 +172,7 @@ def parse_avi(data: bytes) -> AviInfo:
                         if video_stream < 0:
                             video_stream = stream_no
                             width, height = abs(bw), abs(bh)
+                            top_down = bh < 0
                             bit_count = bc
                             fourcc = comp if comp.strip(b"\x00") else handler
                             if rate and scale:
@@ -197,7 +204,8 @@ def parse_avi(data: bytes) -> AviInfo:
     if not fps and micro_per_frame:
         fps = 1e6 / micro_per_frame
     fcc = fourcc.decode("ascii", "replace").strip("\x00 ").upper()
-    return AviInfo(width, height, fps, fcc, bit_count, frames)
+    return AviInfo(width, height, fps, fcc, bit_count, frames,
+                   top_down=top_down)
 
 
 def decode_avi_frame(data: bytes, info: AviInfo, i: int) -> np.ndarray:
@@ -219,12 +227,16 @@ def decode_avi_frame(data: bytes, info: AviInfo, i: int) -> np.ndarray:
         if len(raw) < stride * h:
             raise ValueError("raw AVI frame shorter than its geometry")
         rows = np.frombuffer(raw, np.uint8, count=stride * h)
-        rows = rows.reshape(h, stride)[::-1, : w * nb].reshape(h, w, nb)
+        rows = rows.reshape(h, stride)[:, : w * nb].reshape(h, w, nb)
+        if not info.top_down:  # bottom-up (positive biHeight) flips
+            rows = rows[::-1]
         rgba = np.empty((h, w, 4), np.uint8)
         rgba[..., 0] = rows[..., 2]
         rgba[..., 1] = rows[..., 1]
         rgba[..., 2] = rows[..., 0]
-        rgba[..., 3] = rows[..., 3] if nb == 4 else 255
+        # BI_RGB 32-bit: the 4th byte is reserved padding, NOT alpha
+        # (decoding it as alpha turns every frame fully transparent)
+        rgba[..., 3] = 255
         return rgba
     raise ValueError(
         f"AVI codec {info.fourcc!r} has no decoder in this sandbox "

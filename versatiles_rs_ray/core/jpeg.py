@@ -624,6 +624,9 @@ def decode_jpeg(payload: bytes, native: bool = True) -> np.ndarray:
             i += 1
             continue
         marker = payload[i + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2 fill byte, not a marker
+            i += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
