@@ -134,3 +134,92 @@ def test_normalize_text_batch_nulls():
     # all-ascii batch with a null (pure fast path)
     t2 = pa.table({"text": pa.array(["A  B", None])})
     assert normalize_text_batch(t2)["text"].to_pylist() == ["a b", None]
+
+
+# ---- BM25 (stages/rank.py) ----------------------------------------------
+
+
+def _bm25_brute(texts, terms, k1=1.2, b=0.75):
+    """Pure-Python reference: same Lucene-idf formula."""
+    import math
+    import re
+
+    toks = [
+        [t for t in re.split("[^a-z0-9]+", s.lower()) if t] for s in texts
+    ]
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks) / n
+    scores = []
+    for doc in toks:
+        s = 0.0
+        for term in terms:
+            df = sum(1 for d in toks if term in d)
+            tf = doc.count(term)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(doc) / avgdl))
+        scores.append(s)
+    return scores
+
+
+def test_bm25_counts_and_scores_match_brute_force():
+    import numpy as np
+    import pyarrow as pa
+
+    from versatiles_rs_ray.stages.rank import (
+        Bm25Scorer, QueryTermCounter, _stats_partial)
+
+    texts = [
+        "hash join hash hash window",
+        "stream stream sort merge",
+        "the quick brown fox",
+        "window window join",
+        "",
+        "hash",
+    ]
+    terms = ("hash", "join", "window", "stream")
+    batch = pa.table({
+        "doc_num": pa.array(range(6), type=pa.int64()),
+        "text": pa.array(texts),
+    })
+    counts = QueryTermCounter(terms)(batch)
+    assert counts["dl"].to_pylist() == [5, 4, 4, 3, 0, 1]
+    assert counts["tf_0"].to_pylist() == [3, 0, 0, 0, 0, 1]  # hash
+    assert counts["tf_2"].to_pylist() == [1, 0, 0, 2, 0, 0]  # window
+
+    stats = _stats_partial(counts)
+    n = stats["n"][0].as_py()
+    sum_dl = stats["sum_dl"][0].as_py()
+    df = np.array([stats[f"df_{k}"][0].as_py() for k in range(4)])
+    assert n == 6 and sum_dl == 17
+    assert list(df) == [2, 2, 2, 1]
+
+    scored = Bm25Scorer(n, sum_dl, df, k=10)(counts).to_pandas()
+    brute = _bm25_brute(texts, terms)
+    want = {i: int(np.floor(s * 1e6 + 0.5)) for i, s in enumerate(brute)
+            if s > 0}
+    got = dict(zip(scored["doc_num"], scored["score_micro"]))
+    assert got == want
+    # block-local ordering: (score desc, doc_num asc)
+    sm = list(scored["score_micro"])
+    assert sm == sorted(sm, reverse=True)
+
+
+def test_bm25_topk_distributed(ray_session, sf_dir):
+    import ray.data as rd
+
+    from versatiles_rs_ray.sources import docs as D
+    from versatiles_rs_ray.stages.rank import bm25_topk
+
+    out = bm25_topk(D.read_docs(sf_dir), ("hash", "join"), k=7)
+    assert list(out["rank"]) == list(range(1, 8))
+    assert list(out["score_micro"]) == sorted(out["score_micro"],
+                                              reverse=True)
+    # determinism across runs
+    again = bm25_topk(D.read_docs(sf_dir), ("hash", "join"), k=7)
+    assert out.equals(again)
+    # no-hit terms: empty frame, stable columns
+    empty = bm25_topk(D.read_docs(sf_dir), ("zzzznope",), k=5)
+    assert len(empty) == 0
+    assert list(empty.columns) == ["doc_num", "score_micro", "rank"]

