@@ -466,3 +466,30 @@ def test_approx_distinct_by_key_bound(ray_session):
     tn = pa.table({"k": pa.array(["a"] * 4), "v": pa.array(["p", None, "q", None])})
     est_n = approx_distinct_by_key(rd.from_arrow(tn), "k", "v", p=12)
     assert round(est_n["a"]) == 2
+
+
+def test_stratified_sample_rates_and_determinism(ray_session, sf_dir):
+    from versatiles_rs_ray.sources import docs as D
+    from versatiles_rs_ray.stages.curate import stratified_sample
+
+    docs = D.read_docs(sf_dir, columns=["doc_id", "doc_num", "lang"])
+    fr = {"en": 0.1, "de": 0.9}
+    out = stratified_sample(docs, "doc_num", "lang", fr,
+                            default=0.5).to_pandas()
+    base = D.read_docs(sf_dir, columns=["doc_num", "lang"]).to_pandas()
+    kept = out.groupby("lang").size()
+    total = base.groupby("lang").size()
+    # per-stratum rates land near their fractions
+    assert kept.get("en", 0) / total["en"] < 0.25
+    assert kept.get("de", 0) / total["de"] > 0.7
+    for lang in total.index.difference(["en", "de"]):
+        r = kept.get(lang, 0) / total[lang]
+        assert 0.3 < r < 0.7, (lang, r)
+    # deterministic: same ids survive on a re-run
+    again = stratified_sample(docs, "doc_num", "lang", fr,
+                              default=0.5).to_pandas()
+    assert sorted(out["doc_num"]) == sorted(again["doc_num"])
+    # a stratum with fraction 0 vanishes; empty default drops the rest
+    none = stratified_sample(docs, "doc_num", "lang", {"en": 1.0},
+                             default=0.0).to_pandas()
+    assert set(none["lang"]) == {"en"} and len(none) == total["en"]

@@ -223,3 +223,61 @@ def test_bm25_topk_distributed(ray_session, sf_dir):
     empty = bm25_topk(D.read_docs(sf_dir), ("zzzznope",), k=5)
     assert len(empty) == 0
     assert list(empty.columns) == ["doc_num", "score_micro", "rank"]
+
+
+# ---- TextScrubber (stages/text.py) ---------------------------------------
+
+
+def test_scrubber_default_rules():
+    import pyarrow as pa
+
+    from versatiles_rs_ray.stages.text import TextScrubber
+
+    batch = pa.table({
+        "doc_id": pa.array(["a", "b", "c", "d"]),
+        "text": pa.array([
+            "mail me at jane.doe+x@example.co.uk or visit "
+            "https://example.com/path?q=1 now",
+            "server 192.168.100.7 responded, card 4111111111111111",
+            "no pii here",
+            None,
+        ]),
+    })
+    out = TextScrubber()(batch)
+    texts = out["text"].to_pylist()
+    assert texts[0] == "mail me at <EMAIL> or visit <URL> now"
+    assert texts[1] == "server <IP> responded, card <NUM>"
+    assert texts[2] == "no pii here"
+    assert texts[3] is None  # nulls pass through
+    assert out["n_email"].to_pylist() == [1, 0, 0, None]
+    assert out["n_url"].to_pylist() == [1, 0, 0, None]
+    assert out["n_ipv4"].to_pylist() == [0, 1, 0, None]
+    assert out["n_longnum"].to_pylist() == [0, 1, 0, None]
+
+
+def test_scrubber_rule_order_counts():
+    """Later rules count AFTER earlier replacements (an email's
+    digits are gone by the time the longnum rule runs)."""
+    import pyarrow as pa
+
+    from versatiles_rs_ray.stages.text import TextScrubber
+
+    batch = pa.table({"text": pa.array(["123456789@example.com"])})
+    out = TextScrubber()(batch)
+    assert out["text"].to_pylist() == ["<EMAIL>"]
+    assert out["n_email"].to_pylist() == [1]
+    assert out["n_longnum"].to_pylist() == [0]
+
+
+def test_scrub_docs_actor_pool(ray_session, sf_dir):
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.text import scrub_docs
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "props"])
+    out = scrub_docs(ev, rules=(("num", "[0-9]+", "#"),),
+                     column="props").to_pandas()
+    assert (out["props"].str.contains("#")).all()
+    assert not out["props"].str.contains("[0-9]", regex=True).any()
+    assert (out["n_num"] >= 1).all()

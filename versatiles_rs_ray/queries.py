@@ -1105,6 +1105,59 @@ def q_audio_features(sf_dir):
     )
 
 
+STRATA_FRACS = {"en": 0.2, "de": 0.8, "zh": 0.5}
+STRATA_DEFAULT = 0.35
+
+
+def q_stratified_sample(sf_dir):
+    """Per-key deterministic sampling (corpus mixing): each lang
+    stratum keeps its own fraction via the Knuth id hash — pure map,
+    no shuffle, reproducible and resumable (stages/curate.py)."""
+    from .stages.curate import stratified_sample
+
+    return stratified_sample(
+        _docs(sf_dir), "doc_num", "lang", STRATA_FRACS,
+        default=STRATA_DEFAULT,
+    ).select_columns(["doc_id", "doc_num", "lang"])
+
+
+def _oracle_stratified_sample():
+    cases = " ".join(
+        f"WHEN '{k}' THEN CAST({v} * 4294967296 AS UBIGINT)"
+        for k, v in STRATA_FRACS.items())
+    return (
+        f"SELECT doc_id, doc_num, lang FROM {SQL_DOCS} d "
+        "WHERE (doc_num::HUGEINT * 2654435761) % 4294967296 < "
+        f"(CASE lang {cases} ELSE "
+        f"CAST({STRATA_DEFAULT} * 4294967296 AS UBIGINT) END)"
+    )
+
+
+def q_scrub_events(sf_dir):
+    """PII-class scrubbing over the events props JSON: vectorized RE2
+    redaction of digit runs with per-rule match counts
+    (stages/text.TextScrubber; the email/url/ip default rules are
+    exercised on crafted strings in pytest — this corpus carries
+    none)."""
+    import ray.data as rd
+
+    from .stages.text import scrub_docs
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "props"])
+    return scrub_docs(
+        ev, rules=(("num", "[0-9]+", "#"),), column="props",
+    ).select_columns(["event_id", "props", "n_num"])
+
+
+def _oracle_scrub_events():
+    return (
+        "SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') "
+        "AS props, CAST(len(regexp_extract_all(props, '[0-9]+')) "
+        "AS BIGINT) AS n_num FROM events"
+    )
+
+
 BM25_TERMS = ("hash", "join", "window", "stream")
 BM25_K = 50
 
@@ -2036,6 +2089,8 @@ QUERIES = {
     # ---- position 51+: beyond the driver's 50-row snapshot; the
     # oracle-backed entries here still verify via selfcheck ----
     "bm25_topk": q_bm25_topk,
+    "stratified_sample": q_stratified_sample,
+    "scrub_events": q_scrub_events,
     # ---- rows-only by nature (codec-bearing paths; pixel goldens
     # live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -2096,6 +2151,8 @@ ORACLES = {
     "embedding_ivf_fixed": _oracle_embedding_ivf_fixed(),
     "embedding_near_dup": _oracle_embedding_near_dup(),
     "bm25_topk": _oracle_bm25_topk(),
+    "stratified_sample": _oracle_stratified_sample(),
+    "scrub_events": _oracle_scrub_events(),
 }
 
 # the driver contract invariant: the driver's 50-row snapshot window

@@ -706,3 +706,38 @@ def approx_distinct(ds, value_col: str, p: int = 12) -> float:
         for blob in b["regs"].to_pylist():
             np.maximum(regs, np.frombuffer(blob, dtype=np.uint8), out=regs)
     return _hll_estimate(regs)
+
+
+def _stratified_batch(batch: pa.Table, id_col: str, key_col: str,
+                      fractions: dict, default: float) -> pa.Table:
+    ids = _require_ids(batch, id_col, "stratified_sample")
+    bucket = (ids.astype(np.uint64) * np.uint64(_SAMPLE_MULT)) \
+        % np.uint64(_SAMPLE_MOD)
+    keys = np.asarray(batch[key_col].to_pandas(), dtype=object)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    thr = np.array(
+        [int(float(fractions.get(k, default)) * _SAMPLE_MOD) for k in uniq],
+        dtype=np.uint64)
+    return batch.filter(pa.array(bucket < thr[inv]))
+
+
+def stratified_sample(ds, id_col: str, key_col: str, fractions: dict,
+                      default: float = 0.0):
+    """Deterministic PER-KEY sampling: each stratum (``key_col``
+    value) keeps its own fraction of rows, decided by the same Knuth
+    multiplicative id hash as :func:`systematic_sample` — the standard
+    corpus-mixing move (upsample rare languages, downsample dominant
+    ones) without a shuffle: pure map, reproducible across runs,
+    cluster sizes and engines, resumable mid-corpus.
+
+    Equivalent SQL: ``(id::HUGEINT * 2654435761) % 4294967296 <
+    CASE key WHEN ... THEN frac * 2^32 ... ELSE default * 2^32 END``.
+    """
+    import functools
+
+    return ds.map_batches(
+        functools.partial(_stratified_batch, id_col=id_col,
+                          key_col=key_col, fractions=dict(fractions),
+                          default=float(default)),
+        batch_format="pyarrow",
+    )

@@ -331,3 +331,61 @@ def normalize_docs(docs_ds, col: str = "text"):
     return docs_ds.map_batches(
         functools.partial(normalize_text_batch, col=col), batch_format="pyarrow"
     )
+
+
+# ---- scrubbing / redaction ----------------------------------------------
+
+# (name, RE2 pattern, replacement) — applied IN ORDER; later rules see
+# earlier replacements (the oracle nests its regexp_replace the same
+# way). RE2 on both sides: Arrow's replace_substring_regex and
+# DuckDB's regexp_replace share the engine, so semantics match.
+DEFAULT_SCRUB_RULES = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("longnum", r"[0-9]{6,}", "<NUM>"),
+)
+
+
+class TextScrubber:
+    """Actor-pool PII-class scrubbing — the redaction stage a
+    training-data pipeline runs before anything else sees raw text.
+    Vectorized end to end: one count_substring_regex + one
+    replace_substring_regex pass per rule (RE2 compiled once per
+    actor in __init__), no per-row Python. Emits the scrubbed column
+    in place plus an ``n_<rule>`` match count per rule."""
+
+    def __init__(self, rules=DEFAULT_SCRUB_RULES, column: str = "text"):
+        self.rules = tuple(rules)
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch[self.column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        counts = []
+        for _name, pattern, repl in self.rules:
+            counts.append(pc.cast(
+                pc.count_substring_regex(col, pattern), pa.int64()))
+            col = pc.replace_substring_regex(
+                col, pattern=pattern, replacement=repl)
+        idx = batch.schema.get_field_index(self.column)
+        out = batch.set_column(idx, self.column, col)
+        for (name, _p, _r), cnt in zip(self.rules, counts):
+            out = out.append_column(f"n_{name}", cnt)
+        return out
+
+
+def scrub_docs(ds, rules=DEFAULT_SCRUB_RULES, column: str = "text",
+               concurrency=4, batch_size: int = 4096):
+    """Dataset wrapper: actor pool so the compiled RE2 programs live
+    once per actor."""
+    pool = (1, concurrency) if isinstance(concurrency, int) else concurrency
+    return ds.map_batches(
+        TextScrubber, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=pool,
+        fn_constructor_kwargs={"rules": tuple(rules), "column": column},
+    )
