@@ -488,3 +488,45 @@ def test_pack_sequences_modes(ray_session):
     psums = part.groupby("seq_id").tok.sum()
     assert (psums <= 100).all()
     assert len(part) == n
+
+
+def test_decontaminate_flags_overlap(ray_session):
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.dedup import decontaminate
+
+    k = 8
+    bench_txt = "the secret benchmark answer string nobody should train on"
+    corpus = [
+        ("c0", "totally unrelated words with zero overlap whatsoever!!"),
+        ("c1", "prefix junk " + bench_txt[10:30] + " suffix junk"),  # shares k-grams
+        ("c2", bench_txt),                                           # full overlap
+        ("c3", "another clean doc about tiles pyramids and rasters"),
+    ]
+    bench_ds = rd.from_arrow(pa.table({"doc_id": ["b0"], "text": [bench_txt]}))
+    corpus_ds = rd.from_arrow(pa.table(
+        {"doc_id": [c[0] for c in corpus], "text": [c[1] for c in corpus]}))
+    out = decontaminate(corpus_ds, bench_ds, k=k).to_pandas().set_index("doc_id")
+    assert not out.loc["c0", "contaminated"]
+    assert out.loc["c1", "contaminated"]
+    assert out.loc["c2", "contaminated"]
+    assert not out.loc["c3", "contaminated"]
+    # full-overlap doc: every one of its distinct grams hits
+    assert out.loc["c2", "n_hits"] == out.loc["c2", "n_grams"]
+    # partial doc: some but not all grams hit
+    assert 0 < out.loc["c1", "n_hits"] < out.loc["c1", "n_grams"]
+
+
+def test_decontaminate_empty_benchmark(ray_session):
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.dedup import decontaminate
+
+    bench_ds = rd.from_arrow(pa.table(
+        {"doc_id": pa.array([], type=pa.string()),
+         "text": pa.array([], type=pa.string())}))
+    corpus_ds = rd.from_arrow(pa.table(
+        {"doc_id": ["c0"], "text": ["anything at all goes here"]}))
+    out = decontaminate(corpus_ds, bench_ds, k=8).to_pandas()
+    assert out["n_hits"].tolist() == [0]
+    assert out["contaminated"].tolist() == [False]

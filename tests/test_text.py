@@ -281,3 +281,33 @@ def test_scrub_docs_actor_pool(ray_session, sf_dir):
     assert (out["props"].str.contains("#")).all()
     assert not out["props"].str.contains("[0-9]", regex=True).any()
     assert (out["n_num"] >= 1).all()
+
+
+def test_repetition_stats_matches_brute_force():
+    from collections import Counter
+
+    texts = ["the the the the cat", "a b c d e", "", "  x  ",
+             "go go stop go go", "one two one two one two", "solo",
+             "a a b b a a", "tab\tsep  and   runs"]
+    out = T.repetition_stats_batch(_batch(texts)).to_pydict()
+    for i, t in enumerate(texts):
+        w = t.split()
+        bg = [f"{w[j]} {w[j + 1]}" for j in range(len(w) - 1)]
+        cw, cb = Counter(w), Counter(bg)
+        exp = dict(
+            n_words=len(w), n_distinct_words=len(cw),
+            top_word_cnt=max(cw.values()) if cw else 0,
+            n_bigrams=len(bg), top_bigram_cnt=max(cb.values()) if cb else 0)
+        exp["repetitive"] = (
+            len(w) > 0 and T.REP_TOP_WORD_X * exp["top_word_cnt"] > len(w)
+        ) or (len(bg) > 0 and T.REP_TOP_BIGRAM_X * exp["top_bigram_cnt"] > len(bg))
+        got = {k: out[k][i] for k in exp}
+        assert got == exp, (t, got, exp)
+
+
+def test_repetition_stats_flags():
+    # one word dominating >20% of the doc flags it; a uniform doc does not
+    rep = "spam spam spam alpha beta gamma delta eps zeta eta"
+    uniq = "a1 b2 c3 d4 e5 f6 g7 h8 i9 j0 k1 l2 m3 n4 o5 p6 q7 r8 s9 t0"
+    out = T.repetition_stats_batch(_batch([rep, uniq]))
+    assert out["repetitive"].to_pylist() == [True, False]

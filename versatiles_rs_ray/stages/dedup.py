@@ -1161,3 +1161,87 @@ def propagate_min_labels_exchange(pairs_ds, max_rounds: int = 64, num_partitions
         return pa.table({"doc_num": t["doc_num"], "group_id": t["label"]})
 
     return rd.from_arrow_refs(label_parts).map_batches(rename, batch_format="pyarrow")
+
+
+# ---- benchmark decontamination (eval-overlap removal) -------------------
+
+def benchmark_gram_hashes(bench_ds, k: int, text_col: str = "text") -> np.ndarray:
+    """Distinct k-byte shingle hashes of a (small) benchmark set.
+
+    Eval suites are 10^3-10^5 documents, so the distinct-hash array is
+    a few MB at most — reduced on the driver from per-block partials
+    (each block contributes only its own distinct hashes) and then
+    broadcast via ``ray.put``. The big corpus never shuffles.
+    """
+    def part(batch: pa.Table) -> pa.Table:
+        flat, _starts, _counts = _shingle_hashes_flat(batch[text_col], k)
+        return pa.table({"h": pa.array(np.unique(flat), type=pa.uint64())})
+
+    parts = bench_ds.map_batches(part, batch_format="pyarrow")
+    chunks = [np.asarray(b["h"]) for b in parts.iter_batches(batch_format="pyarrow")]
+    if not chunks:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(np.concatenate(chunks))
+
+
+class Decontaminate:
+    """Actor-pool stage: flag corpus documents that share any k-byte
+    shingle with a broadcast benchmark set (train/eval-contamination
+    removal — the step every LLM data pipeline runs before training;
+    no reference analogue, graft surface).
+
+    The sorted benchmark hash array is fetched from the object store
+    ONCE per actor; each batch does one vectorized searchsorted
+    membership probe over its distinct shingle hashes (the same
+    polynomial as MinHash/ngram dedup, `_shingle_hashes_flat`), then a
+    per-doc segment sum. Pure map over the corpus: no shuffle, scales
+    to any corpus size with a fixed-size broadcast side.
+    """
+
+    def __init__(self, bench_ref, k: int, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        import ray
+
+        self.bench = bench_ref if isinstance(bench_ref, np.ndarray) \
+            else ray.get(bench_ref)
+        self.k = k
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, starts, counts = _shingle_hashes_flat(batch[self.text_col], self.k)
+        if len(self.bench) and len(flat):
+            pos = np.searchsorted(self.bench, flat)
+            pos = np.minimum(pos, len(self.bench) - 1)
+            hit = (self.bench[pos] == flat).astype(np.int64)
+        else:
+            hit = np.zeros(len(flat), dtype=np.int64)
+        c = np.zeros(len(hit) + 1, dtype=np.int64)
+        np.cumsum(hit, out=c[1:])
+        ends = starts + counts
+        n_hits = c[ends] - c[starts]
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "n_grams": pa.array(counts, type=pa.int64()),
+            "n_hits": pa.array(n_hits, type=pa.int64()),
+            "contaminated": pa.array(n_hits > 0),
+        })
+
+
+def decontaminate(corpus_ds, bench_ds, k: int = 24, id_col: str = "doc_id",
+                  text_col: str = "text", concurrency=4, batch_size: int = 4096):
+    """Benchmark-overlap report per corpus doc (keep `contaminated ==
+    False` rows to train). Benchmark hashes reduce once on the driver,
+    broadcast once, probed per batch — the corpus streams through a
+    stateless actor pool."""
+    import ray
+
+    bench = benchmark_gram_hashes(bench_ds, k, text_col=text_col)
+    ref = ray.put(bench)
+    pool = (1, concurrency) if isinstance(concurrency, int) else concurrency
+    return corpus_ds.map_batches(
+        Decontaminate, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=pool,
+        fn_constructor_kwargs={"bench_ref": ref, "k": k,
+                               "id_col": id_col, "text_col": text_col},
+    )

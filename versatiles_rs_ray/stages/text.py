@@ -389,3 +389,82 @@ def scrub_docs(ds, rules=DEFAULT_SCRUB_RULES, column: str = "text",
         concurrency=pool,
         fn_constructor_kwargs={"rules": tuple(rules), "column": column},
     )
+
+
+# ---- repetition signals (Gopher/MassiveText-style quality rules) -------
+
+# "repetitive" when the most frequent word exceeds 1/REP_TOP_WORD_X of
+# all words, or the most frequent bigram exceeds 1/REP_TOP_BIGRAM_X of
+# all bigrams (MassiveText uses 0.2 for the analogous fractions).
+# Integer cross-multiplication only, so the SQL oracle mirrors exactly.
+REP_TOP_WORD_X = 5
+REP_TOP_BIGRAM_X = 5
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc word/bigram repetition signals (exact, fully vectorized).
+
+    The Gopher-class quality rule the reference has no analogue for
+    (its only text handling is tile metadata); a training-data
+    pipeline drops documents dominated by one word or one bigram.
+    Emits integer numerators/denominators plus the ``repetitive``
+    flag computed by integer cross-multiplication, so the DuckDB
+    oracle reproduces every value bit-exactly (no float fractions).
+
+    Vectorization: one Arrow whitespace split, one dictionary_encode
+    (C++ hash table) to factorize words, then np.unique over composed
+    (doc, code) keys for per-doc counts — no per-row Python. Pure map:
+    each doc's stats depend only on its own text, so this scales as a
+    stateless map_batches with zero shuffle at any corpus size.
+    """
+    flat, tlen, offs = _split_tokens(batch["text"])
+    n_docs = len(batch)
+    keep = tlen > 0
+    n_words = _per_doc_sum(keep.astype(np.int64), offs)
+    doc_rep = np.repeat(np.arange(n_docs, dtype=np.int64), n_words)
+    words = flat.filter(pa.array(keep)) if not keep.all() else flat
+    dict_arr = words.dictionary_encode()
+    codes = np.asarray(dict_arr.indices, dtype=np.int64)
+
+    n_distinct = np.zeros(n_docs, dtype=np.int64)
+    top_word = np.zeros(n_docs, dtype=np.int64)
+    if len(codes):
+        V = np.int64(len(dict_arr.dictionary))
+        uk, ucnt = np.unique(doc_rep * V + codes, return_counts=True)
+        udoc = uk // V
+        n_distinct = np.bincount(udoc, minlength=n_docs).astype(np.int64)
+        seg = np.ones(len(udoc), dtype=bool)
+        seg[1:] = udoc[1:] != udoc[:-1]
+        starts = np.flatnonzero(seg)
+        top_word[udoc[starts]] = np.maximum.reduceat(ucnt, starts)
+
+    n_bigrams = np.maximum(n_words - 1, 0)
+    top_bigram = np.zeros(n_docs, dtype=np.int64)
+    if len(codes) > 1:
+        adj = doc_rep[:-1] == doc_rep[1:]
+        if adj.any():
+            V = np.int64(len(dict_arr.dictionary))
+            pair = codes[:-1][adj] * V + codes[1:][adj]
+            # re-factorize pairs so the composed (doc, pair) key stays
+            # far from int64 overflow for any batch size
+            _, pcode = np.unique(pair, return_inverse=True)
+            P = np.int64(pcode.max() + 1)
+            bdoc = doc_rep[:-1][adj]
+            uk2, ucnt2 = np.unique(bdoc * P + pcode, return_counts=True)
+            udoc2 = uk2 // P
+            seg2 = np.ones(len(udoc2), dtype=bool)
+            seg2[1:] = udoc2[1:] != udoc2[:-1]
+            starts2 = np.flatnonzero(seg2)
+            top_bigram[udoc2[starts2]] = np.maximum.reduceat(ucnt2, starts2)
+
+    repetitive = ((n_words > 0) & (REP_TOP_WORD_X * top_word > n_words)) | (
+        (n_bigrams > 0) & (REP_TOP_BIGRAM_X * top_bigram > n_bigrams))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_words": pa.array(n_words, type=pa.int64()),
+        "n_distinct_words": pa.array(n_distinct, type=pa.int64()),
+        "top_word_cnt": pa.array(top_word, type=pa.int64()),
+        "n_bigrams": pa.array(n_bigrams, type=pa.int64()),
+        "top_bigram_cnt": pa.array(top_bigram, type=pa.int64()),
+        "repetitive": pa.array(repetitive),
+    })
