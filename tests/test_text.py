@@ -311,3 +311,27 @@ def test_repetition_stats_flags():
     uniq = "a1 b2 c3 d4 e5 f6 g7 h8 i9 j0 k1 l2 m3 n4 o5 p6 q7 r8 s9 t0"
     out = T.repetition_stats_batch(_batch([rep, uniq]))
     assert out["repetitive"].to_pylist() == [True, False]
+
+
+# ---- vocab_topn (stages/text.py) ------------------------------------------
+
+
+def test_vocab_topn_exact_counts_and_ties(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    texts = ["the cat sat on the mat", "the dog", "", "  ",
+             "cat cat zebra", "apple banana apple"] * 7
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, type=pa.string())}))
+    out = T.vocab_topn(ds, 5, num_partitions=4)
+
+    brute = collections.Counter(w for t in texts for w in t.split())
+    want = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = list(zip(out["token"].to_pylist(), out["cnt"].to_pylist()))
+    assert got == want
+
+    # n larger than the vocabulary: every token, still exact
+    out_all = T.vocab_topn(ds, 1000, num_partitions=4)
+    assert dict(zip(out_all["token"].to_pylist(),
+                    out_all["cnt"].to_pylist())) == dict(brute)

@@ -468,3 +468,69 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
         "top_bigram_cnt": pa.array(top_bigram, type=pa.int64()),
         "repetitive": pa.array(repetitive),
     })
+
+
+# ---- global vocabulary building (top-N token counts) -------------------
+
+def _vocab_partial(batch: pa.Table, column: str) -> pa.Table:
+    """Per-batch token-count partial: one Arrow whitespace split + one
+    dictionary_encode collapses the batch to (token, cnt) rows — the
+    map-side combiner that bounds exchange volume to distinct tokens
+    per batch, not total tokens."""
+    from .curate import _add_route
+
+    flat, tlen, _offs = _split_tokens(batch[column])
+    keep = tlen > 0
+    words = flat.filter(pa.array(keep)) if not keep.all() else flat
+    enc = words.dictionary_encode()
+    cnt = np.bincount(np.asarray(enc.indices, dtype=np.int64),
+                      minlength=len(enc.dictionary)).astype(np.int64)
+    t = pa.table({"token": enc.dictionary,
+                  "cnt": pa.array(cnt, type=pa.int64())})
+    return _add_route(t, "token")
+
+
+def _vocab_combine(tbl: pa.Table, n: int) -> pa.Table:
+    """Per-partition reduce: exact per-token totals (partitions are
+    disjoint by token hash), then the partition's top-n candidates by
+    (cnt DESC, token ASC) — byte/codepoint order matches DuckDB's
+    binary collation because UTF-8 preserves codepoint order."""
+    toks = tbl["token"].combine_chunks()
+    enc = toks.dictionary_encode()
+    idx = np.asarray(enc.indices, dtype=np.int64)
+    cnt = np.asarray(tbl["cnt"], dtype=np.int64)
+    tot = np.zeros(len(enc.dictionary), dtype=np.int64)
+    np.add.at(tot, idx, cnt)
+    uniq = enc.dictionary.to_numpy(zero_copy_only=False)
+    order = np.lexsort((uniq, -tot))[:n]
+    return pa.table({"token": pa.array(uniq[order], type=pa.string()),
+                     "cnt": pa.array(tot[order], type=pa.int64())})
+
+
+def vocab_topn(ds, n: int, column: str = "text", num_partitions: int = 32):
+    """Global top-``n`` tokens by corpus count (vocabulary building —
+    the count pass of BPE/WordPiece training and the stopword/domain
+    profile step of curation).
+
+    Shape: per-batch (token, cnt) combiner partials -> ONE hash
+    exchange on the token -> per-partition exact totals + local top-n
+    candidates -> driver-side final top-n over the bounded
+    num_partitions x n candidate rows (the only driver gather, a few
+    thousand rows regardless of corpus size). Ties break ascending on
+    the token bytes so the result is deterministic and equal to the
+    SQL ``ORDER BY cnt DESC, token LIMIT n``.
+    """
+    import functools
+
+    from .exchange import hash_exchange
+
+    parts = ds.map_batches(functools.partial(_vocab_partial, column=column),
+                           batch_format="pyarrow")
+    out = hash_exchange(parts, "_route",
+                        functools.partial(_vocab_combine, n=n),
+                        num_partitions=num_partitions)
+    cand = out.to_pandas()  # bounded: num_partitions x n rows
+    cand = cand.sort_values(["cnt", "token"], ascending=[False, True],
+                            kind="mergesort").head(n)
+    return pa.Table.from_pandas(cand.reset_index(drop=True),
+                                preserve_index=False)
