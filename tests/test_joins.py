@@ -288,3 +288,63 @@ def test_rect_join_bucketed_large_catalog(ray_session):
         expected |= {(int(d), int(r)) for r in np.flatnonzero(m)}
     got_sample = {(int(a), int(b)) for a, b in got.values if a in set(sample.tolist())}
     assert got_sample == expected
+
+
+# ---- hash_join (general equi-join) ----------------------------------------
+
+
+def _hj_fixture(seed=7, n_left=400, n_right=120):
+    rng = np.random.default_rng(seed)
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 60, n_left), type=pa.int64()),
+        "lv": pa.array(rng.integers(0, 1000, n_left), type=pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array(rng.integers(20, 90, n_right), type=pa.int64()),
+        "rv": pa.array([f"r{i}" for i in range(n_right)], type=pa.string()),
+    })
+    return left, right
+
+
+def test_hash_join_matches_duckdb_all_types(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    left_t, right_t = _hj_fixture()
+    con = duckdb.connect()
+    con.register("l", left_t)
+    con.register("r", right_t)
+    sqls = {
+        "inner": "SELECT l.k, lv, rv FROM l JOIN r USING (k)",
+        "left": "SELECT l.k, lv, rv FROM l LEFT JOIN r USING (k)",
+        "semi": "SELECT k, lv FROM l WHERE k IN (SELECT k FROM r)",
+        "anti": "SELECT k, lv FROM l WHERE k NOT IN (SELECT k FROM r)",
+    }
+    for how, sql in sqls.items():
+        got = join.hash_join(rd.from_arrow(left_t), rd.from_arrow(right_t),
+                             "k", how=how, num_partitions=4).to_pandas()
+        want = con.execute(sql).df()
+        cols = list(want.columns)
+        got = got[cols].sort_values(cols, na_position="last").reset_index(drop=True)
+        want = want.sort_values(cols, na_position="last").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"k": "int64"}), want.astype({"k": "int64"}),
+            check_dtype=False), how
+
+
+def test_hash_join_string_keys_and_validation(ray_session):
+    import ray.data as rd
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "b", "b", "c"]), "lv": pa.array([1, 2, 3, 4])}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(["b", "c", "d"]), "rv": pa.array([10, 20, 30])}))
+    out = join.hash_join(left, right, "k", num_partitions=3).to_pandas()
+    got = sorted(map(tuple, out[["k", "lv", "rv"]].itertuples(index=False)))
+    assert got == [("b", 2, 10), ("b", 3, 10), ("c", 4, 20)]
+
+    import pytest
+    with pytest.raises(ValueError, match="overlap"):
+        join.hash_join(left, left, "k")
+    with pytest.raises(ValueError, match="one of"):
+        join.hash_join(left, right, "k", how="full")

@@ -941,11 +941,23 @@ def q_tile_histogram(sf_dir):
 
 
 def q_props_join(sf_dir):
-    """Broadcast property join + semi-join (vector_update_properties).
+    """BOTH equi-join strategies in one method-tagged driver row:
 
-    Side = nation table rows with even keys; docs join on
-    rank(source) % 25; remove_non_matching drops docs whose key is odd.
-    """
+    - 'broadcast' — the reference's property join + semi-join
+      (vector_update_properties): side = nation rows with even keys
+      shipped once per actor, docs join on rank(source) % 25,
+      remove_non_matching drops odd keys (stages/props.props_join).
+    - 'copartition' — the general large x large hash equi-join the
+      broadcast path can't cover once the build side outgrows worker
+      memory: orders x customer on custkey through one co-partitioning
+      exchange + Arrow-native per-partition join
+      (stages/join.hash_join).
+
+    Common output grain (method, row_id, key, name, extra) so one
+    oracle UNION checks both strategies."""
+    import ray.data as rd
+
+    from .stages.join import hash_join
     from .stages.props import props_join
 
     nt = pq.read_table(f"{sf_dir}/nation.parquet")
@@ -965,8 +977,47 @@ def q_props_join(sf_dir):
         return batch.append_column("nation_key", pa.array(key, type=pa.int64()))
 
     ds = _docs(sf_dir).map_batches(add_key, batch_format="pyarrow")
-    joined = props_join(ds, side, "nation_key", remove_non_matching=True)
-    return joined.select_columns(["doc_id", "source", "nation_key", "n_name", "n_regionkey"])
+
+    def fmt_bcast(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "method": pa.array(np.full(b.num_rows, "broadcast"), type=pa.string()),
+            "row_id": b["doc_id"],
+            "key": b["nation_key"],
+            "name": b["n_name"],
+            "extra": b["n_regionkey"],
+        })
+
+    bcast = props_join(ds, side, "nation_key", remove_non_matching=True) \
+        .map_batches(fmt_bcast, batch_format="pyarrow")
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "custkey": b["o_custkey"].cast(pa.int64())})
+
+    def c_prep(b: pa.Table) -> pa.Table:
+        return pa.table({"custkey": b["c_custkey"].cast(pa.int64()),
+                         "c_name": b["c_name"],
+                         "c_nationkey": b["c_nationkey"].cast(pa.int64())})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(o_prep, batch_format="pyarrow")
+    customer = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_name", "c_nationkey"]) \
+        .map_batches(c_prep, batch_format="pyarrow")
+
+    def fmt_copart(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "method": pa.array(np.full(b.num_rows, "copartition"), type=pa.string()),
+            "row_id": b["o_orderkey"].cast(pa.string()),
+            "key": b["custkey"],
+            "name": b["c_name"],
+            "extra": b["c_nationkey"],
+        })
+
+    copart = hash_join(orders, customer, "custkey", num_partitions=16) \
+        .map_batches(fmt_copart, batch_format="pyarrow")
+    return bcast.union(copart)
 
 
 def q_mvt_tiles(sf_dir):
@@ -1881,11 +1932,15 @@ def _oracle_tile_histogram():
 
 def _oracle_props_join():
     return (
-        f"SELECT {D.SQL_DOC_ID_STR} AS doc_id, source, "
-        "CAST(substr(source, 4) AS BIGINT) % 25 AS nation_key, n.n_name, "
-        "CAST(n.n_regionkey AS BIGINT) AS n_regionkey FROM documents d "
+        f"SELECT 'broadcast' AS method, {D.SQL_DOC_ID_STR} AS row_id, "
+        "CAST(substr(source, 4) AS BIGINT) % 25 AS key, n.n_name AS name, "
+        "CAST(n.n_regionkey AS BIGINT) AS extra FROM documents d "
         "JOIN nation n ON n.n_nationkey = CAST(substr(d.source, 4) AS BIGINT) % 25 "
-        "WHERE n.n_nationkey % 2 = 0"
+        "WHERE n.n_nationkey % 2 = 0 "
+        "UNION ALL "
+        "SELECT 'copartition', CAST(o_orderkey AS VARCHAR), "
+        "CAST(o_custkey AS BIGINT), c_name, CAST(c_nationkey AS BIGINT) "
+        "FROM orders JOIN customer ON o_custkey = c_custkey"
     )
 
 

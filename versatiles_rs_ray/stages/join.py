@@ -747,3 +747,104 @@ def anti_join_ids(ds, drop_ds, id_col: str, num_partitions: int = 32):
         l_rows.union(r_rows), id_col,
         functools.partial(_aj_combine, id_col=id_col),
         num_partitions=num_partitions)
+
+
+# ---- general hash equi-join ----------------------------------------------
+
+
+_HJ_TYPES = {"inner": "inner", "left": "left outer",
+             "semi": "left semi", "anti": "left anti"}
+
+
+def _hj_side_rows(batch: pa.Table, on: str, side: int, fill: tuple,
+                  key_is_str: bool) -> pa.Table:
+    from .curate import _hash_strings
+
+    key = batch[on]
+    if key_is_str:
+        route = _hash_strings(key)
+    else:
+        arr = key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
+        if arr.null_count:
+            raise ValueError(f"hash_join key column {on!r} contains nulls; "
+                             "filter or fill them first")
+        route = np.asarray(arr, dtype=np.int64)
+    cols = {
+        "_route": pa.array(route, type=pa.int64()),
+        "__side": pa.array(np.full(batch.num_rows, side), type=pa.int64()),
+        on: key,
+    }
+    for c, typ in fill:
+        cols[c] = batch[c] if c in batch.column_names else pa.nulls(
+            batch.num_rows, type=typ)
+    return pa.table(cols)
+
+
+def _hj_combine(tbl: pa.Table, on: str, l_cols: tuple, r_cols: tuple,
+                join_type: str) -> pa.Table:
+    side = np.asarray(tbl["__side"], dtype=np.int64)
+    left = tbl.filter(pa.array(side == 0)).select([on, *l_cols])
+    right = tbl.filter(pa.array(side == 1)).select([on, *r_cols])
+    return left.join(right, keys=on, join_type=join_type).combine_chunks()
+
+
+def hash_join(left_ds, right_ds, on: str, how: str = "inner",
+              num_partitions: int = 32):
+    """Distributed large x large equi-join — the general workhorse the
+    broadcast path (`stages/props.props_join`) cannot cover once the
+    build side outgrows worker memory.
+
+    how: 'inner' | 'left' (outer) | 'semi' | 'anti' (left-side
+    existence forms). Both sides co-partition by the join key through
+    ONE streaming hash exchange (side-tagged union, exactly the
+    `anti_join_ids` layout), then each partition joins locally with
+    Arrow's native hash join — vectorized C++, no pandas, no driver
+    gather. Shuffle volume is |left| + |right| rows, once; skewed keys
+    land whole in one partition, so `num_partitions` is the memory
+    knob (a hot key that exceeds a worker's heap needs a salted
+    pre-aggregate upstream, same contract as the reference's per-tile
+    grouping). The join key must be non-null (int64 routes directly;
+    strings route by the vectorized FNV of `stages/curate`); non-key
+    column names must be disjoint across sides.
+
+    New surface relative to the reference (its only joins are
+    broadcast property maps, vector_update_properties.rs) — the graft
+    needs metadata joins at corpus scale.
+    """
+    import functools
+
+    from .exchange import hash_exchange
+
+    if how not in _HJ_TYPES:
+        raise ValueError(f"hash_join how={how!r}: want one of {sorted(_HJ_TYPES)}")
+    l_schema, r_schema = left_ds.schema(), right_ds.schema()
+    for s in (l_schema, r_schema):
+        if on not in s.names:
+            raise ValueError(f"hash_join: key {on!r} missing from {s.names}")
+        for reserved in ("_route", "__side"):
+            if reserved in s.names:
+                raise ValueError(f"hash_join reserved column {reserved!r} in input")
+    l_cols = tuple(n for n in l_schema.names if n != on)
+    r_cols = tuple(n for n in r_schema.names if n != on)
+    overlap = set(l_cols) & set(r_cols)
+    if overlap:
+        raise ValueError(f"hash_join: non-key columns overlap: {sorted(overlap)}")
+    key_is_str = pa.types.is_string(l_schema.types[l_schema.names.index(on)])
+    fill = tuple(
+        [(n, t) for n, t in zip(l_schema.names, l_schema.types) if n != on]
+        + [(n, t) for n, t in zip(r_schema.names, r_schema.types) if n != on])
+    l_rows = left_ds.map_batches(
+        functools.partial(_hj_side_rows, on=on, side=0, fill=fill,
+                          key_is_str=key_is_str),
+        batch_format="pyarrow")
+    r_rows = right_ds.map_batches(
+        functools.partial(_hj_side_rows, on=on, side=1, fill=fill,
+                          key_is_str=key_is_str),
+        batch_format="pyarrow")
+    out = hash_exchange(
+        l_rows.union(r_rows), "_route",
+        functools.partial(_hj_combine, on=on, l_cols=l_cols, r_cols=r_cols,
+                          join_type=_HJ_TYPES[how]),
+        num_partitions=num_partitions)
+    keep = [on, *l_cols] if how in ("semi", "anti") else [on, *l_cols, *r_cols]
+    return out.select_columns(keep)
