@@ -275,3 +275,20 @@ def test_cli_help_single_op_params():
                         "pipeline", "nope"], capture_output=True, text=True,
                        timeout=240)
     assert r.returncode != 0 and "unknown op" in r.stderr
+
+
+def test_cli_corpus_curate(tmp_path):
+    """corpus curate: the full filter->dedup->mix->shuffle->split->pack
+    chain over the real sf0.001 documents table via the CLI."""
+    src = "/root/testdata/sf0.001/documents.parquet"
+    doc = _run(["corpus", "curate", src, str(tmp_path / "c"), "--key",
+                "doc_id", "--split", "--pack", "--budget", "2000",
+                "--lang-fracs", "zh=0.0"])
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{tmp_path}/c")
+    assert doc["rows"] == t.num_rows > 0
+    names = set(t.schema.names)
+    assert {"split", "seq_id", "shuffle_rank"} <= names
+    assert set(t["split"].to_pylist()) <= {"train", "val", "test"}
+    assert "zh" not in set(t["lang"].to_pylist())

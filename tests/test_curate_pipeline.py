@@ -1,0 +1,88 @@
+"""End-to-end corpus curation pipeline (pipelines/curate.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from versatiles_rs_ray.pipelines.curate import curate_corpus
+from versatiles_rs_ray.stages.curate import (_SAMPLE_MOD, _SAMPLE_MULT,
+                                             split_cuts)
+
+
+GOOD = ("the quick brown fox jumps over the lazy dog and runs to town fast "
+        "while the sun sets slowly over the quiet hills in the far west")
+
+
+def _corpus():
+    rows = [
+        (10, GOOD, "en"),                      # survives
+        (11, GOOD, "en"),                      # exact dup of 10 -> dropped
+        (12, "one two", "en"),                 # bucket 0 -> dropped
+        (13, "spam " * 40, "en"),              # repetitive -> dropped
+        (14, GOOD + " extra tail words here", "en"),   # near-dup of 10
+        (15, "ein ganz anderer deutscher text mit vielen verschiedenen "
+             "woertern der die qualitaet pruefung besteht weil er lang "
+             "genug ist und normale satzstruktur hat oder zumindest fast",
+         "de"),
+        (16, "completely unrelated english prose about distributed "
+             "stream processing engines that shuffle blocks between "
+             "worker nodes with backpressure and spill to disk", "en"),
+    ]
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+        "lang": pa.array([r[2] for r in rows], type=pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], type=pa.int64()),
+    })
+
+
+def test_curate_quality_and_dedup(ray_session):
+    import ray.data as rd
+
+    out = curate_corpus(rd.from_arrow(_corpus())).to_pandas()
+    # 11 exact-dups 10; 12 fails quality; 13 repetitive; near-dup off
+    assert sorted(out["doc_id"]) == [10, 14, 15, 16]
+    assert set(out.columns) == {"doc_id", "text", "lang", "n_chars"}
+
+
+def test_curate_near_dup_and_mix(ray_session):
+    import ray.data as rd
+
+    out = curate_corpus(
+        rd.from_arrow(_corpus()), near_dup_threshold=0.5, ngram_k=5,
+        lang_fracs={"de": 0.0}, default_frac=1.0,
+    ).to_pandas()
+    # 14 is a 5-gram near-dup of 10 (smaller id survives); de mixed out
+    assert sorted(out["doc_id"]) == [10, 16]
+
+
+def test_curate_split_and_pack(ray_session):
+    import ray.data as rd
+
+    fr = {"train": 0.5, "val": 0.5}
+    out = curate_corpus(
+        rd.from_arrow(_corpus()), split_fracs=fr, pack_budget=220,
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [10, 14, 15, 16]
+    # split assignment reproduces the documented Knuth-hash rule
+    cuts = split_cuts(fr)
+    for _, row in out.iterrows():
+        b = (int(row["doc_id"]) * _SAMPLE_MULT) % _SAMPLE_MOD
+        want = "train" if b < cuts[0] else "val"
+        assert row["split"] == want
+    # sequences never straddle a split and never exceed the budget
+    for (_s, _q), grp in out.groupby(["split", "seq_id"]):
+        assert grp["n_chars"].sum() <= 220 or len(grp) == 1
+    # packing follows shuffle_rank order inside each split
+    for _s, grp in out.groupby("split"):
+        g = grp.sort_values("shuffle_rank")
+        assert list(g["seq_id"]) == sorted(g["seq_id"])
+
+
+def test_curate_stages_disabled_is_passthrough_plus_dedup(ray_session):
+    import ray.data as rd
+
+    out = curate_corpus(rd.from_arrow(_corpus()), min_quality=0,
+                        drop_repetitive=False).to_pandas()
+    # only exact dedup applies
+    assert sorted(out["doc_id"]) == [10, 12, 13, 14, 15, 16]

@@ -328,6 +328,27 @@ def cmd_corpus(args):
         from versatiles_rs_ray.stages.text import normalize_docs
 
         out = normalize_docs(ds, col=args.col)
+    elif args.op == "curate":
+        from versatiles_rs_ray.pipelines.curate import curate_corpus
+
+        def _parse_fracs(spec):
+            fracs = {}
+            for part in spec.split(","):
+                name, _, v = part.partition("=")
+                fracs[name] = float(v)
+            return fracs
+
+        out = curate_corpus(
+            ds, id_col=args.key, text_col=args.col,
+            min_quality=args.min_quality,
+            drop_repetitive=not args.keep_repetitive,
+            near_dup_threshold=args.near_threshold,
+            lang_fracs=_parse_fracs(args.lang_fracs) if args.lang_fracs else None,
+            default_frac=args.default_frac,
+            split_fracs=_parse_fracs(args.fracs) if args.split else None,
+            pack_budget=args.budget if args.pack else None,
+            token_col=args.token_col,
+        )
     else:  # pragma: no cover - argparse choices guard
         raise SystemExit(f"unknown corpus op {args.op}")
     out.write_parquet(args.output)
@@ -470,7 +491,8 @@ def main(argv=None):
 
     co = sub.add_parser("corpus", help="training-data curation ops over parquet")
     co.add_argument("op", choices=["quota", "sample", "shuffle", "pack",
-                                   "normalize", "topk", "split", "dedup"])
+                                   "normalize", "topk", "split", "dedup",
+                                   "curate"])
     co.add_argument("input", help="documents parquet file/dir")
     co.add_argument("output", help="output parquet dir")
     co.add_argument("--key", default="doc_id",
@@ -490,6 +512,20 @@ def main(argv=None):
                     help="split: name=frac list summing to 1")
     co.add_argument("--parallel-bins", action="store_true",
                     help="pack: independent per-block bins (scale mode)")
+    co.add_argument("--min-quality", type=int, default=1,
+                    help="curate: minimum integer quality bucket (0 disables)")
+    co.add_argument("--keep-repetitive", action="store_true",
+                    help="curate: keep Gopher-repetitive docs")
+    co.add_argument("--near-threshold", type=float, default=None,
+                    help="curate: enable near-dup removal at this n-gram Jaccard")
+    co.add_argument("--lang-fracs", default=None,
+                    help="curate: per-lang mix fractions, e.g. en=0.5,de=1.0")
+    co.add_argument("--default-frac", type=float, default=1.0,
+                    help="curate: mix fraction for langs not in --lang-fracs")
+    co.add_argument("--split", action="store_true",
+                    help="curate: add train/val/test split per --fracs")
+    co.add_argument("--pack", action="store_true",
+                    help="curate: pack sequences per --budget/--token-col")
     co.set_defaults(fn=cmd_corpus)
 
     h = sub.add_parser("help", help="print operation / config docs")

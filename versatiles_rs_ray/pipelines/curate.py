@@ -1,0 +1,168 @@
+"""End-to-end training-corpus curation: the flagship composition of the
+engine's curation stages into the pipeline a 100-TB pretraining run
+actually executes, in the canonical order
+
+    quality/repetition filter -> exact dedup -> near-dup removal
+    -> per-language stratified mix -> deterministic shuffle
+    -> train/val/test split -> sequence packing
+
+Every stage is one of the individually oracle-backed operators
+(stages/curate, stages/text, stages/dedup, stages/join) chained
+lazily — the whole pipeline streams; nothing materializes between
+stages except the two unavoidable all-to-alls (exact-dedup exchange,
+shuffle sort) and the bounded near-dup label loop. All decisions are
+deterministic id-hash / content-hash driven, so a re-run (or a resumed
+run on a different cluster size) reproduces the same corpus
+bit-for-bit — the property that makes 100-TB curation restartable.
+
+New surface relative to the reference (its pipeline notion is tile
+containers, pipeline/src/operations/*): the graft's training-data
+story. CLI: ``python -m versatiles_rs_ray corpus curate``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _quality_filter_batch(batch: pa.Table, text_col: str, min_quality: int,
+                          drop_repetitive: bool) -> pa.Table:
+    """Fused per-doc quality gate: one map computes the integer quality
+    bucket and (optionally) the Gopher repetition flag over the SAME
+    Arrow whitespace split and keeps only survivors — signals never
+    leave the stage, so the output schema equals the input schema."""
+    import pyarrow.compute as pc
+
+    from ..stages import text as T
+
+    txt = batch[text_col]
+    tmp = pa.table({
+        "doc_id": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+        "text": txt,
+        "n_chars": pc.utf8_length(txt).cast(pa.int64()),
+    })
+    keep = np.asarray(T.quality_batch(tmp)["quality_bucket"]) >= min_quality
+    if drop_repetitive:
+        keep &= ~np.asarray(T.repetition_stats_batch(tmp)["repetitive"])
+    if keep.all():
+        return batch
+    return batch.filter(pa.array(keep))
+
+
+def _as_dedup_view(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    out = batch
+    if "doc_num" not in out.column_names:
+        out = out.append_column("doc_num", out[id_col].cast(pa.int64()))
+    if "text" not in out.column_names:
+        out = out.append_column("text", out[text_col])
+    return out
+
+
+def curate_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                  lang_col: str = "lang", min_quality: int = 1,
+                  drop_repetitive: bool = True,
+                  near_dup_threshold: float | None = None, ngram_k: int = 5,
+                  lang_fracs: dict | None = None, default_frac: float = 1.0,
+                  split_fracs: dict | None = None,
+                  pack_budget: int | None = None,
+                  token_col: str = "n_chars"):
+    """Run the full curation chain over a documents Dataset and return
+    the curated Dataset (original columns, plus ``split`` when
+    ``split_fracs`` is given and ``seq_id`` when ``pack_budget`` is).
+
+    ``id_col`` must be castable to int64 and unique (drives every
+    deterministic hash decision). Stages whose knob is None/0 are
+    skipped entirely — no pass over the data is paid for a disabled
+    stage. When both ``split_fracs`` and ``pack_budget`` are given,
+    each split packs independently (training sequences must never
+    straddle a split boundary).
+    """
+    import functools
+
+    from ..stages.curate import (dataset_split, deterministic_shuffle,
+                                 pack_sequences, quota_per_key,
+                                 stratified_sample)
+
+    if min_quality > 0 or drop_repetitive:
+        ds = ds.map_batches(
+            functools.partial(_quality_filter_batch, text_col=text_col,
+                              min_quality=min_quality,
+                              drop_repetitive=drop_repetitive),
+            batch_format="pyarrow")
+
+    # exact dedup: keep the smallest id per distinct text (content-hash
+    # exchange; O(rows) shuffle, no driver state)
+    ds = quota_per_key(ds, text_col, id_col, 1)
+
+    if near_dup_threshold is not None:
+        from ..stages import dedup as DD
+        from ..stages.join import anti_join_ids
+        import pyarrow.compute as pc
+
+        view = ds.map_batches(
+            functools.partial(_as_dedup_view, id_col=id_col, text_col=text_col),
+            batch_format="pyarrow")
+        pairs = DD.ngram_jaccard_pairs(view, k=ngram_k,
+                                       threshold=near_dup_threshold)
+        labels = DD.propagate_min_labels_exchange(pairs)
+
+        def drops(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.not_equal(batch["doc_num"], batch["group_id"]))
+            return t.select(["doc_num"])
+
+        drop_ds = labels.map_batches(drops, batch_format="pyarrow")
+        ds = anti_join_ids(view, drop_ds, "doc_num")
+        extra = [c for c in ("doc_num",) if c != id_col]
+        if extra:
+            ds = ds.drop_columns(extra)
+
+    if lang_fracs is not None:
+        def add_num(b: pa.Table) -> pa.Table:
+            if "__mix_id" in b.column_names:
+                return b
+            return b.append_column("__mix_id", b[id_col].cast(pa.int64()))
+
+        ds = stratified_sample(
+            ds.map_batches(add_num, batch_format="pyarrow"),
+            "__mix_id", lang_col, lang_fracs, default=default_frac,
+        ).drop_columns(["__mix_id"])
+
+    def add_rank_id(b: pa.Table) -> pa.Table:
+        if "__ord_id" in b.column_names:
+            return b
+        return b.append_column("__ord_id", b[id_col].cast(pa.int64()))
+
+    needs_order = split_fracs is not None or pack_budget is not None
+    if needs_order:
+        ds = deterministic_shuffle(
+            ds.map_batches(add_rank_id, batch_format="pyarrow"), "__ord_id")
+    if split_fracs is not None:
+        ds = dataset_split(ds, "__ord_id", split_fracs)
+    if pack_budget is not None:
+        if split_fracs is not None:
+            import pyarrow.compute as pc
+            import ray.data as rd
+
+            parts = []
+            for name in split_fracs:
+                one = ds.map_batches(
+                    functools.partial(_keep_split, name=name),
+                    batch_format="pyarrow")
+                parts.append(pack_sequences(one, token_col, pack_budget,
+                                            "shuffle_rank"))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.union(p)
+            ds = out
+        else:
+            ds = pack_sequences(ds, token_col, pack_budget, "shuffle_rank")
+    if needs_order:
+        ds = ds.drop_columns(["__ord_id"])
+    return ds
+
+
+def _keep_split(batch: pa.Table, name: str) -> pa.Table:
+    import pyarrow.compute as pc
+
+    return batch.filter(pc.equal(batch["split"], name))
