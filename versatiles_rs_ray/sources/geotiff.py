@@ -781,18 +781,24 @@ def read_raster_source(path_or_bytes, epsg: int | None = None) -> GeoTIFF:
 
             return read_netcdf(path_or_bytes, epsg=epsg)
         from .grids import looks_like_aaigrid, read_aaigrid
+        from .vrt import looks_like_vrt, read_vrt
 
+        if looks_like_vrt(bytes(path_or_bytes[:256])):
+            return read_vrt(path_or_bytes, epsg=epsg)
         if looks_like_aaigrid(head):
             return read_aaigrid(path_or_bytes, epsg=epsg)
         return read_geotiff(path_or_bytes)
     path = str(path_or_bytes)
-    head = open(path, "rb").read(16)
+    head = open(path, "rb").read(256)
     if head[:3] == b"CDF" or head[:8] == b"\x89HDF\r\n\x1a\n":
         from .netcdf import read_netcdf
 
         return read_netcdf(path, epsg=epsg)
     from .grids import looks_like_aaigrid, read_aaigrid, read_hgt
+    from .vrt import looks_like_vrt, read_vrt
 
+    if path.lower().endswith(".vrt") or looks_like_vrt(head):
+        return read_vrt(path, epsg=epsg)
     if path.lower().endswith(".hgt"):
         return read_hgt(path, epsg=epsg)
     if path.lower().endswith((".asc", ".agr")) or looks_like_aaigrid(head):
