@@ -335,3 +335,48 @@ def test_vocab_topn_exact_counts_and_ties(ray_session):
     out_all = T.vocab_topn(ds, 1000, num_partitions=4)
     assert dict(zip(out_all["token"].to_pylist(),
                     out_all["cnt"].to_pylist())) == dict(brute)
+
+
+# ---- collocations / PMI (stages/text.py) -----------------------------------
+
+
+def test_pmi_topk_matches_brute_force(ray_session):
+    import collections
+    import math
+
+    import ray.data as rd
+
+    texts = ["the quick brown fox", "quick brown dogs run",
+             "new york city hall", "new york city subway",
+             "in new york city", ""] * 9
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, type=pa.string())}))
+    out = T.pmi_topk(ds, window=2, n=10, min_count=3, num_partitions=4)
+
+    toks = [t.split() for t in texts]
+    uni = collections.Counter(w for t in toks for w in t)
+    n_total = sum(uni.values())
+    pc = collections.Counter()
+    for t in toks:
+        for i in range(len(t)):
+            for d in (1, 2):
+                if i + d < len(t):
+                    a, b = sorted((t[i], t[i + d]))
+                    pc[(a, b)] += 1
+    rows = [(a, b, c, uni[a], uni[b],
+             math.floor(1e6 * math.log(c * n_total / (uni[a] * uni[b])) + 0.5))
+            for (a, b), c in pc.items() if c >= 3]
+    rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+    got = list(map(tuple, out.to_pandas().itertuples(index=False)))
+    assert got == rows[:10]
+
+
+def test_token_counts_exact(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    texts = ["a b a", "  ", "b c", ""] * 5
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, type=pa.string())}))
+    df = T.token_counts(ds, num_partitions=3).to_pandas()
+    got = dict(zip(df["token"], df["cnt"]))
+    assert got == dict(collections.Counter(w for t in texts for w in t.split()))

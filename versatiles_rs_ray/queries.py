@@ -328,17 +328,81 @@ QUOTA_N = 5
 
 
 def q_source_quota(sf_dir):
-    """Per-source quota curation (keep first 5 docs per source by
-    doc_id) — the anti-domination step of web-corpus curation, as ONE
-    hash exchange + vectorized rank<n (stages/curate.py). Columns are
-    pruned at the read."""
+    """BOTH per-key row-selection curations in one method-tagged driver
+    row (same exchange shape, map-side prune bounding shuffle rows
+    under any skew — stages/curate.py):
+
+    - 'quota' — keep the FIRST 5 docs per source by doc_id (the
+      anti-domination step of web-corpus curation);
+    - 'topk' — the 5 LONGEST docs per language (n_chars desc, doc_id
+      tiebreak)."""
     import ray.data as rd
 
-    from .stages.curate import quota_per_key
+    from .stages.curate import quota_per_key, topk_per_key
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "source"])
-    return quota_per_key(ds, "source", "doc_id", QUOTA_N)
+                         columns=["doc_id", "source", "lang", "n_chars"])
+
+    def fmt(method):
+        def f(b: pa.Table, _m=method) -> pa.Table:
+            return pa.table({
+                "method": pa.array(np.full(b.num_rows, _m), type=pa.string()),
+                "doc_id": b["doc_id"],
+                "key": b["source" if _m == "quota" else "lang"],
+                "n_chars": b["n_chars"],
+            })
+        return f
+
+    quota = quota_per_key(ds.select_columns(["doc_id", "source", "n_chars"]),
+                          "source", "doc_id", QUOTA_N) \
+        .map_batches(fmt("quota"), batch_format="pyarrow")
+    topk = topk_per_key(ds.select_columns(["doc_id", "lang", "n_chars"]),
+                        "lang", "n_chars", TOPK_PER_KEY_K, "doc_id") \
+        .map_batches(fmt("topk"), batch_format="pyarrow")
+    return quota.union(topk)
+
+
+PMI_WINDOW = 2
+PMI_N = 50
+PMI_MIN_COUNT = 5
+
+
+def q_pmi_topk(sf_dir):
+    """Top-50 collocations by pointwise mutual information (window 2,
+    min pair count 5) — phrase mining / word-embedding prep. Pair
+    counts through one exchange with a min-count floor, unigram counts
+    through another, then TWO co-partitioned hash_join probes attach
+    c(a) and c(b) (no vocabulary broadcast); PMI quantized to integer
+    micro-nats (the BM25 contract) so ranking never compares raw
+    floats (stages/text.pmi_topk)."""
+    import ray.data as rd
+
+    from .stages.text import pmi_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return pmi_topk(ds, window=PMI_WINDOW, n=PMI_N, min_count=PMI_MIN_COUNT)
+
+
+def _oracle_pmi_topk():
+    return (
+        "WITH base AS (SELECT doc_id, "
+        f"{_SQL_TOKENS} AS toks FROM documents WHERE trim(text) <> ''), "
+        "tok AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos, "
+        "unnest(toks) AS t FROM base), "
+        "p AS (SELECT least(t1.t, t2.t) AS tok_a, greatest(t1.t, t2.t) AS tok_b "
+        "FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id "
+        f"AND t2.pos > t1.pos AND t2.pos <= t1.pos + {PMI_WINDOW}), "
+        "pc AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS pair_cnt "
+        f"FROM p GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_COUNT}), "
+        "uni AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1), "
+        "tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok) "
+        "SELECT tok_a, tok_b, pair_cnt, ua.cnt AS cnt_a, ub.cnt AS cnt_b, "
+        "CAST(floor(1e6 * ln((pair_cnt::DOUBLE * n) / "
+        "(ua.cnt::DOUBLE * ub.cnt)) + 0.5) AS BIGINT) AS pmi_micro "
+        "FROM pc JOIN uni ua ON ua.t = pc.tok_a "
+        "JOIN uni ub ON ub.t = pc.tok_b, tot "
+        f"ORDER BY pmi_micro DESC, tok_a, tok_b LIMIT {PMI_N}"
+    )
 
 
 TOPK_PER_KEY_K = 5
@@ -410,27 +474,20 @@ def q_docs_split(sf_dir):
         ["lang", "split"]).aggregate(Count(alias_name="n_docs"))
 
 
-def q_lang_topk(sf_dir):
-    """Top-k curation: the 5 LONGEST docs per language (n_chars desc,
-    doc_id tiebreak) — map-side per-batch top-k prune bounds shuffle
-    rows under skew, one exchange, per-partition final top-k
-    (stages/curate.topk_per_key)."""
-    import ray.data as rd
-
-    from .stages.curate import topk_per_key
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "lang", "n_chars"])
-    return topk_per_key(ds, "lang", "n_chars", TOPK_PER_KEY_K, "doc_id")
-
-
 def _oracle_source_quota():
     return (
-        "SELECT doc_id, source FROM ("
-        "  SELECT doc_id, source,"
+        "SELECT 'quota' AS method, doc_id, key, n_chars FROM ("
+        "  SELECT doc_id, source AS key, n_chars,"
         "         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn"
         "  FROM documents"
-        f") WHERE rn <= {QUOTA_N}"
+        f") WHERE rn <= {QUOTA_N} "
+        "UNION ALL "
+        "SELECT 'topk' AS method, doc_id, key, n_chars FROM ("
+        "  SELECT doc_id, lang AS key, n_chars,"
+        "         row_number() OVER (PARTITION BY lang"
+        "                            ORDER BY n_chars DESC, doc_id) AS rn"
+        "  FROM documents"
+        f") WHERE rn <= {TOPK_PER_KEY_K}"
     )
 
 
@@ -464,17 +521,6 @@ def _oracle_lang_profile():
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY lang) "
         "SELECT q.*, d.n_distinct, d.approx_ok, s.n_docs, s.sum_tokens, "
         "s.sum_chars FROM q JOIN d USING (lang) JOIN s USING (lang)"
-    )
-
-
-def _oracle_lang_topk():
-    return (
-        "SELECT doc_id, lang, n_chars FROM ("
-        "  SELECT doc_id, lang, n_chars,"
-        "         row_number() OVER (PARTITION BY lang"
-        "                            ORDER BY n_chars DESC, doc_id) AS rn"
-        "  FROM documents"
-        f") WHERE rn <= {TOPK_PER_KEY_K}"
     )
 
 
@@ -2250,7 +2296,6 @@ QUERIES = {
     "knn_joins": q_knn_joins,
     "dedup_exact": q_dedup_exact,
     "source_quota": q_source_quota,
-    "lang_topk": q_lang_topk,
     "lang_profile": q_lang_profile,
     "docs_split": q_docs_split,
     "label_centroids": q_label_centroids,
@@ -2285,6 +2330,7 @@ QUERIES = {
     "embedding_ivf_fixed": q_embedding_ivf_fixed,
     "embedding_near_dup": q_embedding_near_dup,
     "bm25_topk": q_bm25_topk,
+    "pmi_topk": q_pmi_topk,
     "scrub_events": q_scrub_events,
     "decontaminate": q_decontaminate,
     # ---- position 51+: rows-only by nature (codec-bearing paths;
@@ -2311,7 +2357,6 @@ ORACLES = {
     "knn_joins": _oracle_knn_joins(),
     "dedup_exact": _oracle_dedup_exact(),
     "source_quota": _oracle_source_quota(),
-    "lang_topk": _oracle_lang_topk(),
     "lang_profile": _oracle_lang_profile(),
     "docs_split": _oracle_docs_split(),
     "label_centroids": _oracle_label_centroids(),
@@ -2344,6 +2389,7 @@ ORACLES = {
     "embedding_ivf_fixed": _oracle_embedding_ivf_fixed(),
     "embedding_near_dup": _oracle_embedding_near_dup(),
     "bm25_topk": _oracle_bm25_topk(),
+    "pmi_topk": _oracle_pmi_topk(),
     "scrub_events": _oracle_scrub_events(),
     "decontaminate": _oracle_decontaminate(),
     }

@@ -534,3 +534,192 @@ def vocab_topn(ds, n: int, column: str = "text", num_partitions: int = 32):
                             kind="mergesort").head(n)
     return pa.Table.from_pandas(cand.reset_index(drop=True),
                                 preserve_index=False)
+
+
+# ---- collocations: windowed co-occurrence + PMI -------------------------
+
+def _token_totals(tbl: pa.Table) -> pa.Table:
+    """Exact per-token totals within one exchange partition
+    (partitions are disjoint by token hash)."""
+    toks = tbl["token"].combine_chunks()
+    enc = toks.dictionary_encode()
+    idx = np.asarray(enc.indices, dtype=np.int64)
+    cnt = np.asarray(tbl["cnt"], dtype=np.int64)
+    tot = np.zeros(len(enc.dictionary), dtype=np.int64)
+    np.add.at(tot, idx, cnt)
+    return pa.table({"token": enc.dictionary,
+                     "cnt": pa.array(tot, type=pa.int64())})
+
+
+def token_counts(ds, column: str = "text", num_partitions: int = 32):
+    """Exact global (token, cnt) table: the same combiner partials as
+    :func:`vocab_topn` but with full totals per partition instead of a
+    local top-n — the unigram-count input of PMI and tf-idf."""
+    import functools
+
+    from .exchange import hash_exchange
+
+    parts = ds.map_batches(functools.partial(_vocab_partial, column=column),
+                           batch_format="pyarrow")
+    return hash_exchange(parts, "_route", _token_totals,
+                         num_partitions=num_partitions)
+
+
+def _pair_partial(batch: pa.Table, column: str, window: int) -> pa.Table:
+    """Per-batch windowed co-occurrence partial: unordered token pairs
+    (a <= b lexicographically) within ``window`` positions inside one
+    doc, pre-counted per batch (dictionary codes + one np.unique) so
+    the exchange moves distinct pairs, not token stream length."""
+    from .curate import _hash_strings
+
+    empty = pa.table({"tok_a": pa.array([], type=pa.string()),
+                      "tok_b": pa.array([], type=pa.string()),
+                      "cnt": pa.array([], type=pa.int64())})
+    flat, tlen, offs = _split_tokens(batch[column])
+    keep = tlen > 0
+    n_words = _per_doc_sum(keep.astype(np.int64), offs)
+    words = flat.filter(pa.array(keep)) if not keep.all() else flat
+    if len(words) < 2:
+        return empty.append_column("_route", pa.array([], type=pa.int64()))
+    doc = np.repeat(np.arange(len(n_words), dtype=np.int64), n_words)
+    enc = words.dictionary_encode()
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    V = np.int64(len(enc.dictionary))
+    # the dictionary is batch-local, so order codes by the TOKEN BYTES
+    # once: then min/max on codes == lexicographic min/max on tokens
+    dic = enc.dictionary.to_numpy(zero_copy_only=False)
+    rank_of = np.empty(int(V), dtype=np.int64)
+    order = np.argsort(dic, kind="stable")
+    rank_of[order] = np.arange(int(V), dtype=np.int64)
+    ranked = rank_of[codes]
+    los, his = [], []
+    for d in range(1, window + 1):
+        if d >= len(ranked):
+            break
+        same = doc[:-d] == doc[d:]
+        a, b = ranked[:-d][same], ranked[d:][same]
+        los.append(np.minimum(a, b))
+        his.append(np.maximum(a, b))
+    if not los:
+        return empty.append_column("_route", pa.array([], type=pa.int64()))
+    lo = np.concatenate(los)
+    hi = np.concatenate(his)
+    uk, ucnt = np.unique(lo * V + hi, return_counts=True)
+    sorted_dic = dic[order]  # rank -> token bytes
+    t = pa.table({
+        "tok_a": pa.array(sorted_dic[(uk // V)], type=pa.string()),
+        "tok_b": pa.array(sorted_dic[(uk % V)], type=pa.string()),
+        "cnt": pa.array(ucnt.astype(np.int64), type=pa.int64()),
+    })
+    import pyarrow.compute as pc
+
+    pair_key = pc.binary_join_element_wise(t["tok_a"], t["tok_b"], "\x00")
+    return t.append_column("_route", pa.array(_hash_strings(pair_key),
+                                              type=pa.int64()))
+
+
+def _pair_totals(tbl: pa.Table, min_count: int) -> pa.Table:
+    """Exact per-pair totals within a partition + min-count floor."""
+    import pyarrow.compute as pc
+
+    if tbl.num_rows == 0:
+        return pa.table({"tok_a": pa.array([], type=pa.string()),
+                         "tok_b": pa.array([], type=pa.string()),
+                         "pair_cnt": pa.array([], type=pa.int64())})
+    key = pc.binary_join_element_wise(tbl["tok_a"], tbl["tok_b"], "\x00")
+    enc = key.combine_chunks().dictionary_encode()
+    idx = np.asarray(enc.indices, dtype=np.int64)
+    cnt = np.asarray(tbl["cnt"], dtype=np.int64)
+    tot = np.zeros(len(enc.dictionary), dtype=np.int64)
+    np.add.at(tot, idx, cnt)
+    first = np.zeros(len(enc.dictionary), dtype=np.int64)
+    first[idx[::-1]] = np.arange(len(idx) - 1, -1, -1, dtype=np.int64)
+    keep = tot >= min_count
+    sel = pa.array(first[keep])
+    return pa.table({
+        "tok_a": tbl["tok_a"].take(sel),
+        "tok_b": tbl["tok_b"].take(sel),
+        "pair_cnt": pa.array(tot[keep], type=pa.int64()),
+    })
+
+
+def pmi_topk(ds, window: int = 3, n: int = 100, min_count: int = 5,
+             column: str = "text", num_partitions: int = 32):
+    """Top-``n`` collocations by pointwise mutual information — the
+    word-embedding-prep / phrase-mining pass of a text pipeline.
+
+    PMI(a,b) = ln(N * c(a,b) / (c(a) * c(b))) over unordered token
+    pairs within ``window`` positions, quantized to integer micro-nats
+    (floor(1e6 * pmi + 0.5), the BM25 contract) so ranking never
+    compares raw floats; ties break ascending on (tok_a, tok_b).
+
+    Shape: pair-count combiner partials -> ONE exchange on the pair ->
+    exact totals + min-count floor (bounds everything downstream),
+    unigram counts via :func:`token_counts` (one exchange), then TWO
+    co-partitioned :func:`~..stages.join.hash_join` probes attach
+    c(a) and c(b) — no unigram broadcast, so a 10^8-token vocabulary
+    is fine. The only driver gathers are the total-token scalar and
+    blocks x n candidate rows.
+    """
+    import functools
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .exchange import hash_exchange
+    from .join import hash_join
+
+    parts = ds.map_batches(
+        functools.partial(_pair_partial, column=column, window=window),
+        batch_format="pyarrow")
+    pairs = hash_exchange(parts, "_route",
+                          functools.partial(_pair_totals, min_count=min_count),
+                          num_partitions=num_partitions)
+    uni = token_counts(ds, column=column, num_partitions=num_partitions)
+    total = uni.aggregate(Sum("cnt", alias_name="n"))["n"]
+
+    def a_side(b: pa.Table) -> pa.Table:
+        return pa.table({"token": b["tok_a"], "tok_b": b["tok_b"],
+                         "pair_cnt": b["pair_cnt"]})
+
+    def ua(b: pa.Table) -> pa.Table:
+        return pa.table({"token": b["token"], "cnt_a": b["cnt"]})
+
+    def ub(b: pa.Table) -> pa.Table:
+        return pa.table({"token": b["token"], "cnt_b": b["cnt"]})
+
+    j1 = hash_join(pairs.map_batches(a_side, batch_format="pyarrow"),
+                   uni.map_batches(ua, batch_format="pyarrow"),
+                   "token", num_partitions=num_partitions)
+
+    def b_side(b: pa.Table) -> pa.Table:
+        return pa.table({"tok_a": b["token"], "token": b["tok_b"],
+                         "pair_cnt": b["pair_cnt"], "cnt_a": b["cnt_a"]})
+
+    j2 = hash_join(j1.map_batches(b_side, batch_format="pyarrow"),
+                   uni.map_batches(ub, batch_format="pyarrow"),
+                   "token", num_partitions=num_partitions)
+
+    def score(b: pa.Table, _n=float(total)) -> pa.Table:
+        pcnt = np.asarray(b["pair_cnt"], dtype=np.float64)
+        ca = np.asarray(b["cnt_a"], dtype=np.float64)
+        cb = np.asarray(b["cnt_b"], dtype=np.float64)
+        pmi = np.log((pcnt * _n) / (ca * cb))
+        micro = np.floor(pmi * 1e6 + 0.5).astype(np.int64)
+        t = pa.table({
+            "tok_a": b["tok_a"], "tok_b": b["token"],
+            "pair_cnt": b["pair_cnt"],
+            "cnt_a": b["cnt_a"], "cnt_b": b["cnt_b"],
+            "pmi_micro": pa.array(micro, type=pa.int64()),
+        })
+        order = np.lexsort((
+            t["tok_b"].to_numpy(zero_copy_only=False),
+            t["tok_a"].to_numpy(zero_copy_only=False), -micro))[:n]
+        return t.take(pa.array(order))
+
+    cand = j2.map_batches(score, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["pmi_micro", "tok_a", "tok_b"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(n)
+    return pa.Table.from_pandas(cand.reset_index(drop=True),
+                                preserve_index=False)
