@@ -530,3 +530,66 @@ def test_decontaminate_empty_benchmark(ray_session):
     out = decontaminate(corpus_ds, bench_ds, k=8).to_pandas()
     assert out["n_hits"].tolist() == [0]
     assert out["contaminated"].tolist() == [False]
+
+
+# ---- duplicate_spans (duplicated-substring detection) ---------------------
+
+
+def test_duplicate_spans_crafted(ray_session):
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.dedup import duplicate_spans
+
+    shared = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"  # 36 bytes
+    docs = pa.table({
+        "doc_num": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "aaa" + shared + "bbb",          # shared block mid-doc
+            shared + "cccccccc",             # shared block at start
+            "totally unique text with nothing repeated anywhere at all..",
+            "short",                          # < k: no windows
+        ], type=pa.string()),
+    })
+    out = duplicate_spans(rd.from_arrow(docs), k=24, num_partitions=4) \
+        .to_pandas().sort_values(["doc", "span_start"]).reset_index(drop=True)
+    got = list(map(tuple, out.itertuples(index=False)))
+    # every k-window inside `shared` duplicates across docs 1 and 2
+    assert got == [(1, 3, 3 + 36), (2, 0, 36)]
+
+
+def test_duplicate_spans_matches_duckdb_exact(ray_session, sf_dir):
+    """Hash-based spans == EXACT substring-equality spans (DuckDB
+    gaps-and-islands over duplicated k-substrings) on the real
+    sf0.001 documents table."""
+    import duckdb
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.dedup import duplicate_spans
+
+    k = 24
+    out = duplicate_spans(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        k=k, id_col="doc_id", num_partitions=8,
+    ).to_pandas().sort_values(["doc", "span_start"]).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = con.execute(f"""
+        WITH pos AS (SELECT doc_id, i.range AS p,
+                substr(text, i.range::INT, {k}) AS g
+                FROM documents, range(1, 100001) i
+                WHERE i.range <= length(text) - {k} + 1),
+        dup AS (SELECT g FROM pos GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        h AS (SELECT doc_id, p FROM pos WHERE g IN (SELECT g FROM dup)),
+        m AS (SELECT doc_id, p, CASE WHEN p - lag(p) OVER
+                (PARTITION BY doc_id ORDER BY p) = 1 THEN 0 ELSE 1 END AS brk
+              FROM h),
+        isl AS (SELECT doc_id, p, SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                ROWS UNBOUNDED PRECEDING) AS grp FROM m)
+        SELECT doc_id AS doc, CAST(min(p) - 1 AS BIGINT) AS span_start,
+               CAST(max(p) - 1 + {k} AS BIGINT) AS span_end
+        FROM isl GROUP BY doc_id, grp ORDER BY doc, span_start
+    """).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(out.astype("int64"), want.astype("int64"))

@@ -1245,3 +1245,129 @@ def decontaminate(corpus_ds, bench_ds, k: int = 24, id_col: str = "doc_id",
         fn_constructor_kwargs={"bench_ref": ref, "k": k,
                                "id_col": id_col, "text_col": text_col},
     )
+
+
+# ---- duplicated-substring spans (Lee et al., arXiv:2107.06499 theme) -----
+
+_DS_BASE = np.uint64(1000003)
+
+
+def _span_hash_rows(batch: pa.Table, k: int, stride: int,
+                    id_col: str, text_col: str) -> pa.Table:
+    """Every k-byte window hash with its (doc, pos): one strided gather
+    over the batch's concatenated bytes (the fingerprint_batch layout),
+    k shifted multiply-adds, positions kept instead of min-reduced.
+    Docs shorter than k emit nothing (they cannot contain a k-span)."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    import pyarrow.compute as pc
+
+    b = pc.fill_null(texts, "").cast(pa.binary())
+    _, off_buf, data_buf = b.buffers()
+    offs = np.frombuffer(off_buf, dtype=np.int32)[b.offset : b.offset + len(b) + 1]
+    data = np.frombuffer(data_buf, dtype=np.uint8)
+    doc_num = np.asarray(batch[id_col], dtype=np.int64)
+    L = np.diff(offs).astype(np.int64)
+    n_win = np.maximum((L - k) // stride + 1, 0)
+    total = int(n_win.sum())
+    empty = pa.table({"h": pa.array([], type=pa.int64()),
+                      "doc": pa.array([], type=pa.int64()),
+                      "pos": pa.array([], type=pa.int64())})
+    if total == 0:
+        return empty
+    run_start = np.zeros(len(L), dtype=np.int64)
+    run_start[1:] = np.cumsum(n_win)[:-1]
+    within = (np.arange(total, dtype=np.int64)
+              - np.repeat(run_start, n_win)) * stride
+    w_start = np.repeat(offs[:-1].astype(np.int64), n_win) + within
+    idx = w_start[:, None] + np.arange(k, dtype=np.int64)[None, :]
+    win = data[idx].astype(np.uint64)
+    h = win[:, 0].copy()
+    for j in range(1, k):
+        h = h * _DS_BASE + win[:, j]
+    return pa.table({
+        "h": pa.array(h.astype(np.int64), type=pa.int64()),
+        "doc": pa.array(np.repeat(doc_num, n_win), type=pa.int64()),
+        "pos": pa.array(within, type=pa.int64()),
+    })
+
+
+def _dup_hash_hits(tbl: pa.Table) -> pa.Table:
+    """Partition combine #1: keep (doc, pos) rows whose hash occurs in
+    >= 2 DISTINCT docs (one lexsort + run detection)."""
+    empty = pa.table({"doc": pa.array([], type=pa.int64()),
+                      "pos": pa.array([], type=pa.int64())})
+    if tbl.num_rows == 0 or "h" not in tbl.column_names:
+        return empty
+    h = np.asarray(tbl["h"], dtype=np.int64)
+    doc = np.asarray(tbl["doc"], dtype=np.int64)
+    pos = np.asarray(tbl["pos"], dtype=np.int64)
+    order = np.lexsort((doc, h))
+    hs, ds_ = h[order], doc[order]
+    new_h = np.r_[True, hs[1:] != hs[:-1]]
+    new_pair = new_h | np.r_[True, ds_[1:] != ds_[:-1]]
+    grp = np.cumsum(new_h) - 1
+    ndocs = np.bincount(grp[new_pair])
+    keep = ndocs[grp] >= 2
+    sel = order[keep]
+    return pa.table({"doc": pa.array(doc[sel], type=pa.int64()),
+                     "pos": pa.array(pos[sel], type=pa.int64())})
+
+
+def _merge_islands(tbl: pa.Table, k: int, stride: int) -> pa.Table:
+    """Partition combine #2 (routed by doc): per doc, sort hit
+    positions and merge runs with gap <= stride into maximal spans
+    [start, last + k)."""
+    empty = pa.table({"doc": pa.array([], type=pa.int64()),
+                      "span_start": pa.array([], type=pa.int64()),
+                      "span_end": pa.array([], type=pa.int64())})
+    if tbl.num_rows == 0 or "doc" not in tbl.column_names:
+        return empty
+    doc = np.asarray(tbl["doc"], dtype=np.int64)
+    pos = np.asarray(tbl["pos"], dtype=np.int64)
+    order = np.lexsort((pos, doc))
+    d, p = doc[order], pos[order]
+    new = np.r_[True, (d[1:] != d[:-1]) | (p[1:] - p[:-1] > stride)]
+    starts = np.flatnonzero(new)
+    ends = np.r_[starts[1:], len(p)] - 1
+    return pa.table({
+        "doc": pa.array(d[starts], type=pa.int64()),
+        "span_start": pa.array(p[starts], type=pa.int64()),
+        "span_end": pa.array(p[ends] + k, type=pa.int64()),
+    })
+
+
+def duplicate_spans(ds, k: int = 24, stride: int = 1,
+                    id_col: str = "doc_num", text_col: str = "text",
+                    num_partitions: int = 32):
+    """Corpus-internal duplicated-substring detection: for every doc,
+    the maximal byte ranges [span_start, span_end) whose every k-byte
+    window also appears in at least one OTHER doc — the
+    train-data-dedup signal of Lee et al. (2107.06499), which exact
+    whole-doc dedup misses (boilerplate headers, quoted passages,
+    licence blocks).
+
+    Shape: rolling-hash window rows (pure map) -> exchange on the hash
+    -> per-partition >=2-distinct-doc filter (bounds everything
+    downstream to actual duplicate hits) -> exchange on the doc ->
+    vectorized island merge. 64-bit rolling hashes stand in for the
+    bytes (collision odds ~2^-64 per pair; the SQL-oracle pytest
+    compares against EXACT substring equality). ``stride`` > 1 probes
+    every stride-th window — the scale knob for 100-TB corpora, at the
+    cost of span edges rounded inward by up to stride-1 bytes; spans
+    whose hits sit exactly stride apart still merge.
+    """
+    import functools
+
+    from .exchange import hash_exchange
+
+    rows = ds.map_batches(
+        functools.partial(_span_hash_rows, k=k, stride=stride,
+                          id_col=id_col, text_col=text_col),
+        batch_format="pyarrow")
+    hits = hash_exchange(rows, "h", _dup_hash_hits,
+                         num_partitions=num_partitions)
+    return hash_exchange(hits, "doc",
+                         functools.partial(_merge_islands, k=k, stride=stride),
+                         num_partitions=max(2, num_partitions // 2))
