@@ -292,3 +292,14 @@ def test_cli_corpus_curate(tmp_path):
     assert {"split", "seq_id", "shuffle_rank"} <= names
     assert set(t["split"].to_pylist()) <= {"train", "val", "test"}
     assert "zh" not in set(t["lang"].to_pylist())
+
+
+def test_cli_corpus_dup_spans(tmp_path):
+    src = "/root/testdata/sf0.001/documents.parquet"
+    doc = _run(["corpus", "dup-spans", src, str(tmp_path / "d"), "--key",
+                "doc_id", "--k", "24"])
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{tmp_path}/d")
+    assert doc["rows"] == t.num_rows
+    assert set(t.schema.names) == {"doc", "span_start", "span_end"}

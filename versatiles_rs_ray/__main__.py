@@ -328,6 +328,11 @@ def cmd_corpus(args):
         from versatiles_rs_ray.stages.text import normalize_docs
 
         out = normalize_docs(ds, col=args.col)
+    elif args.op == "dup-spans":
+        from versatiles_rs_ray.stages.dedup import duplicate_spans
+
+        out = duplicate_spans(ds, k=args.k, stride=args.stride,
+                              id_col=args.key, text_col=args.col)
     elif args.op == "curate":
         from versatiles_rs_ray.pipelines.curate import curate_corpus
 
@@ -492,7 +497,7 @@ def main(argv=None):
     co = sub.add_parser("corpus", help="training-data curation ops over parquet")
     co.add_argument("op", choices=["quota", "sample", "shuffle", "pack",
                                    "normalize", "topk", "split", "dedup",
-                                   "curate"])
+                                   "curate", "dup-spans"])
     co.add_argument("input", help="documents parquet file/dir")
     co.add_argument("output", help="output parquet dir")
     co.add_argument("--key", default="doc_id",
@@ -512,6 +517,10 @@ def main(argv=None):
                     help="split: name=frac list summing to 1")
     co.add_argument("--parallel-bins", action="store_true",
                     help="pack: independent per-block bins (scale mode)")
+    co.add_argument("--k", type=int, default=24,
+                    help="dup-spans: window length in bytes")
+    co.add_argument("--stride", type=int, default=1,
+                    help="dup-spans: probe every stride-th window (scale knob)")
     co.add_argument("--min-quality", type=int, default=1,
                     help="curate: minimum integer quality bucket (0 disables)")
     co.add_argument("--keep-repetitive", action="store_true",
