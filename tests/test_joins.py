@@ -348,3 +348,44 @@ def test_hash_join_string_keys_and_validation(ray_session):
         join.hash_join(left, left, "k")
     with pytest.raises(ValueError, match="one of"):
         join.hash_join(left, right, "k", how="full")
+
+
+# ---- Bloom runtime filter (anti_join_ids) ----------------------------------
+
+
+def test_anti_join_bloom_equals_exact(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    ids = rng.permutation(20_000)[:5_000].astype(np.int64)
+    base = rd.from_arrow(pa.table({
+        "doc_num": pa.array(ids),
+        "v": pa.array(ids * 3),
+    }))
+    drops = rd.from_arrow(pa.table({
+        "doc_num": pa.array(ids[::7]),  # ~14% dropped
+    }))
+    plain = join.anti_join_ids(base, drops, "doc_num",
+                               num_partitions=4).to_pandas()
+    bloom = join.anti_join_ids(base, drops, "doc_num", num_partitions=4,
+                               bloom_bits=1 << 16).to_pandas()
+    key = ["doc_num", "v"]
+    pd.testing.assert_frame_equal(
+        plain.sort_values(key).reset_index(drop=True),
+        bloom.sort_values(key).reset_index(drop=True))
+    assert len(bloom) == 5_000 - len(ids[::7])
+    # empty drop side: everything survives, schema intact
+    none = join.anti_join_ids(
+        base, rd.from_arrow(pa.table({"doc_num": pa.array([], type=pa.int64())})),
+        "doc_num", num_partitions=4, bloom_bits=1 << 16).to_pandas()
+    assert len(none) == 5_000 and set(none.columns) == {"doc_num", "v"}
+
+
+def test_bloom_no_false_negatives_and_fp_rate():
+    ids = np.arange(10_000, dtype=np.int64) * 37 + 5
+    m, k = 1 << 18, 4
+    bits = join._bloom_block(pa.table({"id": pa.array(ids)}), "id", m, k)
+    assert join._bloom_maybe(ids, bits, m, k).all()  # no false negatives
+    probe = np.arange(1_000_000, 1_050_000, dtype=np.int64)
+    fp = join._bloom_maybe(probe, bits, m, k).mean()
+    assert fp < 0.05  # (1-e^{-kn/m})^k ~ 0.3% at these parameters

@@ -112,7 +112,10 @@ def curate_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
             return t.select(["doc_num"])
 
         drop_ds = labels.map_batches(drops, batch_format="pyarrow")
-        ds = anti_join_ids(view, drop_ds, "doc_num")
+        # near-dup drops are typically a small corpus fraction: the
+        # Bloom runtime filter keeps definite survivors out of the
+        # anti-join exchange entirely (exact semantics preserved)
+        ds = anti_join_ids(view, drop_ds, "doc_num", bloom_bits=1 << 24)
         extra = [c for c in ("doc_num",) if c != id_col]
         if extra:
             ds = ds.drop_columns(extra)

@@ -723,19 +723,54 @@ def _aj_combine(tbl: pa.Table, id_col: str) -> pa.Table:
     return tbl.filter(pa.array(keep)).drop_columns(["__side"])
 
 
-def anti_join_ids(ds, drop_ds, id_col: str, num_partitions: int = 32):
+def _bloom_split(batch: pa.Table, id_col: str, bloom_ref, m_bits: int,
+                 k: int, want_maybe: bool) -> pa.Table:
+    import ray
+
+    bits = ray.get(bloom_ref)  # plasma-shared, zero-copy per worker
+    maybe = _bloom_maybe(np.asarray(batch[id_col], dtype=np.int64),
+                         bits, m_bits, k)
+    mask = maybe if want_maybe else ~maybe
+    if mask.all():
+        return batch
+    return batch.filter(pa.array(mask))
+
+
+def anti_join_ids(ds, drop_ds, id_col: str, num_partitions: int = 32,
+                  bloom_bits: int | None = None):
     """Distributed anti-join: rows of ``ds`` whose int64 ``id_col`` is
     NOT present in ``drop_ds[id_col]``. Both sides co-partition by the
     id through one hash exchange; each partition filters with one
     vectorized ``isin`` — no broadcast of the drop set, so the drop
     side may be as large as the data (the dedup-survivor case, where
-    duplicates can dominate a crawl corpus)."""
+    duplicates can dominate a crawl corpus).
+
+    ``bloom_bits`` enables the Spark-style runtime filter: a Bloom
+    bitmap over the drop ids (tree-OR'd Ray reduce, ~bloom_bits/8
+    bytes broadcast once) lets the map side emit definite non-members
+    DIRECTLY — only "possibly dropped" rows (drop hits + the bitmap's
+    false positives) pay the exchange. Semantics are exactly unchanged
+    (Bloom has no false negatives; the exact pass judges every
+    candidate); it is pure shuffle reduction for the common case where
+    drops are a small fraction of the corpus. Costs one extra pass
+    over drop_ds to build the bitmap."""
     import functools
 
     from .exchange import hash_exchange
 
     if "__side" in ds.schema().names:
         raise ValueError("anti_join_ids reserved column '__side' in input")
+    direct = None
+    if bloom_bits:
+        bref, m, k = build_id_bloom(drop_ds, id_col, m_bits=bloom_bits)
+        direct = ds.map_batches(
+            functools.partial(_bloom_split, id_col=id_col, bloom_ref=bref,
+                              m_bits=m, k=k, want_maybe=False),
+            batch_format="pyarrow")
+        ds = ds.map_batches(
+            functools.partial(_bloom_split, id_col=id_col, bloom_ref=bref,
+                              m_bits=m, k=k, want_maybe=True),
+            batch_format="pyarrow")
     fill = tuple(zip(ds.schema().names, ds.schema().types))
     l_rows = ds.map_batches(
         functools.partial(_aj_rows, id_col=id_col, side=0, null_fill=fill),
@@ -743,10 +778,11 @@ def anti_join_ids(ds, drop_ds, id_col: str, num_partitions: int = 32):
     r_rows = drop_ds.map_batches(
         functools.partial(_aj_rows, id_col=id_col, side=1, null_fill=fill),
         batch_format="pyarrow")
-    return hash_exchange(
+    out = hash_exchange(
         l_rows.union(r_rows), id_col,
         functools.partial(_aj_combine, id_col=id_col),
         num_partitions=num_partitions)
+    return out.union(direct) if direct is not None else out
 
 
 # ---- general hash equi-join ----------------------------------------------
@@ -848,3 +884,85 @@ def hash_join(left_ds, right_ds, on: str, how: str = "inner",
         num_partitions=num_partitions)
     keep = [on, *l_cols] if how in ("semi", "anti") else [on, *l_cols, *r_cols]
     return out.select_columns(keep)
+
+
+# ---- Bloom runtime filter for the anti-join --------------------------------
+#
+# The Spark-style shuffle-reduction move: when the drop side is a small
+# fraction of the corpus (the usual dedup outcome), shipping EVERY
+# corpus row through the co-partitioning exchange wastes the exchange
+# on rows that could never match. A Bloom filter over the drop ids
+# (no false negatives) lets the map side keep definite non-members
+# immediately; only "possibly dropped" rows pay the exact exchange.
+
+
+def _bloom_mix(ids: np.ndarray, salt: int) -> np.ndarray:
+    h = ids.astype(np.uint64) ^ np.uint64(salt)
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+    return h
+
+
+def _bloom_positions(ids: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """k double-hashed bit positions per id, flattened (murmur fmix64
+    mixes; h1 + i*h2 double hashing per Kirsch-Mitzenmacher)."""
+    h1 = _bloom_mix(ids, 0x9E3779B97F4A7C15)
+    h2 = _bloom_mix(ids, 0xC2B2AE3D27D4EB4F) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        pos = (h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)
+    return pos.reshape(-1)
+
+
+def _bloom_block(tbl: pa.Table, id_col: str, m_bits: int, k: int) -> np.ndarray:
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    if tbl.num_rows and id_col in tbl.column_names:
+        pos = _bloom_positions(np.asarray(tbl[id_col], dtype=np.int64),
+                               m_bits, k)
+        np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64),
+                         np.left_shift(np.uint8(1),
+                                       (pos & np.uint64(7)).astype(np.uint8)))
+    return bits
+
+
+def _or_bitmaps(*bitmaps):
+    out = bitmaps[0].copy()
+    for b in bitmaps[1:]:
+        np.bitwise_or(out, b, out=out)
+    return out
+
+
+def build_id_bloom(drop_ds, id_col: str, m_bits: int = 1 << 24, k: int = 4):
+    """Distributed Bloom build: one bitmap partial per drop block,
+    tree-OR'd with Ray tasks (driver holds refs, never all bitmaps).
+    Returns (object ref of the packed uint8 bitmap, m_bits, k).
+    Memory: m_bits/8 bytes per in-flight partial — 2 MB at the 2^24
+    default, sized for ~1M drops at <1% false-positive; scale m_bits
+    with the expected drop count (fp rate ~ (1-e^{-kn/m})^k)."""
+    import ray
+
+    bloom_task = ray.remote(_bloom_block)
+    or_task = ray.remote(_or_bitmaps)
+    refs = [bloom_task.remote(ref, id_col, m_bits, k)
+            for bundle in drop_ds.iter_internal_ref_bundles()
+            for ref in bundle.block_refs]
+    if not refs:
+        refs = [ray.put(np.zeros(m_bits // 8, dtype=np.uint8))]
+    while len(refs) > 1:
+        refs = [or_task.remote(*refs[i:i + 8])
+                for i in range(0, len(refs), 8)]
+    return refs[0], m_bits, k
+
+
+def _bloom_maybe(ids: np.ndarray, bits: np.ndarray, m_bits: int,
+                 k: int) -> np.ndarray:
+    """True where the id is POSSIBLY in the filter (false positives
+    allowed, false negatives impossible)."""
+    pos = _bloom_positions(ids, m_bits, k).reshape(len(ids), k)
+    byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+    bit = np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8))
+    return ((byte & bit) != 0).all(axis=1)
