@@ -309,3 +309,106 @@ def test_rj_combine_matches_bruteforce(intervals, points):
         hits = [(c,) for pk, at, c in points if pk == k and lo <= at <= hi]
         assert got.loc[idx, "n"] == len(hits), (idx, k, lo, hi)
         assert got.loc[idx, "s"] == sum(c for (c,) in hits)
+
+
+# ---- hash_join partition combine vs pandas merge --------------------------
+
+_HJ_FRAME = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(-5, 5)), max_size=40)
+
+
+@given(_HJ_FRAME, _HJ_FRAME, st.sampled_from(
+    ["inner", "left outer", "left semi", "left anti"]))
+def test_hj_combine_matches_pandas(left, right, join_type):
+    import pandas as pd
+    import pyarrow as pa
+
+    from versatiles_rs_ray.stages.join import _hj_combine
+
+    n_l, n_r = len(left), len(right)
+    tbl = pa.table({
+        "__side": pa.array([0] * n_l + [1] * n_r, type=pa.int64()),
+        "k": pa.array([k for k, _ in left] + [k for k, _ in right],
+                      type=pa.int64()),
+        "lv": pa.array([v for _, v in left] + [None] * n_r, type=pa.int64()),
+        "rv": pa.array([None] * n_l + [v for _, v in right], type=pa.int64()),
+    })
+    got = _hj_combine(tbl, "k", ("lv",), ("rv",), join_type).to_pandas()
+    ldf = pd.DataFrame({"k": [k for k, _ in left], "lv": [v for _, v in left]})
+    rdf = pd.DataFrame({"k": [k for k, _ in right], "rv": [v for _, v in right]})
+    if join_type == "inner":
+        want = ldf.merge(rdf, on="k")
+    elif join_type == "left outer":
+        want = ldf.merge(rdf, on="k", how="left")
+    elif join_type == "left semi":
+        want = ldf[ldf["k"].isin(rdf["k"])]
+    else:
+        want = ldf[~ldf["k"].isin(rdf["k"])]
+    cols = list(want.columns)
+    s_got = got[cols].sort_values(cols, na_position="last").reset_index(drop=True)
+    s_want = want.sort_values(cols, na_position="last").reset_index(drop=True)
+    assert s_got.astype("float64").equals(s_want.astype("float64"))
+
+
+# ---- duplicate_spans kernels vs brute force --------------------------------
+
+
+@given(st.lists(st.text(alphabet="abc", max_size=30), min_size=1, max_size=8),
+       st.integers(2, 5))
+def test_duplicate_span_kernels_match_bruteforce(texts, k):
+    import pyarrow as pa
+
+    from versatiles_rs_ray.stages.dedup import (_dup_hash_hits,
+                                                _merge_islands,
+                                                _span_hash_rows)
+
+    batch = pa.table({
+        "doc_num": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    rows = _span_hash_rows(batch, k=k, stride=1, id_col="doc_num",
+                           text_col="text")
+    spans = _merge_islands(_dup_hash_hits(rows), k=k, stride=1).to_pandas()
+    got = set(map(tuple, spans.itertuples(index=False)))
+
+    # brute force: positions whose k-substring appears in another doc,
+    # merged into maximal runs
+    grams = {}
+    for d, t in enumerate(texts):
+        for p in range(len(t) - k + 1):
+            grams.setdefault(t[p:p + k], set()).add(d)
+    want = set()
+    for d, t in enumerate(texts):
+        hits = [p for p in range(len(t) - k + 1)
+                if len(grams[t[p:p + k]]) >= 2]
+        run = []
+        for p in hits:
+            if run and p - run[-1] == 1:
+                run.append(p)
+            else:
+                if run:
+                    want.add((d, run[0], run[-1] + k))
+                run = [p]
+        if run:
+            want.add((d, run[0], run[-1] + k))
+    assert got == want
+
+
+# ---- Bloom filter: no false negatives ever ---------------------------------
+
+
+@given(st.lists(st.integers(-2**62, 2**62), max_size=200),
+       st.lists(st.integers(-2**62, 2**62), max_size=50))
+def test_bloom_never_false_negative(members, probes):
+    import pyarrow as pa
+
+    from versatiles_rs_ray.stages.join import _bloom_block, _bloom_maybe
+
+    m, k = 1 << 12, 3
+    bits = _bloom_block(
+        pa.table({"id": pa.array(members, type=pa.int64())}), "id", m, k)
+    ids = np.asarray(members + probes, dtype=np.int64)
+    if not len(ids):
+        return
+    maybe = _bloom_maybe(ids, bits, m, k)
+    assert maybe[:len(members)].all()  # members always "maybe"

@@ -93,6 +93,14 @@ class VectorUpdateProperties:
     (vector_update_properties.rs:100-104). replace_properties drops
     existing props of matched features; remove_non_matching drops
     unmatched features (semi-join).
+
+    Partitioning assumption: the side table is broadcast once per
+    actor (ray.put ref in fn_constructor_kwargs), matching the
+    reference's CSV-file sides — it must fit a worker's heap. A side
+    that outgrows memory needs the co-partitioned route instead:
+    explode tiles to (tile_key, id) rows, `stages/join.hash_join`
+    against the side on id, regroup by tile_key — three exchanges,
+    so broadcast stays the default for the reference's actual shape.
     """
 
     def __init__(self, side, id_field, replace_properties=False,
