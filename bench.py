@@ -328,8 +328,16 @@ def main():
     # min-over-attempts reflects the code and the attempt list shows
     # the weather (memory: min-over-pairs, never trust one run).
     n_attempts = int(os.environ.get("GRAFT_BENCH_ATTEMPTS", "2"))
+    # storm rule: when every base attempt ran under heavy co-tenant
+    # steal (observed 20-33% windows turning 2.8s into 28s on
+    # unchanged code), take up to GRAFT_BENCH_EXTRA bonus attempts
+    # after a settle pause — bounded (+~2 min worst case), and the
+    # attempt list still records every sample, storms included
+    extra_budget = int(os.environ.get("GRAFT_BENCH_EXTRA", "2"))
+    storm_steal = float(os.environ.get("GRAFT_BENCH_STORM_STEAL", "8"))
     attempts = []
-    for i in range(n_attempts):
+    i = 0
+    while True:
         if i:
             time.sleep(5)  # let object-store teardown settle
         try:
@@ -341,6 +349,15 @@ def main():
             attempts.append(json.loads(out.strip().splitlines()[-1]))
         except Exception as exc:  # noqa: BLE001 — keep the bench alive
             print(f"bench attempt {i} failed: {exc!r}", file=sys.stderr)
+        i += 1
+        if i < n_attempts:
+            continue
+        clean = [a for a in attempts
+                 if (a.get("steal_pct") or 0.0) <= storm_steal]
+        if clean or extra_budget <= 0:
+            break
+        extra_budget -= 1
+        time.sleep(20)  # storm so far: pause, then spend a bonus attempt
     if not attempts:  # subprocess path unusable: run in-process
         attempts = [run_bench()]
     best = min(attempts, key=lambda r: r["value"])
