@@ -442,3 +442,155 @@ def label_centroids(embeddings_ds) -> pa.Table:
         "centroid": pa.array(centroid, type=pa.float64()),
         "n": pa.array(agg["n"].to_numpy(), type=pa.int64()),
     })
+
+
+# ---- product quantization (IVF-PQ): the compressed-vector scale path ------
+#
+# At 10^12 vectors the raw float32 matrix (dim*4 bytes/vec) cannot live
+# in worker memory; PQ codes (m_sub bytes/vec) can. The engine keeps
+# the same deterministic-training contract as ivf_train: seeded
+# data-independent init, per-block partial sums, driver combines only
+# (m_sub * ksub * dsub) floats per iteration.
+
+
+def pq_train(embeddings_ds, dim, m_sub=4, ksub=16, iters=3, seed=42):
+    """Per-subspace k-means codebooks: split dim into m_sub contiguous
+    subspaces of dim/m_sub, train ksub centroids in each — ONE
+    map_batches pass per Lloyd iteration trains every subspace at once
+    (partials are (m_sub*ksub) x (dsub+1) floats per block). Returns
+    float32 (m_sub, ksub, dsub) codebooks; assignment metric is L2 on
+    the raw (un-normalized) subvectors, the standard PQ contract."""
+    if dim % m_sub:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    rng = np.random.default_rng(seed)
+    books = rng.standard_normal((m_sub, ksub, dsub)).astype(np.float32)
+
+    for _ in range(iters):
+        bk = books
+
+        def partials(batch: pa.Table, bk=bk) -> pa.Table:
+            m = _to_matrix(batch["embedding"], dim=dim)
+            sums = np.zeros((m_sub, ksub, dsub), dtype=np.float64)
+            cnts = np.zeros((m_sub, ksub), dtype=np.float64)
+            if m.shape[0]:
+                for s in range(m_sub):
+                    sub = m[:, s * dsub:(s + 1) * dsub]
+                    code = _pq_nearest(sub, bk[s])
+                    np.add.at(sums[s], code, sub.astype(np.float64))
+                    cnts[s] += np.bincount(code, minlength=ksub)
+            return pa.table({
+                "sub": pa.array(np.repeat(np.arange(m_sub), ksub), type=pa.int64()),
+                "cid": pa.array(np.tile(np.arange(ksub), m_sub), type=pa.int64()),
+                "sum": pa.array(list(sums.reshape(m_sub * ksub, dsub)),
+                                type=pa.list_(pa.float64())),
+                "cnt": pa.array(cnts.reshape(-1), type=pa.float64()),
+            })
+
+        parts = embeddings_ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+        sums = np.zeros((m_sub, ksub, dsub), dtype=np.float64)
+        cnts = np.zeros((m_sub, ksub), dtype=np.float64)
+        for s, cid, sm, c in zip(parts["sub"], parts["cid"],
+                                 parts["sum"], parts["cnt"]):
+            sums[s, cid] += np.asarray(sm)
+            cnts[s, cid] += c
+        new = books.astype(np.float64).copy()
+        nz = cnts > 0
+        new[nz] = sums[nz] / cnts[nz][:, None]
+        books = new.astype(np.float32)
+    return books
+
+
+def _pq_nearest(sub: np.ndarray, book: np.ndarray) -> np.ndarray:
+    """Nearest codeword by L2: ||x-c||^2 = ||x||^2 - 2x.c + ||c||^2,
+    the ||x||^2 term is constant per row — one GEMM + argmin."""
+    d = -2.0 * (sub @ book.T) + (book * book).sum(axis=1)[None, :]
+    return np.argmin(d, axis=1).astype(np.int64)
+
+
+def pq_encode(embeddings_ds, books):
+    """Add the ``pq_code`` column (m_sub uint8 codewords per vector) —
+    the representation a 100-TB index actually stores/shuffles."""
+    bk = np.asarray(books, dtype=np.float32)
+    m_sub, ksub, dsub = bk.shape
+
+    def enc(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch["embedding"], dim=m_sub * dsub)
+        codes = np.zeros((m.shape[0], m_sub), dtype=np.uint8)
+        for s in range(m_sub):
+            codes[:, s] = _pq_nearest(m[:, s * dsub:(s + 1) * dsub], bk[s])
+        return batch.append_column(
+            "pq_code", pa.array(list(codes), type=pa.list_(pa.uint8())))
+
+    return embeddings_ds.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_topk(embeddings_ds, q_ids, q_matrix, k, books, refine=4):
+    """Asymmetric-distance (ADC) top-k over PQ codes with exact
+    refinement: per block, approximate scores are ONE LUT gather-sum
+    per subspace (no float matmul against the corpus), the top
+    ``refine * k`` ADC candidates per (block, query) are re-scored
+    with exact cosine, and block partials merge on the driver
+    (blocks x Q x k rows — the cosine_topk contract). refine=0 ranks
+    purely by ADC (pure compressed-domain search)."""
+    bk = np.asarray(books, dtype=np.float32)
+    m_sub, ksub, dsub = bk.shape
+    q = np.asarray(q_matrix, dtype=np.float32)
+    qn = np.linalg.norm(q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qunit = q / qn
+    # LUT[qi, s, c] = dot(q_sub, codeword) on the UNIT query — ADC
+    # approximates dot(q_unit, x); cosine needs x's norm, carried below
+    lut = np.einsum("qsd,scd->qsc",
+                    qunit.reshape(len(q), m_sub, dsub), bk).astype(np.float32)
+    # codeword squared norms: reconstruct ||x||^2 ~ sum_s ||c_s||^2 so
+    # pure-ADC ranks by estimated COSINE, not raw dot
+    n2 = (bk * bk).sum(axis=2).astype(np.float32)  # (m_sub, ksub)
+    q_ids = np.asarray(q_ids, dtype=np.int64)
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out = {"q_id": [], "vec_id": [], "sim": []}
+        if n == 0:
+            return pa.table({"q_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        codes = np.stack(batch["pq_code"].to_numpy(zero_copy_only=False))
+        vec_ids = np.asarray(batch["vec_id"], dtype=np.int64)
+        m = _to_matrix(batch["embedding"]) if refine else None
+        if m is not None:
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+        # ADC scores: sum LUT[s][codes[:, s]] over subspaces per query
+        adc = np.zeros((len(q_ids), n), dtype=np.float32)
+        est2 = np.zeros(n, dtype=np.float32)
+        for s in range(m_sub):
+            adc += lut[:, s, :][:, codes[:, s]]
+        for s in range(m_sub):
+            est2 += n2[s][codes[:, s]]
+        adc /= np.sqrt(np.maximum(est2, 1e-12))[None, :]
+        take = min(n, max(k, (refine * k) if refine else k))
+        for qi in range(len(q_ids)):
+            cand = np.argpartition(-adc[qi], take - 1)[:take] if take < n \
+                else np.arange(n)
+            if refine:
+                sims = (m[cand] @ qunit[qi]) / norms[cand]
+            else:
+                sims = adc[qi][cand].astype(np.float64)
+            order = np.lexsort((vec_ids[cand], -sims))[:k]
+            sel = cand[order]
+            out["q_id"].append(np.full(len(sel), q_ids[qi], dtype=np.int64))
+            out["vec_id"].append(vec_ids[sel])
+            out["sim"].append(sims[order].astype(np.float64))
+        return pa.table({kk: pa.array(np.concatenate(v)) for kk, v in out.items()})
+
+    parts = embeddings_ds.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    rows = []
+    for qi in q_ids:
+        g = parts[parts["q_id"] == qi].sort_values(
+            ["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        rows.append(g)
+    out = pd.concat(rows, ignore_index=True) if rows else parts.assign(rank=[])
+    return pa.Table.from_pandas(out[["q_id", "vec_id", "rank"]],
+                                preserve_index=False)
