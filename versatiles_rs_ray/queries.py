@@ -1469,6 +1469,27 @@ def q_video_frames(sf_dir):
     )
 
 
+def q_embedding_pq_topk(sf_dir):
+    """IVF-PQ search path end-to-end: per-subspace distributed k-means
+    codebooks (iterative -> genuinely non-SQL-expressible, rows-only by
+    nature like the k-means IVF variant), uint8 PQ codes, norm-corrected
+    ADC block scoring with exact-cosine refinement. refine=4k keeps
+    recall ~1.0 on this corpus (pytest-measured); the exact-refine
+    equivalence to brute force is pinned in tests/test_embed.py."""
+    import ray.data as rd
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vid = np.asarray(t["vec_id"], dtype=np.int64)
+    emb = embed._to_matrix(t["embedding"])
+    q_mask = np.isin(vid, np.asarray(TOPK_QUERY_IDS))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    books = embed.pq_train(ds, emb.shape[1], m_sub=8, ksub=16, iters=3, seed=3)
+    coded = embed.pq_encode(ds, books)
+    return embed.pq_topk(coded, vid[q_mask], emb[q_mask], TOPK_K, books,
+                         refine=4 * TOPK_K)
+
+
 def q_embedding_near_dup(sf_dir):
     import ray.data as rd
 
@@ -2339,6 +2360,8 @@ QUERIES = {
     "raster_pipeline": q_raster_pipeline,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
+    # iterative k-means training: rows-only by nature
+    "embedding_pq_topk": q_embedding_pq_topk,
 }
 
 ORACLES = {
