@@ -287,3 +287,34 @@ def test_pq_topk_recall_and_exact_refine(ray_session, sf_dir):
     # rank contract: 1..k per query
     assert all(sorted(g["rank"]) == list(range(1, 6))
                for _, g in ref.groupby("q_id"))
+
+
+def test_ivf_index_on_disk_prunes_reads(ray_session, sf_dir, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    vid, m = _emb(sf_dir)
+    dim = m.shape[1]
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cents = embed.fixed_centroids(ds, 8, dim)
+    idx = str(tmp_path / "ivf")
+    embed.ivf_write_index(ds, idx, cents)
+    # hive layout exists, one dir per non-empty cell
+    cells = sorted(d for d in os.listdir(idx) if d.startswith("ivf_cell="))
+    assert len(cells) >= 2
+
+    q_ids, q = vid[:5], m[:5]
+    got = embed.ivf_search_index(idx, q_ids, q, 5, cents, nprobe=3) \
+        .sort_values(["q_id", "rank"]).reset_index(drop=True)
+    # identical to the in-memory IVF probe path with the same centroids
+    want = embed.ivf_topk(ds, q_ids, q, 5, dim, nprobe=3, centroids=cents) \
+        .sort_values(["q_id", "rank"]).reset_index(drop=True)
+    assert got.equals(want)
+    # nprobe = all cells -> exact brute force
+    full = embed.ivf_search_index(idx, q_ids, q, 5, cents, nprobe=8) \
+        .sort_values(["q_id", "rank"]).reset_index(drop=True)
+    brute = embed.cosine_topk(ds, q_ids, q, 5) \
+        .sort_values(["q_id", "rank"]).reset_index(drop=True)
+    assert full.equals(brute)

@@ -380,3 +380,57 @@ def test_token_counts_exact(ray_session):
     df = T.token_counts(ds, num_partitions=3).to_pandas()
     got = dict(zip(df["token"], df["cnt"]))
     assert got == dict(collections.Counter(w for t in texts for w in t.split()))
+
+
+def test_chunk_documents_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    size, overlap = 80, 16
+    step = size - overlap
+    out = T.chunk_documents(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        size, overlap).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = con.execute(f"""
+        SELECT doc_id, i.range AS chunk_idx,
+               substr(text, (1 + i.range * {step})::INT, {size}) AS chunk
+        FROM documents, range(0, 1000) i
+        WHERE 1 + i.range * {step} <= length(text)
+    """).df()
+    key = ["doc_id", "chunk_idx"]
+    got = out.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got["chunk"].tolist() == want["chunk"].tolist()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    # reconstruction: stripping the overlap and concatenating chunks
+    # rebuilds every document exactly
+    import pyarrow.parquet as pq2
+    texts = dict(zip(*[pq2.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])[c]
+        .to_pylist() for c in ("doc_id", "text")]))
+    for doc, g in got.groupby("doc_id"):
+        g = g.sort_values("chunk_idx")
+        rebuilt = "".join(c if i == 0 else c[overlap:]
+                          for i, c in enumerate(g["chunk"]))
+        assert rebuilt == texts[doc]
+
+
+def test_chunk_documents_edges(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(["a", "b", "c"]),
+        "text": pa.array(["x" * 10, "", "yz"]),
+    }))
+    out = T.chunk_documents(ds, size=4, overlap=1).to_pandas()
+    a = out[out["doc_id"] == "a"].sort_values("chunk_idx")
+    assert a["chunk"].tolist() == ["xxxx", "xxxx", "xxxx", "x"]
+    assert (out["doc_id"] == "b").sum() == 0  # empty doc: no chunks
+    assert out[out["doc_id"] == "c"]["chunk"].tolist() == ["yz"]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="overlap"):
+        T.chunk_documents(ds, size=4, overlap=4)

@@ -594,3 +594,50 @@ def pq_topk(embeddings_ds, q_ids, q_matrix, k, books, refine=4):
     out = pd.concat(rows, ignore_index=True) if rows else parts.assign(rank=[])
     return pa.Table.from_pandas(out[["q_id", "vec_id", "rank"]],
                                 preserve_index=False)
+
+
+# ---- IVF index on disk: prune-at-the-read ---------------------------------
+
+
+def ivf_write_index(embeddings_ds, out_dir, centroids):
+    """Materialize the IVF index as hive-partitioned parquet
+    (``out_dir/ivf_cell=C/``): the layout that makes probe cost
+    proportional to nprobe/n_centroids of the corpus — a search reads
+    ONLY the probed cells' files, so the 100-TB corpus never streams
+    past a query. Writing goes through the streaming executor
+    (one pass, no driver materialization); re-writes into a clean dir
+    are the caller's contract (resumable layouts live in
+    state/manifest.py)."""
+    ivf_assign(embeddings_ds, centroids).write_parquet(
+        out_dir, partition_cols=["ivf_cell"])
+
+
+def ivf_search_index(index_dir, q_ids, q_matrix, k, centroids, nprobe=4):
+    """Search the on-disk IVF index: pick every query's nprobe nearest
+    cells, then read ONLY those hive partitions (prune at the read —
+    unprobed cells cost zero I/O) and refine with the exact
+    partial-top-k kernel. Same (q_id, vec_id, rank) contract as
+    cosine_topk/ivf_topk."""
+    import os
+
+    import ray.data as rd
+
+    cn = np.asarray(centroids)
+    if cn.dtype != np.float64:
+        cn = cn.astype(np.float32)
+    q = np.asarray(q_matrix, dtype=cn.dtype)
+    qnorm = np.linalg.norm(q, axis=1, keepdims=True)
+    qnorm[qnorm == 0] = 1.0
+    sims = (q / qnorm) @ cn.T
+    nprobe = min(nprobe, cn.shape[0])
+    probe = np.argpartition(-sims, nprobe - 1, axis=1)[:, :nprobe]
+    dirs = [os.path.join(index_dir, f"ivf_cell={c}")
+            for c in np.unique(probe)]
+    dirs = [d for d in dirs if os.path.isdir(d)]  # empty cells: no dir
+    if not dirs:
+        return pd.DataFrame({"q_id": pd.Series([], dtype="int64"),
+                             "vec_id": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64")})
+    files = sorted(os.path.join(d, f) for d in dirs for f in os.listdir(d))
+    ds = rd.read_parquet(files, columns=["vec_id", "embedding"])
+    return cosine_topk(ds, q_ids, q_matrix, k)

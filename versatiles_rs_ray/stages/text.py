@@ -723,3 +723,64 @@ def pmi_topk(ds, window: int = 3, n: int = 100, min_count: int = 5,
                             kind="mergesort").head(n)
     return pa.Table.from_pandas(cand.reset_index(drop=True),
                                 preserve_index=False)
+
+
+# ---- document chunking (training-window prep) ---------------------------
+
+def chunk_documents(ds, size: int, overlap: int = 0,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Split long documents into fixed-size character windows with
+    ``overlap`` — the context-window prep step that complements
+    :func:`~..stages.curate.pack_sequences` (packing joins SHORT docs;
+    chunking splits LONG ones). Chunk i covers characters
+    [i*step, i*step + size) with step = size - overlap; every
+    character is covered, the final chunk may run short, empty docs
+    emit nothing. Pure vectorized map (one Arrow utf8_slice per chunk
+    rank over the whole batch, no per-row Python) — embarrassingly
+    parallel, zero shuffle at any corpus size.
+
+    Equivalent SQL: ``substr(text, 1 + i*step, size)`` for
+    ``i in 0.. while 1 + i*step <= length(text)`` (character
+    semantics on both sides)."""
+    import functools
+
+    if overlap >= size:
+        raise ValueError(f"chunk_documents: overlap {overlap} must be < size {size}")
+    return ds.map_batches(
+        functools.partial(_chunk_batch, size=size, overlap=overlap,
+                          id_col=id_col, text_col=text_col),
+        batch_format="pyarrow")
+
+
+def _chunk_batch(batch: pa.Table, size: int, overlap: int,
+                 id_col: str, text_col: str) -> pa.Table:
+    import pyarrow.compute as pc
+
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    L = np.asarray(pc.utf8_length(texts), dtype=np.int64)
+    step = size - overlap
+    ids, idxs, chunks = [], [], []
+    max_n = int((L.max() - 1) // step + 1) if len(L) and L.max() > 0 else 0
+    id_arr = batch[id_col]
+    for i in range(max_n):
+        mask = L > i * step
+        if not mask.any():
+            break
+        sel = pa.array(np.flatnonzero(mask))
+        piece = pc.utf8_slice_codeunits(texts.take(sel),
+                                        start=i * step, stop=i * step + size)
+        ids.append(id_arr.take(sel))
+        idxs.append(np.full(len(sel), i, dtype=np.int64))
+        chunks.append(piece)
+    if not ids:
+        return pa.table({id_col: id_arr.slice(0, 0),
+                         "chunk_idx": pa.array([], type=pa.int64()),
+                         "chunk": pa.array([], type=pa.string())})
+    return pa.table({
+        id_col: pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in ids]),
+        "chunk_idx": pa.array(np.concatenate(idxs), type=pa.int64()),
+        "chunk": pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in chunks]),
+    })
