@@ -4,7 +4,8 @@ import numpy as np
 import pyarrow as pa
 import pytest
 
-from versatiles_rs_ray.pipelines.curate import curate_corpus
+from versatiles_rs_ray.pipelines.curate import (_SPLIT_SALT, _salted_id,
+                                                 curate_corpus)
 from versatiles_rs_ray.stages.curate import (_SAMPLE_MOD, _SAMPLE_MULT,
                                              split_cuts)
 
@@ -64,10 +65,13 @@ def test_curate_split_and_pack(ray_session):
         rd.from_arrow(_corpus()), split_fracs=fr, pack_budget=220,
     ).to_pandas()
     assert sorted(out["doc_id"]) == [10, 14, 15, 16]
-    # split assignment reproduces the documented Knuth-hash rule
+    # split assignment reproduces the documented rule: Knuth hash of
+    # the SALTED id (decorrelated from the stratified-mix hash)
     cuts = split_cuts(fr)
     for _, row in out.iterrows():
-        b = (int(row["doc_id"]) * _SAMPLE_MULT) % _SAMPLE_MOD
+        sid = int(_salted_id(np.array([row["doc_id"]], dtype=np.int64),
+                             _SPLIT_SALT)[0])
+        b = (sid * _SAMPLE_MULT) % _SAMPLE_MOD
         want = "train" if b < cuts[0] else "val"
         assert row["split"] == want
     # sequences never straddle a split and never exceed the budget
@@ -86,3 +90,28 @@ def test_curate_stages_disabled_is_passthrough_plus_dedup(ray_session):
                         drop_repetitive=False).to_pandas()
     # only exact dedup applies
     assert sorted(out["doc_id"]) == [10, 12, 13, 14, 15, 16]
+
+
+def test_curate_mix_and_split_decorrelated(ray_session):
+    """The round-4 review bug: mix-keep and split assignment hashed the
+    SAME Knuth bucket, so a 0.5 stratum landed 100% in a 0.9 train
+    split. With salted stage hashes every split must see mixed docs."""
+    import ray.data as rd
+
+    n = 400
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array([f"{GOOD} variant {i}" for i in range(n)]),
+        "lang": pa.array(["en"] * n),
+        "n_chars": pa.array([len(GOOD) + 10] * n, type=np.int64()
+                            if False else pa.int64()),
+    })
+    out = curate_corpus(
+        rd.from_arrow(tbl), lang_fracs={"en": 0.5},
+        split_fracs={"train": 0.8, "val": 0.2},
+    ).to_pandas()
+    counts = out["split"].value_counts()
+    assert counts.get("val", 0) > 0 and counts.get("train", 0) > 0
+    # val share within loose binomial bounds of 0.2
+    share = counts.get("val", 0) / len(out)
+    assert 0.08 <= share <= 0.35

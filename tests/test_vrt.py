@@ -184,3 +184,22 @@ def test_vrt_vpl_from_gdal_raster(ray_session, tmp_path):
     assert set(rows_vrt) == set(rows_tif) == {(0, 0), (1, 0), (0, 1), (1, 1)}
     for k in rows_tif:
         assert rows_vrt[k] == rows_tif[k]
+
+
+def test_vrt_offcanvas_dst_clips(tmp_path):
+    src = _tile(4, 4, 50)
+    (tmp_path / "s.tif").write_bytes(write_tiff(src, geotransform=GT, epsg=4326))
+    xml = (f'<VRTDataset rasterXSize="4" rasterYSize="4">'
+           f'<GeoTransform>{", ".join(str(v) for v in GT)}</GeoTransform>'
+           f'<VRTRasterBand dataType="Byte" band="1">'
+           f'<SimpleSource>'
+           f'<SourceFilename relativeToVRT="1">s.tif</SourceFilename>'
+           f'<SourceBand>1</SourceBand>'
+           f'<DstRect xOff="-2" yOff="1" xSize="4" ySize="4"/>'
+           f'</SimpleSource></VRTRasterBand></VRTDataset>')
+    p = tmp_path / "neg.vrt"
+    p.write_text(xml)
+    g = read_vrt(p)
+    want = np.zeros((4, 4), np.uint8)
+    want[1:4, 0:2] = src[0:3, 2:4, 0]  # off-canvas part clipped, like GDAL
+    np.testing.assert_array_equal(g.array[:, :, 0], want)

@@ -25,6 +25,26 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+# Stage salts: every hash-driven stage decides on a DIFFERENT mix of
+# the id. stratified_sample hashes the raw id (Knuth); the shuffle
+# order and the split assignment each hash an fmix64-salted id —
+# without this, "keep the en stratum at 0.5" and "val = bucket in
+# [0.90, 0.95)" are decided by the SAME bucket value, and every
+# surviving en doc lands in train (val/test silently starve).
+_SHUFFLE_SALT = 0x9E3779B97F4A7C15
+_SPLIT_SALT = 0xC2B2AE3D27D4EB4F
+
+
+def _salted_id(ids: np.ndarray, salt: int) -> np.ndarray:
+    h = ids.astype(np.uint64) ^ np.uint64(salt)
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+    return (h >> np.uint64(1)).astype(np.int64)  # non-negative int64
+
 
 def _quality_filter_batch(batch: pa.Table, text_col: str, min_quality: int,
                           drop_repetitive: bool) -> pa.Table:
@@ -52,9 +72,9 @@ def _quality_filter_batch(batch: pa.Table, text_col: str, min_quality: int,
 
 def _as_dedup_view(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
     out = batch
-    if "doc_num" not in out.column_names:
+    if id_col != "doc_num":
         out = out.append_column("doc_num", out[id_col].cast(pa.int64()))
-    if "text" not in out.column_names:
+    if text_col != "text":
         out = out.append_column("text", out[text_col])
     return out
 
@@ -100,6 +120,12 @@ def curate_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
         from ..stages.join import anti_join_ids
         import pyarrow.compute as pc
 
+        for reserved, param in (("doc_num", id_col), ("text", text_col)):
+            if reserved != param and reserved in ds.schema().names:
+                raise ValueError(
+                    f"curate_corpus near-dup stage reserves column "
+                    f"{reserved!r} (input already has it; rename it or "
+                    f"pass it as the {reserved}-role column)")
         view = ds.map_batches(
             functools.partial(_as_dedup_view, id_col=id_col, text_col=text_col),
             batch_format="pyarrow")
@@ -116,9 +142,10 @@ def curate_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
         # Bloom runtime filter keeps definite survivors out of the
         # anti-join exchange entirely (exact semantics preserved)
         ds = anti_join_ids(view, drop_ds, "doc_num", bloom_bits=1 << 24)
-        extra = [c for c in ("doc_num",) if c != id_col]
-        if extra:
-            ds = ds.drop_columns(extra)
+        appended = [c for c, param in (("doc_num", id_col), ("text", text_col))
+                    if c != param]
+        if appended:
+            ds = ds.drop_columns(appended)
 
     if lang_fracs is not None:
         def add_num(b: pa.Table) -> pa.Table:
@@ -131,17 +158,21 @@ def curate_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
             "__mix_id", lang_col, lang_fracs, default=default_frac,
         ).drop_columns(["__mix_id"])
 
-    def add_rank_id(b: pa.Table) -> pa.Table:
+    def add_rank_ids(b: pa.Table) -> pa.Table:
         if "__ord_id" in b.column_names:
             return b
-        return b.append_column("__ord_id", b[id_col].cast(pa.int64()))
+        ids = np.asarray(b[id_col].cast(pa.int64()), dtype=np.int64)
+        b = b.append_column("__ord_id", pa.array(
+            _salted_id(ids, _SHUFFLE_SALT), type=pa.int64()))
+        return b.append_column("__split_id", pa.array(
+            _salted_id(ids, _SPLIT_SALT), type=pa.int64()))
 
     needs_order = split_fracs is not None or pack_budget is not None
     if needs_order:
         ds = deterministic_shuffle(
-            ds.map_batches(add_rank_id, batch_format="pyarrow"), "__ord_id")
+            ds.map_batches(add_rank_ids, batch_format="pyarrow"), "__ord_id")
     if split_fracs is not None:
-        ds = dataset_split(ds, "__ord_id", split_fracs)
+        ds = dataset_split(ds, "__split_id", split_fracs)
     if pack_budget is not None:
         if split_fracs is not None:
             import pyarrow.compute as pc
@@ -161,7 +192,7 @@ def curate_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
         else:
             ds = pack_sequences(ds, token_col, pack_budget, "shuffle_rank")
     if needs_order:
-        ds = ds.drop_columns(["__ord_id"])
+        ds = ds.drop_columns(["__ord_id", "__split_id"])
     return ds
 
 

@@ -124,7 +124,7 @@ def read_vrt(path_or_bytes, epsg: int | None = None, base_dir: str | None = None
                         "base_dir")
                 fn = os.path.join(vrt_dir, fn)
             if fn not in src_cache:
-                head = open(fn, "rb").read(16)
+                head = open(fn, "rb").read(256)
                 if looks_like_vrt(head) or fn.lower().endswith(".vrt"):
                     src_cache[fn] = read_vrt(fn, _depth=_depth + 1)
                 else:
@@ -138,6 +138,10 @@ def read_vrt(path_or_bytes, epsg: int | None = None, base_dir: str | None = None
             sx, sy, sw, sh = _rect(src.find("SrcRect"),
                                    g.array.shape[1], g.array.shape[0])
             dx, dy, dw, dh = _rect(src.find("DstRect"), w, h)
+            if sx < 0 or sy < 0:
+                raise NotImplementedError(
+                    f"VRT SrcRect with negative offsets {(sx, sy)} "
+                    "unsupported (GDAL clips; crop the SrcRect instead)")
             window = g.array[sy:sy + sh, sx:sx + sw, sb - 1]
             if window.shape != (sh, sw):
                 raise NotImplementedError(
@@ -149,10 +153,14 @@ def read_vrt(path_or_bytes, epsg: int | None = None, base_dir: str | None = None
                 yi = ((np.arange(dh) + 0.5) * sh / dh).astype(np.int64).clip(0, sh - 1)
                 xi = ((np.arange(dw) + 0.5) * sw / dw).astype(np.int64).clip(0, sw - 1)
                 window = window[yi][:, xi]
+            # clip the dst window to the canvas (GDAL renders the
+            # on-canvas part of partially off-canvas sources)
+            x0, y0 = max(dx, 0), max(dy, 0)
             de_y, de_x = min(dy + dh, h), min(dx + dw, w)
-            if de_y <= dy or de_x <= dx:
+            if de_y <= y0 or de_x <= x0:
                 continue
-            out[dy:de_y, dx:de_x, ci] = window[:de_y - dy, :de_x - dx].astype(dtype)
+            out[y0:de_y, x0:de_x, ci] = \
+                window[y0 - dy:de_y - dy, x0 - dx:de_x - dx].astype(dtype)
 
     return GeoTIFF(array=out, geotransform=gt, epsg=int(code),
                    model_type=2 if int(code) == 4326 else 1, raster_type=1)

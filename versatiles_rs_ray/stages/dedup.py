@@ -1281,11 +1281,13 @@ def _span_hash_rows(batch: pa.Table, k: int, stride: int,
     within = (np.arange(total, dtype=np.int64)
               - np.repeat(run_start, n_win)) * stride
     w_start = np.repeat(offs[:-1].astype(np.int64), n_win) + within
-    idx = w_start[:, None] + np.arange(k, dtype=np.int64)[None, :]
-    win = data[idx].astype(np.uint64)
-    h = win[:, 0].copy()
+    # accumulate column-by-column: O(total) working set per step, never
+    # the (total x k) gather matrix (at k=24 that transient is ~400x
+    # the text bytes and OOMs realistic blocks)
+    h = data[w_start].astype(np.uint64)
     for j in range(1, k):
-        h = h * _DS_BASE + win[:, j]
+        h *= _DS_BASE
+        h += data[w_start + j]
     return pa.table({
         "h": pa.array(h.astype(np.int64), type=pa.int64()),
         "doc": pa.array(np.repeat(doc_num, n_win), type=pa.int64()),

@@ -945,6 +945,7 @@ def build_id_bloom(drop_ds, id_col: str, m_bits: int = 1 << 24, k: int = 4):
     with the expected drop count (fp rate ~ (1-e^{-kn/m})^k)."""
     import ray
 
+    m_bits = max(64, (int(m_bits) + 7) // 8 * 8)  # byte-aligned bitmap
     bloom_task = ray.remote(_bloom_block)
     or_task = ray.remote(_or_bitmaps)
     refs = [bloom_task.remote(ref, id_col, m_bits, k)

@@ -491,20 +491,15 @@ def _vocab_partial(batch: pa.Table, column: str) -> pa.Table:
 
 
 def _vocab_combine(tbl: pa.Table, n: int) -> pa.Table:
-    """Per-partition reduce: exact per-token totals (partitions are
-    disjoint by token hash), then the partition's top-n candidates by
-    (cnt DESC, token ASC) — byte/codepoint order matches DuckDB's
+    """Per-partition reduce: exact totals (one _token_totals kernel —
+    shared with token_counts), then the partition's top-n candidates
+    by (cnt DESC, token ASC) — byte/codepoint order matches DuckDB's
     binary collation because UTF-8 preserves codepoint order."""
-    toks = tbl["token"].combine_chunks()
-    enc = toks.dictionary_encode()
-    idx = np.asarray(enc.indices, dtype=np.int64)
-    cnt = np.asarray(tbl["cnt"], dtype=np.int64)
-    tot = np.zeros(len(enc.dictionary), dtype=np.int64)
-    np.add.at(tot, idx, cnt)
-    uniq = enc.dictionary.to_numpy(zero_copy_only=False)
+    t = _token_totals(tbl)
+    uniq = t["token"].to_numpy(zero_copy_only=False)
+    tot = np.asarray(t["cnt"], dtype=np.int64)
     order = np.lexsort((uniq, -tot))[:n]
-    return pa.table({"token": pa.array(uniq[order], type=pa.string()),
-                     "cnt": pa.array(tot[order], type=pa.int64())})
+    return t.take(pa.array(order))
 
 
 def vocab_topn(ds, n: int, column: str = "text", num_partitions: int = 32):
@@ -676,7 +671,17 @@ def pmi_topk(ds, window: int = 3, n: int = 100, min_count: int = 5,
                           functools.partial(_pair_totals, min_count=min_count),
                           num_partitions=num_partitions)
     uni = token_counts(ds, column=column, num_partitions=num_partitions)
-    total = uni.aggregate(Sum("cnt", alias_name="n"))["n"]
+    agg = uni.aggregate(Sum("cnt", alias_name="n"))
+    total = (agg or {}).get("n")
+    if not total:  # empty / all-empty-text corpus: no pairs possible
+        return pa.table({
+            "tok_a": pa.array([], type=pa.string()),
+            "tok_b": pa.array([], type=pa.string()),
+            "pair_cnt": pa.array([], type=pa.int64()),
+            "cnt_a": pa.array([], type=pa.int64()),
+            "cnt_b": pa.array([], type=pa.int64()),
+            "pmi_micro": pa.array([], type=pa.int64()),
+        })
 
     def a_side(b: pa.Table) -> pa.Table:
         return pa.table({"token": b["tok_a"], "tok_b": b["tok_b"],
