@@ -434,3 +434,42 @@ def test_chunk_documents_edges(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError, match="overlap"):
         T.chunk_documents(ds, size=4, overlap=4)
+
+
+def test_ngram_topn_matches_duckdb_and_bruteforce(ray_session, sf_dir):
+    import collections
+
+    import duckdb
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    out = T.ngram_topn(ds, n=3, topn=25, min_count=2, num_partitions=4)
+    got = list(zip(out["gram"].to_pylist(), out["cnt"].to_pylist()))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = con.execute("""
+        WITH base AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+                      FROM documents WHERE trim(text) <> ''),
+        g AS (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+              FROM base, range(1, 10000) r(i) WHERE i + 2 <= len(t))
+        SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gram
+        HAVING count(*) >= 2 ORDER BY cnt DESC, gram LIMIT 25
+    """).fetchall()
+    assert got == want
+
+    # vocab_topn is the n=1 special case
+    v = T.vocab_topn(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["text"]), 10)
+    u = T.ngram_topn(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["text"]), n=1, topn=10)
+    assert v["token"].to_pylist() == u["gram"].to_pylist()
+    assert v["cnt"].to_pylist() == u["cnt"].to_pylist()
+
+
+def test_ngram_partial_doc_boundaries():
+    t = T._ngram_partial(_batch(["a b", "b c d", "", "x"]), "text", 2)
+    got = dict(zip(t["token"].to_pylist(), t["cnt"].to_pylist()))
+    # no gram spans documents: 'b b' must NOT appear
+    assert got == {"a b": 1, "b c": 1, "c d": 1}

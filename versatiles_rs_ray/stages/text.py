@@ -789,3 +789,83 @@ def _chunk_batch(batch: pa.Table, size: int, overlap: int,
         "chunk_idx": pa.array(np.concatenate(idxs), type=pa.int64()),
         "chunk": pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in chunks]),
     })
+
+
+# ---- n-gram counts (LM corpus statistics) --------------------------------
+
+def _ngram_partial(batch: pa.Table, column: str, n: int) -> pa.Table:
+    """Per-batch contiguous-n-gram count partial: tokens from ONE Arrow
+    whitespace split, n-grams materialized by n-1 vectorized
+    binary_join steps over shifted views (no per-row Python), then one
+    dictionary_encode collapses the batch to (token, cnt) rows — the
+    same combiner shape as _vocab_partial, so the exchange moves
+    distinct grams per batch, not the token stream."""
+    import pyarrow.compute as pc
+
+    from .curate import _hash_strings
+
+    empty = pa.table({"token": pa.array([], type=pa.string()),
+                      "cnt": pa.array([], type=pa.int64()),
+                      "_route": pa.array([], type=pa.int64())})
+    flat, tlen, offs = _split_tokens(batch[column])
+    keep = tlen > 0
+    n_words = _per_doc_sum(keep.astype(np.int64), offs)
+    words = flat.filter(pa.array(keep)) if not keep.all() else flat
+    if len(words) < n:
+        return empty
+    doc = np.repeat(np.arange(len(n_words), dtype=np.int64), n_words)
+    grams = words.slice(0, len(words) - n + 1)
+    same = doc[: len(doc) - n + 1] == doc[n - 1:]
+    for j in range(1, n):
+        grams = pc.binary_join_element_wise(
+            grams, words.slice(j, len(words) - n + 1), " ")
+    if not same.any():
+        return empty
+    grams = grams.filter(pa.array(same)) if not same.all() else grams
+    enc = grams.combine_chunks().dictionary_encode() \
+        if isinstance(grams, pa.ChunkedArray) else grams.dictionary_encode()
+    cnt = np.bincount(np.asarray(enc.indices, dtype=np.int64),
+                      minlength=len(enc.dictionary)).astype(np.int64)
+    t = pa.table({"token": enc.dictionary,
+                  "cnt": pa.array(cnt, type=pa.int64())})
+    return t.append_column("_route", pa.array(_hash_strings(t["token"]),
+                                              type=pa.int64()))
+
+
+def ngram_topn(ds, n: int, topn: int = 100, min_count: int = 1,
+               column: str = "text", num_partitions: int = 32):
+    """Global top-``topn`` contiguous token n-grams by corpus count —
+    the count table of an n-gram language model (KenLM-style) and the
+    phrase-vocabulary pass of corpus analysis. Same exchange shape as
+    :func:`vocab_topn` (which is the n=1 special case): per-batch
+    combiner partials -> one hash exchange on the gram -> per-partition
+    exact totals + local candidates -> bounded driver top-n. Ties
+    break ascending on the gram bytes (SQL ORDER BY cnt DESC, gram)."""
+    import functools
+
+    from .exchange import hash_exchange
+
+    if n < 1:
+        raise ValueError(f"ngram_topn: n must be >= 1, got {n}")
+    parts = ds.map_batches(
+        functools.partial(_ngram_partial, column=column, n=n),
+        batch_format="pyarrow")
+
+    def combine(tbl: pa.Table, _n=topn, _mc=min_count) -> pa.Table:
+        t = _token_totals(tbl)
+        if _mc > 1:
+            m = np.asarray(t["cnt"], dtype=np.int64) >= _mc
+            t = t.filter(pa.array(m))
+        uniq = t["token"].to_numpy(zero_copy_only=False)
+        tot = np.asarray(t["cnt"], dtype=np.int64)
+        order = np.lexsort((uniq, -tot))[:_n]
+        return t.take(pa.array(order))
+
+    out = hash_exchange(parts, "_route", combine,
+                        num_partitions=num_partitions)
+    cand = out.to_pandas()
+    cand = cand.sort_values(["cnt", "token"], ascending=[False, True],
+                            kind="mergesort").head(topn)
+    return pa.Table.from_pandas(
+        cand.rename(columns={"token": "gram"}).reset_index(drop=True),
+        preserve_index=False)
