@@ -303,3 +303,16 @@ def test_cli_corpus_dup_spans(tmp_path):
     t = pq.read_table(f"{tmp_path}/d")
     assert doc["rows"] == t.num_rows
     assert set(t.schema.names) == {"doc", "span_start", "span_end"}
+
+
+def test_cli_help_corpus():
+    import subprocess
+    import sys
+
+    r = subprocess.run([sys.executable, "-m", "versatiles_rs_ray", "help",
+                        "corpus"], capture_output=True, text=True, check=True)
+    assert "curate" in r.stdout and "dup-spans" in r.stdout
+    r = subprocess.run([sys.executable, "-m", "versatiles_rs_ray", "help",
+                        "corpus", "curate"], capture_output=True, text=True,
+                       check=True)
+    assert "Parameters:" in r.stdout and "near_dup_threshold" in r.stdout

@@ -416,6 +416,36 @@ def cmd_help(args):
             lines.append(f"- **{name}** — {doc[0] if doc else ''}")
             lines += _op_params(vpl.TRANSFORM_OPS[name])
         print("\n".join(lines))
+    elif args.topic == "corpus":
+        # corpus ops map 1:1 onto library stages; docs come from the
+        # live stage docstrings so they cannot drift from the code
+        from versatiles_rs_ray.pipelines.curate import curate_corpus
+        from versatiles_rs_ray.stages import curate as C
+        from versatiles_rs_ray.stages import dedup as DD
+        from versatiles_rs_ray.stages import text as T
+
+        ops = {
+            "quota": C.quota_per_key, "sample": C.systematic_sample,
+            "shuffle": C.deterministic_shuffle, "pack": C.pack_sequences,
+            "topk": C.topk_per_key, "split": C.dataset_split,
+            "normalize": T.normalize_docs,
+            "dedup": DD.ngram_jaccard_pairs,
+            "dup-spans": DD.duplicate_spans, "curate": curate_corpus,
+        }
+        if getattr(args, "op", None):
+            if args.op not in ops:
+                raise SystemExit(f"unknown op {args.op!r} (have {sorted(ops)})")
+            fn = ops[args.op]
+            lines = [f"# corpus {args.op}", "",
+                     (fn.__doc__ or "").strip(), "",
+                     "Parameters:"] + (_op_params(fn) or ["  (none)"])
+            print("\n".join(lines))
+            return
+        lines = ["# corpus curation operations", ""]
+        for name in sorted(ops):
+            doc = (ops[name].__doc__ or "").strip().splitlines()
+            lines.append(f"- **{name}** — {doc[0] if doc else ''}")
+        print("\n".join(lines))
     else:
         from versatiles_rs_ray import config as _cfg
 
@@ -538,9 +568,9 @@ def main(argv=None):
     co.set_defaults(fn=cmd_corpus)
 
     h = sub.add_parser("help", help="print operation / config docs")
-    h.add_argument("topic", choices=["pipeline", "config"])
+    h.add_argument("topic", choices=["pipeline", "config", "corpus"])
     h.add_argument("op", nargs="?", default=None,
-                   help="pipeline: a single operation for full docs")
+                   help="pipeline/corpus: a single operation for full docs")
     h.set_defaults(fn=cmd_help)
 
     args = p.parse_args(argv)
