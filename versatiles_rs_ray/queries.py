@@ -320,8 +320,46 @@ def _oracle_knn_grouped():
     )
 
 
+DUP_SPAN_K = 24
+
+
 def q_dedup_exact(sf_dir):
-    return dedup.dedup_exact(_docs(sf_dir))
+    """Dedup signals at BOTH granularities in one method-tagged driver
+    row: whole-document exact dedup ('doc' — md5-grouped survivors)
+    and duplicated-SUBSTRING spans ('substring' — for every doc the
+    maximal byte ranges whose every 24-byte window also appears in
+    another doc, the Lee-et-al boilerplate signal whole-doc dedup
+    misses; stages/dedup.duplicate_spans: rolling-hash window rows ->
+    hash exchange -> >=2-distinct-doc filter -> doc-routed island
+    merge). Common (method, key, a, b) grain so one SQL union checks
+    both."""
+    import ray.data as rd
+
+    def fmt_doc(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "method": pa.array(np.full(t.num_rows, "doc"), type=pa.string()),
+            "key": t["text_md5"],
+            "a": t["keep_doc"].cast(pa.int64()),
+            "b": t["n_dupes"].cast(pa.int64()),
+        })
+
+    doc_leg = dedup.dedup_exact(_docs(sf_dir)).map_batches(
+        fmt_doc, batch_format="pyarrow")
+
+    def fmt_span(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "method": pa.array(np.full(t.num_rows, "substring"), type=pa.string()),
+            "key": t["doc"].cast(pa.string()),
+            "a": t["span_start"],
+            "b": t["span_end"],
+        })
+
+    span_leg = dedup.duplicate_spans(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        k=DUP_SPAN_K, id_col="doc_id",
+    ).map_batches(fmt_span, batch_format="pyarrow")
+    return doc_leg.union(span_leg)
 
 
 QUOTA_N = 5
@@ -728,29 +766,56 @@ def q_text_stats(sf_dir):
 VOCAB_N = 200
 
 
+NGRAM_TOPN_N = 3
+NGRAM_TOPN_LIMIT = 100
+
+
 def q_vocab_topn(sf_dir):
-    """Global top-N vocabulary by corpus token count (the count pass
-    of BPE/WordPiece training and the stopword/domain-profile step of
-    curation): per-batch (token, cnt) dictionary-encode partials ->
-    one hash exchange on the token -> per-partition exact totals +
-    local top-N candidates -> driver-side final top-N over the bounded
-    partitions x N candidate rows. Ties break ascending on token bytes
-    so the result equals ORDER BY cnt DESC, token LIMIT N exactly
-    (stages/text.vocab_topn)."""
+    """Corpus count tables at BOTH granularities in one method-tagged
+    driver row: global top-N vocabulary ('1gram' — the count pass of
+    BPE/WordPiece training) and the top contiguous-trigram table
+    ('3gram' — KenLM-style LM statistics). Same exchange shape
+    (per-batch dictionary-encode combiner partials -> one hash
+    exchange on the gram -> per-partition exact totals + local
+    candidates -> bounded driver top-N; vocab is exactly the n=1 case,
+    stages/text.vocab_topn / ngram_topn). Ties break ascending on the
+    gram bytes so both legs equal ORDER BY cnt DESC, gram LIMIT N."""
     import ray.data as rd
 
-    from .stages.text import vocab_topn
+    from .stages.text import ngram_topn, vocab_topn
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-    return vocab_topn(ds, VOCAB_N)
+    uni = vocab_topn(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]),
+        VOCAB_N)
+    tri = ngram_topn(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]),
+        n=NGRAM_TOPN_N, topn=NGRAM_TOPN_LIMIT, min_count=2)
+    return pa.table({
+        "method": pa.array(["1gram"] * uni.num_rows
+                           + ["3gram"] * tri.num_rows, type=pa.string()),
+        "gram": pa.concat_arrays([uni["token"].combine_chunks(),
+                                  tri["gram"].combine_chunks()]),
+        "cnt": pa.concat_arrays([uni["cnt"].combine_chunks(),
+                                 tri["cnt"].combine_chunks()]),
+    })
 
 
 def _oracle_vocab_topn():
+    tri = ("t[i.range] || ' ' || t[i.range+1] || ' ' || t[i.range+2]")
     return (
+        "SELECT '1gram' AS method, token AS gram, cnt FROM ("
         f"SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM ("
         f"SELECT unnest({_SQL_TOKENS}) AS token FROM documents "
         "WHERE trim(text) <> '') GROUP BY token "
-        f"ORDER BY cnt DESC, token LIMIT {VOCAB_N}"
+        f"ORDER BY cnt DESC, token LIMIT {VOCAB_N}) "
+        "UNION ALL "
+        "SELECT '3gram' AS method, gram, cnt FROM ("
+        f"WITH base AS (SELECT {_SQL_TOKENS} AS t FROM documents "
+        "WHERE trim(text) <> '') "
+        f"SELECT {tri} AS gram, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM base, range(1, 100000) i WHERE i.range + 2 <= len(t) "
+        "GROUP BY gram HAVING count(*) >= 2 "
+        f"ORDER BY cnt DESC, gram LIMIT {NGRAM_TOPN_LIMIT})"
     )
 
 
@@ -1703,9 +1768,28 @@ def _oracle_cell_index():
 
 
 def _oracle_dedup_exact():
+    k = DUP_SPAN_K
     return (
-        "SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc, count(*) AS n_dupes "
-        "FROM documents GROUP BY 1"
+        "SELECT 'doc' AS method, md5(text) AS key, "
+        "CAST(min(doc_id) AS BIGINT) AS a, CAST(count(*) AS BIGINT) AS b "
+        "FROM documents GROUP BY md5(text) "
+        "UNION ALL "
+        "SELECT 'substring' AS method, key, a, b FROM ("
+        f"WITH pos AS (SELECT doc_id, i.range AS p, "
+        f"substr(text, i.range::INT, {k}) AS g "
+        "FROM documents, range(1, 100000) i "
+        f"WHERE i.range <= length(text) - {k} + 1), "
+        "dup AS (SELECT g FROM pos GROUP BY g "
+        "HAVING count(DISTINCT doc_id) >= 2), "
+        "h AS (SELECT doc_id, p FROM pos WHERE g IN (SELECT g FROM dup)), "
+        "m AS (SELECT doc_id, p, CASE WHEN p - lag(p) OVER "
+        "(PARTITION BY doc_id ORDER BY p) = 1 THEN 0 ELSE 1 END AS brk FROM h), "
+        "isl AS (SELECT doc_id, p, SUM(brk) OVER (PARTITION BY doc_id "
+        "ORDER BY p ROWS UNBOUNDED PRECEDING) AS grp FROM m) "
+        "SELECT CAST(doc_id AS VARCHAR) AS key, "
+        "CAST(min(p) - 1 AS BIGINT) AS a, "
+        f"CAST(max(p) - 1 + {k} AS BIGINT) AS b "
+        "FROM isl GROUP BY doc_id, grp)"
     )
 
 
