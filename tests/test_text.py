@@ -473,3 +473,49 @@ def test_ngram_partial_doc_boundaries():
     got = dict(zip(t["token"].to_pylist(), t["cnt"].to_pylist()))
     # no gram spans documents: 'b b' must NOT appear
     assert got == {"a b": 1, "b c": 1, "c d": 1}
+
+
+def test_chunk_documents_tokens_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    size, overlap = 12, 3
+    step = size - overlap
+    out = T.chunk_documents_tokens(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        size, overlap).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = con.execute(f"""
+        WITH base AS (SELECT doc_id,
+            regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents WHERE trim(text) <> '')
+        SELECT doc_id, i.range AS chunk_idx,
+               array_to_string(t[(1 + i.range * {step})::INT :
+                                 (i.range * {step} + {size})::INT], ' ') AS chunk
+        FROM base, range(0, 1000) i
+        WHERE 1 + i.range * {step} <= len(t)
+    """).df()
+    key = ["doc_id", "chunk_idx"]
+    got = out.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got["chunk"].tolist() == want["chunk"].tolist()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+
+
+def test_chunk_documents_tokens_edges(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(["a", "b", "c"]),
+        "text": pa.array(["t0 t1 t2 t3 t4", "   ", "x  y"]),
+    }))
+    out = T.chunk_documents_tokens(ds, size=2, overlap=1).to_pandas()
+    a = out[out["doc_id"] == "a"].sort_values("chunk_idx")
+    assert a["chunk"].tolist() == ["t0 t1", "t1 t2", "t2 t3", "t3 t4", "t4"]
+    assert (out["doc_id"] == "b").sum() == 0
+    # trailing chunk starts at the last token (1 + i*step <= n_tok),
+    # same rule as doc "a" above and the char variant
+    assert out[out["doc_id"] == "c"]["chunk"].tolist() == ["x y", "y"]

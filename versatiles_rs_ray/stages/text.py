@@ -869,3 +869,75 @@ def ngram_topn(ds, n: int, topn: int = 100, min_count: int = 1,
     return pa.Table.from_pandas(
         cand.rename(columns={"token": "gram"}).reset_index(drop=True),
         preserve_index=False)
+
+
+def chunk_documents_tokens(ds, size: int, overlap: int = 0,
+                           id_col: str = "doc_id", text_col: str = "text"):
+    """Token-unit variant of :func:`chunk_documents`: chunk i carries
+    whitespace tokens [i*step, i*step + size) rejoined with single
+    spaces (step = size - overlap) — boundaries never split a word,
+    the unit a tokenizer-budgeted training pipeline actually wants.
+    Same contract otherwise: full coverage, short final chunk, empty
+    docs emit nothing, pure vectorized map (one Arrow whitespace split
+    + one ListArray slice-join per chunk rank), zero shuffle.
+
+    Equivalent SQL: ``array_to_string(toks[1 + i*step : i*step + size],
+    ' ')`` while ``1 + i*step <= len(toks)``."""
+    import functools
+
+    if overlap >= size:
+        raise ValueError(
+            f"chunk_documents_tokens: overlap {overlap} must be < size {size}")
+    return ds.map_batches(
+        functools.partial(_chunk_tokens_batch, size=size, overlap=overlap,
+                          id_col=id_col, text_col=text_col),
+        batch_format="pyarrow")
+
+
+def _chunk_tokens_batch(batch: pa.Table, size: int, overlap: int,
+                        id_col: str, text_col: str) -> pa.Table:
+    import pyarrow.compute as pc
+
+    flat, tlen, offs = _split_tokens(batch[text_col])
+    keep = tlen > 0
+    n_tok = _per_doc_sum(keep.astype(np.int64), offs)
+    words = flat.filter(pa.array(keep)) if not keep.all() else flat
+    w_offs = np.zeros(len(n_tok) + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=w_offs[1:])
+    step = size - overlap
+    id_arr = batch[id_col]
+    ids, idxs, chunks = [], [], []
+    max_n = int((n_tok.max() - 1) // step + 1) if len(n_tok) and n_tok.max() > 0 else 0
+    for i in range(max_n):
+        mask = n_tok > i * step
+        if not mask.any():
+            break
+        docs = np.flatnonzero(mask)
+        starts = w_offs[docs] + i * step
+        ends = np.minimum(starts + size, w_offs[docs + 1])
+        # one ragged gather -> ListArray -> binary_join per chunk rank
+        lens = ends - starts
+        take = np.concatenate([np.arange(s, e) for s, e in zip(starts, ends)]) \
+            if len(starts) else np.zeros(0, dtype=np.int64)
+        loffs = np.zeros(len(docs) + 1, dtype=np.int64)
+        np.cumsum(lens, out=loffs[1:])
+        piece = pa.ListArray.from_arrays(
+            pa.array(loffs, type=pa.int32()),
+            words.take(pa.array(take)).combine_chunks()
+            if isinstance(words, pa.ChunkedArray) else words.take(pa.array(take)))
+        ids.append(id_arr.take(pa.array(docs)))
+        idxs.append(np.full(len(docs), i, dtype=np.int64))
+        chunks.append(pc.binary_join(piece, " "))
+    if not ids:
+        return pa.table({id_col: id_arr.slice(0, 0),
+                         "chunk_idx": pa.array([], type=pa.int64()),
+                         "chunk": pa.array([], type=pa.string())})
+    return pa.table({
+        id_col: pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+             for a in ids]),
+        "chunk_idx": pa.array(np.concatenate(idxs), type=pa.int64()),
+        "chunk": pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in chunks]),
+    })
