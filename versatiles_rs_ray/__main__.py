@@ -328,6 +328,17 @@ def cmd_corpus(args):
         from versatiles_rs_ray.stages.text import normalize_docs
 
         out = normalize_docs(ds, col=args.col)
+    elif args.op == "chunk":
+        if args.unit == "tokens":
+            from versatiles_rs_ray.stages.text import chunk_documents_tokens
+
+            out = chunk_documents_tokens(ds, args.size, args.overlap,
+                                         id_col=args.key, text_col=args.col)
+        else:
+            from versatiles_rs_ray.stages.text import chunk_documents
+
+            out = chunk_documents(ds, args.size, args.overlap,
+                                  id_col=args.key, text_col=args.col)
     elif args.op == "dup-spans":
         from versatiles_rs_ray.stages.dedup import duplicate_spans
 
@@ -431,6 +442,7 @@ def cmd_help(args):
             "normalize": T.normalize_docs,
             "dedup": DD.ngram_jaccard_pairs,
             "dup-spans": DD.duplicate_spans, "curate": curate_corpus,
+            "chunk": T.chunk_documents_tokens,
         }
         if getattr(args, "op", None):
             if args.op not in ops:
@@ -527,7 +539,7 @@ def main(argv=None):
     co = sub.add_parser("corpus", help="training-data curation ops over parquet")
     co.add_argument("op", choices=["quota", "sample", "shuffle", "pack",
                                    "normalize", "topk", "split", "dedup",
-                                   "curate", "dup-spans"])
+                                   "curate", "dup-spans", "chunk"])
     co.add_argument("input", help="documents parquet file/dir")
     co.add_argument("output", help="output parquet dir")
     co.add_argument("--key", default="doc_id",
@@ -547,6 +559,12 @@ def main(argv=None):
                     help="split: name=frac list summing to 1")
     co.add_argument("--parallel-bins", action="store_true",
                     help="pack: independent per-block bins (scale mode)")
+    co.add_argument("--size", type=int, default=2048,
+                    help="chunk: window size (chars or tokens per --unit)")
+    co.add_argument("--overlap", type=int, default=0,
+                    help="chunk: window overlap")
+    co.add_argument("--unit", default="chars", choices=["chars", "tokens"],
+                    help="chunk: window unit")
     co.add_argument("--k", type=int, default=24,
                     help="dup-spans: window length in bytes")
     co.add_argument("--stride", type=int, default=1,
