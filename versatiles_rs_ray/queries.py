@@ -443,6 +443,55 @@ def _oracle_pmi_topk():
     )
 
 
+LM_ALPHA = 0.4
+LM_MIN_COUNT = 2
+
+
+def q_lm_ppl(sf_dir):
+    """Bigram stupid-backoff LM scoring of every document against a
+    count LM trained on the corpus itself — the CCNet-style perplexity
+    quality signal (stages/lm.lm_score). Per-position log-probs
+    quantize to integer micro-nats BEFORE the per-doc sum so the doc
+    score is an order-independent int64 (the pmi/bm25 contract); the
+    bigram table is pruned at count >= LM_MIN_COUNT, which is both
+    what makes backoff fire when self-scoring and the knob that bounds
+    table size at corpus scale."""
+    import ray.data as rd
+
+    from .stages.lm import lm_score
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return lm_score(ds, n=2, alpha=LM_ALPHA, min_count=LM_MIN_COUNT)
+
+
+def _oracle_lm_ppl():
+    return (
+        "WITH base AS (SELECT doc_id, "
+        f"{_SQL_TOKENS} AS toks FROM documents WHERE trim(text) <> ''), "
+        "tok AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos, "
+        "unnest(toks) AS t FROM base), "
+        "uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1), "
+        "tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok), "
+        "big AS (SELECT t1.t AS a, t2.t AS b, CAST(count(*) AS BIGINT) AS c "
+        "FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id "
+        "AND t2.pos = t1.pos + 1 "
+        f"GROUP BY 1, 2 HAVING count(*) >= {LM_MIN_COUNT}), "
+        "pos AS (SELECT t2.doc_id, t2.pos, t2.t AS w, t1.t AS w_prev "
+        "FROM tok t2 LEFT JOIN tok t1 ON t1.doc_id = t2.doc_id "
+        "AND t1.pos = t2.pos - 1), "
+        "lp AS (SELECT pos.doc_id, CAST(floor(1e6 * ("
+        "CASE WHEN w_prev IS NULL THEN ln(uw.c / n) "
+        "WHEN bg.c IS NOT NULL THEN ln(bg.c::DOUBLE / up.c) "
+        f"ELSE ln(({LM_ALPHA} * uw.c) / n) END) + 0.5) AS BIGINT) AS lpm "
+        "FROM pos JOIN uni uw ON uw.t = pos.w "
+        "LEFT JOIN uni up ON up.t = pos.w_prev "
+        "LEFT JOIN big bg ON bg.a = pos.w_prev AND bg.b = pos.w, tot) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, "
+        "CAST(-sum(lpm) AS BIGINT) AS nll_micro FROM lp GROUP BY 1"
+    )
+
+
 TOPK_PER_KEY_K = 5
 SPLIT_FRACS = {"train": 0.9, "val": 0.05, "test": 0.05}
 QUANTILES = (0.25, 0.5, 0.9)
@@ -2446,6 +2495,8 @@ QUERIES = {
     "video_frames": q_video_frames,
     # iterative k-means training: rows-only by nature
     "embedding_pq_topk": q_embedding_pq_topk,
+    # oracle-backed beyond the driver window (verified via selfcheck)
+    "lm_ppl": q_lm_ppl,
 }
 
 ORACLES = {
@@ -2499,6 +2550,7 @@ ORACLES = {
     "pmi_topk": _oracle_pmi_topk(),
     "scrub_events": _oracle_scrub_events(),
     "decontaminate": _oracle_decontaminate(),
+    "lm_ppl": _oracle_lm_ppl(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window
