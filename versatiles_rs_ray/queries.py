@@ -445,6 +445,49 @@ def _oracle_pmi_topk():
 
 LM_ALPHA = 0.4
 LM_MIN_COUNT = 2
+SEMDEDUP_TAU = 0.3
+
+
+def q_semantic_dedup(sf_dir):
+    """SemDeDup semantic deduplication (stages/embed.semantic_dedup):
+    closed-form fixed centroids -> cosine cell assignment -> ONE cell
+    exchange -> within-cluster pairwise cosine dup flags (keep-lowest-
+    id rule). The fixed quantizer makes the whole path — centroids,
+    assignment, per-cluster pair test — SQL-expressible, same contract
+    as embedding_ivf_fixed."""
+    import ray.data as rd
+
+    from .stages import embed
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    emb0 = ds.take(1)[0]["embedding"]
+    return embed.semantic_dedup(ds, IVF_FIXED_CELLS, dim=len(emb0),
+                                threshold=SEMDEDUP_TAU)
+
+
+def _oracle_semantic_dedup():
+    """Same fixed-centroid walk as _oracle_embedding_ivf_fixed, then a
+    within-cell lower-id LEFT JOIN: is_dup = some lower vec_id in the
+    same cell with cosine >= SEMDEDUP_TAU."""
+    C = IVF_FIXED_CELLS
+    return (
+        "WITH e AS (SELECT vec_id, embedding FROM embeddings), "
+        f"u AS (SELECT vec_id % {C} AS cell, "
+        "generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM e), "
+        "cm AS (SELECT cell, i, avg(v) AS v FROM u GROUP BY cell, i), "
+        "cent AS (SELECT cell, list(v ORDER BY i) AS cv FROM cm GROUP BY cell), "
+        "asgn AS (SELECT vec_id, embedding, cell FROM ("
+        "SELECT e.vec_id, e.embedding, c.cell, row_number() OVER ("
+        "PARTITION BY e.vec_id ORDER BY "
+        "list_cosine_similarity(e.embedding, c.cv) DESC, c.cell) AS rn "
+        "FROM e CROSS JOIN cent c) WHERE rn = 1) "
+        "SELECT a.vec_id, a.cell, count(b.vec_id) > 0 AS is_dup "
+        "FROM asgn a LEFT JOIN asgn b ON b.cell = a.cell "
+        "AND b.vec_id < a.vec_id AND "
+        f"list_cosine_similarity(a.embedding, b.embedding) >= {SEMDEDUP_TAU} "
+        "GROUP BY a.vec_id, a.cell"
+    )
 
 
 def q_lm_ppl(sf_dir):
@@ -2497,6 +2540,7 @@ QUERIES = {
     "embedding_pq_topk": q_embedding_pq_topk,
     # oracle-backed beyond the driver window (verified via selfcheck)
     "lm_ppl": q_lm_ppl,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ORACLES = {
@@ -2551,6 +2595,7 @@ ORACLES = {
     "scrub_events": _oracle_scrub_events(),
     "decontaminate": _oracle_decontaminate(),
     "lm_ppl": _oracle_lm_ppl(),
+    "semantic_dedup": _oracle_semantic_dedup(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window

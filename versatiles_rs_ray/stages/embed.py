@@ -641,3 +641,82 @@ def ivf_search_index(index_dir, q_ids, q_matrix, k, centroids, nprobe=4):
     files = sorted(os.path.join(d, f) for d in dirs for f in os.listdir(d))
     ds = rd.read_parquet(files, columns=["vec_id", "embedding"])
     return cosine_topk(ds, q_ids, q_matrix, k)
+
+
+# ---- SemDeDup: semantic deduplication ------------------------------------
+
+
+def _semdedup_block(table: pa.Table, threshold: float) -> pa.Table:
+    """One exchange partition (whole clusters, co-located by the cell
+    hash) -> per-vector dup flags. Clusters resolve as runs of one
+    argsort; each run is a single dense matmul (the _near_dup_block
+    pattern). Within a cluster, sorted ascending by vec_id, a vector
+    is a duplicate iff some LOWER id in the same cluster has cosine >=
+    threshold — the deterministic keep-first rule every dedup surface
+    here shares (dedup_exact, minhash survivors, near_dup pairs)."""
+    empty = pa.table({
+        "vec_id": pa.array([], type=pa.int64()),
+        "cell": pa.array([], type=pa.int64()),
+        "is_dup": pa.array([], type=pa.bool_()),
+    })
+    if table.num_rows == 0:
+        return empty
+    cell = np.asarray(table["ivf_cell"], dtype=np.int64)
+    ids = np.asarray(table["vec_id"], dtype=np.int64)
+    m = _to_matrix(table["embedding"]).astype(np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mn = m / norms
+    # one sort orders by (cell, vec_id): runs are clusters, and within
+    # each run ids ascend so "lower id exists" is a strict lower
+    # triangle test.
+    order = np.lexsort((ids, cell))
+    c_s, ids_s, mn_s = cell[order], ids[order], mn[order]
+    dup = np.zeros(len(ids_s), dtype=bool)
+    starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+    bounds = np.append(starts, len(c_s))
+    for i in range(len(starts)):
+        s, e = bounds[i], bounds[i + 1]
+        if e - s < 2:
+            continue
+        sims = mn_s[s:e] @ mn_s[s:e].T
+        dup[s:e] = np.tril(sims >= threshold, k=-1).any(axis=1)
+    return pa.table({
+        "vec_id": pa.array(ids_s, type=pa.int64()),
+        "cell": pa.array(c_s, type=pa.int64()),
+        "is_dup": pa.array(dup, type=pa.bool_()),
+    })
+
+
+def semantic_dedup(embeddings_ds, n_cells, dim, threshold,
+                   centroids=None, num_partitions: int = 16):
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with a coarse
+    quantizer, then flag within-cluster semantic duplicates by exact
+    pairwise cosine — the dedup layer that catches paraphrases and
+    re-encodings exact/MinHash dedup cannot see.
+
+    Default quantizer is :func:`fixed_centroids` (closed-form, so the
+    whole path is SQL-expressible — the `semantic_dedup` driver oracle
+    walks it exactly); pass k-means ``centroids`` from
+    :func:`ivf_train` for the trained variant. Returns a Dataset of
+    (vec_id, cell, is_dup) — filter ``is_dup == False`` for survivors.
+
+    Scale shape: assignment is one map_batches GEMM per block; flags
+    need each cluster co-located, ONE hash exchange on the cell id.
+    Per-cluster work is O(|c|^2 * dim) — SemDeDup's own contract: the
+    quantizer's n_cells is the knob that bounds |c| ~ N/n_cells, and a
+    skew-hot cluster is capped by the same num_partitions memory story
+    as every exchange here. No broadcast, no all-pairs across
+    clusters."""
+    import functools
+
+    from .exchange import hash_exchange
+
+    cent = (fixed_centroids(embeddings_ds, n_cells, dim)
+            if centroids is None else np.asarray(centroids))
+    asgn = ivf_assign(
+        embeddings_ds.select_columns(["vec_id", "embedding"]), cent)
+    return hash_exchange(
+        asgn, "ivf_cell",
+        functools.partial(_semdedup_block, threshold=threshold),
+        num_partitions=num_partitions)
