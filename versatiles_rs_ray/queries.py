@@ -490,6 +490,28 @@ def _oracle_semantic_dedup():
     )
 
 
+BPE_MERGES = 12
+
+
+def q_bpe_merges(sf_dir):
+    """Distributed classic BPE training (stages/bpe.bpe_train): corpus
+    read ONCE into a word-frequency table, then BPE_MERGES rounds of
+    pair-count exchange + vectorized merge apply over the
+    vocabulary-sized table. Iterative (each merge depends on the last),
+    hence rows-only — merge-sequence equality vs an independent
+    reference learner is pinned in tests/test_bpe.py."""
+    import pandas as pd
+    import ray.data as rd
+
+    from .stages.bpe import bpe_train
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    merges, _ = bpe_train(ds, num_merges=BPE_MERGES, min_word_count=2)
+    return pd.DataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        columns=["rank", "left", "right", "pair_cnt"])
+
+
 def q_lm_ppl(sf_dir):
     """Bigram stupid-backoff LM scoring of every document against a
     count LM trained on the corpus itself — the CCNet-style perplexity
@@ -2541,6 +2563,9 @@ QUERIES = {
     # oracle-backed beyond the driver window (verified via selfcheck)
     "lm_ppl": q_lm_ppl,
     "semantic_dedup": q_semantic_dedup,
+    # iterative merge learning: rows-only by nature (tests pin the
+    # merge sequence against an independent reference learner)
+    "bpe_merges": q_bpe_merges,
 }
 
 ORACLES = {
