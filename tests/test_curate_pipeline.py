@@ -115,3 +115,42 @@ def test_curate_mix_and_split_decorrelated(ray_session):
     # val share within loose binomial bounds of 0.2
     share = counts.get("val", 0) / len(out)
     assert 0.08 <= share <= 0.35
+
+
+def test_curate_ppl_gate(ray_session):
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.lm import lm_score
+
+    # repeat the survivors so the bigram LM has mass; add one gibberish
+    # doc whose tokens are all unique -> worst mean NLL in the corpus
+    rows = [(i, GOOD, "en") for i in range(20)]
+    rows += [(100 + i, GOOD.replace("fox", f"cat{i}"), "en")
+             for i in range(5)]
+    rows.append((999, "zq wxv kjq ptm brz ylw nqd fgh vbn mkl "
+                      "qwe rty uio asd fgh jkl zxc vbn mno pqr", "en"))
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+        "lang": pa.array([r[2] for r in rows], type=pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], type=pa.int64()),
+    })
+
+    # ground truth: curate runs the gate AFTER quality+exact dedup, so
+    # score exactly that intermediate corpus and cut at the threshold
+    base = curate_corpus(rd.from_arrow(tbl)).to_pandas()
+    scores = lm_score(
+        rd.from_arrow(tbl.filter(pa.array(
+            [i in set(base["doc_id"]) for i in tbl["doc_id"].to_pylist()]))),
+        n=2, min_count=2).to_pandas()
+    thr = 3_000_000  # 3 nats/token
+    want = sorted(scores[scores["nll_micro"] <= thr * scores["n_tok"]]
+                  ["doc_id"])
+    got = curate_corpus(rd.from_arrow(tbl), max_ppl_micro=thr).to_pandas()
+    assert sorted(got["doc_id"]) == want
+    # the gibberish doc is the one the gate exists for
+    assert 999 not in set(got["doc_id"])
+    # a permissive threshold keeps everything the base chain keeps
+    loose = curate_corpus(rd.from_arrow(tbl),
+                          max_ppl_micro=50_000_000).to_pandas()
+    assert sorted(loose["doc_id"]) == sorted(base["doc_id"])

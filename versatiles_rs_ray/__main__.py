@@ -359,6 +359,7 @@ def cmd_corpus(args):
             min_quality=args.min_quality,
             drop_repetitive=not args.keep_repetitive,
             near_dup_threshold=args.near_threshold,
+            max_ppl_micro=args.max_ppl,
             lang_fracs=_parse_fracs(args.lang_fracs) if args.lang_fracs else None,
             default_frac=args.default_frac,
             split_fracs=_parse_fracs(args.fracs) if args.split else None,
@@ -575,6 +576,9 @@ def main(argv=None):
                     help="curate: keep Gopher-repetitive docs")
     co.add_argument("--near-threshold", type=float, default=None,
                     help="curate: enable near-dup removal at this n-gram Jaccard")
+    co.add_argument("--max-ppl", type=int, default=None,
+                    help="curate: drop docs whose mean LM NLL per token "
+                         "exceeds this many micro-nats (CCNet-style gate)")
     co.add_argument("--lang-fracs", default=None,
                     help="curate: per-lang mix fractions, e.g. en=0.5,de=1.0")
     co.add_argument("--default-frac", type=float, default=1.0,

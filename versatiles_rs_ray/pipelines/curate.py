@@ -3,8 +3,9 @@ engine's curation stages into the pipeline a 100-TB pretraining run
 actually executes, in the canonical order
 
     quality/repetition filter -> exact dedup -> near-dup removal
-    -> per-language stratified mix -> deterministic shuffle
-    -> train/val/test split -> sequence packing
+    -> perplexity (LM) gate -> per-language stratified mix
+    -> deterministic shuffle -> train/val/test split
+    -> sequence packing
 
 Every stage is one of the individually oracle-backed operators
 (stages/curate, stages/text, stages/dedup, stages/join) chained
@@ -83,6 +84,8 @@ def curate_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
                   lang_col: str = "lang", min_quality: int = 1,
                   drop_repetitive: bool = True,
                   near_dup_threshold: float | None = None, ngram_k: int = 5,
+                  max_ppl_micro: int | None = None, lm_order: int = 2,
+                  lm_alpha: float = 0.4, lm_min_count: int = 2,
                   lang_fracs: dict | None = None, default_frac: float = 1.0,
                   split_fracs: dict | None = None,
                   pack_budget: int | None = None,
@@ -146,6 +149,31 @@ def curate_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
                     if c != param]
         if appended:
             ds = ds.drop_columns(appended)
+
+    if max_ppl_micro is not None:
+        # CCNet-style perplexity gate AFTER dedup (the LM self-trains
+        # on the deduped corpus, so boilerplate mass can't drag the
+        # model toward itself): keep docs whose mean NLL per token is
+        # <= max_ppl_micro micro-nats. The comparison stays integer —
+        # nll_micro <= max_ppl_micro * n_tok — so the cut is exact
+        # under any partitioning (stages/lm quantization contract).
+        import pyarrow.compute as pc
+
+        from ..stages.join import anti_join_ids
+        from ..stages.lm import lm_score
+
+        scores = lm_score(ds, n=lm_order, alpha=lm_alpha,
+                          min_count=lm_min_count, column=text_col,
+                          id_col=id_col)
+
+        def over_budget(b: pa.Table) -> pa.Table:
+            nll = np.asarray(b["nll_micro"], dtype=np.int64)
+            ntk = np.asarray(b["n_tok"], dtype=np.int64)
+            bad = nll > int(max_ppl_micro) * ntk
+            return b.filter(pa.array(bad)).select([id_col])
+
+        drop_ppl = scores.map_batches(over_budget, batch_format="pyarrow")
+        ds = anti_join_ids(ds, drop_ppl, id_col, bloom_bits=1 << 24)
 
     if lang_fracs is not None:
         def add_num(b: pa.Table) -> pa.Table:
