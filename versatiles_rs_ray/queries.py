@@ -491,6 +491,45 @@ def _oracle_semantic_dedup():
 
 
 BPE_MERGES = 12
+TFIDF_DIM = 64
+
+
+def q_tfidf_docs(sf_dir):
+    """Hashed tf-idf exploded weights (stages/tfidf.hashed_tfidf):
+    FNV-1a feature hashing into TFIDF_DIM buckets, smooth idf, ZERO
+    shuffles (df reduces to one dim-length driver array). Weights are
+    unnormalized tf*idf products quantized to micro-units — exactly
+    reproducible in SQL (the FNV fold runs in HUGEINT list_reduce)."""
+    import ray.data as rd
+
+    from .stages.tfidf import hashed_tfidf
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return hashed_tfidf(ds, dim=TFIDF_DIM)
+
+
+def _oracle_tfidf_docs():
+    fnv = (
+        "CAST((list_reduce(list_prepend(14695981039346656037::HUGEINT, "
+        "[CAST(ord(substr(t, x, 1)) AS HUGEINT) FOR x IN "
+        "range(1, length(t) + 1)]), "
+        "(h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % "
+        f"18446744073709551616::HUGEINT) % {TFIDF_DIM}) AS BIGINT)"
+    )
+    return (
+        "WITH tok AS (SELECT doc_id, "
+        f"unnest({_SQL_TOKENS}) AS t FROM documents WHERE trim(text) <> ''), "
+        f"hb AS (SELECT doc_id, {fnv} AS bucket FROM tok), "
+        "tfx AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf "
+        "FROM hb GROUP BY 1, 2), "
+        "dfx AS (SELECT bucket, count(DISTINCT doc_id) AS df FROM hb GROUP BY 1), "
+        "nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM hb) "
+        "SELECT t.doc_id, t.bucket, t.tf, "
+        "CAST(floor(1e6 * (t.tf * (ln((n + 1.0) / (df + 1.0)) + 1.0)) + 0.5) "
+        "AS BIGINT) AS w_micro "
+        "FROM tfx t JOIN dfx USING (bucket), nd"
+    )
 
 
 def q_bpe_merges(sf_dir):
@@ -2563,6 +2602,7 @@ QUERIES = {
     # oracle-backed beyond the driver window (verified via selfcheck)
     "lm_ppl": q_lm_ppl,
     "semantic_dedup": q_semantic_dedup,
+    "tfidf_docs": q_tfidf_docs,
     # iterative merge learning: rows-only by nature (tests pin the
     # merge sequence against an independent reference learner)
     "bpe_merges": q_bpe_merges,
@@ -2621,6 +2661,7 @@ ORACLES = {
     "decontaminate": _oracle_decontaminate(),
     "lm_ppl": _oracle_lm_ppl(),
     "semantic_dedup": _oracle_semantic_dedup(),
+    "tfidf_docs": _oracle_tfidf_docs(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window
