@@ -262,6 +262,47 @@ def _from_gdal_raster(sf_dir=None, zmax=3, zmin=0, tile_size=64,
     )
 
 
+@register_read_op("from_terrain")
+def _from_terrain(sf_dir=None, filename=None, mode="terrarium",
+                  azimuth=315.0, altitude=45.0, z_factor=1.0, scale=None,
+                  zmax=3, zmin=0, tile_size=64,
+                  level_min=None, level_max=None, **_):
+    """Terrain source: open a DEM with the same reader stack as
+    `from_gdal_raster` (TIFF/HGT/AAIGrid/NetCDF/VRT/world-file),
+    derive mode=hillshade|slope|terrarium|mapbox on the SOURCE grid
+    (stages/terrain.py, GDALDEM Horn kernel / the published
+    terrain-RGB encodings), then warp the resulting uint8 grid through
+    the standard SRS pool into ordinary raster tiles. Graft-new
+    surface (the reference has no terrain ops)."""
+    import os
+
+    from ..sources.debug_tiles import json_debug_tiles
+    from ..sources.geotiff import read_raster_source
+    from ..stages.reproject import reproject_srs_raster
+    from ..stages.terrain import terrain_grid
+
+    if filename is None:
+        raise ValueError("from_terrain requires filename=")
+    if level_min is not None:
+        zmin = level_min
+    if level_max is not None:
+        zmax = level_max
+    path = str(filename)
+    if sf_dir and "://" not in path and not os.path.isabs(path):
+        path = os.path.join(sf_dir, path)
+    g = read_raster_source(path, epsg=int(_["epsg"]) if "epsg" in _ else None)
+    grid = terrain_grid(g, mode=str(mode), azimuth=float(azimuth),
+                        altitude=float(altitude), z_factor=float(z_factor),
+                        scale=float(scale) if scale is not None else None)
+    coords = json_debug_tiles(
+        TileBBoxPyramid.new_full(int(zmax), int(zmin))
+    ).select_columns(["z", "x", "y"])
+    return reproject_srs_raster(
+        coords, grid, g.geotransform, g.epsg or 4326,
+        tile_size=int(tile_size), resampling="average",
+    )
+
+
 @register_transform_op("filter")
 def _filter(ds, bbox=None, level_min=None, level_max=None, **_):
     """Keep tiles inside bbox=[w,s,e,n] / level_min= / level_max= (filter.rs:44-57)."""
