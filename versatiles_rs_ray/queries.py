@@ -551,6 +551,43 @@ def q_bpe_merges(sf_dir):
         columns=["rank", "left", "right", "pair_cnt"])
 
 
+def q_quality_classifier(sf_dir):
+    """Model-based quality filter (stages/classify), the classifier-
+    distillation recipe (GPT-3/DCLM style: label a seed set by a rule,
+    train a cheap linear model, score everything): seed labels come
+    from the engine's own heuristic quality gate (quality_bucket >= 2,
+    the signal the fused curate filter uses), distilled into a
+    logistic model over FNV-hashed log(1+tf) features — 30 full-batch
+    GD iterations, per-DOC integer-quantized gradients so training is
+    bit-identical at any cluster size — then every document scores in
+    one streaming pass. Iterative, hence rows-only;
+    reference-equality, partitioning-invariance and held-out accuracy
+    are pinned in tests/test_classify.py. (The synthetic corpus's
+    lang/source columns are independent of the text by construction,
+    so a rule-derived seed is the honest learnable target here.)"""
+    import ray.data as rd
+
+    from .stages.classify import score_logreg, train_logreg
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"])
+
+    def add_label(b):
+        import pyarrow.compute as pc
+
+        from .stages.text import quality_batch
+
+        q = quality_batch(b)
+        return b.append_column(
+            "label",
+            pc.cast(pc.greater_equal(q["quality_bucket"], 2), pa.int64()))
+
+    labeled = ds.map_batches(add_label, batch_format="pyarrow")
+    w, b, _ = train_logreg(labeled, "label", dim=1024, iters=30,
+                           lr=4.0, with_length=True, momentum=0.9)
+    return score_logreg(ds, w, b, with_length=True)
+
+
 def q_lm_ppl(sf_dir):
     """Bigram stupid-backoff LM scoring of every document against a
     count LM trained on the corpus itself — the CCNet-style perplexity
@@ -2606,6 +2643,9 @@ QUERIES = {
     # iterative merge learning: rows-only by nature (tests pin the
     # merge sequence against an independent reference learner)
     "bpe_merges": q_bpe_merges,
+    # iterative GD training: rows-only by nature (reference-equality
+    # and partitioning invariance pinned in tests)
+    "quality_classifier": q_quality_classifier,
 }
 
 ORACLES = {
