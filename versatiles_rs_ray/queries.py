@@ -493,6 +493,78 @@ def _oracle_semantic_dedup():
 BPE_MERGES = 12
 TFIDF_DIM = 64
 
+# polygon_join fixtures: a big triangle, a NON-CONVEX arrowhead and a
+# pentagon in lon/lat over the derived-doc extent (even-odd rule gives
+# the concave notch real semantics the rect join can't express)
+POLY_JOIN_POLYS = (
+    (1, ((-150.0, -60.0), (-30.0, -55.0), (-95.0, 55.0))),
+    (2, ((10.0, -20.0), (80.0, -50.0), (60.0, 10.0), (80.0, 55.0))),
+    (3, ((100.0, -10.0), (130.0, -40.0), (170.0, -25.0),
+         (165.0, 30.0), (115.0, 40.0))),
+)
+POLY_JOIN_ZOOM = 3
+
+
+def q_polygon_join(sf_dir):
+    """True point-in-polygon join (ray casting, even-odd rule) in BOTH
+    execution shapes, method-tagged in one driver row: 'broadcast' =
+    the catalog lives once per actor and docs stream with no shuffle
+    (stages/join.PolygonJoin); 'bucketed' = the large-catalog path
+    (polygon bboxes explode to overlapped mercator grid cells, docs
+    route to their cell, ONE co-partitioning exchange, local ray cast
+    — stages/join.polygon_join_bucketed). The intercept float chain is
+    written identically in numpy and SQL, so the oracle matches
+    bit-for-bit at the crossing comparison."""
+    import ray.data as rd
+
+    from .stages.join import PolygonJoin, polygon_join_bucketed
+
+    polys = [(pid, list(v)) for pid, v in POLY_JOIN_POLYS]
+    broad = _docs(sf_dir).map_batches(
+        PolygonJoin(polys), batch_format="pyarrow")
+
+    polys_ds = rd.from_arrow(pa.table({
+        "poly_id": pa.array([p[0] for p in POLY_JOIN_POLYS], type=pa.int64()),
+        "xs": pa.array([[v[0] for v in p[1]] for p in POLY_JOIN_POLYS],
+                       type=pa.list_(pa.float64())),
+        "ys": pa.array([[v[1] for v in p[1]] for p in POLY_JOIN_POLYS],
+                       type=pa.list_(pa.float64())),
+    }))
+    bucketed = polygon_join_bucketed(_docs(sf_dir), polys_ds,
+                                     zoom=POLY_JOIN_ZOOM)
+
+    def tag(name):
+        def f(b: pa.Table, _n=name) -> pa.Table:
+            return b.append_column(
+                "leg", pa.array([_n] * b.num_rows, type=pa.string()))
+        return f
+
+    return broad.map_batches(tag("broadcast"), batch_format="pyarrow").union(
+        bucketed.map_batches(tag("bucketed"), batch_format="pyarrow"))
+
+
+def _oracle_polygon_join():
+    edges = []
+    for pid, verts in POLY_JOIN_POLYS:
+        m = len(verts)
+        for i in range(m):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % m]
+            edges.append(f"({pid}, {x1}, {y1}, {x2}, {y2})")
+    return (
+        f"WITH docs AS {SQL_DOCS}, "
+        f"edges(poly_id, x1, y1, x2, y2) AS (VALUES {', '.join(edges)}), "
+        "hits AS (SELECT d.doc_num, e.poly_id, "
+        "CASE WHEN (e.y1 > d.lat) <> (e.y2 > d.lat) "
+        "AND d.lon < e.x1 + (d.lat - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1) "
+        "THEN 1 ELSE 0 END AS c "
+        "FROM docs d CROSS JOIN edges e), "
+        "inside AS (SELECT doc_num, poly_id FROM hits "
+        "GROUP BY 1, 2 HAVING sum(c) % 2 = 1) "
+        "SELECT leg, doc_num, poly_id FROM inside "
+        "CROSS JOIN (VALUES ('broadcast'), ('bucketed')) legs(leg)"
+    )
+
 
 def q_tfidf_docs(sf_dir):
     """Hashed tf-idf exploded weights (stages/tfidf.hashed_tfidf):
@@ -2640,6 +2712,7 @@ QUERIES = {
     "lm_ppl": q_lm_ppl,
     "semantic_dedup": q_semantic_dedup,
     "tfidf_docs": q_tfidf_docs,
+    "polygon_join": q_polygon_join,
     # iterative merge learning: rows-only by nature (tests pin the
     # merge sequence against an independent reference learner)
     "bpe_merges": q_bpe_merges,
@@ -2702,6 +2775,7 @@ ORACLES = {
     "lm_ppl": _oracle_lm_ppl(),
     "semantic_dedup": _oracle_semantic_dedup(),
     "tfidf_docs": _oracle_tfidf_docs(),
+    "polygon_join": _oracle_polygon_join(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window
