@@ -316,3 +316,31 @@ def test_cli_help_corpus():
                         "corpus", "curate"], capture_output=True, text=True,
                        check=True)
     assert "Parameters:" in r.stdout and "near_dup_threshold" in r.stdout
+
+
+def test_cli_corpus_model_ops(tmp_path):
+    """corpus lm-score / tfidf / semdedup / bpe-train via subprocesses
+    over the real sf0.001 tables."""
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    doc = _run(["corpus", "lm-score", src, str(tmp_path / "lm")])
+    t = pq.read_table(f"{tmp_path}/lm")
+    assert doc["rows"] == t.num_rows == 500
+    assert set(t.schema.names) == {"doc_id", "n_tok", "nll_micro"}
+    doc = _run(["corpus", "tfidf", src, str(tmp_path / "tf"), "--dim", "32"])
+    t = pq.read_table(f"{tmp_path}/tf")
+    assert doc["rows"] == t.num_rows > 500
+    assert set(t.schema.names) == {"doc_id", "bucket", "tf", "w_micro"}
+    assert t["bucket"].to_pandas().max() < 32
+    doc = _run(["corpus", "semdedup",
+                "/root/testdata/sf0.001/embeddings.parquet",
+                str(tmp_path / "sd"), "--cells", "8", "--tau", "0.3"])
+    t = pq.read_table(f"{tmp_path}/sd")
+    assert doc["rows"] == t.num_rows == 500
+    assert set(t.schema.names) == {"vec_id", "cell", "is_dup"}
+    doc = _run(["corpus", "bpe-train", src, str(tmp_path / "bp"),
+                "--merges", "5"])
+    t = pq.read_table(f"{tmp_path}/bp")
+    assert doc["rows"] == t.num_rows == 5
+    assert list(t["rank"].to_pylist()) == [1, 2, 3, 4, 5]

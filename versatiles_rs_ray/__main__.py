@@ -344,6 +344,36 @@ def cmd_corpus(args):
 
         out = duplicate_spans(ds, k=args.k, stride=args.stride,
                               id_col=args.key, text_col=args.col)
+    elif args.op == "lm-score":
+        from versatiles_rs_ray.stages.lm import lm_score
+
+        out = lm_score(ds, n=args.lm_order, alpha=args.lm_alpha,
+                       min_count=args.min_count, column=args.col,
+                       id_col=args.key)
+    elif args.op == "tfidf":
+        from versatiles_rs_ray.stages.tfidf import hashed_tfidf
+
+        out = hashed_tfidf(ds, dim=args.dim, column=args.col,
+                           id_col=args.key)
+    elif args.op == "semdedup":
+        from versatiles_rs_ray.stages.embed import semantic_dedup
+
+        emb0 = ds.take(1)[0]["embedding"]
+        out = semantic_dedup(ds, n_cells=args.cells, dim=len(emb0),
+                             threshold=args.tau)
+    elif args.op == "bpe-train":
+        import pandas as pd
+
+        import ray.data as _rd
+
+        from versatiles_rs_ray.stages.bpe import bpe_train
+
+        merges, _tbl = bpe_train(ds, num_merges=args.merges,
+                                 column=args.col,
+                                 min_word_count=args.min_count)
+        out = _rd.from_pandas(pd.DataFrame(
+            [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+            columns=["rank", "left", "right", "pair_cnt"]))
     elif args.op == "curate":
         from versatiles_rs_ray.pipelines.curate import curate_corpus
 
@@ -435,6 +465,10 @@ def cmd_help(args):
         from versatiles_rs_ray.stages import curate as C
         from versatiles_rs_ray.stages import dedup as DD
         from versatiles_rs_ray.stages import text as T
+        from versatiles_rs_ray.stages.bpe import bpe_train
+        from versatiles_rs_ray.stages.embed import semantic_dedup
+        from versatiles_rs_ray.stages.lm import lm_score
+        from versatiles_rs_ray.stages.tfidf import hashed_tfidf
 
         ops = {
             "quota": C.quota_per_key, "sample": C.systematic_sample,
@@ -444,6 +478,8 @@ def cmd_help(args):
             "dedup": DD.ngram_jaccard_pairs,
             "dup-spans": DD.duplicate_spans, "curate": curate_corpus,
             "chunk": T.chunk_documents_tokens,
+            "lm-score": lm_score, "tfidf": hashed_tfidf,
+            "semdedup": semantic_dedup, "bpe-train": bpe_train,
         }
         if getattr(args, "op", None):
             if args.op not in ops:
@@ -540,7 +576,9 @@ def main(argv=None):
     co = sub.add_parser("corpus", help="training-data curation ops over parquet")
     co.add_argument("op", choices=["quota", "sample", "shuffle", "pack",
                                    "normalize", "topk", "split", "dedup",
-                                   "curate", "dup-spans", "chunk"])
+                                   "curate", "dup-spans", "chunk",
+                                   "lm-score", "tfidf", "semdedup",
+                                   "bpe-train"])
     co.add_argument("input", help="documents parquet file/dir")
     co.add_argument("output", help="output parquet dir")
     co.add_argument("--key", default="doc_id",
@@ -551,6 +589,21 @@ def main(argv=None):
     co.add_argument("--token-col", default="n_chars", help="pack: token-count column")
     co.add_argument("--budget", type=int, default=8192, help="pack: tokens per sequence")
     co.add_argument("--col", default="text", help="normalize: text column")
+    co.add_argument("--lm-order", type=int, default=2,
+                    help="lm-score: n-gram order")
+    co.add_argument("--lm-alpha", type=float, default=0.4,
+                    help="lm-score: stupid-backoff alpha")
+    co.add_argument("--min-count", type=int, default=2,
+                    help="lm-score: n-gram count floor; bpe-train: "
+                         "word-frequency floor")
+    co.add_argument("--dim", type=int, default=256,
+                    help="tfidf: hashed feature buckets")
+    co.add_argument("--cells", type=int, default=16,
+                    help="semdedup: coarse-quantizer cells")
+    co.add_argument("--tau", type=float, default=0.9,
+                    help="semdedup: within-cluster cosine threshold")
+    co.add_argument("--merges", type=int, default=100,
+                    help="bpe-train: number of merges to learn")
     co.add_argument("--tiebreak", default="doc_id", help="topk tiebreak column")
     co.add_argument("--mode", default="exact", choices=["exact", "near"],
                     help="dedup: exact text equality or n-gram Jaccard near-dup")
