@@ -273,7 +273,10 @@ def q_pip_join(sf_dir):
                          "doc_num": batch["doc_num"], "z": neg, "x": neg,
                          "y": neg, "rect_id": batch["rect_id"]})
 
-    return out.union(rect.map_batches(tag_rect, batch_format="pyarrow"))
+    out = out.union(rect.map_batches(tag_rect, batch_format="pyarrow"))
+    # polygon legs (ray-cast PIP, broadcast + bucketed) share the row:
+    # all four containment-join shapes check under ONE driver slot
+    return out.union(_polygon_join_legs(sf_dir))
 
 
 Z_KNN_GROUP = 3
@@ -505,16 +508,18 @@ POLY_JOIN_POLYS = (
 POLY_JOIN_ZOOM = 3
 
 
-def q_polygon_join(sf_dir):
+def _polygon_join_legs(sf_dir):
     """True point-in-polygon join (ray casting, even-odd rule) in BOTH
-    execution shapes, method-tagged in one driver row: 'broadcast' =
-    the catalog lives once per actor and docs stream with no shuffle
-    (stages/join.PolygonJoin); 'bucketed' = the large-catalog path
-    (polygon bboxes explode to overlapped mercator grid cells, docs
-    route to their cell, ONE co-partitioning exchange, local ray cast
-    — stages/join.polygon_join_bucketed). The intercept float chain is
-    written identically in numpy and SQL, so the oracle matches
-    bit-for-bit at the crossing comparison."""
+    execution shapes, folded into the pip_join driver row:
+    'poly_broadcast' = the catalog lives once per actor and docs
+    stream with no shuffle (stages/join.PolygonJoin); 'poly_bucketed'
+    = the large-catalog path (polygon bboxes explode to overlapped
+    mercator grid cells, docs route to their cell, ONE co-partitioning
+    exchange, local ray cast — stages/join.polygon_join_bucketed). The
+    intercept float chain is written identically in numpy and SQL, so
+    the oracle matches bit-for-bit at the crossing comparison. Legs
+    carry poly_id in the rect_id column with z/x/y = -1 (the pip_join
+    union schema)."""
     import ray.data as rd
 
     from .stages.join import PolygonJoin, polygon_join_bucketed
@@ -535,15 +540,20 @@ def q_polygon_join(sf_dir):
 
     def tag(name):
         def f(b: pa.Table, _n=name) -> pa.Table:
-            return b.append_column(
-                "leg", pa.array([_n] * b.num_rows, type=pa.string()))
+            n = b.num_rows
+            neg = pa.array(np.full(n, -1, dtype=np.int64))
+            return pa.table({
+                "leg": pa.array([_n] * n, type=pa.string()),
+                "doc_num": b["doc_num"], "z": neg, "x": neg, "y": neg,
+                "rect_id": b["poly_id"]})
         return f
 
-    return broad.map_batches(tag("broadcast"), batch_format="pyarrow").union(
-        bucketed.map_batches(tag("bucketed"), batch_format="pyarrow"))
+    return broad.map_batches(
+        tag("poly_broadcast"), batch_format="pyarrow").union(
+        bucketed.map_batches(tag("poly_bucketed"), batch_format="pyarrow"))
 
 
-def _oracle_polygon_join():
+def _oracle_polygon_legs():
     edges = []
     for pid, verts in POLY_JOIN_POLYS:
         m = len(verts)
@@ -561,8 +571,10 @@ def _oracle_polygon_join():
         "FROM docs d CROSS JOIN edges e), "
         "inside AS (SELECT doc_num, poly_id FROM hits "
         "GROUP BY 1, 2 HAVING sum(c) % 2 = 1) "
-        "SELECT leg, doc_num, poly_id FROM inside "
-        "CROSS JOIN (VALUES ('broadcast'), ('bucketed')) legs(leg)"
+        "SELECT leg, doc_num, CAST(-1 AS BIGINT) AS z, "
+        "CAST(-1 AS BIGINT) AS x, CAST(-1 AS BIGINT) AS y, "
+        "poly_id AS rect_id FROM inside "
+        "CROSS JOIN (VALUES ('poly_broadcast'), ('poly_bucketed')) legs(leg)"
     )
 
 
@@ -1010,9 +1022,10 @@ def q_text_stats(sf_dir):
     one Arrow whitespace split feeds counts, stopword hits, max/sum
     token length) PLUS the Gopher/MassiveText repetition signals
     (repetition_stats_batch — top-word / top-bigram dominance with an
-    integer-cross-multiplication `repetitive` flag). One driver row
-    checks both kernels; both are pure maps so the fused stage still
-    shuffles nothing."""
+    integer-cross-multiplication `repetitive` flag) PLUS the winnowed
+    min-rolling-hash document fingerprint (fingerprint_batch). One
+    driver row checks all three kernels; all are pure maps so the
+    fused stage still shuffles nothing."""
 
     def f(batch: pa.Table) -> pa.Table:
         q = text_stage.quality_batch(batch)
@@ -1020,7 +1033,8 @@ def q_text_stats(sf_dir):
         for name in r.column_names:
             if name != "doc_id":
                 q = q.append_column(name, r[name])
-        return q
+        return q.append_column(
+            "fingerprint", text_stage.fingerprint_batch(batch)["fingerprint"])
 
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow")
 
@@ -1235,6 +1249,10 @@ def q_media_refs(sf_dir):
 
 
 def q_embedding_topk(sf_dir):
+    """Exact brute-force cosine top-k AND the SRP-LSH approximate
+    variant, method-tagged in one driver row (identical
+    (q_id, vec_id, rank) shape; each leg keeps its exact SQL mirror —
+    the LSH mirror reproduces the seeded hyperplane bucketing)."""
     import ray.data as rd
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
@@ -1242,7 +1260,14 @@ def q_embedding_topk(sf_dir):
     emb = embed._to_matrix(t["embedding"])
     q_mask = np.isin(vid, np.asarray(TOPK_QUERY_IDS))
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embed.cosine_topk(ds, vid[q_mask], emb[q_mask], TOPK_K)
+    brute = embed.cosine_topk(ds, vid[q_mask], emb[q_mask], TOPK_K)
+    ds2 = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    lsh = embed.lsh_topk(
+        ds2, vid[q_mask], emb[q_mask], TOPK_K, dim=emb.shape[1],
+        nbits=LSH_TOPK_NBITS)
+    brute.insert(0, "method", "brute")
+    lsh.insert(0, "method", "lsh")
+    return pd.concat([brute, lsh], ignore_index=True)
 
 
 def q_label_centroids(sf_dir):
@@ -1542,36 +1567,32 @@ def q_cell_index(sf_dir):
         ["doc_id", "doc_num", "z", "x", "y", "hilbert", "s2_cell", "s2_token"])
 
 
-def q_fingerprint(sf_dir):
-    return _docs(sf_dir).map_batches(text_stage.fingerprint_batch, batch_format="pyarrow")
-
-
 def q_minhash_dedup(sf_dir):
-    """MinHash LSH candidates + exact-Jaccard verify, with the verify
+    """BOTH near-dup signal families method-tagged in one driver row
+    (they share the (doc_a, doc_b, score) pair shape; SimHash's
+    integer Hamming distance rides exactly as a double). 'minhash' =
+    MinHash LSH candidates + exact-Jaccard verify with the verify
     stage on the co-partitioned exchange path (no corpus broadcast —
-    the scale path, exercised by the driver oracle)."""
+    the scale path); 'simhash' = SimHash banding + Hamming verify."""
     cand = dedup.minhash_candidates(_docs(sf_dir))
     texts = D.read_docs(sf_dir, columns=["doc_num", "text"])
-    return dedup.jaccard_verify_exchange(
+    mh = dedup.jaccard_verify_exchange(
         cand, texts, threshold=MINHASH_TAU, num_partitions=8
     )
+    sh = dedup.simhash_candidates(_docs(sf_dir))
 
+    def tag(name, col):
+        def f(b: pa.Table, _n=name, _c=col) -> pa.Table:
+            return pa.table({
+                "method": pa.array([_n] * b.num_rows, type=pa.string()),
+                "doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                "score": b[_c].cast(pa.float64()),
+            })
+        return f
 
-def q_simhash_dedup(sf_dir):
-    return dedup.simhash_candidates(_docs(sf_dir))
-
-
-def q_embedding_lsh_topk(sf_dir):
-    import ray.data as rd
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    vid = np.asarray(t["vec_id"], dtype=np.int64)
-    emb = embed._to_matrix(t["embedding"])
-    q_mask = np.isin(vid, np.asarray(TOPK_QUERY_IDS))
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embed.lsh_topk(
-        ds, vid[q_mask], emb[q_mask], TOPK_K, dim=emb.shape[1], nbits=LSH_TOPK_NBITS
-    )
+    return mh.map_batches(
+        tag("minhash", "jaccard"), batch_format="pyarrow").union(
+        sh.map_batches(tag("simhash", "hamming"), batch_format="pyarrow"))
 
 
 def q_embedding_ivf_fixed(sf_dir):
@@ -1994,6 +2015,9 @@ def _oracle_pip_join():
         f"JOIN (VALUES {rvals}) AS r(rect_id, x0, y0, x1, y1) "
         "ON m.mx >= r.x0 AND m.mx < r.x1 AND m.my >= r.y0 AND m.my < r.y1"
     )
+    # the polygon-legs mirror is a WITH query; wrap it so it can ride
+    # as a UNION ALL operand
+    parts.append(f"SELECT * FROM ({_oracle_polygon_legs()})")
     return " UNION ALL ".join(parts)
 
 
@@ -2204,9 +2228,11 @@ def _oracle_minhash_dedup():
         "inter AS (SELECT p.doc_a, p.doc_b, count(*) AS i FROM pairs p "
         "JOIN sh a ON a.doc_id = p.doc_a JOIN sh b ON b.doc_id = p.doc_b "
         "AND b.h = a.h GROUP BY p.doc_a, p.doc_b) "
-        f"SELECT t.doc_a, t.doc_b, {jac} AS jaccard FROM inter t "
+        f"SELECT 'minhash' AS method, t.doc_a, t.doc_b, {jac} AS score FROM inter t "
         "JOIN cnt ca ON ca.doc_id = t.doc_a JOIN cnt cb ON cb.doc_id = t.doc_b "
-        f"WHERE {jac} >= {MINHASH_TAU}"
+        f"WHERE {jac} >= {MINHASH_TAU} "
+        "UNION ALL "
+        f"SELECT 'simhash', doc_a, doc_b, CAST(hamming AS DOUBLE) FROM ({_oracle_simhash_dedup()})"
     )
 
 
@@ -2278,9 +2304,11 @@ def _oracle_text_stats():
         "CASE WHEN n_tokens >= 10 AND 3 * n_tokens <= alpha_chars AND "
         "alpha_chars <= 12 * n_tokens AND 20 * n_stop >= n_tokens THEN 2 "
         "WHEN n_tokens >= 3 THEN 1 ELSE 0 END AS quality_bucket FROM s), "
-        f"r AS ({_sql_repetition_stats()}) "
+        f"r AS ({_sql_repetition_stats()}), "
+        f"f AS ({_oracle_fingerprint()}) "
         "SELECT q.*, r.n_words, r.n_distinct_words, r.top_word_cnt, "
-        "r.n_bigrams, r.top_bigram_cnt, r.repetitive FROM q JOIN r USING (doc_id)"
+        "r.n_bigrams, r.top_bigram_cnt, r.repetitive, f.fingerprint "
+        "FROM q JOIN r USING (doc_id) JOIN f USING (doc_id)"
     )
 
 
@@ -2529,13 +2557,18 @@ def _oracle_range_join():
 
 def _oracle_embedding_topk():
     ids = ", ".join(str(i) for i in TOPK_QUERY_IDS)
-    return (
+    brute = (
         f"WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id IN ({ids})) "
         "SELECT q_id, vec_id, rank FROM ("
         "SELECT q.qid AS q_id, c.vec_id, row_number() OVER (PARTITION BY q.qid ORDER BY "
         "list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank "
         "FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.qid) "
         f"WHERE rank <= {TOPK_K}"
+    )
+    return (
+        f"SELECT 'brute' AS method, q_id, vec_id, rank FROM ({brute}) "
+        "UNION ALL "
+        f"SELECT 'lsh', q_id, vec_id, rank FROM ({_oracle_embedding_lsh_topk()})"
     )
 
 
@@ -2689,17 +2722,17 @@ QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "cell_index": q_cell_index,
-    "fingerprint": q_fingerprint,
     "outline": q_outline,
     "minhash_dedup": q_minhash_dedup,
-    "simhash_dedup": q_simhash_dedup,
-    "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_fixed": q_embedding_ivf_fixed,
     "embedding_near_dup": q_embedding_near_dup,
     "bm25_topk": q_bm25_topk,
     "pmi_topk": q_pmi_topk,
     "scrub_events": q_scrub_events,
     "decontaminate": q_decontaminate,
+    "lm_ppl": q_lm_ppl,
+    "semantic_dedup": q_semantic_dedup,
+    "tfidf_docs": q_tfidf_docs,
     # ---- position 51+: rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -2708,11 +2741,6 @@ QUERIES = {
     "video_frames": q_video_frames,
     # iterative k-means training: rows-only by nature
     "embedding_pq_topk": q_embedding_pq_topk,
-    # oracle-backed beyond the driver window (verified via selfcheck)
-    "lm_ppl": q_lm_ppl,
-    "semantic_dedup": q_semantic_dedup,
-    "tfidf_docs": q_tfidf_docs,
-    "polygon_join": q_polygon_join,
     # iterative merge learning: rows-only by nature (tests pin the
     # merge sequence against an independent reference learner)
     "bpe_merges": q_bpe_merges,
@@ -2728,7 +2756,6 @@ ORACLES = {
     "tile_spans": _oracle_tile_spans(),
     "tile_spans_pyramid": _oracle_tile_spans_pyramid(),
     "outline": _oracle_outline(),
-    "fingerprint": _oracle_fingerprint(),
     "pyramid_counts": _oracle_pyramid_counts(),
     "filter_bbox_zoom": _oracle_filter_bbox_zoom(),
     "stacked_first_wins": _oracle_stacked_first_wins(),
@@ -2764,8 +2791,6 @@ ORACLES = {
     "range_join": _oracle_range_join(),
     "cell_index": _oracle_cell_index(),
     "minhash_dedup": _oracle_minhash_dedup(),
-    "simhash_dedup": _oracle_simhash_dedup(),
-    "embedding_lsh_topk": _oracle_embedding_lsh_topk(),
     "embedding_ivf_fixed": _oracle_embedding_ivf_fixed(),
     "embedding_near_dup": _oracle_embedding_near_dup(),
     "bm25_topk": _oracle_bm25_topk(),
@@ -2775,7 +2800,6 @@ ORACLES = {
     "lm_ppl": _oracle_lm_ppl(),
     "semantic_dedup": _oracle_semantic_dedup(),
     "tfidf_docs": _oracle_tfidf_docs(),
-    "polygon_join": _oracle_polygon_join(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window
