@@ -203,3 +203,55 @@ def test_bbox_expand_by_reference_goldens():
         top = (1 << z) - 1
         assert b1.x_min == max(b0.x_min - 1, 0)
         assert b1.y_max == min(b0.y_max + 1, top)
+
+
+# ---------------------------------------------------------------- geohash
+
+def test_geohash_published_goldens():
+    """Canonical public test vectors (Niemeyer's geohash.org examples)."""
+    from versatiles_rs_ray.core.cells import geohash_encode
+
+    assert geohash_encode([-5.603], [42.605], 5)[0] == "ezs42"
+    assert geohash_encode([10.40744], [57.64911], 11)[0] == "u4pruydqqvj"
+    # prefix property: lower precision is a strict prefix
+    full = geohash_encode([10.40744], [57.64911], 12)[0]
+    for p in range(1, 12):
+        assert geohash_encode([10.40744], [57.64911], p)[0] == full[:p]
+
+
+def test_geohash_decode_roundtrip():
+    from versatiles_rs_ray.core.cells import geohash_decode, geohash_encode
+
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 180, 200)
+    lat = rng.uniform(-90, 90, 200)
+    for p in (1, 5, 9, 12):
+        gh = geohash_encode(lon, lat, p)
+        dlon, dlat, elon, elat = geohash_decode(gh)
+        # decoded center re-encodes to the same hash...
+        assert list(geohash_encode(dlon, dlat, p)) == list(gh)
+        # ...and the original point is within the half-cell error
+        assert np.all(np.abs(dlon - lon) <= elon + 1e-12)
+        assert np.all(np.abs(dlat - lat) <= elat + 1e-12)
+
+
+def test_geohash_edges_and_validation():
+    from versatiles_rs_ray.core.cells import geohash_encode
+
+    # domain corners clamp into the last cell instead of overflowing
+    gh = geohash_encode([180.0, -180.0], [90.0, -90.0], 6)
+    assert gh[0] == "zzzzzz" and gh[1] == "000000"
+    with pytest.raises(ValueError):
+        geohash_encode([0.0], [0.0], 0)
+    with pytest.raises(ValueError):
+        geohash_encode([0.0], [0.0], 13)
+
+
+def test_geohash_neighbors_share_prefix():
+    """Nearby points in the same cell interior share the full hash."""
+    from versatiles_rs_ray.core.cells import geohash_decode, geohash_encode
+
+    base = geohash_encode([13.4050], [52.5200], 7)[0]  # Berlin
+    dlon, dlat, elon, elat = geohash_decode([base])
+    jit = geohash_encode([dlon[0] + 0.4 * elon[0]], [dlat[0] - 0.4 * elat[0]], 7)
+    assert jit[0] == base

@@ -180,3 +180,91 @@ def h3_cell(lon, lat, resolution):
     lon = np.atleast_1d(lon)
     lat = np.atleast_1d(lat)
     return np.asarray([h3.latlng_to_cell(la, lo, resolution) for lo, la in zip(lon, lat)], dtype=object)
+
+
+# ----------------------------------------------------------------------
+# Geohash (public spec: Niemeyer 2008; base32 bisection encoding).
+# Implemented directly from the published algorithm as pure integer
+# bit arithmetic — no lookup tables beyond the 32-char alphabet — so
+# unlike H3 (gated above) it is fully reconstructible offline AND
+# exactly mirrorable in SQL: quantize each axis once, interleave bits
+# (even positions from the MSB are longitude), group 5 bits per
+# base32 character. The direct quantization floor((x - lo) / range *
+# 2^bits) is algebraically the classic per-bit bisection unrolled.
+# ----------------------------------------------------------------------
+
+GEOHASH_ALPHABET = b"0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_bits(precision: int) -> tuple[int, int]:
+    """(lon_bits, lat_bits) for a precision in characters; lon leads."""
+    nbits = 5 * precision
+    return (nbits + 1) // 2, nbits // 2
+
+
+def geohash_encode(lon, lat, precision: int = 9):
+    """Vectorized geohash of lon/lat arrays -> object array of strings.
+
+    precision <= 12 keeps the interleaved integer within uint64. The
+    float chain is exactly ((x + off) / range) * 2^bits then floor —
+    the SQL mirror (queries._sql_geohash) writes the identical chain,
+    so quantized integers match bit-for-bit.
+    """
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash precision must be in 1..12")
+    lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
+    lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+    lon_bits, lat_bits = geohash_bits(precision)
+    nbits = lon_bits + lat_bits
+    lq = np.floor((lon + 180.0) / 360.0 * float(1 << lon_bits))
+    lq = np.minimum(lq, float((1 << lon_bits) - 1)).astype(np.uint64)
+    tq = np.floor((lat + 90.0) / 180.0 * float(1 << lat_bits))
+    tq = np.minimum(tq, float((1 << lat_bits) - 1)).astype(np.uint64)
+    gh = np.zeros(lon.shape, dtype=np.uint64)
+    for k in range(nbits):  # k counts from the MSB; even slots = lon
+        if k % 2 == 0:
+            bit = (lq >> np.uint64(lon_bits - 1 - k // 2)) & np.uint64(1)
+        else:
+            bit = (tq >> np.uint64(lat_bits - 1 - k // 2)) & np.uint64(1)
+        gh = (gh << np.uint64(1)) | bit
+    alpha = np.frombuffer(GEOHASH_ALPHABET, dtype=np.uint8)
+    idx = np.empty((lon.size, precision), dtype=np.uint64)
+    for c in range(precision):
+        idx[:, c] = (gh >> np.uint64(5 * (precision - 1 - c))) & np.uint64(31)
+    codes = alpha[idx.astype(np.int64)]
+    return np.asarray(
+        [codes[i].tobytes().decode("ascii") for i in range(lon.size)],
+        dtype=object,
+    )
+
+
+def geohash_decode(hashes):
+    """Cell-center lon/lat (+ half-cell errors) of geohash strings.
+
+    Accepts mixed precisions. Inverse of geohash_encode: the decoded
+    center re-encodes to the same string (pytest-pinned round trip).
+    """
+    hs = list(hashes)
+    lon = np.empty(len(hs), dtype=np.float64)
+    lat = np.empty(len(hs), dtype=np.float64)
+    lon_err = np.empty(len(hs), dtype=np.float64)
+    lat_err = np.empty(len(hs), dtype=np.float64)
+    rev = {c: i for i, c in enumerate(GEOHASH_ALPHABET.decode())}
+    for row, h in enumerate(hs):
+        gh = 0
+        for ch in h:
+            gh = (gh << 5) | rev[ch]
+        nbits = 5 * len(h)
+        lon_bits, lat_bits = geohash_bits(len(h))
+        lq = tq = 0
+        for k in range(nbits):
+            bit = (gh >> (nbits - 1 - k)) & 1
+            if k % 2 == 0:
+                lq = (lq << 1) | bit
+            else:
+                tq = (tq << 1) | bit
+        lon[row] = (lq + 0.5) / (1 << lon_bits) * 360.0 - 180.0
+        lat[row] = (tq + 0.5) / (1 << lat_bits) * 180.0 - 90.0
+        lon_err[row] = 180.0 / (1 << lon_bits)
+        lat_err[row] = 90.0 / (1 << lat_bits)
+    return lon, lat, lon_err, lat_err

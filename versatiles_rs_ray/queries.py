@@ -45,6 +45,7 @@ KNN_MOD = 97
 TOPK_K = 5
 TOPK_QUERY_IDS = (0, 1, 2, 3)
 S2_LEVEL = 12
+GEOHASH_PRECISION = 9
 MINHASH_TAU = 0.5
 SIMHASH_MAX_HAMMING = 3
 LSH_TOPK_NBITS = 12
@@ -1549,9 +1550,9 @@ def q_range_join(sf_dir):
 
 def q_cell_index(sf_dir):
     """Every spatial-index encoding in ONE per-doc map: ZXY tile,
-    level-offset Hilbert rank, and full S2 cell id + token — the DGGS
-    + space-filling-curve surface merged into a single driver row
-    (both halves keep their exact SQL mirrors, joined on doc)."""
+    level-offset Hilbert rank, full S2 cell id + token, and geohash —
+    the DGGS + space-filling-curve surface merged into a single driver
+    row (each encoding keeps its exact SQL mirror, joined on doc)."""
     ds = assign.assign_tiles(_docs(sf_dir), Z_FLIP, with_hilbert=True)
 
     def add_s2(batch: pa.Table) -> pa.Table:
@@ -1559,12 +1560,17 @@ def q_cell_index(sf_dir):
         lat = np.asarray(batch["lat"], dtype=np.float64)
         cid = cells.s2_cell_id(lon, lat, S2_LEVEL)
         batch = batch.append_column("s2_cell", pa.array(cid, type=pa.int64()))
-        return batch.append_column(
+        batch = batch.append_column(
             "s2_token", pa.array(cells.s2_token(cid), type=pa.string()))
+        return batch.append_column(
+            "geohash", pa.array(
+                cells.geohash_encode(lon, lat, GEOHASH_PRECISION),
+                type=pa.string()))
 
     ds = ds.map_batches(add_s2, batch_format="pyarrow")
     return ds.select_columns(
-        ["doc_id", "doc_num", "z", "x", "y", "hilbert", "s2_cell", "s2_token"])
+        ["doc_id", "doc_num", "z", "x", "y", "hilbert", "s2_cell",
+         "s2_token", "geohash"])
 
 
 def q_minhash_dedup(sf_dir):
@@ -2041,15 +2047,48 @@ def _oracle_knn_joins():
     )
 
 
+def _sql_geohash(precision: int, lon_col: str = "lon", lat_col: str = "lat"):
+    """Geohash as pure-integer SQL, mirroring core/cells.geohash_encode
+    bit for bit: the quantization float chain is written identically
+    (((x + off) / range) * 2^bits then floor), the bit interleave and
+    base32 grouping are exact integer arithmetic. Returns (lq_expr,
+    tq_expr, char_concat_expr over columns named lq/tq)."""
+    from .core.cells import GEOHASH_ALPHABET, geohash_bits
+
+    lon_bits, lat_bits = geohash_bits(precision)
+    alpha = GEOHASH_ALPHABET.decode()
+    lq = (f"CAST(least(floor(({lon_col} + 180) / 360 * {float(1 << lon_bits)!r}), "
+          f"{(1 << lon_bits) - 1}) AS BIGINT)")
+    tq = (f"CAST(least(floor(({lat_col} + 90) / 180 * {float(1 << lat_bits)!r}), "
+          f"{(1 << lat_bits) - 1}) AS BIGINT)")
+    chars = []
+    for c in range(precision):
+        terms = []
+        for w in range(5):
+            k = 5 * c + w
+            if k % 2 == 0:
+                src, j = "lq", lon_bits - 1 - k // 2
+            else:
+                src, j = "tq", lat_bits - 1 - k // 2
+            terms.append(f"(({src} // {1 << j}) % 2) * {1 << (4 - w)}")
+        chars.append(
+            f"substr('{alpha}', CAST({' + '.join(terms)} AS INT) + 1, 1)")
+    return lq, tq, " || ".join(chars)
+
+
 def _oracle_cell_index():
+    lq, tq, gh = _sql_geohash(GEOHASH_PRECISION)
     return (
         f"WITH hq AS ({_oracle_hilbert_order()}), "
         f"s2q AS ({_oracle_s2_cells()}), "
+        f"ghq AS (SELECT doc_id, {gh} AS geohash FROM "
+        f"(SELECT doc_id, {lq} AS lq, {tq} AS tq FROM {SQL_DOCS} d)), "
         f"ids AS (SELECT doc_id, doc_num FROM {SQL_DOCS} d) "
         "SELECT ids.doc_id, hq.doc_num, hq.z, hq.x, hq.y, hq.hilbert, "
-        "s2q.s2_cell, s2q.s2_token FROM hq "
+        "s2q.s2_cell, s2q.s2_token, ghq.geohash FROM hq "
         "JOIN ids ON hq.doc_num = ids.doc_num "
-        "JOIN s2q ON s2q.doc_id = ids.doc_id"
+        "JOIN s2q ON s2q.doc_id = ids.doc_id "
+        "JOIN ghq ON ghq.doc_id = ids.doc_id"
     )
 
 
