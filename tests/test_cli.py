@@ -305,6 +305,20 @@ def test_cli_corpus_dup_spans(tmp_path):
     assert set(t.schema.names) == {"doc", "span_start", "span_end"}
 
 
+def test_cli_corpus_scrub_spans(tmp_path):
+    src = "/root/testdata/sf0.001/documents.parquet"
+    doc = _run(["corpus", "scrub-spans", src, str(tmp_path / "s"), "--key",
+                "doc_id", "--k", "24"])
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{tmp_path}/s")
+    assert doc["rows"] == t.num_rows == 500
+    assert set(t.schema.names) == {"doc_id", "text", "n_spans", "n_removed"}
+    import numpy as np
+
+    assert int(np.asarray(t["n_removed"]).sum()) > 0  # corpus has dup spans
+
+
 def test_cli_help_corpus():
     import subprocess
     import sys

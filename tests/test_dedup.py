@@ -593,3 +593,116 @@ def test_duplicate_spans_matches_duckdb_exact(ray_session, sf_dir):
         FROM isl GROUP BY doc_id, grp ORDER BY doc, span_start
     """).df().reset_index(drop=True)
     pd.testing.assert_frame_equal(out.astype("int64"), want.astype("int64"))
+
+
+# ---- remove_duplicate_spans (the removal surgery) --------------------------
+
+
+def _py_remove(texts_by_id, spans):
+    """Scalar reference: coverage-mask splice per doc."""
+    out = {}
+    for doc, text in texts_by_id.items():
+        mask = [True] * len(text)
+        for d, s, e in spans:
+            if d == doc:
+                for i in range(max(s, 0), min(e, len(text))):
+                    mask[i] = False
+        out[doc] = "".join(c for c, m in zip(text, mask) if m)
+    return out
+
+
+def test_remove_duplicate_spans_crafted(ray_session):
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.dedup import (duplicate_spans,
+                                                remove_duplicate_spans)
+
+    boiler = "COMMON LICENSE BLOCK THAT REPEATS ACROSS DOCUMENTS 0123456789"
+    texts = {
+        0: "unique text aaaa " + boiler + " tail zero",
+        1: "other start bbbb " + boiler + " different end",
+        2: "totally unique document with no duplicated content at all x",
+        3: boiler,   # whole doc is one span -> empty survivor
+        4: "",       # empty doc passes through
+    }
+    docs = pa.table({
+        "doc_num": pa.array(sorted(texts), type=pa.int64()),
+        "text": pa.array([texts[i] for i in sorted(texts)], type=pa.string()),
+    })
+    ds = rd.from_arrow(docs)
+    spans = duplicate_spans(ds, k=24, num_partitions=4).to_pandas()
+    want = _py_remove(texts, list(map(tuple, spans.itertuples(index=False))))
+    out = remove_duplicate_spans(ds, k=24, num_partitions=4).to_pandas() \
+        .sort_values("doc_num").reset_index(drop=True)
+    assert dict(zip(out["doc_num"], out["text"])) == want
+    assert out.loc[out["doc_num"] == 3, "text"].iloc[0] == ""
+    assert out.loc[out["doc_num"] == 2, "n_spans"].iloc[0] == 0
+    assert (out["n_removed"] ==
+            [len(texts[i]) - len(want[i]) for i in sorted(texts)]).all()
+
+
+def test_remove_duplicate_spans_overlapping(ray_session):
+    """Overlapping span intervals (maximal runs extend k past their
+    last hit, so they legitimately overlap) splice as their union."""
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.dedup import (_rds_combine,
+                                                remove_duplicate_spans)
+
+    text = "0123456789abcdefghijklmnopqrstuvwxyz"
+    spans = pa.table({
+        "doc": pa.array([7, 7], type=pa.int64()),
+        "span_start": pa.array([2, 8], type=pa.int64()),
+        "span_end": pa.array([12, 20], type=pa.int64()),
+    })
+    ds = rd.from_arrow(pa.table({
+        "doc_num": pa.array([7], type=pa.int64()),
+        "text": pa.array([text], type=pa.string()),
+    }))
+    out = remove_duplicate_spans(
+        ds, num_partitions=2, spans_ds=rd.from_arrow(spans)).to_pandas()
+    assert out["text"].iloc[0] == text[:2] + text[20:]
+    assert out["n_spans"].iloc[0] == 2
+    assert out["n_removed"].iloc[0] == 18
+
+
+def test_remove_duplicate_spans_matches_reference_corpus(ray_session, sf_dir):
+    """End to end on the real sf0.001 table: engine splice == scalar
+    reference applied to the engine's own (oracle-verified) spans."""
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.dedup import (duplicate_spans,
+                                                remove_duplicate_spans)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    spans = duplicate_spans(ds, k=24, id_col="doc_id",
+                            num_partitions=8).to_pandas()
+    texts = {int(r["doc_id"]): r["text"]
+             for r in ds.to_pandas().to_dict("records")}
+    want = _py_remove(texts, list(map(tuple, spans.itertuples(index=False))))
+    out = remove_duplicate_spans(ds, k=24, id_col="doc_id",
+                                 num_partitions=8).to_pandas()
+    assert dict(zip(out["doc_id"], out["text"])) == want
+    # partition invariance
+    out2 = remove_duplicate_spans(ds, k=24, id_col="doc_id",
+                                  num_partitions=3).to_pandas()
+    assert dict(zip(out2["doc_id"], out2["text"])) == want
+
+
+def test_remove_duplicate_spans_empty(ray_session):
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.dedup import remove_duplicate_spans
+
+    ds = rd.from_arrow(pa.table({
+        "doc_num": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string()),
+    }))
+    out = remove_duplicate_spans(ds, num_partitions=2).to_pandas()
+    assert len(out) == 0
+    # a 0-block upstream (empty corpus -> empty span exchange) loses
+    # the schema before the final exchange, mirroring duplicate_spans'
+    # own empty behavior; when columns survive they must be the
+    # post-combine set
+    assert set(out.columns) <= {"doc_num", "text", "n_spans", "n_removed"}

@@ -344,6 +344,11 @@ def cmd_corpus(args):
 
         out = duplicate_spans(ds, k=args.k, stride=args.stride,
                               id_col=args.key, text_col=args.col)
+    elif args.op == "scrub-spans":
+        from versatiles_rs_ray.stages.dedup import remove_duplicate_spans
+
+        out = remove_duplicate_spans(ds, k=args.k, stride=args.stride,
+                                     id_col=args.key, text_col=args.col)
     elif args.op == "lm-score":
         from versatiles_rs_ray.stages.lm import lm_score
 
@@ -477,6 +482,7 @@ def cmd_help(args):
             "normalize": T.normalize_docs,
             "dedup": DD.ngram_jaccard_pairs,
             "dup-spans": DD.duplicate_spans, "curate": curate_corpus,
+            "scrub-spans": DD.remove_duplicate_spans,
             "chunk": T.chunk_documents_tokens,
             "lm-score": lm_score, "tfidf": hashed_tfidf,
             "semdedup": semantic_dedup, "bpe-train": bpe_train,
@@ -576,7 +582,8 @@ def main(argv=None):
     co = sub.add_parser("corpus", help="training-data curation ops over parquet")
     co.add_argument("op", choices=["quota", "sample", "shuffle", "pack",
                                    "normalize", "topk", "split", "dedup",
-                                   "curate", "dup-spans", "chunk",
+                                   "curate", "dup-spans", "scrub-spans",
+                                   "chunk",
                                    "lm-score", "tfidf", "semdedup",
                                    "bpe-train"])
     co.add_argument("input", help="documents parquet file/dir")

@@ -363,7 +363,29 @@ def q_dedup_exact(sf_dir):
                         columns=["doc_id", "text"]),
         k=DUP_SPAN_K, id_col="doc_id",
     ).map_batches(fmt_span, batch_format="pyarrow")
-    return doc_leg.union(span_leg)
+
+    # third leg: the REMOVAL surgery (dedup.remove_duplicate_spans) —
+    # every doc's cleaned text verified exactly via its md5 + length
+    def fmt_scrub(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        import pyarrow.compute as pc
+
+        md5 = [hashlib.md5(s.encode()).hexdigest()
+               for s in t["text"].to_pylist()]
+        return pa.table({
+            "method": pa.array(np.full(t.num_rows, "scrubbed"), type=pa.string()),
+            "key": pa.array(md5, type=pa.string()),
+            "a": t["doc_id"].cast(pa.int64()),
+            "b": pc.utf8_length(t["text"].combine_chunks()).cast(pa.int64()),
+        })
+
+    scrub_leg = dedup.remove_duplicate_spans(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]),
+        k=DUP_SPAN_K, id_col="doc_id",
+    ).map_batches(fmt_scrub, batch_format="pyarrow")
+    return doc_leg.union(span_leg).union(scrub_leg)
 
 
 QUOTA_N = 5
@@ -2094,13 +2116,9 @@ def _oracle_cell_index():
 
 def _oracle_dedup_exact():
     k = DUP_SPAN_K
-    return (
-        "SELECT 'doc' AS method, md5(text) AS key, "
-        "CAST(min(doc_id) AS BIGINT) AS a, CAST(count(*) AS BIGINT) AS b "
-        "FROM documents GROUP BY md5(text) "
-        "UNION ALL "
-        "SELECT 'substring' AS method, key, a, b FROM ("
-        f"WITH pos AS (SELECT doc_id, i.range AS p, "
+    # shared span CTE chain (exact substring equality, gaps-and-islands)
+    spans_cte = (
+        f"pos AS (SELECT doc_id, i.range AS p, "
         f"substr(text, i.range::INT, {k}) AS g "
         "FROM documents, range(1, 100000) i "
         f"WHERE i.range <= length(text) - {k} + 1), "
@@ -2110,11 +2128,49 @@ def _oracle_dedup_exact():
         "m AS (SELECT doc_id, p, CASE WHEN p - lag(p) OVER "
         "(PARTITION BY doc_id ORDER BY p) = 1 THEN 0 ELSE 1 END AS brk FROM h), "
         "isl AS (SELECT doc_id, p, SUM(brk) OVER (PARTITION BY doc_id "
-        "ORDER BY p ROWS UNBOUNDED PRECEDING) AS grp FROM m) "
-        "SELECT CAST(doc_id AS VARCHAR) AS key, "
-        "CAST(min(p) - 1 AS BIGINT) AS a, "
-        f"CAST(max(p) - 1 + {k} AS BIGINT) AS b "
-        "FROM isl GROUP BY doc_id, grp)"
+        "ORDER BY p ROWS UNBOUNDED PRECEDING) AS grp FROM m), "
+        "sp AS (SELECT doc_id, CAST(min(p) - 1 AS BIGINT) AS a, "
+        f"CAST(max(p) - 1 + {k} AS BIGINT) AS b FROM isl GROUP BY doc_id, grp)"
+    )
+    # removal mirror: spans may OVERLAP (maximal duplicated-window
+    # runs extend k bytes past their last hit), so merge intervals
+    # first (cumulative-max grouping), then take the kept segments
+    # between consecutive merged spans (lag) + the tail
+    scrub = (
+        f"WITH {spans_cte}, "
+        "sp2 AS (SELECT doc_id, a, b, CASE WHEN a > coalesce(max(b) OVER ("
+        "PARTITION BY doc_id ORDER BY a, b "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) "
+        "THEN 1 ELSE 0 END AS brk2 FROM sp), "
+        "grp2 AS (SELECT doc_id, a, b, SUM(brk2) OVER (PARTITION BY doc_id "
+        "ORDER BY a, b ROWS UNBOUNDED PRECEDING) AS g2 FROM sp2), "
+        "msp AS (SELECT doc_id, min(a) AS a, max(b) AS b FROM grp2 "
+        "GROUP BY doc_id, g2), "
+        "seg AS (SELECT doc_id, coalesce(lag(b) OVER (PARTITION BY doc_id "
+        "ORDER BY a), 0) AS s0, a AS s1 FROM msp "
+        "UNION ALL SELECT doc_id, max(b) AS s0, NULL AS s1 FROM msp "
+        "GROUP BY doc_id), "
+        "pieces AS (SELECT s.doc_id, s.s0, substr(d.text, "
+        "CAST(s.s0 + 1 AS INT), "
+        "CAST(coalesce(s.s1, length(d.text)) - s.s0 AS INT)) AS piece "
+        "FROM seg s JOIN documents d ON d.doc_id = s.doc_id), "
+        "cl AS (SELECT doc_id, string_agg(piece, '' ORDER BY s0) AS ct "
+        "FROM pieces GROUP BY doc_id) "
+        "SELECT md5(coalesce(cl.ct, d.text)) AS key, "
+        "CAST(d.doc_id AS BIGINT) AS a, "
+        "CAST(length(coalesce(cl.ct, d.text)) AS BIGINT) AS b "
+        "FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id"
+    )
+    return (
+        "SELECT 'doc' AS method, md5(text) AS key, "
+        "CAST(min(doc_id) AS BIGINT) AS a, CAST(count(*) AS BIGINT) AS b "
+        "FROM documents GROUP BY md5(text) "
+        "UNION ALL "
+        "SELECT 'substring' AS method, key, a, b FROM ("
+        f"WITH {spans_cte} "
+        "SELECT CAST(doc_id AS VARCHAR) AS key, a, b FROM sp) "
+        "UNION ALL "
+        f"SELECT 'scrubbed' AS method, key, a, b FROM ({scrub})"
     )
 
 

@@ -1373,3 +1373,124 @@ def duplicate_spans(ds, k: int = 24, stride: int = 1,
     return hash_exchange(hits, "doc",
                          functools.partial(_merge_islands, k=k, stride=stride),
                          num_partitions=max(2, num_partitions // 2))
+
+
+def _rds_tag_docs(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    ids = batch[id_col].cast(pa.int64())
+    txt = batch[text_col].cast(pa.string())
+    n = batch.num_rows
+    neg = pa.array(np.full(n, -1, dtype=np.int64))
+    return pa.table({"doc": ids, "text": txt, "span_start": neg,
+                     "span_end": neg,
+                     "__side": pa.array(np.zeros(n, dtype=np.int8))})
+
+
+def _rds_tag_spans(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table({
+        "doc": batch["doc"].cast(pa.int64()),
+        "text": pa.array([None] * n, type=pa.string()),
+        "span_start": batch["span_start"].cast(pa.int64()),
+        "span_end": batch["span_end"].cast(pa.int64()),
+        "__side": pa.array(np.ones(n, dtype=np.int8)),
+    })
+
+
+def _rds_combine(tbl: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """Partition combine: splice every doc's [start, end) spans out of
+    its text in ONE vectorized pass over the partition's concatenated
+    bytes (range-diff + cumsum coverage mask, then a boolean gather;
+    no per-doc Python)."""
+    empty = pa.table({
+        id_col: pa.array([], type=pa.int64()),
+        text_col: pa.array([], type=pa.string()),
+        "n_spans": pa.array([], type=pa.int64()),
+        "n_removed": pa.array([], type=pa.int64()),
+    })
+    if tbl.num_rows == 0 or "__side" not in tbl.column_names:
+        return empty
+    import pyarrow.compute as pc
+
+    side = tbl["__side"]
+    docs = tbl.filter(pc.equal(side, 0))
+    spans = tbl.filter(pc.equal(side, 1))
+    if docs.num_rows == 0:
+        return empty
+    ids = np.asarray(docs["doc"], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    txt = docs["text"].combine_chunks().take(
+        pa.array(order, type=pa.int64())).cast(pa.binary())
+    _, off_buf, data_buf = txt.buffers()
+    offs = np.frombuffer(off_buf, dtype=np.int32)[
+        txt.offset: txt.offset + len(txt) + 1].astype(np.int64)
+    data = np.frombuffer(data_buf, dtype=np.uint8) if data_buf else np.zeros(
+        0, dtype=np.uint8)
+    L = np.diff(offs)
+    total = int(offs[-1] - offs[0])
+    base = offs[:-1] - offs[0]
+    n_spans = np.zeros(len(ids), dtype=np.int64)
+    keep = np.ones(total, dtype=bool)
+    if spans.num_rows:
+        s_doc = np.asarray(spans["doc"], dtype=np.int64)
+        row = np.searchsorted(ids, s_doc)
+        ok = (row < len(ids)) & (ids[np.minimum(row, len(ids) - 1)] == s_doc)
+        row, s_doc = row[ok], s_doc[ok]
+        s0 = np.clip(np.asarray(spans["span_start"], dtype=np.int64)[ok],
+                     0, L[row])
+        s1 = np.clip(np.asarray(spans["span_end"], dtype=np.int64)[ok],
+                     0, L[row])
+        good = s1 > s0
+        row, s0, s1 = row[good], s0[good], s1[good]
+        np.add.at(n_spans, row, 1)
+        diff = np.zeros(total + 1, dtype=np.int64)
+        np.add.at(diff, base[row] + s0, 1)
+        np.add.at(diff, base[row] + s1, -1)
+        keep = np.cumsum(diff[:-1]) == 0
+    kept = data[offs[0]:offs[-1]][keep]
+    ck = np.concatenate(([0], np.cumsum(keep)))
+    new_len = ck[base + L] - ck[base]
+    new_offs = np.concatenate(([0], np.cumsum(new_len))).astype(np.int32)
+    out_txt = pa.StringArray.from_buffers(
+        len(ids), pa.py_buffer(new_offs.tobytes()),
+        pa.py_buffer(kept.tobytes()))
+    return pa.table({
+        id_col: pa.array(ids, type=pa.int64()),
+        text_col: out_txt,
+        "n_spans": pa.array(n_spans, type=pa.int64()),
+        "n_removed": pa.array(L - new_len, type=pa.int64()),
+    })
+
+
+def remove_duplicate_spans(ds, k: int = 24, stride: int = 1,
+                           id_col: str = "doc_num", text_col: str = "text",
+                           num_partitions: int = 32, spans_ds=None):
+    """End-to-end duplicated-substring REMOVAL (the surgery half of
+    Lee et al. 2107.06499 — detection alone is `duplicate_spans`):
+    every maximal byte range whose every k-byte window also appears in
+    another doc is spliced out of the text. Docs with no duplicated
+    spans pass through byte-identical with n_spans = 0.
+
+    Shape: the span table (computed here, or supplied via ``spans_ds``
+    when the caller already ran detection) and the doc text
+    co-partition by doc id through ONE hash exchange; each partition
+    splices with a vectorized coverage mask over its concatenated
+    bytes. No broadcast, no driver gather — both sides stream.
+    Output: (id_col, text_col cleaned, n_spans, n_removed).
+    """
+    import functools
+
+    from .exchange import hash_exchange
+
+    if spans_ds is None:
+        spans_ds = duplicate_spans(ds, k=k, stride=stride, id_col=id_col,
+                                   text_col=text_col,
+                                   num_partitions=num_partitions)
+    left = ds.map_batches(
+        functools.partial(_rds_tag_docs, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow")
+    right = spans_ds.map_batches(_rds_tag_spans, batch_format="pyarrow")
+    return hash_exchange(
+        left.union(right), "doc",
+        functools.partial(_rds_combine, id_col=id_col, text_col=text_col),
+        num_partitions=num_partitions)
