@@ -389,3 +389,87 @@ def test_bloom_no_false_negatives_and_fp_rate():
     probe = np.arange(1_000_000, 1_050_000, dtype=np.int64)
     fp = join._bloom_maybe(probe, bits, m, k).mean()
     assert fp < 0.05  # (1-e^{-kn/m})^k ~ 0.3% at these parameters
+
+
+# ---- geodesic (great-circle) kNN ------------------------------------------
+
+
+def test_sphere_metric_trig_is_bitexact_vs_sql():
+    """The geodesic oracle's validity rests on numpy float64 trig ==
+    libm == DuckDB bitwise; pin it so a platform change fails loudly
+    here instead of as a value-hash mystery."""
+    import math
+
+    import duckdb
+
+    rng = np.random.default_rng(11)
+    v = rng.uniform(-180, 180, 5000)
+    a = np.sin(np.radians(v))
+    assert (a == np.asarray([math.sin(math.radians(x)) for x in v])).all()
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT list(sin(radians(x)) ORDER BY i), "
+        "list(cos(radians(x)) ORDER BY i) FROM "
+        "(SELECT unnest(?) AS x, generate_subscripts(?, 1) AS i)",
+        [list(v), list(v)]).fetchone()
+    assert (np.asarray(got[0]) == a).all()
+    assert (np.asarray(got[1]) == np.cos(np.radians(v))).all()
+
+
+def test_knn_sphere_matches_haversine_bruteforce(ray_session):
+    """Negative-dot ranking == great-circle-distance ranking (the dot
+    is monotone in the central angle)."""
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.join import knn_join
+
+    rng = np.random.default_rng(3)
+    n = 400
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-85, 85, n)
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({
+        "doc_num": pa.array(ids), "lon": pa.array(lon), "lat": pa.array(lat),
+    }))
+    q = ids[::37]
+    out = knn_join(ds, q, lon[::37], lat[::37], 5, metric="sphere")
+
+    lonr, latr = np.radians(lon), np.radians(lat)
+    for qi, qlon, qlat in zip(q, np.radians(lon[::37]), np.radians(lat[::37])):
+        dlat = latr - qlat
+        dlon = lonr - qlon
+        h = (np.sin(dlat / 2) ** 2
+             + np.cos(qlat) * np.cos(latr) * np.sin(dlon / 2) ** 2)
+        gc = 2 * np.arcsin(np.sqrt(np.clip(h, 0, 1)))
+        gc[qi] = np.inf  # exclude self
+        want = ids[np.lexsort((ids, gc))][:5]
+        got = out[out.q_doc == qi].sort_values("rank")["n_doc"].to_numpy()
+        assert list(got) == list(want), qi
+
+
+def test_knn_sphere_beats_plane_at_antimeridian(ray_session):
+    """A neighbor at lon 179.9 vs one at lon 0: planar degrees pick the
+    wrong point for a query at lon -179.9; the geodesic metric crosses
+    the date line correctly."""
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.join import knn_join
+
+    ds = rd.from_arrow(pa.table({
+        "doc_num": pa.array([1, 2], type=pa.int64()),
+        "lon": pa.array([179.9, 0.0]),
+        "lat": pa.array([0.0, 0.0]),
+    }))
+    plane = knn_join(ds, [9], [-179.9], [0.0], 1, metric="plane")
+    sphere = knn_join(ds, [9], [-179.9], [0.0], 1, metric="sphere")
+    assert plane["n_doc"].iloc[0] == 2      # planar: 179.8 deg < 359.8 deg
+    assert sphere["n_doc"].iloc[0] == 1     # geodesic: 0.2 deg apart
+
+
+def test_knn_metric_validation():
+    import pytest
+
+    from versatiles_rs_ray.stages.join import KnnPartial
+
+    with pytest.raises(ValueError, match="metric"):
+        KnnPartial([1], [0.0], [0.0], 3, metric="mercator")

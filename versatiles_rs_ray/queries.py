@@ -288,14 +288,19 @@ def q_knn_joins(sf_dir):
     'broadcast' = exact small-Q tree-reduce (stages/join.knn_join, the
     bench headline kernel), 'grouped' = the large-Q scale path (3x3
     tile neighborhood at Z_KNN_GROUP, one co-partitioning exchange,
-    ranks finished per partition — stages/join.knn_join_grouped). Each
-    half keeps its own exact SQL mirror (global kNN vs windowed kNN)."""
+    ranks finished per partition — stages/join.knn_join_grouped),
+    'geodesic' = the broadcast kernel under the great-circle metric
+    (negative unit-sphere dot; transcendental-exact SQL mirror). Each
+    leg keeps its own exact SQL mirror."""
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     did = np.asarray(t["doc_id"], dtype=np.int64)
     q_ids = did[did % KNN_MOD == 0]
     q_lon, q_lat = D.derive_lonlat(q_ids)
     broad = join.knn_join(_docs(sf_dir), q_ids, q_lon, q_lat, KNN_K)
     broad.insert(0, "path", "broadcast")
+    geo = join.knn_join(_docs(sf_dir), q_ids, q_lon, q_lat, KNN_K,
+                        metric="sphere")
+    geo.insert(0, "path", "geodesic")
 
     def is_query(batch):
         doc = np.asarray(batch["doc_num"], dtype=np.int64)
@@ -305,7 +310,7 @@ def q_knn_joins(sf_dir):
     queries = docs.map_batches(is_query, batch_format="pyarrow")
     grouped = join.knn_join_grouped(docs, queries, KNN_K, Z_KNN_GROUP).to_pandas()
     grouped.insert(0, "path", "grouped")
-    return pd.concat([broad, grouped], ignore_index=True)
+    return pd.concat([broad, grouped, geo], ignore_index=True)
 
 
 def _oracle_knn_grouped():
@@ -2062,10 +2067,32 @@ def _oracle_knn_join():
     )
 
 
+def _oracle_knn_geodesic():
+    """Great-circle kNN mirror: rank by NEGATIVE unit-sphere dot
+    product (monotone in geodesic distance). numpy float64 trig, libm
+    and DuckDB agree bitwise on this platform (pytest-pinned), and the
+    dot's sum order (x + y) + z is written identically on both sides,
+    so ranks reproduce exactly."""
+    return (
+        "WITH pts AS (SELECT doc_num, "
+        "cos(radians(lat)) * cos(radians(lon)) AS x, "
+        "cos(radians(lat)) * sin(radians(lon)) AS y, "
+        f"sin(radians(lat)) AS z FROM {SQL_DOCS} d), "
+        f"q AS (SELECT * FROM pts WHERE doc_num % {KNN_MOD} = 0) "
+        "SELECT q_doc, n_doc, rank FROM ("
+        "SELECT q.doc_num AS q_doc, c.doc_num AS n_doc, "
+        "row_number() OVER (PARTITION BY q.doc_num ORDER BY "
+        "-((q.x * c.x + q.y * c.y) + q.z * c.z), c.doc_num) AS rank "
+        "FROM q JOIN pts c ON c.doc_num <> q.doc_num"
+        f") WHERE rank <= {KNN_K}"
+    )
+
+
 def _oracle_knn_joins():
     return (
         f"SELECT 'broadcast' AS path, * FROM ({_oracle_knn_join()}) a "
-        f"UNION ALL SELECT 'grouped' AS path, * FROM ({_oracle_knn_grouped()}) b"
+        f"UNION ALL SELECT 'grouped' AS path, * FROM ({_oracle_knn_grouped()}) b "
+        f"UNION ALL SELECT 'geodesic' AS path, * FROM ({_oracle_knn_geodesic()}) c"
     )
 
 

@@ -94,13 +94,19 @@ class KnnPartial:
     groupby(q).map_groups over (#batches x k) rows per query.
     """
 
-    def __init__(self, q_ids, q_lon, q_lat, k: int, exclude_self=True):
+    def __init__(self, q_ids, q_lon, q_lat, k: int, exclude_self=True,
+                 metric: str = "plane"):
+        if metric not in ("plane", "sphere"):
+            raise ValueError(f"unknown kNN metric {metric!r}")
         self.q_ids = np.asarray(q_ids, dtype=np.int64)
         topk_kernel.check_unique_qids(self.q_ids, "KnnPartial")
         self.q_lon = np.asarray(q_lon, dtype=np.float64)
         self.q_lat = np.asarray(q_lat, dtype=np.float64)
         self.k = k
         self.exclude_self = exclude_self
+        self.metric = metric
+        if metric == "sphere":
+            self.q_x, self.q_y, self.q_z = _unit_sphere(self.q_lon, self.q_lat)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Streaming top-k via the shared threshold-mask kernel
@@ -116,14 +122,32 @@ class KnnPartial:
         buf_a = np.empty((Q, topk_kernel.CHUNK))
         buf_b = np.empty((Q, topk_kernel.CHUNK))
 
-        def score(sl):
-            W = sl.stop - sl.start
-            a, b = buf_a[:, :W], buf_b[:, :W]
-            np.subtract(self.q_lon[:, None], c_lon[None, sl], out=a)
-            np.multiply(a, a, out=a)
-            np.subtract(self.q_lat[:, None], c_lat[None, sl], out=b)
-            np.multiply(b, b, out=b)
-            return np.add(a, b, out=a)  # (Q, W) squared distance
+        if self.metric == "sphere":
+            # great-circle ranking via NEGATIVE unit-sphere dot product
+            # (monotone in geodesic distance, no acos needed); the sum
+            # order (x + y) + z matches the SQL mirror exactly, and
+            # numpy/libm/DuckDB float64 trig agree bitwise, so ranks
+            # reproduce in SQL
+            c_x, c_y, c_z = _unit_sphere(c_lon, c_lat)
+
+            def score(sl):
+                W = sl.stop - sl.start
+                a, b = buf_a[:, :W], buf_b[:, :W]
+                np.multiply(self.q_x[:, None], c_x[None, sl], out=a)
+                np.multiply(self.q_y[:, None], c_y[None, sl], out=b)
+                np.add(a, b, out=a)
+                np.multiply(self.q_z[:, None], c_z[None, sl], out=b)
+                np.add(a, b, out=a)
+                return np.negative(a, out=a)  # (Q, W) -dot
+        else:
+            def score(sl):
+                W = sl.stop - sl.start
+                a, b = buf_a[:, :W], buf_b[:, :W]
+                np.subtract(self.q_lon[:, None], c_lon[None, sl], out=a)
+                np.multiply(a, a, out=a)
+                np.subtract(self.q_lat[:, None], c_lat[None, sl], out=b)
+                np.multiply(b, b, out=b)
+                return np.add(a, b, out=a)  # (Q, W) squared distance
 
         res = topk_kernel.streaming_topk(
             c_id, self.q_ids, self.k, score, exclude_self=self.exclude_self)
@@ -147,8 +171,22 @@ def _batch_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
     return df.groupby("q_doc", sort=False).head(k)
 
 
-def knn_join(docs_ds, q_ids, q_lon, q_lat, k: int, exclude_self=True):
+def _unit_sphere(lon, lat):
+    """(x, y, z) on the unit sphere; the exact float chain the SQL
+    mirror writes: cos(radians(lat))*cos(radians(lon)) etc."""
+    lon_r = np.radians(lon)
+    lat_r = np.radians(lat)
+    cl = np.cos(lat_r)
+    return cl * np.cos(lon_r), cl * np.sin(lon_r), np.sin(lat_r)
+
+
+def knn_join(docs_ds, q_ids, q_lon, q_lat, k: int, exclude_self=True,
+             metric: str = "plane"):
     """Exact broadcast kNN: returns (q_doc, n_doc, rank) with rank 1..k.
+
+    metric='plane' ranks by squared euclidean degrees (the tile-local
+    shape); metric='sphere' ranks by great-circle distance (negative
+    unit-sphere dot — monotone, transcendental-exact vs SQL).
 
     Tree-reduce shape: per-candidate-batch partial top-k (k rows per
     query per batch) -> one combiner pass over large batches -> tiny
@@ -157,7 +195,8 @@ def knn_join(docs_ds, q_ids, q_lon, q_lat, k: int, exclude_self=True):
     driver only ever sees O(Q x k x combine_blocks) rows.
     """
     partials = docs_ds.map_batches(
-        KnnPartial(q_ids, q_lon, q_lat, k, exclude_self), batch_format="pyarrow"
+        KnnPartial(q_ids, q_lon, q_lat, k, exclude_self, metric=metric),
+        batch_format="pyarrow"
     )
     # driver gather is blocks x Q x k rows (tiny). NOTE: do NOT insert a
     # coalescing map_batches(batch_size=big) here — Ray fuses it with
