@@ -303,6 +303,75 @@ def _from_terrain(sf_dir=None, filename=None, mode="terrarium",
     )
 
 
+@register_read_op("from_contours")
+def _from_contours(sf_dir=None, filename=None, interval=None, base=0.0,
+                   levels=None, zmax=3, zmin=0, layer="contours",
+                   level_min=None, level_max=None, **_):
+    """Contour vector tiles from a DEM — the raster->vector conversion
+    (gdal_contour shape: interval=/base= or levels=v1,v2,...): open the
+    DEM with the from_gdal_raster reader stack, marching-squares the
+    SOURCE grid (stages/contour.py), transform vertices to lon/lat via
+    the SRS registry, and stream the polylines through the standard
+    GeoJSON->MVT tiling exchange (one linestring feature per chain,
+    property elevation=<level>). Graft-new surface (the reference has
+    no contour op)."""
+    import json as _json
+    import os
+
+    import ray.data as rd
+
+    from ..core import srs as _srs
+    from ..sources.geojson import features_to_mvt_tiles
+    from ..sources.geotiff import read_raster_source
+    from ..stages.contour import contour_lines
+
+    if filename is None:
+        raise ValueError("from_contours requires filename=")
+    if level_min is not None:
+        zmin = level_min
+    if level_max is not None:
+        zmax = level_max
+    path = str(filename)
+    if sf_dir and "://" not in path and not os.path.isabs(path):
+        path = os.path.join(sf_dir, path)
+    g = read_raster_source(path, epsg=int(_["epsg"]) if "epsg" in _ else None)
+    if levels is not None and not isinstance(levels, (list, tuple)):
+        levels = [float(v) for v in str(levels).split(",")]
+    lines = contour_lines(
+        g, interval=float(interval) if interval is not None else None,
+        base=float(base), levels=levels)
+    epsg = g.epsg or 4326
+    tr = None if epsg == 4326 else _srs.get_srs(epsg)
+    rows = {"lon": [], "lat": [], "geom_type": [], "geometry": [],
+            "properties": []}
+    for level, pts in lines:
+        if tr is not None:
+            lon, lat = tr.inverse(pts[:, 0], pts[:, 1])
+        else:
+            lon, lat = pts[:, 0], pts[:, 1]
+        coords = [[float(a), float(b)] for a, b in zip(lon, lat)]
+        rows["lon"].append(coords[0][0])
+        rows["lat"].append(coords[0][1])
+        rows["geom_type"].append("LineString")
+        rows["geometry"].append(_json.dumps(
+            {"type": "LineString", "coordinates": coords}))
+        rows["properties"].append(_json.dumps({"elevation": float(level)}))
+    import pyarrow as pa
+
+    feats = rd.from_arrow(pa.table({
+        "lon": pa.array(rows["lon"], type=pa.float64()),
+        "lat": pa.array(rows["lat"], type=pa.float64()),
+        "geom_type": pa.array(rows["geom_type"], type=pa.string()),
+        "geometry": pa.array(rows["geometry"], type=pa.string()),
+        "properties": pa.array(rows["properties"], type=pa.string()),
+    }))
+    out = None
+    for z in range(int(zmin), int(zmax) + 1):
+        t = features_to_mvt_tiles(feats, z, layer_name=str(layer))
+        out = t if out is None else out.union(t)
+    return out
+
+
 @register_transform_op("filter")
 def _filter(ds, bbox=None, level_min=None, level_max=None, **_):
     """Keep tiles inside bbox=[w,s,e,n] / level_min= / level_max= (filter.rs:44-57)."""
