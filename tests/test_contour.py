@@ -132,3 +132,122 @@ def test_from_contours_vpl_end_to_end(ray_session, tmp_path):
                 assert feat["type"] == mvt.GEOM_LINESTRING
                 seen_levels.add(feat["properties"]["elevation"])
     assert seen_levels == {10.0, 15.0}
+
+
+# ---- Douglas-Peucker simplification ----------------------------------------
+
+
+def _dp_reference(pts, tol):
+    """Scalar recursive DP reference."""
+    pts = np.asarray(pts, dtype=np.float64)
+    if len(pts) <= 2:
+        return pts
+
+    def rec(a, b):
+        if b - a < 2:
+            return []
+        ax, ay = pts[a]
+        bx, by = pts[b]
+        dx, dy = bx - ax, by - ay
+        L2 = dx * dx + dy * dy
+        best, bd = -1, tol * tol
+        for i in range(a + 1, b):
+            sx, sy = pts[i, 0] - ax, pts[i, 1] - ay
+            if L2 == 0:
+                d2 = sx * sx + sy * sy
+            else:
+                cr = sx * dy - sy * dx
+                d2 = cr * cr / L2
+            if d2 > bd:
+                best, bd = i, d2
+        if best < 0:
+            return []
+        return rec(a, best) + [best] + rec(best, b)
+
+    keep = sorted([0, len(pts) - 1] + rec(0, len(pts) - 1))
+    return pts[keep]
+
+
+def test_dp_matches_recursive_reference():
+    from versatiles_rs_ray.core.simplify import simplify_line
+
+    rng = np.random.default_rng(21)
+    for trial in range(20):
+        n = int(rng.integers(2, 200))
+        pts = rng.normal(size=(n, 2)).cumsum(0)
+        for tol in (0.0, 0.1, 0.5, 2.0):
+            got = simplify_line(pts, tol)
+            want = _dp_reference(pts, tol)
+            assert np.array_equal(got, want), (trial, tol)
+
+
+def test_dp_endpoints_and_collinear():
+    from versatiles_rs_ray.core.simplify import simplify_line, simplify_ring
+
+    line = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [3.0, 0.0]])
+    out = simplify_line(line, 0.0)
+    assert np.array_equal(out, [[0.0, 0.0], [3.0, 0.0]])  # collinear drop
+    bent = np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 0.0]])
+    assert len(simplify_line(bent, 0.5)) == 3
+    assert len(simplify_line(bent, 1.5)) == 2
+    # rings never collapse below 3 vertices
+    sq = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])
+    assert len(simplify_ring(sq, 100.0)) >= 3
+    tri = simplify_ring(np.array(
+        [[0.0, 0.0], [2.0, 0.05], [4.0, 0.0], [2.0, 3.0]]), 0.2)
+    assert np.array_equal(
+        tri, [[0.0, 0.0], [4.0, 0.0], [2.0, 3.0]])  # near-collinear dropped
+
+
+def test_vector_simplify_stage_roundtrip(ray_session):
+    from versatiles_rs_ray.core import mvt
+    from versatiles_rs_ray.stages.vector import VectorSimplify
+
+    wiggly = [(i * 40, (i % 2) * 3) for i in range(60)]  # 3-unit zigzag
+    tile = {"layers": [{
+        "name": "lines", "extent": 4096, "version": 2,
+        "features": [
+            {"id": 1, "type": mvt.GEOM_LINESTRING, "properties": {"n": 1},
+             "geometry": [wiggly]},
+            {"id": 2, "type": mvt.GEOM_POINT, "properties": {},
+             "geometry": [[(7, 9)]]},
+        ],
+    }]}
+    payload = mvt.encode_tile(tile)
+    batch = pa.table({"z": pa.array([0], type=pa.int64()),
+                      "x": pa.array([0], type=pa.int64()),
+                      "y": pa.array([0], type=pa.int64()),
+                      "payload": pa.array([payload], type=pa.binary())})
+    out = VectorSimplify(8.0)(batch)
+    got = mvt.decode_tile(out["payload"][0].as_py())
+    line = got["layers"][0]["features"][0]["geometry"][0]
+    assert line[0] == (0, 0) and line[-1] == wiggly[-1]  # endpoints kept
+    assert len(line) == 2  # 3-unit wiggle < tol 8 collapses
+    # the point feature is untouched
+    assert got["layers"][0]["features"][1]["geometry"] == [[(7, 9)]]
+    import pytest
+
+    with pytest.raises(ValueError, match="tolerance"):
+        VectorSimplify(-1.0)
+
+
+def test_from_contours_simplify_param(ray_session, tmp_path):
+    from versatiles_rs_ray.sources.geotiff import write_tiff
+    from versatiles_rs_ray.sources.geotiff import read_raster_source
+    from versatiles_rs_ray.stages.contour import contour_lines
+
+    yy, xx = np.mgrid[0:41, 0:41]
+    z = 25.0 - 0.8 * np.hypot(xx - 20, yy - 20)
+    p = tmp_path / "dem.tif"
+    p.write_bytes(write_tiff(np.round(z).astype(np.int16)[..., None],
+                             geotransform=(0.0, 1.0, 0.0, 41.0, 0.0, -1.0),
+                             epsg=4326))
+    g = read_raster_source(str(p))
+    full = contour_lines(g, levels=[12.0])
+    simp = contour_lines(g, levels=[12.0], simplify_px=0.8)
+    n_full = sum(len(pts) for _, pts in full)
+    n_simp = sum(len(pts) for _, pts in simp)
+    assert n_simp < n_full
+    # rings stay closed after simplification
+    for _, pts in simp:
+        assert np.allclose(pts[0], pts[-1])

@@ -306,7 +306,7 @@ def _from_terrain(sf_dir=None, filename=None, mode="terrarium",
 @register_read_op("from_contours")
 def _from_contours(sf_dir=None, filename=None, interval=None, base=0.0,
                    levels=None, zmax=3, zmin=0, layer="contours",
-                   level_min=None, level_max=None, **_):
+                   simplify=0.0, level_min=None, level_max=None, **_):
     """Contour vector tiles from a DEM — the raster->vector conversion
     (gdal_contour shape: interval=/base= or levels=v1,v2,...): open the
     DEM with the from_gdal_raster reader stack, marching-squares the
@@ -339,7 +339,7 @@ def _from_contours(sf_dir=None, filename=None, interval=None, base=0.0,
         levels = [float(v) for v in str(levels).split(",")]
     lines = contour_lines(
         g, interval=float(interval) if interval is not None else None,
-        base=float(base), levels=levels)
+        base=float(base), levels=levels, simplify_px=float(simplify))
     epsg = g.epsg or 4326
     tr = None if epsg == 4326 else _srs.get_srs(epsg)
     rows = {"lon": [], "lat": [], "geom_type": [], "geometry": [],
@@ -454,6 +454,16 @@ def _vfp(ds, regex=".*", invert=0, **_):
     return ds.map_batches(
         VectorFilterProperties(str(regex), bool(int(invert))), batch_format="pyarrow"
     )
+
+
+@register_transform_op("vector_simplify")
+def _vsimplify(ds, tolerance=2.0, **_):
+    """Douglas-Peucker simplify vector-tile lines/rings; tolerance in
+    tile-local units (extent 4096). Graft-new op."""
+    from ..stages.vector import VectorSimplify
+
+    return ds.map_batches(VectorSimplify(float(tolerance)),
+                          batch_format="pyarrow")
 
 
 @register_transform_op("raster_format")

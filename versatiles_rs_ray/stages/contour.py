@@ -182,10 +182,14 @@ def level_list(zmin: float, zmax: float, interval: float | None = None,
 
 
 def contour_lines(g, interval: float | None = None, base: float = 0.0,
-                  levels=None):
+                  levels=None, simplify_px: float = 0.0):
     """Contours of a decoded raster source (GeoTIFF-like: .array with
     band 0 = elevation, .geotransform). Returns a list of
-    (level, (N, 2) world-xy polyline) in the source SRS."""
+    (level, (N, 2) world-xy polyline) in the source SRS.
+    ``simplify_px`` > 0 Douglas-Peucker-reduces each chain in PIXEL
+    units before georeferencing (rings keep >= 3 vertices)."""
+    from ..core.simplify import simplify_line, simplify_ring
+
     arr = g.array
     z = (arr[..., 0] if arr.ndim == 3 else arr).astype(np.float64)
     gt = g.geotransform
@@ -194,6 +198,12 @@ def contour_lines(g, interval: float | None = None, base: float = 0.0,
                             levels):
         segs = contour_segments(z, level)
         for pts in chain_segments(*segs):
+            if simplify_px > 0:
+                if len(pts) > 2 and np.array_equal(pts[0], pts[-1]):
+                    pts = np.vstack(
+                        [simplify_ring(pts[:-1], simplify_px), pts[:1]])
+                else:
+                    pts = simplify_line(pts, simplify_px)
             # pixel (x, y) -> world via the affine geotransform;
             # pixel centers sit at +0.5 like gdal_contour
             wx = gt[0] + (pts[:, 0] + 0.5) * gt[1] + (pts[:, 1] + 0.5) * gt[2]

@@ -265,3 +265,42 @@ def docs_to_mvt_tiles(docs_with_tiles, zoom: int, extent: int = 4096, layer_name
 
     keyed = docs_with_tiles.map_batches(add_key, batch_format="pyarrow")
     return hash_exchange(keyed, "tkey", combine, num_partitions=num_partitions)
+
+
+class VectorSimplify:
+    """Douglas-Peucker vertex reduction of vector-tile line/polygon
+    geometry (core/simplify.py; tolerance in tile-local units, 4096 =
+    one tile width). Lines keep their endpoints; rings anchor at their
+    seam vertex and never collapse below 3 vertices. Points and
+    foreign layers pass through untouched. Graft-new transform (the
+    reference has no simplify op; tippecanoe/GDAL `simplify` shape)."""
+
+    def __init__(self, tolerance: float):
+        if tolerance < 0:
+            raise ValueError("vector_simplify: tolerance must be >= 0")
+        self.tol = float(tolerance)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..core.simplify import simplify_line, simplify_ring
+
+        out = []
+        for p in batch["payload"].to_pylist():
+            tile = mvt.decode_tile(p)
+            for layer in tile["layers"]:
+                for feat in layer["features"]:
+                    t = feat.get("type")
+                    if t == mvt.GEOM_LINESTRING:
+                        feat["geometry"] = [
+                            [tuple(map(int, q)) for q in
+                             simplify_line(np.asarray(part, dtype=np.float64),
+                                           self.tol)]
+                            for part in feat["geometry"]]
+                    elif t == mvt.GEOM_POLYGON:
+                        feat["geometry"] = [
+                            [tuple(map(int, q)) for q in
+                             simplify_ring(np.asarray(part, dtype=np.float64),
+                                           self.tol)]
+                            for part in feat["geometry"]]
+            out.append(mvt.encode_tile(tile))
+        idx = batch.schema.get_field_index("payload")
+        return batch.set_column(idx, "payload", pa.array(out, type=pa.binary()))
