@@ -160,3 +160,42 @@ def test_increment_pyramid_guards(ray_session, tmp_path):
     with pytest.raises(ValueError, match="do not match"):
         increment_pyramid(delta, base_dir, str(tmp_path / "o"), z_base=7,
                           delta_tag="x")
+
+
+def test_cli_status(tmp_path):
+    """status CLI surfaces the manifest's lineage + metrics without Ray."""
+    import json
+    import subprocess
+    import sys
+
+    from versatiles_rs_ray.state.manifest import Manifest
+
+    out = str(tmp_path / "out")
+    m = Manifest(out, "lin-A")
+    for z in (0, 1):
+        tmp = m.begin(f"z={z}")
+        (tmp_path / "out" / f"z={z}.tmp-sentinel").mkdir(exist_ok=True)
+        m.commit(f"z={z}", tmp, rows=10 * (z + 1), wall_s=0.5)
+    # one stale record under a different lineage
+    m2 = Manifest(out, "lin-B")
+    tmp = m2.begin("z=9")
+    m2.commit("z=9", tmp, rows=3, wall_s=0.1)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "versatiles_rs_ray", "status", out,
+         "--verbose"],
+        capture_output=True, text=True, check=True)
+    doc = json.loads(r.stdout)
+    assert doc["partitions"] == 3
+    assert doc["rows_total"] == 33
+    assert doc["lineages"] == {"lin-A": 2, "lin-B": 1}
+    assert doc["dominant_lineage"] == "lin-A"
+    assert doc["stale"] == ["z=9"]
+    assert len(doc["parts"]) == 3
+    # missing manifest -> clean error shape
+    r2 = subprocess.run(
+        [sys.executable, "-m", "versatiles_rs_ray", "status",
+         str(tmp_path / "nope")],
+        capture_output=True, text=True)
+    assert r2.returncode == 1
+    assert "no _manifest" in r2.stdout

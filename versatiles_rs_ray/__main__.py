@@ -121,6 +121,49 @@ def cmd_pyramid(args):
     ray.shutdown()
 
 
+def cmd_status(args):
+    """Inspect a resumable output's checkpoint manifest (no Ray):
+    per-partition lineage + row/wall metrics, stale partitions, and
+    whether a resume would skip or rebuild each partition."""
+    import os
+
+    from versatiles_rs_ray.state.manifest import Manifest
+
+    path = os.path.join(args.output, "_manifest.jsonl")
+    if not os.path.exists(path):
+        print(json.dumps({"output": args.output, "partitions": 0,
+                          "error": "no _manifest.jsonl"}))
+        return 1
+    recs = Manifest(args.output, "")._all_records()
+    lineages = {}
+    for p, r in sorted(recs.items()):
+        lineages.setdefault(r.get("lineage", "?"), []).append(r)
+    current = max(lineages, key=lambda k: len(lineages[k])) if lineages else None
+    parts = []
+    for p, r in sorted(recs.items()):
+        on_disk = os.path.isdir(os.path.join(args.output, p))
+        parts.append({
+            "partition": p, "rows": r.get("rows"),
+            "wall_s": r.get("wall_s"), "finished_at": r.get("finished_at"),
+            "lineage": r.get("lineage"), "on_disk": on_disk,
+            "state": ("missing-dir" if not on_disk else
+                      "ok" if r.get("lineage") == current else "stale"),
+        })
+    print(json.dumps({
+        "output": args.output,
+        "partitions": len(parts),
+        "rows_total": sum(p["rows"] or 0 for p in parts),
+        "wall_s_total": round(sum(p["wall_s"] or 0 for p in parts), 3),
+        "lineages": {k: len(v) for k, v in lineages.items()},
+        "dominant_lineage": current,
+        "stale": [p["partition"] for p in parts if p["state"] == "stale"],
+        "missing_dirs": [p["partition"] for p in parts
+                         if p["state"] == "missing-dir"],
+        "parts": parts if args.verbose else None,
+    }))
+    return 0
+
+
 def cmd_vpl(args):
     from versatiles_rs_ray.pipelines.vpl import build_pipeline, write_container
 
@@ -546,6 +589,13 @@ def main(argv=None):
     py.add_argument("--replicate", type=int, default=1)
     py.set_defaults(fn=cmd_pyramid)
 
+    st = sub.add_parser("status", help="inspect a resumable output's "
+                        "checkpoint manifest (lineage + metrics; no Ray)")
+    st.add_argument("output")
+    st.add_argument("--verbose", action="store_true",
+                    help="include the per-partition record list")
+    st.set_defaults(fn=cmd_status)
+
     v = sub.add_parser("vpl", help="run a VPL pipeline into a container")
     v.add_argument("pipeline")
     v.add_argument("output")
@@ -656,8 +706,14 @@ def main(argv=None):
     h.set_defaults(fn=cmd_help)
 
     args = p.parse_args(argv)
-    args.fn(args)
+    rc = args.fn(args)
+    # only `status` returns a process exit code; other commands return
+    # incidental values (e.g. corpus row counts) that must not become
+    # nonzero exits
+    return rc if args.cmd == "status" else 0
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    _sys.exit(main())
