@@ -358,3 +358,19 @@ def test_cli_corpus_model_ops(tmp_path):
     t = pq.read_table(f"{tmp_path}/bp")
     assert doc["rows"] == t.num_rows == 5
     assert list(t["rank"].to_pylist()) == [1, 2, 3, 4, 5]
+
+
+def test_cli_corpus_temp_sample(tmp_path):
+    src = "/root/testdata/sf0.001/documents.parquet"
+    doc = _run(["corpus", "temp-sample", src, str(tmp_path / "t"), "--key",
+                "doc_id", "--col", "lang", "--temperature", "2.0",
+                "--rate", "0.3"])
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{tmp_path}/t")
+    assert doc["rows"] == t.num_rows > 0
+    # flattened: every lang present, biggest lang NOT dominant at 0.3x
+    import collections
+
+    langs = collections.Counter(t["lang"].to_pylist())
+    assert len(langs) >= 4

@@ -706,3 +706,56 @@ def test_remove_duplicate_spans_empty(ray_session):
     # own empty behavior; when columns survive they must be the
     # post-combine set
     assert set(out.columns) <= {"doc_num", "text", "n_spans", "n_removed"}
+
+
+# ---- temperature mixture sampling ------------------------------------------
+
+
+def test_temperature_fractions_semantics():
+    import pytest
+
+    from versatiles_rs_ray.stages.curate import temperature_fractions
+
+    c = {"en": 1000, "de": 100, "zh": 10}
+    # T=1: plain uniform downsample
+    assert temperature_fractions(c, 1.0, 0.4) == {
+        "en": 0.4, "de": 0.4, "zh": 0.4}
+    # anchor: largest stratum keeps exactly base_rate; smaller keep more
+    f = temperature_fractions(c, 4.0, 0.1)
+    assert f["en"] == 0.1 and f["zh"] > f["de"] > f["en"]
+    # T -> inf equalizes expected rows (frac ∝ 1/n) until the cap
+    f = temperature_fractions(c, 1e9, 0.05)
+    assert abs(f["de"] / f["en"] - 10.0) < 1e-6
+    assert temperature_fractions({}, 2.0) == {}
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_fractions(c, 0.0)
+
+
+def test_temperature_sample_end_to_end(ray_session, sf_dir):
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.curate import (key_counts,
+                                                 stratified_sample,
+                                                 temperature_fractions,
+                                                 temperature_sample)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    counts = key_counts(ds, "lang")
+    # counts are exact
+    import duckdb
+
+    want = dict(duckdb.sql(
+        f"SELECT lang, count(*) FROM read_parquet('{sf_dir}/documents.parquet') "
+        "GROUP BY 1").fetchall())
+    assert counts == want
+    # two-pass sample == one-pass stratified with the derived fractions
+    out = temperature_sample(ds, "doc_id", "lang", 2.0, 0.3).to_pandas()
+    fr = temperature_fractions(counts, 2.0, 0.3)
+    manual = stratified_sample(ds, "doc_id", "lang", fr).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(manual["doc_id"])
+    # flattening: the biggest stratum's realized keep-rate is the
+    # smallest keep-rate
+    rates = {k: (out["lang"] == k).sum() / n for k, n in counts.items()}
+    big = max(counts, key=counts.get)
+    assert rates[big] == min(rates.values())

@@ -387,6 +387,12 @@ def cmd_corpus(args):
 
         out = duplicate_spans(ds, k=args.k, stride=args.stride,
                               id_col=args.key, text_col=args.col)
+    elif args.op == "temp-sample":
+        from versatiles_rs_ray.stages.curate import temperature_sample
+
+        out = temperature_sample(ds, args.key, args.col,
+                                 temperature=args.temperature,
+                                 base_rate=args.rate)
     elif args.op == "scrub-spans":
         from versatiles_rs_ray.stages.dedup import remove_duplicate_spans
 
@@ -526,6 +532,7 @@ def cmd_help(args):
             "dedup": DD.ngram_jaccard_pairs,
             "dup-spans": DD.duplicate_spans, "curate": curate_corpus,
             "scrub-spans": DD.remove_duplicate_spans,
+            "temp-sample": C.temperature_sample,
             "chunk": T.chunk_documents_tokens,
             "lm-score": lm_score, "tfidf": hashed_tfidf,
             "semdedup": semantic_dedup, "bpe-train": bpe_train,
@@ -633,6 +640,7 @@ def main(argv=None):
     co.add_argument("op", choices=["quota", "sample", "shuffle", "pack",
                                    "normalize", "topk", "split", "dedup",
                                    "curate", "dup-spans", "scrub-spans",
+                                   "temp-sample",
                                    "chunk",
                                    "lm-score", "tfidf", "semdedup",
                                    "bpe-train"])
@@ -643,6 +651,8 @@ def main(argv=None):
     co.add_argument("--order-by", default="doc_id", help="quota order column")
     co.add_argument("--n", type=int, default=5, help="quota: max rows per key")
     co.add_argument("--rate", type=float, default=0.1, help="sample rate")
+    co.add_argument("--temperature", type=float, default=2.0,
+                    help="temp-sample: mixture temperature T (count^(1/T))")
     co.add_argument("--token-col", default="n_chars", help="pack: token-count column")
     co.add_argument("--budget", type=int, default=8192, help="pack: tokens per sequence")
     co.add_argument("--col", default="text", help="normalize: text column")

@@ -868,12 +868,15 @@ SAMPLE_RATE = 0.25
 
 
 def q_docs_sample(sf_dir):
-    """BOTH deterministic sampling modes in one driver row, tagged by
-    a `method` column: corpus-wide systematic sampling (id-keyed Knuth
-    multiplicative hash) and per-key stratified sampling (corpus
-    mixing — each lang stratum keeps its own fraction via the same id
-    hash). Both are pure maps — no shuffle, reproducible across runs
-    and cluster sizes, resumable mid-corpus (stages/curate.py)."""
+    """ALL THREE deterministic sampling modes in one driver row,
+    tagged by `method`: corpus-wide systematic sampling (id-keyed
+    Knuth multiplicative hash), per-key stratified sampling (explicit
+    per-lang fractions), and temperature-flattened mixture sampling
+    (fractions DERIVED from per-key counts via count^(1/T-1), the
+    multilingual-LM recipe — two passes, driver state bounded by
+    distinct strata). All are id-hash pure maps — no shuffle,
+    reproducible across runs and cluster sizes, resumable mid-corpus
+    (stages/curate.py)."""
     import ray.data as rd
 
     from .stages.curate import stratified_sample, systematic_sample
@@ -905,7 +908,25 @@ def q_docs_sample(sf_dir):
     strat_ds = stratified_sample(
         _docs(sf_dir), "doc_num", "lang", STRATA_FRACS, default=STRATA_DEFAULT,
     ).map_batches(fmt_strat, batch_format="pyarrow")
-    return sys_ds.union(strat_ds)
+
+    # third leg: temperature-flattened mixture sampling (count^(1/T)
+    # strata weighting — the multilingual-LM move); pass A counts per
+    # lang (driver dict, bounded by strata), pass B re-streams through
+    # the same id-hash gate. The pow/min float chain reproduces in SQL.
+    from .stages.curate import temperature_sample
+
+    def fmt_temp(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "method": pa.array(np.full(len(batch), "temperature"), type=pa.string()),
+            "doc_id": batch["doc_id"],
+            "doc_num": batch["doc_num"],
+            "grp": batch["lang"],
+        })
+
+    temp_ds = temperature_sample(
+        _docs(sf_dir), "doc_num", "lang", TEMP_T, base_rate=TEMP_RATE,
+    ).map_batches(fmt_temp, batch_format="pyarrow")
+    return sys_ds.union(strat_ds).union(temp_ds)
 
 
 def _oracle_docs_sample():
@@ -923,7 +944,18 @@ def _oracle_docs_sample():
         f"SELECT 'stratified' AS method, doc_id, doc_num, lang AS grp FROM {SQL_DOCS} d "
         f"WHERE (doc_num::HUGEINT * {_SAMPLE_MULT}) % {_SAMPLE_MOD} < "
         f"(CASE lang {cases} ELSE "
-        f"CAST({STRATA_DEFAULT} * {_SAMPLE_MOD} AS UBIGINT) END)"
+        f"CAST({STRATA_DEFAULT} * {_SAMPLE_MOD} AS UBIGINT) END) "
+        "UNION ALL "
+        "SELECT 'temperature' AS method, doc_id, doc_num, lang AS grp FROM ("
+        "WITH c AS (SELECT lang AS k, count(*) AS n FROM documents GROUP BY 1), "
+        "mx AS (SELECT max(n) AS m FROM c), "
+        # engine float chain: min(1.0, rate * (n/m) ** expo) then
+        # int(frac * 2^32) — floor() here because DuckDB CAST rounds
+        f"cut AS (SELECT k, CAST(floor(least(1.0, {TEMP_RATE!r} * "
+        f"pow(CAST(n AS DOUBLE) / CAST(m AS DOUBLE), {1.0 / TEMP_T - 1.0!r})) "
+        f"* {float(_SAMPLE_MOD)!r}) AS UBIGINT) AS cut FROM c, mx) "
+        f"SELECT d.* FROM {SQL_DOCS} d JOIN cut ON cut.k = d.lang "
+        f"WHERE (doc_num::HUGEINT * {_SAMPLE_MULT}) % {_SAMPLE_MOD} < cut.cut)"
     )
 
 
@@ -1673,6 +1705,8 @@ def q_audio_features(sf_dir):
 
 STRATA_FRACS = {"en": 0.2, "de": 0.8, "zh": 0.5}
 STRATA_DEFAULT = 0.35
+TEMP_T = 2.0      # temperature for the mixture-sampling leg
+TEMP_RATE = 0.3   # keep fraction anchored at the largest stratum
 
 
 def q_scrub_events(sf_dir):

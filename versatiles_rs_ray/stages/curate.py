@@ -741,3 +741,58 @@ def stratified_sample(ds, id_col: str, key_col: str, fractions: dict,
                           default=float(default)),
         batch_format="pyarrow",
     )
+
+
+def temperature_fractions(counts: dict, temperature: float,
+                          base_rate: float = 1.0) -> dict:
+    """Temperature-flattened mixture fractions (the multilingual-LM
+    sampling move: weight strata by count^(1/T)): per-key KEEP
+    fraction ``min(1, base_rate * (n_k / n_max) ** (1/T - 1))``,
+    anchored so the LARGEST stratum keeps exactly base_rate. T=1 is a
+    plain uniform downsample; T -> inf equalizes expected per-key
+    rows at base_rate * n_max. The float chain (int->double division,
+    libm pow, multiply, min) is written identically in the SQL mirror,
+    so the derived 2^32 cut integers match exactly."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    if not counts:
+        return {}
+    m = max(counts.values())
+    expo = 1.0 / float(temperature) - 1.0
+    return {k: min(1.0, float(base_rate) * (n / m) ** expo)
+            for k, n in counts.items()}
+
+
+def key_counts(ds, key_col: str) -> dict:
+    """Per-key row counts via per-batch dictionary-encode partials and
+    a driver merge — bounded by the number of DISTINCT keys (strata
+    are languages/sources: tiny), not rows."""
+    import pyarrow.compute as pc
+
+    def part(batch: pa.Table) -> pa.Table:
+        enc = batch[key_col].combine_chunks().dictionary_encode()
+        cnt = pc.value_counts(enc.indices)
+        return pa.table({
+            key_col: enc.dictionary.take(cnt.field("values")).cast(pa.string()),
+            "_n": cnt.field("counts").cast(pa.int64()),
+        })
+
+    out = {}
+    for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for k, n in zip(b[key_col].to_pylist(), b["_n"].to_pylist()):
+            out[k] = out.get(k, 0) + int(n)
+    return out
+
+
+def temperature_sample(ds, id_col: str, key_col: str, temperature: float,
+                       base_rate: float = 1.0, counts: dict | None = None):
+    """Two-pass temperature mixture sampling: pass A reduces the corpus
+    to per-key counts (driver-side dict, bounded by distinct strata),
+    pass B re-streams through :func:`stratified_sample` with the
+    temperature-flattened fractions. Deterministic id-hash fate per
+    row — reproducible at any cluster size, resumable mid-corpus."""
+    fr = temperature_fractions(
+        counts if counts is not None else key_counts(ds, key_col),
+        temperature, base_rate)
+    return stratified_sample(ds, id_col, key_col, fr, default=0.0)
