@@ -358,6 +358,12 @@ def test_cli_corpus_model_ops(tmp_path):
     t = pq.read_table(f"{tmp_path}/bp")
     assert doc["rows"] == t.num_rows == 5
     assert list(t["rank"].to_pylist()) == [1, 2, 3, 4, 5]
+    doc = _run(["corpus", "dsir", src, str(tmp_path / "ds"),
+                "--target", src, "--select", "25", "--dim", "32"])
+    t = pq.read_table(f"{tmp_path}/ds")
+    assert doc["rows"] == t.num_rows == 25
+    assert set(t.schema.names) == {"doc_id", "n_grams", "w_micro",
+                                   "g_micro", "score_micro"}
 
 
 def test_cli_corpus_temp_sample(tmp_path):

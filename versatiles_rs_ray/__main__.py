@@ -409,6 +409,22 @@ def cmd_corpus(args):
 
         out = hashed_tfidf(ds, dim=args.dim, column=args.col,
                            id_col=args.key)
+    elif args.op == "dsir":
+        import ray.data as _rd
+
+        from versatiles_rs_ray.stages.dsir import dsir_select, dsir_weights
+
+        if not args.target:
+            raise SystemExit("corpus dsir requires --target (parquet of "
+                             "target-domain documents)")
+        target = _rd.read_parquet(args.target, columns=[args.col])
+        if args.select:
+            out = _rd.from_arrow(dsir_select(
+                ds, target, k=args.select, dim=args.dim, column=args.col,
+                id_col=args.key, seed=args.seed))
+        else:
+            out = dsir_weights(ds, target, dim=args.dim, column=args.col,
+                               id_col=args.key)
     elif args.op == "semdedup":
         from versatiles_rs_ray.stages.embed import semantic_dedup
 
@@ -520,6 +536,7 @@ def cmd_help(args):
         from versatiles_rs_ray.stages import dedup as DD
         from versatiles_rs_ray.stages import text as T
         from versatiles_rs_ray.stages.bpe import bpe_train
+        from versatiles_rs_ray.stages.dsir import dsir_select
         from versatiles_rs_ray.stages.embed import semantic_dedup
         from versatiles_rs_ray.stages.lm import lm_score
         from versatiles_rs_ray.stages.tfidf import hashed_tfidf
@@ -536,6 +553,7 @@ def cmd_help(args):
             "chunk": T.chunk_documents_tokens,
             "lm-score": lm_score, "tfidf": hashed_tfidf,
             "semdedup": semantic_dedup, "bpe-train": bpe_train,
+            "dsir": dsir_select,
         }
         if getattr(args, "op", None):
             if args.op not in ops:
@@ -643,7 +661,7 @@ def main(argv=None):
                                    "temp-sample",
                                    "chunk",
                                    "lm-score", "tfidf", "semdedup",
-                                   "bpe-train"])
+                                   "bpe-train", "dsir"])
     co.add_argument("input", help="documents parquet file/dir")
     co.add_argument("output", help="output parquet dir")
     co.add_argument("--key", default="doc_id",
@@ -664,7 +682,15 @@ def main(argv=None):
                     help="lm-score: n-gram count floor; bpe-train: "
                          "word-frequency floor")
     co.add_argument("--dim", type=int, default=256,
-                    help="tfidf: hashed feature buckets")
+                    help="tfidf/dsir: hashed feature buckets")
+    co.add_argument("--target",
+                    help="dsir: parquet of target-domain documents")
+    co.add_argument("--select", type=int, default=0,
+                    help="dsir: Gumbel-top-k rows to keep (0 = emit "
+                         "weights for every doc)")
+    co.add_argument("--seed", type=int, default=0,
+                    help="dsir: Gumbel seed (decorrelates from "
+                         "sampling/split hashes)")
     co.add_argument("--cells", type=int, default=16,
                     help="semdedup: coarse-quantizer cells")
     co.add_argument("--tau", type=float, default=0.9,

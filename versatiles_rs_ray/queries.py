@@ -523,6 +523,10 @@ def _oracle_semantic_dedup():
 
 BPE_MERGES = 12
 TFIDF_DIM = 64
+DSIR_DIM = 64
+DSIR_K = 100
+DSIR_SEED = 7
+DSIR_TARGET_LANG = "en"
 
 # polygon_join fixtures: a big triangle, a NON-CONVEX arrowhead and a
 # pentagon in lon/lat over the derived-doc extent (even-odd rule gives
@@ -641,6 +645,77 @@ def _oracle_tfidf_docs():
         "CAST(floor(1e6 * (t.tf * (ln((n + 1.0) / (df + 1.0)) + 1.0)) + 0.5) "
         "AS BIGINT) AS w_micro "
         "FROM tfx t JOIN dfx USING (bucket), nd"
+    )
+
+
+def q_dsir_topk(sf_dir):
+    """DSIR importance resampling (stages/dsir): raw pool = all
+    documents, target = the '{lang}' slice; unigram+bigram FNV-hashed
+    bucket counts reduce to two driver arrays (ZERO shuffles), per-
+    bucket log-ratios quantize to integer micro-nats before the
+    per-doc sum, Gumbel-top-k selection via per-block prune + bounded
+    driver merge. Exactly mirrorable in SQL (ln chain written with
+    identical association on both sides)."""
+    import ray.data as rd
+
+    from .stages.dsir import dsir_select
+
+    raw = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+
+    def only_target(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.equal(b["lang"], DSIR_TARGET_LANG))
+
+    target = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+    ).map_batches(only_target, batch_format="pyarrow")
+    return dsir_select(raw, target, k=DSIR_K, dim=DSIR_DIM,
+                       seed=DSIR_SEED)
+
+
+def _oracle_dsir_topk():
+    fnv = (
+        "CAST((list_reduce(list_prepend(14695981039346656037::HUGEINT, "
+        "[CAST(ord(substr(t, x, 1)) AS HUGEINT) FOR x IN "
+        "range(1, length(t) + 1)]), "
+        "(h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % "
+        f"18446744073709551616::HUGEINT) % {DSIR_DIM}) AS BIGINT)"
+    )
+    sd = repr(1.0 * DSIR_DIM)  # smooth * dim, same float product
+    knuth = (f"((doc_id::HUGEINT + {DSIR_SEED}) * 2654435761) "
+             "% 4294967296")
+    return (
+        "WITH base AS (SELECT doc_id, lang, "
+        f"{_SQL_TOKENS} AS toks FROM documents WHERE trim(text) <> ''), "
+        "uni AS (SELECT doc_id, lang, unnest(toks) AS t FROM base), "
+        "big AS (SELECT doc_id, lang, unnest([toks[i] || ' ' || "
+        "toks[i + 1] FOR i IN range(1, len(toks))]) AS t "
+        "FROM base WHERE len(toks) >= 2), "
+        "gram AS (SELECT * FROM uni UNION ALL SELECT * FROM big), "
+        f"hb AS (SELECT doc_id, lang, {fnv} AS bucket FROM gram), "
+        "cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c "
+        "FROM hb GROUP BY 1), "
+        "ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c "
+        f"FROM hb WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1), "
+        "tr AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM cr), "
+        "tt AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS s FROM ct), "
+        "rb AS (SELECT cr.bucket, CAST(floor(1e6 * ("
+        f"ln((coalesce(ct.c, 0) + 1.0) / (tt.s + {sd})) - "
+        f"ln((cr.c + 1.0) / (tr.s + {sd}))) + 0.5) AS BIGINT) AS r_micro "
+        "FROM cr LEFT JOIN ct USING (bucket), tr, tt), "
+        "dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+        "CAST(sum(r_micro) AS BIGINT) AS w_micro "
+        "FROM hb JOIN rb USING (bucket) GROUP BY 1), "
+        "alldocs AS (SELECT d.doc_id, coalesce(dw.n_grams, 0) AS n_grams, "
+        "coalesce(dw.w_micro, 0) AS w_micro "
+        "FROM documents d LEFT JOIN dw USING (doc_id)), "
+        "gg AS (SELECT *, CAST(floor(1e6 * -ln(-ln("
+        f"(({knuth}) + 0.5) / 4294967296.0)) + 0.5) AS BIGINT) AS g_micro "
+        "FROM alldocs) "
+        "SELECT doc_id, n_grams, w_micro, g_micro, "
+        "w_micro + g_micro AS score_micro FROM gg "
+        f"ORDER BY score_micro DESC, doc_id LIMIT {DSIR_K}"
     )
 
 
@@ -2889,7 +2964,11 @@ QUERIES = {
     "lm_ppl": q_lm_ppl,
     "semantic_dedup": q_semantic_dedup,
     "tfidf_docs": q_tfidf_docs,
-    # ---- position 51+: rows-only by nature (codec-bearing paths;
+    # ---- position 51+: the driver snapshot window is exactly full of
+    # oracle-backed rows; oracle-backed queries below verify via
+    # tools/selfcheck.py (identical gate), as in rounds 3-4 ----
+    "dsir_topk": q_dsir_topk,
+    # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
     "raster_pipeline": q_raster_pipeline,
@@ -2956,6 +3035,7 @@ ORACLES = {
     "lm_ppl": _oracle_lm_ppl(),
     "semantic_dedup": _oracle_semantic_dedup(),
     "tfidf_docs": _oracle_tfidf_docs(),
+    "dsir_topk": _oracle_dsir_topk(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window
