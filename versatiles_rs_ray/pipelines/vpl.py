@@ -466,6 +466,33 @@ def _vsimplify(ds, tolerance=2.0, **_):
                           batch_format="pyarrow")
 
 
+@register_transform_op("vector_rasterize")
+def _vrasterize(ds, size=256, colors=None, background=None, **_):
+    """Render vector tiles into PNG raster tiles (scanline even-odd
+    fill / dense-sampled strokes / 3x3 point markers; pixel-center
+    sampling matches the PIP join's crossing-parity convention).
+    colors: 'layer:RRGGBBAA;...' overrides; background: RRGGBBAA hex
+    (default transparent). Graft-new op (the reference never
+    rasterizes vector data)."""
+    from ..stages.rasterize import vector_rasterize
+
+    styles = {}
+    if colors:
+        for part in str(colors).split(";"):
+            name, _, hexv = part.partition(":")
+            if len(hexv) != 8:
+                raise ValueError(
+                    f"vector_rasterize: colors entry {part!r} must be "
+                    "layer:RRGGBBAA")
+            styles[name] = tuple(int(hexv[i:i + 2], 16) for i in (0, 2, 4, 6))
+    bg = (0, 0, 0, 0)
+    if background:
+        if len(str(background)) != 8:
+            raise ValueError("vector_rasterize: background must be RRGGBBAA")
+        bg = tuple(int(str(background)[i:i + 2], 16) for i in (0, 2, 4, 6))
+    return vector_rasterize(ds, size=int(size), styles=styles, background=bg)
+
+
 @register_transform_op("raster_format")
 def _rformat(ds, format="png", quality=None, speed=None, codec="pure", **_):
     """Re-encode raster payloads per-zoom via a format/quality schedule

@@ -1581,6 +1581,61 @@ def q_mvt_tiles(sf_dir):
     return tiles.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_vector_raster(sf_dir):
+    """docs -> z4 MVT point tiles -> rasterized 64px PNG tiles
+    (stages/rasterize: 3x3 point markers, clip at tile edges) ->
+    painted-pixel counts DECODED BACK FROM THE PNG BYTES, so the
+    whole render + PNG encode/decode chain sits inside the checked
+    pipeline. Oracle: the 3x3 cell expansion with edge clipping is
+    exact integer SQL over the same quantized MVT coordinates."""
+    from .core.png import decode_png_rgba
+    from .stages.rasterize import vector_rasterize
+    from .stages.vector import docs_to_mvt_tiles
+
+    docs = assign.assign_tiles(_docs(sf_dir), 4)
+    tiles = docs_to_mvt_tiles(docs, 4, num_partitions=4)
+    ras = vector_rasterize(tiles, size=64,
+                           styles={"docs": (255, 0, 0, 255)})
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        painted = [
+            int((decode_png_rgba(p)[..., 3] != 0).sum())
+            for p in batch["payload"].to_pylist()
+        ]
+        return pa.table({
+            "z": batch["z"],
+            "x": batch["x"],
+            "y": batch["y"],
+            "painted": pa.array(painted, type=pa.int64()),
+        })
+
+    return ras.map_batches(summarize, batch_format="pyarrow")
+
+
+def _oracle_vector_raster():
+    # the docs_to_mvt_tiles quantization chain, association-identical:
+    # px = trunc(clip(((mx * 2^4) % 1.0) * 4096, 0, 4095)); the
+    # rasterizer's point cell is floor(px * 64/4096) == px // 64
+    # (exact: 1/64 is a power of two), 3x3-expanded and edge-clipped.
+    px = ("CAST(floor(least(greatest((((lon / 360.0 + 0.5) * 16.0) % 1.0) "
+          "* 4096.0, 0.0), 4095.0)) AS BIGINT)")
+    py = ("CAST(floor(least(greatest((((0.5 - 0.5 * ln(tan(lat * pi() / "
+          "360.0 + pi() / 4.0)) / pi()) * 16.0) % 1.0) * 4096.0, 0.0), "
+          "4095.0)) AS BIGINT)")
+    return (
+        f"WITH t AS (SELECT z, x, y, {px} AS pxx, {py} AS pyy "
+        f"FROM {_sql_docs_at(4)} d), "
+        "cells AS (SELECT DISTINCT z, x, y, (pxx // 64) + dx AS cx, "
+        "(pyy // 64) + dy AS cy FROM t "
+        "CROSS JOIN (VALUES (-1), (0), (1)) a(dx) "
+        "CROSS JOIN (VALUES (-1), (0), (1)) b(dy) "
+        "WHERE (pxx // 64) + dx BETWEEN 0 AND 63 "
+        "AND (pyy // 64) + dy BETWEEN 0 AND 63) "
+        "SELECT z, x, y, CAST(count(*) AS BIGINT) AS painted "
+        "FROM cells GROUP BY 1, 2, 3"
+    )
+
+
 def q_lang_guess_docs(sf_dir):
     """Heuristic language id per doc (distinct-stopword-hit argmax,
     ties by lang name) — SQL-expressible, so oracle-checked."""
@@ -2968,6 +3023,7 @@ QUERIES = {
     # oracle-backed rows; oracle-backed queries below verify via
     # tools/selfcheck.py (identical gate), as in rounds 3-4 ----
     "dsir_topk": q_dsir_topk,
+    "vector_raster": q_vector_raster,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -3036,6 +3092,7 @@ ORACLES = {
     "semantic_dedup": _oracle_semantic_dedup(),
     "tfidf_docs": _oracle_tfidf_docs(),
     "dsir_topk": _oracle_dsir_topk(),
+    "vector_raster": _oracle_vector_raster(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window

@@ -1,0 +1,221 @@
+"""Vector-tile rasterization — render MVT layers into RGBA raster
+tiles (the vector->raster leg completing the engine's raster<->vector
+loop next to ``from_contours``' raster->vector leg).
+
+The classic scanline polygon fill, vectorized: a pixel (r, c) is
+painted iff its CENTER (c+0.5, r+0.5) lies inside the feature under
+the even-odd rule — the same crossing-parity convention as the
+engine's point-in-polygon join (stages/join.PolygonJoin), with the
+half-open ``ymin <= yc < ymax`` edge rule so shared ring vertices
+never double-count. All rings of a feature fill together (holes fall
+out of the parity automatically). Lines stroke by dense deterministic
+sampling (2 samples per pixel of major-axis run — every touched cell
+within half a pixel of the segment gets at least one sample), points
+mark a 3x3 square. Painter's algorithm: layers then features paint in
+order, last color wins (deterministic, no float blending).
+
+Per-batch work is pure numpy over edge/sample arrays (no per-pixel
+Python); output payloads are real PNGs through the engine's own
+encoder (core/png.py), so rasterized pyramids flow straight into
+raster_format / from_stacked_raster / the serve layer.
+
+Reference parity: the reference converts and probes tiles but never
+rasterizes vector data (no analogue in versatiles_pipeline's
+operation registry) — graft-new, the gdal_rasterize / tile-renderer
+shape expressed as a map-only Ray Data transform.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core import mvt
+
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _layer_color(name: str):
+    """Deterministic opaque default color from the FNV-1a of the layer
+    name (stable across runs/partitions; override via ``styles``)."""
+    h = 14695981039346656037
+    for b in name.encode():
+        h = ((h ^ b) * 1099511628211) % (1 << 64)
+    return ((h >> 16) & 255, (h >> 8) & 255, h & 255, 255)
+
+
+def fill_rings(mask: np.ndarray, rings, size: int) -> None:
+    """Even-odd scanline fill of one feature's rings (pixel units)
+    into a boolean mask. Vectorized over all (edge, row) crossings."""
+    pts0, pts1 = [], []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if len(r) < 3:
+            continue
+        pts0.append(r)
+        pts1.append(np.roll(r, -1, axis=0))
+    if not pts0:
+        return
+    p0 = np.concatenate(pts0)
+    p1 = np.concatenate(pts1)
+    x0, y0 = p0[:, 0], p0[:, 1]
+    x1, y1 = p1[:, 0], p1[:, 1]
+    keep = y0 != y1
+    if not keep.any():
+        return
+    x0, y0, x1, y1 = x0[keep], y0[keep], x1[keep], y1[keep]
+    ylo = np.minimum(y0, y1)
+    yhi = np.maximum(y0, y1)
+    r0 = np.maximum(np.ceil(ylo - 0.5), 0.0).astype(np.int64)
+    r1 = np.minimum(np.ceil(yhi - 0.5), float(size)).astype(np.int64)
+    cnt = np.maximum(r1 - r0, 0)
+    total = int(cnt.sum())
+    if total == 0:
+        return
+    edge = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+    starts = np.zeros(len(cnt) + 1, dtype=np.int64)
+    np.cumsum(cnt, out=starts[1:])
+    rows = (np.arange(total, dtype=np.int64) - starts[:-1][edge]) + r0[edge]
+    yc = rows.astype(np.float64) + 0.5
+    t = (yc - y0[edge]) / (y1[edge] - y0[edge])
+    xs = x0[edge] + t * (x1[edge] - x0[edge])
+    order = np.lexsort((xs, rows))
+    rows_s, xs_s = rows[order], xs[order]
+    # crossing parity per row is even for closed rings, so consecutive
+    # sorted crossings pair into (enter, exit) spans
+    new_row = np.ones(total, dtype=bool)
+    new_row[1:] = rows_s[1:] != rows_s[:-1]
+    row_start = np.zeros(total, dtype=np.int64)
+    row_start[new_row] = np.flatnonzero(new_row)
+    np.maximum.accumulate(row_start, out=row_start)
+    in_row = np.arange(total, dtype=np.int64) - row_start
+    ent = (in_row % 2) == 0
+    c0 = np.clip(np.ceil(xs_s[ent] - 0.5), 0, size).astype(np.int64)
+    c1 = np.clip(np.ceil(xs_s[~ent] - 0.5), 0, size).astype(np.int64)
+    good = c1 > c0
+    if not good.any():
+        return
+    diff = np.zeros((size, size + 1), dtype=np.int32)
+    pr = rows_s[ent][good]
+    np.add.at(diff, (pr, c0[good]), 1)
+    np.add.at(diff, (pr, c1[good]), -1)
+    np.logical_or(mask, np.cumsum(diff[:, :-1], axis=1) > 0, out=mask)
+
+
+def stroke_lines(mask: np.ndarray, parts, size: int) -> None:
+    """Deterministic dense-sampled 1-px stroke of polyline parts
+    (pixel units): 2 samples per pixel of major-axis run, floor to
+    cells, clip to the tile."""
+    for part in parts:
+        p = np.asarray(part, dtype=np.float64)
+        if len(p) < 2:
+            if len(p) == 1:
+                mark_points(mask, p, size)
+            continue
+        p0, p1 = p[:-1], p[1:]
+        d = p1 - p0
+        run = np.maximum(np.abs(d[:, 0]), np.abs(d[:, 1]))
+        cnt = (2 * np.ceil(run).astype(np.int64)) + 2
+        total = int(cnt.sum())
+        seg = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+        starts = np.zeros(len(cnt) + 1, dtype=np.int64)
+        np.cumsum(cnt, out=starts[1:])
+        k = np.arange(total, dtype=np.int64) - starts[:-1][seg]
+        t = k.astype(np.float64) / (cnt[seg] - 1).astype(np.float64)
+        xy = p0[seg] + t[:, None] * d[seg]
+        cx = np.floor(xy[:, 0]).astype(np.int64)
+        cy = np.floor(xy[:, 1]).astype(np.int64)
+        ok = (cx >= 0) & (cx < size) & (cy >= 0) & (cy < size)
+        mask[cy[ok], cx[ok]] = True
+
+
+def mark_points(mask: np.ndarray, pts, size: int) -> None:
+    """3x3 square marker centered on each point's cell."""
+    p = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    cx = np.floor(p[:, 0]).astype(np.int64)
+    cy = np.floor(p[:, 1]).astype(np.int64)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            x, y = cx + dx, cy + dy
+            ok = (x >= 0) & (x < size) & (y >= 0) & (y < size)
+            mask[y[ok], x[ok]] = True
+
+
+def render_tile(payload: bytes, size: int = 256, styles=None,
+                background=(0, 0, 0, 0)) -> np.ndarray:
+    """MVT bytes -> (size, size, 4) uint8 RGBA (painter's order)."""
+    tile = mvt.decode_tile(payload)
+    img = np.empty((size, size, 4), dtype=np.uint8)
+    img[:, :] = np.asarray(background, dtype=np.uint8)
+    for layer in tile["layers"]:
+        name = layer.get("name", "")
+        color = (styles or {}).get(name) or _layer_color(name)
+        color = np.asarray(color, dtype=np.uint8)
+        scale = float(size) / float(layer.get("extent", 4096) or 4096)
+        for feat in layer["features"]:
+            geom = feat.get("geometry")
+            if not geom:
+                continue
+            gtype = feat.get("type")
+            mask = np.zeros((size, size), dtype=bool)
+            if gtype == mvt.GEOM_POLYGON:
+                fill_rings(
+                    mask,
+                    [np.asarray(r, dtype=np.float64) * scale for r in geom],
+                    size)
+            elif gtype == mvt.GEOM_LINESTRING:
+                stroke_lines(
+                    mask,
+                    [np.asarray(r, dtype=np.float64) * scale for r in geom],
+                    size)
+            elif gtype == mvt.GEOM_POINT:
+                flat = [q for part in geom for q in
+                        (part if isinstance(part, list) else [part])]
+                if flat:
+                    mark_points(mask,
+                                np.asarray(flat, dtype=np.float64) * scale,
+                                size)
+            img[mask] = color
+    return img
+
+
+class VectorRasterize:
+    """Render vector tiles (MVT payloads) into PNG raster tiles of
+    ``size`` x ``size`` pixels. ``styles`` maps layer name -> RGBA
+    4-tuple; unlisted layers get a deterministic FNV-derived color.
+    Pure per-tile map — shuffle-free, scale-safe at any tile count."""
+
+    def __init__(self, size: int = 256, styles=None,
+                 background=(0, 0, 0, 0)):
+        if size < 1 or size > 4096:
+            raise ValueError(f"vector_rasterize: bad tile size {size}")
+        self.size = int(size)
+        self.styles = dict(styles or {})
+        bg = tuple(int(v) for v in background)
+        if len(bg) != 4 or any(v < 0 or v > 255 for v in bg):
+            raise ValueError(f"vector_rasterize: bad background {background}")
+        self.background = bg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..core.png import encode_png
+
+        out = [
+            encode_png(render_tile(p, self.size, self.styles,
+                                   self.background))
+            for p in batch["payload"].to_pylist()
+        ]
+        idx = batch.schema.get_field_index("payload")
+        return batch.set_column(idx, "payload", pa.array(out, type=pa.binary()))
+
+
+def vector_rasterize(ds, size: int = 256, styles=None,
+                     background=(0, 0, 0, 0), concurrency=None):
+    """Dataset of (z, x, y, payload=MVT) -> same keys with payload
+    replaced by rendered PNG bytes."""
+    kwargs = {"batch_format": "pyarrow"}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(
+        VectorRasterize(size=size, styles=styles, background=background),
+        **kwargs)
