@@ -221,6 +221,61 @@ def test_tumbling_window_matches_brute(ray_session, sf_dir):
         assert (got[c].values == brute[c].values).all(), c
 
 
+def test_hopping_window_matches_brute(ray_session, sf_dir):
+    import ray.data as rd
+
+    W, H = 3600, 900  # k = 4 overlapping windows per event
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    got = window.hopping_window(ev, window_s=W, hop_s=H).to_pandas() \
+        .sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    df = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    df["cents"] = np.floor(df["value"] * 100).astype(np.int64)
+    ts_s = df["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    frames = []
+    for j in range(W // H):
+        f = df.copy()
+        f["window_start"] = (ts_s // H - j) * H
+        frames.append(f)
+    import pandas as pd
+
+    brute = (
+        pd.concat(frames)
+        .groupby(["event_type", "window_start"])
+        .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"),
+             min_cents=("cents", "min"), max_cents=("cents", "max"))
+        .reset_index()
+        .sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    )
+    assert len(got) == len(brute)
+    for c in ["n_events", "sum_cents", "min_cents", "max_cents"]:
+        assert (got[c].values == brute[c].values).all(), c
+    # every event lands in exactly k windows
+    assert got["n_events"].sum() == len(df) * (W // H)
+
+
+def test_hopping_degenerates_to_tumbling(ray_session, sf_dir):
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    cols = ["event_type", "window_start"]
+    a = window.hopping_window(ev, window_s=3600, hop_s=3600).to_pandas() \
+        .sort_values(cols).reset_index(drop=True)
+    b = window.tumbling_window(ev).to_pandas() \
+        .sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_hopping_window_validation(ray_session):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        window.hopping_window(None, window_s=3600, hop_s=1000)
+    with _pt.raises(ValueError):
+        window.hopping_window(None, window_s=0, hop_s=0)
+
+
 def test_exchange_edge_cases(ray_session):
     import numpy as np
     import pyarrow as pa

@@ -1231,10 +1231,27 @@ def _oracle_vocab_topn():
 
 
 def q_events_window(sf_dir):
+    """Tumbling AND hopping (overlapping, window=2*hop) event-time
+    windows under one method-tagged row (stages/window): hopping
+    replicates each event into its k=window/hop windows INSIDE the
+    map-side partial, so both legs shuffle one row per (type, window)
+    per block."""
     import ray.data as rd
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
-    return window.tumbling_window(ev)
+
+    def tag(name):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "method", pa.array(np.full(len(b), name), type=pa.string()))
+        return f
+
+    tumb = window.tumbling_window(ev).map_batches(
+        tag("tumbling"), batch_format="pyarrow")
+    hopp = window.hopping_window(
+        ev, window_s=window.WINDOW_S, hop_s=window.WINDOW_S // 2
+    ).map_batches(tag("hopping"), batch_format="pyarrow")
+    return tumb.union(hopp)
 
 
 def q_shuffle_ranks(sf_dir):
@@ -2600,12 +2617,22 @@ def _oracle_text_stats():
 
 def _oracle_events_window():
     w = window.WINDOW_S
-    return (
-        f"SELECT event_type, (epoch_us(ts) // {w * 1_000_000}) * {w} AS window_start, "
-        "count(*) AS n_events, CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents, "
+    h = w // 2
+    aggs = (
+        "count(*) AS n_events, "
+        "CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents, "
         "min(CAST(floor(value * 100.0) AS BIGINT)) AS min_cents, "
-        "max(CAST(floor(value * 100.0) AS BIGINT)) AS max_cents "
-        "FROM events GROUP BY event_type, window_start"
+        "max(CAST(floor(value * 100.0) AS BIGINT)) AS max_cents"
+    )
+    return (
+        "SELECT 'tumbling' AS method, event_type, "
+        f"(epoch_us(ts) // {w * 1_000_000}) * {w} AS window_start, {aggs} "
+        "FROM events GROUP BY event_type, window_start "
+        "UNION ALL "
+        "SELECT 'hopping' AS method, event_type, "
+        f"((epoch_us(ts) // {h * 1_000_000}) - j) * {h} AS window_start, {aggs} "
+        "FROM events CROSS JOIN (VALUES (0), (1)) o(j) "
+        "GROUP BY event_type, window_start"
     )
 
 

@@ -23,7 +23,11 @@ def tumbling_partials(batch: pa.Table, window_s=WINDOW_S) -> pa.Table:
         etype_arr = etype_arr.combine_chunks()
     value = np.asarray(batch["value"], dtype=np.float64)
     cents = np.floor(value * 100.0).astype(np.int64)  # int cents: oracle-stable sums
+    return _window_partial_kernel(win, etype_arr, cents)
 
+
+def _window_partial_kernel(win: np.ndarray, etype_arr: pa.Array,
+                           cents: np.ndarray) -> pa.Table:
     # pack (event-type code, window) into one int64 so the per-batch
     # dedup is integer np.unique, not per-row string building: Arrow
     # dictionary-encode stays in string space once (no object arrays in
@@ -153,6 +157,62 @@ def tumbling_window(events_ds, window_s=WINDOW_S):
     partials = events_ds.map_batches(
         lambda t: tumbling_partials(t, window_s), batch_format="pyarrow"
     )
+    return partials.groupby(["event_type", "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_cents", alias_name="sum_cents"),
+        Min("min_cents", alias_name="min_cents"),
+        Max("max_cents", alias_name="max_cents"),
+    )
+
+
+def hopping_partials(batch: pa.Table, window_s: int,
+                     hop_s: int) -> pa.Table:
+    """Per-batch partials for OVERLAPPING (hopping/sliding) windows of
+    length ``window_s`` advancing every ``hop_s``: an event at ``ts``
+    belongs to the k = window_s/hop_s windows starting at
+    ``(ts // hop - j) * hop`` for j in 0..k-1 (each start satisfies
+    start <= ts < start + window). The event replicates into each of
+    its k windows BEFORE the combine, so the partial stays the usual
+    bounded (type, window) table — k is a small constant, not a data
+    blowup."""
+    ts = np.asarray(batch["ts"].cast(pa.int64()))  # microseconds
+    etype_arr = batch["event_type"]
+    if isinstance(etype_arr, pa.ChunkedArray):
+        etype_arr = etype_arr.combine_chunks()
+    value = np.asarray(batch["value"], dtype=np.float64)
+    cents = np.floor(value * 100.0).astype(np.int64)
+    k = window_s // hop_s
+    hop = ts // (hop_s * 1_000_000)
+    parts = [
+        _window_partial_kernel((hop - j) * hop_s, etype_arr, cents)
+        for j in range(k)
+    ]
+    return pa.concat_tables(parts)
+
+
+def hopping_window(events_ds, window_s=WINDOW_S, hop_s=None):
+    """Hopping (overlapping) windows per event_type: count/sum/min/max
+    of int cents over windows of ``window_s`` seconds every ``hop_s``
+    seconds (``window_s`` must be a multiple of ``hop_s``; hop ==
+    window degenerates to the tumbling window). Same shuffle shape as
+    :func:`tumbling_window` — replication happens inside the map-side
+    partial, so the groupby still moves one row per (type, window) per
+    block."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    if hop_s is None:
+        hop_s = window_s
+    if hop_s < 1 or window_s < 1:
+        raise ValueError(
+            f"hopping_window: window_s/hop_s must be >= 1, got "
+            f"{window_s}/{hop_s}")
+    if window_s % hop_s:
+        raise ValueError(
+            f"hopping_window: window_s ({window_s}) must be a multiple "
+            f"of hop_s ({hop_s})")
+    partials = events_ds.map_batches(
+        lambda t: hopping_partials(t, window_s, hop_s),
+        batch_format="pyarrow")
     return partials.groupby(["event_type", "window_start"]).aggregate(
         Sum("n_events", alias_name="n_events"),
         Sum("sum_cents", alias_name="sum_cents"),
