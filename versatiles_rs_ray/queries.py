@@ -1653,6 +1653,59 @@ def _oracle_vector_raster():
     )
 
 
+ZONAL_ZONES = {
+    "west": (-120.0, -40.0, -30.0, 40.0),
+    "europe": (-10.0, 35.0, 40.0, 70.0),
+    "tiny": (10.0, 10.0, 11.0, 11.0),
+    "south": (-180.0, -80.0, 180.0, -20.0),
+}
+
+
+def q_zonal_stats(sf_dir):
+    """Zonal statistics (stages/zonal): count/sum/min/max of the blue
+    band over the z3 gradient pyramid for four lon/lat rect zones —
+    the engine masks real decoded pixels per (tile, zone); the oracle
+    reproduces the half-open pixel-center row/col ranges in closed
+    form (exact integers; the B channel is the per-tile coordinate
+    hash, so per-zone sums exercise the full spatial partition)."""
+    from .core.bbox import TileBBoxPyramid
+    from .sources.debug_tiles import gradient_tiles
+    from .stages.zonal import zonal_stats
+
+    tiles = gradient_tiles(TileBBoxPyramid.new_full(3, 3), size=64)
+    return zonal_stats(tiles, ZONAL_ZONES, band=2, decoder="raw")
+
+
+def _oracle_zonal_stats():
+    zone_rows = ", ".join(
+        f"('{k}', {v[0]!r}, {v[1]!r}, {v[2]!r}, {v[3]!r})"
+        for k, v in ZONAL_ZONES.items())
+    my = ("0.5 - 0.5 * ln(tan({lat} * pi() / 360.0 + pi() / 4.0)) "
+          "/ pi()")
+    return (
+        "WITH tiles AS (SELECT a.x, b.y FROM range(8) a(x) "
+        "CROSS JOIN range(8) b(y)), "
+        f"zdef(zone, lon0, lat0, lon1, lat1) AS (VALUES {zone_rows}), "
+        "m AS (SELECT zone, lon0 / 360.0 + 0.5 AS mx0, "
+        "lon1 / 360.0 + 0.5 AS mx1, "
+        f"{my.format(lat='lat1')} AS my0, "
+        f"{my.format(lat='lat0')} AS my1 FROM zdef), "
+        "c AS (SELECT zone, x, y, "
+        "greatest(CAST(ceil((mx0 * 8.0 - x) * 64.0 - 0.5) AS BIGINT), 0) AS c0, "
+        "least(CAST(ceil((mx1 * 8.0 - x) * 64.0 - 0.5) AS BIGINT), 64) AS c1, "
+        "greatest(CAST(ceil((my0 * 8.0 - y) * 64.0 - 0.5) AS BIGINT), 0) AS r0, "
+        "least(CAST(ceil((my1 * 8.0 - y) * 64.0 - 0.5) AS BIGINT), 64) AS r1 "
+        "FROM m CROSS JOIN tiles), "
+        "k AS (SELECT zone, greatest(c1 - c0, 0) * greatest(r1 - r0, 0) AS cnt, "
+        "(3 * 37 + x * 17 + y * 11) % 256 AS b FROM c) "
+        "SELECT zone, CAST(sum(cnt) AS BIGINT) AS n_px, "
+        "CAST(sum(b * cnt) AS BIGINT) AS sum_val, "
+        "CAST(min(b) FILTER (WHERE cnt > 0) AS BIGINT) AS min_val, "
+        "CAST(max(b) FILTER (WHERE cnt > 0) AS BIGINT) AS max_val "
+        "FROM k GROUP BY zone HAVING sum(cnt) > 0"
+    )
+
+
 def q_lang_guess_docs(sf_dir):
     """Heuristic language id per doc (distinct-stopword-hit argmax,
     ties by lang name) — SQL-expressible, so oracle-checked."""
@@ -3051,6 +3104,7 @@ QUERIES = {
     # tools/selfcheck.py (identical gate), as in rounds 3-4 ----
     "dsir_topk": q_dsir_topk,
     "vector_raster": q_vector_raster,
+    "zonal_stats": q_zonal_stats,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -3120,6 +3174,7 @@ ORACLES = {
     "tfidf_docs": _oracle_tfidf_docs(),
     "dsir_topk": _oracle_dsir_topk(),
     "vector_raster": _oracle_vector_raster(),
+    "zonal_stats": _oracle_zonal_stats(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window
