@@ -184,3 +184,43 @@ def test_validation():
         VectorRasterize(size=0)
     with pytest.raises(ValueError):
         VectorRasterize(background=(300, 0, 0, 0))
+    from versatiles_rs_ray.stages.rasterize import DensityTiles
+
+    with pytest.raises(ValueError):
+        DensityTiles(size=0)
+
+
+def _point_tile(points, extent=4096):
+    layer = {"name": "docs", "version": 2, "extent": extent,
+             "features": [{"id": i, "type": mvt.GEOM_POINT,
+                           "properties": {}, "geometry": [[p]]}
+                          for i, p in enumerate(points)]}
+    return mvt.encode_tile({"layers": [layer]})
+
+
+def test_density_array_counts():
+    from versatiles_rs_ray.stages.rasterize import density_array
+
+    # 3 points in cell (0,0) at size 64 (cell = coord // 64), 1 in (5,2)
+    pts = [(0, 0), (30, 50), (63, 63), (320 + 10, 128 + 7)]
+    grid = density_array(_point_tile(pts), 64)
+    assert grid[0, 0] == 3 and grid[2, 5] == 1
+    assert int(grid.sum()) == 4
+
+
+def test_density_saturates_at_255():
+    from versatiles_rs_ray.stages.rasterize import density_tiles
+
+    import ray.data as rd
+
+    pts = [(10, 10)] * 300  # one cell, count 300 -> value clips to 255
+    ds = rd.from_arrow(pa.table({
+        "z": pa.array([0], type=pa.int64()),
+        "x": pa.array([0], type=pa.int64()),
+        "y": pa.array([0], type=pa.int64()),
+        "payload": pa.array([_point_tile(pts)], type=pa.binary()),
+    }))
+    out = density_tiles(ds, size=64).take_all()
+    img = decode_png_rgba(out[0]["payload"])
+    assert img[0, 0, 0] == 255 and img[0, 0, 3] == 255
+    assert int((img[..., 0] > 0).sum()) == 1

@@ -114,9 +114,39 @@ def test_png_decoder_path(ray_session):
     assert int(got["max_val"][0]) == int(want.max())
 
 
+def test_terrarium_elevation_zonal(ray_session):
+    """Analytic-plane DEM encoded Terrarium -> zonal stats in exact
+    1/256-m units: the decode inverts stages/terrain's encoding, so a
+    constant-elevation tile yields sum == n * round(elev * 256)."""
+    import ray.data as rd
+
+    from versatiles_rs_ray.core.png import encode_png
+    from versatiles_rs_ray.stages.terrain import terrarium_encode
+
+    elev = np.full((SIZE, SIZE), 1234.5, dtype=np.float64)
+    rgb = terrarium_encode(elev)
+    rgba = np.dstack([rgb, np.full((SIZE, SIZE), 255, dtype=np.uint8)])
+    ds = rd.from_arrow(pa.table({
+        "z": pa.array([0], type=pa.int64()),
+        "x": pa.array([0], type=pa.int64()),
+        "y": pa.array([0], type=pa.int64()),
+        "payload": pa.array([encode_png(rgba)], type=pa.binary()),
+        "width": pa.array([SIZE], type=pa.int64()),
+        "height": pa.array([SIZE], type=pa.int64()),
+    }))
+    got = zonal_stats(ds, {"all": RECTS["all"]}, band="terrarium",
+                      decoder="png").to_pandas()
+    v256 = int(round(1234.5 * 256))  # exact 1/256-m integer units
+    assert int(got["n_px"][0]) == SIZE * SIZE
+    assert int(got["sum_val"][0]) == SIZE * SIZE * v256
+    assert int(got["min_val"][0]) == v256 == int(got["max_val"][0])
+
+
 def test_validation():
     with pytest.raises(ValueError):
         ZonalStats({}, band=0)
+    with pytest.raises(ValueError):
+        ZonalStats({"a": (0.0, 0.0, 1.0, 1.0)}, band="mapbox")
     with pytest.raises(ValueError):
         ZonalStats({"a": (0.0, 0.0, 1.0, 1.0)}, band=7)
     with pytest.raises(ValueError):

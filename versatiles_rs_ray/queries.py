@@ -1606,27 +1606,36 @@ def q_vector_raster(sf_dir):
     pipeline. Oracle: the 3x3 cell expansion with edge clipping is
     exact integer SQL over the same quantized MVT coordinates."""
     from .core.png import decode_png_rgba
-    from .stages.rasterize import vector_rasterize
+    from .stages.rasterize import density_tiles, vector_rasterize
     from .stages.vector import docs_to_mvt_tiles
 
     docs = assign.assign_tiles(_docs(sf_dir), 4)
     tiles = docs_to_mvt_tiles(docs, 4, num_partitions=4)
-    ras = vector_rasterize(tiles, size=64,
-                           styles={"docs": (255, 0, 0, 255)})
 
-    def summarize(batch: pa.Table) -> pa.Table:
-        painted = [
-            int((decode_png_rgba(p)[..., 3] != 0).sum())
-            for p in batch["payload"].to_pylist()
-        ]
-        return pa.table({
-            "z": batch["z"],
-            "x": batch["x"],
-            "y": batch["y"],
-            "painted": pa.array(painted, type=pa.int64()),
-        })
+    def summarize(method, pixel_stat):
+        def f(batch: pa.Table) -> pa.Table:
+            painted = [
+                int(pixel_stat(decode_png_rgba(p)))
+                for p in batch["payload"].to_pylist()
+            ]
+            return pa.table({
+                "method": pa.array(np.full(len(batch), method),
+                                   type=pa.string()),
+                "z": batch["z"],
+                "x": batch["x"],
+                "y": batch["y"],
+                "painted": pa.array(painted, type=pa.int64()),
+            })
+        return f
 
-    return ras.map_batches(summarize, batch_format="pyarrow")
+    pts = vector_rasterize(
+        tiles, size=64, styles={"docs": (255, 0, 0, 255)},
+    ).map_batches(summarize("points", lambda a: (a[..., 3] != 0).sum()),
+                  batch_format="pyarrow")
+    heat = density_tiles(tiles, size=64).map_batches(
+        summarize("heatmap", lambda a: a[..., 0].astype(np.int64).sum()),
+        batch_format="pyarrow")
+    return pts.union(heat)
 
 
 def _oracle_vector_raster():
@@ -1647,9 +1656,16 @@ def _oracle_vector_raster():
         "CROSS JOIN (VALUES (-1), (0), (1)) a(dx) "
         "CROSS JOIN (VALUES (-1), (0), (1)) b(dy) "
         "WHERE (pxx // 64) + dx BETWEEN 0 AND 63 "
-        "AND (pyy // 64) + dy BETWEEN 0 AND 63) "
-        "SELECT z, x, y, CAST(count(*) AS BIGINT) AS painted "
-        "FROM cells GROUP BY 1, 2, 3"
+        "AND (pyy // 64) + dy BETWEEN 0 AND 63), "
+        "dens AS (SELECT z, x, y, pxx // 64 AS cx, pyy // 64 AS cy, "
+        "count(*) AS cnt FROM t GROUP BY 1, 2, 3, 4, 5) "
+        "SELECT 'points' AS method, z, x, y, "
+        "CAST(count(*) AS BIGINT) AS painted "
+        "FROM cells GROUP BY 2, 3, 4 "
+        "UNION ALL "
+        "SELECT 'heatmap' AS method, z, x, y, "
+        "CAST(sum(least(cnt, 255)) AS BIGINT) AS painted "
+        "FROM dens GROUP BY 2, 3, 4"
     )
 
 

@@ -209,6 +209,62 @@ class VectorRasterize:
         return batch.set_column(idx, "payload", pa.array(out, type=pa.binary()))
 
 
+def density_array(payload: bytes, size: int) -> np.ndarray:
+    """MVT point tile -> (size, size) int64 per-cell point counts
+    (cell = floor(coord * size/extent), every point of every point
+    feature of every layer)."""
+    tile = mvt.decode_tile(payload)
+    grid = np.zeros((size, size), dtype=np.int64)
+    for layer in tile["layers"]:
+        scale = float(size) / float(layer.get("extent", 4096) or 4096)
+        pts = [q for feat in layer["features"]
+               if feat.get("type") == mvt.GEOM_POINT
+               for part in (feat.get("geometry") or [])
+               for q in (part if isinstance(part, list) else [part])]
+        if not pts:
+            continue
+        p = np.asarray(pts, dtype=np.float64) * scale
+        cx = np.floor(p[:, 0]).astype(np.int64)
+        cy = np.floor(p[:, 1]).astype(np.int64)
+        ok = (cx >= 0) & (cx < size) & (cy >= 0) & (cy < size)
+        np.add.at(grid, (cy[ok], cx[ok]), 1)
+    return grid
+
+
+class DensityTiles:
+    """Point-density heatmap tiles: each MVT point tile renders to a
+    grayscale PNG whose pixel value is min(count, 255) points per
+    cell — the tile-heatmap visualization staple. Pure per-tile map
+    over the already-tiled MVT stream (reuses docs_to_mvt_tiles'
+    exchange; NO additional shuffle), so it composes with raster_format
+    / serve exactly like vector_rasterize output."""
+
+    def __init__(self, size: int = 64):
+        if size < 1 or size > 4096:
+            raise ValueError(f"density_tiles: bad tile size {size}")
+        self.size = int(size)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..core.png import encode_png
+
+        out = []
+        for p in batch["payload"].to_pylist():
+            v = np.minimum(density_array(p, self.size), 255).astype(np.uint8)
+            img = np.empty((self.size, self.size, 4), dtype=np.uint8)
+            img[..., 0] = img[..., 1] = img[..., 2] = v
+            img[..., 3] = 255
+            out.append(encode_png(img))
+        idx = batch.schema.get_field_index("payload")
+        return batch.set_column(idx, "payload",
+                                pa.array(out, type=pa.binary()))
+
+
+def density_tiles(ds, size: int = 64):
+    """Dataset of (z, x, y, payload=MVT point tiles) -> grayscale
+    heatmap PNG tiles (value = min(points per cell, 255))."""
+    return ds.map_batches(DensityTiles(size=size), batch_format="pyarrow")
+
+
 def vector_rasterize(ds, size: int = 256, styles=None,
                      background=(0, 0, 0, 0), concurrency=None):
     """Dataset of (z, x, y, payload=MVT) -> same keys with payload

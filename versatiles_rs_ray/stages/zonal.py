@@ -49,20 +49,36 @@ def _decode(payload: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     raise ValueError(f"zonal_stats: unknown decoder {fmt!r}")
 
 
+def _values(rgba: np.ndarray, band) -> np.ndarray:
+    """Pixel value plane as int64: a raw channel, or Terrarium
+    terrain-RGB elevation in EXACT 1/256-metre integer units
+    (R*65536 + G*256 + B - 32768*256 — the stages/terrain encoding
+    inverted without touching floats, so zone sums stay exact)."""
+    if band == "terrarium":
+        r = rgba[..., 0].astype(np.int64)
+        g = rgba[..., 1].astype(np.int64)
+        b = rgba[..., 2].astype(np.int64)
+        return r * 65536 + g * 256 + b - 32768 * 256
+    return rgba[..., band].astype(np.int64)
+
+
 class ZonalStats:
     """map_batches callable: raster tiles -> per-(tile, zone) partial
     stats over one band. ``zones`` maps zone_id -> either a lon/lat
     rect (lon0, lat0, lon1, lat1) or a polygon ring
     [(lon, lat), ...] (>= 3 vertices)."""
 
-    def __init__(self, zones: dict, band: int = 2, decoder: str = "raw"):
-        if band < 0 or band > 3:
-            raise ValueError(f"zonal_stats: band must be 0..3, got {band}")
+    def __init__(self, zones: dict, band=2, decoder: str = "raw"):
+        if band == "terrarium":
+            pass  # Terrarium terrain-RGB elevation in exact 1/256 m
+        elif not isinstance(band, (int, np.integer)) or band < 0 or band > 3:
+            raise ValueError(
+                f"zonal_stats: band must be 0..3 or 'terrarium', got {band}")
         if decoder not in ("raw", "png"):
             raise ValueError(f"zonal_stats: unknown decoder {decoder!r}")
         if not zones:
             raise ValueError("zonal_stats: zones must be non-empty")
-        self.band = int(band)
+        self.band = band if band == "terrarium" else int(band)
         self.decoder = decoder
         self.rects, self.polys = [], []
         for zid, zone in zones.items():
@@ -110,8 +126,8 @@ class ZonalStats:
                 if c0 >= c1 or r0 >= r1:
                     continue
                 if vals is None:
-                    vals = _decode(payloads[i], self.decoder, size,
-                                   size)[..., self.band].astype(np.int64)
+                    vals = _values(_decode(payloads[i], self.decoder,
+                                           size, size), self.band)
                 v = vals[r0:r1, c0:c1]
                 out_zone.append(zid)
                 out_n.append(v.size)
@@ -132,8 +148,8 @@ class ZonalStats:
                 if not mask.any():
                     continue
                 if vals is None:
-                    vals = _decode(payloads[i], self.decoder, size,
-                                   size)[..., self.band].astype(np.int64)
+                    vals = _values(_decode(payloads[i], self.decoder,
+                                           size, size), self.band)
                 v = vals[mask]
                 out_zone.append(zid)
                 out_n.append(v.size)
