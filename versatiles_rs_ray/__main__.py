@@ -337,6 +337,10 @@ def cmd_corpus(args):
             from versatiles_rs_ray.stages.curate import quota_per_key
 
             out = quota_per_key(ds, args.col, args.key, 1)
+        elif args.mode == "paragraph":
+            from versatiles_rs_ray.stages.dedup import dedup_paragraphs
+
+            out = dedup_paragraphs(ds, id_col=args.key, text_col=args.col)
         else:  # near: n-gram Jaccard pairs -> components -> anti-join
             import pyarrow.compute as _pc
 
@@ -698,8 +702,10 @@ def main(argv=None):
     co.add_argument("--merges", type=int, default=100,
                     help="bpe-train: number of merges to learn")
     co.add_argument("--tiebreak", default="doc_id", help="topk tiebreak column")
-    co.add_argument("--mode", default="exact", choices=["exact", "near"],
-                    help="dedup: exact text equality or n-gram Jaccard near-dup")
+    co.add_argument("--mode", default="exact",
+                    choices=["exact", "near", "paragraph"],
+                    help="dedup: exact text equality, n-gram Jaccard "
+                         "near-dup, or CCNet paragraph-level dedup")
     co.add_argument("--threshold", type=float, default=0.6,
                     help="dedup near: Jaccard threshold")
     co.add_argument("--fracs", default="train=0.9,val=0.05,test=0.05",

@@ -1669,6 +1669,79 @@ def _oracle_vector_raster():
     )
 
 
+PARA_K = 3  # tokens per reflowed paragraph (the corpus has no \n)
+
+
+def _reflow_paragraphs(batch: pa.Table, k: int = PARA_K) -> pa.Table:
+    """Fixture prep for paragraph dedup: reflow each doc's token
+    stream into '\\n'-joined k-token paragraphs (the synthetic corpus
+    is newline-free). Vectorized: one Arrow split, group boundaries by
+    within-doc index % k, two ListArray binary_joins."""
+    import pyarrow.compute as pc
+
+    from .stages.text import _per_doc_sum, _split_tokens
+
+    flat, tlen, offs = _split_tokens(batch["text"])
+    keep = tlen > 0
+    n_words = _per_doc_sum(keep.astype(np.int64), offs)
+    words = flat.filter(pa.array(keep)) if not keep.all() else flat
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    total = int(n_words.sum())
+    doc_off = np.zeros(len(n_words) + 1, dtype=np.int64)
+    np.cumsum(n_words, out=doc_off[1:])
+    w_in_doc = np.arange(total, dtype=np.int64) - np.repeat(
+        doc_off[:-1], n_words)
+    gstart = np.flatnonzero(w_in_doc % k == 0)
+    g_offs = np.append(gstart, total).astype(np.int32)
+    paras = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(g_offs, type=pa.int32()), words),
+        " ")
+    n_groups = -(-n_words // k)  # ceil
+    p_offs = np.zeros(len(n_words) + 1, dtype=np.int64)
+    np.cumsum(n_groups, out=p_offs[1:])
+    text2 = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(p_offs, type=pa.int32()), paras),
+        "\n")
+    return pa.table({"doc_id": batch["doc_id"], "text": text2})
+
+
+def q_dedup_paragraphs(sf_dir):
+    """CCNet paragraph-level dedup (stages/dedup.dedup_paragraphs):
+    each distinct paragraph keeps its global first occurrence (by
+    (doc, position)), docs rejoin their survivors in order — two hash
+    exchanges (paragraph hash, then doc id), no broadcast. The corpus
+    reflows into 3-token paragraphs first (~19% duplicated at
+    sf0.001), so removals AND survivors are both exercised."""
+    import ray.data as rd
+
+    from .stages.dedup import dedup_paragraphs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    reflowed = ds.map_batches(_reflow_paragraphs, batch_format="pyarrow")
+    return dedup_paragraphs(reflowed)
+
+
+def _oracle_dedup_paragraphs():
+    k = PARA_K
+    return (
+        "WITH b AS (SELECT doc_id, "
+        f"{_SQL_TOKENS} AS w FROM documents WHERE trim(text) <> ''), "
+        "p AS (SELECT doc_id, i.range - 1 AS pos, "
+        f"array_to_string(w[(i.range - 1) * {k} + 1 : "
+        f"least(i.range * {k}, len(w))], ' ') AS par "
+        f"FROM b, range(1, 100000) i WHERE (i.range - 1) * {k} < len(w)), "
+        "w2 AS (SELECT doc_id, pos, par, row_number() OVER "
+        "(PARTITION BY par ORDER BY doc_id, pos) AS rn FROM p), "
+        "np AS (SELECT doc_id, CAST(ceil(len(w) / CAST("
+        f"{k} AS DOUBLE)) AS BIGINT) AS n_par FROM b) "
+        "SELECT doc_id, string_agg(par, chr(10) ORDER BY pos) AS text, "
+        "CAST(count(*) AS BIGINT) AS n_kept, any_value(n_par) AS n_par "
+        "FROM w2 JOIN np USING (doc_id) WHERE rn = 1 GROUP BY doc_id"
+    )
+
+
 ZONAL_ZONES = {
     "west": (-120.0, -40.0, -30.0, 40.0),
     "europe": (-10.0, 35.0, 40.0, 70.0),
@@ -3121,6 +3194,7 @@ QUERIES = {
     "dsir_topk": q_dsir_topk,
     "vector_raster": q_vector_raster,
     "zonal_stats": q_zonal_stats,
+    "dedup_paragraphs": q_dedup_paragraphs,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -3191,6 +3265,7 @@ ORACLES = {
     "dsir_topk": _oracle_dsir_topk(),
     "vector_raster": _oracle_vector_raster(),
     "zonal_stats": _oracle_zonal_stats(),
+    "dedup_paragraphs": _oracle_dedup_paragraphs(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window

@@ -1494,3 +1494,124 @@ def remove_duplicate_spans(ds, k: int = 24, stride: int = 1,
         left.union(right), "doc",
         functools.partial(_rds_combine, id_col=id_col, text_col=text_col),
         num_partitions=num_partitions)
+
+
+# ---- CCNet paragraph-level deduplication ---------------------------------
+
+def _pd_explode(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """One row per paragraph ('\\n'-split line, the CCNet unit):
+    (doc, pos, n_par, par, _route=FNV(par)). Vectorized Arrow split;
+    an empty text is one empty paragraph (string_split parity)."""
+    import pyarrow.compute as pc
+
+    from .curate import _fnv_vec
+
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    split = pc.split_pattern(texts, "\n")
+    counts = np.asarray(pc.list_value_length(split), dtype=np.int64)
+    flat = pc.list_flatten(split)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    ids = np.asarray(batch[id_col], dtype=np.int64)
+    doc = np.repeat(ids, counts)
+    offs = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    pos = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+        offs[:-1], counts)
+    h = _fnv_vec(flat).view(np.int64)
+    return pa.table({
+        "doc": pa.array(doc, type=pa.int64()),
+        "pos": pa.array(pos, type=pa.int64()),
+        "n_par": pa.array(np.repeat(counts, counts), type=pa.int64()),
+        "par": flat,
+        "_route": pa.array(h, type=pa.int64()),
+    })
+
+
+def _pd_winners(tbl: pa.Table) -> pa.Table:
+    """Per hash-partition: every occurrence of a paragraph hash is
+    co-located here; keep only the global first (min (doc, pos)) —
+    the CCNet keep rule. Collisions of the 64-bit FNV would merge
+    distinct paragraphs (~2^-64 per pair; the hash-keyed trade CCNet
+    itself makes with SHA-1 prefixes)."""
+    if tbl.num_rows == 0:
+        return tbl
+    h = np.asarray(tbl["_route"], dtype=np.int64)
+    doc = np.asarray(tbl["doc"], dtype=np.int64)
+    pos = np.asarray(tbl["pos"], dtype=np.int64)
+    order = np.lexsort((pos, doc, h))
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = h[order][1:] != h[order][:-1]
+    keep = order[first]
+    return tbl.take(pa.array(keep, type=pa.int64()))
+
+
+def _pd_rebuild(tbl: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """Per doc-partition: surviving paragraphs -> rejoined text
+    ('\\n', original order). Docs that lost every paragraph emit
+    nothing (a fully-duplicate doc is removed, as CCNet does)."""
+    import pyarrow.compute as pc
+
+    if tbl.num_rows == 0:
+        return pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            text_col: pa.array([], type=pa.string()),
+            "n_kept": pa.array([], type=pa.int64()),
+            "n_par": pa.array([], type=pa.int64()),
+        })
+    doc = np.asarray(tbl["doc"], dtype=np.int64)
+    pos = np.asarray(tbl["pos"], dtype=np.int64)
+    order = np.lexsort((pos, doc))
+    d = doc[order]
+    new = np.ones(len(d), dtype=bool)
+    new[1:] = d[1:] != d[:-1]
+    starts = np.flatnonzero(new)
+    kept = np.diff(np.append(starts, len(d)))
+    flat = tbl["par"].take(pa.array(order, type=pa.int64()))
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    offs = np.zeros(len(starts) + 1, dtype=np.int32)
+    offs[1:] = np.cumsum(kept)
+    lists = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), flat)
+    joined = pc.binary_join(lists, "\n")
+    n_par = np.asarray(tbl["n_par"], dtype=np.int64)[order][starts]
+    return pa.table({
+        id_col: pa.array(d[starts], type=pa.int64()),
+        text_col: joined,
+        "n_kept": pa.array(kept, type=pa.int64()),
+        "n_par": pa.array(n_par, type=pa.int64()),
+    })
+
+
+def dedup_paragraphs(ds, id_col: str = "doc_id", text_col: str = "text",
+                     num_partitions: int = 32):
+    """CCNet paragraph-level deduplication (Wenzek et al. 2020): split
+    every document on '\\n', keep each distinct paragraph's GLOBAL
+    first occurrence (ordered by (doc id, position)), rejoin survivors
+    in original order. The boilerplate killer — headers, navbars and
+    license blocks repeat across pages and vanish corpus-wide while
+    each unique paragraph survives exactly once.
+
+    Shape: two corpus-volume hash exchanges, no broadcast, no driver
+    state — explode -> exchange on the paragraph's 64-bit FNV (all
+    occurrences co-locate; keep min (doc, pos)) -> exchange on doc id
+    (survivors regroup; vectorized ListArray rejoin). Docs that lose
+    every paragraph drop from the output (fully-duplicate documents).
+    Output: (id_col, text_col deduped, n_kept, n_par).
+    """
+    import functools
+
+    from .exchange import hash_exchange
+
+    exploded = ds.map_batches(
+        functools.partial(_pd_explode, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow")
+    winners = hash_exchange(exploded, "_route", _pd_winners,
+                            num_partitions=num_partitions)
+    return hash_exchange(
+        winners, "doc",
+        functools.partial(_pd_rebuild, id_col=id_col, text_col=text_col),
+        num_partitions=num_partitions)
