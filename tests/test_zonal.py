@@ -142,6 +142,34 @@ def test_terrarium_elevation_zonal(ray_session):
     assert int(got["min_val"][0]) == v256 == int(got["max_val"][0])
 
 
+def test_zonal_cli_over_container(ray_session, tmp_path):
+    """zonal CLI end-to-end: gradient tiles -> PNG mbtiles container
+    -> subprocess `zonal` with magic-sniffed decode == the per-pixel
+    brute force (PNG is lossless, so values survive the container)."""
+    import json
+    import subprocess
+    import sys
+
+    from versatiles_rs_ray.pipelines.vpl import build_pipeline, write_container
+
+    src = str(tmp_path / "grad.mbtiles")
+    ds = build_pipeline(f"from_gradient zmax={Z} size={SIZE} | "
+                        "raster_format format=png")
+    write_container(ds, src)
+    zones_path = tmp_path / "zones.json"
+    zones_path.write_text(json.dumps(
+        {k: list(v) for k, v in RECTS.items()}))
+    out = subprocess.run(
+        [sys.executable, "-m", "versatiles_rs_ray", "--num-cpus", "4",
+         "zonal", src, str(zones_path), "--level", str(Z), "--band", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=240)
+    assert out.returncode == 0, out.stderr[-2000:]
+    doc = json.loads(out.stdout.strip().splitlines()[-1])
+    got = {r["zone"]: [r["n_px"], r["sum_val"], r["min_val"], r["max_val"]]
+           for r in doc["zones"]}
+    assert got == _brute(RECTS)
+
+
 def test_validation():
     with pytest.raises(ValueError):
         ZonalStats({}, band=0)

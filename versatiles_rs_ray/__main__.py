@@ -109,6 +109,36 @@ def cmd_probe(args):
     ray.shutdown()
 
 
+def cmd_zonal(args):
+    """Zonal statistics over a tile container (gdal zonal-stats
+    shape): per-zone count/sum/min/max of the pixels whose centers
+    fall inside each lon/lat rect or polygon zone, decoded through
+    whatever codec the container's tiles carry (magic-sniffed)."""
+    from versatiles_rs_ray.pipelines.vpl import open_container
+    from versatiles_rs_ray.stages.zonal import zonal_stats
+
+    _ray_session(args.num_cpus)
+    with open(args.zones) as f:
+        zones = json.load(f)
+    ds = open_container(args.input)
+    if args.level is not None:
+        import pyarrow.compute as pc
+
+        lvl = int(args.level)
+
+        def only_level(b, _l=lvl):
+            return b.filter(pc.equal(b["z"], _l))
+
+        ds = ds.map_batches(only_level, batch_format="pyarrow")
+    band = args.band if args.band == "terrarium" else int(args.band)
+    df = zonal_stats(ds, zones, band=band,
+                     decoder="auto").to_pandas().sort_values("zone")
+    if args.output:
+        df.to_parquet(args.output)
+    print(json.dumps({"zones": df.to_dict("records")}))
+    return 0
+
+
 def cmd_pyramid(args):
     from versatiles_rs_ray.pipelines.pyramid import build_and_write_pyramid
 
@@ -609,6 +639,20 @@ def main(argv=None):
     pr.add_argument("-d", "--deep", action="count", default=0,
                     help="-d: container metadata; -dd: scan tile contents")
     pr.set_defaults(fn=cmd_probe)
+
+    zn = sub.add_parser("zonal", help="zonal statistics over a tile "
+                                      "container (per-zone pixel stats)")
+    zn.add_argument("input", help="tile container (any readable format)")
+    zn.add_argument("zones", help="JSON file: {zone_id: [lon0, lat0, "
+                                  "lon1, lat1] | [[lon, lat], ...]}")
+    zn.add_argument("--level", type=int, default=None,
+                    help="restrict to one zoom level (recommended: "
+                         "mixing zooms double-counts pixels)")
+    zn.add_argument("--band", default="2",
+                    help="0..3 channel index, or 'terrarium' for "
+                         "terrain-RGB elevation in 1/256-m units")
+    zn.add_argument("--output", help="also write the stats parquet here")
+    zn.set_defaults(fn=cmd_zonal)
 
     py = sub.add_parser("pyramid", help="build the doc pyramid (resumable)")
     py.add_argument("sf_dir")

@@ -37,7 +37,7 @@ import pyarrow as pa
 from ..core.coords import mercator_fraction
 
 
-def _decode(payload: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+def _decode(payload: bytes, fmt: str, w, h) -> np.ndarray:
     if fmt == "raw":
         from ..core.raster import to_array
 
@@ -46,6 +46,14 @@ def _decode(payload: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         from ..core.png import decode_png_rgba
 
         return decode_png_rgba(payload)
+    if fmt == "auto":  # sniff magic, any engine codec (container tiles)
+        from ..core.formats import sniff_format
+        from ..core.raster import decode
+
+        arr = decode(payload, sniff_format(payload))
+        if arr.ndim == 3 and arr.shape[2] == 3:
+            arr = np.dstack([arr, np.full(arr.shape[:2], 255, np.uint8)])
+        return arr
     raise ValueError(f"zonal_stats: unknown decoder {fmt!r}")
 
 
@@ -74,7 +82,7 @@ class ZonalStats:
         elif not isinstance(band, (int, np.integer)) or band < 0 or band > 3:
             raise ValueError(
                 f"zonal_stats: band must be 0..3 or 'terrarium', got {band}")
-        if decoder not in ("raw", "png"):
+        if decoder not in ("raw", "png", "auto"):
             raise ValueError(f"zonal_stats: unknown decoder {decoder!r}")
         if not zones:
             raise ValueError("zonal_stats: zones must be non-empty")
@@ -110,16 +118,30 @@ class ZonalStats:
         zs = np.asarray(batch["z"], dtype=np.int64)
         xs = np.asarray(batch["x"], dtype=np.int64)
         ys = np.asarray(batch["y"], dtype=np.int64)
-        ws = np.asarray(batch["width"], dtype=np.int64)
-        hs = np.asarray(batch["height"], dtype=np.int64)
+        has_wh = ("width" in batch.column_names
+                  and "height" in batch.column_names)
+        if not has_wh and self.decoder == "raw":
+            raise ValueError(
+                "zonal_stats: raw payloads need width/height columns")
+        ws = (np.asarray(batch["width"], dtype=np.int64)
+              if has_wh else None)
+        hs = (np.asarray(batch["height"], dtype=np.int64)
+              if has_wh else None)
         payloads = batch["payload"].to_pylist()
         out_zone, out_n, out_s, out_mn, out_mx = [], [], [], [], []
         for i in range(len(zs)):
-            size = int(ws[i])
-            if int(hs[i]) != size:
-                raise ValueError("zonal_stats: tiles must be square")
+            if has_wh:
+                size = int(ws[i])
+                if int(hs[i]) != size:
+                    raise ValueError("zonal_stats: tiles must be square")
+                vals = None  # decoded lazily: skip untouched tiles
+            else:  # self-describing payload: decode for dimensions
+                vals = _values(_decode(payloads[i], self.decoder,
+                                       None, None), self.band)
+                size = vals.shape[1]
+                if vals.shape[0] != size:
+                    raise ValueError("zonal_stats: tiles must be square")
             n_t = float(1 << int(zs[i]))
-            vals = None  # decoded lazily: skip tiles no zone touches
             for zid, mx0, my0, mx1, my1 in self.rects:
                 c0, c1 = self._span(mx0 * n_t, mx1 * n_t, int(xs[i]), size)
                 r0, r1 = self._span(my0 * n_t, my1 * n_t, int(ys[i]), size)
