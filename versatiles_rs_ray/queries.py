@@ -1669,6 +1669,31 @@ def _oracle_vector_raster():
     )
 
 
+FLOAT_QS = (0.25, 0.5, 0.9, 0.99)
+
+
+def q_value_quantiles(sf_dir):
+    """EXACT float64 quantiles with KB driver state
+    (stages/quantiles.float_quantiles): the radix-select trick —
+    monotone IEEE-754 bit mapping + 8 streaming byte-histogram
+    passes, no sort, no shuffle; the returned value is the actual
+    element, so it matches DuckDB quantile_disc bit-for-bit."""
+    import ray.data as rd
+
+    from .stages.quantiles import float_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return float_quantiles(ds, "value", FLOAT_QS)
+
+
+def _oracle_value_quantiles():
+    legs = " UNION ALL ".join(
+        f"SELECT {int(round(q * 100))} AS q_pct, "
+        f"quantile_disc(value, {q}) AS value FROM events"
+        for q in FLOAT_QS)
+    return legs
+
+
 PARA_K = 3  # tokens per reflowed paragraph (the corpus has no \n)
 
 
@@ -3195,6 +3220,7 @@ QUERIES = {
     "vector_raster": q_vector_raster,
     "zonal_stats": q_zonal_stats,
     "dedup_paragraphs": q_dedup_paragraphs,
+    "value_quantiles": q_value_quantiles,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -3266,6 +3292,7 @@ ORACLES = {
     "vector_raster": _oracle_vector_raster(),
     "zonal_stats": _oracle_zonal_stats(),
     "dedup_paragraphs": _oracle_dedup_paragraphs(),
+    "value_quantiles": _oracle_value_quantiles(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window
