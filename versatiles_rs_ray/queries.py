@@ -1669,6 +1669,208 @@ def _oracle_vector_raster():
     )
 
 
+Q1_CUTOFF_US = 904694400000000  # 1998-09-02 00:00:00 UTC, microseconds
+
+
+def _q1_partial(batch: pa.Table) -> pa.Table:
+    """TPC-H Q1 map-side combine: each block collapses to its
+    (returnflag, linestatus) partial sums BEFORE the (tiny) groupby —
+    money quantized to integer cents and the discount/tax products
+    kept as exact integer cent*percent products (1e-4 / 1e-6 dollar
+    units), so sums are order-independent int64s with an exact SQL
+    mirror."""
+    import pyarrow.compute as pc
+
+    ts = np.asarray(batch["l_shipdate"].cast(pa.int64()))
+    keep = ts <= Q1_CUTOFF_US
+    if not keep.all():
+        batch = batch.filter(pa.array(keep))
+    if batch.num_rows == 0:
+        return pa.table({
+            "l_returnflag": pa.array([], type=pa.string()),
+            "l_linestatus": pa.array([], type=pa.string()),
+            "n_rows": pa.array([], type=pa.int64()),
+            "sum_qty_c": pa.array([], type=pa.int64()),
+            "sum_base_c": pa.array([], type=pa.int64()),
+            "sum_disc_price_c4": pa.array([], type=pa.int64()),
+            "sum_charge_c6": pa.array([], type=pa.int64()),
+        })
+    qty = np.floor(np.asarray(batch["l_quantity"], np.float64) * 100.0
+                   ).astype(np.int64)
+    price = np.floor(np.asarray(batch["l_extendedprice"], np.float64)
+                     * 100.0).astype(np.int64)
+    disc = np.floor(np.asarray(batch["l_discount"], np.float64) * 100.0
+                    ).astype(np.int64)
+    tax = np.floor(np.asarray(batch["l_tax"], np.float64) * 100.0
+                   ).astype(np.int64)
+    disc_price = price * (100 - disc)          # 1e-4 dollars, exact
+    charge = disc_price * (100 + tax)          # 1e-6 dollars, exact
+    key = pc.binary_join_element_wise(
+        batch["l_returnflag"].combine_chunks().cast(pa.string()),
+        batch["l_linestatus"].combine_chunks().cast(pa.string()), "|")
+    enc = key.dictionary_encode()
+    idx = np.asarray(enc.indices, dtype=np.int64)
+    k = len(enc.dictionary)
+    first = np.full(k, len(idx), dtype=np.int64)
+    np.minimum.at(first, idx, np.arange(len(idx), dtype=np.int64))
+    out = {"l_returnflag": batch["l_returnflag"].take(pa.array(first)),
+           "l_linestatus": batch["l_linestatus"].take(pa.array(first)),
+           "n_rows": pa.array(np.bincount(idx, minlength=k).astype(np.int64),
+                              type=pa.int64())}
+    for name, col in (("sum_qty_c", qty), ("sum_base_c", price),
+                      ("sum_disc_price_c4", disc_price),
+                      ("sum_charge_c6", charge)):
+        s = np.zeros(k, dtype=np.int64)
+        np.add.at(s, idx, col)
+        out[name] = pa.array(s, type=pa.int64())
+    return pa.table(out)
+
+
+def q_pricing_summary(sf_dir):
+    """TPC-H Q1 pricing summary over lineitem (the classic map-side
+    combine): per-block partials bounded by the 4-6 distinct
+    (returnflag, linestatus) groups, then a tiny groupby — the
+    shuffle moves groups x blocks rows, never lineitems. Money is
+    integer-quantized (cents; discount/tax products as exact integer
+    cent*percent units) so every sum is an order-independent int64."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"])
+    partials = ds.map_batches(_q1_partial, batch_format="pyarrow")
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("sum_qty_c", alias_name="sum_qty_c"),
+        Sum("sum_base_c", alias_name="sum_base_c"),
+        Sum("sum_disc_price_c4", alias_name="sum_disc_price_c4"),
+        Sum("sum_charge_c6", alias_name="sum_charge_c6"),
+    )
+
+
+def _oracle_pricing_summary():
+    return (
+        "WITH l AS (SELECT l_returnflag, l_linestatus, "
+        "CAST(floor(l_quantity * 100.0) AS BIGINT) AS qty, "
+        "CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS price, "
+        "CAST(floor(l_discount * 100.0) AS BIGINT) AS disc, "
+        "CAST(floor(l_tax * 100.0) AS BIGINT) AS tax "
+        f"FROM lineitem WHERE epoch_us(l_shipdate) <= {Q1_CUTOFF_US}) "
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(qty) AS BIGINT) AS sum_qty_c, "
+        "CAST(sum(price) AS BIGINT) AS sum_base_c, "
+        "CAST(sum(price * (100 - disc)) AS BIGINT) AS sum_disc_price_c4, "
+        "CAST(sum(price * (100 - disc) * (100 + tax)) AS BIGINT) "
+        "AS sum_charge_c6 "
+        "FROM l GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+Q3_DATE_US = 795830400000000  # 1995-03-22 00:00:00 UTC, microseconds
+Q3_SEGMENT = "BUILDING"
+Q3_TOPN = 10
+
+
+def q_shipping_priority(sf_dir):
+    """TPC-H Q3 shipping priority: customer (filtered by segment) x
+    orders (o_orderdate < cutoff) x lineitem (l_shipdate > cutoff),
+    revenue = sum of exact integer cent*percent products per order,
+    top-10 by (revenue desc, orderdate, orderkey). Two co-partitioned
+    hash_joins (semi for the segment filter — customer attributes are
+    not needed — then inner on orderkey), per-partition revenue
+    partials, one tiny groupby, bounded top-n. The 3-way relational
+    composition the curation joins are built from."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .stages.join import hash_join
+
+    def c_prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b["c_mktsegment"], Q3_SEGMENT))
+        return pa.table({"custkey": b["c_custkey"].cast(pa.int64())})
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(c_prep, batch_format="pyarrow")
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        ts = np.asarray(b["o_orderdate"].cast(pa.int64()))
+        b = b.filter(pa.array(ts < Q3_DATE_US))
+        return pa.table({
+            "custkey": b["o_custkey"].cast(pa.int64()),
+            "orderkey": b["o_orderkey"].cast(pa.int64()),
+            "o_orderdate_us": b["o_orderdate"].cast(pa.int64()),
+            "o_orderpriority": b["o_orderpriority"],
+        })
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate",
+                 "o_orderpriority"]).map_batches(o_prep,
+                                                 batch_format="pyarrow")
+
+    def l_prep(b: pa.Table) -> pa.Table:
+        ts = np.asarray(b["l_shipdate"].cast(pa.int64()))
+        b = b.filter(pa.array(ts > Q3_DATE_US))
+        price = np.floor(np.asarray(b["l_extendedprice"], np.float64)
+                         * 100.0).astype(np.int64)
+        disc = np.floor(np.asarray(b["l_discount"], np.float64) * 100.0
+                        ).astype(np.int64)
+        return pa.table({
+            "orderkey": b["l_orderkey"].cast(pa.int64()),
+            "rev_c4": pa.array(price * (100 - disc), type=pa.int64()),
+        })
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"]).map_batches(l_prep, batch_format="pyarrow")
+
+    ord_b = hash_join(orders, cust, on="custkey", how="semi")
+    joined = hash_join(line, ord_b, on="orderkey", how="inner")
+    agg = joined.groupby(["orderkey", "o_orderdate_us",
+                          "o_orderpriority"]).aggregate(
+        Sum("rev_c4", alias_name="revenue_c4"))
+
+    def topn_block(b: pa.Table) -> pa.Table:
+        rev = np.asarray(b["revenue_c4"], dtype=np.int64)
+        od = np.asarray(b["o_orderdate_us"], dtype=np.int64)
+        ok = np.asarray(b["orderkey"], dtype=np.int64)
+        order = np.lexsort((ok, od, -rev))[:Q3_TOPN]
+        return b.take(pa.array(order, type=pa.int64()))
+
+    cand = agg.map_batches(topn_block, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(
+        ["revenue_c4", "o_orderdate_us", "orderkey"],
+        ascending=[False, True, True]).head(Q3_TOPN).reset_index(drop=True)
+    return cand[["orderkey", "revenue_c4", "o_orderdate_us",
+                 "o_orderpriority"]]
+
+
+def _oracle_shipping_priority():
+    return (
+        "SELECT l.l_orderkey AS orderkey, "
+        "CAST(sum(CAST(floor(l.l_extendedprice * 100.0) AS BIGINT) * "
+        "(100 - CAST(floor(l.l_discount * 100.0) AS BIGINT))) AS BIGINT) "
+        "AS revenue_c4, "
+        "epoch_us(o.o_orderdate) AS o_orderdate_us, "
+        "o.o_orderpriority AS o_orderpriority "
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        f"WHERE c.c_mktsegment = '{Q3_SEGMENT}' "
+        f"AND epoch_us(o.o_orderdate) < {Q3_DATE_US} "
+        f"AND epoch_us(l.l_shipdate) > {Q3_DATE_US} "
+        "GROUP BY 1, 3, 4 "
+        "ORDER BY revenue_c4 DESC, o_orderdate_us, orderkey "
+        f"LIMIT {Q3_TOPN}"
+    )
+
+
 FLOAT_QS = (0.25, 0.5, 0.9, 0.99)
 
 
@@ -3221,6 +3423,8 @@ QUERIES = {
     "zonal_stats": q_zonal_stats,
     "dedup_paragraphs": q_dedup_paragraphs,
     "value_quantiles": q_value_quantiles,
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -3293,6 +3497,8 @@ ORACLES = {
     "zonal_stats": _oracle_zonal_stats(),
     "dedup_paragraphs": _oracle_dedup_paragraphs(),
     "value_quantiles": _oracle_value_quantiles(),
+    "pricing_summary": _oracle_pricing_summary(),
+    "shipping_priority": _oracle_shipping_priority(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window
