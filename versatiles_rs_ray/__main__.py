@@ -443,6 +443,13 @@ def cmd_corpus(args):
 
         out = hashed_tfidf(ds, dim=args.dim, column=args.col,
                            id_col=args.key)
+    elif args.op == "quantiles":
+        import ray.data as _rd
+
+        from versatiles_rs_ray.stages.quantiles import float_quantiles
+
+        qs = tuple(float(x) for x in str(args.qs).split(","))
+        out = _rd.from_arrow(float_quantiles(ds, args.col, qs))
     elif args.op == "dsir":
         import ray.data as _rd
 
@@ -572,6 +579,7 @@ def cmd_help(args):
         from versatiles_rs_ray.stages.bpe import bpe_train
         from versatiles_rs_ray.stages.dsir import dsir_select
         from versatiles_rs_ray.stages.embed import semantic_dedup
+        from versatiles_rs_ray.stages.quantiles import float_quantiles
         from versatiles_rs_ray.stages.lm import lm_score
         from versatiles_rs_ray.stages.tfidf import hashed_tfidf
 
@@ -588,6 +596,7 @@ def cmd_help(args):
             "lm-score": lm_score, "tfidf": hashed_tfidf,
             "semdedup": semantic_dedup, "bpe-train": bpe_train,
             "dsir": dsir_select,
+            "quantiles": float_quantiles,
         }
         if getattr(args, "op", None):
             if args.op not in ops:
@@ -709,7 +718,7 @@ def main(argv=None):
                                    "temp-sample",
                                    "chunk",
                                    "lm-score", "tfidf", "semdedup",
-                                   "bpe-train", "dsir"])
+                                   "bpe-train", "dsir", "quantiles"])
     co.add_argument("input", help="documents parquet file/dir")
     co.add_argument("output", help="output parquet dir")
     co.add_argument("--key", default="doc_id",
@@ -739,6 +748,9 @@ def main(argv=None):
     co.add_argument("--seed", type=int, default=0,
                     help="dsir: Gumbel seed (decorrelates from "
                          "sampling/split hashes)")
+    co.add_argument("--qs", default="0.25,0.5,0.9,0.99",
+                    help="quantiles: comma list of q values in [0,1] "
+                         "(exact, over --col as float64)")
     co.add_argument("--cells", type=int, default=16,
                     help="semdedup: coarse-quantizer cells")
     co.add_argument("--tau", type=float, default=0.9,
