@@ -208,7 +208,38 @@ def test_density_array_counts():
     assert int(grid.sum()) == 4
 
 
-def test_density_saturates_at_255():
+def test_raster_vector_raster_loop(ray_session, tmp_path):
+    """The full loop the tier names: DEM GeoTIFF (raster) ->
+    from_contours (vector linestring tiles) -> vector_rasterize
+    (raster PNG tiles again). Contour strokes must land as a thin
+    connected band of painted pixels, everything else transparent."""
+    import numpy as np
+
+    from versatiles_rs_ray.pipelines.vpl import build_pipeline
+    from versatiles_rs_ray.sources.geotiff import write_tiff
+
+    yy, xx = np.mgrid[0:41, 0:41]
+    z = 25.0 - 0.8 * np.hypot(xx - 20, yy - 20)
+    path = str(tmp_path / "cone.tif")
+    (tmp_path / "cone.tif").write_bytes(write_tiff(
+        np.round(z).astype(np.int16)[..., None],
+        geotransform=(0.0, 1.0, 0.0, 41.0, 0.0, -1.0), epsg=4326))
+    ds = build_pipeline(
+        f"from_contours filename={path} levels=10,15 zmin=3 zmax=3 | "
+        "vector_rasterize size=128 colors=contours:ff0000ff")
+    rows = ds.take_all()
+    assert rows
+    painted = 0
+    for r in rows:
+        img = decode_png_rgba(r["payload"])
+        assert img.shape == (128, 128, 4)
+        hit = img[..., 3] != 0
+        painted += int(hit.sum())
+        # painted pixels are exactly the styled contour color
+        if hit.any():
+            assert (img[hit] == (255, 0, 0, 255)).all()
+    # two closed contour rings of a cone: a thin band, not a fill
+    assert 0 < painted < 128 * 128
     from versatiles_rs_ray.stages.rasterize import density_tiles
 
     import ray.data as rd
