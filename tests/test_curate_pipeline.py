@@ -154,3 +154,28 @@ def test_curate_ppl_gate(ray_session):
     loose = curate_corpus(rd.from_arrow(tbl),
                           max_ppl_micro=50_000_000).to_pandas()
     assert sorted(loose["doc_id"]) == sorted(base["doc_id"])
+
+    # percentile form: keep the best p fraction by mean NLL/token —
+    # threshold derived by exact radix selection over the ratio, so
+    # the kept set equals the manual quantile_disc cut on the same
+    # intermediate scores
+    import math
+
+    ratios = (scores["nll_micro"].astype(float)
+              / scores["n_tok"]).sort_values().to_numpy()
+    p = 0.8
+    thr_r = ratios[max(math.ceil(p * len(ratios)) - 1, 0)]
+    want_p = sorted(scores[(scores["nll_micro"].astype(float)
+                            / scores["n_tok"]) <= thr_r]["doc_id"])
+    got_p = curate_corpus(rd.from_arrow(tbl),
+                          ppl_percentile=p).to_pandas()
+    assert sorted(got_p["doc_id"]) == want_p
+    assert 999 not in set(got_p["doc_id"])
+    # the two cut forms are mutually exclusive, and p is validated
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        curate_corpus(rd.from_arrow(tbl), max_ppl_micro=1,
+                      ppl_percentile=0.5)
+    with _pt.raises(ValueError):
+        curate_corpus(rd.from_arrow(tbl), ppl_percentile=1.5)

@@ -501,6 +501,7 @@ def cmd_corpus(args):
             drop_repetitive=not args.keep_repetitive,
             near_dup_threshold=args.near_threshold,
             max_ppl_micro=args.max_ppl,
+            ppl_percentile=args.ppl_percentile,
             lang_fracs=_parse_fracs(args.lang_fracs) if args.lang_fracs else None,
             default_frac=args.default_frac,
             split_fracs=_parse_fracs(args.fracs) if args.split else None,
@@ -787,6 +788,10 @@ def main(argv=None):
     co.add_argument("--max-ppl", type=int, default=None,
                     help="curate: drop docs whose mean LM NLL per token "
                          "exceeds this many micro-nats (CCNet-style gate)")
+    co.add_argument("--ppl-percentile", type=float, default=None,
+                    help="curate: keep the best FRACTION of docs by mean "
+                         "NLL per token (exact radix-select threshold; "
+                         "mutually exclusive with --max-ppl)")
     co.add_argument("--lang-fracs", default=None,
                     help="curate: per-lang mix fractions, e.g. en=0.5,de=1.0")
     co.add_argument("--default-frac", type=float, default=1.0,

@@ -84,7 +84,8 @@ def curate_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
                   lang_col: str = "lang", min_quality: int = 1,
                   drop_repetitive: bool = True,
                   near_dup_threshold: float | None = None, ngram_k: int = 5,
-                  max_ppl_micro: int | None = None, lm_order: int = 2,
+                  max_ppl_micro: int | None = None,
+                  ppl_percentile: float | None = None, lm_order: int = 2,
                   lm_alpha: float = 0.4, lm_min_count: int = 2,
                   lang_fracs: dict | None = None, default_frac: float = 1.0,
                   split_fracs: dict | None = None,
@@ -150,7 +151,15 @@ def curate_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
         if appended:
             ds = ds.drop_columns(appended)
 
-    if max_ppl_micro is not None:
+    if ppl_percentile is not None and max_ppl_micro is not None:
+        raise ValueError(
+            "curate_corpus: max_ppl_micro and ppl_percentile are "
+            "mutually exclusive (absolute vs distribution-derived cut)")
+    if ppl_percentile is not None and not 0.0 < ppl_percentile <= 1.0:
+        raise ValueError(
+            f"curate_corpus: ppl_percentile must be in (0, 1], got "
+            f"{ppl_percentile}")
+    if max_ppl_micro is not None or ppl_percentile is not None:
         # CCNet-style perplexity gate AFTER dedup (the LM self-trains
         # on the deduped corpus, so boilerplate mass can't drag the
         # model toward itself): keep docs whose mean NLL per token is
@@ -166,13 +175,44 @@ def curate_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
                           min_count=lm_min_count, column=text_col,
                           id_col=id_col)
 
-        def over_budget(b: pa.Table) -> pa.Table:
-            nll = np.asarray(b["nll_micro"], dtype=np.int64)
-            ntk = np.asarray(b["n_tok"], dtype=np.int64)
-            bad = nll > int(max_ppl_micro) * ntk
-            return b.filter(pa.array(bad)).select([id_col])
+        if ppl_percentile is not None:
+            # distribution-derived cut (the CCNet head/middle split):
+            # keep the best `ppl_percentile` fraction by mean NLL per
+            # token. The ratio is one float64 division of two int64s
+            # (identical on every worker) and the threshold is the
+            # EXACT element at the percentile rank (radix selection,
+            # stages/quantiles) — so `ratio <= thr` is deterministic
+            # and partition-invariant, no approximate sketch anywhere.
+            from ..stages.quantiles import float_quantiles
 
-        drop_ppl = scores.map_batches(over_budget, batch_format="pyarrow")
+            def ratio_of(b: pa.Table) -> pa.Table:
+                nll = np.asarray(b["nll_micro"], dtype=np.float64)
+                ntk = np.asarray(b["n_tok"], dtype=np.int64)
+                r = np.divide(nll, ntk, out=np.zeros_like(nll),
+                              where=ntk > 0)
+                return pa.table({id_col: b[id_col],
+                                 "ppl_ratio": pa.array(r,
+                                                       type=pa.float64())})
+
+            ratios = scores.map_batches(ratio_of, batch_format="pyarrow")
+            thr = float(float_quantiles(ratios, "ppl_ratio",
+                                        (ppl_percentile,))["value"][0].as_py())
+
+            def over_budget(b: pa.Table) -> pa.Table:
+                bad = np.asarray(b["ppl_ratio"], dtype=np.float64) > thr
+                return b.filter(pa.array(bad)).select([id_col])
+
+            drop_ppl = ratios.map_batches(over_budget,
+                                          batch_format="pyarrow")
+        else:
+            def over_budget(b: pa.Table) -> pa.Table:
+                nll = np.asarray(b["nll_micro"], dtype=np.int64)
+                ntk = np.asarray(b["n_tok"], dtype=np.int64)
+                bad = nll > int(max_ppl_micro) * ntk
+                return b.filter(pa.array(bad)).select([id_col])
+
+            drop_ppl = scores.map_batches(over_budget,
+                                          batch_format="pyarrow")
         ds = anti_join_ids(ds, drop_ppl, id_col, bloom_bits=1 << 24)
 
     if lang_fracs is not None:
