@@ -116,14 +116,22 @@ def test_features_to_mvt_lines_and_polygons(ray_session, tmp_path):
     assert by_name["poly"][0][3]["type"] == mvt.GEOM_POLYGON
     assert by_name["pt"][0][3]["type"] == mvt.GEOM_POINT
     assert by_name["mline"][0][3]["type"] == mvt.GEOM_LINESTRING
-    # line geometry has 3 vertices in one part, polygon ring closed by
-    # ClosePath (decode re-opens it as 1 part with >= 4 pts)
-    line_parts = by_name["line"][0][3]["geometry"]
-    assert len(line_parts) == 1 and len(line_parts[0]) == 3
+    # per-tile CLIP semantics (core/clip): the tile holding the whole
+    # line keeps all 3 vertices in one part; boundary tiles carry
+    # clipped pieces whose coords stay inside the buffered extent
+    assert any(len(g[3]["geometry"]) == 1 and len(g[3]["geometry"][0]) == 3
+               for g in by_name["line"])
+    for _, _, _, f in by_name["line"]:
+        for part in f["geometry"]:
+            for px, py in part:
+                assert -65 <= px <= 4096 + 65 and -65 <= py <= 4096 + 65
     poly_parts = by_name["poly"][0][3]["geometry"]
     assert len(poly_parts) == 1 and len(poly_parts[0]) >= 4
-    mline_parts = by_name["mline"][0][3]["geometry"]
-    assert len(mline_parts) == 2
+    # the two mline segments live in different z6 tiles; after the
+    # per-tile clip each tile carries only its own segment(s)
+    assert sum(len(g[3]["geometry"]) for g in by_name["mline"]) >= 2
+    assert all(len(part) == 2 for g in by_name["mline"]
+               for part in g[3]["geometry"])
     # cross-tile: the z6 line spans lon 1..9 -> at least 2 tiles carry it
     assert len(by_name["line"]) >= 2
     # quantized coordinates in the anchor tile are inside the extent
@@ -144,9 +152,14 @@ def test_features_to_mvt_geometry_roundtrip_exact(ray_session, tmp_path):
         GJ.read_ndjson_features(str(path)), zoom=3, num_partitions=2
     ).to_pandas()
     assert len(tiles) >= 1  # bbox may straddle a tile boundary
+    full = 0
     for _, row in tiles.iterrows():
         tile = mvt.decode_tile(row["payload"])
         geom = tile["layers"][0]["features"][0]["geometry"]
-        assert len(geom) == 1 and len(geom[0]) == 20  # every vertex kept
+        # the line's own tile keeps every vertex; boundary tiles
+        # (buffer-clipped, core/clip) carry a strict subset
+        if len(geom) == 1 and len(geom[0]) == 20:
+            full += 1
         # re-encode -> identical bytes (deterministic codec)
         assert mvt.encode_tile(tile) == bytes(row["payload"])
+    assert full == 1

@@ -131,11 +131,18 @@ def _geometry_parts(gtype: str, coords):
 _MAX_TILES_PER_FEATURE = 256
 
 
-def _feature_tile_rows(gtype: str, coords, zoom: int, extent: int):
+_TILE_BUFFER = 64  # extent units of slack around each tile (MVT custom)
+
+
+def _feature_tile_rows(gtype: str, coords, zoom: int, extent: int,
+                       buffer: int = _TILE_BUFFER):
     """One feature -> [(tile_x, tile_y, mvt_type, parts)] for every
-    tile the geometry's bbox touches; parts quantized into each tile's
-    local extent grid (coordinates may exceed [0, extent) on shared
-    tiles — MVT renderers clip, and the commands round-trip exactly)."""
+    tile the geometry actually intersects; each tile's parts are
+    CLIPPED to its buffered square (core/clip: Liang-Barsky lines,
+    Sutherland-Hodgman rings, point filtering — the tippecanoe
+    shape) before quantizing into the tile-local extent grid, so a
+    feature spanning many tiles ships each tile only its local
+    vertices instead of a whole copy per tile."""
     mvt_type = {"Point": mvt.GEOM_POINT, "MultiPoint": mvt.GEOM_POINT,
                 "LineString": mvt.GEOM_LINESTRING,
                 "MultiLineString": mvt.GEOM_LINESTRING,
@@ -147,9 +154,9 @@ def _feature_tile_rows(gtype: str, coords, zoom: int, extent: int):
     for part in parts:
         arr = np.asarray(part, dtype=np.float64)
         mx, my = mercator_fraction(arr[:, 0], arr[:, 1])
-        merc.append((mx * n, my * n))
-    all_x = np.concatenate([m[0] for m in merc])
-    all_y = np.concatenate([m[1] for m in merc])
+        merc.append(np.stack([mx * n, my * n], axis=1))
+    all_x = np.concatenate([m[:, 0] for m in merc])
+    all_y = np.concatenate([m[:, 1] for m in merc])
     tx0 = max(0, min(int(np.floor(all_x.min())), nmax))
     tx1 = max(0, min(int(np.floor(all_x.max())), nmax))
     ty0 = max(0, min(int(np.floor(all_y.min())), nmax))
@@ -163,14 +170,27 @@ def _feature_tile_rows(gtype: str, coords, zoom: int, extent: int):
             "or pre-split the geometry)", len(tiles), zoom, _MAX_TILES_PER_FEATURE,
         )
         tiles = tiles[:_MAX_TILES_PER_FEATURE]
+    from ..core.clip import clip_parts
+
+    buf = buffer / float(extent)
     out = []
     for tx, ty in tiles:
+        clipped = clip_parts(merc, mvt_type == mvt.GEOM_POINT,
+                             mvt_type == mvt.GEOM_LINESTRING,
+                             tx - buf, ty - buf, tx + 1 + buf, ty + 1 + buf)
         qparts = []
-        for mx, my in merc:
-            px = np.rint((mx - tx) * extent).astype(np.int64)
-            py = np.rint((my - ty) * extent).astype(np.int64)
+        for part in clipped:
+            px = np.rint((part[:, 0] - tx) * extent).astype(np.int64)
+            py = np.rint((part[:, 1] - ty) * extent).astype(np.int64)
             qparts.append([(int(a), int(b)) for a, b in zip(px, py)])
-        out.append((tx, ty, mvt_type, qparts))
+        # quantization can collapse a clipped sliver to < 2 distinct
+        # vertices; such parts carry no renderable geometry
+        if mvt_type == mvt.GEOM_LINESTRING:
+            qparts = [q for q in qparts if len(set(q)) >= 2]
+        elif mvt_type == mvt.GEOM_POLYGON:
+            qparts = [q for q in qparts if len(set(q)) >= 3]
+        if qparts:
+            out.append((tx, ty, mvt_type, qparts))
     return out
 
 
