@@ -267,6 +267,43 @@ def test_hopping_degenerates_to_tumbling(ray_session, sf_dir):
     assert a.equals(b)
 
 
+def test_funnel_matches_scalar_reference(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    stages = ("a", "b", "c")
+    # user 1: full chain; user 2: b before a (b must not count);
+    # user 3: a only; user 4: a and c simultaneous with b missing;
+    # user 5: a,b at the SAME ts (strictly-after excludes b)
+    rows = [
+        (1, 10, "a"), (1, 20, "b"), (1, 30, "c"),
+        (2, 10, "b"), (2, 20, "a"), (2, 30, "b"), (2, 40, "c"),
+        (3, 10, "a"),
+        (4, 10, "a"), (4, 20, "c"),
+        (5, 10, "a"), (5, 10, "b"),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] * 1_000_000 for r in rows],
+                       type=pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], type=pa.string()),
+    })
+    got = window.funnel(rd.from_arrow(tbl), stages).to_pandas() \
+        .set_index("stage")["n_users"]
+    assert got[1] == 5   # everyone fires 'a'
+    assert got[2] == 2   # users 1 and 2 ('b' after 'a'; user 5 same-ts)
+    assert got[3] == 2   # users 1 and 2 complete
+    # partition invariance
+    got2 = window.funnel(rd.from_arrow(tbl).repartition(5), stages,
+                         num_partitions=3).to_pandas() \
+        .set_index("stage")["n_users"]
+    assert list(got.sort_index()) == list(got2.sort_index())
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        window.funnel(rd.from_arrow(tbl), ())
+
+
 def test_hopping_window_validation(ray_session):
     import pytest as _pt
 

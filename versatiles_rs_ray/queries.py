@@ -1669,6 +1669,47 @@ def _oracle_vector_raster():
     )
 
 
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+def q_event_funnel(sf_dir):
+    """Ordered-funnel conversion counts (stages/window.funnel): users
+    with a strictly-increasing first-touch timestamp chain through
+    signup -> view -> click -> purchase. One user_id hash exchange;
+    per-partition counting is four vectorized min-reductions; the
+    combine sums stages x partitions rows."""
+    import ray.data as rd
+
+    from .stages.window import funnel
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return funnel(ev, FUNNEL_STAGES)
+
+
+def _oracle_event_funnel():
+    prev = None
+    ctes = ["e AS (SELECT user_id, event_type, epoch_us(ts) AS ts "
+            "FROM events)"]
+    for i, stage in enumerate(FUNNEL_STAGES, start=1):
+        if prev is None:
+            ctes.append(
+                f"s{i} AS (SELECT user_id, min(ts) AS t FROM e "
+                f"WHERE event_type = '{stage}' GROUP BY 1)")
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.user_id, min(e.ts) AS t FROM e "
+                f"JOIN {prev} USING (user_id) "
+                f"WHERE e.event_type = '{stage}' AND e.ts > {prev}.t "
+                "GROUP BY 1)")
+        prev = f"s{i}"
+    legs = " UNION ALL ".join(
+        f"SELECT {i} AS stage, '{stage}' AS event_type, "
+        f"CAST(count(*) AS BIGINT) AS n_users FROM s{i}"
+        for i, stage in enumerate(FUNNEL_STAGES, start=1))
+    return "WITH " + ", ".join(ctes) + " " + legs
+
+
 Q1_CUTOFF_US = 904694400000000  # 1998-09-02 00:00:00 UTC, microseconds
 
 
@@ -3425,6 +3466,7 @@ QUERIES = {
     "value_quantiles": q_value_quantiles,
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
+    "event_funnel": q_event_funnel,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -3499,6 +3541,7 @@ ORACLES = {
     "value_quantiles": _oracle_value_quantiles(),
     "pricing_summary": _oracle_pricing_summary(),
     "shipping_priority": _oracle_shipping_priority(),
+    "event_funnel": _oracle_event_funnel(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window

@@ -286,3 +286,79 @@ def props_field_stats(events_ds, field: str = "k") -> pa.Table:
         n=("n", "sum"), sum_v=("sum_v", "sum"), max_v=("max_v", "max")
     ).reset_index()
     return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+# ---- funnel analysis (ordered conversion counting) ------------------------
+
+def _funnel_block(table: pa.Table, stages: tuple) -> pa.Table:
+    """One partition's events (ALL events of its users, via the hash
+    exchange) -> per-stage reached-user count partials. Vectorized:
+    per stage k, a user's reach time is the MIN ts of a stage-k event
+    STRICTLY AFTER their stage-(k-1) reach time — four np.minimum.at
+    reductions, no per-user Python."""
+    out_stage = np.arange(1, len(stages) + 1, dtype=np.int64)
+    if table.num_rows == 0:
+        return pa.table({
+            "stage": pa.array(out_stage, type=pa.int64()),
+            "event_type": pa.array(list(stages), type=pa.string()),
+            "n_users": pa.array(np.zeros(len(stages), np.int64),
+                                type=pa.int64()),
+        })
+    uid = np.asarray(table["user_id"], dtype=np.int64)
+    ts = np.asarray(table["ts_us"], dtype=np.int64)
+    etype = table["event_type"]
+    if isinstance(etype, pa.ChunkedArray):
+        etype = etype.combine_chunks()
+    uniq, uidx = np.unique(uid, return_inverse=True)
+    big = np.iinfo(np.int64).max
+    prev = np.full(len(uniq), np.iinfo(np.int64).min)
+    counts = []
+    for stage in stages:
+        import pyarrow.compute as pc
+
+        m = np.asarray(pc.equal(etype, stage).fill_null(False))
+        m &= ts > prev[uidx]
+        t_k = np.full(len(uniq), big)
+        if m.any():
+            np.minimum.at(t_k, uidx[m], ts[m])
+        counts.append(int((t_k < big).sum()))
+        prev = t_k
+    return pa.table({
+        "stage": pa.array(out_stage, type=pa.int64()),
+        "event_type": pa.array(list(stages), type=pa.string()),
+        "n_users": pa.array(np.asarray(counts, np.int64), type=pa.int64()),
+    })
+
+
+def funnel(events_ds, stages, num_partitions: int = 16):
+    """Ordered-funnel conversion counts: for each prefix of ``stages``
+    (event types), the number of users with a strictly-increasing
+    timestamp chain through it (stage k's time = min ts of a stage-k
+    event strictly after the user's stage-(k-1) time — the standard
+    first-touch funnel). One hash exchange on user_id co-locates each
+    user's events; per-partition counting is four vectorized
+    reductions; the final combine sums len(stages) x partitions tiny
+    rows. Output: (stage 1-based, event_type, n_users)."""
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    from .exchange import hash_exchange
+
+    if len(stages) < 1:
+        raise ValueError("funnel: need at least one stage")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+        })
+
+    prepped = events_ds.map_batches(prep, batch_format="pyarrow")
+    parts = hash_exchange(
+        prepped, "user_id",
+        functools.partial(_funnel_block, stages=tuple(stages)),
+        num_partitions=num_partitions)
+    return parts.groupby(["stage", "event_type"]).aggregate(
+        Sum("n_users", alias_name="n_users"))
