@@ -1669,6 +1669,60 @@ def _oracle_vector_raster():
     )
 
 
+TEXTRANK_WINDOW = 3
+TEXTRANK_MIN_COUNT = 2
+TEXTRANK_ITERS = 4
+TEXTRANK_N = 25
+
+
+def q_textrank_keywords(sf_dir):
+    """TextRank keyword extraction (stages/textrank): exact integer
+    PageRank (damping 17/20) over the windowed token co-occurrence
+    graph — every edge contribution quantizes to int64 before the
+    per-node sum, so each of the 4 iterations is order-independent
+    and the whole fixed-point walk mirrors as 4 chained SQL CTEs (an
+    ITERATIVE graph algorithm with an exact oracle)."""
+    import ray.data as rd
+
+    from .stages.textrank import textrank
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return textrank(ds, window=TEXTRANK_WINDOW,
+                    min_count=TEXTRANK_MIN_COUNT, iters=TEXTRANK_ITERS,
+                    topn=TEXTRANK_N)
+
+
+def _oracle_textrank_keywords():
+    iters = ["r0 AS (SELECT token, CAST(1000000 AS BIGINT) AS r FROM n)"]
+    for k in range(1, TEXTRANK_ITERS + 1):
+        iters.append(
+            f"r{k} AS (SELECT n.token, CAST(150000 + coalesce(sum("
+            f"(r.r * ew.w * 17) // (ew.wdeg * 20)), 0) AS BIGINT) AS r "
+            "FROM n LEFT JOIN ew ON ew.d = n.token "
+            f"LEFT JOIN r{k - 1} r ON r.token = ew.s GROUP BY 1)")
+    return (
+        "WITH base AS (SELECT doc_id, "
+        f"{_SQL_TOKENS} AS toks FROM documents WHERE trim(text) <> ''), "
+        "tok AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos, "
+        "unnest(toks) AS t FROM base), "
+        "p AS (SELECT least(t1.t, t2.t) AS tok_a, "
+        "greatest(t1.t, t2.t) AS tok_b "
+        "FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id "
+        f"AND t2.pos > t1.pos AND t2.pos <= t1.pos + {TEXTRANK_WINDOW}), "
+        "pc AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS pair_cnt "
+        f"FROM p GROUP BY 1, 2 HAVING count(*) >= {TEXTRANK_MIN_COUNT}), "
+        "e AS (SELECT tok_a AS s, tok_b AS d, pair_cnt AS w FROM pc "
+        "WHERE tok_a <> tok_b UNION ALL "
+        "SELECT tok_b, tok_a, pair_cnt FROM pc WHERE tok_a <> tok_b), "
+        "wd AS (SELECT s, CAST(sum(w) AS BIGINT) AS wdeg FROM e GROUP BY 1), "
+        "ew AS (SELECT e.s, e.d, e.w, wd.wdeg FROM e JOIN wd USING (s)), "
+        "n AS (SELECT DISTINCT s AS token FROM e), "
+        + ", ".join(iters) +
+        f" SELECT token, r AS rank_micro FROM r{TEXTRANK_ITERS} "
+        f"ORDER BY rank_micro DESC, token LIMIT {TEXTRANK_N}"
+    )
+
+
 FUNNEL_STAGES = ("signup", "view", "click", "purchase")
 
 
@@ -3467,6 +3521,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
     "event_funnel": q_event_funnel,
+    "textrank_keywords": q_textrank_keywords,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -3542,6 +3597,7 @@ ORACLES = {
     "pricing_summary": _oracle_pricing_summary(),
     "shipping_priority": _oracle_shipping_priority(),
     "event_funnel": _oracle_event_funnel(),
+    "textrank_keywords": _oracle_textrank_keywords(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window
