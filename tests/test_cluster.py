@@ -1,0 +1,129 @@
+"""DBSCAN (stages/cluster): equality vs a scalar reference of the
+same deterministic contract (min-id cluster labels, min-label border
+assignment), pair-generation exactness vs brute force, partition
+invariance, degenerate inputs."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from versatiles_rs_ray.stages.cluster import dbscan, eps_pairs
+
+
+def _ref_dbscan(ids, x, y, eps, min_pts):
+    n = len(ids)
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    adj = (dx * dx + dy * dy <= eps * eps) & ~np.eye(n, dtype=bool)
+    deg = adj.sum(1)
+    core = deg + 1 >= min_pts
+    lbl = {}
+    for s in range(n):
+        if not core[s] or ids[s] in lbl:
+            continue
+        seen = [s]
+        q = collections.deque([s])
+        while q:
+            u = q.popleft()
+            for v in np.flatnonzero(adj[u] & core):
+                if v not in seen:
+                    seen.append(v)
+                    q.append(v)
+        m = min(ids[v] for v in seen)
+        for v in seen:
+            lbl[ids[v]] = m
+    out = {}
+    for i in range(n):
+        if core[i]:
+            out[ids[i]] = (lbl[ids[i]], 1)
+        else:
+            cn = [lbl[ids[j]] for j in np.flatnonzero(adj[i] & core)]
+            out[ids[i]] = (min(cn) if cn else -1, 0)
+    return out
+
+
+def _pts_ds(ids, x, y, parts=None):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({
+        "doc_num": pa.array(ids, type=pa.int64()),
+        "lon": pa.array(x, type=pa.float64()),
+        "lat": pa.array(y, type=pa.float64()),
+    }))
+    return ds.repartition(parts) if parts else ds
+
+
+def _rand(n, seed, span=80.0):
+    rng = np.random.default_rng(seed)
+    ids = rng.permutation(n).astype(np.int64) * 7 + 3
+    return ids, rng.uniform(-span, span, n), rng.uniform(-span / 2, span / 2, n)
+
+
+def _got_map(tbl):
+    return {d: (c, k) for d, c, k in zip(tbl["doc_num"].to_pylist(),
+                                         tbl["cluster"].to_pylist(),
+                                         tbl["is_core"].to_pylist())}
+
+
+@pytest.mark.parametrize("eps,min_pts,seed", [(6.0, 3, 1), (10.0, 4, 2),
+                                              (3.0, 2, 3), (25.0, 6, 4)])
+def test_matches_scalar_reference(ray_session, eps, min_pts, seed):
+    ids, x, y = _rand(220, seed)
+    got = pa.concat_tables(
+        [pa.table(b) for b in dbscan(_pts_ds(ids, x, y), eps, min_pts)
+         .iter_batches(batch_format="pyarrow")])
+    want = _ref_dbscan(ids, x, y, eps, min_pts)
+    assert _got_map(got) == want
+
+
+def test_eps_pairs_exact(ray_session):
+    ids, x, y = _rand(150, 7)
+    eps = 8.0
+    got = pa.concat_tables(
+        [pa.table(b) for b in eps_pairs(_pts_ds(ids, x, y), eps)
+         .iter_batches(batch_format="pyarrow")])
+    pairs = set(zip(got["doc_a"].to_pylist(), got["doc_b"].to_pylist()))
+    assert len(pairs) == got.num_rows  # exactly-once emission
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    adj = (dx * dx + dy * dy <= eps * eps) & ~np.eye(len(ids), dtype=bool)
+    want = {(int(ids[i]), int(ids[j])) for i, j in zip(*np.nonzero(adj))}
+    assert pairs == want
+
+
+def test_partition_invariance(ray_session):
+    ids, x, y = _rand(200, 11)
+    a = dbscan(_pts_ds(ids, x, y), 7.0, 3).to_pandas()
+    b = dbscan(_pts_ds(ids, x, y, parts=9), 7.0, 3,
+               num_partitions=5).to_pandas()
+    key = ["doc_num", "cluster", "is_core"]
+    assert a.sort_values("doc_num")[key].reset_index(drop=True).equals(
+        b.sort_values("doc_num")[key].reset_index(drop=True))
+
+
+def test_min_pts_one_all_core(ray_session):
+    # min_pts=1: every point is a core singleton unless linked
+    ids = np.array([5, 9], dtype=np.int64)
+    x = np.array([0.0, 50.0])
+    y = np.array([0.0, 0.0])
+    got = _got_map(pa.concat_tables(
+        [pa.table(b) for b in dbscan(_pts_ds(ids, x, y), 1.0, 1)
+         .iter_batches(batch_format="pyarrow")]))
+    assert got == {5: (5, 1), 9: (9, 1)}
+
+
+def test_all_noise(ray_session):
+    ids, x, y = _rand(50, 13, span=5000.0)
+    got = dbscan(_pts_ds(ids, x, y), 0.5, 3).to_pandas()
+    assert (got["cluster"] == -1).all() and (got["is_core"] == 0).all()
+    assert len(got) == 50
+
+
+def test_validation(ray_session):
+    ids, x, y = _rand(5, 17)
+    with pytest.raises(ValueError):
+        dbscan(_pts_ds(ids, x, y), -1.0, 3)
+    with pytest.raises(ValueError):
+        dbscan(_pts_ds(ids, x, y), 1.0, 0)

@@ -1723,6 +1723,50 @@ def _oracle_textrank_keywords():
     )
 
 
+DBSCAN_EPS = 9.0
+DBSCAN_MIN_PTS = 4
+
+
+def q_dbscan_clusters(sf_dir):
+    """Distributed DBSCAN (stages/cluster) over the derived doc
+    points: grid-bucketed eps-pair exchange -> degree exchange ->
+    min-label component propagation -> deterministic min-label border
+    assignment. The distance test is three IEEE float64 ops identical
+    in numpy and SQL, and cluster ids are min-doc_num labels, so the
+    full (doc, cluster, is_core) labeling has an exact DuckDB oracle
+    (recursive transitive closure over the same edge set)."""
+    from .stages.cluster import dbscan
+
+    ds = D.read_docs(sf_dir, columns=["doc_num", "lon", "lat"])
+    return dbscan(ds, eps=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS)
+
+
+def _oracle_dbscan_clusters():
+    eps2 = repr(DBSCAN_EPS * DBSCAN_EPS)
+    return (
+        "WITH RECURSIVE pts AS (SELECT doc_id AS d, "
+        f"{D.SQL_LON} AS x, {D.SQL_LAT} AS y FROM documents), "
+        "nb AS (SELECT a.d AS da, b.d AS db FROM pts a JOIN pts b "
+        "ON a.d <> b.d AND "
+        f"(a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= {eps2}), "
+        "deg AS (SELECT da AS d, count(*) AS c FROM nb GROUP BY 1), "
+        f"core AS (SELECT d FROM deg WHERE c + 1 >= {DBSCAN_MIN_PTS}), "
+        "ce AS (SELECT da, db FROM nb WHERE da IN (SELECT d FROM core) "
+        "AND db IN (SELECT d FROM core)), "
+        "reach AS (SELECT d AS a, d AS b FROM core UNION "
+        "SELECT r.a, ce.db FROM reach r JOIN ce ON ce.da = r.b), "
+        "clab AS (SELECT a AS d, min(b) AS g FROM reach GROUP BY 1), "
+        "blab AS (SELECT nb.da AS d, min(clab.g) AS g FROM nb "
+        "JOIN clab ON clab.d = nb.db WHERE nb.da NOT IN "
+        "(SELECT d FROM core) GROUP BY 1), "
+        "lab AS (SELECT * FROM clab UNION ALL SELECT * FROM blab) "
+        "SELECT p.d AS doc_num, coalesce(lab.g, -1) AS cluster, "
+        "CASE WHEN core.d IS NULL THEN 0 ELSE 1 END AS is_core "
+        "FROM pts p LEFT JOIN lab ON lab.d = p.d "
+        "LEFT JOIN core ON core.d = p.d"
+    )
+
+
 FUNNEL_STAGES = ("signup", "view", "click", "purchase")
 
 
@@ -3522,6 +3566,7 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "event_funnel": q_event_funnel,
     "textrank_keywords": q_textrank_keywords,
+    "dbscan_clusters": q_dbscan_clusters,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -3598,6 +3643,7 @@ ORACLES = {
     "shipping_priority": _oracle_shipping_priority(),
     "event_funnel": _oracle_event_funnel(),
     "textrank_keywords": _oracle_textrank_keywords(),
+    "dbscan_clusters": _oracle_dbscan_clusters(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window

@@ -1,0 +1,300 @@
+"""Distributed DBSCAN (Ester et al. 1996) over point columns — the
+grid-bucketed formulation every at-scale implementation uses
+(MR-DBSCAN shape): NO pairwise matrix, NO broadcast point set.
+
+Stages, all on existing engine primitives:
+
+1. ``eps_pairs`` — eps-neighbor pair generation. Each point routes to
+   its eps-sized grid cell once as a HOME row and to the 8 neighbor
+   cells as candidate replicas (a point within eps of another sits at
+   most one cell away when the cell width is >= eps); one hash
+   exchange co-locates each cell, and the per-partition combine emits
+   the ordered pairs (a, b), a != b, dist^2 <= eps^2 via a fully
+   vectorized ragged cross-product (the `_rect_cell_rows` enumeration
+   trick — no per-cell Python loop), chunked so peak memory is bounded
+   by PAIR_CHUNK candidate pairs regardless of cell skew. Every
+   ordered pair is emitted exactly once (from a's home cell), so
+   per-src counts ARE the neighbor degrees.
+2. degrees -> core flags: one hash exchange counting pairs per src;
+   core iff deg + 1 >= min_pts (the classic |N_eps(p)| includes p).
+3. core-core edges -> clusters: the engine's distributed min-label
+   propagation (stages/dedup.propagate_min_labels_exchange); cluster
+   id = min doc_num in the component. Isolated cores become singleton
+   clusters (their own id) via a co-partitioned anti-join.
+4. border points (non-core with >= 1 core neighbor) join the MINIMUM
+   cluster id among their core neighbors — the deterministic variant
+   of DBSCAN's order-dependent border assignment, stated here as the
+   engine contract (the oracle mirrors it exactly).
+5. everything else is noise, cluster = -1.
+
+Float contract: the distance test is (ax-bx)*(ax-bx)+(ay-by)*(ay-by)
+<= eps*eps evaluated as three IEEE-rounded float64 ops — bit-identical
+between numpy (separate ufunc calls, no FMA) and DuckDB's expression
+executor, so the oracle comparison is exact, the same contract the
+PIP/kNN oracles rely on. Cells are cut at width eps*(1+1e-9): strictly
+wider than eps, so two points within eps can never land more than one
+cell apart even under worst-case rounding of lon/cw.
+
+Scale posture: shuffle volume is 9 rows per point (the 3x3 grid
+replication) plus the realized eps-pairs; everything after the pair
+table is pairs-sized or corpus-sized exchanges. ``num_partitions`` is
+the memory knob, as everywhere in the engine. The reference has no
+clustering surface (this is graft-axis breadth, like as-of/range
+joins); the published algorithm + the engine's exchange are the whole
+design.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+
+_OFF = 1 << 20          # grid key offset; |cell index| must stay below
+_SPAN = 1 << 21         # key = (kx+_OFF) * _SPAN + (ky+_OFF) < 2^42
+PAIR_CHUNK = 1 << 22    # max candidate pairs evaluated per numpy slice
+
+
+def _empty_pairs() -> pa.Table:
+    return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                     "doc_b": pa.array([], type=pa.int64())})
+
+
+def _cell_rows(batch: pa.Table, cw: float) -> pa.Table:
+    """Home row (side=1, own cell) + 8 neighbor-cell candidate
+    replicas (side=0) per point; the home row doubles as the own-cell
+    candidate in the combine."""
+    doc = np.asarray(batch["doc_num"], dtype=np.int64)
+    x = np.asarray(batch["lon"], dtype=np.float64)
+    y = np.asarray(batch["lat"], dtype=np.float64)
+    kx = np.floor(x / cw).astype(np.int64)
+    ky = np.floor(y / cw).astype(np.int64)
+    if len(kx) and (np.abs(kx).max() >= _OFF - 1 or np.abs(ky).max() >= _OFF - 1):
+        raise ValueError(
+            "eps_pairs: grid cell index exceeds the packing range — "
+            "eps is too small for the coordinate span (need "
+            f"span/eps < {_OFF})")
+    n = len(doc)
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    cells, sides = [], []
+    for dx, dy in offs:
+        cells.append((kx + dx + _OFF) * _SPAN + (ky + dy + _OFF))
+        sides.append(np.full(n, 1 if (dx == 0 and dy == 0) else 0,
+                             dtype=np.int8))
+    reps = len(offs)
+    return pa.table({
+        "cell": pa.array(np.concatenate(cells), type=pa.int64()),
+        "side": pa.array(np.concatenate(sides), type=pa.int8()),
+        "doc": pa.array(np.tile(doc, reps), type=pa.int64()),
+        "x": pa.array(np.tile(x, reps), type=pa.float64()),
+        "y": pa.array(np.tile(y, reps), type=pa.float64()),
+    })
+
+
+def _pair_combine(table: pa.Table, eps2: float) -> pa.Table:
+    """Per cell-partition: ordered pairs home x candidate within eps.
+
+    Ragged per-cell cross product built with repeat/cumsum arithmetic
+    (no per-cell Python); group slices are chunked so no slice
+    evaluates more than PAIR_CHUNK candidate pairs at once."""
+    if table.num_rows == 0:
+        return _empty_pairs()
+    cell = np.asarray(table["cell"], dtype=np.int64)
+    side = np.asarray(table["side"], dtype=np.int64)
+    doc = np.asarray(table["doc"], dtype=np.int64)
+    x = np.asarray(table["x"], dtype=np.float64)
+    y = np.asarray(table["y"], dtype=np.float64)
+    order = np.lexsort((side, cell))        # homes sort last per cell
+    cell, side, doc, x, y = cell[order], side[order], doc[order], x[order], y[order]
+    grp_start = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+    grp_end = np.r_[grp_start[1:], len(cell)]
+    n_all = grp_end - grp_start
+    n_home = np.add.reduceat(side, grp_start)
+    home_start = grp_end - n_home
+    per_grp = n_home * n_all
+    cum = np.cumsum(per_grp)
+    out_a, out_b = [], []
+    g0 = 0
+    while g0 < len(grp_start):
+        base = cum[g0 - 1] if g0 else 0
+        g1 = int(np.searchsorted(cum, base + PAIR_CHUNK)) + 1
+        g1 = min(max(g1, g0 + 1), len(grp_start))
+        sl = slice(g0, g1)
+        t = int(cum[g1 - 1] - base)
+        if t:
+            grp = np.repeat(np.arange(g0, g1, dtype=np.int64), per_grp[sl])
+            starts = cum[sl] - per_grp[sl]
+            pos = np.arange(t, dtype=np.int64) - (starts - base)[grp - g0]
+            na = n_all[grp]
+            hi = home_start[grp] + pos // na
+            ji = grp_start[grp] + pos % na
+            dx = x[hi] - x[ji]
+            dy = y[hi] - y[ji]
+            keep = (dx * dx + dy * dy <= eps2) & (doc[hi] != doc[ji])
+            out_a.append(doc[hi][keep])
+            out_b.append(doc[ji][keep])
+        g0 = g1
+    if not out_a:
+        return _empty_pairs()
+    return pa.table({
+        "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+        "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+    })
+
+
+def eps_pairs(pts_ds, eps: float, num_partitions: int = 32):
+    """Dataset of ordered pairs (doc_a, doc_b), doc_a != doc_b, with
+    (lon, lat) euclidean distance^2 <= eps^2 — each ordered pair
+    exactly once. Input columns: doc_num, lon, lat."""
+    from .exchange import hash_exchange
+
+    if not (eps > 0):
+        raise ValueError("eps_pairs: eps must be > 0")
+    cw = float(eps) * (1.0 + 1e-9)
+    rows = pts_ds.map_batches(functools.partial(_cell_rows, cw=cw),
+                              batch_format="pyarrow")
+    return hash_exchange(
+        rows, "cell",
+        functools.partial(_pair_combine, eps2=float(eps) * float(eps)),
+        num_partitions=num_partitions)
+
+
+def _deg_combine(table: pa.Table) -> pa.Table:
+    if table.num_rows == 0:
+        return pa.table({"doc_num": pa.array([], type=pa.int64()),
+                         "deg": pa.array([], type=pa.int64())})
+    a = np.asarray(table["doc_a"], dtype=np.int64)
+    u, c = np.unique(a, return_counts=True)
+    return pa.table({"doc_num": pa.array(u, type=pa.int64()),
+                     "deg": pa.array(c.astype(np.int64), type=pa.int64())})
+
+
+def _rename(t: pa.Table, mapping: dict) -> pa.Table:
+    return t.rename_columns([mapping.get(n, n) for n in t.column_names])
+
+
+def _const_col(t: pa.Table, name: str, val: int) -> pa.Table:
+    return t.append_column(
+        name, pa.array(np.full(t.num_rows, val, dtype=np.int64),
+                       type=pa.int64()))
+
+
+def dbscan(pts_ds, eps: float, min_pts: int, num_partitions: int = 32,
+           max_rounds: int = 64):
+    """Full DBSCAN labeling: Dataset (doc_num, cluster, is_core) —
+    one row per input point; cluster = min doc_num of the point's
+    cluster, or -1 for noise; is_core in {0, 1}.
+
+    See the module docstring for semantics (deterministic min-label
+    border assignment) and the float contract."""
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import propagate_min_labels_exchange
+    from .exchange import hash_exchange
+    from .join import hash_join
+
+    if min_pts < 1:
+        raise ValueError("dbscan: min_pts must be >= 1")
+    pts = pts_ds.map_batches(
+        lambda b: b.select(["doc_num"]), batch_format="pyarrow").materialize()
+    pairs = eps_pairs(pts_ds, eps, num_partitions).materialize()
+
+    if pairs.count() == 0:
+        # no eps-neighbors anywhere: min_pts==1 makes every point a
+        # singleton core cluster, otherwise everything is noise
+        def lonely(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            own = np.asarray(b["doc_num"], dtype=np.int64)
+            c = own if min_pts == 1 else np.full(n, -1, dtype=np.int64)
+            k = np.full(n, 1 if min_pts == 1 else 0, dtype=np.int64)
+            return pa.table({"doc_num": b["doc_num"],
+                             "cluster": pa.array(c, type=pa.int64()),
+                             "is_core": pa.array(k, type=pa.int64())})
+
+        return pts.map_batches(lonely, batch_format="pyarrow")
+
+    if min_pts == 1:
+        cores = pts
+    else:
+        deg = hash_exchange(pairs, "doc_a", _deg_combine,
+                            num_partitions=num_partitions)
+        thr = int(min_pts) - 1
+
+        def core_filter(b: pa.Table) -> pa.Table:
+            return b.filter(pc.greater_equal(b["deg"], thr)).select(["doc_num"])
+
+        cores = deg.map_batches(core_filter, batch_format="pyarrow")
+    cores = cores.materialize()
+
+    ca = cores.map_batches(
+        lambda b: _const_col(_rename(b, {"doc_num": "doc_a"}), "ca", 1),
+        batch_format="pyarrow")
+    cb = cores.map_batches(
+        lambda b: _const_col(_rename(b, {"doc_num": "doc_b"}), "cb", 1),
+        batch_format="pyarrow")
+    flagged = hash_join(pairs, ca, on="doc_a", how="left",
+                        num_partitions=num_partitions)
+    flagged = hash_join(flagged, cb, on="doc_b", how="left",
+                        num_partitions=num_partitions).materialize()
+
+    def core_edges(b: pa.Table) -> pa.Table:
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.equal(b["ca"], 1), pc.equal(b["cb"], 1)),
+            pc.less(b["doc_a"], b["doc_b"]))
+        return b.filter(pc.fill_null(keep, False)).select(["doc_a", "doc_b"])
+
+    comp = propagate_min_labels_exchange(
+        flagged.map_batches(core_edges, batch_format="pyarrow"),
+        max_rounds=max_rounds, num_partitions=num_partitions)
+    singles = hash_join(cores, comp, on="doc_num", how="anti",
+                        num_partitions=num_partitions)
+    singles = singles.map_batches(
+        lambda b: b.append_column("group_id", b["doc_num"]),
+        batch_format="pyarrow")
+    core_labels = comp.union(singles).materialize()
+
+    def border_pairs(b: pa.Table) -> pa.Table:
+        keep = pc.and_kleene(pc.is_null(b["ca"]), pc.equal(b["cb"], 1))
+        return b.filter(pc.fill_null(keep, False)).select(["doc_a", "doc_b"])
+
+    lb = core_labels.map_batches(
+        lambda b: _rename(b, {"doc_num": "doc_b", "group_id": "g"}),
+        batch_format="pyarrow")
+    bj = hash_join(flagged.map_batches(border_pairs, batch_format="pyarrow"),
+                   lb, on="doc_b", how="inner",
+                   num_partitions=num_partitions)
+
+    def min_g(table: pa.Table) -> pa.Table:
+        if table.num_rows == 0:
+            return pa.table({"doc_num": pa.array([], type=pa.int64()),
+                             "group_id": pa.array([], type=pa.int64())})
+        a = np.asarray(table["doc_a"], dtype=np.int64)
+        g = np.asarray(table["g"], dtype=np.int64)
+        u, inv = np.unique(a, return_inverse=True)
+        m = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(m, inv, g)
+        return pa.table({"doc_num": pa.array(u, type=pa.int64()),
+                         "group_id": pa.array(m, type=pa.int64())})
+
+    border_labels = hash_exchange(
+        bj.map_batches(lambda b: b.select(["doc_a", "g"]),
+                       batch_format="pyarrow"),
+        "doc_a", min_g, num_partitions=num_partitions)
+    labels = core_labels.union(border_labels)
+
+    out = hash_join(pts, labels, on="doc_num", how="left",
+                    num_partitions=num_partitions)
+    core_flag = cores.map_batches(
+        lambda b: _const_col(b, "is_core", 1), batch_format="pyarrow")
+    out = hash_join(out, core_flag, on="doc_num", how="left",
+                    num_partitions=num_partitions)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_num": b["doc_num"],
+            "cluster": pc.fill_null(pc.cast(b["group_id"], pa.int64()), -1),
+            "is_core": pc.fill_null(pc.cast(b["is_core"], pa.int64()), 0),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
