@@ -1723,6 +1723,34 @@ def _oracle_textrank_keywords():
     )
 
 
+THIN_Z, THIN_K = 3, 4
+
+
+def q_tile_thin(sf_dir):
+    """Per-tile density cap (stages/assign.spatial_thin): keep at most
+    k=4 docs per z3 tile by smallest Knuth-hash priority — the
+    tippecanoe feature-dropping rule, deterministic under any
+    partitioning (odd multiplier = bijective priorities, no ties)."""
+    from .stages.assign import spatial_thin
+
+    ds = D.read_docs(sf_dir, columns=["doc_num", "lon", "lat"])
+    return spatial_thin(ds, THIN_Z, THIN_K).select_columns(
+        ["doc_num", "z", "x", "y"])
+
+
+def _oracle_tile_thin():
+    from .stages.curate import _SHUFFLE_MOD, _SHUFFLE_MULT
+
+    return (
+        "SELECT doc_num, z, x, y FROM ("
+        "SELECT t.doc_num, t.z, t.x, t.y, row_number() OVER ("
+        "PARTITION BY t.x, t.y ORDER BY "
+        f"(t.doc_num::HUGEINT * {_SHUFFLE_MULT}) % {_SHUFFLE_MOD}::HUGEINT, "
+        f"t.doc_num) AS rn FROM {_sql_docs_at(THIN_Z)} t) "
+        f"WHERE rn <= {THIN_K}"
+    )
+
+
 DBSCAN_EPS = 9.0
 DBSCAN_MIN_PTS = 4
 
@@ -3567,6 +3595,7 @@ QUERIES = {
     "event_funnel": q_event_funnel,
     "textrank_keywords": q_textrank_keywords,
     "dbscan_clusters": q_dbscan_clusters,
+    "tile_thin": q_tile_thin,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -3644,6 +3673,7 @@ ORACLES = {
     "event_funnel": _oracle_event_funnel(),
     "textrank_keywords": _oracle_textrank_keywords(),
     "dbscan_clusters": _oracle_dbscan_clusters(),
+    "tile_thin": _oracle_tile_thin(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window

@@ -89,3 +89,40 @@ class AssignTiles:
 def assign_tiles(ds, zoom, **kwargs):
     """Dataset helper: ``ds`` must carry lon/lat columns."""
     return ds.map_batches(AssignTiles(zoom, **kwargs), batch_format="pyarrow")
+
+
+def spatial_thin(ds, zoom: int, k: int, id_col: str = "doc_num",
+                 num_partitions: int = 64):
+    """Density cap: keep at most ``k`` features per tile at ``zoom``,
+    chosen as the k smallest Knuth-hash priorities of ``id_col`` — the
+    tippecanoe feature-dropping move (drop densest, keep a
+    deterministic pseudo-random subset so zoom-in reveals MORE data,
+    never different data). Pure composition: tile assignment +
+    per-key quota with its map-side prune (shuffle rows bounded by
+    k x tiles per input batch under any density skew). ``ds`` must
+    carry lon/lat; output adds z/x/y and keeps survivors only.
+
+    Equivalent SQL: row_number() OVER (PARTITION BY x, y ORDER BY
+    (id * 6364136223846793005) % 2^64, id) <= k.
+    """
+    import functools
+
+    from .curate import _SHUFFLE_MULT, quota_per_key
+
+    if k < 1:
+        raise ValueError("spatial_thin: k must be >= 1")
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        z = np.asarray(batch["z"], dtype=np.int64)
+        x = np.asarray(batch["x"], dtype=np.int64)
+        y = np.asarray(batch["y"], dtype=np.int64)
+        pri = ids.astype(np.uint64) * np.uint64(_SHUFFLE_MULT)
+        batch = batch.append_column("tkey", pa.array(pack_tkey(z, x, y),
+                                                     type=pa.int64()))
+        return batch.append_column("_pri", pa.array(pri, type=pa.uint64()))
+
+    tiled = assign_tiles(ds, zoom).map_batches(keyed, batch_format="pyarrow")
+    out = quota_per_key(tiled, "tkey", "_pri", k,
+                        num_partitions=num_partitions)
+    return out.drop_columns(["tkey", "_pri"])

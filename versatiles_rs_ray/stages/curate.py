@@ -62,8 +62,19 @@ def _hash_strings(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
 
 def _add_route(batch: pa.Table, key_col: str) -> pa.Table:
-    return batch.append_column("_route", pa.array(_hash_strings(batch[key_col]),
-                                                  type=pa.int64()))
+    """Routing hash for string OR integer key columns (integer keys —
+    packed tile keys in spatial_thin — route by value; the exchange
+    applies its own multiplicative mix on top)."""
+    kc = batch[key_col]
+    if pa.types.is_integer(kc.type):
+        arr = kc.combine_chunks() if isinstance(kc, pa.ChunkedArray) else kc
+        if arr.null_count:
+            raise ValueError("curation key column contains nulls; filter "
+                             "or fill them before quota_per_key")
+        route = pa.array(np.asarray(arr, dtype=np.int64), type=pa.int64())
+    else:
+        route = pa.array(_hash_strings(kc), type=pa.int64())
+    return batch.append_column("_route", route)
 
 
 def _local_prune_and_route(batch: pa.Table, key_col: str, order_col: str,
