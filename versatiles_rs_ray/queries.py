@@ -1723,6 +1723,48 @@ def _oracle_textrank_keywords():
     )
 
 
+IDW_BBOX = (-180.0, -85.0511, 180.0, 85.0511)
+IDW_NX, IDW_NY, IDW_RADIUS = 32, 32, 15.0
+
+
+def q_idw_grid(sf_dir):
+    """Radius-bounded IDW gridding (stages/interpolate): n_chars
+    observations at the derived doc points -> a 32x32 equirectangular
+    raster, one grid-bucketed exchange. The kernel quantizes each
+    (pixel, point) distance to int64 BEFORE the 1/d^2 weight division
+    (no transcendentals anywhere), so every weight and both per-pixel
+    sums are exact integers with a plain SQL GROUP BY oracle."""
+    from .stages.interpolate import idw_grid
+
+    ds = D.read_docs(sf_dir, columns=["lon", "lat", "n_chars"])
+    return idw_grid(ds, "n_chars", IDW_BBOX, IDW_NX, IDW_NY, IDW_RADIUS)
+
+
+def _oracle_idw_grid():
+    from .stages.interpolate import D2_QUANT, SCALE, VAL_MICRO
+
+    x0, y0, x1, y1 = IDW_BBOX
+    dx = repr((x1 - x0) / IDW_NX)
+    dy = repr((y1 - y0) / IDW_NY)
+    cx = f"({x0!r} + (g.gx + 0.5) * {dx})"
+    cy = f"({y0!r} + (g.gy + 0.5) * {dy})"
+    d2 = f"((p.x - {cx}) * (p.x - {cx}) + (p.y - {cy}) * (p.y - {cy}))"
+    return (
+        "WITH g AS (SELECT a.range AS gx, b.range AS gy "
+        f"FROM range({IDW_NX}) a, range({IDW_NY}) b), "
+        f"pts AS (SELECT {D.SQL_LON} AS x, {D.SQL_LAT} AS y, "
+        "n_chars AS v FROM documents), "
+        f"t AS (SELECT g.gx, g.gy, p.v, {d2} AS d2 FROM g, pts p), "
+        f"w AS (SELECT gx, gy, v, CAST({SCALE} AS BIGINT) // "
+        f"(1 + CAST(floor(d2 * {D2_QUANT!r}) AS BIGINT)) AS w "
+        f"FROM t WHERE d2 <= {repr(IDW_RADIUS * IDW_RADIUS)}) "
+        "SELECT gx, gy, CAST(sum(w) AS BIGINT) AS den, "
+        "CAST(sum(w * v) AS BIGINT) AS num, "
+        f"CAST((sum(w * v) * {VAL_MICRO}) // sum(w) AS BIGINT) "
+        "AS value_micro FROM w GROUP BY 1, 2"
+    )
+
+
 THIN_Z, THIN_K = 3, 4
 
 
@@ -3596,6 +3638,7 @@ QUERIES = {
     "textrank_keywords": q_textrank_keywords,
     "dbscan_clusters": q_dbscan_clusters,
     "tile_thin": q_tile_thin,
+    "idw_grid": q_idw_grid,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -3674,6 +3717,7 @@ ORACLES = {
     "textrank_keywords": _oracle_textrank_keywords(),
     "dbscan_clusters": _oracle_dbscan_clusters(),
     "tile_thin": _oracle_tile_thin(),
+    "idw_grid": _oracle_idw_grid(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window
