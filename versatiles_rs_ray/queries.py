@@ -1723,6 +1723,39 @@ def _oracle_textrank_keywords():
     )
 
 
+def q_triangle_stats(sf_dir):
+    """Per-node triangle counts + local clustering coefficients
+    (stages/graph) over the same eps=9 spatial proximity graph DBSCAN
+    clusters: wedge self-join -> exact pair-routed closure -> integer
+    micro-unit coefficients, every step order-independent (the
+    MapReduce triangle count with per-node output)."""
+    from .stages.cluster import eps_pairs
+    from .stages.graph import triangle_stats
+
+    ds = D.read_docs(sf_dir, columns=["doc_num", "lon", "lat"])
+    return triangle_stats(eps_pairs(ds, DBSCAN_EPS))
+
+
+def _oracle_triangle_stats():
+    eps2 = repr(DBSCAN_EPS * DBSCAN_EPS)
+    return (
+        f"WITH pts AS (SELECT doc_id AS d, {D.SQL_LON} AS x, "
+        f"{D.SQL_LAT} AS y FROM documents), "
+        "nb AS (SELECT a.d AS da, b.d AS db FROM pts a JOIN pts b "
+        "ON a.d <> b.d AND "
+        f"(a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= {eps2}), "
+        "deg AS (SELECT da AS d, count(*) AS c FROM nb GROUP BY 1), "
+        "tr AS (SELECT e1.da AS d, count(*) AS cnt2 FROM nb e1 "
+        "JOIN nb e2 ON e2.da = e1.db "
+        "JOIN nb e3 ON e3.da = e1.da AND e3.db = e2.db GROUP BY 1) "
+        "SELECT deg.d AS doc_num, deg.c AS deg, "
+        "CAST(coalesce(tr.cnt2, 0) // 2 AS BIGINT) AS triangles, "
+        "CAST(CASE WHEN deg.c >= 2 THEN (coalesce(tr.cnt2, 0) * 1000000) "
+        "// (deg.c * (deg.c - 1)) ELSE 0 END AS BIGINT) AS clus_micro "
+        "FROM deg LEFT JOIN tr ON tr.d = deg.d"
+    )
+
+
 IDW_BBOX = (-180.0, -85.0511, 180.0, 85.0511)
 IDW_NX, IDW_NY, IDW_RADIUS = 32, 32, 15.0
 
@@ -3639,6 +3672,7 @@ QUERIES = {
     "dbscan_clusters": q_dbscan_clusters,
     "tile_thin": q_tile_thin,
     "idw_grid": q_idw_grid,
+    "triangle_stats": q_triangle_stats,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -3718,6 +3752,7 @@ ORACLES = {
     "dbscan_clusters": _oracle_dbscan_clusters(),
     "tile_thin": _oracle_tile_thin(),
     "idw_grid": _oracle_idw_grid(),
+    "triangle_stats": _oracle_triangle_stats(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window
