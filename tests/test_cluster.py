@@ -127,3 +127,29 @@ def test_validation(ray_session):
         dbscan(_pts_ds(ids, x, y), -1.0, 3)
     with pytest.raises(ValueError):
         dbscan(_pts_ds(ids, x, y), 1.0, 0)
+
+
+def test_dense_cell_chunks_within_group(ray_session, monkeypatch):
+    """One over-dense grid cell must split across PAIR_CHUNK slices
+    (the chunk loop walks the flattened pair-index space, not group
+    boundaries) and still emit the exact pair set."""
+    from versatiles_rs_ray.stages import cluster as cl
+
+    monkeypatch.setattr(cl, "PAIR_CHUNK", 7)
+    rng = np.random.default_rng(3)
+    n = 40
+    ids = np.arange(n, dtype=np.int64) * 3 + 1
+    # everything inside one eps-cell -> a single group of ~n*9n pairs
+    x = rng.uniform(0.0, 0.5, n)
+    y = rng.uniform(0.0, 0.5, n)
+    eps = 5.0
+    got = pa.concat_tables(
+        [pa.table(b) for b in eps_pairs(_pts_ds(ids, x, y), eps)
+         .iter_batches(batch_format="pyarrow")])
+    pairs = set(zip(got["doc_a"].to_pylist(), got["doc_b"].to_pylist()))
+    assert len(pairs) == got.num_rows
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    adj = (dx * dx + dy * dy <= eps * eps) & ~np.eye(n, dtype=bool)
+    want = {(int(ids[i]), int(ids[j])) for i, j in zip(*np.nonzero(adj))}
+    assert pairs == want

@@ -255,3 +255,14 @@ def test_geohash_neighbors_share_prefix():
     dlon, dlat, elon, elat = geohash_decode([base])
     jit = geohash_encode([dlon[0] + 0.4 * elon[0]], [dlat[0] - 0.4 * elat[0]], 7)
     assert jit[0] == base
+
+
+def test_geohash_below_range_clamps_to_floor_cell():
+    """A float-ulp below -180/-90 must clamp to the first cell, not wrap
+    through the uint64 cast to the opposite edge."""
+    from versatiles_rs_ray.core.cells import geohash_encode
+
+    floor_cell = geohash_encode([-180.0], [-90.0], 6)[0]
+    assert geohash_encode([-180.0000001], [-90.0000001], 6)[0] == floor_cell
+    east = geohash_encode([179.9999], [0.0], 6)[0]
+    assert geohash_encode([-180.0000001], [0.0], 6)[0] != east

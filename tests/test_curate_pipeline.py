@@ -179,3 +179,22 @@ def test_curate_ppl_gate(ray_session):
                       ppl_percentile=0.5)
     with _pt.raises(ValueError):
         curate_corpus(rd.from_arrow(tbl), ppl_percentile=1.5)
+
+
+def test_ppl_percentile_empty_scores_noop(ray_session):
+    """Whitespace-only corpus: lm_score yields zero scored docs; the
+    percentile gate must degrade to a no-op like --max-ppl does."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.pipelines.curate import curate_corpus
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["   ", ""], type=pa.string()),
+        "lang": pa.array(["en", "en"], type=pa.string()),
+        "n_chars": pa.array([3, 0], type=pa.int64()),
+    }))
+    out = curate_corpus(ds, min_quality=0, drop_repetitive=False,
+                        ppl_percentile=0.5)
+    assert out.count() == 2

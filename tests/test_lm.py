@@ -144,3 +144,12 @@ def test_validation(ray_session):
         lm_score(_ds(DOCS), alpha=0.0)
     with pytest.raises(ValueError, match="n must be >= 1"):
         ngram_counts(_ds(DOCS), 0)
+
+
+def test_tiny_block_below_order(ray_session):
+    # a block whose TOTAL token count is below the order used to crash
+    # (_lm_position_rows sliced an empty gram array then take()-ed it)
+    out = lm_score(_ds(["hello"]), n=3, num_partitions=2).to_pandas()
+    assert len(out) == 1 and int(out["n_tok"][0]) == 1
+    # unigram backoff still scores the lone token: c(w)/total = 1/1
+    assert int(out["nll_micro"][0]) == 0

@@ -217,9 +217,13 @@ def geohash_encode(lon, lat, precision: int = 9):
     lon_bits, lat_bits = geohash_bits(precision)
     nbits = lon_bits + lat_bits
     lq = np.floor((lon + 180.0) / 360.0 * float(1 << lon_bits))
-    lq = np.minimum(lq, float((1 << lon_bits) - 1)).astype(np.uint64)
+    # clamp BOTH ends: a coordinate a float-ulp below -180/-90 floors to
+    # -1.0, which would wrap through the uint64 cast to the opposite edge
+    lq = np.minimum(np.maximum(lq, 0.0),
+                    float((1 << lon_bits) - 1)).astype(np.uint64)
     tq = np.floor((lat + 90.0) / 180.0 * float(1 << lat_bits))
-    tq = np.minimum(tq, float((1 << lat_bits) - 1)).astype(np.uint64)
+    tq = np.minimum(np.maximum(tq, 0.0),
+                    float((1 << lat_bits) - 1)).astype(np.uint64)
     gh = np.zeros(lon.shape, dtype=np.uint64)
     for k in range(nbits):  # k counts from the MSB; even slots = lon
         if k % 2 == 0:

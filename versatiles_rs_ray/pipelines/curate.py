@@ -195,8 +195,15 @@ def curate_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
                                                        type=pa.float64())})
 
             ratios = scores.map_batches(ratio_of, batch_format="pyarrow")
-            thr = float(float_quantiles(ratios, "ppl_ratio",
-                                        (ppl_percentile,))["value"][0].as_py())
+            try:
+                thr = float(float_quantiles(
+                    ratios, "ppl_ratio",
+                    (ppl_percentile,))["value"][0].as_py())
+            except ValueError:
+                # zero scored documents (e.g. every survivor tokenizes
+                # to nothing): the gate degrades to a no-op, matching
+                # the --max-ppl branch on the same input.
+                thr = float("inf")
 
             def over_budget(b: pa.Table) -> pa.Table:
                 bad = np.asarray(b["ppl_ratio"], dtype=np.float64) > thr

@@ -2898,10 +2898,10 @@ def _sql_geohash(precision: int, lon_col: str = "lon", lat_col: str = "lat"):
 
     lon_bits, lat_bits = geohash_bits(precision)
     alpha = GEOHASH_ALPHABET.decode()
-    lq = (f"CAST(least(floor(({lon_col} + 180) / 360 * {float(1 << lon_bits)!r}), "
-          f"{(1 << lon_bits) - 1}) AS BIGINT)")
-    tq = (f"CAST(least(floor(({lat_col} + 90) / 180 * {float(1 << lat_bits)!r}), "
-          f"{(1 << lat_bits) - 1}) AS BIGINT)")
+    lq = (f"CAST(greatest(least(floor(({lon_col} + 180) / 360 * "
+          f"{float(1 << lon_bits)!r}), {(1 << lon_bits) - 1}), 0) AS BIGINT)")
+    tq = (f"CAST(greatest(least(floor(({lat_col} + 90) / 180 * "
+          f"{float(1 << lat_bits)!r}), {(1 << lat_bits) - 1}), 0) AS BIGINT)")
     chars = []
     for c in range(precision):
         terms = []

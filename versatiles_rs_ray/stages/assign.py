@@ -105,8 +105,6 @@ def spatial_thin(ds, zoom: int, k: int, id_col: str = "doc_num",
     Equivalent SQL: row_number() OVER (PARTITION BY x, y ORDER BY
     (id * 6364136223846793005) % 2^64, id) <= k.
     """
-    import functools
-
     from .curate import _SHUFFLE_MULT, quota_per_key
 
     if k < 1:

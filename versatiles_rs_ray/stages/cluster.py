@@ -114,27 +114,29 @@ def _pair_combine(table: pa.Table, eps2: float) -> pa.Table:
     home_start = grp_end - n_home
     per_grp = n_home * n_all
     cum = np.cumsum(per_grp)
+    grp_off = cum - per_grp
+    total = int(cum[-1]) if len(cum) else 0
     out_a, out_b = [], []
-    g0 = 0
-    while g0 < len(grp_start):
-        base = cum[g0 - 1] if g0 else 0
-        g1 = int(np.searchsorted(cum, base + PAIR_CHUNK)) + 1
-        g1 = min(max(g1, g0 + 1), len(grp_start))
-        sl = slice(g0, g1)
-        t = int(cum[g1 - 1] - base)
-        if t:
-            grp = np.repeat(np.arange(g0, g1, dtype=np.int64), per_grp[sl])
-            starts = cum[sl] - per_grp[sl]
-            pos = np.arange(t, dtype=np.int64) - (starts - base)[grp - g0]
-            na = n_all[grp]
-            hi = home_start[grp] + pos // na
-            ji = grp_start[grp] + pos % na
-            dx = x[hi] - x[ji]
-            dy = y[hi] - y[ji]
-            keep = (dx * dx + dy * dy <= eps2) & (doc[hi] != doc[ji])
-            out_a.append(doc[hi][keep])
-            out_b.append(doc[ji][keep])
-        g0 = g1
+    # Chunk over the GLOBAL flattened pair-index space, not group
+    # boundaries: one over-dense cell (n_home*n_all > PAIR_CHUNK) is
+    # split across chunks like any other range, so every slice below is
+    # bounded by PAIR_CHUNK candidate pairs no matter the skew.
+    b0 = 0
+    while b0 < total:
+        b1 = min(b0 + PAIR_CHUNK, total)
+        idx = np.arange(b0, b1, dtype=np.int64)
+        # right-bisect skips zero-pair groups (their cum range is empty)
+        grp = np.searchsorted(cum, idx, side="right")
+        pos = idx - grp_off[grp]
+        na = n_all[grp]
+        hi = home_start[grp] + pos // na
+        ji = grp_start[grp] + pos % na
+        dx = x[hi] - x[ji]
+        dy = y[hi] - y[ji]
+        keep = (dx * dx + dy * dy <= eps2) & (doc[hi] != doc[ji])
+        out_a.append(doc[hi][keep])
+        out_b.append(doc[ji][keep])
+        b0 = b1
     if not out_a:
         return _empty_pairs()
     return pa.table({

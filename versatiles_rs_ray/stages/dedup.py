@@ -1521,7 +1521,12 @@ def _pd_explode(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
     np.cumsum(counts, out=offs[1:])
     pos = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
         offs[:-1], counts)
-    h = _fnv_vec(flat).view(np.int64)
+    # paragraphs repeat heavily (that is WHY this stage exists):
+    # dictionary-encode first so the per-char FNV loop runs once per
+    # DISTINCT paragraph per batch, not once per occurrence
+    enc = flat.dictionary_encode()
+    h = _fnv_vec(enc.dictionary).view(np.int64)[
+        np.asarray(enc.indices, dtype=np.int64)]
     return pa.table({
         "doc": pa.array(doc, type=pa.int64()),
         "pos": pa.array(pos, type=pa.int64()),

@@ -32,8 +32,6 @@ Shape (the classic MapReduce triangle count, Suri & Vassilvitskii
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import pyarrow as pa
 

@@ -108,6 +108,12 @@ def _lm_position_rows(batch: pa.Table, column: str, id_col: str,
     G: dict[int, pa.Array] = {1: words.combine_chunks()
                               if isinstance(words, pa.ChunkedArray) else words}
     for m in range(2, n + 1):
+        if L < m:
+            # batch's total token count below the order: no position can
+            # satisfy pos >= m-1, and the slice below would be empty while
+            # take() still evaluates its (clamped-to-0) indices eagerly.
+            G[m] = pa.array([""] * L, type=pa.string())
+            continue
         joined = G[1].slice(0, L - m + 1)
         for j in range(1, m):
             joined = pc.binary_join_element_wise(

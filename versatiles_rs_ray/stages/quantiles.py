@@ -106,8 +106,9 @@ def float_quantiles(ds, col: str, qs=(0.5,)) -> pa.Table:
                               shift=shift),
             batch_format="pyarrow").to_pandas()
         hists = np.zeros((len(prefixes), 256), dtype=np.int64)
-        for pidx, h in zip(parts["pidx"], parts["hist"]):
-            hists[int(pidx)] += np.asarray(h, dtype=np.int64)
+        if len(parts):  # Ray's to_pandas drops columns at 0 rows
+            for pidx, h in zip(parts["pidx"], parts["hist"]):
+                hists[int(pidx)] += np.asarray(h, dtype=np.int64)
         if state is None:
             n = int(hists[0].sum())
             if n == 0:

@@ -88,13 +88,11 @@ def _weight_batch(batch: pa.Table, column: str, id_col: str, dim: int,
     })
 
 
-def hashed_tfidf(ds, dim: int = 256, column: str = "text",
-                 id_col: str = "doc_id"):
-    """Exploded hashed tf-idf: one row per (doc, nonzero bucket) with
-    the exact token count ``tf`` and ``w_micro`` = floor(1e6 * tf *
-    idf + 0.5). Docs with no tokens emit nothing."""
-    if dim < 1:
-        raise ValueError(f"hashed_tfidf: dim must be >= 1, got {dim}")
+def _idf(ds, column: str, dim: int) -> np.ndarray:
+    """Smooth idf array (dim doubles of driver state): one streaming
+    df pass reduced to per-block dim-length partials, then
+    ln((N+1)/(df+1)) + 1 — the single formula both the exploded and
+    dense variants (and the SQL oracle) must agree on."""
     parts = ds.map_batches(
         functools.partial(_df_partial, column=column, dim=dim),
         batch_format="pyarrow").to_pandas()
@@ -103,7 +101,17 @@ def hashed_tfidf(ds, dim: int = 256, column: str = "text",
     for row_df, nd in zip(parts["df"], parts["n_docs"]):
         df += np.asarray(row_df, dtype=np.int64)
         n_docs += int(nd)
-    idf = np.log((n_docs + 1.0) / (df + 1.0)) + 1.0
+    return np.log((n_docs + 1.0) / (df + 1.0)) + 1.0
+
+
+def hashed_tfidf(ds, dim: int = 256, column: str = "text",
+                 id_col: str = "doc_id"):
+    """Exploded hashed tf-idf: one row per (doc, nonzero bucket) with
+    the exact token count ``tf`` and ``w_micro`` = floor(1e6 * tf *
+    idf + 0.5). Docs with no tokens emit nothing."""
+    if dim < 1:
+        raise ValueError(f"hashed_tfidf: dim must be >= 1, got {dim}")
+    idf = _idf(ds, column, dim)
     return ds.map_batches(
         functools.partial(_weight_batch, column=column, id_col=id_col,
                           dim=dim, idf=idf),
@@ -120,15 +128,7 @@ def tfidf_vectors(ds, dim: int = 256, column: str = "text",
     # otherwise straddle map_batches re-batching boundaries)
     if dim < 1:
         raise ValueError(f"tfidf_vectors: dim must be >= 1, got {dim}")
-    parts = ds.map_batches(
-        functools.partial(_df_partial, column=column, dim=dim),
-        batch_format="pyarrow").to_pandas()
-    df = np.zeros(dim, dtype=np.int64)
-    n_docs = 0
-    for row_df, nd in zip(parts["df"], parts["n_docs"]):
-        df += np.asarray(row_df, dtype=np.int64)
-        n_docs += int(nd)
-    idf = np.log((n_docs + 1.0) / (df + 1.0)) + 1.0
+    idf = _idf(ds, column, dim)
 
     def densify(batch: pa.Table, _dim=dim, _idf=idf) -> pa.Table:
         t = _weight_batch(batch, column=column, id_col=id_col,
