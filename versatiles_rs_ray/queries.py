@@ -2113,6 +2113,150 @@ def _oracle_shipping_priority():
     )
 
 
+Q5_REGION = "ASIA"
+Q5_FROM_US = 788918400000000  # 1995-01-01 00:00:00 UTC, microseconds
+Q5_TO_US = 915148800000000    # 1999-01-01 00:00:00 UTC, microseconds
+
+
+def q_local_supplier_volume(sf_dir):
+    """TPC-H Q5 local supplier volume — the 6-table join: region ->
+    nation -> {customer, supplier} -> orders -> lineitem, revenue per
+    nation where the customer and supplier share the nation. The two
+    dimension tables (region 5 rows, nation 25 rows at ANY scale
+    factor) are read driver-side once and broadcast as closure
+    constants — never shuffled; the three fact-table joins run
+    co-partitioned through hash_join (lineitem x orders on orderkey,
+    then x customer on custkey, then x supplier on suppkey), each side
+    pre-filtered and column-pruned at the read so only join keys +
+    integer cents cross the exchange. Money follows the Q1/Q3
+    contract: floor-quantized cents with the discount kept as an exact
+    cent*percent product (1e-4 dollars), every sum an
+    order-independent int64, so the SQL oracle matches bit-for-bit."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .stages.join import hash_join
+
+    # dimension broadcast: nationkey -> name for nations in the region
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    rkeys = {rk for rk, rn in zip(reg["r_regionkey"].to_pylist(),
+                                  reg["r_name"].to_pylist())
+             if rn == Q5_REGION}
+    names = {int(k): n for k, n, g in zip(nat["n_nationkey"].to_pylist(),
+                                          nat["n_name"].to_pylist(),
+                                          nat["n_regionkey"].to_pylist())
+             if g in rkeys}
+    keys = np.array(sorted(names), dtype=np.int64)
+
+    def s_prep(b: pa.Table) -> pa.Table:
+        nk = np.asarray(b["s_nationkey"], dtype=np.int64)
+        m = np.isin(nk, keys)
+        return pa.table({
+            "suppkey": pa.array(np.asarray(b["s_suppkey"],
+                                           np.int64)[m], type=pa.int64()),
+            "s_nat": pa.array(nk[m], type=pa.int64()),
+        })
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"]) \
+        .map_batches(s_prep, batch_format="pyarrow")
+
+    def c_prep(b: pa.Table) -> pa.Table:
+        nk = np.asarray(b["c_nationkey"], dtype=np.int64)
+        m = np.isin(nk, keys)
+        return pa.table({
+            "custkey": pa.array(np.asarray(b["c_custkey"],
+                                           np.int64)[m], type=pa.int64()),
+            "c_nat": pa.array(nk[m], type=pa.int64()),
+        })
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(c_prep, batch_format="pyarrow")
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        ts = np.asarray(b["o_orderdate"].cast(pa.int64()))
+        b = b.filter(pa.array((ts >= Q5_FROM_US) & (ts < Q5_TO_US)))
+        return pa.table({
+            "orderkey": b["o_orderkey"].cast(pa.int64()),
+            "custkey": b["o_custkey"].cast(pa.int64()),
+        })
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"]) \
+        .map_batches(o_prep, batch_format="pyarrow")
+
+    def l_prep(b: pa.Table) -> pa.Table:
+        price = np.floor(np.asarray(b["l_extendedprice"], np.float64)
+                         * 100.0).astype(np.int64)
+        disc = np.floor(np.asarray(b["l_discount"], np.float64) * 100.0
+                        ).astype(np.int64)
+        return pa.table({
+            "orderkey": b["l_orderkey"].cast(pa.int64()),
+            "suppkey": b["l_suppkey"].cast(pa.int64()),
+            "rev_c4": pa.array(price * (100 - disc), type=pa.int64()),
+        })
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_suppkey",
+                                    "l_extendedprice", "l_discount"]) \
+        .map_batches(l_prep, batch_format="pyarrow")
+
+    j = hash_join(line, orders, on="orderkey", how="inner")
+    j = hash_join(j.drop_columns(["orderkey"]), cust,
+                  on="custkey", how="inner")
+    j = hash_join(j.drop_columns(["custkey"]), supp,
+                  on="suppkey", how="inner")
+
+    def local_partial(b: pa.Table) -> pa.Table:
+        # customer nation == supplier nation, then a per-block combine
+        # bounded by the <=25 nation keys
+        cn = np.asarray(b["c_nat"], dtype=np.int64)
+        sn = np.asarray(b["s_nat"], dtype=np.int64)
+        rev = np.asarray(b["rev_c4"], dtype=np.int64)
+        m = cn == sn
+        u, inv = np.unique(sn[m], return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, rev[m])
+        return pa.table({"nationkey": pa.array(u, type=pa.int64()),
+                         "rev_c4": pa.array(s, type=pa.int64())})
+
+    agg = j.map_batches(local_partial, batch_format="pyarrow") \
+        .groupby("nationkey").aggregate(Sum("rev_c4",
+                                            alias_name="revenue_c4"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        nk = np.asarray(b["nationkey"], dtype=np.int64)
+        return pa.table({
+            "n_name": pa.array([names[int(k)] for k in nk],
+                               type=pa.string()),
+            "revenue_c4": b["revenue_c4"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _oracle_local_supplier_volume():
+    return (
+        "SELECT n.n_name AS n_name, "
+        "CAST(sum(CAST(floor(l.l_extendedprice * 100.0) AS BIGINT) * "
+        "(100 - CAST(floor(l.l_discount * 100.0) AS BIGINT))) AS BIGINT) "
+        "AS revenue_c4 "
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "AND c.c_nationkey = s.s_nationkey "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        f"WHERE r.r_name = '{Q5_REGION}' "
+        f"AND epoch_us(o.o_orderdate) >= {Q5_FROM_US} "
+        f"AND epoch_us(o.o_orderdate) < {Q5_TO_US} "
+        "GROUP BY 1"
+    )
+
+
 FLOAT_QS = (0.25, 0.5, 0.9, 0.99)
 
 
@@ -3673,6 +3817,7 @@ QUERIES = {
     "tile_thin": q_tile_thin,
     "idw_grid": q_idw_grid,
     "triangle_stats": q_triangle_stats,
+    "local_supplier_volume": q_local_supplier_volume,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -3753,6 +3898,7 @@ ORACLES = {
     "tile_thin": _oracle_tile_thin(),
     "idw_grid": _oracle_idw_grid(),
     "triangle_stats": _oracle_triangle_stats(),
+    "local_supplier_volume": _oracle_local_supplier_volume(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window
