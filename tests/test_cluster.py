@@ -153,3 +153,79 @@ def test_dense_cell_chunks_within_group(ray_session, monkeypatch):
     adj = (dx * dx + dy * dy <= eps * eps) & ~np.eye(n, dtype=bool)
     want = {(int(ids[i]), int(ids[j])) for i, j in zip(*np.nonzero(adj))}
     assert pairs == want
+
+
+def _bi_ds(ids, x, y, idn="doc_num", parts=None):
+    import ray.data as rd
+
+    t = pa.table({idn: pa.array(ids, type=pa.int64()),
+                  "lon": pa.array(x, type=pa.float64()),
+                  "lat": pa.array(y, type=pa.float64())})
+    ds = rd.from_arrow(t)
+    return ds.repartition(parts) if parts else ds
+
+
+def _bi_want(ids_l, xl, yl, ids_r, xr, yr, eps):
+    dx = xl[:, None] - xr[None, :]
+    dy = yl[:, None] - yr[None, :]
+    adj = dx * dx + dy * dy <= eps * eps
+    return {(int(ids_l[i]), int(ids_r[j])) for i, j in zip(*np.nonzero(adj))}
+
+
+def test_within_join_matches_brute(ray_session):
+    from versatiles_rs_ray.stages.cluster import within_join
+
+    rng = np.random.default_rng(5)
+    nl, nr = 180, 40
+    il = np.arange(nl, dtype=np.int64) * 2
+    ir = np.arange(nr, dtype=np.int64) * 2 + 1
+    xl, yl = rng.uniform(-60, 60, nl), rng.uniform(-30, 30, nl)
+    xr, yr = rng.uniform(-60, 60, nr), rng.uniform(-30, 30, nr)
+    for eps in (4.0, 11.0):
+        got = within_join(_bi_ds(il, xl, yl), _bi_ds(ir, xr, yr),
+                          eps).to_pandas()
+        pairs = set(zip(got["left_id"], got["right_id"]))
+        assert len(pairs) == len(got)  # exactly-once emission
+        assert pairs == _bi_want(il, xl, yl, ir, xr, yr, eps)
+
+
+def test_within_join_partition_invariance_and_chunking(ray_session,
+                                                       monkeypatch):
+    from versatiles_rs_ray.stages import cluster as cl
+
+    monkeypatch.setattr(cl, "PAIR_CHUNK", 5)
+    rng = np.random.default_rng(9)
+    nl, nr = 70, 30
+    il = np.arange(nl, dtype=np.int64)
+    ir = np.arange(nr, dtype=np.int64) + 1000
+    xl, yl = rng.uniform(0, 1.0, nl), rng.uniform(0, 1.0, nl)  # one cell
+    xr, yr = rng.uniform(0, 1.0, nr), rng.uniform(0, 1.0, nr)
+    eps = 3.0
+    a = cl.within_join(_bi_ds(il, xl, yl), _bi_ds(ir, xr, yr),
+                       eps).to_pandas()
+    b = cl.within_join(_bi_ds(il, xl, yl, parts=7),
+                       _bi_ds(ir, xr, yr, parts=3), eps,
+                       num_partitions=5).to_pandas()
+    pa_set = set(zip(a["left_id"], a["right_id"]))
+    assert pa_set == set(zip(b["left_id"], b["right_id"]))
+    assert pa_set == _bi_want(il, xl, yl, ir, xr, yr, eps)
+
+
+def test_within_join_empty_right(ray_session):
+    from versatiles_rs_ray.stages.cluster import within_join
+
+    il = np.array([1, 2], dtype=np.int64)
+    got = within_join(
+        _bi_ds(il, np.array([0.0, 1.0]), np.array([0.0, 1.0])),
+        _bi_ds(np.array([], dtype=np.int64), np.array([]),
+               np.array([])), 5.0)
+    assert got.count() == 0
+
+
+def test_within_join_validation(ray_session):
+    from versatiles_rs_ray.stages.cluster import within_join
+
+    il = np.array([1], dtype=np.int64)
+    ds = _bi_ds(il, np.array([0.0]), np.array([0.0]))
+    with pytest.raises(ValueError):
+        within_join(ds, ds, 0.0)

@@ -1870,6 +1870,54 @@ def _oracle_dbscan_clusters():
     )
 
 
+WITHIN_EPS = 20.0
+
+
+def q_within_join(sf_dir):
+    """Distance join (ST_DWithin, stages/cluster.within_join): every
+    (document, supplier-site) pair within eps degrees — left points
+    ship once to their home grid cell, the smaller right side ships 9x
+    (3x3 replication), ONE hash exchange, chunk-bounded vectorized
+    cross-match per cell. Supplier sites derive from s_suppkey through
+    the same multiplier chain as document points, so the SQL oracle is
+    a plain cross join with the identical three-IEEE-op distance
+    test."""
+    import ray.data as rd
+
+    from .stages.cluster import within_join
+
+    docs = D.read_docs(sf_dir, columns=["doc_num", "lon", "lat"])
+
+    def s_prep(b: pa.Table) -> pa.Table:
+        sk = np.asarray(b["s_suppkey"], dtype=np.int64)
+        lon, lat = D.derive_lonlat(sk)
+        return pa.table({"s_suppkey": pa.array(sk, type=pa.int64()),
+                         "lon": pa.array(lon, type=pa.float64()),
+                         "lat": pa.array(lat, type=pa.float64())})
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey"]) \
+        .map_batches(s_prep, batch_format="pyarrow")
+    out = within_join(docs, supp, WITHIN_EPS,
+                      right_cols=("s_suppkey", "lon", "lat"))
+    return out.rename_columns({"left_id": "doc_num",
+                               "right_id": "s_suppkey"})
+
+
+def _oracle_within_join():
+    eps2 = repr(WITHIN_EPS * WITHIN_EPS)
+    slon = D.SQL_LON.replace("doc_id", "s_suppkey")
+    slat = D.SQL_LAT.replace("doc_id", "s_suppkey")
+    return (
+        f"WITH dpts AS (SELECT doc_id AS doc_num, {D.SQL_LON} AS x, "
+        f"{D.SQL_LAT} AS y FROM documents), "
+        f"spts AS (SELECT s_suppkey, {slon} AS x, {slat} AS y "
+        "FROM supplier) "
+        "SELECT d.doc_num, s.s_suppkey FROM dpts d, spts s "
+        f"WHERE (d.x-s.x)*(d.x-s.x)+(d.y-s.y)*(d.y-s.y) <= {eps2}"
+    )
+
+
 FUNNEL_STAGES = ("signup", "view", "click", "purchase")
 
 
@@ -3818,6 +3866,7 @@ QUERIES = {
     "idw_grid": q_idw_grid,
     "triangle_stats": q_triangle_stats,
     "local_supplier_volume": q_local_supplier_volume,
+    "within_join": q_within_join,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -3899,6 +3948,7 @@ ORACLES = {
     "idw_grid": _oracle_idw_grid(),
     "triangle_stats": _oracle_triangle_stats(),
     "local_supplier_volume": _oracle_local_supplier_volume(),
+    "within_join": _oracle_within_join(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window

@@ -300,3 +300,118 @@ def dbscan(pts_ds, eps: float, min_pts: int, num_partitions: int = 32,
         })
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _bi_cell_rows(batch: pa.Table, cw: float, id_col: str, lon_col: str,
+                  lat_col: str, home: bool) -> pa.Table:
+    """Bilateral variant of _cell_rows: a LEFT (home) point emits one
+    row in its own cell; a RIGHT (candidate) point replicates to its
+    own + 8 neighbor cells. A (left, right) pair within eps then meets
+    in exactly one partition — the left point's home cell — so every
+    pair is emitted exactly once."""
+    pid = np.asarray(batch[id_col], dtype=np.int64)
+    x = np.asarray(batch[lon_col], dtype=np.float64)
+    y = np.asarray(batch[lat_col], dtype=np.float64)
+    kx = np.floor(x / cw).astype(np.int64)
+    ky = np.floor(y / cw).astype(np.int64)
+    if len(kx) and (np.abs(kx).max() >= _OFF - 1 or np.abs(ky).max() >= _OFF - 1):
+        raise ValueError(
+            "within_join: grid cell index exceeds the packing range — "
+            f"eps is too small for the coordinate span (need span/eps < {_OFF})")
+    n = len(pid)
+    offs = [(0, 0)] if home else [(dx, dy) for dx in (-1, 0, 1)
+                                  for dy in (-1, 0, 1)]
+    cells = [(kx + dx + _OFF) * _SPAN + (ky + dy + _OFF) for dx, dy in offs]
+    reps = len(offs)
+    return pa.table({
+        "cell": pa.array(np.concatenate(cells) if reps > 1 else cells[0],
+                         type=pa.int64()),
+        "side": pa.array(np.full(n * reps, 1 if home else 0, dtype=np.int8),
+                         type=pa.int8()),
+        "doc": pa.array(np.tile(pid, reps), type=pa.int64()),
+        "x": pa.array(np.tile(x, reps), type=pa.float64()),
+        "y": pa.array(np.tile(y, reps), type=pa.float64()),
+    })
+
+
+def _bi_pair_combine(table: pa.Table, eps2: float) -> pa.Table:
+    """Per cell-partition: (left home) x (right candidate) pairs within
+    eps. Same flattened-pair-index chunking as _pair_combine (every
+    slice bounded by PAIR_CHUNK regardless of cell skew); no self-pair
+    exclusion — the sides are different tables."""
+    empty = pa.table({"left_id": pa.array([], type=pa.int64()),
+                      "right_id": pa.array([], type=pa.int64())})
+    if table.num_rows == 0:
+        return empty
+    cell = np.asarray(table["cell"], dtype=np.int64)
+    side = np.asarray(table["side"], dtype=np.int64)
+    doc = np.asarray(table["doc"], dtype=np.int64)
+    x = np.asarray(table["x"], dtype=np.float64)
+    y = np.asarray(table["y"], dtype=np.float64)
+    order = np.lexsort((side, cell))        # candidates first, homes last
+    cell, side, doc, x, y = (cell[order], side[order], doc[order],
+                             x[order], y[order])
+    grp_start = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+    grp_end = np.r_[grp_start[1:], len(cell)]
+    n_home = np.add.reduceat(side, grp_start)
+    n_cand = (grp_end - grp_start) - n_home
+    home_start = grp_end - n_home
+    per_grp = n_home * n_cand
+    cum = np.cumsum(per_grp)
+    grp_off = cum - per_grp
+    total = int(cum[-1]) if len(cum) else 0
+    out_l, out_r = [], []
+    b0 = 0
+    while b0 < total:
+        b1 = min(b0 + PAIR_CHUNK, total)
+        idx = np.arange(b0, b1, dtype=np.int64)
+        grp = np.searchsorted(cum, idx, side="right")
+        pos = idx - grp_off[grp]
+        nc = n_cand[grp]
+        hi = home_start[grp] + pos // nc
+        ji = grp_start[grp] + pos % nc
+        dx = x[hi] - x[ji]
+        dy = y[hi] - y[ji]
+        keep = dx * dx + dy * dy <= eps2
+        out_l.append(doc[hi][keep])
+        out_r.append(doc[ji][keep])
+        b0 = b1
+    if not out_l:
+        return empty
+    return pa.table({
+        "left_id": pa.array(np.concatenate(out_l), type=pa.int64()),
+        "right_id": pa.array(np.concatenate(out_r), type=pa.int64()),
+    })
+
+
+def within_join(left_ds, right_ds, eps: float, num_partitions: int = 32,
+                left_cols=("doc_num", "lon", "lat"),
+                right_cols=("doc_num", "lon", "lat")):
+    """Distance join (ST_DWithin): every (left, right) pair with
+    euclidean (lon, lat) distance^2 <= eps^2, emitted exactly once as
+    (left_id, right_id) — the bilateral generalization of eps_pairs.
+
+    Shape: left rows ship once (home cell), right rows ship 9x (3x3
+    replication), ONE hash exchange co-locates cells, each partition
+    cross-matches home x candidate with the chunk-bounded vectorized
+    kernel — no broadcast side, no all-pairs, shuffle volume
+    |left| + 9|right| + realized pairs. Put the SMALLER table on the
+    right. The distance test is the engine's standard three IEEE
+    float64 ops (exact SQL mirror); boundary is inclusive (<=)."""
+    from .exchange import hash_exchange
+
+    if not (eps > 0):
+        raise ValueError("within_join: eps must be > 0")
+    cw = float(eps) * (1.0 + 1e-9)
+    lrows = left_ds.map_batches(
+        functools.partial(_bi_cell_rows, cw=cw, id_col=left_cols[0],
+                          lon_col=left_cols[1], lat_col=left_cols[2],
+                          home=True), batch_format="pyarrow")
+    rrows = right_ds.map_batches(
+        functools.partial(_bi_cell_rows, cw=cw, id_col=right_cols[0],
+                          lon_col=right_cols[1], lat_col=right_cols[2],
+                          home=False), batch_format="pyarrow")
+    return hash_exchange(
+        lrows.union(rrows), "cell",
+        functools.partial(_bi_pair_combine, eps2=float(eps) * float(eps)),
+        num_partitions=num_partitions)
