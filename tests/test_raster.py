@@ -609,3 +609,75 @@ def test_decode_png_adam7_interlaced():
     codes = rng.integers(0, 4, (5, 5), dtype=np.uint8)
     arr, ct = P.decode_png(build(5, 5, 2, 0, interlace_bytes(codes, 2, (0,))))
     assert ct == 0 and np.array_equal(arr[..., 0], codes * 85)
+
+
+# ---------------------------------------------------------------- algebra
+
+def _alg_tiles(coords, seed, size=8):
+    """Tile rows with random RGBA payloads; returns (Dataset, {tile: arr})."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(seed)
+    arrs = {c: rng.integers(0, 256, (size, size, 4), dtype=np.uint8)
+            for c in coords}
+    t = pa.table({
+        "z": pa.array([c[0] for c in coords], type=pa.int64()),
+        "x": pa.array([c[1] for c in coords], type=pa.int64()),
+        "y": pa.array([c[2] for c in coords], type=pa.int64()),
+        "payload": pa.array([raster.from_array(arrs[c]) for c in coords],
+                            type=pa.binary()),
+        "width": pa.array([size] * len(coords), type=pa.int64()),
+        "height": pa.array([size] * len(coords), type=pa.int64()),
+    })
+    return rd.from_arrow(t), arrs
+
+
+def _alg_ref(op, a, b):
+    ai, bi = a[..., :3].astype(np.int64), b[..., :3].astype(np.int64)
+    if op == "absdiff":
+        rgb = np.abs(ai - bi)
+    elif op == "add":
+        rgb = np.minimum(ai + bi, 255)
+    elif op == "min":
+        rgb = np.minimum(ai, bi)
+    elif op == "max":
+        rgb = np.maximum(ai, bi)
+    else:
+        rgb = (ai > bi) * 255
+    out = np.empty_like(a)
+    out[..., :3] = rgb.astype(np.uint8)
+    out[..., 3] = 255
+    return out
+
+
+@pytest.mark.parametrize("op", sorted(R.ALGEBRA_OPS))
+def test_raster_algebra_matches_reference(ray_session, op):
+    coords = [(2, x, y) for x in range(4) for y in range(3)]
+    a_ds, a_arr = _alg_tiles(coords, seed=1)
+    b_ds, b_arr = _alg_tiles(coords, seed=2)
+    got = R.raster_algebra(a_ds, b_ds, op).to_pandas()
+    assert len(got) == len(coords)
+    for _, row in got.iterrows():
+        c = (row["z"], row["x"], row["y"])
+        arr = raster.to_array(row["payload"], row["width"], row["height"])
+        np.testing.assert_array_equal(arr, _alg_ref(op, a_arr[c], b_arr[c]))
+
+
+def test_raster_algebra_inner_join_drops_unmatched(ray_session):
+    a_ds, _ = _alg_tiles([(1, 0, 0), (1, 1, 0)], seed=3)
+    b_ds, _ = _alg_tiles([(1, 1, 0), (1, 0, 1)], seed=4)
+    got = R.raster_algebra(a_ds, b_ds, "min").to_pandas()
+    assert [(r["z"], r["x"], r["y"]) for _, r in got.iterrows()] == [(1, 1, 0)]
+
+
+def test_raster_algebra_size_mismatch_raises(ray_session):
+    a_ds, _ = _alg_tiles([(1, 0, 0)], seed=5, size=8)
+    b_ds, _ = _alg_tiles([(1, 0, 0)], seed=6, size=16)
+    with pytest.raises(Exception, match="size mismatch"):
+        R.raster_algebra(a_ds, b_ds, "max").to_pandas()
+
+
+def test_raster_algebra_validation():
+    with pytest.raises(ValueError, match="op"):
+        R.raster_algebra(None, None, "nope")

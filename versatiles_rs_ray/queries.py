@@ -1870,6 +1870,91 @@ def _oracle_dbscan_clusters():
     )
 
 
+ALG_Z, ALG_SIZE = 3, 64
+
+
+def _alg_b_payload(batch: pa.Table) -> pa.Table:
+    """Second algebra operand: the gradient fixture TRANSPOSED (R ramps
+    with pixel y, G with x) and a different coordinate hash in B, so
+    every band of the difference is nonzero and data-dependent."""
+    from .core.raster import from_array
+
+    z = np.asarray(batch["z"], dtype=np.int64)
+    x = np.asarray(batch["x"], dtype=np.int64)
+    y = np.asarray(batch["y"], dtype=np.int64)
+    g = np.round(np.linspace(0, 255, ALG_SIZE)).astype(np.uint8)
+    payload = []
+    for zi, xi, yi in zip(z.tolist(), x.tolist(), y.tolist()):
+        arr = np.empty((ALG_SIZE, ALG_SIZE, 4), dtype=np.uint8)
+        arr[..., 0] = g[:, None]
+        arr[..., 1] = g[None, :]
+        arr[..., 2] = (zi * 11 + xi * 23 + yi * 5) % 256
+        arr[..., 3] = 255
+        payload.append(from_array(arr))
+    batch = batch.append_column("payload", pa.array(payload,
+                                                    type=pa.binary()))
+    batch = batch.append_column(
+        "width", pa.array(np.full(len(z), ALG_SIZE), type=pa.int64()))
+    return batch.append_column(
+        "height", pa.array(np.full(len(z), ALG_SIZE), type=pa.int64()))
+
+
+def q_raster_algebra(sf_dir):
+    """Raster map algebra (stages/raster.raster_algebra, the gdal_calc
+    operation): per-pixel |A - B| between two z3 pyramids zip-joined
+    on the tile key through ONE hash exchange. A = the standard
+    gradient fixture, B = its transpose with a different coordinate
+    hash; the query decodes each RESULT tile and returns its R/B band
+    pixel sums — the R sum is a pure ramp constant (inlined into the
+    SQL from the same fixture arithmetic), the B sum is the
+    data-dependent |hashA - hashB| * size^2."""
+    from .core.bbox import TileBBoxPyramid
+    from .core.raster import to_array
+    from .sources.debug_tiles import coords_table, gradient_tiles
+    from .stages.raster import raster_algebra
+
+    import ray.data as rd
+
+    pyr = TileBBoxPyramid.new_full(ALG_Z, ALG_Z)
+    a = gradient_tiles(pyr, size=ALG_SIZE)
+    b = rd.from_arrow(coords_table(pyr)).map_batches(
+        _alg_b_payload, batch_format="pyarrow")
+    out = raster_algebra(a, b, "absdiff")
+
+    def sums(batch: pa.Table) -> pa.Table:
+        zs = np.asarray(batch["z"], dtype=np.int64)
+        ws = np.asarray(batch["width"], dtype=np.int64)
+        hs = np.asarray(batch["height"], dtype=np.int64)
+        sr, sb = [], []
+        for p, w, h in zip(batch["payload"].to_pylist(), ws, hs):
+            arr = to_array(p, int(w), int(h))
+            sr.append(int(arr[..., 0].astype(np.int64).sum()))
+            sb.append(int(arr[..., 2].astype(np.int64).sum()))
+        return pa.table({
+            "z": batch["z"].cast(pa.int64()),
+            "x": batch["x"].cast(pa.int64()),
+            "y": batch["y"].cast(pa.int64()),
+            "sum_r": pa.array(sr, type=pa.int64()),
+            "sum_b": pa.array(sb, type=pa.int64()),
+        })
+
+    return out.map_batches(sums, batch_format="pyarrow")
+
+
+def _oracle_raster_algebra():
+    g = np.round(np.linspace(0, 255, ALG_SIZE)).astype(np.int64)
+    ramp_abs = int(np.abs(g[None, :] - g[:, None]).sum())
+    n = 1 << ALG_Z
+    return (
+        f"SELECT {ALG_Z} AS z, a.range AS x, b.range AS y, "
+        f"{ramp_abs} AS sum_r, "
+        f"abs(({ALG_Z} * 37 + a.range * 17 + b.range * 11) % 256 - "
+        f"({ALG_Z} * 11 + a.range * 23 + b.range * 5) % 256) "
+        f"* {ALG_SIZE * ALG_SIZE} AS sum_b "
+        f"FROM range({n}) a CROSS JOIN range({n}) b"
+    )
+
+
 WITHIN_EPS = 20.0
 
 
@@ -3867,6 +3952,7 @@ QUERIES = {
     "triangle_stats": q_triangle_stats,
     "local_supplier_volume": q_local_supplier_volume,
     "within_join": q_within_join,
+    "raster_algebra": q_raster_algebra,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -3949,6 +4035,7 @@ ORACLES = {
     "triangle_stats": _oracle_triangle_stats(),
     "local_supplier_volume": _oracle_local_supplier_volume(),
     "within_join": _oracle_within_join(),
+    "raster_algebra": _oracle_raster_algebra(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window

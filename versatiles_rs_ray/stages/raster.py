@@ -283,3 +283,134 @@ def raster_overview(ds, z_from: int, z_to: int, num_partitions: int = 8):
     for z in range(z_from, z_to, -1):
         levels[z - 1] = raster_overview_level(levels[z], num_partitions)
     return levels
+
+
+# ---------------------------------------------------------------- algebra
+
+def _alg_absdiff(a, b):
+    return np.abs(a.astype(np.int16) - b.astype(np.int16)).astype(np.uint8)
+
+
+def _alg_add(a, b):
+    return np.minimum(a.astype(np.int16) + b.astype(np.int16),
+                      255).astype(np.uint8)
+
+
+def _alg_mask_gt(a, b):
+    return (a > b).astype(np.uint8) * np.uint8(255)
+
+
+ALGEBRA_OPS = {
+    "absdiff": _alg_absdiff,
+    "add": _alg_add,          # saturating
+    "min": np.minimum,
+    "max": np.maximum,
+    "mask_gt": _alg_mask_gt,  # 255 where a > b else 0
+}
+
+
+def _algebra_combine(table: pa.Table, op: str) -> pa.Table:
+    """Per tkey-partition: pair each tile key's rank-0 (A) and rank-1
+    (B) images and apply the per-pixel op to the RGB bands (alpha
+    forced opaque — a band difference is data, not coverage). Tiles
+    present on only one side drop (inner-join semantics); mismatched
+    dimensions raise."""
+    fn = ALGEBRA_OPS[op]
+    empty = pa.table({
+        "z": pa.array([], type=pa.int64()),
+        "x": pa.array([], type=pa.int64()),
+        "y": pa.array([], type=pa.int64()),
+        "payload": pa.array([], type=pa.binary()),
+        "width": pa.array([], type=pa.int64()),
+        "height": pa.array([], type=pa.int64()),
+    })
+    if table.num_rows == 0:
+        return empty
+    tkey = np.asarray(table["tkey"], dtype=np.int64)
+    rank = np.asarray(table["src_rank"], dtype=np.int64)
+    widths = np.asarray(table["width"], dtype=np.int64)
+    heights = np.asarray(table["height"], dtype=np.int64)
+    payloads = table["payload"].to_pylist()
+    order = np.lexsort((rank, tkey))
+    zs, xs, ys, ps, ws, hs = [], [], [], [], [], []
+    i = 0
+    while i < len(order):
+        j = i
+        while j < len(order) and tkey[order[j]] == tkey[order[i]]:
+            j += 1
+        grp = order[i:j]
+        a_rows = [g for g in grp if rank[g] == 0]
+        b_rows = [g for g in grp if rank[g] == 1]
+        i = j
+        if not a_rows or not b_rows:
+            continue  # inner join: unmatched tile keys drop
+        if len(a_rows) > 1 or len(b_rows) > 1:
+            z, x, y = unpack_tkey(tkey[grp[0]])
+            raise ValueError(
+                f"raster_algebra: duplicate tile {int(z)}/{int(x)}/"
+                f"{int(y)} on one side — inputs must be tile-unique")
+        ga, gb = a_rows[0], b_rows[0]
+        if (widths[ga], heights[ga]) != (widths[gb], heights[gb]):
+            z, x, y = unpack_tkey(tkey[ga])
+            raise ValueError(
+                f"raster_algebra: size mismatch at {int(z)}/{int(x)}/"
+                f"{int(y)}: {int(widths[ga])}x{int(heights[ga])} vs "
+                f"{int(widths[gb])}x{int(heights[gb])}")
+        a = raster.to_array(payloads[ga], int(widths[ga]), int(heights[ga]))
+        b = raster.to_array(payloads[gb], int(widths[gb]), int(heights[gb]))
+        out = np.empty_like(a)
+        out[..., :3] = fn(a[..., :3], b[..., :3])
+        out[..., 3] = 255
+        z, x, y = unpack_tkey(tkey[ga])
+        zs.append(int(z))
+        xs.append(int(x))
+        ys.append(int(y))
+        ps.append(raster.from_array(out))
+        ws.append(int(widths[ga]))
+        hs.append(int(heights[ga]))
+    if not zs:
+        return empty
+    return pa.table({
+        "z": pa.array(zs, type=pa.int64()),
+        "x": pa.array(xs, type=pa.int64()),
+        "y": pa.array(ys, type=pa.int64()),
+        "payload": pa.array(ps, type=pa.binary()),
+        "width": pa.array(ws, type=pa.int64()),
+        "height": pa.array(hs, type=pa.int64()),
+    })
+
+
+def raster_algebra(a_ds, b_ds, op: str, num_partitions: int = 8):
+    """Raster map algebra (the gdal_calc operation): per-pixel band
+    arithmetic between two tile pyramids zip-joined on (z, x, y) —
+    ONE hash exchange on the packed tile key co-locates each tile's
+    A and B images, the combine applies the vectorized op per pixel.
+    ops: absdiff | add (saturating) | min | max | mask_gt. Inner-join
+    semantics: tiles present on only one side drop. Shuffle volume is
+    |A| + |B| tile rows, exactly once, under any partitioning — the
+    same scale shape as stacked_raster."""
+    import functools
+
+    from .exchange import hash_exchange
+
+    if op not in ALGEBRA_OPS:
+        raise ValueError(
+            f"raster_algebra: op {op!r}: want one of {sorted(ALGEBRA_OPS)}")
+
+    def tag(batch: pa.Table, rank_val: int) -> pa.Table:
+        tkey = pack_tkey(np.asarray(batch["z"], dtype=np.int64),
+                         np.asarray(batch["x"], dtype=np.int64),
+                         np.asarray(batch["y"], dtype=np.int64))
+        batch = batch.select(["z", "x", "y", "payload", "width", "height"])
+        batch = batch.append_column("tkey", pa.array(tkey, type=pa.int64()))
+        return batch.append_column(
+            "src_rank", pa.array(np.full(len(tkey), rank_val),
+                                 type=pa.int64()))
+
+    union = a_ds.map_batches(functools.partial(tag, rank_val=0),
+                             batch_format="pyarrow").union(
+        b_ds.map_batches(functools.partial(tag, rank_val=1),
+                         batch_format="pyarrow"))
+    return hash_exchange(union, "tkey",
+                         functools.partial(_algebra_combine, op=op),
+                         num_partitions=num_partitions)
