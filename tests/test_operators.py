@@ -585,3 +585,79 @@ def test_stratified_sample_rates_and_determinism(ray_session, sf_dir):
     none = stratified_sample(docs, "doc_num", "lang", {"en": 1.0},
                              default=0.0).to_pandas()
     assert set(none["lang"]) == {"en"} and len(none) == total["en"]
+
+
+def _roll_events_ds(uid, ts_us, eid, val, parts=None):
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table({
+        "event_id": pa.array(eid, type=pa.int64()),
+        "ts": pa.array(ts_us, type=pa.timestamp("us")),
+        "user_id": pa.array(uid, type=pa.int64()),
+        "value": pa.array(val, type=pa.float64()),
+    })
+    ds = rd.from_arrow(t)
+    return ds.repartition(parts) if parts else ds
+
+
+def _roll_ref(uid, ts_us, eid, val, k):
+    """Scalar rolling reference: per user, (ts, event_id) order."""
+    import numpy as np
+
+    rows = sorted(range(len(uid)), key=lambda i: (uid[i], ts_us[i], eid[i]))
+    out = {}
+    hist = {}
+    for i in rows:
+        h = hist.setdefault(uid[i], [])
+        h.append(int(np.floor(val[i] * 1e6)))
+        win = h[-k:]
+        out[eid[i]] = (sum(win), len(win))
+    return out
+
+
+def test_rolling_window_matches_scalar(ray_session):
+    import numpy as np
+
+    from versatiles_rs_ray.stages.window import rolling_window
+
+    rng = np.random.default_rng(13)
+    n = 400
+    uid = rng.integers(0, 12, n).astype(np.int64)
+    ts = rng.integers(0, 50, n).astype(np.int64) * 1_000_000  # many ties
+    eid = rng.permutation(n).astype(np.int64)
+    val = rng.uniform(-5, 5, n)
+    for k in (1, 3, 7):
+        got = rolling_window(_roll_events_ds(uid, ts, eid, val),
+                             k=k).to_pandas()
+        want = _roll_ref(uid, ts, eid, val, k)
+        assert len(got) == n
+        for _, r in got.iterrows():
+            assert (r["roll_sum_micro"], r["roll_n"]) == want[r["event_id"]]
+
+
+def test_rolling_window_partition_invariance(ray_session):
+    import numpy as np
+
+    from versatiles_rs_ray.stages.window import rolling_window
+
+    rng = np.random.default_rng(17)
+    n = 300
+    uid = rng.integers(0, 9, n).astype(np.int64)
+    ts = rng.integers(0, 40, n).astype(np.int64) * 1_000_000
+    eid = np.arange(n, dtype=np.int64)
+    val = rng.uniform(0, 10, n)
+    a = rolling_window(_roll_events_ds(uid, ts, eid, val),
+                       k=4).to_pandas().sort_values("event_id")
+    b = rolling_window(_roll_events_ds(uid, ts, eid, val, parts=11), k=4,
+                       num_partitions=5).to_pandas().sort_values("event_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_rolling_window_validation(ray_session):
+    import pytest as _pt
+
+    from versatiles_rs_ray.stages.window import rolling_window
+
+    with _pt.raises(ValueError):
+        rolling_window(None, k=0)

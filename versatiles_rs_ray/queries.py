@@ -1870,6 +1870,37 @@ def _oracle_dbscan_clusters():
     )
 
 
+ROLL_K = 3
+
+
+def q_rolling_events(sf_dir):
+    """Per-user ordered rolling aggregate (stages/window.rolling_window):
+    SUM/COUNT of the last k=3 event values per user in (ts, event_id)
+    order — the SQL window function as one user_id hash exchange +
+    vectorized clamped prefix-sum kernel. Values quantize to integer
+    micro-units before summing, so the DuckDB ROWS-frame oracle matches
+    bit-for-bit."""
+    import ray.data as rd
+
+    from .stages.window import rolling_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    return rolling_window(ev, k=ROLL_K)
+
+
+def _oracle_rolling_events():
+    frame = (f"OVER (PARTITION BY user_id ORDER BY ts, event_id "
+             f"ROWS BETWEEN {ROLL_K - 1} PRECEDING AND CURRENT ROW)")
+    return (
+        "SELECT event_id, "
+        f"CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) {frame} AS BIGINT) "
+        "AS roll_sum_micro, "
+        f"CAST(count(*) {frame} AS BIGINT) AS roll_n "
+        "FROM events"
+    )
+
+
 ALG_Z, ALG_SIZE = 3, 64
 
 
@@ -3953,6 +3984,7 @@ QUERIES = {
     "local_supplier_volume": q_local_supplier_volume,
     "within_join": q_within_join,
     "raster_algebra": q_raster_algebra,
+    "rolling_events": q_rolling_events,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -4036,6 +4068,7 @@ ORACLES = {
     "local_supplier_volume": _oracle_local_supplier_volume(),
     "within_join": _oracle_within_join(),
     "raster_algebra": _oracle_raster_algebra(),
+    "rolling_events": _oracle_rolling_events(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window

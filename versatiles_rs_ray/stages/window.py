@@ -362,3 +362,68 @@ def funnel(events_ds, stages, num_partitions: int = 16):
         num_partitions=num_partitions)
     return parts.groupby(["stage", "event_type"]).aggregate(
         Sum("n_users", alias_name="n_users"))
+
+
+def _rolling_block(table: pa.Table, k: int) -> pa.Table:
+    """Per user-partition: rolling sum/count of the last k values in
+    (ts, event_id) order within each user. Vectorized: one lexsort,
+    per-segment clamped prefix-sum differences — no per-user Python."""
+    empty = pa.table({
+        "event_id": pa.array([], type=pa.int64()),
+        "roll_sum_micro": pa.array([], type=pa.int64()),
+        "roll_n": pa.array([], type=pa.int64()),
+    })
+    if table.num_rows == 0:
+        return empty
+    u = np.asarray(table["user_id"], dtype=np.int64)
+    ts = np.asarray(table["ts_us"], dtype=np.int64)
+    eid = np.asarray(table["event_id"], dtype=np.int64)
+    v = np.asarray(table["v_micro"], dtype=np.int64)
+    order = np.lexsort((eid, ts, u))
+    u, ts, eid, v = u[order], ts[order], eid[order], v[order]
+    n = len(u)
+    idx = np.arange(n, dtype=np.int64)
+    new_seg = np.r_[True, u[1:] != u[:-1]]
+    seg_start = np.maximum.accumulate(np.where(new_seg, idx, 0))
+    lo = np.maximum(idx - k + 1, seg_start)
+    cs = np.cumsum(v)
+    rsum = cs - np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0)
+    return pa.table({
+        "event_id": pa.array(eid, type=pa.int64()),
+        "roll_sum_micro": pa.array(rsum, type=pa.int64()),
+        "roll_n": pa.array(idx - lo + 1, type=pa.int64()),
+    })
+
+
+def rolling_window(events_ds, k: int = 3, num_partitions: int = 16):
+    """Per-key ordered rolling aggregate — the SQL window function
+    SUM/COUNT OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS
+    k-1 PRECEDING) as one hash exchange: each user's events co-locate,
+    the per-partition kernel is a lexsort + clamped prefix-sum
+    difference (no per-user loop). Values quantize to integer
+    micro-units BEFORE summing, so every rolling sum is an exact int64
+    no matter how blocks arrived — the oracle matches bit-for-bit.
+    (ts, event_id) is a total order (event_id unique), so the window
+    contents are deterministic under timestamp ties. Output one row
+    per event: (event_id, roll_sum_micro, roll_n)."""
+    import functools
+
+    from .exchange import hash_exchange
+
+    if k < 1:
+        raise ValueError(f"rolling_window: k must be >= 1, got {k}")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["value"], dtype=np.float64)
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "v_micro": pa.array(np.floor(v * 1e6).astype(np.int64),
+                                type=pa.int64()),
+        })
+
+    prepped = events_ds.map_batches(prep, batch_format="pyarrow")
+    return hash_exchange(prepped, "user_id",
+                         functools.partial(_rolling_block, k=k),
+                         num_partitions=num_partitions)
