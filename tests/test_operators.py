@@ -661,3 +661,59 @@ def test_rolling_window_validation(ray_session):
 
     with _pt.raises(ValueError):
         rolling_window(None, k=0)
+
+
+def test_retention_cohorts_matches_scalar(ray_session):
+    import numpy as np
+
+    from versatiles_rs_ray.stages.window import retention_cohorts
+
+    rng = np.random.default_rng(23)
+    n = 500
+    uid = rng.integers(0, 20, n).astype(np.int64)
+    ts = rng.integers(0, 40 * 86400, n).astype(np.int64) * 1_000_000
+    got = retention_cohorts(
+        _roll_events_ds(uid, ts, np.arange(n, dtype=np.int64),
+                        np.zeros(n)), week_s=86400).to_pandas()
+    # scalar reference
+    weeks = {}
+    for u, t in zip(uid, ts):
+        weeks.setdefault(u, set()).add(t // (86400 * 1_000_000))
+    want = {}
+    for u, ws in weeks.items():
+        c = min(ws)
+        for w in ws:
+            want[(c, w - c)] = want.get((c, w - c), 0) + 1
+    got_map = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+               for _, r in got.iterrows()}
+    assert got_map == want
+
+
+def test_retention_cohorts_partition_invariance(ray_session):
+    import numpy as np
+
+    from versatiles_rs_ray.stages.window import retention_cohorts
+
+    rng = np.random.default_rng(29)
+    n = 300
+    uid = rng.integers(0, 15, n).astype(np.int64)
+    ts = rng.integers(0, 20 * 86400, n).astype(np.int64) * 1_000_000
+    a = retention_cohorts(
+        _roll_events_ds(uid, ts, np.arange(n, dtype=np.int64),
+                        np.zeros(n)), week_s=86400) \
+        .to_pandas().sort_values(["cohort_week", "week_offset"])
+    b = retention_cohorts(
+        _roll_events_ds(uid, ts, np.arange(n, dtype=np.int64),
+                        np.zeros(n), parts=9), week_s=86400,
+        num_partitions=5) \
+        .to_pandas().sort_values(["cohort_week", "week_offset"])
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_retention_cohorts_validation(ray_session):
+    import pytest as _pt
+
+    from versatiles_rs_ray.stages.window import retention_cohorts
+
+    with _pt.raises(ValueError):
+        retention_cohorts(None, week_s=0)

@@ -25,7 +25,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 @pytest.mark.parametrize("name", ["pricing_summary", "shipping_priority",
-                                  "local_supplier_volume"])
+                                  "local_supplier_volume", "promo_revenue"])
 def test_tpch_query_matches_duckdb(ray_session, name):
     from versatiles_rs_ray import queries as Q
 

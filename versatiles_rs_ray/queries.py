@@ -1870,6 +1870,121 @@ def _oracle_dbscan_clusters():
     )
 
 
+def q_retention(sf_dir):
+    """Cohort retention (stages/window.retention_cohorts): users
+    cohorted by first-seen week, per (cohort_week, week_offset) active
+    user counts — one user_id hash exchange (cohort + distinct-week
+    dedup local per user), weeks^2-bounded combine. Exact integers."""
+    import ray.data as rd
+
+    from .stages.window import retention_cohorts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    # the synthetic stream spans ~30 days: DAILY cohorts (week_s=1 day)
+    # give a full retention triangle; column names keep the stage's
+    # generic cohort_week/week_offset labels
+    return retention_cohorts(ev, week_s=86400)
+
+
+def _oracle_retention():
+    wk = 86400 * 1_000_000
+    return (
+        f"WITH a AS (SELECT DISTINCT user_id, "
+        f"epoch_us(ts) // {wk} AS w FROM events), "
+        "f AS (SELECT user_id, min(w) AS cw FROM a GROUP BY 1) "
+        "SELECT f.cw AS cohort_week, a.w - f.cw AS week_offset, "
+        "CAST(count(*) AS BIGINT) AS n_users "
+        "FROM a JOIN f USING (user_id) GROUP BY 1, 2"
+    )
+
+
+def q_promo_revenue(sf_dir):
+    """TPC-H Q14 promo revenue share, per ship month (the whole date
+    range; exact-integer form): lineitem x part through ONE
+    co-partitioned hash_join on partkey (part ships only (key, promo
+    flag) — no name/brand payload crosses the exchange), then a
+    per-block combine bounded by the distinct ship months. Output one
+    row per month with EXACT int64 numerator/denominator (promo and
+    total revenue in 1e-4 dollars) — the division the textbook query
+    does is left to the reader, keeping the oracle bit-exact."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .stages.join import hash_join
+
+    def p_prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        promo = pc.equal(b["p_type"], "PROMO")
+        return pa.table({
+            "partkey": b["p_partkey"].cast(pa.int64()),
+            "is_promo": pa.array(
+                np.asarray(promo, dtype=bool).astype(np.int64),
+                type=pa.int64()),
+        })
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type"]) \
+        .map_batches(p_prep, batch_format="pyarrow")
+
+    def l_prep(b: pa.Table) -> pa.Table:
+        ts = np.asarray(b["l_shipdate"].cast(pa.int64()))
+        # proleptic-Gregorian UTC month key, identical to SQL
+        # EXTRACT(year)*100 + EXTRACT(month)
+        m = ts.astype("datetime64[us]").astype("datetime64[M]") \
+            .astype(np.int64)
+        month = (1970 + m // 12) * 100 + (m % 12 + 1)
+        price = np.floor(np.asarray(b["l_extendedprice"], np.float64)
+                         * 100.0).astype(np.int64)
+        disc = np.floor(np.asarray(b["l_discount"], np.float64) * 100.0
+                        ).astype(np.int64)
+        return pa.table({
+            "partkey": b["l_partkey"].cast(pa.int64()),
+            "ship_month": pa.array(month, type=pa.int64()),
+            "rev_c4": pa.array(price * (100 - disc), type=pa.int64()),
+        })
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey", "l_shipdate",
+                                    "l_extendedprice", "l_discount"]) \
+        .map_batches(l_prep, batch_format="pyarrow")
+
+    j = hash_join(line, part, on="partkey", how="inner")
+
+    def month_partial(b: pa.Table) -> pa.Table:
+        mo = np.asarray(b["ship_month"], dtype=np.int64)
+        rev = np.asarray(b["rev_c4"], dtype=np.int64)
+        promo = np.asarray(b["is_promo"], dtype=np.int64)
+        u, inv = np.unique(mo, return_inverse=True)
+        tot = np.zeros(len(u), dtype=np.int64)
+        pr = np.zeros(len(u), dtype=np.int64)
+        np.add.at(tot, inv, rev)
+        np.add.at(pr, inv, rev * promo)
+        return pa.table({"ship_month": pa.array(u, type=pa.int64()),
+                         "promo_rev_c4": pa.array(pr, type=pa.int64()),
+                         "total_rev_c4": pa.array(tot, type=pa.int64())})
+
+    return j.map_batches(month_partial, batch_format="pyarrow") \
+        .groupby("ship_month").aggregate(
+            Sum("promo_rev_c4", alias_name="promo_rev_c4"),
+            Sum("total_rev_c4", alias_name="total_rev_c4"))
+
+
+def _oracle_promo_revenue():
+    rev = ("CAST(floor(l.l_extendedprice * 100.0) AS BIGINT) * "
+           "(100 - CAST(floor(l.l_discount * 100.0) AS BIGINT))")
+    return (
+        "SELECT EXTRACT(year FROM l.l_shipdate) * 100 + "
+        "EXTRACT(month FROM l.l_shipdate) AS ship_month, "
+        f"CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {rev} ELSE 0 END) "
+        "AS BIGINT) AS promo_rev_c4, "
+        f"CAST(sum({rev}) AS BIGINT) AS total_rev_c4 "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+        "GROUP BY 1"
+    )
+
+
 ROLL_K = 3
 
 
@@ -3985,6 +4100,8 @@ QUERIES = {
     "within_join": q_within_join,
     "raster_algebra": q_raster_algebra,
     "rolling_events": q_rolling_events,
+    "promo_revenue": q_promo_revenue,
+    "retention": q_retention,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -4069,6 +4186,8 @@ ORACLES = {
     "within_join": _oracle_within_join(),
     "raster_algebra": _oracle_raster_algebra(),
     "rolling_events": _oracle_rolling_events(),
+    "promo_revenue": _oracle_promo_revenue(),
+    "retention": _oracle_retention(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window

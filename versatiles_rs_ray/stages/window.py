@@ -427,3 +427,63 @@ def rolling_window(events_ds, k: int = 3, num_partitions: int = 16):
     return hash_exchange(prepped, "user_id",
                          functools.partial(_rolling_block, k=k),
                          num_partitions=num_partitions)
+
+
+def _cohort_block(table: pa.Table, week_us: int) -> pa.Table:
+    """Per user-partition: each user's events are all here, so the
+    cohort (first-seen week) and the distinct active weeks are local —
+    emit (cohort_week, week_offset, n) partials, weeks^2-bounded."""
+    empty = pa.table({
+        "cohort_week": pa.array([], type=pa.int64()),
+        "week_offset": pa.array([], type=pa.int64()),
+        "n_users": pa.array([], type=pa.int64()),
+    })
+    if table.num_rows == 0:
+        return empty
+    u = np.asarray(table["user_id"], dtype=np.int64)
+    w = np.asarray(table["ts_us"], dtype=np.int64) // week_us
+    uw = np.unique(np.stack([u, w], axis=1), axis=0)  # distinct (user, week)
+    uu, start = np.unique(uw[:, 0], return_index=True)
+    # rows are sorted by (user, week): each user's first row IS the
+    # min week = the cohort
+    cohort = np.repeat(uw[start, 1], np.diff(np.r_[start, len(uw)]))
+    key = np.stack([cohort, uw[:, 1] - cohort], axis=1)
+    pairs, cnt = np.unique(key, axis=0, return_counts=True)
+    return pa.table({
+        "cohort_week": pa.array(pairs[:, 0], type=pa.int64()),
+        "week_offset": pa.array(pairs[:, 1], type=pa.int64()),
+        "n_users": pa.array(cnt.astype(np.int64), type=pa.int64()),
+    })
+
+
+def retention_cohorts(events_ds, week_s: int = 7 * 86400,
+                      num_partitions: int = 16):
+    """Cohort retention over the event stream: users cohorted by their
+    first-seen week; for every (cohort_week, week_offset) the number
+    of cohort users active in that week — the standard retention
+    triangle. One hash exchange on user_id co-locates each user's
+    events (cohort and distinct-week dedup are then local and exact);
+    the combine sums weeks^2-bounded partial rows. Weeks are epoch
+    microseconds // week; exact integers end to end."""
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    from .exchange import hash_exchange
+
+    if week_s < 1:
+        raise ValueError(f"retention_cohorts: week_s must be >= 1, got {week_s}")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.int64()),
+        })
+
+    prepped = events_ds.map_batches(prep, batch_format="pyarrow")
+    parts = hash_exchange(
+        prepped, "user_id",
+        functools.partial(_cohort_block, week_us=week_s * 1_000_000),
+        num_partitions=num_partitions)
+    return parts.groupby(["cohort_week", "week_offset"]).aggregate(
+        Sum("n_users", alias_name="n_users"))
