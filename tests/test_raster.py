@@ -681,3 +681,77 @@ def test_raster_algebra_size_mismatch_raises(ray_session):
 def test_raster_algebra_validation():
     with pytest.raises(ValueError, match="op"):
         R.raster_algebra(None, None, "nope")
+
+
+# ---------------------------------------------------------------- focal
+
+def _focal_ref(arrs, coords, z, radius, size):
+    """Scalar focal-mean reference over the assembled sparse level:
+    per output pixel, sum//count of PRESENT pixels in the window."""
+    present = set(coords)
+    out = {}
+    for (tz, tx, ty) in coords:
+        res = np.zeros((size, size, 4), dtype=np.uint8)
+        for rr in range(size):
+            for cc in range(size):
+                tot = np.zeros(3, dtype=np.int64)
+                n = 0
+                for dy in range(-radius, radius + 1):
+                    for dx in range(-radius, radius + 1):
+                        gr, gc = rr + dy, cc + dx
+                        ntx, nty = tx, ty
+                        lr, lc = gr, gc
+                        if lr < 0:
+                            nty, lr = nty - 1, lr + size
+                        elif lr >= size:
+                            nty, lr = nty + 1, lr - size
+                        if lc < 0:
+                            ntx, lc = ntx - 1, lc + size
+                        elif lc >= size:
+                            ntx, lc = ntx + 1, lc - size
+                        if (tz, ntx, nty) in present:
+                            tot += arrs[(tz, ntx, nty)][lr, lc, :3]
+                            n += 1
+                res[rr, cc, :3] = (tot // n).astype(np.uint8)
+                res[rr, cc, 3] = 255
+        out[(tz, tx, ty)] = res
+    return out
+
+
+@pytest.mark.parametrize("radius,coords", [
+    (1, [(2, x, y) for x in range(3) for y in range(3)]),
+    (2, [(2, x, y) for x in range(3) for y in range(3)]),
+    # sparse level: a missing middle tile exercises absent-halo counts
+    (1, [(2, x, y) for x in range(3) for y in range(3)
+         if (x, y) != (1, 1)]),
+])
+def test_focal_mean_matches_scalar(ray_session, radius, coords):
+    import pyarrow as pa
+    import ray.data as rd
+
+    size = 8
+    rng = np.random.default_rng(41 + radius)
+    arrs = {c: rng.integers(0, 256, (size, size, 4), dtype=np.uint8)
+            for c in coords}
+    t = pa.table({
+        "z": pa.array([c[0] for c in coords], type=pa.int64()),
+        "x": pa.array([c[1] for c in coords], type=pa.int64()),
+        "y": pa.array([c[2] for c in coords], type=pa.int64()),
+        "payload": pa.array([raster.from_array(arrs[c]) for c in coords],
+                            type=pa.binary()),
+        "width": pa.array([size] * len(coords), type=pa.int64()),
+        "height": pa.array([size] * len(coords), type=pa.int64()),
+    })
+    got = R.focal_mean_tiles(rd.from_arrow(t).repartition(4),
+                             radius=radius).to_pandas()
+    want = _focal_ref(arrs, coords, 2, radius, size)
+    assert len(got) == len(coords)
+    for _, row in got.iterrows():
+        c = (row["z"], row["x"], row["y"])
+        arr = raster.to_array(row["payload"], row["width"], row["height"])
+        np.testing.assert_array_equal(arr, want[c], err_msg=str(c))
+
+
+def test_focal_mean_validation():
+    with pytest.raises(ValueError, match="radius"):
+        R.focal_mean_tiles(None, radius=0)

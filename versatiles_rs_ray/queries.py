@@ -1870,6 +1870,80 @@ def _oracle_dbscan_clusters():
     )
 
 
+def q_focal_mean(sf_dir):
+    """Focal 3x3 mean with cross-tile halos (stages/raster.
+    focal_mean_tiles) over the z3 gradient pyramid: every tile ships
+    its edge strips to the 8 neighbors, one tile-key exchange, exact
+    integer windowed mean (sum // present-pixel count, zero padding
+    at the level edge). The query decodes each RESULT tile to its
+    R/G/B band sums; the oracle recomputes the identical windowed
+    floor-mean over the closed-form 512x512 global image in pure SQL
+    (ramp literals inlined from the fixture arithmetic)."""
+    from .core.bbox import TileBBoxPyramid
+    from .core.raster import to_array
+    from .sources.debug_tiles import gradient_tiles
+    from .stages.raster import focal_mean_tiles
+
+    tiles = gradient_tiles(TileBBoxPyramid.new_full(ALG_Z, ALG_Z),
+                           size=ALG_SIZE)
+    out = focal_mean_tiles(tiles, radius=1)
+
+    def sums(batch: pa.Table) -> pa.Table:
+        sr, sg, sb = [], [], []
+        for p, w, h in zip(batch["payload"].to_pylist(),
+                           np.asarray(batch["width"], np.int64),
+                           np.asarray(batch["height"], np.int64)):
+            arr = to_array(p, int(w), int(h)).astype(np.int64)
+            sr.append(int(arr[..., 0].sum()))
+            sg.append(int(arr[..., 1].sum()))
+            sb.append(int(arr[..., 2].sum()))
+        return pa.table({
+            "z": batch["z"].cast(pa.int64()),
+            "x": batch["x"].cast(pa.int64()),
+            "y": batch["y"].cast(pa.int64()),
+            "sum_r": pa.array(sr, type=pa.int64()),
+            "sum_g": pa.array(sg, type=pa.int64()),
+            "sum_b": pa.array(sb, type=pa.int64()),
+        })
+
+    return out.map_batches(sums, batch_format="pyarrow")
+
+
+def _oracle_focal_mean():
+    g = np.round(np.linspace(0, 255, ALG_SIZE)).astype(np.int64)
+    ramp = ", ".join(f"({i}, {int(v)})" for i, v in enumerate(g))
+    n = (1 << ALG_Z) * ALG_SIZE  # global pixels per axis
+    offs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1)
+                     for dy in (-1, 0, 1))
+    # neighbor values computed ARITHMETICALLY from (gx+dx, gy+dy) with
+    # only 64-row ramp hash-joins — a join on the expression
+    # v.gx = p.gx + o.dx degenerates to a nested loop over 262k x 2.4M
+    # rows in DuckDB (observed: >10 min); this form runs in seconds.
+    # Out-of-bounds neighbors self-eliminate: (gx+dx) % 64 is negative
+    # there and matches no ramp row, consistent with the WHERE bound.
+    return (
+        f"WITH ramp(i, v) AS (VALUES {ramp}), "
+        f"pix AS (SELECT a.range AS gx, b.range AS gy "
+        f"FROM range({n}) a CROSS JOIN range({n}) b), "
+        f"off(dx, dy) AS (VALUES {offs}), "
+        "w AS (SELECT p.gx, p.gy, sum(rx.v) AS sr, sum(ry.v) AS sg, "
+        f"sum(({ALG_Z} * 37 + ((p.gx + o.dx) // {ALG_SIZE}) * 17 + "
+        f"((p.gy + o.dy) // {ALG_SIZE}) * 11) % 256) AS sb, "
+        "count(*) AS n FROM pix p CROSS JOIN off o "
+        f"JOIN ramp rx ON rx.i = (p.gx + o.dx) % {ALG_SIZE} "
+        f"JOIN ramp ry ON ry.i = (p.gy + o.dy) % {ALG_SIZE} "
+        f"WHERE p.gx + o.dx BETWEEN 0 AND {n - 1} "
+        f"AND p.gy + o.dy BETWEEN 0 AND {n - 1} "
+        "GROUP BY 1, 2) "
+        f"SELECT {ALG_Z} AS z, gx // {ALG_SIZE} AS x, "
+        f"gy // {ALG_SIZE} AS y, "
+        "CAST(sum(sr // n) AS BIGINT) AS sum_r, "
+        "CAST(sum(sg // n) AS BIGINT) AS sum_g, "
+        "CAST(sum(sb // n) AS BIGINT) AS sum_b "
+        "FROM w GROUP BY 2, 3"
+    )
+
+
 def q_retention(sf_dir):
     """Cohort retention (stages/window.retention_cohorts): users
     cohorted by first-seen week, per (cohort_week, week_offset) active
@@ -4102,6 +4176,7 @@ QUERIES = {
     "rolling_events": q_rolling_events,
     "promo_revenue": q_promo_revenue,
     "retention": q_retention,
+    "focal_mean": q_focal_mean,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -4188,6 +4263,7 @@ ORACLES = {
     "rolling_events": _oracle_rolling_events(),
     "promo_revenue": _oracle_promo_revenue(),
     "retention": _oracle_retention(),
+    "focal_mean": _oracle_focal_mean(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window

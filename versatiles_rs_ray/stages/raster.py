@@ -414,3 +414,177 @@ def raster_algebra(a_ds, b_ds, op: str, num_partitions: int = 8):
     return hash_exchange(union, "tkey",
                          functools.partial(_algebra_combine, op=op),
                          num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------- focal
+
+def _focal_rows(batch: pa.Table, radius: int) -> pa.Table:
+    """Each tile emits itself to its own tkey plus an r-wide edge strip
+    to each of its (up to) 8 existing neighbors — the halo exchange of
+    every distributed stencil computation. Strip payloads are
+    radius*size (edges) or radius^2 (corners) bytes x4 channels: tiny
+    next to the tile itself, so shuffle volume is ~|tiles| rows + 8
+    small strip rows per tile."""
+    z = np.asarray(batch["z"], dtype=np.int64)
+    x = np.asarray(batch["x"], dtype=np.int64)
+    y = np.asarray(batch["y"], dtype=np.int64)
+    widths = np.asarray(batch["width"], dtype=np.int64)
+    heights = np.asarray(batch["height"], dtype=np.int64)
+    payloads = batch["payload"].to_pylist()
+    r = radius
+    out = {"tkey": [], "rel_dx": [], "rel_dy": [], "payload": [],
+           "w": [], "h": [], "size": []}
+    for i in range(len(z)):
+        s = int(widths[i])
+        if int(heights[i]) != s:
+            raise ValueError("focal_mean_tiles: tiles must be square")
+        arr = raster.to_array(payloads[i], s, s)
+        n = 1 << int(z[i])
+        out["tkey"].append(int(pack_tkey(z[i], x[i], y[i])))
+        out["rel_dx"].append(0)
+        out["rel_dy"].append(0)
+        out["payload"].append(payloads[i])
+        out["w"].append(s)
+        out["h"].append(s)
+        out["size"].append(s)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                nx, ny = int(x[i]) + dx, int(y[i]) + dy
+                if not (0 <= nx < n and 0 <= ny < n):
+                    continue  # no wraparound at the level edge
+                # the strip the neighbor needs from us: our edge FACING
+                # it — the neighbor below (dy=+1, tile y grows south)
+                # gets our bottom rows, the one to the right our
+                # rightmost columns
+                rows = slice(s - r, s) if dy == 1 else (
+                    slice(0, r) if dy == -1 else slice(0, s))
+                cols = slice(s - r, s) if dx == 1 else (
+                    slice(0, r) if dx == -1 else slice(0, s))
+                strip = np.ascontiguousarray(arr[rows, cols])
+                out["tkey"].append(int(pack_tkey(z[i], nx, ny)))
+                # our position relative to the RECEIVING center
+                out["rel_dx"].append(-dx)
+                out["rel_dy"].append(-dy)
+                out["payload"].append(strip.tobytes())
+                out["w"].append(strip.shape[1])
+                out["h"].append(strip.shape[0])
+                out["size"].append(s)
+    return pa.table({
+        "tkey": pa.array(out["tkey"], type=pa.int64()),
+        "rel_dx": pa.array(out["rel_dx"], type=pa.int64()),
+        "rel_dy": pa.array(out["rel_dy"], type=pa.int64()),
+        "payload": pa.array(out["payload"], type=pa.binary()),
+        "w": pa.array(out["w"], type=pa.int64()),
+        "h": pa.array(out["h"], type=pa.int64()),
+        "size": pa.array(out["size"], type=pa.int64()),
+    })
+
+
+def _focal_combine(table: pa.Table, radius: int) -> pa.Table:
+    """Per center tile: place own pixels + neighbor halo strips on a
+    zero-padded canvas, then the (2r+1)^2 windowed SUM by shifted-view
+    accumulation and the exact integer mean sum // count, where count
+    is the number of PRESENT pixels in the window (matches GDAL's
+    in-bounds semantics when the level is fully populated)."""
+    empty = pa.table({
+        "z": pa.array([], type=pa.int64()),
+        "x": pa.array([], type=pa.int64()),
+        "y": pa.array([], type=pa.int64()),
+        "payload": pa.array([], type=pa.binary()),
+        "width": pa.array([], type=pa.int64()),
+        "height": pa.array([], type=pa.int64()),
+    })
+    if table.num_rows == 0:
+        return empty
+    tkey = np.asarray(table["tkey"], dtype=np.int64)
+    rdx = np.asarray(table["rel_dx"], dtype=np.int64)
+    rdy = np.asarray(table["rel_dy"], dtype=np.int64)
+    ws = np.asarray(table["w"], dtype=np.int64)
+    hs = np.asarray(table["h"], dtype=np.int64)
+    sizes = np.asarray(table["size"], dtype=np.int64)
+    payloads = table["payload"].to_pylist()
+    order = np.argsort(tkey, kind="stable")
+    r = radius
+    zs, xs, ys, ps, wo, ho = [], [], [], [], [], []
+    i = 0
+    while i < len(order):
+        j = i
+        center = None
+        strips = []
+        while j < len(order) and tkey[order[j]] == tkey[order[i]]:
+            g = order[j]
+            if rdx[g] == 0 and rdy[g] == 0:
+                center = g
+            else:
+                strips.append(g)
+            j += 1
+        k0 = order[i]
+        i = j
+        if center is None:
+            continue  # halo strips for an absent tile drop
+        s = int(sizes[center])
+        pad = np.zeros((s + 2 * r, s + 2 * r, 4), dtype=np.int64)
+        mask = np.zeros((s + 2 * r, s + 2 * r), dtype=np.int64)
+        arr = raster.to_array(payloads[center], s, s)
+        pad[r:r + s, r:r + s] = arr
+        mask[r:r + s, r:r + s] = 1
+        for g in strips:
+            sw, sh = int(ws[g]), int(hs[g])
+            strip = np.frombuffer(payloads[g], dtype=np.uint8) \
+                .reshape(sh, sw, 4)
+            # rel is the strip OWNER's position relative to this center
+            r0 = 0 if rdy[g] == -1 else (r + s if rdy[g] == 1 else r)
+            c0 = 0 if rdx[g] == -1 else (r + s if rdx[g] == 1 else r)
+            pad[r0:r0 + sh, c0:c0 + sw] = strip
+            mask[r0:r0 + sh, c0:c0 + sw] = 1
+        ssum = np.zeros((s, s, 4), dtype=np.int64)
+        cnt = np.zeros((s, s), dtype=np.int64)
+        for dy in range(2 * r + 1):
+            for dx in range(2 * r + 1):
+                ssum += pad[dy:dy + s, dx:dx + s]
+                cnt += mask[dy:dy + s, dx:dx + s]
+        outp = np.empty((s, s, 4), dtype=np.uint8)
+        outp[..., :3] = (ssum[..., :3] // cnt[..., None]).astype(np.uint8)
+        outp[..., 3] = 255
+        z, x, y = unpack_tkey(tkey[k0])
+        zs.append(int(z))
+        xs.append(int(x))
+        ys.append(int(y))
+        ps.append(raster.from_array(outp))
+        wo.append(s)
+        ho.append(s)
+    if not zs:
+        return empty
+    return pa.table({
+        "z": pa.array(zs, type=pa.int64()),
+        "x": pa.array(xs, type=pa.int64()),
+        "y": pa.array(ys, type=pa.int64()),
+        "payload": pa.array(ps, type=pa.binary()),
+        "width": pa.array(wo, type=pa.int64()),
+        "height": pa.array(ho, type=pa.int64()),
+    })
+
+
+def focal_mean_tiles(ds, radius: int = 1, num_partitions: int = 8):
+    """Focal (moving-window) mean over a tiled raster level with
+    cross-tile halos — the GDAL focal-statistics / convolution shape
+    as a distributed stencil: each tile ships its r-wide edge strips
+    to the 8 neighbors, ONE hash exchange on the tile key co-locates
+    every tile with its halo, and the combine computes the exact
+    integer (2r+1)^2 windowed mean (sum // count over PRESENT pixels;
+    zero-padding beyond the level edge, GDAL in-bounds semantics).
+    RGB filtered, alpha forced opaque. Deterministic integers end to
+    end — SQL-mirrorable over closed-form fixtures."""
+    import functools
+
+    from .exchange import hash_exchange
+
+    if radius < 1:
+        raise ValueError(f"focal_mean_tiles: radius must be >= 1, got {radius}")
+    rows = ds.map_batches(functools.partial(_focal_rows, radius=radius),
+                          batch_format="pyarrow")
+    return hash_exchange(rows, "tkey",
+                         functools.partial(_focal_combine, radius=radius),
+                         num_partitions=num_partitions)
