@@ -2,6 +2,7 @@
 REAL-codec decode pool (PNG/JPEG payloads synthesized per media_ref;
 audio stays opaque behind the honest no-audio-codec gate)."""
 
+import numpy as np
 import pyarrow as pa
 
 from versatiles_rs_ray.sources import docs as D
@@ -273,3 +274,89 @@ def test_audio_pipeline_real_wav_features(ray_session, sf_dir):
     assert (out["n_samples"] >= 400).all()
     assert np.allclose(out["rms"], 0.5 / np.sqrt(2), atol=0.02)
     assert (out["duration_ms"] == out["n_samples"] / 8.0).all()
+
+
+# ---- dHash / image near-dup --------------------------------------------
+
+def _img(seed, w=32, h=24):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+
+
+def test_dhash64_reference_and_invariances():
+    from versatiles_rs_ray.stages.multimodal import dhash64
+
+    a = _img(1)
+    h0 = dhash64(a)
+    assert 0 <= h0 < (1 << 64)
+    # brightness shift leaves gradients (mostly) unchanged
+    b = a.copy()
+    b[..., :3] = np.minimum(b[..., :3].astype(np.int64) + 4,
+                            255).astype(np.uint8)
+    assert bin(h0 ^ dhash64(b)).count("1") <= 6
+    # a different image is far away
+    assert bin(h0 ^ dhash64(_img(2))).count("1") > 10
+    # deterministic
+    assert dhash64(a) == h0
+    # scalar reference on a tiny crafted image: 16x8 left-dark /
+    # right-bright -> every gradient bit says left < right -> 0
+    ramp = np.zeros((8, 18, 4), dtype=np.uint8)
+    ramp[:, 9:, :3] = 255
+    # every horizontal gradient bit is left<right except at the step:
+    # g[:, c] > g[:, c+1] is False everywhere on a rising step -> 0
+    assert dhash64(ramp) == 0
+    import pytest
+    with pytest.raises(ValueError):
+        dhash64(np.zeros((0, 4, 4), dtype=np.uint8))
+
+
+def test_image_near_dup_pairs(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.core.raster import from_array
+    from versatiles_rs_ray.stages.multimodal import image_near_dup
+
+    # 6 originals + brightness-shifted copies of ids 0..2 (+100)
+    rows = []
+    for i in range(6):
+        arr = _img(50 + i)
+        rows.append((i, arr))
+        if i < 3:
+            shifted = arr.copy()
+            shifted[..., :3] = np.minimum(
+                shifted[..., :3].astype(np.int64) + 3, 255).astype(np.uint8)
+            rows.append((100 + i, shifted))
+    t = pa.table({
+        "img_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "payload": pa.array([from_array(r[1]) for r in rows],
+                            type=pa.binary()),
+        "width": pa.array([r[1].shape[1] for r in rows], type=pa.int64()),
+        "height": pa.array([r[1].shape[0] for r in rows], type=pa.int64()),
+    })
+    got = image_near_dup(rd.from_arrow(t).repartition(3),
+                         max_hamming=6).to_pandas()
+    pairs = {tuple(sorted((a, b)))
+             for a, b in zip(got["doc_a"], got["doc_b"])}
+    for i in range(3):
+        assert (i, 100 + i) in pairs, pairs
+    # distinct random images must not all collide
+    assert len(pairs) < 10
+    # undecoded rows (width 0) are skipped, not fatal
+    t2 = pa.table({
+        "img_id": pa.array([1, 2], type=pa.int64()),
+        "payload": pa.array([b"junk", from_array(_img(9))],
+                            type=pa.binary()),
+        "width": pa.array([0, 32], type=pa.int64()),
+        "height": pa.array([0, 24], type=pa.int64()),
+    })
+    assert image_near_dup(rd.from_arrow(t2), max_hamming=6).count() == 0
+
+
+def test_image_near_dup_validation(ray_session):
+    import pytest
+
+    from versatiles_rs_ray.stages.multimodal import image_near_dup
+
+    with pytest.raises(ValueError):
+        image_near_dup(None, max_hamming=65)

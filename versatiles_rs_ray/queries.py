@@ -1870,6 +1870,109 @@ def _oracle_dbscan_clusters():
     )
 
 
+IMG_DUP_OFFSET = 1 << 40
+
+
+def q_image_near_dup(sf_dir):
+    """Perceptual image near-dup pairs (stages/multimodal.
+    image_near_dup): the media stream decodes through the real codecs,
+    every EVEN image re-enters as a brightness-shifted copy (+4 RGB,
+    id + 2^40 — the re-encoded/edited-copy shape byte dedup cannot
+    see), dHash signatures band into the SimHash LSH exchange, pairs
+    within Hamming 6 emit exactly once. Rows-only (codec-bearing);
+    dHash goldens and pair semantics are pytest-pinned."""
+    import pyarrow.compute as pc
+
+    from .stages.multimodal import decode_media, image_near_dup
+
+    decoded = decode_media(_docs(sf_dir))
+
+    def keep_images_with_id(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from .core.raster import from_array, to_array
+
+        b = b.filter(pc.and_(pc.equal(b["kind"], "image"),
+                             pc.greater(b["width"], 0)))
+        if b.num_rows == 0:
+            return b.append_column("img_id",
+                                   pa.array([], type=pa.int64()))
+        parts = pc.split_pattern(b["media_ref"].combine_chunks(), "/")
+        doc = pc.list_element(parts, 2).cast(pa.int64())
+        idx = pc.list_element(parts, 3).cast(pa.int64())
+        img_id = pc.add(pc.multiply(doc, pa.scalar(8, pa.int64())), idx)
+        b = b.append_column("img_id", img_id.cast(pa.int64()))
+        # the synthetic fetcher draws the SAME smooth gradient for
+        # every ref (scale/colors differ, gradient signs do not), so
+        # all dHashes coincide — overlay a deterministic per-image
+        # texture so distinct images have distinct perceptual content,
+        # as a real media lake would
+        ids = np.asarray(b["img_id"], dtype=np.int64)
+        payloads = []
+        for p, w, h, iid in zip(b["payload"].to_pylist(),
+                                np.asarray(b["width"], np.int64),
+                                np.asarray(b["height"], np.int64), ids):
+            arr = to_array(p, int(w), int(h)).astype(np.int64)
+            rng = np.random.default_rng(int(iid))
+            tex = rng.integers(0, 160, (int(h), int(w), 1),
+                               dtype=np.int64)
+            arr[..., :3] = (arr[..., :3] + tex) % 256
+            payloads.append(from_array(arr.astype(np.uint8)))
+        return b.set_column(b.column_names.index("payload"), "payload",
+                            pa.array(payloads, type=pa.binary()))
+
+    imgs = decoded.map_batches(keep_images_with_id,
+                               batch_format="pyarrow")
+
+    def shifted_copies(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from .core.raster import from_array, to_array
+
+        ids = np.asarray(b["img_id"], dtype=np.int64)
+        keep = ids % 2 == 0
+        b = b.filter(pa.array(keep))
+        if b.num_rows == 0:
+            return b
+        payloads = []
+        for p, w, h in zip(b["payload"].to_pylist(),
+                           np.asarray(b["width"], np.int64),
+                           np.asarray(b["height"], np.int64)):
+            arr = to_array(p, int(w), int(h)).astype(np.int64)
+            arr[..., :3] = np.minimum(arr[..., :3] + 4, 255)
+            payloads.append(from_array(arr.astype(np.uint8)))
+        return b.set_column(b.column_names.index("payload"), "payload",
+                            pa.array(payloads, type=pa.binary())) \
+            .set_column(b.column_names.index("img_id"), "img_id",
+                        pa.array(np.asarray(b["img_id"], np.int64)
+                                 + IMG_DUP_OFFSET, type=pa.int64()))
+
+    dup = imgs.map_batches(shifted_copies, batch_format="pyarrow")
+    pairs = image_near_dup(imgs.union(dup), max_hamming=6)
+    return pairs.select_columns(["doc_a", "doc_b", "hamming"])
+
+
+def q_freq_spectrum(sf_dir):
+    """Zipf frequency spectrum (stages/text.token_freq_spectrum):
+    count-of-counts over the corpus vocabulary — per-batch combiner
+    partials, one token exchange, per-partition spectra summed in a
+    tiny groupby. The Good-Turing input table."""
+    from .sources import docs as _D
+    from .stages.text import token_freq_spectrum
+
+    ds = _D.read_docs(sf_dir, columns=["text"])
+    return token_freq_spectrum(ds)
+
+
+def _oracle_freq_spectrum():
+    return (
+        "SELECT cnt AS freq, CAST(count(*) AS BIGINT) AS n_tokens "
+        f"FROM (SELECT token, count(*) AS cnt FROM ("
+        f"SELECT unnest({_SQL_TOKENS}) AS token FROM documents "
+        "WHERE trim(text) <> '') GROUP BY 1) GROUP BY 1"
+    )
+
+
 def q_focal_mean(sf_dir):
     """Focal 3x3 mean with cross-tile halos (stages/raster.
     focal_mean_tiles) over the z3 gradient pyramid: every tile ships
@@ -4177,6 +4280,7 @@ QUERIES = {
     "promo_revenue": q_promo_revenue,
     "retention": q_retention,
     "focal_mean": q_focal_mean,
+    "freq_spectrum": q_freq_spectrum,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -4191,6 +4295,7 @@ QUERIES = {
     # iterative GD training: rows-only by nature (reference-equality
     # and partitioning invariance pinned in tests)
     "quality_classifier": q_quality_classifier,
+    "image_near_dup": q_image_near_dup,
 }
 
 ORACLES = {
@@ -4264,6 +4369,7 @@ ORACLES = {
     "promo_revenue": _oracle_promo_revenue(),
     "retention": _oracle_retention(),
     "focal_mean": _oracle_focal_mean(),
+    "freq_spectrum": _oracle_freq_spectrum(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window

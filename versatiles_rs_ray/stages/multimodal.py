@@ -734,3 +734,127 @@ def audio_pipeline(docs_ds, concurrency=4, batch_size=1024):
         AudioFeatures, batch_format="pyarrow", batch_size=batch_size,
         concurrency=pool,
     )
+
+
+# ---- perceptual image near-dup (dHash) ---------------------------------
+
+
+def dhash64(arr) -> int:
+    """64-bit difference hash of one RGBA array — the standard dHash:
+    integer luma, exact 8x9 box downsample (block sum // area via a
+    2-D cumsum, so the value is deterministic integer arithmetic on
+    any worker), then one bit per horizontal gradient. Robust to
+    re-encoding and small brightness shifts; pure integers end to
+    end."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    if h < 1 or w < 1:
+        raise ValueError("dhash64: empty image")
+    a = arr.astype(np.int64)
+    luma = (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+    # integral image -> exact box sums for the 8x9 grid
+    ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(luma, axis=0), axis=1, out=ii[1:, 1:])
+    rs = (np.arange(9, dtype=np.int64) * h) // 8
+    cs = (np.arange(10, dtype=np.int64) * w) // 9
+    # degenerate tiny images: force non-empty boxes by spreading edges
+    if h < 8:
+        rs = np.minimum(np.arange(9, dtype=np.int64), h - 1)
+        rs[-1] = h
+    if w < 9:
+        cs = np.minimum(np.arange(10, dtype=np.int64), w - 1)
+        cs[-1] = w
+    sums = (ii[rs[1:], :][:, cs[1:]] - ii[rs[:-1], :][:, cs[1:]]
+            - ii[rs[1:], :][:, cs[:-1]] + ii[rs[:-1], :][:, cs[:-1]])
+    area = ((rs[1:] - rs[:-1])[:, None] * (cs[1:] - cs[:-1])[None, :])
+    area = np.maximum(area, 1)
+    g = sums // area                       # (8, 9) block means
+    bits = (g[:, :-1] > g[:, 1:]).ravel()  # (64,) row-major gradients
+    return int((bits.astype(np.uint64)
+                << np.arange(64, dtype=np.uint64)).sum())
+
+
+class DHashSignatures:
+    """Actor-pool stage: decoded image rows -> SimHash-shaped band
+    rows (route, band_id, band_hash, doc_num, simhash) carrying the
+    dHash, so the existing banded-Hamming pair exchanges
+    (stages/dedup._bucket_pairs_block / _pair_first_block) run
+    UNCHANGED on images. Rows that failed to decode (width == 0) emit
+    nothing. ``id_col`` must be int64-castable and unique per image."""
+
+    def __init__(self, id_col: str = "img_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..core import raster as _raster
+        from .dedup import _pack_bucket_route
+
+        empty = pa.array([], type=pa.int64())
+        out_empty = pa.table({"route": empty, "band_id": empty,
+                              "band_hash": empty, "doc_num": empty,
+                              "simhash": empty})
+        if batch.num_rows == 0:
+            return out_empty
+        ids = np.asarray(batch[self.id_col], dtype=np.int64)
+        ws = np.asarray(batch["width"], dtype=np.int64)
+        hs = np.asarray(batch["height"], dtype=np.int64)
+        payloads = batch["payload"].to_pylist()
+        keep_ids, hashes = [], []
+        for i in range(len(ids)):
+            if ws[i] < 1 or hs[i] < 1:
+                continue
+            arr = _raster.to_array(payloads[i], int(ws[i]), int(hs[i]))
+            keep_ids.append(int(ids[i]))
+            hashes.append(dhash64(arr))
+        if not keep_ids:
+            return out_empty
+        sims = np.array(hashes, dtype=np.uint64)
+        idv = np.array(keep_ids, dtype=np.int64)
+        n = len(idv)
+        band_id = np.tile(np.arange(4, dtype=np.int64), n)
+        band_val = np.empty(4 * n, dtype=np.int64)
+        for bd in range(4):
+            band_val[bd::4] = ((sims >> np.uint64(16 * bd))
+                               & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table({
+            "route": pa.array(_pack_bucket_route(band_id, band_val),
+                              type=pa.int64()),
+            "band_id": pa.array(band_id),
+            "band_hash": pa.array(band_val),
+            "doc_num": pa.array(np.repeat(idv, 4), type=pa.int64()),
+            "simhash": pa.array(np.repeat(sims.astype(np.int64), 4),
+                                type=pa.int64()),
+        })
+
+
+def image_near_dup(decoded_ds, max_hamming: int = 6,
+                   id_col: str = "img_id", num_partitions: int = 16,
+                   concurrency=4):
+    """Perceptual image near-duplicate pairs over a DECODED media
+    stream (the output shape of decode_media_bytes / decode_media plus
+    an int64 ``id_col``): dHash signatures in an actor pool, then the
+    engine's banded 16-bit LSH exchange — a pair is emitted iff the
+    two hashes share a band AND their Hamming distance is <=
+    max_hamming, each pair exactly once. Catches re-encoded /
+    brightness-shifted copies that byte-exact dedup cannot see; same
+    scale posture as text SimHash (no all-pairs, no broadcast)."""
+    import functools
+
+    from .dedup import _bucket_pairs_block, _pair_first_block
+    from .exchange import hash_exchange
+
+    if not 0 <= max_hamming <= 64:
+        raise ValueError(
+            f"image_near_dup: max_hamming must be in 0..64, got {max_hamming}")
+    rows = decoded_ds.map_batches(
+        DHashSignatures, fn_constructor_kwargs={"id_col": id_col},
+        batch_format="pyarrow", concurrency=_elastic(concurrency))
+    pairs = hash_exchange(
+        rows, "route",
+        functools.partial(_bucket_pairs_block, max_hamming=max_hamming),
+        num_partitions=num_partitions)
+    return hash_exchange(pairs, "route", _pair_first_block,
+                         num_partitions=max(2, num_partitions // 2))

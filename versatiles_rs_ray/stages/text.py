@@ -941,3 +941,40 @@ def _chunk_tokens_batch(batch: pa.Table, size: int, overlap: int,
             [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
              for c in chunks]),
     })
+
+
+def _spectrum_combine(tbl: pa.Table) -> pa.Table:
+    """Per token-partition: exact totals, then the count-of-counts
+    partial (frequency -> how many distinct tokens have it)."""
+    if tbl.num_rows == 0:
+        return pa.table({"freq": pa.array([], type=pa.int64()),
+                         "n_tokens": pa.array([], type=pa.int64())})
+    t = _token_totals(tbl)
+    f, c = np.unique(np.asarray(t["cnt"], dtype=np.int64),
+                     return_counts=True)
+    return pa.table({"freq": pa.array(f, type=pa.int64()),
+                     "n_tokens": pa.array(c.astype(np.int64),
+                                          type=pa.int64())})
+
+
+def token_freq_spectrum(ds, column: str = "text",
+                        num_partitions: int = 32):
+    """Zipf frequency spectrum: for every corpus frequency f, the
+    number of distinct tokens occurring exactly f times — the
+    count-of-counts table Good-Turing smoothing and corpus-health
+    checks read. Same shape as vocab_topn (per-batch combiner
+    partials, one token exchange); partitions are disjoint by token,
+    so per-partition spectra sum exactly in one tiny
+    groupby(freq)."""
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    from .exchange import hash_exchange
+
+    parts = ds.map_batches(functools.partial(_vocab_partial, column=column),
+                           batch_format="pyarrow")
+    out = hash_exchange(parts, "_route", _spectrum_combine,
+                        num_partitions=num_partitions)
+    return out.groupby("freq").aggregate(Sum("n_tokens",
+                                             alias_name="n_tokens"))
