@@ -759,3 +759,69 @@ def test_temperature_sample_end_to_end(ray_session, sf_dir):
     rates = {k: (out["lang"] == k).sum() / n for k, n in counts.items()}
     big = max(counts, key=counts.get)
     assert rates[big] == min(rates.values())
+
+
+# ---- fuzzy token pairs (edit distance <= 1) ----------------------------
+
+def _lev(a, b):
+    """Scalar Levenshtein reference."""
+    m, n = len(a), len(b)
+    d = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, n + 1):
+            cur = min(d[j] + 1, d[j - 1] + 1,
+                      prev + (a[i - 1] != b[j - 1]))
+            prev, d[j] = d[j], cur
+    return d[n]
+
+
+def test_edit1_verify_matches_levenshtein():
+    import itertools
+
+    from versatiles_rs_ray.stages.dedup import _edit1_verify
+
+    vocab = ["cat", "cats", "bat", "at", "act", "cart", "dog", "dig",
+             "dg", "hello", "hallo", "hell", "ello", "xyz", "a", "",
+             "über", "uber", "übe"]
+    pairs = [(a, b) for a, b in itertools.combinations(vocab, 2)
+             if a and b]
+    got = _edit1_verify([p[0] for p in pairs], [p[1] for p in pairs])
+    want = np.array([_lev(a, b) <= 1 for a, b in pairs])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fuzzy_token_pairs_end_to_end(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.dedup import fuzzy_token_pairs
+
+    docs = ["the cat sat", "the bat sat", "a cats tale", "dog dig dg",
+            "hello hallo worlds", "hello world", "completely different",
+            "", "   "]
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs)})).repartition(3)
+    got = fuzzy_token_pairs(ds).to_pandas()
+    pairs = set(zip(got["tok_a"], got["tok_b"]))
+    assert len(pairs) == len(got)  # dedup across shared variants
+    vocab = sorted({w for d in docs for w in d.split()})
+    want = {(a, b) for a, b in itertools.combinations(vocab, 2)
+            if _lev(a, b) <= 1}
+    assert pairs == want
+    assert ("bat", "cat") in pairs and ("dg", "dig") in pairs
+    assert ("hallo", "hello") in pairs
+
+
+def test_fuzzy_token_pairs_max_len_and_validation(ray_session):
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.dedup import fuzzy_token_pairs
+
+    ds = rd.from_arrow(pa.table({"text": pa.array(["aaaa aaab"])}))
+    assert fuzzy_token_pairs(ds, max_len=3).count() == 0  # both skipped
+    assert fuzzy_token_pairs(ds, max_len=4).count() == 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        fuzzy_token_pairs(ds, max_len=0)

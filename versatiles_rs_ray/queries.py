@@ -1870,6 +1870,54 @@ def _oracle_dbscan_clusters():
     )
 
 
+def q_fuzzy_tokens(sf_dir):
+    """Fuzzy string self-join (stages/dedup.fuzzy_token_pairs): all
+    distinct-token pairs within Levenshtein distance 1, via SymSpell
+    deletion-neighborhood hashing — candidates group by shared
+    single-deletion variant in one exchange (never all-pairs), then a
+    vectorized codepoint verify. The synthetic vocabulary has no
+    natural distance-1 pairs, so the query plants one first-char-
+    deletion spelling variant per document (the OCR-noise shape) and
+    the join must find exactly those. Oracle: DuckDB levenshtein over
+    the same augmented vocabulary."""
+    import pyarrow.compute as pc
+
+    from .stages.dedup import fuzzy_token_pairs
+
+    ds = D.read_docs(sf_dir, columns=["text"])
+
+    def add_typos(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b["text"].combine_chunks(), "")
+        words = pc.utf8_split_whitespace(t)
+        has = pc.greater(pc.list_value_length(words), 0)
+        first = pc.if_else(has, pc.list_element(
+            pc.if_else(has, words, pa.scalar(["x"],
+                                             type=pa.list_(pa.string()))),
+            0), "")
+        typo = pc.utf8_slice_codeunits(first, 1)
+        ok = pc.greater_equal(pc.utf8_length(first), 2)
+        aug = pc.if_else(ok, pc.binary_join_element_wise(t, typo, " "), t)
+        return pa.table({"text": aug})
+
+    return fuzzy_token_pairs(ds.map_batches(add_typos,
+                                            batch_format="pyarrow"))
+
+
+def _oracle_fuzzy_tokens():
+    first = "regexp_extract(trim(text), '^\\S+')"
+    return (
+        f"WITH toks AS (SELECT unnest({_SQL_TOKENS}) AS token "
+        "FROM documents WHERE trim(text) <> '' "
+        f"UNION ALL SELECT substr({first}, 2) AS token FROM documents "
+        f"WHERE len({first}) >= 2), "
+        "v AS (SELECT DISTINCT token FROM toks "
+        "WHERE len(token) BETWEEN 1 AND 32) "
+        "SELECT a.token AS tok_a, b.token AS tok_b FROM v a JOIN v b "
+        "ON a.token < b.token AND abs(len(a.token) - len(b.token)) <= 1 "
+        "AND levenshtein(a.token, b.token) <= 1"
+    )
+
+
 IMG_DUP_OFFSET = 1 << 40
 
 
@@ -4281,6 +4329,7 @@ QUERIES = {
     "retention": q_retention,
     "focal_mean": q_focal_mean,
     "freq_spectrum": q_freq_spectrum,
+    "fuzzy_tokens": q_fuzzy_tokens,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -4370,6 +4419,7 @@ ORACLES = {
     "retention": _oracle_retention(),
     "focal_mean": _oracle_focal_mean(),
     "freq_spectrum": _oracle_freq_spectrum(),
+    "fuzzy_tokens": _oracle_fuzzy_tokens(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window

@@ -1620,3 +1620,174 @@ def dedup_paragraphs(ds, id_col: str = "doc_id", text_col: str = "text",
         winners, "doc",
         functools.partial(_pd_rebuild, id_col=id_col, text_col=text_col),
         num_partitions=num_partitions)
+
+
+# ---- fuzzy string join (edit distance <= 1) ----------------------------
+
+
+def _edit1_verify(a_strs, b_strs) -> np.ndarray:
+    """Vectorized check: edit distance (Levenshtein over CODEPOINTS,
+    DuckDB parity) <= 1 for each (a, b) pair of DISTINCT strings.
+    Equal length -> at most one substitution; length diff 1 -> the
+    longer with one codepoint removed equals the shorter (first
+    mismatch position logic on padded uint32 codepoint matrices)."""
+    n = len(a_strs)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    la = np.array([len(s) for s in a_strs], dtype=np.int64)
+    lb = np.array([len(s) for s in b_strs], dtype=np.int64)
+    pad = int(max(la.max(), lb.max())) + 1
+    A = np.zeros((n, pad), dtype=np.uint32)
+    B = np.zeros((n, pad), dtype=np.uint32)
+    for i, s in enumerate(a_strs):
+        A[i, :len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    for i, s in enumerate(b_strs):
+        B[i, :len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    out = np.zeros(n, dtype=bool)
+    same = la == lb
+    if same.any():
+        mism = ((A != B) & (np.arange(pad)[None, :] < la[:, None])).sum(axis=1)
+        out[same] = mism[same] <= 1
+    diff = np.abs(la - lb) == 1
+    if diff.any():
+        # orient: S = shorter, L = longer
+        swap = la > lb
+        S = np.where(swap[:, None], B, A)
+        L = np.where(swap[:, None], A, B)
+        ls = np.minimum(la, lb)
+        idx = np.arange(pad)[None, :]
+        eq = (S == L) | (idx >= ls[:, None])     # prefix equality (padded True)
+        # first position where S and L disagree (ls if none)
+        p = np.where(eq, pad, idx).min(axis=1)
+        p = np.minimum(p, ls)
+        # suffix check: for all j in [p, ls): L[j+1] == S[j]
+        shift_eq = (L[:, 1:] == S[:, :-1]) | (idx[:, :-1] < p[:, None]) \
+            | (idx[:, :-1] >= ls[:, None])
+        out[diff] = shift_eq.all(axis=1)[diff]
+    return out
+
+
+def _fuzzy_variant_rows(tbl: pa.Table, max_len: int) -> pa.Table:
+    """Per token-partition (distinct tokens): emit (route, variant,
+    token) for the token itself plus each single-deletion variant —
+    two strings within edit distance 1 ALWAYS share at least one such
+    variant (identity for substitutions' common deletion, the shorter
+    string itself for insertions). Deletion generation walks the
+    bounded VOCABULARY, not the corpus."""
+    from .curate import _fnv_vec
+    from .text import _token_totals
+
+    t = _token_totals(tbl)
+    toks = [s for s in t["token"].to_pylist() if 0 < len(s) <= max_len]
+    variants, owners = [], []
+    for s in toks:
+        variants.append(s)
+        owners.append(s)
+        for i in range(len(s)):
+            variants.append(s[:i] + s[i + 1:])
+            owners.append(s)
+    if not variants:
+        return pa.table({"vroute": pa.array([], type=pa.int64()),
+                         "variant": pa.array([], type=pa.string()),
+                         "token": pa.array([], type=pa.string())})
+    va = pa.array(variants, type=pa.string())
+    return pa.table({
+        "vroute": pa.array(_fnv_vec(va).view(np.int64), type=pa.int64()),
+        "variant": va,
+        "token": pa.array(owners, type=pa.string()),
+    })
+
+
+def _fuzzy_pair_block(tbl: pa.Table) -> pa.Table:
+    """Per variant-partition: group rows by exact variant string,
+    all-pairs of DISTINCT tokens within each (tiny) group, verified
+    to true edit distance <= 1. Pairs are byte-ordered (a < b)."""
+    empty = pa.table({"proute": pa.array([], type=pa.int64()),
+                      "tok_a": pa.array([], type=pa.string()),
+                      "tok_b": pa.array([], type=pa.string())})
+    if tbl.num_rows == 0:
+        return empty
+    from .curate import _fnv_vec
+
+    var = tbl["variant"].combine_chunks()
+    enc = var.dictionary_encode()
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    toks = tbl["token"].to_pylist()
+    order = np.argsort(codes, kind="stable")
+    codes = codes[order]
+    toks = [toks[i] for i in order]
+    starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+    ends = np.r_[starts[1:], len(codes)]
+    a_out, b_out = [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        grp = sorted(set(toks[s:e]))
+        for i in range(len(grp)):
+            for j in range(i + 1, len(grp)):
+                a_out.append(grp[i])
+                b_out.append(grp[j])
+    if not a_out:
+        return empty
+    ok = _edit1_verify(a_out, b_out)
+    a_arr = pa.array([a for a, k in zip(a_out, ok) if k], type=pa.string())
+    b_arr = pa.array([b for b, k in zip(b_out, ok) if k], type=pa.string())
+    if len(a_arr) == 0:
+        return empty
+    import pyarrow.compute as pc
+
+    key = pc.binary_join_element_wise(a_arr, b_arr, "\x00")
+    return pa.table({
+        "proute": pa.array(_fnv_vec(key).view(np.int64), type=pa.int64()),
+        "tok_a": a_arr,
+        "tok_b": b_arr,
+    })
+
+
+def _fuzzy_pair_dedup(tbl: pa.Table) -> pa.Table:
+    """Per pair-partition: one row per distinct (tok_a, tok_b) — the
+    same pair arises from every shared variant."""
+    if tbl.num_rows == 0:
+        return tbl.drop_columns(["proute"])
+    import pyarrow.compute as pc
+
+    key = pc.binary_join_element_wise(tbl["tok_a"].combine_chunks(),
+                                      tbl["tok_b"].combine_chunks(),
+                                      "\x00")
+    codes = np.asarray(key.dictionary_encode().indices, dtype=np.int64)
+    _, first = np.unique(codes, return_index=True)
+    return tbl.take(pa.array(np.sort(first), type=pa.int64())) \
+        .drop_columns(["proute"])
+
+
+def fuzzy_token_pairs(docs_ds, column: str = "text", max_len: int = 32,
+                      num_partitions: int = 16):
+    """Fuzzy string self-join over the corpus vocabulary: every pair
+    of DISTINCT tokens with Levenshtein distance <= 1 (spelling
+    variants / OCR noise), via deletion-neighborhood hashing — the
+    SymSpell candidate rule: two strings within distance 1 always
+    share a single-deletion variant (or one IS the other's deletion),
+    so candidates group by variant in ONE exchange instead of an
+    all-pairs scan. Three exchanges, all vocabulary-sized: token
+    totals (dedup to distinct tokens), variant grouping + vectorized
+    codepoint verify, pair dedup. Tokens longer than ``max_len``
+    codepoints are skipped (documented cap: deletion fan-out is
+    len+1 rows per token). Output (tok_a, tok_b), byte-ordered."""
+    import functools
+
+    from .exchange import hash_exchange
+    from .text import _vocab_partial
+
+    if max_len < 1:
+        raise ValueError(f"fuzzy_token_pairs: max_len must be >= 1, got {max_len}")
+    parts = docs_ds.map_batches(
+        functools.partial(_vocab_partial, column=column),
+        batch_format="pyarrow")
+    variants = hash_exchange(
+        parts, "_route",
+        functools.partial(_fuzzy_variant_rows, max_len=max_len),
+        num_partitions=num_partitions)
+    pairs = hash_exchange(variants, "vroute", _fuzzy_pair_block,
+                          num_partitions=num_partitions)
+    return hash_exchange(pairs, "proute", _fuzzy_pair_dedup,
+                         num_partitions=max(2, num_partitions // 2))
