@@ -755,3 +755,20 @@ def test_focal_mean_matches_scalar(ray_session, radius, coords):
 def test_focal_mean_validation():
     with pytest.raises(ValueError, match="radius"):
         R.focal_mean_tiles(None, radius=0)
+
+
+def test_focal_mean_radius_exceeds_tile_raises(ray_session):
+    import ray.data as rd
+
+    a_ds, _ = _alg_tiles([(1, 0, 0)], seed=7, size=8)
+    with pytest.raises(Exception, match="exceeds tile size"):
+        R.focal_mean_tiles(a_ds, radius=9).to_pandas()
+
+
+def test_focal_mean_duplicate_tile_raises(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    a_ds, arrs = _alg_tiles([(1, 0, 0), (1, 0, 0)], seed=8, size=8)
+    with pytest.raises(Exception, match="duplicate tile"):
+        R.focal_mean_tiles(a_ds, radius=1).to_pandas()

@@ -2,26 +2,18 @@
 over the sf0.001 tables — the same comparison the driver's oracle gate
 makes, kept in-suite so join/aggregate regressions surface in CI."""
 
+import sys
+
 import duckdb
 import pandas as pd
 import pytest
 
+sys.path.insert(0, "tools")
+from selfcheck import canon as _canon  # the driver-gate canonicalizer
+
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
-
-
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
-        else:
-            df[c] = df[c].astype(str)
-    return df.sort_values(list(df.columns), kind="mergesort") \
-        .reset_index(drop=True)
 
 
 @pytest.mark.parametrize("name", ["pricing_summary", "shipping_priority",

@@ -1972,31 +1972,39 @@ def q_image_near_dup(sf_dir):
     imgs = decoded.map_batches(keep_images_with_id,
                                batch_format="pyarrow")
 
-    def shifted_copies(b: pa.Table) -> pa.Table:
+    def with_shifted_copies(b: pa.Table) -> pa.Table:
+        # originals AND their planted copies in ONE pass — a separate
+        # dataset + union would re-run the whole decode+texture
+        # upstream (Ray Data does not dedupe shared subplans)
         import numpy as np
 
         from .core.raster import from_array, to_array
 
-        ids = np.asarray(b["img_id"], dtype=np.int64)
-        keep = ids % 2 == 0
-        b = b.filter(pa.array(keep))
         if b.num_rows == 0:
             return b
-        payloads = []
-        for p, w, h in zip(b["payload"].to_pylist(),
-                           np.asarray(b["width"], np.int64),
-                           np.asarray(b["height"], np.int64)):
-            arr = to_array(p, int(w), int(h)).astype(np.int64)
+        ids = np.asarray(b["img_id"], dtype=np.int64)
+        sel = np.flatnonzero(ids % 2 == 0)
+        payloads = b["payload"].to_pylist()
+        ws = np.asarray(b["width"], np.int64)
+        hs = np.asarray(b["height"], np.int64)
+        dup_payloads = []
+        for i in sel:
+            arr = to_array(payloads[i], int(ws[i]),
+                           int(hs[i])).astype(np.int64)
             arr[..., :3] = np.minimum(arr[..., :3] + 4, 255)
-            payloads.append(from_array(arr.astype(np.uint8)))
-        return b.set_column(b.column_names.index("payload"), "payload",
-                            pa.array(payloads, type=pa.binary())) \
-            .set_column(b.column_names.index("img_id"), "img_id",
-                        pa.array(np.asarray(b["img_id"], np.int64)
-                                 + IMG_DUP_OFFSET, type=pa.int64()))
+            dup_payloads.append(from_array(arr.astype(np.uint8)))
+        dup = pa.table({
+            "img_id": pa.array(ids[sel] + IMG_DUP_OFFSET,
+                               type=pa.int64()),
+            "payload": pa.array(dup_payloads, type=pa.binary()),
+            "width": pa.array(ws[sel], type=pa.int64()),
+            "height": pa.array(hs[sel], type=pa.int64()),
+        })
+        orig = b.select(["img_id", "payload", "width", "height"])
+        return pa.concat_tables([orig, dup])
 
-    dup = imgs.map_batches(shifted_copies, batch_format="pyarrow")
-    pairs = image_near_dup(imgs.union(dup), max_hamming=6)
+    both = imgs.map_batches(with_shifted_copies, batch_format="pyarrow")
+    pairs = image_near_dup(both, max_hamming=6)
     return pairs.select_columns(["doc_a", "doc_b", "hamming"])
 
 

@@ -56,71 +56,92 @@ _SPAN = 1 << 21         # key = (kx+_OFF) * _SPAN + (ky+_OFF) < 2^42
 PAIR_CHUNK = 1 << 22    # max candidate pairs evaluated per numpy slice
 
 
-def _empty_pairs() -> pa.Table:
-    return pa.table({"doc_a": pa.array([], type=pa.int64()),
-                     "doc_b": pa.array([], type=pa.int64())})
-
-
-def _cell_rows(batch: pa.Table, cw: float) -> pa.Table:
-    """Home row (side=1, own cell) + 8 neighbor-cell candidate
-    replicas (side=0) per point; the home row doubles as the own-cell
-    candidate in the combine."""
-    doc = np.asarray(batch["doc_num"], dtype=np.int64)
-    x = np.asarray(batch["lon"], dtype=np.float64)
-    y = np.asarray(batch["lat"], dtype=np.float64)
+def _grid_rows(batch: pa.Table, cw: float, mode: str = "self",
+               id_col: str = "doc_num", lon_col: str = "lon",
+               lat_col: str = "lat") -> pa.Table:
+    """Grid-cell routing rows for the pair kernels — ONE emitter for
+    both join shapes. mode:
+      'self' — 9 replicas, side=1 on the own cell (the home row
+               doubles as the own-cell candidate): eps_pairs/DBSCAN.
+      'home' — 1 row in the own cell, side=1: within_join left side.
+      'cand' — 9 replicas, all side=0: within_join right side.
+    """
+    pid = np.asarray(batch[id_col], dtype=np.int64)
+    x = np.asarray(batch[lon_col], dtype=np.float64)
+    y = np.asarray(batch[lat_col], dtype=np.float64)
     kx = np.floor(x / cw).astype(np.int64)
     ky = np.floor(y / cw).astype(np.int64)
     if len(kx) and (np.abs(kx).max() >= _OFF - 1 or np.abs(ky).max() >= _OFF - 1):
         raise ValueError(
-            "eps_pairs: grid cell index exceeds the packing range — "
-            "eps is too small for the coordinate span (need "
-            f"span/eps < {_OFF})")
-    n = len(doc)
-    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+            "grid pair join: cell index exceeds the packing range — "
+            f"eps is too small for the coordinate span (need span/eps < {_OFF})")
+    n = len(pid)
+    offs = [(0, 0)] if mode == "home" else [
+        (dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
     cells, sides = [], []
     for dx, dy in offs:
         cells.append((kx + dx + _OFF) * _SPAN + (ky + dy + _OFF))
-        sides.append(np.full(n, 1 if (dx == 0 and dy == 0) else 0,
-                             dtype=np.int8))
+        if mode == "cand":
+            side_val = 0
+        elif mode == "home":
+            side_val = 1
+        else:
+            side_val = 1 if (dx == 0 and dy == 0) else 0
+        sides.append(np.full(n, side_val, dtype=np.int8))
     reps = len(offs)
     return pa.table({
-        "cell": pa.array(np.concatenate(cells), type=pa.int64()),
+        "cell": pa.array(np.concatenate(cells) if reps > 1 else cells[0],
+                         type=pa.int64()),
         "side": pa.array(np.concatenate(sides), type=pa.int8()),
-        "doc": pa.array(np.tile(doc, reps), type=pa.int64()),
+        "doc": pa.array(np.tile(pid, reps), type=pa.int64()),
         "x": pa.array(np.tile(x, reps), type=pa.float64()),
         "y": pa.array(np.tile(y, reps), type=pa.float64()),
     })
 
 
-def _pair_combine(table: pa.Table, eps2: float) -> pa.Table:
-    """Per cell-partition: ordered pairs home x candidate within eps.
+def _cell_rows(batch: pa.Table, cw: float) -> pa.Table:
+    return _grid_rows(batch, cw, mode="self")
 
-    Ragged per-cell cross product built with repeat/cumsum arithmetic
-    (no per-cell Python); group slices are chunked so no slice
-    evaluates more than PAIR_CHUNK candidate pairs at once."""
+
+def _pair_kernel(table: pa.Table, eps2: float, bilateral: bool) -> pa.Table:
+    """Shared chunked pair-expansion kernel: per cell-partition, pair
+    home rows (side=1) against candidates within eps.
+
+    unilateral (bilateral=False): candidates = ALL rows in the cell
+    (the home row doubles as its own-cell candidate), self-pairs
+    excluded; output (doc_a, doc_b) — every ordered pair exactly once
+    from a's home cell.
+    bilateral: candidates = side-0 rows only (the other table), no
+    self-exclusion; output (left_id, right_id) exactly once from the
+    left point's home cell.
+
+    Chunking walks the GLOBAL flattened pair-index space, so every
+    numpy slice is bounded by PAIR_CHUNK candidate pairs no matter
+    how skewed a single cell is."""
+    names = ("left_id", "right_id") if bilateral else ("doc_a", "doc_b")
+    empty = pa.table({names[0]: pa.array([], type=pa.int64()),
+                      names[1]: pa.array([], type=pa.int64())})
     if table.num_rows == 0:
-        return _empty_pairs()
+        return empty
     cell = np.asarray(table["cell"], dtype=np.int64)
     side = np.asarray(table["side"], dtype=np.int64)
     doc = np.asarray(table["doc"], dtype=np.int64)
     x = np.asarray(table["x"], dtype=np.float64)
     y = np.asarray(table["y"], dtype=np.float64)
-    order = np.lexsort((side, cell))        # homes sort last per cell
-    cell, side, doc, x, y = cell[order], side[order], doc[order], x[order], y[order]
+    order = np.lexsort((side, cell))        # candidates first, homes last
+    cell, side, doc, x, y = (cell[order], side[order], doc[order],
+                             x[order], y[order])
     grp_start = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
     grp_end = np.r_[grp_start[1:], len(cell)]
     n_all = grp_end - grp_start
     n_home = np.add.reduceat(side, grp_start)
+    n_cand = (n_all - n_home) if bilateral else n_all
     home_start = grp_end - n_home
-    per_grp = n_home * n_all
+    per_grp = n_home * n_cand
     cum = np.cumsum(per_grp)
     grp_off = cum - per_grp
     total = int(cum[-1]) if len(cum) else 0
     out_a, out_b = [], []
-    # Chunk over the GLOBAL flattened pair-index space, not group
-    # boundaries: one over-dense cell (n_home*n_all > PAIR_CHUNK) is
-    # split across chunks like any other range, so every slice below is
-    # bounded by PAIR_CHUNK candidate pairs no matter the skew.
     b0 = 0
     while b0 < total:
         b1 = min(b0 + PAIR_CHUNK, total)
@@ -128,21 +149,27 @@ def _pair_combine(table: pa.Table, eps2: float) -> pa.Table:
         # right-bisect skips zero-pair groups (their cum range is empty)
         grp = np.searchsorted(cum, idx, side="right")
         pos = idx - grp_off[grp]
-        na = n_all[grp]
-        hi = home_start[grp] + pos // na
-        ji = grp_start[grp] + pos % na
+        nc = n_cand[grp]
+        hi = home_start[grp] + pos // nc
+        ji = grp_start[grp] + pos % nc
         dx = x[hi] - x[ji]
         dy = y[hi] - y[ji]
-        keep = (dx * dx + dy * dy <= eps2) & (doc[hi] != doc[ji])
+        keep = dx * dx + dy * dy <= eps2
+        if not bilateral:
+            keep &= doc[hi] != doc[ji]
         out_a.append(doc[hi][keep])
         out_b.append(doc[ji][keep])
         b0 = b1
     if not out_a:
-        return _empty_pairs()
+        return empty
     return pa.table({
-        "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
-        "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+        names[0]: pa.array(np.concatenate(out_a), type=pa.int64()),
+        names[1]: pa.array(np.concatenate(out_b), type=pa.int64()),
     })
+
+
+def _pair_combine(table: pa.Table, eps2: float) -> pa.Table:
+    return _pair_kernel(table, eps2, bilateral=False)
 
 
 def eps_pairs(pts_ds, eps: float, num_partitions: int = 32):
@@ -304,84 +331,15 @@ def dbscan(pts_ds, eps: float, min_pts: int, num_partitions: int = 32,
 
 def _bi_cell_rows(batch: pa.Table, cw: float, id_col: str, lon_col: str,
                   lat_col: str, home: bool) -> pa.Table:
-    """Bilateral variant of _cell_rows: a LEFT (home) point emits one
-    row in its own cell; a RIGHT (candidate) point replicates to its
-    own + 8 neighbor cells. A (left, right) pair within eps then meets
-    in exactly one partition — the left point's home cell — so every
-    pair is emitted exactly once."""
-    pid = np.asarray(batch[id_col], dtype=np.int64)
-    x = np.asarray(batch[lon_col], dtype=np.float64)
-    y = np.asarray(batch[lat_col], dtype=np.float64)
-    kx = np.floor(x / cw).astype(np.int64)
-    ky = np.floor(y / cw).astype(np.int64)
-    if len(kx) and (np.abs(kx).max() >= _OFF - 1 or np.abs(ky).max() >= _OFF - 1):
-        raise ValueError(
-            "within_join: grid cell index exceeds the packing range — "
-            f"eps is too small for the coordinate span (need span/eps < {_OFF})")
-    n = len(pid)
-    offs = [(0, 0)] if home else [(dx, dy) for dx in (-1, 0, 1)
-                                  for dy in (-1, 0, 1)]
-    cells = [(kx + dx + _OFF) * _SPAN + (ky + dy + _OFF) for dx, dy in offs]
-    reps = len(offs)
-    return pa.table({
-        "cell": pa.array(np.concatenate(cells) if reps > 1 else cells[0],
-                         type=pa.int64()),
-        "side": pa.array(np.full(n * reps, 1 if home else 0, dtype=np.int8),
-                         type=pa.int8()),
-        "doc": pa.array(np.tile(pid, reps), type=pa.int64()),
-        "x": pa.array(np.tile(x, reps), type=pa.float64()),
-        "y": pa.array(np.tile(y, reps), type=pa.float64()),
-    })
+    """Bilateral emitter: left (home) points ship once to their own
+    cell; right (candidate) points replicate 3x3 — a within-eps pair
+    meets in exactly one partition, the left point's home cell."""
+    return _grid_rows(batch, cw, mode="home" if home else "cand",
+                      id_col=id_col, lon_col=lon_col, lat_col=lat_col)
 
 
 def _bi_pair_combine(table: pa.Table, eps2: float) -> pa.Table:
-    """Per cell-partition: (left home) x (right candidate) pairs within
-    eps. Same flattened-pair-index chunking as _pair_combine (every
-    slice bounded by PAIR_CHUNK regardless of cell skew); no self-pair
-    exclusion — the sides are different tables."""
-    empty = pa.table({"left_id": pa.array([], type=pa.int64()),
-                      "right_id": pa.array([], type=pa.int64())})
-    if table.num_rows == 0:
-        return empty
-    cell = np.asarray(table["cell"], dtype=np.int64)
-    side = np.asarray(table["side"], dtype=np.int64)
-    doc = np.asarray(table["doc"], dtype=np.int64)
-    x = np.asarray(table["x"], dtype=np.float64)
-    y = np.asarray(table["y"], dtype=np.float64)
-    order = np.lexsort((side, cell))        # candidates first, homes last
-    cell, side, doc, x, y = (cell[order], side[order], doc[order],
-                             x[order], y[order])
-    grp_start = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
-    grp_end = np.r_[grp_start[1:], len(cell)]
-    n_home = np.add.reduceat(side, grp_start)
-    n_cand = (grp_end - grp_start) - n_home
-    home_start = grp_end - n_home
-    per_grp = n_home * n_cand
-    cum = np.cumsum(per_grp)
-    grp_off = cum - per_grp
-    total = int(cum[-1]) if len(cum) else 0
-    out_l, out_r = [], []
-    b0 = 0
-    while b0 < total:
-        b1 = min(b0 + PAIR_CHUNK, total)
-        idx = np.arange(b0, b1, dtype=np.int64)
-        grp = np.searchsorted(cum, idx, side="right")
-        pos = idx - grp_off[grp]
-        nc = n_cand[grp]
-        hi = home_start[grp] + pos // nc
-        ji = grp_start[grp] + pos % nc
-        dx = x[hi] - x[ji]
-        dy = y[hi] - y[ji]
-        keep = dx * dx + dy * dy <= eps2
-        out_l.append(doc[hi][keep])
-        out_r.append(doc[ji][keep])
-        b0 = b1
-    if not out_l:
-        return empty
-    return pa.table({
-        "left_id": pa.array(np.concatenate(out_l), type=pa.int64()),
-        "right_id": pa.array(np.concatenate(out_r), type=pa.int64()),
-    })
+    return _pair_kernel(table, eps2, bilateral=True)
 
 
 def within_join(left_ds, right_ds, eps: float, num_partitions: int = 32,

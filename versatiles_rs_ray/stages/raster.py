@@ -438,6 +438,13 @@ def _focal_rows(batch: pa.Table, radius: int) -> pa.Table:
         s = int(widths[i])
         if int(heights[i]) != s:
             raise ValueError("focal_mean_tiles: tiles must be square")
+        if r > s:
+            # halos only come from the 8 IMMEDIATE neighbors; a window
+            # reaching into the second ring would silently miss data
+            # (and the edge slices would wrap) — fail loudly instead
+            raise ValueError(
+                f"focal_mean_tiles: radius {r} exceeds tile size {s} — "
+                "the halo exchange covers one neighbor ring only")
         arr = raster.to_array(payloads[i], s, s)
         n = 1 << int(z[i])
         out["tkey"].append(int(pack_tkey(z[i], x[i], y[i])))
@@ -513,9 +520,18 @@ def _focal_combine(table: pa.Table, radius: int) -> pa.Table:
         j = i
         center = None
         strips = []
+        seen_rel = set()
         while j < len(order) and tkey[order[j]] == tkey[order[i]]:
             g = order[j]
-            if rdx[g] == 0 and rdy[g] == 0:
+            rel = (int(rdx[g]), int(rdy[g]))
+            if rel in seen_rel:
+                z, x, y = unpack_tkey(tkey[g])
+                raise ValueError(
+                    f"focal_mean_tiles: duplicate tile contribution at "
+                    f"{int(z)}/{int(x)}/{int(y)} rel={rel} — input tiles "
+                    "must be unique per (z, x, y)")
+            seen_rel.add(rel)
+            if rel == (0, 0):
                 center = g
             else:
                 strips.append(g)
