@@ -717,3 +717,49 @@ def test_retention_cohorts_validation(ray_session):
 
     with _pt.raises(ValueError):
         retention_cohorts(None, week_s=0)
+
+
+def test_diff_tiles_statuses(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.stack import diff_tiles
+
+    def tiles(rows):
+        return rd.from_arrow(pa.table({
+            "z": pa.array([r[0] for r in rows], type=pa.int64()),
+            "x": pa.array([r[1] for r in rows], type=pa.int64()),
+            "y": pa.array([r[2] for r in rows], type=pa.int64()),
+            "payload": pa.array([r[3] for r in rows], type=pa.binary()),
+        }))
+
+    a = tiles([(1, 0, 0, b"AA"), (1, 1, 0, b"BB"), (1, 0, 1, b"CC")])
+    b = tiles([(1, 0, 0, b"AA"), (1, 1, 0, b"XX"), (1, 1, 1, b"DD")])
+    got = {(r["z"], r["x"], r["y"]): r["status"]
+           for _, r in diff_tiles(a, b).to_pandas().iterrows()}
+    assert got == {(1, 0, 0): "same", (1, 1, 0): "changed",
+                   (1, 0, 1): "only_a", (1, 1, 1): "only_b"}
+
+
+def test_diff_tiles_duplicate_raises(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    import pytest
+
+    from versatiles_rs_ray.stages.stack import diff_tiles
+
+    dup = rd.from_arrow(pa.table({
+        "z": pa.array([1, 1], type=pa.int64()),
+        "x": pa.array([0, 0], type=pa.int64()),
+        "y": pa.array([0, 0], type=pa.int64()),
+        "payload": pa.array([b"A", b"B"], type=pa.binary()),
+    }))
+    ok = rd.from_arrow(pa.table({
+        "z": pa.array([1], type=pa.int64()),
+        "x": pa.array([1], type=pa.int64()),
+        "y": pa.array([1], type=pa.int64()),
+        "payload": pa.array([b"C"], type=pa.binary()),
+    }))
+    with pytest.raises(Exception, match="duplicate tile"):
+        diff_tiles(dup, ok).to_pandas()

@@ -1870,6 +1870,68 @@ def _oracle_dbscan_clusters():
     )
 
 
+DIFF_BBOX_MAX = 5  # B side keeps x, y <= 5 at z3 (a sub-extent update)
+
+
+def q_pyramid_diff(sf_dir):
+    """Tile-pyramid diff (stages/stack.diff_tiles): the incremental
+    re-publish primitive — A = the full z3 gradient pyramid, B = a
+    sub-extent copy where every (x+y)%5==0 tile's payload shifted by
+    one brightness step; one tile-key exchange classifies each key as
+    only_a / only_b / changed / same by exact payload bytes. The
+    oracle predicts every status in closed form from the coordinates
+    (outside-extent -> only_a, parity -> changed, else same)."""
+    import pyarrow.compute as pc
+
+    from .core.bbox import TileBBoxPyramid
+    from .core.raster import from_array, to_array
+    from .sources.debug_tiles import gradient_tiles
+    from .stages.stack import diff_tiles
+
+    a = gradient_tiles(TileBBoxPyramid.new_full(ALG_Z, ALG_Z),
+                       size=ALG_SIZE)
+
+    def make_b(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.less_equal(batch["x"], DIFF_BBOX_MAX),
+            pc.less_equal(batch["y"], DIFF_BBOX_MAX))
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return batch
+        xs = np.asarray(batch["x"], dtype=np.int64)
+        ys = np.asarray(batch["y"], dtype=np.int64)
+        payloads = batch["payload"].to_pylist()
+        out = []
+        for i, (x, y) in enumerate(zip(xs, ys)):
+            if (x + y) % 5 == 0:
+                arr = to_array(payloads[i], ALG_SIZE,
+                               ALG_SIZE).astype(np.int64)
+                arr[..., :3] = np.minimum(arr[..., :3] + 1, 255)
+                out.append(from_array(arr.astype(np.uint8)))
+            else:
+                out.append(payloads[i])
+        return batch.set_column(
+            batch.column_names.index("payload"), "payload",
+            pa.array(out, type=pa.binary()))
+
+    b = gradient_tiles(TileBBoxPyramid.new_full(ALG_Z, ALG_Z),
+                       size=ALG_SIZE).map_batches(make_b,
+                                                  batch_format="pyarrow")
+    return diff_tiles(a, b)
+
+
+def _oracle_pyramid_diff():
+    n = 1 << ALG_Z
+    return (
+        f"SELECT {ALG_Z} AS z, a.range AS x, b.range AS y, "
+        f"CASE WHEN a.range > {DIFF_BBOX_MAX} OR b.range > "
+        f"{DIFF_BBOX_MAX} THEN 'only_a' "
+        "WHEN (a.range + b.range) % 5 = 0 THEN 'changed' "
+        "ELSE 'same' END AS status "
+        f"FROM range({n}) a CROSS JOIN range({n}) b"
+    )
+
+
 def q_fuzzy_tokens(sf_dir):
     """Fuzzy string self-join (stages/dedup.fuzzy_token_pairs): all
     distinct-token pairs within Levenshtein distance 1, via SymSpell
@@ -4338,6 +4400,7 @@ QUERIES = {
     "focal_mean": q_focal_mean,
     "freq_spectrum": q_freq_spectrum,
     "fuzzy_tokens": q_fuzzy_tokens,
+    "pyramid_diff": q_pyramid_diff,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -4428,6 +4491,7 @@ ORACLES = {
     "focal_mean": _oracle_focal_mean(),
     "freq_spectrum": _oracle_freq_spectrum(),
     "fuzzy_tokens": _oracle_fuzzy_tokens(),
+    "pyramid_diff": _oracle_pyramid_diff(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window

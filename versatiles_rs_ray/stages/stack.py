@@ -216,3 +216,89 @@ def merge_sources(ds, rank_col="src_rank", source_names=None, num_partitions: in
         return pa.table(out)
 
     return combined.map_batches(finish, batch_format="pyarrow")
+
+
+def _diff_combine(table: pa.Table) -> pa.Table:
+    """Per tkey-partition: classify each tile key by side presence and
+    BYTE equality of the payloads — only_a / only_b / changed / same."""
+    empty = pa.table({
+        "z": pa.array([], type=pa.int64()),
+        "x": pa.array([], type=pa.int64()),
+        "y": pa.array([], type=pa.int64()),
+        "status": pa.array([], type=pa.string()),
+    })
+    if table.num_rows == 0:
+        return empty
+    from .assign import unpack_tkey
+
+    tkey = np.asarray(table["tkey"], dtype=np.int64)
+    rank = np.asarray(table["src_rank"], dtype=np.int64)
+    payloads = table["payload"].to_pylist()
+    order = np.lexsort((rank, tkey))
+    zs, xs, ys, st = [], [], [], []
+    i = 0
+    while i < len(order):
+        j = i
+        a_p, b_p, a_n, b_n = None, None, 0, 0
+        while j < len(order) and tkey[order[j]] == tkey[order[i]]:
+            g = order[j]
+            if rank[g] == 0:
+                a_p, a_n = payloads[g], a_n + 1
+            else:
+                b_p, b_n = payloads[g], b_n + 1
+            j += 1
+        if a_n > 1 or b_n > 1:
+            z, x, y = unpack_tkey(tkey[order[i]])
+            raise ValueError(
+                f"diff_tiles: duplicate tile {int(z)}/{int(x)}/{int(y)} "
+                "on one side — inputs must be tile-unique")
+        z, x, y = unpack_tkey(tkey[order[i]])
+        zs.append(int(z))
+        xs.append(int(x))
+        ys.append(int(y))
+        if a_n and b_n:
+            st.append("same" if a_p == b_p else "changed")
+        elif a_n:
+            st.append("only_a")
+        else:
+            st.append("only_b")
+        i = j
+    return pa.table({
+        "z": pa.array(zs, type=pa.int64()),
+        "x": pa.array(xs, type=pa.int64()),
+        "y": pa.array(ys, type=pa.int64()),
+        "status": pa.array(st, type=pa.string()),
+    })
+
+
+def diff_tiles(a_ds, b_ds, num_partitions: int = 8):
+    """Tile-pyramid diff — the incremental-update primitive: one row
+    per tile key present on either side with status only_a / only_b /
+    changed (byte-unequal payloads) / same. ONE hash exchange on the
+    packed tile key (the stacked_raster topology: |A| + |B| rows
+    shuffled exactly once); payload comparison is exact bytes, so the
+    result is the minimal update set a re-publish needs to ship.
+    Duplicate tile keys on one side fail loudly."""
+    import functools
+
+    import numpy as np  # noqa: F401  (kernels above)
+
+    from .assign import pack_tkey
+    from .exchange import hash_exchange
+
+    def tag(batch: pa.Table, rank_val: int) -> pa.Table:
+        tkey = pack_tkey(np.asarray(batch["z"], dtype=np.int64),
+                         np.asarray(batch["x"], dtype=np.int64),
+                         np.asarray(batch["y"], dtype=np.int64))
+        batch = batch.select(["z", "x", "y", "payload"])
+        batch = batch.append_column("tkey", pa.array(tkey, type=pa.int64()))
+        return batch.append_column(
+            "src_rank", pa.array(np.full(len(tkey), rank_val),
+                                 type=pa.int64()))
+
+    union = a_ds.map_batches(functools.partial(tag, rank_val=0),
+                             batch_format="pyarrow").union(
+        b_ds.map_batches(functools.partial(tag, rank_val=1),
+                         batch_format="pyarrow"))
+    return hash_exchange(union, "tkey", _diff_combine,
+                         num_partitions=num_partitions)
