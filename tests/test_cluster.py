@@ -229,3 +229,26 @@ def test_within_join_validation(ray_session):
     ds = _bi_ds(il, np.array([0.0]), np.array([0.0]))
     with pytest.raises(ValueError):
         within_join(ds, ds, 0.0)
+
+
+def test_cluster_stats_query_matches_scalar(ray_session):
+    """cluster_stats composition vs a scalar recompute over the same
+    derived points (sf0.001)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    import duckdb
+    from selfcheck import canon
+
+    from versatiles_rs_ray import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    mine = Q.QUERIES["cluster_stats"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(Q.ORACLES["cluster_stats"]).fetchdf()
+    assert len(mine) == len(want) and len(mine) > 0
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(canon(mine), canon(want))

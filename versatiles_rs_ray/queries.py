@@ -2444,6 +2444,95 @@ def _oracle_within_join():
     )
 
 
+def q_cluster_stats(sf_dir):
+    """DBSCAN cluster summarization: the full labeling (stages/
+    cluster.dbscan) co-partition-joined back onto the points
+    (hash_join on doc_num — no broadcast), then per-cluster count /
+    core count / integer-micro centroid sums / bbox extents via
+    per-block partials + one cluster-keyed groupby. Micro-quantized
+    sums keep every aggregate an exact int64 (centroid = sum/n is the
+    reader's division); min/max floats are exact order statistics.
+    The oracle reuses the DBSCAN transitive-closure CTE."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .stages.cluster import dbscan
+    from .stages.join import hash_join
+
+    pts = D.read_docs(sf_dir, columns=["doc_num", "lon", "lat"])
+    labels = dbscan(pts, eps=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS)
+
+    def lab_prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.not_equal(b["cluster"], -1))
+        return pa.table({"doc_num": b["doc_num"],
+                         "cluster": b["cluster"],
+                         "is_core": b["is_core"]})
+
+    lab = labels.map_batches(lab_prep, batch_format="pyarrow")
+    j = hash_join(pts, lab, on="doc_num", how="inner")
+
+    def partial(b: pa.Table) -> pa.Table:
+        cl = np.asarray(b["cluster"], dtype=np.int64)
+        lon = np.asarray(b["lon"], dtype=np.float64)
+        lat = np.asarray(b["lat"], dtype=np.float64)
+        core = np.asarray(b["is_core"], dtype=np.int64)
+        lon_u = np.floor(lon * 1e6).astype(np.int64)
+        lat_u = np.floor(lat * 1e6).astype(np.int64)
+        u, inv = np.unique(cl, return_inverse=True)
+        k = len(u)
+        out = {"cluster": pa.array(u, type=pa.int64())}
+        for name, col, red in (
+                ("n_pts", np.ones(len(cl), dtype=np.int64), "sum"),
+                ("n_core", core, "sum"),
+                ("sum_lon_u", lon_u, "sum"),
+                ("sum_lat_u", lat_u, "sum"),
+                ("min_lon", lon, "min"), ("max_lon", lon, "max"),
+                ("min_lat", lat, "min"), ("max_lat", lat, "max")):
+            if red == "sum":
+                acc = np.zeros(k, dtype=np.int64)
+                np.add.at(acc, inv, col)
+                out[name] = pa.array(acc, type=pa.int64())
+            elif red == "min":
+                acc = np.full(k, np.inf)
+                np.minimum.at(acc, inv, col)
+                out[name] = pa.array(acc, type=pa.float64())
+            else:
+                acc = np.full(k, -np.inf)
+                np.maximum.at(acc, inv, col)
+                out[name] = pa.array(acc, type=pa.float64())
+        return pa.table(out)
+
+    return j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("cluster").aggregate(
+            Sum("n_pts", alias_name="n_pts"),
+            Sum("n_core", alias_name="n_core"),
+            Sum("sum_lon_u", alias_name="sum_lon_u"),
+            Sum("sum_lat_u", alias_name="sum_lat_u"),
+            Min("min_lon", alias_name="min_lon"),
+            Max("max_lon", alias_name="max_lon"),
+            Min("min_lat", alias_name="min_lat"),
+            Max("max_lat", alias_name="max_lat"))
+
+
+def _oracle_cluster_stats():
+    return (
+        f"WITH lab0 AS ({_oracle_dbscan_clusters()}), "
+        f"pts AS (SELECT doc_id AS d, {D.SQL_LON} AS lon, "
+        f"{D.SQL_LAT} AS lat FROM documents) "
+        "SELECT l.cluster, CAST(count(*) AS BIGINT) AS n_pts, "
+        "CAST(sum(l.is_core) AS BIGINT) AS n_core, "
+        "CAST(sum(CAST(floor(p.lon * 1e6) AS BIGINT)) AS BIGINT) "
+        "AS sum_lon_u, "
+        "CAST(sum(CAST(floor(p.lat * 1e6) AS BIGINT)) AS BIGINT) "
+        "AS sum_lat_u, "
+        "min(p.lon) AS min_lon, max(p.lon) AS max_lon, "
+        "min(p.lat) AS min_lat, max(p.lat) AS max_lat "
+        "FROM lab0 l JOIN pts p ON p.d = l.doc_num "
+        "WHERE l.cluster <> -1 GROUP BY 1"
+    )
+
+
 FUNNEL_STAGES = ("signup", "view", "click", "purchase")
 
 
@@ -4401,6 +4490,7 @@ QUERIES = {
     "freq_spectrum": q_freq_spectrum,
     "fuzzy_tokens": q_fuzzy_tokens,
     "pyramid_diff": q_pyramid_diff,
+    "cluster_stats": q_cluster_stats,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -4492,6 +4582,7 @@ ORACLES = {
     "freq_spectrum": _oracle_freq_spectrum(),
     "fuzzy_tokens": _oracle_fuzzy_tokens(),
     "pyramid_diff": _oracle_pyramid_diff(),
+    "cluster_stats": _oracle_cluster_stats(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window
