@@ -86,3 +86,23 @@ def test_validation(ray_session):
         float_quantiles(_ds([1.0]), "value", ())
     with pytest.raises(ValueError):
         float_quantiles(_ds([None]), "value", (0.5,))
+
+
+def test_value_buckets_query(ray_session):
+    """Bucketize composition: engine quartile labels == a pandas
+    reference using the same exact thresholds (sf0.001)."""
+    import numpy as np
+    import pandas as pd
+
+    from versatiles_rs_ray import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    got = Q.QUERIES["value_buckets"](sf).to_pandas()
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_id", "value"])
+    thr = np.quantile(np.sort(ev["value"].to_numpy()),
+                      [0.25, 0.5, 0.75], method="inverted_cdf")
+    want = np.searchsorted(thr, ev["value"].to_numpy(), side="left") + 1
+    m = got.set_index("event_id")["bucket"]
+    assert (m.loc[ev["event_id"]].to_numpy() == want).all()
+    assert sorted(got["bucket"].unique()) == [1, 2, 3, 4]

@@ -2920,6 +2920,49 @@ def _oracle_local_supplier_volume():
     )
 
 
+def q_value_buckets(sf_dir):
+    """Quantile-bucket assignment: every event labeled with its
+    quartile by EXACT thresholds — pass A computes the exact q25/q50/
+    q75 elements via the radix-select stage (KB driver state, no sort,
+    no shuffle), pass B re-streams and buckets each value with one
+    searchsorted against the three broadcast thresholds. Thresholds
+    are actual corpus elements and comparisons are exact float64, so
+    the SQL CASE over quantile_disc scalars matches bit-for-bit."""
+    import ray.data as rd
+
+    from .stages.quantiles import float_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+    thr = np.asarray(
+        float_quantiles(ds, "value", (0.25, 0.5, 0.75))["value"],
+        dtype=np.float64)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["value"], dtype=np.float64)
+        # side='left': v == threshold lands in the lower bucket,
+        # matching the SQL CASE's <= chain
+        bk = np.searchsorted(thr, v, side="left") + 1
+        return pa.table({
+            "event_id": b["event_id"].cast(pa.int64()),
+            "bucket": pa.array(bk.astype(np.int64), type=pa.int64()),
+        })
+
+    return ds.map_batches(bucketize, batch_format="pyarrow")
+
+
+def _oracle_value_buckets():
+    t = {q: f"(SELECT quantile_disc(value, {q}) FROM events)"
+         for q in (0.25, 0.5, 0.75)}
+    return (
+        "SELECT event_id, CAST(CASE "
+        f"WHEN value <= {t[0.25]} THEN 1 "
+        f"WHEN value <= {t[0.5]} THEN 2 "
+        f"WHEN value <= {t[0.75]} THEN 3 "
+        "ELSE 4 END AS BIGINT) AS bucket FROM events"
+    )
+
+
 FLOAT_QS = (0.25, 0.5, 0.9, 0.99)
 
 
@@ -4491,6 +4534,7 @@ QUERIES = {
     "fuzzy_tokens": q_fuzzy_tokens,
     "pyramid_diff": q_pyramid_diff,
     "cluster_stats": q_cluster_stats,
+    "value_buckets": q_value_buckets,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -4583,6 +4627,7 @@ ORACLES = {
     "fuzzy_tokens": _oracle_fuzzy_tokens(),
     "pyramid_diff": _oracle_pyramid_diff(),
     "cluster_stats": _oracle_cluster_stats(),
+    "value_buckets": _oracle_value_buckets(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window
