@@ -763,3 +763,35 @@ def test_diff_tiles_duplicate_raises(ray_session):
     }))
     with pytest.raises(Exception, match="duplicate tile"):
         diff_tiles(dup, ok).to_pandas()
+
+
+def test_event_transitions_matches_scalar(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.window import event_transitions
+
+    rng = np.random.default_rng(31)
+    n = 400
+    uid = rng.integers(0, 12, n).astype(np.int64)
+    ts = rng.integers(0, 30, n).astype(np.int64) * 1_000_000  # ties
+    eid = rng.permutation(n).astype(np.int64)
+    types = rng.choice(["a", "b", "c", "d"], n)
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array(eid, type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "user_id": pa.array(uid, type=pa.int64()),
+        "event_type": pa.array(types),
+    })).repartition(7)
+    got = {(r["from_type"], r["to_type"]): r["n"]
+           for _, r in event_transitions(ds, num_partitions=5)
+           .to_pandas().iterrows()}
+    want = {}
+    for u in set(uid):
+        rows = sorted([i for i in range(n) if uid[i] == u],
+                      key=lambda i: (ts[i], eid[i]))
+        for i, j in zip(rows, rows[1:]):
+            k = (types[i], types[j])
+            want[k] = want.get(k, 0) + 1
+    assert got == want

@@ -2920,6 +2920,32 @@ def _oracle_local_supplier_volume():
     )
 
 
+def q_event_transitions(sf_dir):
+    """First-order Markov transition matrix (stages/window.
+    event_transitions): corpus-wide (from_type, to_type) counts over
+    per-user (ts, event_id)-ordered streams — one user exchange,
+    lexsort + shifted compare per partition, |types|^2 combine."""
+    import ray.data as rd
+
+    from .stages.window import event_transitions
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    return event_transitions(ev)
+
+
+def _oracle_event_transitions():
+    return (
+        "WITH o AS (SELECT event_type, lead(event_type) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
+        "FROM events) "
+        "SELECT event_type AS from_type, nxt AS to_type, "
+        "CAST(count(*) AS BIGINT) AS n FROM o "
+        "WHERE nxt IS NOT NULL GROUP BY 1, 2"
+    )
+
+
 def q_value_buckets(sf_dir):
     """Quantile-bucket assignment: every event labeled with its
     quartile by EXACT thresholds — pass A computes the exact q25/q50/
@@ -4535,6 +4561,7 @@ QUERIES = {
     "pyramid_diff": q_pyramid_diff,
     "cluster_stats": q_cluster_stats,
     "value_buckets": q_value_buckets,
+    "event_transitions": q_event_transitions,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -4628,6 +4655,7 @@ ORACLES = {
     "pyramid_diff": _oracle_pyramid_diff(),
     "cluster_stats": _oracle_cluster_stats(),
     "value_buckets": _oracle_value_buckets(),
+    "event_transitions": _oracle_event_transitions(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window

@@ -487,3 +487,66 @@ def retention_cohorts(events_ds, week_s: int = 7 * 86400,
         num_partitions=num_partitions)
     return parts.groupby(["cohort_week", "week_offset"]).aggregate(
         Sum("n_users", alias_name="n_users"))
+
+
+def _transition_block(table: pa.Table) -> pa.Table:
+    """Per user-partition: (from_type, to_type) adjacent-transition
+    count partials over each user's (ts, event_id)-ordered stream —
+    one lexsort + shifted compare, no per-user Python."""
+    empty = pa.table({"from_type": pa.array([], type=pa.string()),
+                      "to_type": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+    if table.num_rows == 0:
+        return empty
+    u = np.asarray(table["user_id"], dtype=np.int64)
+    ts = np.asarray(table["ts_us"], dtype=np.int64)
+    eid = np.asarray(table["event_id"], dtype=np.int64)
+    et = table["event_type"].combine_chunks()
+    enc = et.dictionary_encode()
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    order = np.lexsort((eid, ts, u))
+    u, codes = u[order], codes[order]
+    same_user = u[1:] == u[:-1]
+    frm = codes[:-1][same_user]
+    to = codes[1:][same_user]
+    if len(frm) == 0:
+        return empty
+    k = len(enc.dictionary)
+    pair, cnt = np.unique(frm * k + to, return_counts=True)
+    fa = pa.array((pair // k), type=pa.int64())
+    ta = pa.array((pair % k), type=pa.int64())
+    return pa.table({
+        "from_type": enc.dictionary.take(fa),
+        "to_type": enc.dictionary.take(ta),
+        "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+    })
+
+
+def event_transitions(events_ds, num_partitions: int = 16):
+    """First-order Markov transition counts over the event stream:
+    for every user, each adjacent (ts, event_id)-ordered pair of
+    events contributes one (from_type, to_type) transition; output is
+    the corpus-wide count per ordered type pair — the funnel/session
+    analytics building block. One hash exchange on user_id (each
+    user's ordering is then local and exact); the combine sums
+    |types|^2-bounded partials. (ts, event_id) is a total order, so
+    transition counts are deterministic under timestamp ties."""
+    import functools  # noqa: F401
+
+    from ray.data.aggregate import Sum
+
+    from .exchange import hash_exchange
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+        })
+
+    prepped = events_ds.map_batches(prep, batch_format="pyarrow")
+    parts = hash_exchange(prepped, "user_id", _transition_block,
+                          num_partitions=num_partitions)
+    return parts.groupby(["from_type", "to_type"]).aggregate(
+        Sum("n", alias_name="n"))
