@@ -795,3 +795,25 @@ def test_event_transitions_matches_scalar(ray_session):
             k = (types[i], types[j])
             want[k] = want.get(k, 0) + 1
     assert got == want
+
+
+def test_event_transitions_null_event_type(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.window import event_transitions
+
+    # user 1: a -> NULL -> b  => transitions (a, NULL to: dropped),
+    # (NULL, b) kept with null from_type — the lead()/WHERE nxt IS NOT
+    # NULL oracle semantics
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3], type=pa.int64()),
+        "ts": pa.array([10, 20, 30], type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1], type=pa.int64()),
+        "event_type": pa.array(["a", None, "b"], type=pa.string()),
+    }))
+    got = event_transitions(ds).to_pandas()
+    rows = {(r["from_type"], r["to_type"]): r["n"]
+            for _, r in got.iterrows()}
+    assert rows == {(None, "b"): 1}

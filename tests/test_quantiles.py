@@ -100,7 +100,7 @@ def test_value_buckets_query(ray_session):
     got = Q.QUERIES["value_buckets"](sf).to_pandas()
     ev = pd.read_parquet(f"{sf}/events.parquet",
                          columns=["event_id", "value"])
-    thr = np.quantile(np.sort(ev["value"].to_numpy()),
+    thr = np.quantile(ev["value"].to_numpy(),
                       [0.25, 0.5, 0.75], method="inverted_cdf")
     want = np.searchsorted(thr, ev["value"].to_numpy(), side="left") + 1
     m = got.set_index("event_id")["bucket"]

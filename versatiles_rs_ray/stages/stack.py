@@ -121,22 +121,7 @@ def stacked_tiles(sources, num_partitions: int = 8):
     """
     from .exchange import hash_exchange
 
-    union = None
-    for rank_val, src in enumerate(sources):
-
-        def tag(batch: pa.Table, rank_val=rank_val) -> pa.Table:
-            tkey = pack_tkey(
-                np.asarray(batch["z"], dtype=np.int64),
-                np.asarray(batch["x"], dtype=np.int64),
-                np.asarray(batch["y"], dtype=np.int64),
-            )
-            batch = batch.append_column("tkey", pa.array(tkey, type=pa.int64()))
-            return batch.append_column(
-                "src_rank", pa.array(np.full(len(tkey), rank_val), type=pa.int64())
-            )
-
-        tagged = src.map_batches(tag, batch_format="pyarrow")
-        union = tagged if union is None else union.union(tagged)
+    union = tag_ranked_sources(sources)
     return hash_exchange(union, "tkey", _stacked_tiles_combine, num_partitions=num_partitions)
 
 
@@ -220,7 +205,14 @@ def merge_sources(ds, rank_col="src_rank", source_names=None, num_partitions: in
 
 def _diff_combine(table: pa.Table) -> pa.Table:
     """Per tkey-partition: classify each tile key by side presence and
-    BYTE equality of the payloads — only_a / only_b / changed / same."""
+    BYTE equality of the payloads — only_a / only_b / changed / same.
+    Fully vectorized (the module's no-per-group-Python discipline):
+    one lexsort, reduceat side counts, one Arrow pc.equal over the
+    aligned both-present payload pairs."""
+    import pyarrow.compute as pc
+
+    from .assign import unpack_tkey
+
     empty = pa.table({
         "z": pa.array([], type=pa.int64()),
         "x": pa.array([], type=pa.int64()),
@@ -229,46 +221,68 @@ def _diff_combine(table: pa.Table) -> pa.Table:
     })
     if table.num_rows == 0:
         return empty
-    from .assign import unpack_tkey
-
     tkey = np.asarray(table["tkey"], dtype=np.int64)
     rank = np.asarray(table["src_rank"], dtype=np.int64)
-    payloads = table["payload"].to_pylist()
     order = np.lexsort((rank, tkey))
-    zs, xs, ys, st = [], [], [], []
-    i = 0
-    while i < len(order):
-        j = i
-        a_p, b_p, a_n, b_n = None, None, 0, 0
-        while j < len(order) and tkey[order[j]] == tkey[order[i]]:
-            g = order[j]
-            if rank[g] == 0:
-                a_p, a_n = payloads[g], a_n + 1
-            else:
-                b_p, b_n = payloads[g], b_n + 1
-            j += 1
-        if a_n > 1 or b_n > 1:
-            z, x, y = unpack_tkey(tkey[order[i]])
-            raise ValueError(
-                f"diff_tiles: duplicate tile {int(z)}/{int(x)}/{int(y)} "
-                "on one side — inputs must be tile-unique")
-        z, x, y = unpack_tkey(tkey[order[i]])
-        zs.append(int(z))
-        xs.append(int(x))
-        ys.append(int(y))
-        if a_n and b_n:
-            st.append("same" if a_p == b_p else "changed")
-        elif a_n:
-            st.append("only_a")
-        else:
-            st.append("only_b")
-        i = j
+    tk = tkey[order]
+    rk = rank[order]
+    starts = np.flatnonzero(np.r_[True, tk[1:] != tk[:-1]])
+    ends = np.r_[starts[1:], len(tk)]
+    n_all = ends - starts
+    b_cnt = np.add.reduceat(rk, starts)
+    a_cnt = n_all - b_cnt
+    bad = np.flatnonzero((a_cnt > 1) | (b_cnt > 1))
+    if len(bad):
+        z, x, y = unpack_tkey(tk[starts[bad[0]]])
+        raise ValueError(
+            f"diff_tiles: duplicate tile {int(z)}/{int(x)}/{int(y)} "
+            "on one side — inputs must be tile-unique")
+    status = np.where(b_cnt == 0, "only_a",
+                      np.where(a_cnt == 0, "only_b", "same")).astype(object)
+    both = np.flatnonzero((a_cnt == 1) & (b_cnt == 1))
+    if len(both):
+        # sorted by (tkey, rank): the A row is the group start, B next
+        payload = table["payload"].combine_chunks()
+        a_idx = order[starts[both]]
+        b_idx = order[starts[both] + 1]
+        eq = np.asarray(pc.equal(
+            payload.take(pa.array(a_idx, type=pa.int64())),
+            payload.take(pa.array(b_idx, type=pa.int64()))))
+        status[both[~eq]] = "changed"
+    z, x, y = unpack_tkey(tk[starts])
     return pa.table({
-        "z": pa.array(zs, type=pa.int64()),
-        "x": pa.array(xs, type=pa.int64()),
-        "y": pa.array(ys, type=pa.int64()),
-        "status": pa.array(st, type=pa.string()),
+        "z": pa.array(z, type=pa.int64()),
+        "x": pa.array(x, type=pa.int64()),
+        "y": pa.array(y, type=pa.int64()),
+        "status": pa.array(status.tolist(), type=pa.string()),
     })
+
+
+def tag_ranked_sources(sources, columns=None):
+    """Shared tag/union topology for every tile co-group stage: pack
+    z/x/y into tkey, append the source rank, union — the input shape
+    of stacked_tiles, diff_tiles and stacked_raster's exchange."""
+    import functools
+
+    def tag(batch: pa.Table, rank_val: int) -> pa.Table:
+        tkey = pack_tkey(
+            np.asarray(batch["z"], dtype=np.int64),
+            np.asarray(batch["x"], dtype=np.int64),
+            np.asarray(batch["y"], dtype=np.int64),
+        )
+        if columns is not None:
+            batch = batch.select(columns)
+        batch = batch.append_column("tkey", pa.array(tkey, type=pa.int64()))
+        return batch.append_column(
+            "src_rank", pa.array(np.full(len(tkey), rank_val),
+                                 type=pa.int64()))
+
+    union = None
+    for rank_val, src in enumerate(sources):
+        tagged = src.map_batches(functools.partial(tag, rank_val=rank_val),
+                                 batch_format="pyarrow")
+        union = tagged if union is None else union.union(tagged)
+    return union
 
 
 def diff_tiles(a_ds, b_ds, num_partitions: int = 8):
@@ -279,26 +293,9 @@ def diff_tiles(a_ds, b_ds, num_partitions: int = 8):
     shuffled exactly once); payload comparison is exact bytes, so the
     result is the minimal update set a re-publish needs to ship.
     Duplicate tile keys on one side fail loudly."""
-    import functools
-
-    import numpy as np  # noqa: F401  (kernels above)
-
-    from .assign import pack_tkey
     from .exchange import hash_exchange
 
-    def tag(batch: pa.Table, rank_val: int) -> pa.Table:
-        tkey = pack_tkey(np.asarray(batch["z"], dtype=np.int64),
-                         np.asarray(batch["x"], dtype=np.int64),
-                         np.asarray(batch["y"], dtype=np.int64))
-        batch = batch.select(["z", "x", "y", "payload"])
-        batch = batch.append_column("tkey", pa.array(tkey, type=pa.int64()))
-        return batch.append_column(
-            "src_rank", pa.array(np.full(len(tkey), rank_val),
-                                 type=pa.int64()))
-
-    union = a_ds.map_batches(functools.partial(tag, rank_val=0),
-                             batch_format="pyarrow").union(
-        b_ds.map_batches(functools.partial(tag, rank_val=1),
-                         batch_format="pyarrow"))
+    union = tag_ranked_sources([a_ds, b_ds],
+                               columns=["z", "x", "y", "payload"])
     return hash_exchange(union, "tkey", _diff_combine,
                          num_partitions=num_partitions)

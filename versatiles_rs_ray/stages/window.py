@@ -498,26 +498,38 @@ def _transition_block(table: pa.Table) -> pa.Table:
                       "n": pa.array([], type=pa.int64())})
     if table.num_rows == 0:
         return empty
+    import pyarrow.compute as pc
+
     u = np.asarray(table["user_id"], dtype=np.int64)
     ts = np.asarray(table["ts_us"], dtype=np.int64)
     eid = np.asarray(table["event_id"], dtype=np.int64)
     et = table["event_type"].combine_chunks()
     enc = et.dictionary_encode()
-    codes = np.asarray(enc.indices, dtype=np.int64)
+    # null-safe code extraction (the window.py convention): a null
+    # index converts to INT64_MIN silently otherwise, corrupting the
+    # packed pair arithmetic below
+    codes = np.asarray(pc.fill_null(enc.indices, -1), dtype=np.int64)
     order = np.lexsort((eid, ts, u))
     u, codes = u[order], codes[order]
     same_user = u[1:] == u[:-1]
-    frm = codes[:-1][same_user]
-    to = codes[1:][same_user]
+    # oracle parity (lead() + WHERE nxt IS NOT NULL): a null FROM type
+    # keeps its transition row (grouped under null), a null TO drops it
+    keep = same_user & (codes[1:] >= 0)
+    frm = codes[:-1][keep]
+    to = codes[1:][keep]
     if len(frm) == 0:
         return empty
     k = len(enc.dictionary)
-    pair, cnt = np.unique(frm * k + to, return_counts=True)
-    fa = pa.array((pair // k), type=pa.int64())
-    ta = pa.array((pair % k), type=pa.int64())
+    pair, cnt = np.unique((frm + 1) * (k + 1) + to, return_counts=True)
+    f = pair // (k + 1) - 1
+    t = pair % (k + 1)
+    taken_f = enc.dictionary.take(pa.array(np.maximum(f, 0),
+                                           type=pa.int64()))
+    from_types = pc.if_else(pa.array(f >= 0), taken_f,
+                            pa.scalar(None, type=pa.string()))
     return pa.table({
-        "from_type": enc.dictionary.take(fa),
-        "to_type": enc.dictionary.take(ta),
+        "from_type": from_types,
+        "to_type": enc.dictionary.take(pa.array(t, type=pa.int64())),
         "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
     })
 
@@ -531,8 +543,6 @@ def event_transitions(events_ds, num_partitions: int = 16):
     user's ordering is then local and exact); the combine sums
     |types|^2-bounded partials. (ts, event_id) is a total order, so
     transition counts are deterministic under timestamp ties."""
-    import functools  # noqa: F401
-
     from ray.data.aggregate import Sum
 
     from .exchange import hash_exchange
