@@ -817,3 +817,27 @@ def test_event_transitions_null_event_type(ray_session):
     rows = {(r["from_type"], r["to_type"]): r["n"]
             for _, r in got.iterrows()}
     assert rows == {(None, "b"): 1}
+
+
+def test_value_histogram_and_confusion_queries(ray_session):
+    """Closing composition queries vs DuckDB on sf0.001 via the shared
+    driver-gate canonicalizer."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    import duckdb
+    import pandas as pd
+    from selfcheck import canon
+
+    from versatiles_rs_ray import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    for name in ("value_histogram", "confusion_matrix"):
+        mine = Q.QUERIES[name](sf).to_pandas()
+        want = con.execute(Q.ORACLES[name]).fetchdf()
+        assert len(mine) == len(want) and len(mine) > 0, name
+        pd.testing.assert_frame_equal(canon(mine), canon(want))

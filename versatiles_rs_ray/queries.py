@@ -3147,6 +3147,97 @@ def q_lang_guess_docs(sf_dir):
     return ds.select_columns(["doc_id", "lang_guess"])
 
 
+HIST_LO, HIST_W, HIST_NB = 0.0, 25.0, 16
+
+
+def q_value_histogram(sf_dir):
+    """Grouped fixed-width histogram: event value binned into 16
+    25-unit buckets (overflow clamped to the last bin) per event_type
+    — per-block dictionary-coded combine bounded by types x bins, one
+    tiny groupby. The bin chain floor((v - lo) / w) is three IEEE
+    float64 ops written identically in SQL, so counts are exact."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["value"], dtype=np.float64)
+        bins = np.floor((v - HIST_LO) / HIST_W).astype(np.int64)
+        np.clip(bins, 0, HIST_NB - 1, out=bins)
+        et = b["event_type"].combine_chunks()
+        enc = et.dictionary_encode()
+        import pyarrow.compute as pc
+
+        codes = np.asarray(pc.fill_null(enc.indices, -1), dtype=np.int64)
+        k = len(enc.dictionary)
+        key = (codes + 1) * HIST_NB + bins
+        u, cnt = np.unique(key, return_counts=True)
+        tc = u // HIST_NB - 1
+        taken = enc.dictionary.take(pa.array(np.maximum(tc, 0),
+                                             type=pa.int64()))
+        types = pc.if_else(pa.array(tc >= 0), taken,
+                           pa.scalar(None, type=pa.string()))
+        return pa.table({
+            "event_type": types,
+            "bin": pa.array(u % HIST_NB, type=pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+        })
+
+    return ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "bin"]).aggregate(Sum("n",
+                                                      alias_name="n"))
+
+
+def _oracle_value_histogram():
+    return (
+        "SELECT event_type, CAST(greatest(least(floor((value - "
+        f"{HIST_LO!r}) / {HIST_W!r}), {HIST_NB - 1}), 0) AS BIGINT) "
+        "AS bin, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2"
+    )
+
+
+def q_confusion_matrix(sf_dir):
+    """Model-evaluation staple: confusion matrix of the heuristic
+    lang-id against the labeled lang column — counts per (label,
+    guess) via a per-block dictionary-coded combine (cells bounded by
+    |langs|^2) + one tiny groupby. The per-doc guess is the
+    SQL-expressible stopword argmax, so every cell is oracle-exact."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir).map_batches(text_stage.LangId,
+                                   batch_format="pyarrow",
+                                   concurrency=(1, 2))
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = pc.binary_join_element_wise(
+            b["lang"].combine_chunks().cast(pa.string()),
+            b["lang_guess"].combine_chunks().cast(pa.string()), "\x00")
+        enc = key.dictionary_encode()
+        idx = np.asarray(enc.indices, dtype=np.int64)
+        cnt = np.bincount(idx, minlength=len(enc.dictionary)) \
+            .astype(np.int64)
+        parts = pc.split_pattern(enc.dictionary, "\x00")
+        return pa.table({
+            "label": pc.list_element(parts, 0),
+            "guess": pc.list_element(parts, 1),
+            "n": pa.array(cnt, type=pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["label", "guess"]).aggregate(Sum("n", alias_name="n"))
+
+
+def _oracle_confusion_matrix():
+    return (
+        f"SELECT lang AS label, {_sql_lang_pick()} AS guess, "
+        "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2"
+    )
+
+
 def q_sessionize(sf_dir):
     import ray.data as rd
 
@@ -4562,6 +4653,8 @@ QUERIES = {
     "cluster_stats": q_cluster_stats,
     "value_buckets": q_value_buckets,
     "event_transitions": q_event_transitions,
+    "confusion_matrix": q_confusion_matrix,
+    "value_histogram": q_value_histogram,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -4656,6 +4749,8 @@ ORACLES = {
     "cluster_stats": _oracle_cluster_stats(),
     "value_buckets": _oracle_value_buckets(),
     "event_transitions": _oracle_event_transitions(),
+    "confusion_matrix": _oracle_confusion_matrix(),
+    "value_histogram": _oracle_value_histogram(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window
