@@ -841,3 +841,24 @@ def test_value_histogram_and_confusion_queries(ray_session):
         want = con.execute(Q.ORACLES[name]).fetchdf()
         assert len(mine) == len(want) and len(mine) > 0, name
         pd.testing.assert_frame_equal(canon(mine), canon(want))
+
+
+def test_doc_ranks_matches_rank_window(ray_session):
+    import sys
+
+    sys.path.insert(0, "tools")
+    import duckdb
+    import pandas as pd
+    from selfcheck import canon
+
+    from versatiles_rs_ray import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    mine = Q.QUERIES["doc_ranks"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(Q.ORACLES["doc_ranks"]).fetchdf()
+    pd.testing.assert_frame_equal(canon(mine), canon(want))
+    # competition-rank semantics: rank 1 exists, ties share ranks
+    assert mine["rnk"].min() == 1 and mine["rnk"].max() <= len(mine)

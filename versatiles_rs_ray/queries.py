@@ -3147,6 +3147,51 @@ def q_lang_guess_docs(sf_dir):
     return ds.select_columns(["doc_id", "lang_guess"])
 
 
+def q_doc_ranks(sf_dir):
+    """Global competition rank (SQL RANK() OVER (ORDER BY n_chars))
+    WITHOUT a global sort: pass A reduces the corpus to per-distinct-
+    value counts (driver state bounded by distinct lengths, not rows),
+    pass B re-streams and assigns rank = 1 + #strictly-smaller via one
+    searchsorted against the broadcast cumulative counts — the
+    order-statistics shape that scales to any corpus whose value
+    domain is bounded. Exact integers end to end."""
+    ds = D.read_docs(sf_dir, columns=["doc_num", "n_chars"])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["n_chars"], dtype=np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u, type=pa.int64()),
+                         "c": pa.array(c.astype(np.int64),
+                                       type=pa.int64())})
+
+    parts = ds.map_batches(count_partial,
+                           batch_format="pyarrow").to_pandas()
+    agg: dict = {}
+    for v, c in zip(parts["v"], parts["c"]):
+        agg[int(v)] = agg.get(int(v), 0) + int(c)
+    vals = np.array(sorted(agg), dtype=np.int64)
+    below = np.zeros(len(vals), dtype=np.int64)
+    if len(vals) > 1:
+        below[1:] = np.cumsum([agg[int(v)] for v in vals[:-1]])
+
+    def assign(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["n_chars"], dtype=np.int64)
+        idx = np.searchsorted(vals, v)
+        return pa.table({
+            "doc_num": b["doc_num"].cast(pa.int64()),
+            "rnk": pa.array(below[idx] + 1, type=pa.int64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _oracle_doc_ranks():
+    return (
+        "SELECT doc_id AS doc_num, CAST(RANK() OVER (ORDER BY n_chars) "
+        "AS BIGINT) AS rnk FROM documents"
+    )
+
+
 HIST_LO, HIST_W, HIST_NB = 0.0, 25.0, 16
 
 
@@ -4655,6 +4700,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "confusion_matrix": q_confusion_matrix,
     "value_histogram": q_value_histogram,
+    "doc_ranks": q_doc_ranks,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -4751,6 +4797,7 @@ ORACLES = {
     "event_transitions": _oracle_event_transitions(),
     "confusion_matrix": _oracle_confusion_matrix(),
     "value_histogram": _oracle_value_histogram(),
+    "doc_ranks": _oracle_doc_ranks(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window
