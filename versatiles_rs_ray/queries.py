@@ -3147,6 +3147,57 @@ def q_lang_guess_docs(sf_dir):
     return ds.select_columns(["doc_id", "lang_guess"])
 
 
+TOP_USERS_K = 10
+
+
+def q_top_users(sf_dir):
+    """Global top-k entities by an aggregate: the 10 users with the
+    highest total event value — per-block (user, cents) partials, one
+    user groupby, per-block top-k prune, bounded driver merge
+    (blocks x k rows, never the user table), ties broken ascending on
+    user_id. Money quantized to integer cents, so the ORDER BY/LIMIT
+    oracle is exact."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        c = np.floor(np.asarray(b["value"], np.float64) * 100.0) \
+            .astype(np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        s = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(s, inv, c)
+        return pa.table({"user_id": pa.array(uu, type=pa.int64()),
+                         "total_c": pa.array(s, type=pa.int64())})
+
+    agg = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("total_c",
+                                          alias_name="total_c"))
+
+    def prune(b: pa.Table) -> pa.Table:
+        t = np.asarray(b["total_c"], dtype=np.int64)
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        order = np.lexsort((u, -t))[:TOP_USERS_K]
+        return b.take(pa.array(order, type=pa.int64()))
+
+    cand = agg.map_batches(prune, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["total_c", "user_id"],
+                            ascending=[False, True],
+                            kind="mergesort").head(TOP_USERS_K)
+    return cand.reset_index(drop=True)
+
+
+def _oracle_top_users():
+    return (
+        "SELECT user_id, CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) "
+        "AS BIGINT) AS total_c FROM events GROUP BY 1 "
+        f"ORDER BY total_c DESC, user_id LIMIT {TOP_USERS_K}"
+    )
+
+
 def q_doc_ranks(sf_dir):
     """Global competition rank (SQL RANK() OVER (ORDER BY n_chars))
     WITHOUT a global sort: pass A reduces the corpus to per-distinct-
@@ -4701,6 +4752,7 @@ QUERIES = {
     "confusion_matrix": q_confusion_matrix,
     "value_histogram": q_value_histogram,
     "doc_ranks": q_doc_ranks,
+    "top_users": q_top_users,
     # ---- rows-only by nature (codec-bearing paths;
     # pixel goldens live in pytest, runnable via selfcheck) ----
     "media_pipeline": q_media_pipeline,
@@ -4798,6 +4850,7 @@ ORACLES = {
     "confusion_matrix": _oracle_confusion_matrix(),
     "value_histogram": _oracle_value_histogram(),
     "doc_ranks": _oracle_doc_ranks(),
+    "top_users": _oracle_top_users(),
     }
 
 # the driver contract invariant: the driver's 50-row snapshot window
