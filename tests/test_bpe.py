@@ -137,3 +137,36 @@ def test_greedy_select_overlaps():
 def test_validation(ray_session):
     with pytest.raises(ValueError, match="num_merges"):
         bpe_train(_ds(CORPUS), num_merges=0)
+
+
+def test_partial_pair_survival(ray_session):
+    """Regression for the incremental learner's delta update: in
+    'xabxa' merging (a,b), pair (x,a) survives with REDUCED count
+    (2 -> 1) — present in both the old and new word with different
+    multiplicity. A naive subtract-then-add double-counts it and
+    derails every later merge choice."""
+    docs = ["xabxa xabxa ab ab ab"]
+    merges, _ = bpe_train(_ds(docs), num_merges=8, num_partitions=2)
+    want, _ = ref_bpe(docs, 8)
+    assert merges == want
+
+
+def test_long_random_corpus_matches_reference(ray_session):
+    """Deeper merge sequence over a skewed random corpus — exercises
+    heap lazy-deletion, pair deaths, and word collapse."""
+    rng = np.random.default_rng(42)
+    vocab = ["".join(rng.choice(list("abcxy"),
+                                size=rng.integers(2, 8)))
+             for _ in range(60)]
+    docs = [" ".join(rng.choice(vocab, size=30,
+                                p=np.arange(60, 0, -1) / np.arange(
+                                    60, 0, -1).sum()))
+            for _ in range(25)]
+    merges, table = bpe_train(_ds(docs), num_merges=60,
+                              num_partitions=4)
+    want, ref_words = ref_bpe(docs, 60)
+    assert merges == want
+    got = table.to_pandas()
+    got_words = {tuple(s): int(c)
+                 for s, c in zip(got["syms"], got["cnt"])}
+    assert got_words == dict(ref_words)

@@ -87,3 +87,44 @@ def test_empty_graph(ray_session):
         "doc_a": pa.array([], type=pa.int64()),
         "doc_b": pa.array([], type=pa.int64())}))
     assert _got(triangle_stats(ds)) == {}
+
+
+def test_degree_cap_hub_graph(ray_session, caplog):
+    """Zipf-ish hub graph: a hub wired to everyone plus a K3 among
+    leaves. With max_degree below the hub degree, hub-incident edges
+    are removed before the wedge pass, so the result equals the EXACT
+    reference on the hub-free subgraph (degrees still full-graph) —
+    a true lower bound everywhere — and the skip is logged loudly.
+    With the cap above the hub degree (and with cap=None) the exact
+    full-graph reference holds."""
+    import logging
+
+    n = 12
+    adj = np.zeros((n, n), dtype=bool)
+    adj[0, 1:] = adj[1:, 0] = True          # node 0: hub, deg 11
+    for a, b in ((1, 2), (2, 3), (1, 3)):   # K3 among leaves 1,2,3
+        adj[a, b] = adj[b, a] = True
+    ids = np.arange(n, dtype=np.int64) + 50
+    ref = _ref(adj, ids)
+
+    with caplog.at_level(logging.WARNING,
+                         logger="versatiles_rs_ray.stages.graph"):
+        got = _got(triangle_stats(_pairs_ds(adj, ids), max_degree=5))
+    assert any("max_degree=5" in r.message for r in caplog.records)
+    # Expected: triangle counts of the hub-free subgraph (only the
+    # leaf K3 survives), degrees from the FULL graph, clus_micro from
+    # the surviving count over the full-graph degree.
+    sub = adj.copy()
+    sub[0, :] = sub[:, 0] = False
+    deg_full = adj.sum(1)
+    tri2_sub = np.diag(sub.astype(np.int64) @ sub @ sub)
+    from versatiles_rs_ray.stages.graph import CLUS_MICRO as MIC
+    for k in range(n):
+        d, cnt = int(deg_full[k]), int(tri2_sub[k])
+        clus = (cnt * MIC) // (d * (d - 1)) if d >= 2 else 0
+        assert got[50 + k] == (d, cnt // 2, clus), k
+        assert got[50 + k][1] <= ref[50 + k][1]  # true lower bound
+
+    # cap above every degree == exact everywhere; None == exact.
+    assert _got(triangle_stats(_pairs_ds(adj, ids), max_degree=64)) == ref
+    assert _got(triangle_stats(_pairs_ds(adj, ids), max_degree=None)) == ref

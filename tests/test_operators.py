@@ -862,3 +862,18 @@ def test_doc_ranks_matches_rank_window(ray_session):
     pd.testing.assert_frame_equal(canon(mine), canon(want))
     # competition-rank semantics: rank 1 exists, ties share ranks
     assert mine["rnk"].min() == 1 and mine["rnk"].max() <= len(mine)
+
+
+def test_fused_exchange_rejects_dataset(ray_session):
+    """fused_hash_exchange takes picklable input SPECS; a Dataset
+    accidentally passed must fail loudly at the call site, not deep
+    inside Ray pickling."""
+    import pyarrow as pa
+    import pytest as _pt
+    import ray.data as rd
+
+    from versatiles_rs_ray.stages.exchange import fused_hash_exchange
+
+    ds = rd.from_arrow(pa.table({"k": pa.array([1], type=pa.int64())}))
+    with _pt.raises(TypeError, match="picklable input SPECS"):
+        fused_hash_exchange(ds, lambda s: None, "k", lambda t: t)

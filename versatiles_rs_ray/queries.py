@@ -1950,7 +1950,11 @@ def q_fuzzy_tokens(sf_dir):
 
     def add_typos(b: pa.Table) -> pa.Table:
         t = pc.fill_null(b["text"].combine_chunks(), "")
-        words = pc.utf8_split_whitespace(t)
+        # Trim before splitting: utf8_split_whitespace yields a leading
+        # '' element for leading-whitespace text, which would skip the
+        # typo plant while the oracle's regexp_extract(trim(text)) does
+        # not — keep the two first-token definitions identical.
+        words = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(t))
         has = pc.greater(pc.list_value_length(words), 0)
         first = pc.if_else(has, pc.list_element(
             pc.if_else(has, words, pa.scalar(["x"],
@@ -3309,17 +3313,33 @@ def q_confusion_matrix(sf_dir):
     def partial(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        # fill_null both sides before the join (the q_value_histogram
+        # null convention): a null lang/guess would otherwise yield a
+        # null key whose dictionary index is null, and np.asarray turns
+        # null indices into garbage before bincount. The sentinel is
+        # decoded back to a real null after the split, matching SQL
+        # GROUP BY's one-NULL-group semantics.
+        sent = "\x01\x01null\x01\x01"
         key = pc.binary_join_element_wise(
-            b["lang"].combine_chunks().cast(pa.string()),
-            b["lang_guess"].combine_chunks().cast(pa.string()), "\x00")
+            pc.fill_null(b["lang"].combine_chunks().cast(pa.string()),
+                         sent),
+            pc.fill_null(
+                b["lang_guess"].combine_chunks().cast(pa.string()),
+                sent), "\x00")
         enc = key.dictionary_encode()
         idx = np.asarray(enc.indices, dtype=np.int64)
         cnt = np.bincount(idx, minlength=len(enc.dictionary)) \
             .astype(np.int64)
         parts = pc.split_pattern(enc.dictionary, "\x00")
+
+        def _col(i):
+            c = pc.list_element(parts, i)
+            return pc.if_else(pc.equal(c, sent),
+                              pa.scalar(None, type=pa.string()), c)
+
         return pa.table({
-            "label": pc.list_element(parts, 0),
-            "guess": pc.list_element(parts, 1),
+            "label": _col(0),
+            "guess": _col(1),
             "n": pa.array(cnt, type=pa.int64()),
         })
 

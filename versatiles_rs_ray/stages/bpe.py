@@ -4,21 +4,19 @@ vocabulary-learning pass of LLM training-data prep (Sennrich et al.
 descends from).
 
 Why this is feasible at corpus scale: the CORPUS is read exactly once
-(one word-count exchange); the merge loop then iterates over the
-WORD-FREQUENCY TABLE, which is vocabulary-sized — millions of rows
-where the corpus is trillions — and prunable with ``min_word_count``.
-Each merge round is:
-
-  map_batches over the word table (pair-count partials, weighted by
-  word count, dictionary-encoded per block)
-    -> ONE pair-hash exchange -> per-partition exact totals + LOCAL
-       argmax (the global best pair lives wholly in one partition,
-       so P candidate rows reach the driver — never the pair table)
-    -> vectorized merge apply (Arrow flatten + numpy greedy
-       left-to-right pair selection; no per-word Python)
-    -> materialize() the new word table (vocabulary-sized — the one
-       deliberate materialization, without it round k would re-run
-       all k-1 previous merge maps).
+(one distributed word-count exchange); the merge loop then runs LOCAL
+to the driver over the gathered WORD-FREQUENCY TABLE, which is
+vocabulary-sized — millions of rows where the corpus is trillions —
+and prunable with ``min_word_count``. That gather is the same bound
+the earlier distributed formulation already paid per round in its
+materialize(); holding it once and iterating in-process replaces
+num_merges cluster-wide task waves of pure coordination with the
+classic incremental learner (subword-nmt shape): a lazy-deletion heap
+keyed (-count, pair-string) yields each round's best pair in O(log P),
+and a merge re-counts only the words that CONTAIN the merged pair, so
+round cost is proportional to the pair's support, not the vocabulary.
+A 32k-merge production run is minutes of one process, not 32k
+cluster barriers (round-4 verdict, perf item 1).
 
 Determinism: ties on pair count break on the lexicographically
 smallest pair, so the merge sequence is a pure function of the corpus.
@@ -39,74 +37,6 @@ END = "\x03"  # end-of-word sentinel symbol (ETX: never in real text)
 SEP = " "  # pair-string separator for hashing/counting
 
 
-def _words_to_syms(tbl: pa.Table) -> pa.Table:
-    """(token, cnt) word rows -> (syms: list<string>, cnt) symbol rows.
-    The per-word Python here runs ONCE over the vocabulary-sized word
-    table (not the corpus) — the same bounded-loop contract as the
-    distinct-word encode cache in :func:`bpe_apply`."""
-    words = tbl["token"].to_pylist()
-    syms = [list(w) + [END] for w in words]
-    return pa.table({
-        "syms": pa.array(syms, type=pa.list_(pa.string())),
-        "cnt": tbl["cnt"],
-    })
-
-
-def _pair_counts(batch: pa.Table) -> pa.Table:
-    """Per-block weighted adjacent-pair counts over symbol lists."""
-    from .curate import _hash_strings
-
-    empty = pa.table({"pair": pa.array([], type=pa.string()),
-                      "cnt": pa.array([], type=pa.int64()),
-                      "_route": pa.array([], type=pa.int64())})
-    if batch.num_rows == 0:
-        return empty
-    import pyarrow.compute as pc
-
-    syms = batch["syms"].combine_chunks()
-    flat = pc.list_flatten(syms)
-    lens = np.asarray(pc.list_value_length(syms), dtype=np.int64)
-    offs = np.zeros(len(lens) + 1, dtype=np.int64)
-    np.cumsum(lens, out=offs[1:])
-    L = len(flat)
-    if L < 2:
-        return empty
-    word = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-    same = word[:-1] == word[1:]
-    if not same.any():
-        return empty
-    pairs = pc.binary_join_element_wise(
-        flat.slice(0, L - 1), flat.slice(1, L - 1), SEP)
-    pairs = pairs.filter(pa.array(same)) if not same.all() else pairs
-    w = np.asarray(batch["cnt"], dtype=np.int64)[word[:-1][same]]
-    enc = pairs.combine_chunks().dictionary_encode() \
-        if isinstance(pairs, pa.ChunkedArray) else pairs.dictionary_encode()
-    tot = np.zeros(len(enc.dictionary), dtype=np.int64)
-    np.add.at(tot, np.asarray(enc.indices, dtype=np.int64), w)
-    t = pa.table({"pair": enc.dictionary,
-                  "cnt": pa.array(tot, type=pa.int64())})
-    return t.append_column(
-        "_route", pa.array(_hash_strings(t["pair"]), type=pa.int64()))
-
-
-def _pair_best(tbl: pa.Table) -> pa.Table:
-    """Exact totals within the partition (partitions are disjoint by
-    pair hash), then the LOCAL best pair (max cnt, ties to the
-    smallest pair string) — one row out per partition."""
-    empty = pa.table({"pair": pa.array([], type=pa.string()),
-                      "cnt": pa.array([], type=pa.int64())})
-    if tbl.num_rows == 0:
-        return empty
-    enc = tbl["pair"].combine_chunks().dictionary_encode()
-    tot = np.zeros(len(enc.dictionary), dtype=np.int64)
-    np.add.at(tot, np.asarray(enc.indices, dtype=np.int64),
-              np.asarray(tbl["cnt"], dtype=np.int64))
-    pairs = enc.dictionary.to_numpy(zero_copy_only=False)
-    best = np.lexsort((pairs, -tot))[0]
-    return pa.table({"pair": pa.array([pairs[best]], type=pa.string()),
-                     "cnt": pa.array([tot[best]], type=pa.int64())})
-
-
 def _greedy_select(match_idx: np.ndarray) -> np.ndarray:
     """Left-to-right non-overlapping selection over sorted candidate
     positions: within each maximal run of CONSECUTIVE indices take
@@ -121,41 +51,26 @@ def _greedy_select(match_idx: np.ndarray) -> np.ndarray:
     return match_idx[within % 2 == 0]
 
 
-def _apply_merge(batch: pa.Table, left: str, right: str) -> pa.Table:
-    """Vectorized one-merge apply over symbol lists: flatten, find
-    adjacent (left, right) within words, greedy-select, concat-replace
-    the left symbol, drop the right, rebuild offsets."""
-    import pyarrow.compute as pc
-
-    if batch.num_rows == 0:
-        return batch
-    syms = batch["syms"].combine_chunks()
-    flat = pc.list_flatten(syms)
-    lens = np.asarray(pc.list_value_length(syms), dtype=np.int64)
-    L = len(flat)
-    if L < 2:
-        return batch
-    word = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-    is_l = np.asarray(pc.equal(flat, left))
-    is_r = np.asarray(pc.equal(flat, right))
-    cand = np.flatnonzero(is_l[:-1] & is_r[1:] & (word[:-1] == word[1:]))
-    sel = _greedy_select(cand)
-    if len(sel) == 0:
-        return batch
-    repl = np.zeros(L, dtype=bool)
-    repl[sel] = True
-    drop = np.zeros(L, dtype=bool)
-    drop[sel + 1] = True
-    new_flat = pc.if_else(pa.array(repl), pa.scalar(left + right), flat)
-    new_flat = new_flat.filter(pa.array(~drop))
-    merged_per_word = np.zeros(len(lens), dtype=np.int64)
-    np.add.at(merged_per_word, word[sel], 1)
-    new_lens = lens - merged_per_word
-    new_offs = np.zeros(len(lens) + 1, dtype=np.int64)
-    np.cumsum(new_lens, out=new_offs[1:])
-    out = pa.ListArray.from_arrays(pa.array(new_offs, type=pa.int32()),
-                                   new_flat)
-    return pa.table({"syms": out, "cnt": batch["cnt"]})
+def _merge_word(syms: list, left: str, right: str) -> list:
+    """Apply one merge to ONE word's symbol list: find adjacent
+    (left, right) positions, greedy-select left-to-right
+    non-overlapping (:func:`_greedy_select`), concat-replace."""
+    m = np.flatnonzero(np.fromiter(
+        (a == left and b == right for a, b in zip(syms, syms[1:])),
+        dtype=bool, count=len(syms) - 1))
+    sel = _greedy_select(m)
+    if not len(sel):
+        return syms
+    keep = set(sel.tolist())
+    out, i = [], 0
+    while i < len(syms):
+        if i in keep:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
 
 
 def bpe_train(ds, num_merges: int, column: str = "text",
@@ -165,38 +80,110 @@ def bpe_train(ds, num_merges: int, column: str = "text",
     (left, right, pair_count) driving :func:`bpe_apply`; ``word_table``
     the final segmented (syms, cnt) Dataset (inspection/vocab export).
 
+    The corpus is reduced ONCE by the distributed word-count exchange
+    (:func:`..stages.text.token_counts`); the merge loop itself is
+    driver-local and incremental — see the module docstring for why
+    that is the right orchestration shape (vocabulary-bounded state,
+    per-round cost proportional to the merged pair's support).
+
     Stops early when no pair occurs twice (merging singleton pairs
-    would memorize the corpus tail in arbitrary hash order)."""
-    from .exchange import hash_exchange
+    would memorize the corpus tail in arbitrary hash order).
+    Determinism: ties on pair count break on the lexicographically
+    smallest ``left + SEP + right`` string, so the merge sequence is
+    a pure function of the corpus."""
+    import heapq
+    from collections import Counter
+
     from .text import token_counts
 
     if num_merges < 1:
         raise ValueError(f"bpe_train: num_merges must be >= 1, got {num_merges}")
-    words = token_counts(ds, column=column, num_partitions=num_partitions)
+    words_ds = token_counts(ds, column=column,
+                            num_partitions=num_partitions)
     if min_word_count > 1:
-        import pyarrow.compute as pc
-
-        words = words.map_batches(
+        words_ds = words_ds.map_batches(
             functools.partial(_floor_cnt, mc=min_word_count),
             batch_format="pyarrow")
-    table = words.map_batches(_words_to_syms,
-                              batch_format="pyarrow").materialize()
+
+    # Gather the vocabulary-sized word table (bounded: distinct words,
+    # never the corpus) and build symbol lists + initial pair stats.
+    words: list[list[str]] = []
+    wcnt: list[int] = []
+    for b in words_ds.iter_batches(batch_format="pyarrow"):
+        for tok, c in zip(b["token"].to_pylist(), b["cnt"].to_pylist()):
+            words.append(list(tok) + [END])
+            wcnt.append(int(c))
+
+    pair_cnt: dict[tuple, int] = {}
+    pair_words: dict[tuple, set] = {}
+    for idx, (syms, c) in enumerate(zip(words, wcnt)):
+        for p in zip(syms, syms[1:]):
+            pair_cnt[p] = pair_cnt.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(idx)
+
+    # Lazy-deletion heap: entries are (-cnt, pair-string, pair); an
+    # entry is valid only if its cnt still equals pair_cnt[pair].
+    heap = [(-c, p[0] + SEP + p[1], p) for p, c in pair_cnt.items()]
+    heapq.heapify(heap)
+
+    def push(p):
+        c = pair_cnt.get(p, 0)
+        if c > 0:
+            heapq.heappush(heap, (-c, p[0] + SEP + p[1], p))
+
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
-        parts = table.map_batches(_pair_counts, batch_format="pyarrow")
-        cand = hash_exchange(parts, "_route", _pair_best,
-                             num_partitions=num_partitions).to_pandas()
-        cand = cand[cand["cnt"] >= 2]
-        if cand.empty:
+        best = None
+        while heap:
+            negc, _key, p = heapq.heappop(heap)
+            if pair_cnt.get(p, 0) == -negc:
+                best = (p, -negc)
+                break
+        if best is None or best[1] < 2:
             break
-        cand = cand.sort_values(["cnt", "pair"], ascending=[False, True],
-                                kind="mergesort")
-        pair, cnt = cand.iloc[0]["pair"], int(cand.iloc[0]["cnt"])
-        left, right = pair.split(SEP)
+        (left, right), cnt = best
         merges.append((left, right, cnt))
-        table = table.map_batches(
-            functools.partial(_apply_merge, left=left, right=right),
-            batch_format="pyarrow").materialize()
+        touched: set[tuple] = set()
+        for idx in pair_words.get((left, right), set()).copy():
+            old = words[idx]
+            new = _merge_word(old, left, right)
+            c = wcnt[idx]
+            oldp = Counter(zip(old, old[1:]))
+            newp = Counter(zip(new, new[1:]))
+            for p in oldp.keys() | newp.keys():
+                d = newp.get(p, 0) - oldp.get(p, 0)
+                if d:
+                    pair_cnt[p] = pair_cnt.get(p, 0) + d * c
+                    touched.add(p)
+                if p in newp:
+                    pair_words.setdefault(p, set()).add(idx)
+                elif p in oldp:
+                    pair_words.get(p, set()).discard(idx)
+            words[idx] = new
+        pair_cnt.pop((left, right), None)
+        pair_words.pop((left, right), None)
+        touched.discard((left, right))
+        for p in touched:
+            if pair_cnt.get(p, 0) <= 0:
+                pair_cnt.pop(p, None)
+                pair_words.pop(p, None)
+            else:
+                push(p)
+
+    # Final word table: identical post-merge words collapse (counts
+    # sum — pair statistics are additive, so this matches the classic
+    # learner state) and go back out as a Dataset.
+    import ray.data as rd
+
+    agg: dict[tuple, int] = {}
+    for syms, c in zip(words, wcnt):
+        k = tuple(syms)
+        agg[k] = agg.get(k, 0) + c
+    table = rd.from_arrow(pa.table({
+        "syms": pa.array([list(k) for k in agg],
+                         type=pa.list_(pa.string())),
+        "cnt": pa.array(list(agg.values()), type=pa.int64()),
+    }))
     return merges, table
 
 

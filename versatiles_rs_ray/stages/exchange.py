@@ -203,6 +203,13 @@ def fused_hash_exchange(inputs, map_fn, key_col, combine_block_fn,
     import ray.data as rd
 
     assert num_partitions >= 2
+    if hasattr(inputs, "iter_internal_ref_bundles") or hasattr(
+            inputs, "map_batches"):
+        raise TypeError(
+            "fused_hash_exchange takes a list of picklable input SPECS "
+            "(shard descriptors / fragment lists), not a Dataset — a "
+            "Dataset would fail deep inside Ray when pickled into the "
+            "map task. Use hash_exchange(ds, ...) for a Dataset input.")
     if not inputs:
         empty = rd.from_arrow(pa.table({}))
         return (empty, []) if aux_fn is not None else empty

@@ -77,10 +77,33 @@ def _sum_counts(table: pa.Table) -> pa.Table:
                      "cnt": pa.array(s, type=pa.int64())})
 
 
-def triangle_stats(pairs_ds, num_partitions: int = 32):
+def triangle_stats(pairs_ds, num_partitions: int = 32,
+                   max_degree: int | None = 4096):
     """Dataset (doc_num, deg, triangles, clus_micro) — one row per
     vertex with degree >= 1 in the ordered-pair input (see module
-    docstring for contracts and the closure construction)."""
+    docstring for contracts and the closure construction).
+
+    ``max_degree`` bounds the wedge expansion (volume is sum over m of
+    deg(m)^2 — quadratic in hub degree, the power-law failure mode the
+    Suri & Vassilvitskii construction is famous for): edges incident
+    to any node of degree > max_degree are removed BEFORE the wedge
+    and closure passes, so the reported ``triangles`` column is the
+    EXACT triangle count of the hub-free subgraph — a true lower
+    bound for every node (dropping a corner's wedges asymmetrically
+    would skew per-corner counts; dropping the hub's edges keeps the
+    remaining count a well-defined graph statistic), and exact for
+    every node that shares no triangle with a hub. ``deg`` stays the
+    full-graph degree (it was already reduced), so ``clus_micro`` is
+    the same lower bound. The default is ON and generous (4096: one
+    hub costs <= 16.7M wedge rows); every capped run logs the hub
+    count and skipped wedge volume loudly. Pass ``max_degree=None``
+    for the exact uncapped count on graphs whose degree is known to
+    be bounded (proximity/dedup pair graphs bound it geometrically).
+    """
+    import logging
+
+    import ray
+
     from ..stages.dedup import _pair_route
     from .cluster import _deg_combine
     from .exchange import hash_exchange
@@ -89,6 +112,37 @@ def triangle_stats(pairs_ds, num_partitions: int = 32):
     pairs = pairs_ds.materialize()
     deg = hash_exchange(pairs, "doc_a", _deg_combine,
                         num_partitions=num_partitions).materialize()
+    hub_ref = None
+    if max_degree is not None:
+        import pyarrow.compute as pc
+
+        # Hub table is bounded by construction: sum(deg) = 2|E|, so at
+        # most 2|E|/max_degree rows can exceed the cap — KB-scale for
+        # any generous cap, never the vertex table.
+        hub_schema = pa.schema([("doc_num", pa.int64()),
+                                ("deg", pa.int64())])
+        hubs = pa.concat_tables(
+            [pa.table(b).select(["doc_num", "deg"]) for b in
+             deg.map_batches(
+                 lambda b, _c=max_degree: b.filter(
+                     pc.greater(b["deg"], _c)),
+                 batch_format="pyarrow").iter_batches(
+                     batch_format="pyarrow")] or
+            [hub_schema.empty_table()])
+        if hubs.num_rows:
+            hd = np.asarray(hubs["deg"], dtype=np.int64)
+            logging.getLogger(__name__).warning(
+                "triangle_stats: %d hub node(s) exceed max_degree=%d "
+                "(max observed degree %d); their incident edges are "
+                "SKIPPED (~%d wedges avoided) — triangle counts are "
+                "exact on the hub-free subgraph, i.e. lower bounds "
+                "for nodes in hub triangles. Raise max_degree or "
+                "pass None for the exact (quadratic-in-hub-degree) "
+                "count.",
+                hubs.num_rows, max_degree, int(hd.max()),
+                int((hd * (hd - 1)).sum()))
+            hub_ref = ray.put(
+                np.asarray(hubs["doc_num"], dtype=np.int64))
     if deg.count() == 0:
         return deg.map_batches(
             lambda b: pa.table({
@@ -98,10 +152,24 @@ def triangle_stats(pairs_ds, num_partitions: int = 32):
                 "clus_micro": pa.array([], type=pa.int64())}),
             batch_format="pyarrow")
 
-    left = pairs.map_batches(
+    wpairs = pairs
+    if hub_ref is not None:
+        def _drop_hub_edges(b: pa.Table, _h=hub_ref) -> pa.Table:
+            hub = ray.get(_h)
+            av = np.asarray(b["doc_a"], dtype=np.int64)
+            bv = np.asarray(b["doc_b"], dtype=np.int64)
+            idx = np.flatnonzero(~(np.isin(av, hub) | np.isin(bv, hub)))
+            return pa.table({
+                "doc_a": b["doc_a"].combine_chunks().take(idx),
+                "doc_b": b["doc_b"].combine_chunks().take(idx)})
+
+        wpairs = pairs.map_batches(_drop_hub_edges,
+                                   batch_format="pyarrow")
+
+    left = wpairs.map_batches(
         lambda b: pa.table({"a": b["doc_a"], "mid": b["doc_b"]}),
         batch_format="pyarrow")
-    right = pairs.map_batches(
+    right = wpairs.map_batches(
         lambda b: pa.table({"mid": b["doc_a"], "c": b["doc_b"]}),
         batch_format="pyarrow")
     wedges = hash_join(left, right, on="mid",
@@ -137,7 +205,7 @@ def triangle_stats(pairs_ds, num_partitions: int = 32):
         })
 
     tagged = wedges.map_batches(wedge_rows, batch_format="pyarrow").union(
-        pairs.map_batches(edge_rows, batch_format="pyarrow"))
+        wpairs.map_batches(edge_rows, batch_format="pyarrow"))
     partials = hash_exchange(tagged, "pk", _closure_combine,
                              num_partitions=num_partitions)
     counts = hash_exchange(partials, "doc_num", _sum_counts,

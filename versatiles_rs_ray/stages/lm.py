@@ -248,22 +248,36 @@ def lm_score(ds, n: int = 2, alpha: float = 0.4, min_count: int = 2,
     if broadcast:
         import ray
 
-        lookup = {m: tables[m].to_pandas() for m in range(1, n + 1)}
-        ref = ray.put({m: dict(zip(df["token"], df["cnt"].astype(np.int64)))
-                       for m, df in lookup.items()})
+        # Broadcast each order's (token, cnt) as Arrow arrays once;
+        # per batch the lookup is one vectorized pc.index_in probe +
+        # one take — no per-element Python dict hops (misses surface
+        # as null indices, which take propagates as null counts, the
+        # same semantics the co-partitioned left-join leg produces).
+        lookup = {m: pa.table(b) for m, t in tables.items()
+                  for b in [pa.concat_tables(
+                      list(t.iter_batches(batch_format="pyarrow")) or
+                      [pa.schema([("token", pa.string()),
+                                  ("cnt", pa.int64())]).empty_table()])]}
+        ref = ray.put({m: (t["token"].combine_chunks(),
+                           t["cnt"].combine_chunks().cast(pa.int64()))
+                       for m, t in lookup.items()})
 
         def attach(b: pa.Table, _ref=ref) -> pa.Table:
+            import pyarrow.compute as pc
+
             tabs = ray.get(_ref) if hasattr(_ref, "hex") else _ref
+
+            def probe(col, m):
+                tok, cnt = tabs[m]
+                if len(tok) == 0:
+                    return pa.nulls(len(col), type=pa.int64())
+                idx = pc.index_in(col, value_set=tok)
+                return pc.take(cnt, idx)
+
             for m in range(1, n + 1):
-                g = b[f"g{m}"].to_pandas()
-                b = b.append_column(
-                    f"c{m}", pa.array(g.map(tabs[m]).astype("float64"),
-                                      type=pa.int64(), from_pandas=True))
+                b = b.append_column(f"c{m}", probe(b[f"g{m}"], m))
             for m in range(2, n + 1):
-                g = b[f"x{m}"].to_pandas()
-                b = b.append_column(
-                    f"xc{m}", pa.array(g.map(tabs[m - 1]).astype("float64"),
-                                       type=pa.int64(), from_pandas=True))
+                b = b.append_column(f"xc{m}", probe(b[f"x{m}"], m - 1))
             return b
 
         rows = rows.map_batches(attach, batch_format="pyarrow")

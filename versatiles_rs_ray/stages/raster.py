@@ -342,13 +342,13 @@ def _algebra_combine(table: pa.Table, op: str) -> pa.Table:
         a_rows = [g for g in grp if rank[g] == 0]
         b_rows = [g for g in grp if rank[g] == 1]
         i = j
-        if not a_rows or not b_rows:
-            continue  # inner join: unmatched tile keys drop
         if len(a_rows) > 1 or len(b_rows) > 1:
             z, x, y = unpack_tkey(tkey[grp[0]])
             raise ValueError(
                 f"raster_algebra: duplicate tile {int(z)}/{int(x)}/"
                 f"{int(y)} on one side — inputs must be tile-unique")
+        if not a_rows or not b_rows:
+            continue  # inner join: unmatched tile keys drop
         ga, gb = a_rows[0], b_rows[0]
         if (widths[ga], heights[ga]) != (widths[gb], heights[gb]):
             z, x, y = unpack_tkey(tkey[ga])
