@@ -202,6 +202,96 @@ def run_bench():
     }
 
 
+CURATE_DOCS = int(os.environ.get("GRAFT_CURATE_DOCS", "10000000"))
+
+
+def run_curate() -> dict:
+    """LLM-curation flagship (pipelines/curate.curate_corpus) over the
+    zipf(1.3)-skewed synthetic corpus (sources/docs.read_zipf_docs):
+    gate -> exact dedup -> ngram near-dup removal -> temperature mix
+    over the zipf-hot source column -> deterministic shuffle -> pack.
+    Per-stage wall times via the pipeline's stage_cb hook (each stage
+    materializes its output, so a stage's time is its own work, not a
+    re-execution of the prefix). The stage set and order is the
+    round-4 verdict's named certification target."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    from versatiles_rs_ray.pipelines.curate import curate_corpus
+    from versatiles_rs_ray.sources import docs as D
+
+    kwargs = dict(
+        id_col="doc_id", text_col="text", lang_col="source",
+        min_quality=1, drop_repetitive=True,
+        near_dup_threshold=0.8, ngram_k=5,
+        near_dup_method="minhash",  # the LSH scale path (hot-bucket
+        # caps + co-partitioned exact verify); 'ngram' is the
+        # oracle-exact small-corpus path
+        # temperature rebalance of the zipf head: hot sources cut
+        lang_fracs={"src0": 0.3, "src1": 0.5, "src2": 0.7},
+        default_frac=1.0, pack_budget=2048,
+    )
+
+    # Warm-up (untimed): worker pool + every stage's code path
+    warm = D.read_zipf_docs(SF_DIR, 20_000, docs_per_task=2_000)
+    curate_corpus(warm, **kwargs).count()
+
+    timings, counts = {}, {}
+    t_last = [0.0]
+
+    def cb(name, d):
+        # stage time = everything since the previous boundary: lazy
+        # construction is free, but the near-dup stage runs its label
+        # propagation loop EAGERLY at build time — measuring only the
+        # materialize() would silently drop that cost from its stage
+        m = d.materialize()
+        now = time.monotonic()
+        timings[name] = round(now - t_last[0], 3)
+        t_last[0] = now
+        counts[name] = m.count()
+        return m
+
+    membw = _mem_bandwidth_gbps()
+    busy0, steal0 = _cpu_stat()
+    t0 = time.monotonic()
+    t_last[0] = t0
+    src = D.read_zipf_docs(SF_DIR, CURATE_DOCS, docs_per_task=50_000)
+    out = curate_corpus(src, stage_cb=cb, **kwargs)
+    n_out = out.count()
+    total = time.monotonic() - t0
+    busy1, steal1 = _cpu_stat()
+    ray.shutdown()
+    return {
+        "metric": "sec (curate: gate+dedup+near-dup+mix+shuffle+pack, "
+                  "zipf(1.3) corpus)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": CURATE_DOCS,
+        "docs_per_sec": round(CURATE_DOCS / total, 1),
+        "stage_rows": counts,
+        "rows_out": n_out,
+        "steal_pct": round(100.0 * (steal1 - steal0)
+                           / max(busy1 - busy0, 1), 2),
+        "membw_gbps": membw,
+    }
+
+
+def run_curate_at(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--curate"],
+        env=env, capture_output=True, text=True, check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
 def run_at(ncpu: int) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
     out = subprocess.run(
@@ -269,6 +359,52 @@ def main():
         print(json.dumps(run_pyramid_only(
             int(os.environ.get("GRAFT_STRESS_REPLICATE", "80000")),
             Z_BASE)))
+        return
+    if "--curate" in sys.argv:
+        print(json.dumps(run_curate()))
+        return
+    if "--curate-scaling" in sys.argv:
+        # the curation DAG under the same quiet-window protocol as the
+        # headline --scaling: fresh subprocesses at lo/hi cpus,
+        # min-over-pairs per side (steal only ever slows a run), every
+        # sample + its steal/membw probe reported; per-STAGE
+        # efficiencies from each side's min run
+        lo = int(os.environ.get("GRAFT_CURATE_SCALING_LO", "4"))
+        hi = int(os.environ.get("GRAFT_CURATE_SCALING_HI", "16"))
+        pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "2"))
+        runs_hi, runs_lo = [], []
+        for i in range(pairs):
+            if i:
+                time.sleep(10)
+            runs_hi.append(run_curate_at(hi))
+            time.sleep(10)
+            runs_lo.append(run_curate_at(lo))
+        r_hi = min(runs_hi, key=lambda r: r["value"])
+        r_lo = min(runs_lo, key=lambda r: r["value"])
+        t_lo, t_hi = r_lo["value"], r_hi["value"]
+        stage_eff = {
+            k: round((r_lo["queries"][k] / r_hi["queries"][k]) / (hi / lo), 3)
+            for k in r_hi["queries"]
+        }
+        print(json.dumps({
+            "metric": f"curate scaling efficiency ({lo} vs {hi} cpus)",
+            "value": round((t_lo / t_hi) / (hi / lo), 3),
+            "unit": "efficiency",
+            "stage_efficiency": stage_eff,
+            f"sec_{lo}": t_lo,
+            f"sec_{hi}": t_hi,
+            f"all_sec_{lo}": [r["value"] for r in runs_lo],
+            f"all_sec_{hi}": [r["value"] for r in runs_hi],
+            f"steal_pct_{lo}": [r.get("steal_pct") for r in runs_lo],
+            f"steal_pct_{hi}": [r.get("steal_pct") for r in runs_hi],
+            f"membw_gbps_{lo}": [r.get("membw_gbps") for r in runs_lo],
+            f"membw_gbps_{hi}": [r.get("membw_gbps") for r in runs_hi],
+            f"queries_{lo}": r_lo["queries"],
+            f"queries_{hi}": r_hi["queries"],
+            "stage_rows": r_hi.get("stage_rows"),
+            "n_docs": r_hi.get("n_docs"),
+            "sf": SF_DIR,
+        }))
         return
     if "--scaling" in sys.argv:
         lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))

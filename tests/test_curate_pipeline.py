@@ -198,3 +198,64 @@ def test_ppl_percentile_empty_scores_noop(ray_session):
     out = curate_corpus(ds, min_quality=0, drop_repetitive=False,
                         ppl_percentile=0.5)
     assert out.count() == 2
+
+
+def test_zipf_corpus_generator(ray_session):
+    """Deterministic zipf corpus: bit-identical re-generation, zipf
+    source skew, bounded near-dup families, exact-dup mass."""
+    import collections
+
+    from versatiles_rs_ray.sources.docs import (load_zipf_shard,
+                                                zipf_doc_specs)
+
+    specs = zipf_doc_specs("/root/testdata/sf0.001", 20_000,
+                           docs_per_task=10_000)
+    assert len(specs) == 2
+    a = load_zipf_shard(specs[0])
+    assert a.equals(load_zipf_shard(specs[0]))  # deterministic
+    assert a.schema.names == ["doc_id", "text", "lang", "source",
+                              "n_chars"]
+    b = load_zipf_shard(specs[1])
+    ids = a["doc_id"].to_pylist() + b["doc_id"].to_pylist()
+    assert sorted(ids) == list(range(20_000))
+    texts = a["text"].to_pylist() + b["text"].to_pylist()
+    # zipf head: the most common text covers >15% of docs; source
+    # column inherits the skew
+    cnt = collections.Counter(texts)
+    assert cnt.most_common(1)[0][1] > 3_000
+    src = collections.Counter(a["source"].to_pylist())
+    assert src["src0"] > 2 * src["src1"] > 0
+    # near-dup families: ~30% of docs carry the unique q-token and
+    # group into families of ~4 by their template prefix
+    fam_docs = [t for t in texts if t.rsplit(" ", 1)[-1][:1] == "q"
+                and t.rsplit(" ", 1)[-1][1:].isdigit()]
+    assert 0.25 < len(fam_docs) / len(texts) < 0.35
+    fams = collections.Counter(t.rsplit(" ", 1)[0] for t in fam_docs)
+    sizes = sorted(fams.values())
+    assert sizes[-1] <= 20  # bounded clusters (mean ~4)
+
+
+def test_curate_minhash_matches_ngram(ray_session):
+    """The LSH scale path (minhash candidates + co-partitioned exact
+    verify) must curate the same corpus as the exact ngram path on a
+    bounded input (seeded LSH at j~0.9 with 8 bands of 8 rows has
+    ~1e-4 miss probability; any miss would show as a row diff here)."""
+    import ray.data as rd
+
+    from versatiles_rs_ray.pipelines.curate import curate_corpus
+    from versatiles_rs_ray.sources.docs import (load_zipf_shard,
+                                                zipf_doc_specs)
+
+    spec = zipf_doc_specs("/root/testdata/sf0.001", 5_000,
+                          docs_per_task=5_000)[0]
+    ds = rd.from_arrow(load_zipf_shard(spec))
+    kw = dict(id_col="doc_id", min_quality=1, drop_repetitive=True,
+              near_dup_threshold=0.8, ngram_k=5, pack_budget=2048)
+    a = curate_corpus(ds, near_dup_method="ngram", **kw)
+    b = curate_corpus(ds, near_dup_method="minhash", **kw)
+    pa_, pb = a.to_pandas(), b.to_pandas()
+    key = sorted(pa_.columns)
+    pa_ = pa_[key].sort_values(key).reset_index(drop=True)
+    pb = pb[key].sort_values(key).reset_index(drop=True)
+    assert pa_.equals(pb)
+    assert len(pa_) > 0

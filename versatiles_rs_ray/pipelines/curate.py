@@ -84,13 +84,17 @@ def curate_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
                   lang_col: str = "lang", min_quality: int = 1,
                   drop_repetitive: bool = True,
                   near_dup_threshold: float | None = None, ngram_k: int = 5,
+                  near_dup_method: str = "ngram",
+                  near_dup_partitions: int = 32,
                   max_ppl_micro: int | None = None,
                   ppl_percentile: float | None = None, lm_order: int = 2,
                   lm_alpha: float = 0.4, lm_min_count: int = 2,
                   lang_fracs: dict | None = None, default_frac: float = 1.0,
                   split_fracs: dict | None = None,
                   pack_budget: int | None = None,
-                  token_col: str = "n_chars"):
+                  token_col: str = "n_chars",
+                  ngram_max_df: int | None = None,
+                  stage_cb=None):
     """Run the full curation chain over a documents Dataset and return
     the curated Dataset (original columns, plus ``split`` when
     ``split_fracs`` is given and ``seq_id`` when ``pack_budget`` is).
@@ -101,6 +105,17 @@ def curate_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
     stage. When both ``split_fracs`` and ``pack_budget`` are given,
     each split packs independently (training sequences must never
     straddle a split boundary).
+
+    ``ngram_max_df`` passes through to the near-dup pair generator
+    (stages/dedup.ngram_jaccard_pairs): grams shared by more docs are
+    dropped (logged; under-merge only) — the web-scale knob that
+    bounds the inverted-index pair fanout under zipf-hot boilerplate.
+
+    ``stage_cb(name, ds) -> ds`` is called at each enabled stage
+    boundary (names: gate, exact_dedup, near_dup, ppl_gate, mix,
+    shuffle, split, pack) and its return value feeds the next stage.
+    The bench uses it to materialize and time each stage in
+    isolation; the default (None) keeps the chain fully lazy.
     """
     import functools
 
@@ -108,16 +123,20 @@ def curate_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
                                  pack_sequences, quota_per_key,
                                  stratified_sample)
 
+    def _cb(name, d):
+        return stage_cb(name, d) if stage_cb is not None else d
+
     if min_quality > 0 or drop_repetitive:
         ds = ds.map_batches(
             functools.partial(_quality_filter_batch, text_col=text_col,
                               min_quality=min_quality,
                               drop_repetitive=drop_repetitive),
             batch_format="pyarrow")
+        ds = _cb("gate", ds)
 
     # exact dedup: keep the smallest id per distinct text (content-hash
     # exchange; O(rows) shuffle, no driver state)
-    ds = quota_per_key(ds, text_col, id_col, 1)
+    ds = _cb("exact_dedup", quota_per_key(ds, text_col, id_col, 1))
 
     if near_dup_threshold is not None:
         from ..stages import dedup as DD
@@ -133,8 +152,27 @@ def curate_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
         view = ds.map_batches(
             functools.partial(_as_dedup_view, id_col=id_col, text_col=text_col),
             batch_format="pyarrow")
-        pairs = DD.ngram_jaccard_pairs(view, k=ngram_k,
-                                       threshold=near_dup_threshold)
+        if near_dup_method == "minhash":
+            # the 100-TB path: banded MinHash-LSH candidates (hot
+            # buckets capped + logged) -> co-partitioned EXACT Jaccard
+            # verify — shuffle volume O(signatures + candidate pairs),
+            # never the Sum(df^2) of the exact inverted index below.
+            # The signature pool is elastic (1, 64): it scales with
+            # whatever CPUs the cluster offers instead of pinning 4.
+            cand = DD.minhash_candidates(
+                view, k=ngram_k, num_partitions=near_dup_partitions,
+                sig_concurrency=(1, 64))
+            pairs = DD.jaccard_verify_exchange(
+                cand, view, k=ngram_k, threshold=near_dup_threshold,
+                num_partitions=near_dup_partitions)
+        elif near_dup_method == "ngram":
+            pairs = DD.ngram_jaccard_pairs(view, k=ngram_k,
+                                           threshold=near_dup_threshold,
+                                           max_df=ngram_max_df)
+        else:
+            raise ValueError(
+                f"curate_corpus: near_dup_method must be 'ngram' or "
+                f"'minhash', got {near_dup_method!r}")
         labels = DD.propagate_min_labels_exchange(pairs)
 
         def drops(batch: pa.Table) -> pa.Table:
@@ -150,6 +188,7 @@ def curate_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
                     if c != param]
         if appended:
             ds = ds.drop_columns(appended)
+        ds = _cb("near_dup", ds)
 
     if ppl_percentile is not None and max_ppl_micro is not None:
         raise ValueError(
@@ -220,7 +259,8 @@ def curate_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
             drop_ppl = scores.map_batches(over_budget,
                                           batch_format="pyarrow")
-        ds = anti_join_ids(ds, drop_ppl, id_col, bloom_bits=1 << 24)
+        ds = _cb("ppl_gate",
+                 anti_join_ids(ds, drop_ppl, id_col, bloom_bits=1 << 24))
 
     if lang_fracs is not None:
         def add_num(b: pa.Table) -> pa.Table:
@@ -228,10 +268,10 @@ def curate_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
                 return b
             return b.append_column("__mix_id", b[id_col].cast(pa.int64()))
 
-        ds = stratified_sample(
+        ds = _cb("mix", stratified_sample(
             ds.map_batches(add_num, batch_format="pyarrow"),
             "__mix_id", lang_col, lang_fracs, default=default_frac,
-        ).drop_columns(["__mix_id"])
+        ).drop_columns(["__mix_id"]))
 
     def add_rank_ids(b: pa.Table) -> pa.Table:
         if "__ord_id" in b.column_names:
@@ -244,10 +284,11 @@ def curate_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     needs_order = split_fracs is not None or pack_budget is not None
     if needs_order:
-        ds = deterministic_shuffle(
-            ds.map_batches(add_rank_ids, batch_format="pyarrow"), "__ord_id")
+        ds = _cb("shuffle", deterministic_shuffle(
+            ds.map_batches(add_rank_ids, batch_format="pyarrow"),
+            "__ord_id"))
     if split_fracs is not None:
-        ds = dataset_split(ds, "__split_id", split_fracs)
+        ds = _cb("split", dataset_split(ds, "__split_id", split_fracs))
     if pack_budget is not None:
         if split_fracs is not None:
             import pyarrow.compute as pc
@@ -266,6 +307,7 @@ def curate_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
             ds = out
         else:
             ds = pack_sequences(ds, token_col, pack_budget, "shuffle_rank")
+        ds = _cb("pack", ds)
     if needs_order:
         ds = ds.drop_columns(["__ord_id", "__split_id"])
     return ds

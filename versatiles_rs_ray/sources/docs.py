@@ -479,3 +479,184 @@ def load_shard_spec(spec) -> pa.Table:
     """Materialize one shard spec -> interleaved docs table."""
     batch = pa.table({"id": pa.array(spec["replicas"], type=pa.int64())})
     return _read_shard(batch, spec["path"], columns=spec["columns"])
+
+
+# ---- zipf-skewed curation benchmark corpus ----------------------------
+#
+# The curate_corpus scaling certification (bench.py --curate) needs a
+# corpus whose DUPLICATE STRUCTURE matches real web crawls:
+#
+#   - EXACT duplicates follow a power law (a few boilerplate pages
+#     appear millions of times): 1 - mutate_permille/1000 of the docs
+#     draw their text from K zipf(s)-ranked base texts, so the exact-
+#     dedup exchange routes zipf-hot content-hash keys and the source
+#     column inherits the skew (rank 0 dominates src0) — the imbalance
+#     the temperature-mix stage rebalances.
+#   - NEAR duplicates come in BOUNDED clusters (template pages with
+#     per-page noise): the remaining docs each pick one of
+#     ~(n_docs * frac / 4) synthesized templates and append a doc-
+#     unique token, giving near-dup families of ~4 docs with pairwise
+#     Jaccard ~0.85-0.92. Mega near-dup clusters are deliberately NOT
+#     generated: at web scale those are crushed by the exact pass
+#     (byte-identical boilerplate) — and when they do survive, the
+#     LSH bucket cap bounds the work and LOGS the under-merge, which
+#     is the engine's documented posture, not a benchmark shape.
+#
+# Every text is a sequence of pseudorandom 8-hex-char tokens
+# (fmix64-derived), so a k-byte gram's doc frequency equals its
+# rank/template cluster size — the df structure real content grams
+# have. Pure integer hashing throughout: the same job on any cluster
+# size reproduces the same corpus bit-for-bit, the property the
+# scaling pair relies on.
+
+_ZIPF_SALT_PICK = 0xD6E8FEB86659FD93
+_ZIPF_SALT_MUT = 0xA3C59AC311377387
+_ZIPF_SALT_FAM = 0x8AD93B6B1E995F8D
+
+
+def _fmix64(x: np.ndarray) -> np.ndarray:
+    h = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+    return h
+
+
+_HEX = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+_FAM_TOKENS = 24  # tokens per template text (fixed width: vectorized)
+
+
+def _token_matrix(ids: np.ndarray, n_tok: int, ns: int) -> pa.Array:
+    """Vectorized text builder: for each id, ``n_tok`` pseudorandom
+    8-hex-char tokens from fmix64(id * 64 + j + ns) joined by spaces —
+    one uint8 matrix, one Arrow buffer, zero per-row Python."""
+    n = len(ids)
+    tok = _fmix64((ids[:, None].astype(np.int64) * 64
+                   + np.arange(n_tok, dtype=np.int64)[None, :]) + ns)
+    v = (tok >> np.uint64(32)).astype(np.uint64)
+    width = 9 * n_tok  # 8 hex chars + separator each
+    out = np.empty((n, n_tok, 9), dtype=np.uint8)
+    for i in range(8):
+        sh = np.uint64(4 * (7 - i))
+        out[:, :, i] = _HEX[((v >> sh) & np.uint64(0xF)).astype(np.int64)]
+    out[:, :, 8] = 32  # space (trailing space per row is harmless:
+    # whitespace tokenizers ignore it and it is identical per template)
+    buf = pa.py_buffer(out.tobytes())
+    offs = pa.py_buffer((np.arange(n + 1, dtype=np.int32) * width).tobytes())
+    return pa.Array.from_buffers(pa.string(), n, [None, offs, buf])
+
+
+def zipf_doc_specs(sf_dir: str, n_docs: int, s: float = 1.3,
+                   mutate_permille: int = 300,
+                   docs_per_task: int = 50_000):
+    """Picklable shard specs for a ``n_docs``-row zipf(s)-skewed corpus
+    (module comment above documents the duplicate structure)."""
+    fam = max(1, (n_docs * mutate_permille) // 4000)  # ~4 docs/family
+    out = []
+    for lo in range(0, n_docs, docs_per_task):
+        out.append({
+            "path": f"{sf_dir}/documents.parquet",
+            "lo": lo,
+            "hi": min(lo + docs_per_task, n_docs),
+            "s": s,
+            "mutate_permille": mutate_permille,
+            "n_families": fam,
+        })
+    return out
+
+
+def _zipf_cache(fn):
+    import functools
+
+    return functools.lru_cache(maxsize=4)(fn)
+
+
+@_zipf_cache
+def _zipf_base(path: str, s_key: float):
+    """Per-worker cached (texts, langs, cdf) for the K zipf ranks.
+    Rank r's text is 24 + (r % 16) rank-specific pseudorandom tokens
+    (namespace 0); langs come from the driver's base table so the mix
+    stage sees the real distribution."""
+    import pyarrow.parquet as pq
+
+    langs = pq.read_table(path, columns=["lang"])["lang"].combine_chunks()
+    K = len(langs)
+    texts = pa.concat_arrays([
+        _token_matrix(np.array([r], dtype=np.int64), 24 + (r % 16), 0)
+        for r in range(K)
+    ])
+    w = np.arange(1, K + 1, dtype=np.float64) ** (-float(s_key))
+    cdf = np.cumsum(w / w.sum())
+    return texts, langs, cdf
+
+
+def load_zipf_shard(spec) -> pa.Table:
+    """Materialize one zipf-corpus shard spec (fully vectorized)."""
+    import pyarrow.compute as pc
+
+    base_text, base_lang, cdf = _zipf_base(spec["path"], float(spec["s"]))
+    K = len(base_text)
+    g = np.arange(spec["lo"], spec["hi"], dtype=np.int64)
+    mut = (_fmix64(g ^ np.int64(np.uint64(_ZIPF_SALT_MUT)
+                                .astype(np.int64))) % np.uint64(1000)
+           ) < np.uint64(spec["mutate_permille"])
+    ge, gf = g[~mut], g[mut]
+
+    # exact-dup leg: zipf rank pick over the K base texts
+    u = _fmix64(ge ^ np.int64(np.uint64(_ZIPF_SALT_PICK)
+                              .astype(np.int64))) \
+        .astype(np.float64) / 2.0 ** 64
+    r = np.searchsorted(cdf, u, side="right").clip(0, K - 1)
+    ridx = pa.array(r, type=pa.int64())
+    t_exact = pa.table({
+        "doc_id": pa.array(ge, type=pa.int64()),
+        "text": base_text.take(ridx),
+        "lang": base_lang.take(ridx),
+        "source": pc.binary_join_element_wise(
+            "src", pa.array((r % 20).astype(np.int64)).cast(pa.string()),
+            ""),
+    })
+
+    # near-dup leg: template pick (uniform over bounded families) plus
+    # a doc-unique token -> families of ~4 pairwise near-dups
+    fam = (_fmix64(gf ^ np.int64(np.uint64(_ZIPF_SALT_FAM)
+                                 .astype(np.int64)))
+           % np.uint64(spec["n_families"])).astype(np.int64)
+    text_f = pc.binary_join_element_wise(
+        _token_matrix(fam, _FAM_TOKENS, 1 << 40),
+        "q", pa.array(gf, type=pa.int64()).cast(pa.string()), "")
+    fidx = pa.array(fam % K, type=pa.int64())
+    t_fam = pa.table({
+        "doc_id": pa.array(gf, type=pa.int64()),
+        "text": text_f,
+        "lang": base_lang.take(fidx),
+        "source": pc.binary_join_element_wise(
+            "src", pa.array((fam % 20)).cast(pa.string()), ""),
+    })
+
+    out = pa.concat_tables([t_exact, t_fam])
+    return out.append_column(
+        "n_chars", pc.utf8_length(out["text"]).cast(pa.int64()))
+
+
+def read_zipf_docs(sf_dir: str, n_docs: int, s: float = 1.3,
+                   mutate_permille: int = 300,
+                   docs_per_task: int = 50_000):
+    """The zipf corpus as a streaming Dataset (one read task per spec)."""
+    import functools
+
+    import ray.data as rd
+
+    specs = zipf_doc_specs(sf_dir, n_docs, s=s,
+                           mutate_permille=mutate_permille,
+                           docs_per_task=docs_per_task)
+    ds = rd.range(len(specs), override_num_blocks=len(specs))
+
+    def load(batch: pa.Table, _specs=specs) -> pa.Table:
+        tabs = [load_zipf_shard(_specs[int(i)]) for i in batch["id"].to_pylist()]
+        return pa.concat_tables(tabs)
+
+    return ds.map_batches(load, batch_format="pyarrow")

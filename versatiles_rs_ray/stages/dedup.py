@@ -156,9 +156,18 @@ class MinHashSignatures:
         sh = flat & _MERSENNE
         n = len(starts)
         sigs = np.empty((n, self.num_perm), dtype=np.uint64)
-        for p in range(self.num_perm):
-            vals = (self.a[p] * sh + self.b[p]) % _MERSENNE
-            sigs[:, p] = np.minimum.reduceat(vals, starts)
+        M = np.uint64(_MERSENNE)
+        s61 = np.uint64(61)
+        with np.errstate(over="ignore"):
+            for p in range(self.num_perm):
+                vals = self.a[p] * sh + self.b[p]
+                # exact x % (2^61-1) for uint64 x via shift-add (x =
+                # hi*2^61 + lo -> x mod M = (lo + hi) mod M; hi < 8 so
+                # one conditional subtract suffices) — same values as
+                # the divide-based %, ~3x cheaper on the hot path
+                vals = (vals & M) + (vals >> s61)
+                vals -= M * (vals >= M)
+                sigs[:, p] = np.minimum.reduceat(vals, starts)
         return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -315,12 +324,19 @@ def _pair_first_block(table: pa.Table) -> pa.Table:
     return table.take(pa.array(order[first])).drop_columns(["route"])
 
 
-def minhash_candidates(docs_ds, k=5, num_perm=64, bands=8, seed=42, num_partitions=16):
+def minhash_candidates(docs_ds, k=5, num_perm=64, bands=8, seed=42, num_partitions=16,
+                       sig_concurrency=(1, 4)):
     """Candidate near-dup pairs (doc_a < doc_b), deduplicated.
 
     Both wide steps run through the hash exchange with vectorized
     kernels: bucket pair-generation (routed by LSH bucket) and pair
     dedup (routed by pair key) — no Ray groupby, no per-group pandas.
+
+    ``sig_concurrency`` sizes the signature actor pool; the (1, 4)
+    default fits the small oracle corpora — large corpora must raise
+    it (curate_corpus passes an elastic pool scaled past the node) or
+    the signature stage serializes on 4 actors regardless of cluster
+    size.
     """
     from .exchange import hash_exchange
 
@@ -328,7 +344,7 @@ def minhash_candidates(docs_ds, k=5, num_perm=64, bands=8, seed=42, num_partitio
         MinHashSignatures,
         fn_constructor_kwargs={"k": k, "num_perm": num_perm, "bands": bands, "seed": seed},
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=sig_concurrency,
     )
     pairs = hash_exchange(
         band_rows, "route", _bucket_pairs_block, num_partitions=num_partitions
