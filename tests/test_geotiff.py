@@ -453,3 +453,52 @@ def test_vpl_from_gdal_raster_jpeg_tiff(ray_session, tmp_path):
     # left half of the image: low red, blue channel ~99 everywhere
     assert abs(int(t[..., 2].mean()) - 99) <= 3
     assert t[..., 0].mean() < 130
+
+
+def test_world_file_albers_5070_from_gdal_raster(ray_session, tmp_path):
+    """A world-file PNG in EPSG:5070 (NAD83 CONUS Albers, the new
+    9822 family) with a .prj sidecar carrying the EPSG AUTHORITY:
+    the full from_gdal_raster VPL op must resolve the CRS from the
+    sidecar and warp it to the same z3 tiles as the SAME pixels
+    shipped as a GeoTIFF with an inline EPSG code."""
+    from versatiles_rs_ray.core.png import encode_png
+    from versatiles_rs_ray.pipelines.vpl import build_pipeline
+
+    # CONUS extent in Albers coordinates
+    x0, x1 = -2_300_000.0, 2_200_000.0
+    y1, y0 = 3_100_000.0, 300_000.0
+    yy, xx = np.mgrid[0:64, 0:128]
+    arr = np.zeros((64, 128, 4), np.uint8)
+    arr[..., 0] = (xx * 2) % 256
+    arr[..., 1] = (yy * 4) % 256
+    arr[..., 2] = 64
+    arr[..., 3] = 255
+    dx, dy = (x1 - x0) / 128, -(y1 - y0) / 64
+    png = tmp_path / "conus.png"
+    png.write_bytes(encode_png(arr))
+    (tmp_path / "conus.pgw").write_text(
+        f"{dx}\n0\n0\n{dy}\n{x0 + dx / 2}\n{y1 + dy / 2}\n")
+    (tmp_path / "conus.prj").write_text(
+        'PROJCS["NAD83 / Conus Albers",GEOGCS["NAD83",DATUM["D",'
+        'SPHEROID["GRS 1980",6378137,298.257222101]],'
+        'AUTHORITY["EPSG","4269"]],PROJECTION["Albers_Conic_Equal_Area"],'
+        'AUTHORITY["EPSG","5070"]]')
+    tif = tmp_path / "conus.tif"
+    tif.write_bytes(write_tiff(arr, geotransform=(x0, dx, 0.0, y1, 0.0, dy),
+                               epsg=5070))
+    rows_png = {(r["x"], r["y"]): r["payload"] for r in build_pipeline(
+        f'from_gdal_raster filename="{png}" tile_size="16" '
+        'level_min="3" level_max="3"').take_all()}
+    rows_tif = {(r["x"], r["y"]): r["payload"] for r in build_pipeline(
+        f'from_gdal_raster filename="{tif}" tile_size="16" '
+        'level_min="3" level_max="3"').take_all()}
+    assert rows_png and set(rows_png) == set(rows_tif)
+    for k in rows_tif:
+        assert rows_png[k] == rows_tif[k]
+    # tiles with actual CONTENT (any opaque pixel; payloads are
+    # rgba-raw at this stage) must sit in the North-America corner of
+    # z3 — the warp put the Albers raster where CONUS is, nowhere else
+    content = {k for k, p in rows_png.items()
+               if np.frombuffer(p, np.uint8)[3::4].any()}
+    assert content  # non-degenerate
+    assert all(1 <= x <= 2 and 2 <= y <= 3 for x, y in content), content

@@ -287,3 +287,94 @@ def test_srs_reprojector_laea_warp(ray_session):
     E, _ = p.forward(lon.ravel(), lat.ravel())
     want_r = np.clip((E - e0) / (w * px) * 255, 0, 255).astype(np.int64)
     assert np.abs(arr[..., 0].ravel().astype(np.int64) - want_r).max() <= 2
+
+
+def test_srs_albers_and_new_lcc_families():
+    """EPSG:5070/3577/3310 (Albers 9822) and EPSG:3034/3347 (LCC
+    9802): the same defining-invariant validation as 3035/2154 —
+    equal-area Jacobian for Albers with EXACT unit scale on both
+    standard parallels, conformality for the LCC codes, round-trips
+    over each service area, projection-center goldens."""
+    from versatiles_rs_ray.core import srs
+
+    a, f = 6378137.0, 1.0 / 298.257222101
+    e2 = 2.0 * f - f * f
+
+    conus = srs.get_srs(5070)
+    aus = srs.get_srs(3577)
+    cal = srs.get_srs(3310)
+    lcc_eu = srs.get_srs(3034)
+    lcc_ca = srs.get_srs(3347)
+
+    # natural-origin goldens: forward(lon0, lat0) == (FE, FN)
+    for proj, lon0, lat0, fe, fn in (
+        (conus, -96.0, 23.0, 0.0, 0.0),
+        (aus, 132.0, 0.0, 0.0, 0.0),
+        (cal, -120.0, 0.0, 0.0, -4000000.0),
+        (lcc_eu, 10.0, 52.0, 4000000.0, 2800000.0),
+        (lcc_ca, -91.866667, 63.390675, 6200000.0, 3000000.0),
+    ):
+        x, y = proj.forward(lon0, lat0)
+        assert abs(float(x) - fe) < 1e-5 and abs(float(y) - fn) < 1e-5
+
+    # round-trips over each projection's service area
+    for proj, lons, lats in (
+        (conus, np.linspace(-125, -65, 9), np.linspace(24, 50, 8)),
+        (aus, np.linspace(112, 155, 9), np.linspace(-44, -9, 8)),
+        (cal, np.linspace(-125, -113, 7), np.linspace(32, 43, 6)),
+        (lcc_eu, np.linspace(-10, 30, 9), np.linspace(35, 70, 8)),
+        (lcc_ca, np.linspace(-140, -50, 9), np.linspace(42, 80, 8)),
+    ):
+        LO, LA = np.meshgrid(lons, lats)
+        lo2, la2 = proj.inverse(*proj.forward(LO, LA))
+        assert np.abs(lo2 - LO).max() < 1e-8
+        assert np.abs(la2 - LA).max() < 1e-8
+
+    def jacobian(proj, lon, lat, h=1e-6):
+        x1, y1 = proj.forward(lon + h, lat)
+        x0, y0 = proj.forward(lon - h, lat)
+        x3, y3 = proj.forward(lon, lat + h)
+        x2, y2 = proj.forward(lon, lat - h)
+        return np.array([[(x1 - x0), (x3 - x2)], [(y1 - y0), (y3 - y2)]],
+                        dtype=float) / (2 * h * np.pi / 180.0)
+
+    # Albers: |det J| == ellipsoidal area element everywhere, and
+    # scale == 1 exactly ON both standard parallels
+    for proj, pts, parallels in (
+        (conus, [(-96.0, 29.5), (-96.0, 45.5), (-120.0, 35.0),
+                 (-75.0, 40.0)], (29.5, 45.5)),
+        (aus, [(132.0, -18.0), (132.0, -36.0), (145.0, -30.0),
+               (118.0, -22.0)], (-18.0, -36.0)),
+        (cal, [(-120.0, 34.0), (-120.0, 40.5), (-117.0, 36.0)],
+         (34.0, 40.5)),
+    ):
+        for lon, lat in pts:
+            J = jacobian(proj, lon, lat)
+            phi = np.radians(lat)
+            s = np.sin(phi)
+            dA = a * a * (1 - e2) * np.cos(phi) / (1 - e2 * s * s) ** 2
+            assert abs(abs(np.linalg.det(J)) / dA - 1.0) < 1e-6, (
+                proj.code, lon, lat)
+            if lat in parallels:
+                nu = a / np.sqrt(1 - e2 * s * s)
+                kpar = np.hypot(*J[:, 0]) / (nu * np.cos(phi))
+                assert abs(kpar - 1.0) < 1e-7, (proj.code, lat)
+
+    # LCC codes: conformal everywhere, unit scale on their parallels
+    for proj, pts, parallels in (
+        (lcc_eu, [(10.0, 35.0), (10.0, 65.0), (-5.0, 45.0),
+                  (25.0, 55.0)], (35.0, 65.0)),
+        (lcc_ca, [(-92.0, 49.0), (-92.0, 77.0), (-120.0, 60.0),
+                  (-60.0, 50.0)], (49.0, 77.0)),
+    ):
+        for lon, lat in pts:
+            J = jacobian(proj, lon, lat)
+            phi = np.radians(lat)
+            s = np.sin(phi)
+            nu = a / np.sqrt(1 - e2 * s * s)
+            M = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+            kpar = np.hypot(*J[:, 0]) / (nu * np.cos(phi))
+            kmer = np.hypot(*J[:, 1]) / M
+            assert abs(kpar / kmer - 1.0) < 1e-6, (proj.code, lon, lat)
+            if lat in parallels:
+                assert abs(kpar - 1.0) < 1e-7, (proj.code, lat)

@@ -275,12 +275,88 @@ class LCC2SP:
         return np.degrees(self.lon0 + th / self.n), np.degrees(phi)
 
 
+class Albers:
+    """Albers Equal-Area Conic, 2 standard parallels (EPSG method
+    9822, Snyder 1987 §14 ellipsoidal) — EPSG:5070 (NAD83 CONUS) is
+    the US national analysis grid, EPSG:3577 the Australian one.
+    Equal-area is a checkable invariant (numeric Jacobian == the
+    ellipsoidal area element), shared with LAEA; the authalic-q
+    machinery is LAEA's."""
+
+    def __init__(self, code, lat1_deg, lat2_deg, lat0_deg, lon0_deg,
+                 fe, fn, a=6378137.0, f=1.0 / 298.257222101):  # GRS80
+        self.code = code
+        self.a, self.e2 = a, 2.0 * f - f * f
+        self.e = math.sqrt(self.e2)
+        self.lon0 = math.radians(lon0_deg)
+        self.fe, self.fn = fe, fn
+        p1, p2, p0 = (math.radians(v) for v in (lat1_deg, lat2_deg,
+                                                lat0_deg))
+
+        def m(phi):
+            return math.cos(phi) / math.sqrt(
+                1.0 - self.e2 * math.sin(phi) ** 2)
+
+        q1, q2, q0 = (float(LAEA._q(self, np.array(p)))
+                      for p in (p1, p2, p0))
+        m1, m2 = m(p1), m(p2)
+        self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        self.C = m1 * m1 + self.n * q1
+        self.rho0 = a * math.sqrt(self.C - self.n * q0) / self.n
+        self.qp = float(LAEA._q(self, np.array(math.pi / 2.0)))
+
+    _q = LAEA._q
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        q = self._q(phi)
+        rho = self.a * np.sqrt(np.maximum(self.C - self.n * q, 0.0)) \
+            / self.n
+        th = self.n * (lam - self.lon0)
+        return (self.fe + rho * np.sin(th),
+                self.fn + self.rho0 - rho * np.cos(th))
+
+    def inverse(self, x, y):
+        xr = np.asarray(x, dtype=np.float64) - self.fe
+        yr = self.rho0 - (np.asarray(y, dtype=np.float64) - self.fn)
+        rho = np.hypot(xr, yr)
+        if self.n < 0:
+            rho, xr, yr = -rho, -xr, -yr
+        th = np.arctan2(xr, yr)
+        qq = (self.C - (rho * self.n / self.a) ** 2) / self.n
+        pole = np.abs(qq) >= self.qp * (1.0 - 1e-12)
+        phi = np.arcsin(np.clip(qq / 2.0, -1.0, 1.0))
+        phi = np.where(pole, 0.0, phi)
+        for _ in range(8):  # Snyder 3-16, same iteration as LAEA
+            s = np.sin(phi)
+            phi = phi + (1.0 - self.e2 * s * s) ** 2 \
+                / (2.0 * np.cos(phi)) * (
+                    qq / (1.0 - self.e2)
+                    - s / (1.0 - self.e2 * s * s)
+                    + (1.0 / (2.0 * self.e))
+                    * np.log((1.0 - self.e * s) / (1.0 + self.e * s)))
+        phi = np.where(pole, np.sign(qq) * (np.pi / 2.0), phi)
+        return np.degrees(self.lon0 + th / self.n), np.degrees(phi)
+
+
 # parameter sets from the EPSG registry entries for each code (the
 # full registry needs PROJ at deploy; these are the codes real
-# European/French rasters carry)
+# regional rasters carry — NAD83/ETRS89/GDA94 all use GRS80, the
+# constructors' default ellipsoid)
 _PROJECTED = {
     3035: lambda: LAEA(3035, 52.0, 10.0, 4321000.0, 3210000.0),
     2154: lambda: LCC2SP(2154, 49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0),
+    # Lambert conformal family (EPSG 9802)
+    3034: lambda: LCC2SP(3034, 35.0, 65.0, 52.0, 10.0,
+                         4000000.0, 2800000.0),   # ETRS89-LCC Europe
+    3347: lambda: LCC2SP(3347, 49.0, 77.0, 63.390675, -91.866667,
+                         6200000.0, 3000000.0),   # NAD83 Canada LCC
+    # Albers equal-area family (EPSG 9822)
+    5070: lambda: Albers(5070, 29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
+    3577: lambda: Albers(3577, -18.0, -36.0, 0.0, 132.0, 0.0, 0.0),
+    3310: lambda: Albers(3310, 34.0, 40.5, 0.0, -120.0,
+                         0.0, -4000000.0),        # California Albers
 }
 
 
