@@ -4,6 +4,7 @@ on hosts without gcc/libjpeg-dev (the shim then never activates and
 decode_jpeg serves pure-Python, covered by test_raster)."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from versatiles_rs_ray.core import jpeg as pyjpeg
@@ -152,3 +153,41 @@ def test_png_native_bit_exact_and_interlaced():
                           pypng.decode_png_rgba(data, native=False))
     # corrupt stream: native rejects, pure raises its own error
     assert imgshim.decode_png_rgba_native(data[:40]) is None
+
+
+def test_codec_auto_default(ray_session):
+    """raster_format's default codec is now 'auto': with the verified
+    shim present, JPEG bytes equal the codec='native' output; with the
+    shim gone, auto degrades to exactly the pure encoder. PNG stays
+    bit-identical under every codec setting."""
+    import ray.data as rd
+
+    from versatiles_rs_ray.core import imgshim, raster
+    from versatiles_rs_ray.stages.raster import raster_format
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, (16, 16, 4), dtype=np.uint8)
+    arr[..., 3] = 255
+    ds = rd.from_arrow(pa.table({
+        "z": pa.array([0], type=pa.int64()),
+        "x": pa.array([0], type=pa.int64()),
+        "y": pa.array([0], type=pa.int64()),
+        "payload": pa.array([raster.from_array(arr)], type=pa.binary()),
+        "width": pa.array([16], type=pa.int64()),
+        "height": pa.array([16], type=pa.int64()),
+    }))
+
+    def payload(codec):
+        return raster_format(ds, "jpg", codec=codec).take_all()[0]["payload"]
+
+    auto, native, pure = payload("auto"), payload("native"), payload("pure")
+    if imgshim.have_native_jpeg():
+        assert auto == native
+    else:
+        assert auto == pure
+    # in-process: auto falls back to pure bytes when the shim refuses
+    assert raster.encode(arr, "jpg", codec="pure") == pure
+    # PNG ignores the codec knob entirely (always pure, bit-identical)
+    p1 = raster.encode(arr, "png", codec="auto")
+    p2 = raster.encode(arr, "png", codec="pure")
+    assert p1 == p2

@@ -215,11 +215,15 @@ def encode(arr: np.ndarray, fmt: str, quality=None, codec: str = "pure"):
             # accept what codec=pure rejects
             raise ValueError("JPEG quality must be below 100 (no "
                              "lossless JPEG)")
-        if codec == "native" and (arr.ndim == 2 or arr.shape[2] in (1, 3)):
-            # opt-in throughput path (~40x): system libjpeg via the
-            # compiled shim. Deterministic per host+lib version but
-            # NOT the engine's byte-determinism contract — callers
-            # choose it explicitly (raster_format codec=native).
+        if codec in ("native", "auto") and (
+                arr.ndim == 2 or arr.shape[2] in (1, 3)):
+            # throughput path (~40x): system libjpeg via the compiled
+            # shim, taken ONLY when the shim's probe-time self-check
+            # against the pure decoder passed (encode_jpeg_native
+            # returns None otherwise and we fall back). Deterministic
+            # per host+lib version but NOT the engine's
+            # byte-determinism contract — byte-golden callers pass
+            # codec="pure" explicitly.
             from . import imgshim as _shim
 
             out = _shim.encode_jpeg_native(

@@ -494,11 +494,11 @@ def _vrasterize(ds, size=256, colors=None, background=None, **_):
 
 
 @register_transform_op("raster_format")
-def _rformat(ds, format="png", quality=None, speed=None, codec="pure", **_):
+def _rformat(ds, format="png", quality=None, speed=None, codec="auto", **_):
     """Re-encode raster payloads per-zoom via a format/quality schedule
-    (raster_format.rs). codec=native opts JPEG into the compiled
-    libjpeg shim (~40x/tile; bytes differ from the deterministic
-    pure-Python default)."""
+    (raster_format.rs). codec=auto (default) takes the compiled
+    libjpeg shim for JPEG (~40x/tile) when its self-check passed;
+    codec=pure forces the byte-deterministic pure-Python encoder."""
     from ..stages.raster import raster_format
 
     return raster_format(ds, str(format), quality_schedule=quality,

@@ -47,7 +47,7 @@ def raster_flatten(ds, bg=(255, 255, 255)):
 
 
 def raster_format(ds, fmt, quality_schedule=None, speed=None,
-                  codec: str = "pure"):
+                  codec: str = "auto"):
     """Transcode with per-zoom quality (raster_format.rs:83-167).
 
     The schedule parser is the exact reference port. ``fmt="png"``
@@ -63,11 +63,14 @@ def raster_format(ds, fmt, quality_schedule=None, speed=None,
     (core/native.py) with the reference quality semantics (webp.rs:
     q>=100 lossless; avif.rs: encode-only, lossless rejected).
 
-    ``codec="native"`` routes JPEG encoding through the compiled
-    libjpeg shim (~40x per tile; core/imgshim.py) — the 100-TB
-    conversion path. Bytes are deterministic per host+libjpeg version
-    but differ from the default pure-Python encoder, so the engine's
-    byte-golden contract keeps ``codec="pure"`` as the default.
+    ``codec`` (default "auto") routes JPEG encoding through the
+    compiled libjpeg shim (~40x per tile; core/imgshim.py) whenever
+    the shim's probe-time self-check against the pure decoder passed
+    — the 100-TB conversion path runs native by default. Bytes are
+    deterministic per host+libjpeg version but differ from the pure
+    encoder; pass ``codec="pure"`` for the engine's cross-host
+    byte-determinism contract (PNG output is pure and bit-identical
+    under every codec setting).
     """
     schedule = raster.parse_quality_schedule(quality_schedule)
 
