@@ -385,3 +385,121 @@ def test_video_pipeline_end_to_end(ray_session, sf_dir):
     # every video span produced >= 3 sampled frames (clips have 3-6)
     per_span = out.groupby(["doc_id", "span_idx"]).size()
     assert (per_span >= 3).all() and (per_span <= 4).all()
+
+
+def test_mov_mjpeg_round_trip_near():
+    from versatiles_rs_ray.core.mov import (decode_mov_frame, encode_mov,
+                                            parse_mov)
+
+    frames = _frames(5, h=24, w=32)
+    data = encode_mov(frames, fps=12.0, quality=95)
+    info = parse_mov(data)
+    assert (info.width, info.height, info.n_frames) == (32, 24, 5)
+    assert info.codec == "jpeg" and info.timescale == 600
+    # stts at 12 fps over timescale 600 -> 50-tick deltas
+    assert info.times.tolist() == [0, 50, 100, 150, 200]
+    for i, f in enumerate(frames):
+        out = decode_mov_frame(data, info, i)
+        assert out.shape == (24, 32, 4)
+        err = np.abs(out[..., :3].astype(int)
+                     - f[..., :3].astype(int)).max()
+        assert err <= 12
+
+
+def test_mov_hand_packed_fixture():
+    """Reader-independent fixture: a minimal ISO-BMFF file assembled
+    byte by byte from the public 14496-12 box layout — two JPEG
+    samples split across TWO chunks (exercising the stsc run
+    expansion), 64-bit co64 offsets, and an stts with two runs."""
+    from versatiles_rs_ray.core.jpeg import encode_jpeg
+    from versatiles_rs_ray.core.mov import decode_mov_frame, parse_mov
+
+    def box(cc, body):
+        return struct.pack(">I", 8 + len(body)) + cc + body
+
+    def full(cc, body, version=0, flags=0):
+        return box(cc, bytes([version]) + flags.to_bytes(3, "big") + body)
+
+    f0 = np.zeros((8, 8, 3), np.uint8); f0[..., 0] = 200
+    f1 = np.zeros((8, 8, 3), np.uint8); f1[..., 2] = 150
+    s0, s1 = encode_jpeg(f0, 90), encode_jpeg(f1, 90)
+
+    entry = (struct.pack(">I", 86) + b"jpeg" + b"\x00" * 6
+             + struct.pack(">H", 1) + b"\x00" * 16
+             + struct.pack(">HH", 8, 8) + b"\x00" * 50)
+    stsd = full(b"stsd", struct.pack(">I", 1) + entry)
+    stts = full(b"stts", struct.pack(">IIIII", 2, 1, 100, 1, 44))
+    # two chunks, one sample each
+    stsc = full(b"stsc", struct.pack(">IIII", 1, 1, 1, 1))
+    stsz = full(b"stsz", struct.pack(">IIII", 0, 2, len(s0), len(s1)))
+    mdhd = full(b"mdhd", struct.pack(">IIIIHH", 0, 0, 1000, 144, 0, 0))
+    hdlr = full(b"hdlr", b"mhlr" + b"vide" + b"\x00" * 13)
+    vmhd = full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+    dinf = box(b"dinf", full(b"dref", struct.pack(">I", 1)
+                             + full(b"url ", b"", flags=1)))
+    tkhd = full(b"tkhd", struct.pack(">IIIII", 0, 0, 1, 0, 144)
+                + b"\x00" * 16 + b"\x00" * 36
+                + struct.pack(">II", 8 << 16, 8 << 16), flags=7)
+    mvhd = full(b"mvhd", struct.pack(">IIII", 0, 0, 1000, 144)
+                + b"\x00" * 80)
+
+    def lay(off0, off1):
+        co64 = full(b"co64", struct.pack(">IQQ", 2, off0, off1))
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + co64)
+        minf = box(b"minf", vmhd + dinf + stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+        return moov
+
+    m0 = lay(0, 0)
+    base = len(m0) + 8
+    gap = b"\xee" * 5  # junk between the two chunks
+    moov = lay(base, base + len(s0) + len(gap))
+    data = moov + box(b"mdat", s0 + gap + s1)
+
+    info = parse_mov(data)
+    assert (info.width, info.height, info.n_frames) == (8, 8, 2)
+    assert info.timescale == 1000
+    assert info.times.tolist() == [0, 100]
+    a = decode_mov_frame(data, info, 0)
+    b = decode_mov_frame(data, info, 1)
+    assert abs(int(a[4, 4, 0]) - 200) <= 4 and int(a[4, 4, 2]) <= 8
+    assert abs(int(b[4, 4, 2]) - 150) <= 4 and int(b[4, 4, 0]) <= 8
+
+
+def test_mov_codec_gate():
+    """A compressed-codec track (avc1) must raise naming the codec."""
+    from versatiles_rs_ray.core.mov import encode_mov, parse_mov
+
+    data = bytearray(encode_mov(_frames(2), fps=10))
+    i = data.find(b"jpeg", data.find(b"stsd"))
+    data[i : i + 4] = b"avc1"
+    with pytest.raises(NotImplementedError, match="avc1"):
+        parse_mov(bytes(data))
+
+
+def test_video_frames_stage_mov():
+    """VideoFrames demuxes MJPEG-in-MOV: correct sampling, stts
+    timestamps, decodable rgba-raw payloads."""
+    import pyarrow as pa
+
+    from versatiles_rs_ray.core.mov import encode_mov
+    from versatiles_rs_ray.stages.multimodal import VideoFrames
+
+    frames = _frames(7, h=12, w=10)
+    blob = encode_mov(frames, fps=20.0)
+    vf = VideoFrames(max_frames=3)
+    out = vf(pa.table({"doc_id": pa.array([b"d1"], type=pa.binary()),
+                       "payload": pa.array([blob], type=pa.binary())}))
+    assert out.num_rows == 3
+    assert out["frame_idx"].to_pylist() == [0, 3, 6]
+    assert out["n_frames"].to_pylist() == [7, 7, 7]
+    # 20 fps over timescale 600 -> 30-tick deltas -> 50 ms apart
+    assert out["timestamp_ms"].to_pylist() == [0.0, 150.0, 300.0]
+    w, h = out["width"][0].as_py(), out["height"][0].as_py()
+    assert (w, h) == (10, 12)
+    rgba = np.frombuffer(out["payload"][2].as_py(),
+                         np.uint8).reshape(h, w, 4)
+    err = np.abs(rgba[..., :3].astype(int)
+                 - frames[6][..., :3].astype(int)).max()
+    assert err <= 12

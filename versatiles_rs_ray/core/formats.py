@@ -20,6 +20,7 @@ FORMAT_MIME = {
     "bmp": "image/bmp",
     "wav": "audio/wav",
     "avi": "video/x-msvideo",
+    "mov": "video/quicktime",
     "mvt": "application/x-protobuf",
     "pbf": "application/x-protobuf",
     "json": "application/json",
@@ -46,6 +47,9 @@ def sniff_format(payload: bytes) -> str:
         return "avi"
     if len(payload) > 11 and payload[4:12] == b"ftypavif":
         return "avif"
+    if len(payload) > 11 and payload[4:8] in (b"ftyp", b"moov", b"mdat",
+                                              b"wide", b"skip"):
+        return "mov"  # ISO-BMFF / QuickTime (any major brand)
     if payload[:4] in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):
         return "tiff"  # classic and BigTIFF, either byte order
     if payload[:6] in (b"GIF87a", b"GIF89a"):

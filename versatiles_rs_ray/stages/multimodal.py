@@ -244,11 +244,13 @@ class SyntheticMediaFetcher:
             t = np.arange(n, dtype=np.float64) / 8000.0
             return encode_wav(0.5 * np.sin(2 * np.pi * freq * t), 8000)
         if kind == "video":
-            # REAL container: seed-derived animated GIF for even seeds,
-            # MJPEG-in-AVI for odd — both decodable end-to-end by
-            # VideoFrames (core/gif.py, core/avi.py)
+            # REAL container: seed-derived animated GIF for even
+            # seeds, MJPEG-in-AVI / MJPEG-in-MOV alternating for odd
+            # — all decodable end-to-end by VideoFrames (core/gif.py,
+            # core/avi.py, core/mov.py)
             from ..core.avi import encode_avi
             from ..core.gif import encode_gif
+            from ..core.mov import encode_mov
 
             n_frames = 3 + seed % 4
             w = 8 + (seed >> 4) % 9
@@ -276,6 +278,8 @@ class SyntheticMediaFetcher:
             if seed % 2 == 0:
                 return encode_gif(
                     vframes, delays_cs=[4 + seed % 6] * n_frames)
+            if seed % 4 == 1:
+                return encode_mov(vframes, fps=10.0 + seed % 20)
             return encode_avi(vframes, fps=10.0 + seed % 20, codec="mjpeg")
         if kind != "image":
             rng = np.random.default_rng(seed % (1 << 31))
@@ -615,12 +619,15 @@ class VideoFrames:
         from ..core.avi import decode_avi_frame, parse_avi
         from ..core.formats import sniff_format
         from ..core.gif import decode_gif_frames
+        from ..core.mov import decode_mov_frame, parse_mov
 
         self.max_frames = max_frames
         self._sniff = sniff_format
         self._parse_avi = parse_avi
         self._avi_frame = decode_avi_frame
         self._gif_frames = decode_gif_frames
+        self._parse_mov = parse_mov
+        self._mov_frame = decode_mov_frame
 
     def _sample(self, n: int) -> np.ndarray:
         k = min(self.max_frames, n)
@@ -645,6 +652,17 @@ class VideoFrames:
                 (int(i), info.n_frames,
                  1000.0 * i / info.fps if info.fps else None,
                  self._avi_frame(payload, info, int(i)))
+                for i in self._sample(info.n_frames)
+            ]
+        if fmt == "mov":
+            info = self._parse_mov(payload)
+            if not info.n_frames:
+                raise ValueError("ISO-BMFF track carries no samples")
+            return [
+                (int(i), info.n_frames,
+                 1000.0 * float(info.times[i]) / info.timescale
+                 if info.timescale else None,
+                 self._mov_frame(payload, info, int(i)))
                 for i in self._sample(info.n_frames)
             ]
         raise ValueError(f"no video demuxer for format {fmt!r}")
