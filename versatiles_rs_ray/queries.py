@@ -4180,16 +4180,16 @@ def _oracle_minhash_dedup():
     Reproduces stages/dedup.MinHashSignatures end to end: rolling
     k-byte shingle hashes as a HUGEINT polynomial mod 2^64 (byte ==
     ord() on the ASCII driver corpus, short docs zero-padded), the
-    61-bit mask, the 64 universal perms ((a*x + b) wraps mod 2^64 in
-    numpy uint64 BEFORE the mod 2^61-1 — mirrored here; the a/b
-    constants are read from the SAME seeded generator and inlined),
+    61-bit mask, the 64 perms ((a*x + b) wrapping mod 2^64 in numpy
+    uint64 — mirrored here; the a/b constants are read from the SAME
+    seeded generator and inlined),
     the FNV fold per 8-perm band, the per-bucket lowest-256-doc cap
     (dedup._MAX_BUCKET), pair dedup, and the exact shingle-set
     Jaccard >= MINHASH_TAU verify.
     """
     sig = dedup.MinHashSignatures()  # defaults: k=5, 64 perms, 8 bands, seed 42
     k, rpb = sig.k, sig.rows_per_band
-    M64, MERS, F = 1 << 64, (1 << 61) - 1, 1099511628211
+    M64, F = 1 << 64, 1099511628211
     cap = dedup._MAX_BUCKET
     pw = [pow(1000003, k - 1 - j, M64) for j in range(k)]
     terms = " + ".join(
@@ -4209,8 +4209,8 @@ def _oracle_minhash_dedup():
         f"WITH sh AS (SELECT doc_id, unnest(list_distinct([({terms}) % {M64}::HUGEINT "
         f"FOR i IN range(1, greatest(length(text) - {k} + 1, 1) + 1)])) AS h FROM documents), "
         f"perms(p, a, b) AS (VALUES {perm_rows}), "
-        f"sig AS (SELECT doc_id, p, min(((a * (h % {1 << 61}::HUGEINT) + b) "
-        f"% {M64}::HUGEINT) % {MERS}::HUGEINT) AS s FROM sh CROSS JOIN perms "
+        f"sig AS (SELECT doc_id, p, min((a * (h % {1 << 61}::HUGEINT) + b) "
+        f"% {M64}::HUGEINT) AS s FROM sh CROSS JOIN perms "
         "GROUP BY doc_id, p), "
         f"band AS (SELECT doc_id, band_id, ({fold}) AS bh FROM "
         f"(SELECT doc_id, p // {rpb} AS band_id, list(s ORDER BY p) AS l "

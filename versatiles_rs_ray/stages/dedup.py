@@ -86,22 +86,48 @@ def _shingle_hashes_flat(texts, k: int):
     run_start[1:] = np.cumsum(n_win)[:-1]
     within = np.arange(total, dtype=np.int64) - np.repeat(run_start, n_win)
     g_start = np.repeat(offs[:-1], n_win) + within
-    doc_end = np.repeat(offs[1:], n_win)
 
-    h = np.zeros(total, dtype=np.uint64)
+    # Rolling hash over the CONCATENATED byte buffer with k contiguous
+    # slice passes (sequential reads, no per-window fancy gather):
+    # window w's hash is h_full[w]. Windows that would cross a doc
+    # boundary are exactly the ones n_win excludes, EXCEPT short docs
+    # (L < k), whose single zero-padded gram is patched after.
     base = np.uint64(1000003)
-    safe_max = max(len(data) - 1, 0)
-    for j in range(k):
-        col_idx = g_start + j
-        valid = col_idx < doc_end
-        vals = np.where(valid, data[np.minimum(col_idx, safe_max)] if len(data) else 0, 0)
-        h = h * base + vals.astype(np.uint64)
+    nb = len(data)
+    m = max(nb - k + 1, 0)
+    h_full = np.zeros(max(m, 1), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h_full = h_full * base
+            if m:
+                h_full[:m] += data[j : m + j]
+        h = h_full[np.minimum(g_start, max(m - 1, 0))] if m else \
+            np.zeros(total, dtype=np.uint64)
+        short = np.flatnonzero(L < k)
+        if len(short):
+            pos = run_start[short]  # one window per short doc
+            hs = np.zeros(len(short), dtype=np.uint64)
+            so, sl = offs[short], L[short]
+            for j in range(k):
+                v = np.where(j < sl, data[np.minimum(so + j, max(nb - 1, 0))]
+                             if nb else 0, 0)
+                hs = hs * base + v.astype(np.uint64)
+            h[pos] = hs
 
-    order = np.lexsort((h, doc_rep))
-    dh, hh = doc_rep[order], h[order]
+    # distinct per doc via ONE argsort of a packed (doc, hash-bits)
+    # key — truncated low bits only merge runs, so the full-width
+    # neighbor compare keeps the dedup exact (same trick as the
+    # verify intersection). Per-doc output order is by truncated
+    # hash (unordered contract; every consumer is order-insensitive).
+    bits_doc = max(int(n_docs).bit_length(), 1)
+    shift = np.uint64(64 - bits_doc)
+    key = (doc_rep.astype(np.uint64) << shift) | (
+        h & ((np.uint64(1) << shift) - np.uint64(1)))
+    order = np.argsort(key, kind="stable")
+    kk, hh, dh = key[order], h[order], doc_rep[order]
     first = np.ones(total, dtype=bool)
     if total > 1:
-        first[1:] = (dh[1:] != dh[:-1]) | (hh[1:] != hh[:-1])
+        first[1:] = (kk[1:] != kk[:-1]) | (hh[1:] != hh[:-1])
     flat = hh[first]
     counts = np.bincount(dh[first], minlength=n_docs).astype(np.int64)
     starts = np.zeros(n_docs, dtype=np.int64)
@@ -151,20 +177,24 @@ class MinHashSignatures:
         self.b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
 
     def signatures(self, texts) -> np.ndarray:
-        """(N, num_perm) uint64 signature matrix for an Arrow string col."""
+        """(N, num_perm) uint64 signature matrix for an Arrow string col.
+
+        Perm p of shingle x is ``(a[p] * (x & 2^61-1) + b[p]) mod
+        2^64`` — plain wrapping multiply-add (a odd-enough from the
+        seeded generator): a uniform-ordering hash in two array passes
+        per perm where the earlier mod-(2^61-1) chain took six. The
+        DuckDB oracle (queries._oracle_minhash_dedup) mirrors this
+        formula with the SAME inlined constants, so the two sides stay
+        bit-identical. The perm loop blocks at doc boundaries (~128k
+        shingles) to keep the per-perm passes cache-resident.
+        """
         flat, starts, _counts = _shingle_hashes_flat(texts, self.k)
         sh = flat & _MERSENNE
         n = len(starts)
         sigs = np.empty((n, self.num_perm), dtype=np.uint64)
-        M = np.uint64(_MERSENNE)
-        s61 = np.uint64(61)
-        # Block the perm loop at doc boundaries (~128k shingles per
-        # block): the per-perm passes then run over a cache-resident
-        # chunk instead of streaming the whole flat array from RAM
-        # num_perm times — the kernel is BANDWIDTH-bound, and this
-        # cuts its memory traffic by ~num_perm x (values unchanged).
         target = 1 << 17
         ends = np.append(starts[1:], len(sh))
+        buf = np.empty(min(len(sh), target + 4096), dtype=np.uint64)
         i0 = 0
         with np.errstate(over="ignore"):
             while i0 < n:
@@ -174,16 +204,13 @@ class MinHashSignatures:
                 lo, hi = int(starts[i0]), int(ends[i1 - 1])
                 sub = sh[lo:hi]
                 sub_starts = starts[i0:i1] - lo
+                if len(sub) > len(buf):
+                    buf = np.empty(len(sub), dtype=np.uint64)
+                v = buf[: len(sub)]
                 for p in range(self.num_perm):
-                    vals = self.a[p] * sub + self.b[p]
-                    # exact x % (2^61-1) for uint64 x via shift-add
-                    # (x = hi*2^61 + lo -> x mod M = (lo + hi) mod M;
-                    # hi < 8 so one conditional subtract suffices) —
-                    # same values as the divide-based %, cheaper
-                    vals = (vals & M) + (vals >> s61)
-                    vals -= M * (vals >= M)
-                    sigs[i0:i1, p] = np.minimum.reduceat(vals,
-                                                         sub_starts)
+                    np.multiply(sub, self.a[p], out=v)
+                    v += self.b[p]
+                    sigs[i0:i1, p] = np.minimum.reduceat(v, sub_starts)
                 i0 = i1
         return sigs
 
@@ -429,14 +456,14 @@ def _list_buffers(col) -> tuple[np.ndarray, np.ndarray]:
     return offs, vals
 
 
-def _jv_doc_rows(batch: pa.Table, k: int = 5, id_col: str = "doc_num",
+def _jv_doc_rows(batch: pa.Table, id_col: str = "doc_num",
                  text_col: str = "text") -> pa.Table:
     n = batch.num_rows
     return pa.table({
         "route": batch[id_col].combine_chunks().cast(pa.int64()),
         "doc_a": pa.nulls(n, pa.int64()),
         "doc_b": pa.nulls(n, pa.int64()),
-        "sh": _sh_list_column(batch[text_col], k),
+        "txt": batch[text_col].combine_chunks().cast(pa.string()),
     })
 
 
@@ -446,51 +473,36 @@ def _jv_pair_rows(batch: pa.Table) -> pa.Table:
         "route": batch["doc_a"].combine_chunks().cast(pa.int64()),
         "doc_a": batch["doc_a"].combine_chunks().cast(pa.int64()),
         "doc_b": batch["doc_b"].combine_chunks().cast(pa.int64()),
-        "sh": pa.nulls(n, _SH_TYPE),
+        "txt": pa.nulls(n, pa.string()),
     })
 
 
-def _jv_gather_sh(doc_tbl: pa.Table, want: np.ndarray) -> pa.LargeListArray:
-    """Gather shingle lists for ``want`` doc ids from this partition's
-    doc rows. A missing doc behaves like empty text (its single
-    zero-padded gram hashes to 0) — parity with JaccardVerify's
-    ``texts.get(id, "")``."""
-    nw = len(want)
+def _jv_gather_text(doc_tbl: pa.Table, want: np.ndarray) -> pa.Array:
+    """Gather texts for ``want`` doc ids from this partition's doc
+    rows; a missing doc behaves like empty text (parity with
+    JaccardVerify's ``texts.get(id, "")``)."""
+    import pyarrow.compute as pc
+
     doc_ids = np.asarray(doc_tbl["route"], dtype=np.int64)
-    offs, vals = _list_buffers(doc_tbl["sh"])
+    if not len(doc_ids):
+        return pa.array([""] * len(want), type=pa.string())
     order = np.argsort(doc_ids, kind="stable")
     sids = doc_ids[order]
-    if len(sids):
-        pos = np.searchsorted(sids, want)
-        pos_c = np.minimum(pos, len(sids) - 1)
-        found = sids[pos_c] == want
-        src = order[pos_c]
-    else:
-        found = np.zeros(nw, dtype=bool)
-        src = np.zeros(nw, dtype=np.int64)
-    lens = np.where(found, offs[src + 1] - offs[src] if len(sids) else 0, 1)
-    out_off = np.zeros(nw + 1, dtype=np.int64)
-    np.cumsum(lens, out=out_off[1:])
-    total = int(out_off[-1])
-    within = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], lens)
-    src_start = np.where(found, offs[src] if len(sids) else 0, 0)
-    idx = np.repeat(src_start, lens) + within
-    if len(vals):
-        flat = np.where(
-            np.repeat(found, lens), vals[np.minimum(idx, len(vals) - 1)], 0
-        )
-    else:
-        flat = np.zeros(total, dtype=np.int64)
-    return pa.LargeListArray.from_arrays(
-        pa.array(out_off, type=pa.int64()), pa.array(flat, type=pa.int64())
-    )
+    pos = np.minimum(np.searchsorted(sids, want), len(sids) - 1)
+    found = sids[pos] == want
+    txt = doc_tbl["txt"].combine_chunks().take(
+        pa.array(order[pos], type=pa.int64()))
+    return pc.if_else(pa.array(found), txt, "")
 
 
 def _jv_attach_a(table: pa.Table) -> pa.Table:
     """Exchange 1 combine (partition key: doc_a / doc_num): attach
-    side-A shingles to each pair, re-route the pair by doc_b, and pass
-    the partition's doc rows through unchanged (the same hash routes
-    them to the same partition in exchange 2)."""
+    side-A TEXT to each pair (texts are ~7x smaller than their
+    shingle sets — shipping text and re-shingling at the score site
+    is what keeps the exchange out of object-store spill at corpus
+    scale), re-route the pair by doc_b, and pass the partition's doc
+    rows through unchanged (the same hash routes them to the same
+    partition in exchange 2)."""
     import pyarrow.compute as pc
 
     if table.num_rows == 0:
@@ -500,21 +512,25 @@ def _jv_attach_a(table: pa.Table) -> pa.Table:
     pair_tbl = table.filter(pa.array(is_pair))
     if pair_tbl.num_rows == 0:
         return doc_tbl
-    sh_a = _jv_gather_sh(doc_tbl, np.asarray(pair_tbl["doc_a"], dtype=np.int64))
+    txt_a = _jv_gather_text(doc_tbl,
+                            np.asarray(pair_tbl["doc_a"], dtype=np.int64))
     pair_out = pa.table({
         "route": pair_tbl["doc_b"].combine_chunks(),
         "doc_a": pair_tbl["doc_a"],
         "doc_b": pair_tbl["doc_b"],
-        "sh": sh_a,
+        "txt": txt_a,
     })
     return pa.concat_tables([doc_tbl, pair_out], promote_options="default")
 
 
-def _jv_score(table: pa.Table, threshold: float = 0.6) -> pa.Table:
+def _jv_score(table: pa.Table, threshold: float = 0.6,
+              k: int = 5) -> pa.Table:
     """Exchange 2 combine (partition key: doc_b / doc_num): attach
-    side-B shingles, compute exact Jaccard for the whole partition with
-    one lexsort (each side's set is unique, so a (pair, hash) run of
-    length 2 == one intersection element), filter by threshold."""
+    side-B text, shingle BOTH sides locally (vectorized rolling-hash
+    over the partition's pair texts), then compute exact Jaccard for
+    the whole partition with one lexsort (each side's set is unique,
+    so a (pair, hash) run of length 2 == one intersection element),
+    filter by threshold."""
     import pyarrow.compute as pc
 
     def _empty():
@@ -532,8 +548,12 @@ def _jv_score(table: pa.Table, threshold: float = 0.6) -> pa.Table:
     if n == 0:
         return _empty()
     doc_tbl = table.filter(pa.array(~is_pair))
-    sh_b = _jv_gather_sh(doc_tbl, np.asarray(pair_tbl["doc_b"], dtype=np.int64))
-    a_off, a_val = _list_buffers(pair_tbl["sh"])
+    txt_b = _jv_gather_text(doc_tbl,
+                            np.asarray(pair_tbl["doc_b"], dtype=np.int64))
+    sh_a = _sh_list_column(pc.fill_null(pair_tbl["txt"].combine_chunks(),
+                                        ""), k)
+    sh_b = _sh_list_column(txt_b, k)
+    a_off, a_val = _list_buffers(sh_a)
     b_off, b_val = _list_buffers(sh_b)
     len_a, len_b = np.diff(a_off), np.diff(b_off)
     rows = np.arange(n, dtype=np.int64)
@@ -542,10 +562,23 @@ def _jv_score(table: pa.Table, threshold: float = 0.6) -> pa.Table:
         a_val[a_off[0] : a_off[-1]] if len(a_val) else a_val,
         b_val[b_off[0] : b_off[-1]] if len(b_val) else b_val,
     ])
-    order = np.lexsort((vals, tags))
-    t, v = tags[order], vals[order]
-    dup = (t[1:] == t[:-1]) & (v[1:] == v[:-1])
-    inter = np.bincount(t[1:][dup], minlength=n)
+    # each side's set is unique, so a (pair, hash) key occurring
+    # twice == one intersection element. Counting those via ONE
+    # argsort of a packed single uint64 key (pair tag in the high
+    # bits, low hash bits below) runs ~6x faster than the equivalent
+    # two-key np.lexsort, which used to dominate the whole verify
+    # stage; truncated low bits can only create candidate runs, so a
+    # full-width value compare on sorted neighbors keeps the count
+    # EXACT.
+    bits_tag = max(int(n).bit_length(), 1)
+    shift = np.uint64(64 - bits_tag)
+    u = vals.astype(np.uint64)
+    key = (tags.astype(np.uint64) << shift) | (
+        u & ((np.uint64(1) << shift) - np.uint64(1)))
+    perm = np.argsort(key, kind="stable")
+    kk, vv, tt = key[perm], u[perm], tags[perm]
+    dup = (kk[1:] == kk[:-1]) & (vv[1:] == vv[:-1])
+    inter = np.bincount(tt[1:][dup], minlength=n)
     union = len_a + len_b - inter
     jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
     keep = jac >= threshold
@@ -578,7 +611,7 @@ def jaccard_verify_exchange(pairs_ds, docs_ds, k: int = 5, threshold: float = 0.
     from .exchange import hash_exchange
 
     doc_rows = docs_ds.map_batches(
-        functools.partial(_jv_doc_rows, k=k, id_col=id_col, text_col=text_col),
+        functools.partial(_jv_doc_rows, id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
     )
     pair_rows = pairs_ds.map_batches(_jv_pair_rows, batch_format="pyarrow")
@@ -586,7 +619,7 @@ def jaccard_verify_exchange(pairs_ds, docs_ds, k: int = 5, threshold: float = 0.
     attached = hash_exchange(routed, "route", _jv_attach_a, num_partitions=num_partitions)
     return hash_exchange(
         attached, "route",
-        functools.partial(_jv_score, threshold=threshold),
+        functools.partial(_jv_score, threshold=threshold, k=k),
         num_partitions=num_partitions,
     )
 
