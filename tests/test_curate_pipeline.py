@@ -259,3 +259,27 @@ def test_curate_minhash_matches_ngram(ray_session):
     pb = pb[key].sort_values(key).reset_index(drop=True)
     assert pa_.equals(pb)
     assert len(pa_) > 0
+
+
+def test_curate_e2e_matches_oracle(ray_session):
+    """The full-composition curate_e2e query (gate -> exact dedup ->
+    ngram near-dup -> mix -> fmix64-salted shuffle -> pack) against
+    its DuckDB oracle — the driver-gate comparison kept in-suite."""
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    sys.path.insert(0, "tools")
+    from selfcheck import canon as _canon
+
+    from versatiles_rs_ray import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    mine = Q.QUERIES["curate_e2e"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(Q.ORACLES["curate_e2e"]).fetchdf()
+    assert len(mine) == len(want) and len(mine) > 0
+    pd.testing.assert_frame_equal(_canon(mine), _canon(want))

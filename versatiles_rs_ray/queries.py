@@ -4689,7 +4689,123 @@ def _oracle_embedding_near_dup():
 # dropped for their supersets). The genuinely rows-only pipelines
 # (codec-bearing) follow after position 50 and stay runnable via
 # tools/selfcheck.py + pytest goldens.
+CURATE_E2E_FRACS = {"en": 0.5}
+CURATE_E2E_BUDGET = 2048
+
+
+def q_curate_e2e(sf_dir):
+    """The FULL curation flagship (pipelines/curate.curate_corpus) as
+    one oracle-backed query: quality/repetition gate -> exact dedup
+    (min id per distinct text) -> ngram-Jaccard near-dup removal with
+    connected-component labels -> stratified language mix -> salted
+    deterministic shuffle -> greedy sequence packing. Every stage is
+    individually oracle-backed elsewhere; this pins the COMPOSITION
+    (including the fmix64-salted shuffle id) against one DuckDB
+    query."""
+    import ray.data as rd
+
+    from .pipelines.curate import curate_corpus
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source", "n_chars"])
+    out = curate_corpus(
+        ds, id_col="doc_id", text_col="text", lang_col="lang",
+        min_quality=1, drop_repetitive=True,
+        near_dup_threshold=NGRAM_TAU, ngram_k=NGRAM_K,
+        near_dup_method="ngram", lang_fracs=dict(CURATE_E2E_FRACS),
+        default_frac=1.0, pack_budget=CURATE_E2E_BUDGET,
+        token_col="n_chars")
+    return out.select_columns(["doc_id", "lang", "source", "n_chars",
+                               "shuffle_rank", "seq_id"])
+
+
+def _oracle_curate_e2e():
+    from .pipelines.curate import _SHUFFLE_SALT
+    from .stages.curate import (_SAMPLE_MOD, _SAMPLE_MULT, _SHUFFLE_MOD,
+                                _SHUFFLE_MULT)
+
+    k, tau = NGRAM_K, NGRAM_TAU
+    M64 = 1 << 64
+    C1, C2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+    B = CURATE_E2E_BUDGET
+    jac = "CAST(p.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - p.inter)"
+    ntok = ("CASE WHEN trim(d.text) = '' THEN 0 ELSE "
+            f"len({_SQL_TOKENS.replace('text', 'd.text')}) END")
+    cases = " ".join(
+        f"WHEN '{kk}' THEN CAST({vv} * {_SAMPLE_MOD} AS UBIGINT)"
+        for kk, vv in CURATE_E2E_FRACS.items())
+    sid = D.SQL_DOC_ID_STR.replace("doc_id", "d.doc_id")
+    return (
+        "WITH RECURSIVE "
+        f"rep AS ({_sql_repetition_stats()}), "
+        "gated AS (SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars "
+        f"FROM documents d JOIN rep r ON r.doc_id = {sid} "
+        f"WHERE {ntok} >= 3 AND NOT r.repetitive), "
+        "ded AS (SELECT doc_id, text, lang, source, n_chars FROM "
+        "(SELECT g.*, row_number() OVER (PARTITION BY text "
+        "ORDER BY doc_id) AS rn FROM gated g) WHERE rn = 1), "
+        f"sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {k}) AS s "
+        "FROM (SELECT doc_id, text, "
+        f"unnest(range(1, greatest(length(text) - {k - 2}, 2))) AS i FROM ded)), "
+        "cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+        "cpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "count(*) AS inter FROM sh a JOIN sh b ON a.s = b.s "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "jpairs AS (SELECT p.doc_a, p.doc_b FROM cpairs p "
+        "JOIN cnt ca ON ca.doc_id = p.doc_a "
+        f"JOIN cnt cb ON cb.doc_id = p.doc_b WHERE {jac} >= {tau}), "
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs "
+        "UNION SELECT doc_b, doc_a FROM jpairs), "
+        "reach AS (SELECT a, b FROM edges UNION "
+        "SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), "
+        "labels AS (SELECT a AS doc_num, least(a, min(b)) AS group_id "
+        "FROM reach GROUP BY a), "
+        "surv AS (SELECT d.* FROM ded d LEFT JOIN labels l "
+        "ON l.doc_num = d.doc_id "
+        "WHERE l.group_id IS NULL OR l.group_id = d.doc_id), "
+        "mix AS (SELECT * FROM surv WHERE "
+        f"(doc_id::HUGEINT * {_SAMPLE_MULT}) % {_SAMPLE_MOD} < "
+        f"(CASE lang {cases} ELSE CAST(1.0 * {_SAMPLE_MOD} AS UBIGINT) END)), "
+        # fmix64(doc_id ^ SHUFFLE_SALT) >> 1 — the engine's salted
+        # shuffle id, HUGEINT-mod for the wrapping multiplies
+        f"s1 AS (SELECT *, xor(CAST(doc_id AS UBIGINT), "
+        f"CAST({_SHUFFLE_SALT} AS UBIGINT)) AS h0 FROM mix), "
+        "s2 AS (SELECT *, xor(h0, h0 >> 33) AS h1 FROM s1), "
+        # wrapping 64-bit multiply via 32-bit split (h*C mod 2^64 =
+        # (lo*C mod 2^64 + (hi*C mod 2^32)*2^32) mod 2^64) — a direct
+        # INT128 product of two ~2^64 operands would overflow HUGEINT
+        f"s3 AS (SELECT *, CAST(((CAST(h1 & 4294967295 AS HUGEINT) * {C1}) "
+        f"% {M64}::HUGEINT + ((CAST(h1 >> 32 AS HUGEINT) * {C1}) % "
+        f"4294967296) * 4294967296) % {M64}::HUGEINT AS UBIGINT) "
+        "AS h2 FROM s2), "
+        "s4 AS (SELECT *, xor(h2, h2 >> 33) AS h3 FROM s3), "
+        f"s5 AS (SELECT *, CAST(((CAST(h3 & 4294967295 AS HUGEINT) * {C2}) "
+        f"% {M64}::HUGEINT + ((CAST(h3 >> 32 AS HUGEINT) * {C2}) % "
+        f"4294967296) * 4294967296) % {M64}::HUGEINT AS UBIGINT) "
+        "AS h4 FROM s4), "
+        "s6 AS (SELECT doc_id, lang, source, n_chars, "
+        "CAST(xor(h4, h4 >> 33) >> 1 AS BIGINT) AS ord_id FROM s5), "
+        "ranked AS (SELECT doc_id, lang, source, n_chars, "
+        "row_number() OVER (ORDER BY "
+        f"(ord_id::HUGEINT * {_SHUFFLE_MULT}) % {_SHUFFLE_MOD}::HUGEINT, "
+        "ord_id) - 1 AS shuffle_rank FROM s6), "
+        "rec AS (SELECT doc_id, lang, source, n_chars, shuffle_rank, "
+        "n_chars AS acc, 0 AS seq FROM ranked WHERE shuffle_rank = 0 "
+        "UNION ALL SELECT r.doc_id, r.lang, r.source, r.n_chars, "
+        "r.shuffle_rank, "
+        f"CASE WHEN rec.acc + r.n_chars > {B} THEN r.n_chars "
+        "ELSE rec.acc + r.n_chars END, "
+        f"CASE WHEN rec.acc + r.n_chars > {B} THEN rec.seq + 1 "
+        "ELSE rec.seq END "
+        "FROM rec JOIN ranked r ON r.shuffle_rank = rec.shuffle_rank + 1) "
+        "SELECT doc_id, lang, source, n_chars, shuffle_rank, "
+        "seq AS seq_id FROM rec"
+    )
+
+
 QUERIES = {
+    "curate_e2e": q_curate_e2e,
     # ---- round-5 window rotation (round-4 verdict item 5): the 30
     # oracle-backed queries that sat OUTSIDE the round-4 driver
     # snapshot lead, topped up with 20 round-4-window queries; the
@@ -4789,6 +4905,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "curate_e2e": _oracle_curate_e2e(),
     "tile_assign": _oracle_tile_assign(),
     "span_explode": _oracle_span_explode(),
     "span_dedup": _oracle_span_dedup(),
