@@ -157,11 +157,10 @@ def curate_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
             # buckets capped + logged) -> co-partitioned EXACT Jaccard
             # verify — shuffle volume O(signatures + candidate pairs),
             # never the Sum(df^2) of the exact inverted index below.
-            # The signature pool is elastic (1, 64): it scales with
-            # whatever CPUs the cluster offers instead of pinning 4.
+            # Signatures run as plain tasks (per-process cached
+            # constants): zero pool ramp, scales to every core.
             cand = DD.minhash_candidates(
-                view, k=ngram_k, num_partitions=near_dup_partitions,
-                sig_concurrency=(1, 64))
+                view, k=ngram_k, num_partitions=near_dup_partitions)
             pairs = DD.jaccard_verify_exchange(
                 cand, view, k=ngram_k, threshold=near_dup_threshold,
                 num_partitions=near_dup_partitions)

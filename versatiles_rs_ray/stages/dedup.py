@@ -16,6 +16,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+from functools import lru_cache as functools_lru_cache
 import pandas as pd
 import pyarrow as pa
 
@@ -191,7 +192,10 @@ class MinHashSignatures:
         flat, starts, _counts = _shingle_hashes_flat(texts, self.k)
         sh = flat & _MERSENNE
         n = len(starts)
-        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        # perm-major accumulation (contiguous row writes — a sigs[:, p]
+        # column write is 8x cache-line write amplification), one
+        # transpose at the end
+        sigs_t = np.empty((self.num_perm, n), dtype=np.uint64)
         target = 1 << 17
         ends = np.append(starts[1:], len(sh))
         buf = np.empty(min(len(sh), target + 4096), dtype=np.uint64)
@@ -210,9 +214,10 @@ class MinHashSignatures:
                 for p in range(self.num_perm):
                     np.multiply(sub, self.a[p], out=v)
                     v += self.b[p]
-                    sigs[i0:i1, p] = np.minimum.reduceat(v, sub_starts)
+                    np.minimum.reduceat(v, sub_starts,
+                                        out=sigs_t[p, i0:i1])
                 i0 = i1
-        return sigs
+        return np.ascontiguousarray(sigs_t.T)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_num = np.asarray(batch["doc_num"], dtype=np.int64)
@@ -368,28 +373,52 @@ def _pair_first_block(table: pa.Table) -> pa.Table:
     return table.take(pa.array(order[first])).drop_columns(["route"])
 
 
+@functools_lru_cache(maxsize=8)
+def _sig_for(k: int, num_perm: int, bands: int, seed: int):
+    return MinHashSignatures(k=k, num_perm=num_perm, bands=bands,
+                             seed=seed)
+
+
+def _sig_rows(batch: pa.Table, k: int, num_perm: int, bands: int,
+              seed: int) -> pa.Table:
+    """Task-path signature kernel: the 'state' is 2*num_perm seeded
+    constants — microseconds to build and lru-cached per worker
+    process, so a plain TASK pool serves it with zero actor-spawn
+    ramp (the ramp was costing more than the kernel at high
+    parallelism) while still scaling to every core the cluster has."""
+    return _sig_for(k, num_perm, bands, seed)(batch)
+
+
 def minhash_candidates(docs_ds, k=5, num_perm=64, bands=8, seed=42, num_partitions=16,
-                       sig_concurrency=(1, 4)):
+                       sig_concurrency=None):
     """Candidate near-dup pairs (doc_a < doc_b), deduplicated.
 
     Both wide steps run through the hash exchange with vectorized
     kernels: bucket pair-generation (routed by LSH bucket) and pair
     dedup (routed by pair key) — no Ray groupby, no per-group pandas.
 
-    ``sig_concurrency`` sizes the signature actor pool; the (1, 4)
-    default fits the small oracle corpora — large corpora must raise
-    it (curate_corpus passes an elastic pool scaled past the node) or
-    the signature stage serializes on 4 actors regardless of cluster
-    size.
+    ``sig_concurrency=None`` (default) runs signatures as plain tasks
+    (per-process lru-cached constants, no pool ramp); pass an actor
+    tuple only if a deployment needs pinned signature actors.
     """
+    import functools
+
     from .exchange import hash_exchange
 
-    band_rows = docs_ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs={"k": k, "num_perm": num_perm, "bands": bands, "seed": seed},
-        batch_format="pyarrow",
-        concurrency=sig_concurrency,
-    )
+    if sig_concurrency is None:
+        band_rows = docs_ds.map_batches(
+            functools.partial(_sig_rows, k=k, num_perm=num_perm,
+                              bands=bands, seed=seed),
+            batch_format="pyarrow",
+        )
+    else:
+        band_rows = docs_ds.map_batches(
+            MinHashSignatures,
+            fn_constructor_kwargs={"k": k, "num_perm": num_perm,
+                                   "bands": bands, "seed": seed},
+            batch_format="pyarrow",
+            concurrency=sig_concurrency,
+        )
     pairs = hash_exchange(
         band_rows, "route", _bucket_pairs_block, num_partitions=num_partitions
     )
