@@ -95,7 +95,10 @@ def parse_mov(data: bytes) -> MovInfo:
         try:
             return _parse_trak(data, tb, te)
         except NotImplementedError as exc:
-            last_err = exc
+            last_err = exc  # a named unsupported codec beats a generic error
+        except ValueError as exc:
+            if last_err is None:
+                last_err = exc  # malformed trak: keep walking the rest
     if last_err is not None:
         raise last_err
     raise ValueError("ISO-BMFF: no video trak with a sample table")

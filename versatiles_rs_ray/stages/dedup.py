@@ -63,8 +63,9 @@ def _shingle_hashes_flat(texts, k: int):
     hashes for a whole Arrow string column in one pass.
 
     Returns ``(flat, starts, counts)`` where
-    ``flat[starts[i] : starts[i] + counts[i]]`` is doc i's sorted-unique
-    hash set — bit-identical to :func:`_shingle_hashes` per doc (same
+    ``flat[starts[i] : starts[i] + counts[i]]`` is doc i's UNIQUE hash
+    set (unordered — every consumer is order-insensitive) —
+    value-identical to :func:`_shingle_hashes` per doc (same
     polynomial, same zero-pad of short docs), with zero per-row Python.
     Every doc yields >= 1 hash (short/empty docs hash one padded gram).
     """
@@ -467,8 +468,9 @@ _SH_TYPE = pa.large_list(pa.int64())
 
 
 def _sh_list_column(texts, k: int) -> pa.LargeListArray:
-    """Per-doc sorted-unique shingle-hash sets as one large_list<int64>
-    column (uint64 hashes stored as their int64 bit pattern)."""
+    """Per-doc unique shingle-hash sets (unordered) as one
+    large_list<int64> column (uint64 hashes stored as their int64 bit
+    pattern)."""
     flat, _starts, counts = _shingle_hashes_flat(texts, k)
     offs = np.zeros(len(counts) + 1, dtype=np.int64)
     np.cumsum(counts, out=offs[1:])
