@@ -47,9 +47,6 @@ def sniff_format(payload: bytes) -> str:
         return "avi"
     if len(payload) > 11 and payload[4:12] == b"ftypavif":
         return "avif"
-    if len(payload) > 11 and payload[4:8] in (b"ftyp", b"moov", b"mdat",
-                                              b"wide", b"skip"):
-        return "mov"  # ISO-BMFF / QuickTime (any major brand)
     if payload[:4] in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):
         return "tiff"  # classic and BigTIFF, either byte order
     if payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -60,6 +57,13 @@ def sniff_format(payload: bytes) -> str:
         return "mvt"
     if payload[:1] in (b"{", b"["):
         return "json"
+    # ISO-BMFF / QuickTime: a box fourcc at offset 4 is a WEAK signal
+    # (4 arbitrary bytes), so it ranks below every leading-magic
+    # format above — an MVT/JSON payload whose bytes 4:8 happen to
+    # spell 'mdat' must not be misrouted to the video demuxer
+    if len(payload) > 11 and payload[4:8] in (b"ftyp", b"moov", b"mdat",
+                                              b"wide", b"skip"):
+        return "mov"
     return "bin"
 
 

@@ -96,9 +96,12 @@ def parse_mov(data: bytes) -> MovInfo:
             return _parse_trak(data, tb, te)
         except NotImplementedError as exc:
             last_err = exc  # a named unsupported codec beats a generic error
-        except ValueError as exc:
+        except (ValueError, struct.error) as exc:
             if last_err is None:
-                last_err = exc  # malformed trak: keep walking the rest
+                # malformed/truncated trak: keep walking; surface as
+                # the module's documented ValueError contract
+                last_err = exc if isinstance(exc, ValueError) else \
+                    ValueError(f"ISO-BMFF: malformed trak ({exc})")
     if last_err is not None:
         raise last_err
     raise ValueError("ISO-BMFF: no video trak with a sample table")

@@ -1733,7 +1733,12 @@ def q_triangle_stats(sf_dir):
     from .stages.graph import triangle_stats
 
     ds = D.read_docs(sf_dir, columns=["doc_num", "lon", "lat"])
-    return triangle_stats(eps_pairs(ds, DBSCAN_EPS))
+    # max_degree=None: the oracle computes EXACT counts, and the eps
+    # proximity graph's degree grows with corpus density — the
+    # default hub cap would silently turn this oracle-exact query
+    # into a lower bound at large sf (triangle_stats docstring names
+    # proximity graphs as the intended uncapped case)
+    return triangle_stats(eps_pairs(ds, DBSCAN_EPS), max_degree=None)
 
 
 def _oracle_triangle_stats():

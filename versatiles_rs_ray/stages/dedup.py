@@ -58,6 +58,39 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(h)
 
 
+def _packed_dup_mask(kk: np.ndarray, vv: np.ndarray) -> np.ndarray:
+    """dup[i] == True iff full value vv[i] already occurred earlier in
+    its run of equal packed keys kk — EXACT on full values.
+
+    Fast path is the adjacent compare (equal packed keys AND equal
+    full values). A run whose truncated low bits collide for two
+    DIFFERENT full values ("mixed run") can interleave occurrences so
+    equal full values are not adjacent; those runs are detected and
+    repaired with a local lexsort over just their elements —
+    vanishingly rare (~2^-(64-tag_bits) per element) so the repair
+    costs nothing in practice while making the mask exact always."""
+    n = len(kk)
+    dup = np.zeros(n, dtype=bool)
+    if n < 2:
+        return dup
+    eq_k = kk[1:] == kk[:-1]
+    eq_v = vv[1:] == vv[:-1]
+    dup[1:] = eq_k & eq_v
+    mixed = eq_k & ~eq_v
+    if mixed.any():
+        run_id = np.cumsum(np.r_[True, ~eq_k]) - 1
+        bad = np.unique(run_id[1:][mixed])
+        idx = np.flatnonzero(np.isin(run_id, bad))
+        sub = np.lexsort((vv[idx], run_id[idx]))
+        si = idx[sub]
+        sdup = np.zeros(len(si), dtype=bool)
+        sdup[1:] = (run_id[si[1:]] == run_id[si[:-1]]) & \
+            (vv[si[1:]] == vv[si[:-1]])
+        dup[idx] = False
+        dup[si] = sdup
+    return dup
+
+
 def _shingle_hashes_flat(texts, k: int):
     """Batch-flattened shingle hashing: per-doc DISTINCT rolling k-byte
     hashes for a whole Arrow string column in one pass.
@@ -127,9 +160,7 @@ def _shingle_hashes_flat(texts, k: int):
         h & ((np.uint64(1) << shift) - np.uint64(1)))
     order = np.argsort(key, kind="stable")
     kk, hh, dh = key[order], h[order], doc_rep[order]
-    first = np.ones(total, dtype=bool)
-    if total > 1:
-        first[1:] = (kk[1:] != kk[:-1]) | (hh[1:] != hh[:-1])
+    first = ~_packed_dup_mask(kk, hh)
     flat = hh[first]
     counts = np.bincount(dh[first], minlength=n_docs).astype(np.int64)
     starts = np.zeros(n_docs, dtype=np.int64)
@@ -161,9 +192,10 @@ def _pack_bucket_route(band_id: np.ndarray, band_hash: np.ndarray) -> np.ndarray
 class MinHashSignatures:
     """map_batches stage: per-doc MinHash signature -> band rows.
 
-    num_perm universal hash perms ((a*x + b) mod p, p = 2^61-1) applied
-    to the shingle set; emitted as (route, band_id, band_hash, doc_num)
-    rows ready for the LSH bucket exchange. Permutation constants are
+    num_perm hash perms ((a*x + b) wrapping mod 2^64, x the 61-bit
+    masked shingle hash — see ``signatures``) applied to the shingle
+    set; emitted as (route, band_id, band_hash, doc_num) rows ready
+    for the LSH bucket exchange. Permutation constants are
     seeded once in __init__ (per actor), deterministic across the
     cluster. Signatures are computed batch-flattened (one shingle array
     per batch, ``np.minimum.reduceat`` per perm) — no per-doc Python.
@@ -608,8 +640,8 @@ def _jv_score(table: pa.Table, threshold: float = 0.6,
         u & ((np.uint64(1) << shift) - np.uint64(1)))
     perm = np.argsort(key, kind="stable")
     kk, vv, tt = key[perm], u[perm], tags[perm]
-    dup = (kk[1:] == kk[:-1]) & (vv[1:] == vv[:-1])
-    inter = np.bincount(tt[1:][dup], minlength=n)
+    dup = _packed_dup_mask(kk, vv)
+    inter = np.bincount(tt[dup], minlength=n)
     union = len_a + len_b - inter
     jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
     keep = jac >= threshold
