@@ -503,3 +503,44 @@ def test_video_frames_stage_mov():
     err = np.abs(rgba[..., :3].astype(int)
                  - frames[6][..., :3].astype(int)).max()
     assert err <= 12
+
+
+def test_mov_malformed_trak_walk():
+    """A truncated first trak must surface the documented ValueError
+    (not struct.error) — and must not stop the walk before a later
+    valid MJPEG trak."""
+    from versatiles_rs_ray.core.mov import encode_mov, parse_mov
+
+    good = encode_mov(_frames(2), fps=10)
+    # locate moov and its trak; craft a file whose moov contains a
+    # garbage trak first, then the original one
+    i = good.find(b"moov")
+    moov_size = struct.unpack(">I", good[i - 4 : i])[0]
+    moov_body = good[i + 4 : i - 4 + moov_size]
+    j = moov_body.find(b"trak")
+    mvhd, trak = moov_body[: j - 4], moov_body[j - 4 :]
+    bad_trak = struct.pack(">I", 24) + b"trak" + \
+        struct.pack(">I", 16) + b"mdia" + struct.pack(">I", 8) + b"mdhd"
+    new_body = mvhd + bad_trak + trak
+    new_moov = struct.pack(">I", 8 + len(new_body)) + b"moov" + new_body
+    data = good[: i - 4] + new_moov + good[i - 4 + moov_size :]
+    # offsets into mdat shifted by the inserted bytes: reparse only
+    info = parse_mov(data)
+    assert info.n_frames == 2  # the valid trak still parses
+
+    # a moov holding ONLY the malformed trak raises ValueError
+    lone = good[: i - 4] + (struct.pack(">I", 8 + len(mvhd + bad_trak))
+                            + b"moov" + mvhd + bad_trak)
+    with pytest.raises(ValueError):
+        parse_mov(lone)
+
+
+def test_sniff_mov_ranks_below_leading_magics():
+    from versatiles_rs_ray.core.formats import sniff_format
+
+    # an MVT-looking payload whose bytes 4:8 spell a box fourcc must
+    # stay MVT; same for JSON
+    assert sniff_format(b"\x1a\x00\x00\x00mdat" + b"x" * 8) == "mvt"
+    assert sniff_format(b'{"a"moov": 1}    ') == "json"
+    # a real ISO-BMFF header still sniffs as mov
+    assert sniff_format(b"\x00\x00\x00\x14ftypqt  " + b"\x00" * 8) == "mov"

@@ -96,12 +96,13 @@ def parse_mov(data: bytes) -> MovInfo:
             return _parse_trak(data, tb, te)
         except NotImplementedError as exc:
             last_err = exc  # a named unsupported codec beats a generic error
-        except (ValueError, struct.error) as exc:
+        except (ValueError, struct.error, IndexError) as exc:
             if last_err is None:
-                # malformed/truncated trak: keep walking; surface as
-                # the module's documented ValueError contract
+                # malformed/truncated trak (struct.error / IndexError
+                # from reads past a truncated buffer): keep walking;
+                # surface as the module's documented ValueError
                 last_err = exc if isinstance(exc, ValueError) else \
-                    ValueError(f"ISO-BMFF: malformed trak ({exc})")
+                    ValueError(f"ISO-BMFF: malformed trak ({exc!r})")
     if last_err is not None:
         raise last_err
     raise ValueError("ISO-BMFF: no video trak with a sample table")
